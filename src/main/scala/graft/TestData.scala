@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders + determinism canon (SURVEY.md §7.2).
+  *
+  * Every t2 query must hash-match a DuckDB oracle on the same parquet, so:
+  *  - money/double aggregates go through exact DECIMAL arithmetic and are
+  *    finalized with round(_,4) cast to double (order-independent sums);
+  *  - every result ends in a total ORDER BY over a unique key set;
+  *  - event timestamps (ns in parquet, µs in Spark) are truncated to
+  *    second granularity (or exposed as epoch millis) before hashing.
+  */
+object T {
+  val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
+    * as a timestamp. Read it as a nanos-long (`ts_ns`, exact — matches
+    * DuckDB `epoch_ns`) and derive a µs-truncated timestamp `ts` via
+    * integer division (ns ≈ 1.7e18 > 2^53, so double math would be lossy).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, sfDir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  // ---- determinism canon ------------------------------------------------
+  /** Exact 2-dp money input (values verified exactly 2dp in testdata). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Rates (discount/tax) — exact 2dp in [0,1). */
+  def rate(c: Column): Column = c.cast(DecimalType(5, 2))
+  /** Finalize a decimal aggregate to a hash-stable double. */
+  def money(c: Column): Column = round(c, 4).cast(DoubleType)
+  /** events.ts truncated to whole seconds — safe in both engines. */
+  def tsSec(c: Column): Column = date_trunc("second", c)
+
+  // Oracle-side (DuckDB) mirrors of the canon, for building oracleSql.
+  def oDec(e: String): String = s"CAST($e AS DECIMAL(18,2))"
+  def oRate(e: String): String = s"CAST($e AS DECIMAL(5,2))"
+  def oMoney(e: String): String = s"CAST(ROUND($e, 4) AS DOUBLE)"
+  def oTsSec(e: String): String = s"date_trunc('second', $e)"
+}
