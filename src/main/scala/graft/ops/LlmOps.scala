@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.10 — LLM-data-pipeline operators (dedup, similarity
+  * search, text analysis, UDF/UDTF surfaces).
+  *
+  * Scale posture (100 TB): exact dedup is a hash-groupBy (one shuffle on
+  * the text hash, not the text); Jaccard candidate generation goes through
+  * an inverted index (explode distinct tokens → equi-join on token) so the
+  * join is key-partitioned rather than a cross product; cosine is computed
+  * with higher-order functions (codegen-friendly, no UDF serialization);
+  * the kNN self-join precomputes norms once. MinHash-LSH (approximate,
+  * t2=N) replaces the exact pair join when the corpus no longer fits a
+  * token self-join — see MinHashDedup.
+  */
+object LlmOps {
+  import T._
+
+  /** dot(a,b) over float arrays, widened to double BEFORE multiply so the
+    * arithmetic matches DuckDB's list_cosine_similarity exactly. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_exact_dedup" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"),
+          length(col("text")).as("ln"))
+        .select("doc_id", "dup_cnt", "ln")
+        .orderBy("doc_id")),
+
+    "text_jaccard_pairs" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val sizes = toks.select(col("doc_id"), size(col("toks")).as("n"))
+      val ex = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val inter = ex.as("a")
+        .join(ex.as("b"), col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+        .withColumn("jac",
+          col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    "vec_cosine_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p_emb")))
+      e.filter(col("vec_id") =!= 0).crossJoin(probe)
+        .select(col("vec_id"), col("label"),
+          (dot(col("embedding"), col("p_emb")) /
+            (norm(col("embedding")) * norm(col("p_emb")))).as("raw"))
+        .orderBy(col("raw").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), round(col("raw"), 6).as("cos_sim"))
+    }),
+
+    "vec_knn_join" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_n"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_n"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n"))).as("raw"))
+        .orderBy(col("raw").desc, col("a_id"), col("b_id"))
+        .limit(20)
+        .select(col("a_id"), col("b_id"), round(col("raw"), 6).as("cos_sim"))
+    }),
+
+    "text_lang_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 4)
+            .cast(DoubleType).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")),
+
+    "text_wordcount_topk" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)),
+
+    "udf_scalar_norm" -> ((s, d) => {
+      val normText = udf((x: String) =>
+        if (x == null) null else x.trim.toLowerCase.replaceAll("\\s+", " "))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          normText(concat(lit("  "), upper(col("text")), lit("  "))).as("norm_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Generator/UDTF surface: one row per bigram via Dataset.flatMap.
+    "udtf_generate" -> ((s, d) => {
+      val sp = s
+      import sp.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        .as[(Long, Seq[String])]
+        .flatMap { case (id, toks) =>
+          toks.iterator.sliding(2).withPartial(false).zipWithIndex.map {
+            case (pair, i) => (id, i + 1, pair.mkString(" "))
+          }
+        }
+        .toDF("doc_id", "pos", "bigram")
+        .withColumn("pos", col("pos").cast(IntegerType))
+        .orderBy("doc_id", "pos")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_exact_dedup" ->
+      ("SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_cnt, " +
+        "CAST(LENGTH(text) AS INT) AS ln FROM documents GROUP BY text ORDER BY doc_id"),
+    "text_jaccard_pairs" ->
+      ("WITH dt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+        "ex AS (SELECT doc_id, unnest(toks) AS tok FROM dt), " +
+        "sz AS (SELECT doc_id, len(toks) AS n FROM dt), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter " +
+        "FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(inter / (sa.n + sb.n - inter), 6) AS jac " +
+        "FROM p JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id " +
+        "WHERE inter / (sa.n + sb.n - inter) >= 0.8 ORDER BY a_id, b_id"),
+    // CAST(... AS DOUBLE[]) is load-bearing: list_cosine_similarity on
+    // FLOAT[] computes in float32, which diverges from Spark's double math.
+    "vec_cosine_topk" ->
+      ("WITH p AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, label, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pe), 6) AS cos_sim " +
+        "FROM embeddings e, p WHERE vec_id <> 0 " +
+        "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pe) DESC, vec_id LIMIT 10"),
+    "vec_knn_join" ->
+      ("SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, a_id, b_id LIMIT 20"),
+    "text_lang_stats" ->
+      ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        "CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_chars, " +
+        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "text_wordcount_topk" ->
+      ("SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY cnt DESC, token LIMIT 20"),
+    "udf_scalar_norm" ->
+      ("SELECT doc_id, trim(regexp_replace(lower('  ' || upper(text) || '  '), " +
+        "'\\s+', ' ', 'g')) AS norm_text FROM documents ORDER BY doc_id"),
+    "udtf_generate" ->
+      ("WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents WHERE doc_id < 200), " +
+        "n AS (SELECT doc_id, tokens, unnest(generate_series(1, len(tokens) - 1)) AS i FROM dt) " +
+        "SELECT doc_id, CAST(i AS INT) AS pos, tokens[i] || ' ' || tokens[i + 1] AS bigram " +
+        "FROM n ORDER BY doc_id, pos")
+  )
+}

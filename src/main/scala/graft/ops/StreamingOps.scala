@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY.md §2.9 — event-time semantics over `events`.
+  *
+  * The t2 queries run the SAME logical plans in batch mode (the harness
+  * oracle only runs batch SQL); `MemoryStream` ScalaTests prove the
+  * incremental execution path (watermarks, late data, state) on identical
+  * plans — Structured Streaming shares the analyzer/optimizer with batch,
+  * so batch parity is the correctness anchor (SURVEY §3.2 E3).
+  *
+  * Session/sliding boundaries are compared in epoch-µs: Spark truncates
+  * the parquet ns timestamps to µs, DuckDB keeps ns, so any raw-ts
+  * comparison would drift (SURVEY §7.2 item 3).
+  */
+object StreamingOps {
+  import T._
+
+  /** Shared plan: tumbling 1h window — used by the t2 batch query and the
+    * MemoryStream test (with watermark) alike. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), money(sum(dec(col("value")))).as("sum_val"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"), col("sum_val"))
+
+  /** Watermarked variant for true streaming (t2=N, ScalaTest). */
+  def tumblingStream(events: DataFrame): DataFrame =
+    tumblingAgg(events.withWatermark("ts", "10 minutes"))
+
+  /** Arbitrary stateful op (t2=N, ScalaTest): running per-user count and
+    * value sum across micro-batches via mapGroupsWithState. */
+  def statefulRunningCount(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], st: GroupState[(Long, Double)]) =>
+          val (c0, s0) = st.getOption.getOrElse((0L, 0.0))
+          var c = c0; var s = s0
+          rows.foreach { r => c += 1; s += r._2 }
+          st.update((c, s))
+          (user, c, s)
+      }
+      .toDF("user_id", "cnt", "sum_val")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_1h" -> ((s, d) =>
+      tumblingAgg(T.events(s, d)).orderBy("ws", "event_type")),
+
+    "stream_sliding_1h_15m" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), money(sum(dec(col("value")))).as("sum_val"))
+        .select(col("w.start").as("ws"), col("cnt"), col("sum_val"))
+        .orderBy("ws")),
+
+    "stream_session_30m" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), money(sum(dec(col("value")))).as("sum_val"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"), col("cnt"), col("sum_val"))
+        .orderBy("user_id", "start_us")),
+
+    "stream_dedup_exact" -> ((s, d) =>
+      T.events(s, d)
+        .dropDuplicates("user_id", "event_id")
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id", "event_id"))
+  )
+
+  private val sumVal = s"${oMoney(s"SUM(${oDec("value")})")} AS sum_val"
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_1h" ->
+      (s"SELECT date_trunc('hour', ts) AS ws, event_type, CAST(COUNT(*) AS BIGINT) AS cnt, $sumVal " +
+        "FROM events GROUP BY 1, 2 ORDER BY ws, event_type"),
+    // Each event belongs to 4 sliding windows: starts time_bucket15(ts)-i*15m.
+    "stream_sliding_1h_15m" ->
+      ("WITH x AS (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) " +
+        "- i * INTERVAL '15 minutes' AS ws, value " +
+        "FROM events, unnest(generate_series(0, 3)) AS t(i)) " +
+        s"SELECT ws, CAST(COUNT(*) AS BIGINT) AS cnt, $sumVal FROM x GROUP BY ws ORDER BY ws"),
+    // Gaps-and-islands in epoch-µs; new session when gap >= 30 min
+    // (Spark session_window intervals are [start, last+gap)).
+    "stream_session_30m" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events), " +
+        "f AS (SELECT *, CASE WHEN us - LAG(us) OVER w >= 1800000000 OR LAG(us) OVER w IS NULL " +
+        "THEN 1 ELSE 0 END AS brk FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)), " +
+        "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM f) " +
+        "SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us, " +
+        s"CAST(COUNT(*) AS BIGINT) AS cnt, $sumVal " +
+        "FROM g GROUP BY user_id, sess ORDER BY user_id, start_us"),
+    "stream_dedup_exact" ->
+      ("SELECT DISTINCT user_id, event_id, event_type, value FROM events " +
+        "ORDER BY user_id, event_id")
+  )
+}
