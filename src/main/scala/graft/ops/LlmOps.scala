@@ -113,6 +113,18 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // t2=N (approximate): LSH candidates; ScalaTest asserts recall vs the
+    // exact pairs. Rows-only check driver-side.
+    "text_minhash_dedup" -> ((s, d) =>
+      MinHashDedup.candidatePairs(t(s, d, "documents"))
+        .select(col("a_id"), col("b_id"), round(col("est"), 4).as("est"))
+        .orderBy("a_id", "b_id")),
+
+    // t2=N: multimodal binary decode pipeline (stubbed codec, real
+    // plumbing); no SQL-expressible oracle.
+    "mm_decode_pipeline" -> ((s, d) =>
+      Multimodal.decodePipeline(s, d).orderBy("doc_id")),
+
     // Generator/UDTF surface: one row per bigram via Dataset.flatMap.
     "udtf_generate" -> ((s, d) => {
       val sp = s

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{LlmOps, MinHashDedup}
+
+/** Approx-vs-exact tier (SURVEY §5.2). */
+class ApproxSpec extends SparkSpec {
+
+  test("agg_approx_distinct within 5% of exact per event_type") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = T.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex <= 0.05,
+        s"$k: approx=${approx(k)} exact=$ex")
+    }
+  }
+
+  test("minhash-LSH recall >= 0.9 against exact Jaccard >= 0.8 pairs") {
+    val exact = SparkEntry.queries("text_jaccard_pairs")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = MinHashDedup.candidatePairs(T.t(spark, sf, "documents"), 0.5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=${exact.size} cand=${cand.size}")
+  }
+
+  test("minhash signature estimate correlates with exact jaccard") {
+    val docs = T.t(spark, sf, "documents").limit(100)
+    val est = MinHashDedup.candidatePairs(docs, 0.9)
+    // high-estimate candidates must include every exact-duplicate pair
+    val dups = docs.groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1).collect()
+    val estSet = est.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    dups.foreach { r =>
+      val ids = r.getAs[Seq[Long]]("ids").sorted
+      ids.combinations(2).foreach { case Seq(a, b) =>
+        assert(estSet.contains((a, b)), s"exact dup pair ($a,$b) missed")
+      }
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.ops.Multimodal
+
+/** Property tier (SURVEY §5.2): ScalaCheck generators drive the laws
+  * (sampled explicitly — the scalatest/scalacheck bridge artifact is not
+  * in the offline cache, so no ScalaCheckPropertyChecks mixin). */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int = 60): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(i.toLong)))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOfN(8, word).map(_.mkString(" "))
+
+  test("norm UDF: idempotent and whitespace-collapsing (property)") {
+    def norm(x: String) = x.trim.toLowerCase.replaceAll("\\s+", " ")
+    samples(Gen.zip(text, Gen.chooseNum(0, 5))).foreach { case (t, pad) =>
+      val messy = (" " * pad) + t.toUpperCase + ("\t" * pad)
+      assert(norm(messy) == norm(norm(messy)))
+      assert(norm(messy) == t)
+    }
+  }
+
+  test("date_add/datediff inverse law (property, via Spark)") {
+    import spark.implicits._
+    val deltas = samples(Gen.chooseNum(-3000, 3000))
+    val df = deltas.toDF("d")
+      .withColumn("base", lit("1997-06-15").cast("date"))
+      .withColumn("shifted", expr("date_add(base, d)"))
+      .withColumn("back", datediff(col("shifted"), col("base")))
+    assert(df.filter(col("back") =!= col("d")).count() == 0)
+  }
+
+  test("cast round-trip: long -> string -> long is identity (property, via Spark)") {
+    import spark.implicits._
+    val xs = samples(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+    val df = xs.toDF("x")
+      .withColumn("rt", col("x").cast("string").cast("long"))
+    assert(df.filter(col("rt") =!= col("x")).count() == 0)
+  }
+
+  test("row_number is a bijection 1..n within each partition") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("event_id")
+    val df = T.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+    val bad = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("rn").as("mx"),
+        countDistinct("rn").as("du"))
+      .filter(col("n") =!= col("mx") || col("n") =!= col("du"))
+    assert(bad.count() == 0)
+  }
+
+  test("fakeDecode is deterministic and in-range (property)") {
+    samples(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))).foreach { bs =>
+      val a = Multimodal.fakeDecode(bs.toArray)
+      val b = Multimodal.fakeDecode(bs.toArray)
+      assert(a == b)
+      assert(a._1 >= 64 && a._1 < 512 && a._2 >= 64 && a._2 < 512 && a._3 == 3)
+    }
+  }
+
+  test("multimodal pipeline: schema and row preservation") {
+    val out = Multimodal.decodePipeline(spark, sf)
+    assert(out.schema == Multimodal.outSchema)
+    assert(out.count() == T.t(spark, sf, "documents").count())
+    assert(out.filter(col("thumb_len") > 16).count() == 0)
+  }
+
+  test("GeoMean Aggregator: merge order independence") {
+    import graft.functions.GeoMean
+    val xs = List(1.0, 2.0, 4.0, 8.0)
+    val b1 = xs.foldLeft(GeoMean.zero)(GeoMean.reduce)
+    val (l, r) = xs.splitAt(2)
+    val b2 = GeoMean.merge(l.foldLeft(GeoMean.zero)(GeoMean.reduce),
+      r.foldLeft(GeoMean.zero)(GeoMean.reduce))
+    assert(math.abs(GeoMean.finish(b1) - GeoMean.finish(b2)) < 1e-12)
+    assert(math.abs(GeoMean.finish(b1) - math.pow(64.0, 0.25)) < 1e-9)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.ops.StreamingOps
+
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+/** Streaming golden tier (SURVEY §5.2): MemoryStream micro-batches prove
+  * the incremental path — watermark late-drop, stateful accumulation, and
+  * batch/stream parity on the shared tumbling plan. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stream_tumbling_1h: streaming result equals batch result on same input") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val data = Seq(
+      Ev(ts("2024-01-01 10:05:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 10:55:00"), "click", 2.0, 2L),
+      Ev(ts("2024-01-01 11:05:00"), "view", 4.0, 1L),
+      Ev(ts("2024-01-01 11:59:59"), "click", 8.0, 3L))
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.tumblingAgg(mem.toDF())
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode(OutputMode.Complete).start()
+    mem.addData(data: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumb").orderBy("ws", "event_type").collect()
+    val batch = StreamingOps.tumblingAgg(data.toDF())
+      .orderBy("ws", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("stream_watermark_late: events later than watermark are dropped") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.tumblingStream(mem.toDF())
+      .writeStream.format("memory").queryName("wm")
+      .outputMode(OutputMode.Append).start()
+    // Batch 1: events up to 12:00 → watermark advances to 11:50.
+    mem.addData(Ev(ts("2024-01-01 10:05:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 12:00:00"), "view", 2.0, 2L))
+    q.processAllAvailable()
+    // Batch 2: a late event at 10:30 — its 10:00 window is < watermark,
+    // so it must NOT resurrect the finalized window.
+    mem.addData(Ev(ts("2024-01-01 10:30:00"), "click", 64.0, 1L))
+    q.processAllAvailable()
+    // Batch 3: advance watermark far so all live windows finalize.
+    mem.addData(Ev(ts("2024-01-01 15:00:00"), "view", 4.0, 2L))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("wm").collect()
+    val w10 = rows.filter(_.getAs[Timestamp]("ws") == ts("2024-01-01 10:00:00"))
+    assert(w10.length == 1, s"10:00 window emitted once, got ${w10.toSeq}")
+    // Late 64.0 dropped: the 10:00 click window holds only the 1.0 event.
+    assert(w10.head.getAs[Long]("cnt") == 1L)
+    assert(w10.head.getAs[Double]("sum_val") == 1.0)
+  }
+
+  test("stream_stateful_count: per-user state accumulates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.statefulRunningCount(spark, mem.toDF())
+      .writeStream.format("memory").queryName("stc")
+      .outputMode(OutputMode.Update).start()
+    mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1.5, 7L))
+    q.processAllAvailable()
+    mem.addData(Ev(ts("2024-01-01 10:01:00"), "click", 2.5, 7L),
+      Ev(ts("2024-01-01 10:02:00"), "view", 10.0, 8L))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("stc").groupBy("user_id")
+      .agg(max("cnt").as("cnt"), max("sum_val").as("sum_val"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(last(7L) == (2L, 4.0))
+    assert(last(8L) == (1L, 10.0))
+  }
+
+  test("stream_dedup within watermark drops duplicate (user_id,event_id)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    case class E2(ts: Timestamp, user_id: Long, event_id: Long)
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val q = mem.toDF().toDF("ts", "user_id", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_id")
+      .writeStream.format("memory").queryName("ddup")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((ts("2024-01-01 10:00:00"), 1L, 100L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:01:00"), 1L, 100L),  // dup, within watermark
+      (ts("2024-01-01 10:02:00"), 1L, 101L))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("ddup").count() == 2)
+  }
+}
