@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up codegen/scheduler/FS cache so the first timed query does
+    // not absorb ~5s of session start cost.
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    spark.range(100).groupBy((org.apache.spark.sql.functions.col("id") % 5)
+      .as("k")).count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

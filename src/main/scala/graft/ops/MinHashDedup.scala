@@ -41,8 +41,39 @@ object MinHashDedup {
       .select(col("doc_id"), array((0 until K).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Near-dup dedup assignment: doc_id → cluster representative (min
+    * doc_id reachable through shared LSH buckets, `iters` rounds of
+    * label propagation — an iterative-DataFrame union-find approximation
+    * of connected components, SURVEY §7.2 item 9).
+    *
+    * This is the 100 TB-shaped output: O(docs × bands) rows through
+    * key-partitioned shuffles, never the quadratic candidate-pair set
+    * (which on a near-dup-heavy corpus is quadratic BY OUTPUT).
+    */
+  def dedupAssign(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val sigs = signatures(docs)
+    val bandKeys = (0 until Bands).map { b =>
+      val parts = (0 until R).map(j => col("sig").getItem(b * R + j))
+      struct(lit(b).as("band"), xxhash64(parts: _*).as("bh"))
+    }
+    val banded = sigs.select(col("doc_id"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk"))
+    var labels = banded.select(col("doc_id"), col("doc_id").as("rep"))
+    for (_ <- 0 until iters) {
+      val bucketMin = banded.join(labels, "doc_id")
+        .groupBy("bk").agg(min(col("rep")).as("bmin"))
+      labels = banded.join(bucketMin, "bk")
+        .groupBy("doc_id").agg(min(col("bmin")).as("rep"))
+    }
+    labels
+  }
+
   /** Candidate pairs from band-bucket equi-join, with estimated Jaccard
-    * (signature agreement fraction), filtered at `minEst`. */
+    * (signature agreement fraction), filtered at `minEst`. Ground-truth
+    * fixture for recall tests on small corpora — on a corpus where most
+    * pairs ARE near-dups this output is inherently quadratic; use
+    * dedupAssign for the scale path. */
   def candidatePairs(docs: DataFrame, minEst: Double = 0.7): DataFrame = {
     val sigs = signatures(docs)
     val bandKeys = (0 until Bands).map { b =>

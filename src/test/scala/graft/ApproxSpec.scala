@@ -29,6 +29,21 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall exact=${exact.size} cand=${cand.size}")
   }
 
+  test("minhash dedupAssign: exact duplicates share a representative") {
+    val docs = T.t(spark, sf, "documents")
+    val assign = MinHashDedup.dedupAssign(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dups = docs.groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1).collect()
+    dups.foreach { r =>
+      val ids = r.getAs[Seq[Long]]("ids")
+      assert(ids.map(assign).distinct.size == 1,
+        s"dup group $ids split across reps ${ids.map(assign)}")
+    }
+    // representative is always <= member and itself a member of the corpus
+    assert(assign.forall { case (id, rep) => rep <= id })
+  }
+
   test("minhash signature estimate correlates with exact jaccard") {
     val docs = T.t(spark, sf, "documents").limit(100)
     val est = MinHashDedup.candidatePairs(docs, 0.9)
