@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan audits (SURVEY §4.2, builder mandate): the optimizations
+  * the 100 TB posture depends on must actually appear in the executed
+  * plan — filter pushdown reaching the parquet scan, column pruning in
+  * ReadSchema, broadcast joins on dimensions, and TakeOrderedAndProject
+  * for top-k (no global sort materialization). */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("scan_filter_pushdown: predicate reaches the parquet scan") {
+    val p = plan("scan_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("scan_prune_project: ReadSchema prunes to selected columns") {
+    val p = plan("scan_prune_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("join_broadcast_dim and star join use BroadcastHashJoin") {
+    assert(plan("join_broadcast_dim").contains("BroadcastHashJoin"), "dim join")
+    val star = plan("join_multiway_star")
+    assert(star.contains("BroadcastHashJoin"), star)
+  }
+
+  test("topk_orders plans TakeOrderedAndProject (no full sort)") {
+    val p = plan("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("semi/anti joins plan as join operators, not subquery re-scans") {
+    assert(plan("join_left_semi").contains("LeftSemi"), "semi")
+    assert(plan("join_left_anti").contains("LeftAnti"), "anti")
+  }
+
+  test("whole-stage codegen covers the Q1-shape aggregation") {
+    // AQE reports the final plan only after execution.
+    val df = SparkEntry.queries("agg_group_pricing")(spark, sf)
+    df.collect()
+    // WholeStageCodegen spans render as "*(n)" in the compact plan string.
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p)
+    // both aggregation stages are inside codegen spans
+    assert("""\*\(\d+\) HashAggregate""".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("partial aggregation (map-side combine) in grouped aggregates") {
+    val p = SparkEntry.queries("agg_group_pricing")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // two-phase hash aggregate: partial_ functions before the shuffle
+    assert(p.contains("partial_"), p)
+  }
+}

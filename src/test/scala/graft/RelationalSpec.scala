@@ -72,6 +72,15 @@ class RelationalSpec extends SparkSpec {
     assert(grand.head.getAs[Long]("cnt") == T.t(spark, sf, "orders").count())
   }
 
+  test("sink_csv: report round-trips through CSV with header") {
+    val out = q("sink_csv").collect()
+    val direct = T.t(spark, sf, "orders").groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        T.money(sum(T.dec(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderpriority").collect()
+    assert(out.toSeq == direct.toSeq)
+  }
+
   test("running sum: per-customer max equals the customer's total") {
     val out = q("win_running_sum").groupBy("o_custkey")
       .agg(max("run_total").as("mx"))
