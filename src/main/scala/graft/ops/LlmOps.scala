@@ -63,14 +63,17 @@ object LlmOps {
         .orderBy("a_id", "b_id")
     }),
 
+    // Uses the native codegen'd CosineSimilarity expression (graft.expr);
+    // the zip_with/aggregate formulation in dot()/norm() is the pure
+    // built-in fallback and computes identical doubles (ExprSpec asserts).
     "vec_cosine_topk" -> ((s, d) => {
+      graft.Graft.registerFunctions(s)
       val e = t(s, d, "embeddings")
       val probe = broadcast(e.filter(col("vec_id") === 0)
         .select(col("embedding").as("p_emb")))
       e.filter(col("vec_id") =!= 0).crossJoin(probe)
         .select(col("vec_id"), col("label"),
-          (dot(col("embedding"), col("p_emb")) /
-            (norm(col("embedding")) * norm(col("p_emb")))).as("raw"))
+          expr("graft_cosine(embedding, p_emb)").as("raw"))
         .orderBy(col("raw").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("label"), round(col("raw"), 6).as("cos_sim"))
@@ -164,6 +167,18 @@ object LlmOps {
     "mm_decode_pipeline" -> ((s, d) =>
       Multimodal.decodePipeline(s, d).orderBy("doc_id")),
 
+    // Custom Generator expression through SQL LATERAL VIEW (the second
+    // UDTF surface besides Dataset.flatMap below).
+    "udtf_ngrams_expr" -> ((s, d) => {
+      graft.Graft.registerFunctions(s)
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        .createOrReplaceTempView("docs_ng")
+      s.sql("SELECT doc_id, g.pos, g.ngram FROM docs_ng " +
+        "LATERAL VIEW graft_ngrams(tokens) g AS pos, ngram " +
+        "ORDER BY doc_id, pos")
+    }),
+
     // Generator/UDTF surface: one row per bigram via Dataset.flatMap.
     "udtf_generate" -> ((s, d) => {
       val sp = s
@@ -219,6 +234,12 @@ object LlmOps {
     "udf_scalar_norm" ->
       ("SELECT doc_id, trim(regexp_replace(lower('  ' || upper(text) || '  '), " +
         "'\\s+', ' ', 'g')) AS norm_text FROM documents ORDER BY doc_id"),
+    "udtf_ngrams_expr" ->
+      ("WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents WHERE doc_id < 100), " +
+        "n AS (SELECT doc_id, tokens, unnest(generate_series(1, len(tokens) - 2)) AS i FROM dt) " +
+        "SELECT doc_id, CAST(i AS INT) AS pos, " +
+        "tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2] AS ngram " +
+        "FROM n ORDER BY doc_id, pos"),
     "udtf_generate" ->
       ("WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents WHERE doc_id < 200), " +
         "n AS (SELECT doc_id, tokens, unnest(generate_series(1, len(tokens) - 1)) AS i FROM dt) " +

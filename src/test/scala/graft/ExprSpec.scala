@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Custom Catalyst surface (SURVEY §4.3): the codegen'd CosineSimilarity
+  * expression, the NGrams generator, and the salted-join skew utility must
+  * be drop-in equivalent to their built-in formulations. */
+class ExprSpec extends SparkSpec {
+
+  test("CosineSimilarity == zip_with/aggregate formulation, bit-exact") {
+    Graft.registerFunctions(spark)
+    def dotHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x)
+    def normHof(a: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x))
+    val e = T.t(spark, sf, "embeddings")
+    val probe = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("p")))
+    val both = e.crossJoin(probe).select(
+      expr("graft_cosine(embedding, p)").as("native"),
+      (dotHof(col("embedding"), col("p")) /
+        (normHof(col("embedding")) * normHof(col("p")))).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("CosineSimilarity: self-similarity is 1.0 within 1e-12") {
+    Graft.registerFunctions(spark)
+    val bad = T.t(spark, sf, "embeddings")
+      .select(expr("graft_cosine(embedding, embedding)").as("c"))
+      .filter(abs(col("c") - 1.0) > 1e-12)
+    assert(bad.count() == 0)
+  }
+
+  test("NGrams generator: trigram count is n_tokens - 2, content matches slice") {
+    Graft.registerFunctions(spark)
+    T.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .createOrReplaceTempView("docs_exprspec")
+    val out = spark.sql("SELECT doc_id, g.pos, g.ngram FROM docs_exprspec " +
+      "LATERAL VIEW graft_ngrams(tokens) g AS pos, ngram")
+    val counts = out.groupBy("doc_id").count()
+    val exp = spark.table("docs_exprspec")
+      .select(col("doc_id"), (size(col("tokens")) - 2).cast("long").as("exp"))
+    assert(counts.join(exp, "doc_id").filter(col("count") =!= col("exp")).count() == 0)
+    // spot-check content: ngram at pos p equals tokens[p-1..p+1] joined
+    val probe = out.join(spark.table("docs_exprspec"), "doc_id")
+      .withColumn("expect",
+        concat_ws(" ", expr("tokens[pos-1]"), expr("tokens[pos]"), expr("tokens[pos+1]")))
+      .filter(col("ngram") =!= col("expect"))
+    assert(probe.count() == 0)
+  }
+
+  test("saltedJoin == plain join (same row multiset)") {
+    val orders = T.t(spark, sf, "orders")
+    val customer = T.t(spark, sf, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .groupBy("o_custkey").count()
+    val salted = Graft.saltedJoin(orders, customer, "o_custkey",
+        probeUnique = "o_orderkey", salt = 8)
+      .groupBy("o_custkey").count()
+    assert(plain.except(salted).count() == 0 && salted.except(plain).count() == 0)
+    assert(plain.count() == salted.count())
+  }
+}
