@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Aggregates.queries ++
       ops.Scalars.queries ++ ops.SourcesSinks.queries ++
-      ops.StreamingOps.queries ++ ops.LlmOps.queries
+      ops.StreamingOps.queries ++ ops.LlmOps.queries ++
+      ops.TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Aggregates.oracles ++
       ops.Scalars.oracles ++ ops.SourcesSinks.oracles ++
-      ops.StreamingOps.oracles ++ ops.LlmOps.oracles
+      ops.StreamingOps.oracles ++ ops.LlmOps.oracles ++
+      ops.TextAnalysis.oracles
 }

@@ -1,0 +1,189 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Builder-mandated text-analysis battery (beyond SURVEY §2.10's core):
+  * n-gram language ID, quality scoring, token counting, document
+  * fingerprinting, SimHash, and an IVF-bucketed ANN variant. All
+  * deterministic; all but SimHash carry DuckDB oracles.
+  *
+  * Scale notes: language-ID trains its trigram profiles from the corpus
+  * itself with two key-partitioned aggregations (no driver-side model);
+  * IVF assigns vectors to a coarse quantizer once (linear scan of
+  * k centroids — the ANN posture where the probe searches nprobe buckets
+  * instead of the full corpus); SimHash folds 64 bit-counters in a single
+  * map-side-combinable aggregation, one shuffle by doc_id.
+  */
+object TextAnalysis {
+  import T._
+
+  private val trigramsExpr =
+    "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Char-trigram language ID: score(doc, lang) = sum of per-lang
+    // document frequencies of the doc's distinct trigrams; argmax wins.
+    "text_langid_ngram" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tg = docs.select(col("doc_id"), col("lang"),
+          explode(array_distinct(expr(trigramsExpr))).as("tg"))
+      val profile = tg.groupBy("lang", "tg")
+        .agg(count(lit(1)).as("df"))
+        .withColumnRenamed("lang", "p_lang")
+      val scored = tg.select("doc_id", "tg")
+        .join(profile, "tg")
+        .groupBy(col("doc_id"), col("p_lang"))
+        .agg(sum(col("df")).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("p_lang").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("p_lang").as("pred_lang"), col("lang"),
+          (col("p_lang") === col("lang")).as("correct"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("tokens", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("tokens")).as("n_tok"),
+          size(expr("filter(tokens, x -> x IN ('the', 'a'))")).as("n_stop"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id")
+        .select(
+          col("doc_id"), col("n_tok"), col("n_stop"),
+          round(col("n_stop").cast(DoubleType) / col("n_tok"), 4).as("stop_ratio"),
+          round((length(col("text")) - (col("n_tok") - 1)).cast(DoubleType)
+            / col("n_tok"), 4).as("avg_word_len"),
+          round((length(col("text")) -
+            length(replace(col("text"), lit("a"), lit(""))))
+            .cast(DoubleType) / length(col("text")), 4).as("a_ratio"))
+        .withColumn("quality",
+          round(lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * least(col("avg_word_len") / 10.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("a_ratio")), 4))
+        .orderBy("doc_id")),
+
+    "text_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .cast(IntegerType).as("re_tokens"),
+        length(col("text")).as("n_char"),
+        ceil(length(col("text")) / lit(4.0)).cast(IntegerType).as("est_bpe"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, d) => {
+      val fp = t(s, d, "documents").select(
+        col("doc_id"),
+        md5(col("text")).as("fp_exact"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+          .as("fp_tokenset"))
+      val w = Window.partitionBy("fp_exact")
+      fp.withColumn("dup_group_size", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    }),
+
+    // IVF ANN: coarse quantizer = 8 seed centroids; each vector is
+    // assigned to its nearest centroid; the probe searches only its
+    // nprobe=2 nearest buckets instead of the full corpus.
+    "vec_ivf_topk" -> ((s, d) => {
+      graft.Graft.registerFunctions(s)
+      val e = t(s, d, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+      val wA = Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("cid").asc)
+      val assign = e.crossJoin(cents)
+        .select(col("vec_id"), col("label"), col("embedding"), col("cid"),
+          expr("graft_cosine(embedding, c_emb)").as("c_cos"))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select("vec_id", "label", "embedding", "cid")
+      val probeBuckets = assign.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p_emb"))
+        .crossJoin(cents)
+        .select(col("cid"), col("p_emb"),
+          expr("graft_cosine(p_emb, c_emb)").as("pc"))
+        .orderBy(col("pc").desc, col("cid").asc).limit(2)
+        .select("cid", "p_emb")
+      assign.filter(col("vec_id") =!= 0)
+        .join(broadcast(probeBuckets), "cid")
+        .select(col("vec_id"), col("label"), col("cid"),
+          expr("graft_cosine(embedding, p_emb)").as("raw"))
+        .orderBy(col("raw").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), col("label"), col("cid"),
+          round(col("raw"), 6).as("cos_sim"))
+    }),
+
+    // t2=N: SimHash needs a shared 64-bit token hash, which the oracle
+    // dialect lacks; asserted structurally in ScalaTest instead.
+    "text_simhash" -> ((s, d) => {
+      val tok = t(s, d, "documents").select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 64).map(j =>
+        sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
+      val folded = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val simhash = (0 until 64).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      folded.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+    })
+  )
+
+  private val oTrigrams =
+    "list_distinct([substring(text, CAST(i AS INT), 3) " +
+      "FOR i IN generate_series(1, greatest(length(text) - 2, 1))])"
+
+  val oracles: Map[String, String] = Map(
+    "text_langid_ngram" ->
+      (s"WITH tg AS (SELECT doc_id, lang, unnest($oTrigrams) AS tg FROM documents), " +
+        "profile AS (SELECT lang AS p_lang, tg, CAST(COUNT(*) AS BIGINT) AS df FROM tg GROUP BY 1, 2), " +
+        "scored AS (SELECT doc_id, p_lang, CAST(SUM(df) AS BIGINT) AS score " +
+        "FROM (SELECT doc_id, tg FROM tg) t JOIN profile USING (tg) GROUP BY 1, 2), " +
+        "best AS (SELECT doc_id, p_lang, score, ROW_NUMBER() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, p_lang ASC) AS rn FROM scored) " +
+        "SELECT b.doc_id, b.p_lang AS pred_lang, d.lang, (b.p_lang = d.lang) AS correct, b.score " +
+        "FROM best b JOIN documents d ON b.doc_id = d.doc_id WHERE rn = 1 ORDER BY b.doc_id"),
+    "text_quality_score" ->
+      ("WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents), " +
+        "m AS (SELECT doc_id, CAST(len(tokens) AS INT) AS n_tok, " +
+        "CAST(len(list_filter(tokens, x -> x IN ('the', 'a'))) AS INT) AS n_stop, " +
+        "round(CAST(len(list_filter(tokens, x -> x IN ('the', 'a'))) AS DOUBLE) / len(tokens), 4) AS stop_ratio, " +
+        "round(CAST(length(text) - (len(tokens) - 1) AS DOUBLE) / len(tokens), 4) AS avg_word_len, " +
+        "round(CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE) / length(text), 4) AS a_ratio " +
+        "FROM q) " +
+        "SELECT *, round(0.4 * (1.0 - stop_ratio) + 0.3 * least(avg_word_len / 10.0, 1.0) " +
+        "+ 0.3 * (1.0 - a_ratio), 4) AS quality FROM m ORDER BY doc_id"),
+    "text_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens, " +
+        "CAST(length(text) AS INT) AS n_char, " +
+        "CAST(ceil(length(text) / 4.0) AS INT) AS est_bpe " +
+        "FROM documents ORDER BY doc_id"),
+    "text_fingerprint" ->
+      ("WITH fp AS (SELECT doc_id, md5(text) AS fp_exact, " +
+        "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_tokenset " +
+        "FROM documents) " +
+        "SELECT doc_id, fp_exact, fp_tokenset, " +
+        "CAST(COUNT(*) OVER (PARTITION BY fp_exact) AS BIGINT) AS dup_group_size " +
+        "FROM fp ORDER BY doc_id"),
+    "vec_ivf_topk" ->
+      ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8), " +
+        "assign AS (SELECT vec_id, label, emb, cid FROM (" +
+        "SELECT e.vec_id, e.label, e.emb, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC, c.cid ASC) AS rn FROM e, cents c) WHERE rn = 1), " +
+        "probe AS (SELECT emb AS p_emb FROM assign WHERE vec_id = 0), " +
+        "pb AS (SELECT c.cid, p.p_emb FROM cents c, probe p " +
+        "ORDER BY list_cosine_similarity(p.p_emb, c.c_emb) DESC, c.cid ASC LIMIT 2) " +
+        "SELECT a.vec_id, a.label, a.cid, round(list_cosine_similarity(a.emb, pb.p_emb), 6) AS cos_sim " +
+        "FROM assign a JOIN pb ON a.cid = pb.cid WHERE a.vec_id <> 0 " +
+        "ORDER BY list_cosine_similarity(a.emb, pb.p_emb) DESC, a.vec_id LIMIT 10")
+  )
+}
