@@ -80,6 +80,32 @@ class StreamingSpec extends SparkSpec {
     assert(last(8L) == (1L, 10.0))
   }
 
+  test("stream-stream interval join: clicks within 5 min before purchase") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("ts").as("c_ts"), col("user_id").as("c_user"),
+        col("value").as("click_v"))
+    val p = purchases.toDF().withWatermark("ts", "10 minutes")
+      .select(col("ts").as("p_ts"), col("user_id").as("p_user"),
+        col("value").as("purchase_v"))
+    val joined = p.join(c,
+      expr("p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 5 MINUTES AND p_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData(
+      Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 10:07:00"), "click", 2.0, 1L),
+      Ev(ts("2024-01-01 10:09:00"), "click", 3.0, 2L))
+    purchases.addData(Ev(ts("2024-01-01 10:10:00"), "purchase", 99.0, 1L))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj").select("click_v").collect().map(_.getDouble(0)).sorted
+    // only user 1's click at 10:07 is within [10:05, 10:10]
+    assert(rows.toSeq == Seq(2.0), rows.toSeq.toString)
+  }
+
   test("stream_dedup within watermark drops duplicate (user_id,event_id)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
