@@ -26,6 +26,16 @@ object Graft {
     * the explicit fallback for aggregations/joins where AQE cannot split
     * (e.g. a single hot key on the build side of a shuffled hash join).
     */
+  /** Small-file compaction (lake maintenance): rewrite a parquet
+    * directory into `targetFiles` files. At 100 TB, per-partition
+    * streaming ingest leaves thousands of KB-sized files per dt; reading
+    * them back costs a task each — periodic compaction keeps scan task
+    * counts proportional to data size, not ingest cadence. */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+                     targetFiles: Int): Unit =
+    spark.read.parquet(inPath).repartition(targetFiles)
+      .write.mode("overwrite").parquet(outPath)
+
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  probeUnique: String, salt: Int): DataFrame = {
     val p = probe.withColumn("_salt",

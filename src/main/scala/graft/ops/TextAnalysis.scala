@@ -121,6 +121,57 @@ object TextAnalysis {
           round(col("raw"), 6).as("cos_sim"))
     }),
 
+    // Embedding-cosine near-dup: pairs above a high cosine threshold,
+    // candidates restricted to same-coarse-bucket (the IVF assignment) so
+    // the pair join is an equi-join on cid, not a cross product. The
+    // oracle mirrors the same bucketing, so results match exactly.
+    "vec_neardup_pairs" -> ((s, d) => {
+      graft.Graft.registerFunctions(s)
+      val e = t(s, d, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+      val wA = Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("cid").asc)
+      val assign = e.crossJoin(cents)
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          expr("graft_cosine(embedding, c_emb)").as("c_cos"))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select("vec_id", "embedding", "cid")
+      val a = assign.select(col("cid"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      val b = assign.select(col("cid"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+      a.join(b, Seq("cid")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("cid"),
+          expr("graft_cosine(a_emb, b_emb)").as("raw"))
+        .filter(col("raw") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("cid"),
+          round(col("raw"), 6).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // n-gram (bigram-shingle) Jaccard: near-dup on word-order-sensitive
+    // shingles rather than token sets; bounded slice (all-pairs fixture).
+    "text_ngram_jaccard" -> ((s, d) => {
+      val sh = t(s, d, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), array_distinct(
+          expr("transform(sequence(1, greatest(size(toks) - 1, 1)), " +
+            "i -> concat_ws(' ', toks[i-1], toks[i]))")).as("shs"))
+      val sizes = sh.select(col("doc_id"), size(col("shs")).as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("shs")).as("sh"))
+      ex.as("a").join(ex.as("b"), col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+        .withColumn("jac", col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+        .filter(col("jac") >= 0.6)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // t2=N: SimHash needs a shared 64-bit token hash, which the oracle
     // dialect lacks; asserted structurally in ScalaTest instead.
     "text_simhash" -> ((s, d) => {
@@ -173,6 +224,27 @@ object TextAnalysis {
         "SELECT doc_id, fp_exact, fp_tokenset, " +
         "CAST(COUNT(*) OVER (PARTITION BY fp_exact) AS BIGINT) AS dup_group_size " +
         "FROM fp ORDER BY doc_id"),
+    "vec_neardup_pairs" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8), " +
+        "assign AS (SELECT vec_id, emb, cid FROM (" +
+        "SELECT e.vec_id, e.emb, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC, c.cid ASC) AS rn FROM e, cents c) WHERE rn = 1) " +
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cid, " +
+        "round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim " +
+        "FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.5 ORDER BY a_id, b_id"),
+    "text_ngram_jaccard" ->
+      ("WITH dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 500), " +
+        "sh AS (SELECT doc_id, list_distinct([concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT) + 1]) " +
+        "FOR i IN generate_series(1, greatest(len(toks) - 1, 1))]) AS shs FROM dt), " +
+        "sz AS (SELECT doc_id, len(shs) AS n FROM sh), " +
+        "ex AS (SELECT doc_id, unnest(shs) AS s FROM sh), " +
+        "p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter " +
+        "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(inter / (sa.n + sb.n - inter), 6) AS jac " +
+        "FROM p JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id " +
+        "WHERE inter / (sa.n + sb.n - inter) >= 0.6 ORDER BY a_id, b_id"),
     "vec_ivf_topk" ->
       ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
         "cents AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8), " +

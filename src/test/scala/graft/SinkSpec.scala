@@ -9,6 +9,21 @@ import org.apache.spark.sql.functions._
   * would clobber the whole table. */
 class SinkSpec extends SparkSpec {
 
+  test("compactParquet: fewer files, identical content") {
+    val raw = "/root/repo/target/tmp/compact_raw"
+    val out = "/root/repo/target/tmp/compact_out"
+    val ev = T.events(spark, sf).select("event_id", "user_id", "value")
+    ev.repartition(16).write.mode(SaveMode.Overwrite).parquet(raw)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(raw) == 16)
+    Graft.compactParquet(spark, raw, out, 2)
+    assert(files(out) == 2)
+    val a = spark.read.parquet(raw).orderBy("event_id").collect()
+    val b = spark.read.parquet(out).orderBy("event_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("dynamic partition overwrite touches only the written dt") {
     val path = "/root/repo/target/tmp/sink_dynamic_overwrite_test"
     val ev = T.events(spark, sf).withColumn("dt", col("ts").cast("date"))
