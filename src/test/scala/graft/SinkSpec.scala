@@ -9,6 +9,42 @@ import org.apache.spark.sql.functions._
   * would clobber the whole table. */
 class SinkSpec extends SparkSpec {
 
+  test("bucketed tables: co-located join plans without a shuffle") {
+    // The 100 TB co-location story (SURVEY §4.2): two fact tables
+    // bucketed on the join key join WITHOUT an Exchange — at scale this
+    // is the difference between a local merge and reshuffling 100 TB.
+    val orders = T.t(spark, sf, "orders")
+    val lineitem = T.t(spark, sf, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a failed prior run can leave the managed location without the table
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"/root/repo/target/spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode(SaveMode.Overwrite).saveAsTable("b_orders")
+    lineitem.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode(SaveMode.Overwrite).saveAsTable("b_lineitem")
+    // disable broadcast so the join exercises the co-located merge path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() == lineitem.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("compactParquet: fewer files, identical content") {
     val raw = "/root/repo/target/tmp/compact_raw"
     val out = "/root/repo/target/tmp/compact_out"
