@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Round-2 operator additions: exact percentiles, window distribution
+  * functions, the min_by/max_by "latest value" binlog idiom, and an
+  * approximate-percentile variant (t2=N). */
+object MoreOps {
+  import T._
+
+  /** Collision-free BIGINT event-order key: µs offset from 2024-01-01
+    * shifted 20 bits + event_id. Monotone in (us, event_id) and exact on
+    * both engines (max value ~2.7e18 < 2^63). */
+  private val orderKey = "(us - 1704067200000000) * 1048576 + event_id"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact interpolated percentiles (SQL percentile_cont semantics).
+    "agg_percentile" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_pct")
+      s.sql("""
+        SELECT l_returnflag,
+               CAST(ROUND(percentile(l_quantity, 0.5), 4) AS DOUBLE) AS p50,
+               CAST(ROUND(percentile(l_quantity, 0.9), 4) AS DOUBLE) AS p90,
+               CAST(ROUND(percentile(l_extendedprice, 0.99), 4) AS DOUBLE) AS p99_price
+        FROM li_pct GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // t2=N: approximate percentile sketch (no cross-engine contract);
+    // ScalaTest bounds its error against the exact percentile.
+    "agg_percentile_approx" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_approx"))
+        .orderBy("l_returnflag")),
+
+    "win_dist_pack" -> ((s, d) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice"), col("p_partkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "part").select(
+          col("p_brand"), col("p_partkey"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("p_partkey"), 3).over(wf).as("third_cheapest"))
+        .orderBy("p_brand", "p_partkey")
+    }),
+
+    // Binlog "latest value per key" via max_by/min_by on a unique
+    // monotone key (no window needed — single aggregation pass).
+    "agg_latest_by" -> ((s, d) =>
+      T.events(s, d).withColumn("us", unix_micros(col("ts")))
+        .groupBy("user_id")
+        .agg(
+          expr(s"max_by(event_type, $orderKey)").as("last_type"),
+          expr(s"max_by(value, $orderKey)").as("last_value"),
+          expr(s"min_by(event_type, $orderKey)").as("first_type"),
+          max(col("us")).as("last_us"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_percentile" ->
+      ("SELECT l_returnflag, " +
+        "CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS p50, " +
+        "CAST(ROUND(quantile_cont(l_quantity, 0.9), 4) AS DOUBLE) AS p90, " +
+        "CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE) AS p99_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "win_dist_pack" ->
+      ("SELECT p_brand, p_partkey, round(CUME_DIST() OVER w, 6) AS cd, " +
+        "NTH_VALUE(p_partkey, 3) OVER wf AS third_cheapest FROM part " +
+        "WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey), " +
+        "wf AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY p_brand, p_partkey"),
+    "agg_latest_by" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events) " +
+        s"SELECT user_id, arg_max(event_type, $orderKey) AS last_type, " +
+        s"arg_max(value, $orderKey) AS last_value, " +
+        s"arg_min(event_type, $orderKey) AS first_type, " +
+        "MAX(us) AS last_us, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM e GROUP BY user_id ORDER BY user_id")
+  )
+}

