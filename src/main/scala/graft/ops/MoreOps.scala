@@ -17,7 +17,10 @@ object MoreOps {
     * both engines (max value ~2.7e18 < 2^63). */
   private val orderKey = "(us - 1704067200000000) * 1048576 + event_id"
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    queries1 ++ queries2
+
+  private def queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact interpolated percentiles (SQL percentile_cont semantics).
     "agg_percentile" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("li_pct")
@@ -61,7 +64,43 @@ object MoreOps {
         .orderBy("user_id"))
   )
 
+  private def queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD1/upsert MERGE semantics, relationally: base snapshot FULL OUTER
+    // changelog, coalesce per column, row-status audit column. This is
+    // the DWD-layer "apply binlog to snapshot" idiom; at scale both
+    // sides shuffle once on the merge key.
+    "cdc_merge_upsert" -> ((s, d) => {
+      val base = t(s, d, "customer").select(
+        col("c_custkey").as("key"), col("c_acctbal").as("base_bal"))
+      val changes = t(s, d, "orders").groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("delta_dec"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_custkey").as("ckey"), col("delta_dec"), col("n_orders"))
+      base.join(changes, col("key") === col("ckey"), "full")
+        .select(
+          coalesce(col("key"), col("ckey")).as("key"),
+          money(coalesce(dec(col("base_bal")), lit(0).cast(DecimalType(18, 2)))
+            + coalesce(col("delta_dec"), lit(0).cast(DecimalType(18, 2))))
+            .as("new_bal"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          when(col("key").isNull, "insert")
+            .when(col("ckey").isNull, "unchanged")
+            .otherwise("update").as("merge_action"))
+        .orderBy("key")
+    })
+  )
+
   val oracles: Map[String, String] = Map(
+    "cdc_merge_upsert" ->
+      ("WITH base AS (SELECT c_custkey AS key, c_acctbal AS base_bal FROM customer), " +
+        s"chg AS (SELECT o_custkey AS ckey, SUM(${oDec("o_totalprice")}) AS delta_dec, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey) " +
+        "SELECT COALESCE(key, ckey) AS key, " +
+        s"CAST(ROUND(COALESCE(${oDec("base_bal")}, 0) + COALESCE(delta_dec, 0), 4) AS DOUBLE) AS new_bal, " +
+        "COALESCE(n_orders, 0) AS n_orders, " +
+        "CASE WHEN key IS NULL THEN 'insert' WHEN ckey IS NULL THEN 'unchanged' " +
+        "ELSE 'update' END AS merge_action " +
+        "FROM base FULL JOIN chg ON key = ckey ORDER BY key"),
     "agg_percentile" ->
       ("SELECT l_returnflag, " +
         "CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS p50, " +

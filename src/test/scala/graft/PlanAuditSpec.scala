@@ -64,6 +64,13 @@ class PlanAuditSpec extends SparkSpec {
       scan.map(_.selectedPartitions.partitionCount).toString)
   }
 
+  test("AQE coalesces small shuffle partitions at runtime") {
+    val df = SparkEntry.queries("agg_group_pricing")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead coalesced"), p)
+  }
+
   test("partial aggregation (map-side combine) in grouped aggregates") {
     val p = SparkEntry.queries("agg_group_pricing")(spark, sf)
       .queryExecution.executedPlan.toString
