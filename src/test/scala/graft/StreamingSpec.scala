@@ -106,6 +106,54 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(2.0), rows.toSeq.toString)
   }
 
+  test("file sink: streaming parquet writes with checkpoint, readable batch-side") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val out = "/root/repo/target/tmp/stream_file_sink"
+    val ckpt = "/root/repo/target/tmp/stream_file_sink_ckpt"
+    for (d <- Seq(out, ckpt)) {
+      val f = new java.io.File(d)
+      if (f.exists()) { // clean between runs: checkpoint pins old batches
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+        }
+        rm(f)
+      }
+    }
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().withWatermark("ts", "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 10:01:00"), "view", 2.0, 2L))
+    q.processAllAvailable()
+    mem.addData(Ev(ts("2024-01-01 10:02:00"), "click", 3.0, 1L))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3)
+    assert(rows.agg(sum("value")).collect()(0).getDouble(0) == 6.0)
+  }
+
+  test("foreachBatch: micro-batches merge into a batch table") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF()
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.groupBy("user_id").agg(sum("value").as("s")).collect()
+          .foreach(r => acc.add((r.getLong(0), r.getDouble(1))))
+      }.start()
+    mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1.5, 7L))
+    q.processAllAvailable()
+    mem.addData(Ev(ts("2024-01-01 10:01:00"), "view", 2.5, 7L))
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val byUser = acc.asScala.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byUser(7L) == 4.0)
+  }
+
   test("stream_dedup within watermark drops duplicate (user_id,event_id)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
