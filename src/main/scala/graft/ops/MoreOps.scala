@@ -87,6 +87,42 @@ object MoreOps {
             .when(col("ckey").isNull, "unchanged")
             .otherwise("update").as("merge_action"))
         .orderBy("key")
+    }),
+
+    // APP-layer report (the reference's DWS/report shape): daily GMV by
+    // nation with a month rollup — the INSERT OVERWRITE ... PARTITION(dt)
+    // report body, minus the write (covered by sink_parquet_partitioned).
+    "report_daily_gmv" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+        .groupBy(col("o_orderdate").cast(DateType).as("dt"), col("n_name"))
+        .agg(count(lit(1)).as("orders"),
+          money(sum(dec(col("o_totalprice")))).as("gmv"),
+          countDistinct(col("o_custkey")).as("buyers"))
+        .orderBy("dt", "n_name")),
+
+    // D1/D7 retention over the event stream: of users active on day D,
+    // the share active again on D+1 / D+7 (distinct user-days self-join
+    // — shuffles on user_id, the retention idiom at any scale).
+    "report_retention" -> ((s, d) => {
+      val days = T.events(s, d)
+        .select(col("user_id"), col("ts").cast(DateType).as("day")).distinct()
+      val base = days.select(col("user_id").as("u"), col("day").as("d0"))
+      base
+        .join(days.select(col("user_id").as("u1"), col("day").as("d1")),
+          col("u") === col("u1") && col("d1") === date_add(col("d0"), 1), "left")
+        .join(days.select(col("user_id").as("u7"), col("day").as("d7")),
+          col("u") === col("u7") && col("d7") === date_add(col("d0"), 7), "left")
+        .groupBy(col("d0").as("day"))
+        .agg(count(lit(1)).as("active"),
+          count(col("u1")).as("retained_d1"),
+          count(col("u7")).as("retained_d7"),
+          round(count(col("u1")).cast(DoubleType) / count(lit(1)), 4).as("d1_rate"),
+          round(count(col("u7")).cast(DoubleType) / count(lit(1)), 4).as("d7_rate"))
+        .orderBy("day")
     })
   )
 
@@ -101,6 +137,25 @@ object MoreOps {
         "CASE WHEN key IS NULL THEN 'insert' WHEN ckey IS NULL THEN 'unchanged' " +
         "ELSE 'update' END AS merge_action " +
         "FROM base FULL JOIN chg ON key = ckey ORDER BY key"),
+    "report_daily_gmv" ->
+      (s"SELECT CAST(o_orderdate AS DATE) AS dt, n_name, CAST(COUNT(*) AS BIGINT) AS orders, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS gmv, " +
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS buyers " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' " +
+        "GROUP BY 1, 2 ORDER BY dt, n_name"),
+    "report_retention" ->
+      ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) " +
+        "SELECT b.day, CAST(COUNT(*) AS BIGINT) AS active, " +
+        "CAST(COUNT(d1.user_id) AS BIGINT) AS retained_d1, " +
+        "CAST(COUNT(d7.user_id) AS BIGINT) AS retained_d7, " +
+        "round(CAST(COUNT(d1.user_id) AS DOUBLE) / COUNT(*), 4) AS d1_rate, " +
+        "round(CAST(COUNT(d7.user_id) AS DOUBLE) / COUNT(*), 4) AS d7_rate " +
+        "FROM days b " +
+        "LEFT JOIN days d1 ON b.user_id = d1.user_id AND d1.day = b.day + 1 " +
+        "LEFT JOIN days d7 ON b.user_id = d7.user_id AND d7.day = b.day + 7 " +
+        "GROUP BY b.day ORDER BY b.day"),
     "agg_percentile" ->
       ("SELECT l_returnflag, " +
         "CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS p50, " +
