@@ -123,7 +123,41 @@ object MoreOps {
           round(count(col("u1")).cast(DoubleType) / count(lit(1)), 4).as("d1_rate"),
           round(count(col("u7")).cast(DoubleType) / count(lit(1)), 4).as("d7_rate"))
         .orderBy("day")
-    })
+    }),
+
+    // Pivot: event_type counts to columns (explicit value list keeps the
+    // output schema static — required for a stable oracle and the only
+    // scalable form: implicit pivot collects distinct values to the
+    // driver first).
+    "agg_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = T.events(s, d).groupBy("user_id")
+        .pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("user_id") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    }),
+
+    // Unpivot/melt: wide per-flag metrics back to long (metric, value).
+    "agg_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(money(sum(dec(col("l_quantity")))).as("sum_qty"),
+          money(sum(dec(col("l_extendedprice")))).as("sum_price"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }),
+
+    // Struct build/access/serialize (named_struct surface).
+    "fn_struct_pack" -> ((s, d) =>
+      t(s, d, "customer")
+        .withColumn("st", struct(col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg")))
+        .select(col("c_custkey"),
+          col("st").getField("k").as("k2"),
+          upper(col("st").getField("seg")).as("seg_u"),
+          to_json(col("st")).as("js"))
+        .orderBy("c_custkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -156,6 +190,24 @@ object MoreOps {
         "LEFT JOIN days d1 ON b.user_id = d1.user_id AND d1.day = b.day + 1 " +
         "LEFT JOIN days d7 ON b.user_id = d7.user_id AND d7.day = b.day + 7 " +
         "GROUP BY b.day ORDER BY b.day"),
+    "agg_pivot" ->
+      ("SELECT user_id, " +
+        "CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click, " +
+        "CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error, " +
+        "CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase, " +
+        "CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup, " +
+        "CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "agg_unpivot" ->
+      (s"WITH w AS (SELECT l_returnflag, ${oMoney(s"SUM(${oDec("l_quantity")})")} AS sum_qty, " +
+        s"${oMoney(s"SUM(${oDec("l_extendedprice")})")} AS sum_price FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w " +
+        "UNION ALL SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM w " +
+        "ORDER BY l_returnflag, metric"),
+    "fn_struct_pack" ->
+      ("SELECT c_custkey, c_custkey AS k2, upper(c_mktsegment) AS seg_u, " +
+        "to_json(struct_pack(k := c_custkey, seg := c_mktsegment))::VARCHAR AS js " +
+        "FROM customer ORDER BY c_custkey"),
     "agg_percentile" ->
       ("SELECT l_returnflag, " +
         "CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS p50, " +

@@ -45,6 +45,42 @@ class SinkSpec extends SparkSpec {
     }
   }
 
+  test("zstd parquet round trip (the 100 TB codec choice)") {
+    val path = "/root/repo/target/tmp/zstd_roundtrip"
+    val ev = T.events(spark, sf).select("event_id", "event_type", "value")
+    ev.write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd").parquet(path)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.getName.contains("zstd")))
+    assert(spark.read.parquet(path).orderBy("event_id").collect().toSeq ==
+      ev.orderBy("event_id").collect().toSeq)
+  }
+
+  test("DISTRIBUTE BY + SORT BY: partition-local sort without global shuffle-sort") {
+    // The Hive cluster-by idiom: co-partition by key, sort within each
+    // partition — what a partitioned+sorted lake write uses at scale.
+    val df = T.t(spark, sf, "orders")
+      .repartition(4, col("o_custkey"))
+      .sortWithinPartitions("o_custkey", "o_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort") && plan.contains("false, 0"), plan) // global=false
+    // every partition is locally sorted
+    import spark.implicits._
+    val violations = df.select("o_custkey", "o_orderkey")
+      .mapPartitions { it =>
+        var prev: (Long, Long) = null
+        var bad = 0
+        it.foreach { r =>
+          val cur = (r.getLong(0), r.getLong(1))
+          if (prev != null && Ordering[(Long, Long)].gt(prev, cur)) bad += 1
+          prev = cur
+        }
+        Iterator.single(bad)
+      }.collect().sum
+    assert(violations == 0)
+  }
+
   test("compactParquet: fewer files, identical content") {
     val raw = "/root/repo/target/tmp/compact_raw"
     val out = "/root/repo/target/tmp/compact_out"
