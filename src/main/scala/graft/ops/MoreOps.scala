@@ -148,6 +148,43 @@ object MoreOps {
         .orderBy("l_returnflag", "metric")
     }),
 
+    // Scalar + correlated subqueries through SQL (Catalyst
+    // RewritePredicateSubquery / decorrelation — SURVEY §4.2). The oracle
+    // is the IDENTICAL SQL: both engines speak this dialect.
+    "sub_scalar_avg" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_sub")
+      s.sql("SELECT o_orderkey, o_custkey, " +
+        "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 4) AS DOUBLE) AS price " +
+        "FROM orders_sub WHERE o_totalprice > " +
+        "(SELECT 1.8 * AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders_sub) " +
+        "ORDER BY o_orderkey")
+    }),
+
+    "sub_correlated_exists" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_sub")
+      t(s, d, "orders").createOrReplaceTempView("orders_sub2")
+      s.sql("SELECT c_custkey, c_name FROM customer_sub c " +
+        "WHERE EXISTS (SELECT 1 FROM orders_sub2 o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 450000) " +
+        "AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer_sub) " +
+        "ORDER BY c_custkey")
+    }),
+
+    // Synthetic range source (dimension/date-spine generation idiom).
+    "source_range" -> ((s, d) =>
+      s.range(0, 1000, 7)
+        .select(col("id"),
+          (col("id") % 10).as("bucket"),
+          pmod(col("id") * 2654435761L, lit(1000000007L)).as("h"))
+        .orderBy("id")),
+
+    // explode_outer: rows with empty arrays survive with NULL.
+    "fn_explode_outer" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 300)
+        .withColumn("rare", expr("filter(split(text, ' '), x -> x = 'spark')"))
+        .select(col("doc_id"), explode_outer(col("rare")).as("tok"))
+        .orderBy(col("doc_id"), col("tok").asc_nulls_first)),
+
     // Struct build/access/serialize (named_struct surface).
     "fn_struct_pack" -> ((s, d) =>
       t(s, d, "customer")
@@ -204,6 +241,26 @@ object MoreOps {
         "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w " +
         "UNION ALL SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM w " +
         "ORDER BY l_returnflag, metric"),
+    "sub_scalar_avg" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 4) AS DOUBLE) AS price " +
+        "FROM orders WHERE o_totalprice > " +
+        "(SELECT 1.8 * AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) " +
+        "ORDER BY o_orderkey"),
+    "sub_correlated_exists" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 450000) " +
+        "AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer) " +
+        "ORDER BY c_custkey"),
+    "source_range" ->
+      ("SELECT id, id % 10 AS bucket, (id * 2654435761) % 1000000007 AS h " +
+        "FROM (SELECT unnest(range(0, 1000, 7)) AS id) ORDER BY id"),
+    "fn_explode_outer" ->
+      ("WITH r AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x = 'spark') AS rare " +
+        "FROM documents WHERE doc_id < 300) " +
+        "SELECT doc_id, unnest(CASE WHEN len(rare) = 0 THEN [NULL] ELSE rare END) AS tok " +
+        "FROM r ORDER BY doc_id, tok NULLS FIRST"),
     "fn_struct_pack" ->
       ("SELECT c_custkey, c_custkey AS k2, upper(c_mktsegment) AS seg_u, " +
         "to_json(struct_pack(k := c_custkey, seg := c_mktsegment))::VARCHAR AS js " +
