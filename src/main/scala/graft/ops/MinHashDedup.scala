@@ -56,9 +56,13 @@ object MinHashDedup {
       val parts = (0 until R).map(j => col("sig").getItem(b * R + j))
       struct(lit(b).as("band"), xxhash64(parts: _*).as("bh"))
     }
+    // banded is reused 1 + 2*iters times; persist so the signature
+    // computation (the expensive explode+groupBy) runs exactly once
+    // rather than once per label-propagation round.
     val banded = sigs.select(col("doc_id"),
         explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = banded.select(col("doc_id"), col("doc_id").as("rep"))
     for (_ <- 0 until iters) {
       val bucketMin = banded.join(labels, "doc_id")

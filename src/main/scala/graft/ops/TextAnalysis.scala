@@ -32,8 +32,11 @@ object TextAnalysis {
     // document frequencies of the doc's distinct trigrams; argmax wins.
     "text_langid_ngram" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // tg feeds both the profile build and the scoring join — persist so
+      // the trigram explode runs once, not twice.
       val tg = docs.select(col("doc_id"), col("lang"),
           explode(array_distinct(expr(trigramsExpr))).as("tg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val profile = tg.groupBy("lang", "tg")
         .agg(count(lit(1)).as("df"))
         .withColumnRenamed("lang", "p_lang")
