@@ -185,6 +185,20 @@ object MoreOps {
         .select(col("doc_id"), explode_outer(col("rare")).as("tok"))
         .orderBy(col("doc_id"), col("tok").asc_nulls_first)),
 
+    // Bitwise ops + cryptographic hashes (content addressing at scale).
+    "fn_hash_bits_pack" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(lit(255L))).as("band"),
+        (col("o_orderkey").bitwiseOR(lit(16L))).as("bor"),
+        (col("o_orderkey").bitwiseXOR(lit(0x5aL))).as("bxor"),
+        shiftleft(col("o_orderkey"), 3).as("shl"),
+        shiftright(col("o_orderkey"), 2).as("shr"),
+        bitwise_not(col("o_orderkey")).as("bnot"),
+        md5(col("o_orderstatus")).as("h_md5"),
+        sha2(col("o_orderpriority"), 256).as("h_sha256"))
+        .orderBy("o_orderkey")),
+
     // Struct build/access/serialize (named_struct surface).
     "fn_struct_pack" -> ((s, d) =>
       t(s, d, "customer")
@@ -261,6 +275,12 @@ object MoreOps {
         "FROM documents WHERE doc_id < 300) " +
         "SELECT doc_id, unnest(CASE WHEN len(rare) = 0 THEN [NULL] ELSE rare END) AS tok " +
         "FROM r ORDER BY doc_id, tok NULLS FIRST"),
+    "fn_hash_bits_pack" ->
+      ("SELECT o_orderkey, o_orderkey & 255 AS band, o_orderkey | 16 AS bor, " +
+        "xor(o_orderkey, 90) AS bxor, o_orderkey << 3 AS shl, o_orderkey >> 2 AS shr, " +
+        "~o_orderkey AS bnot, md5(o_orderstatus) AS h_md5, " +
+        "sha256(o_orderpriority) AS h_sha256 " +
+        "FROM orders ORDER BY o_orderkey"),
     "fn_struct_pack" ->
       ("SELECT c_custkey, c_custkey AS k2, upper(c_mktsegment) AS seg_u, " +
         "to_json(struct_pack(k := c_custkey, seg := c_mktsegment))::VARCHAR AS js " +
