@@ -56,6 +56,37 @@ class ApproxSpec extends SparkSpec {
     assert(assign.forall { case (id, rep) => rep <= id })
   }
 
+  test("custom MinHash-LSH recall is not worse than MLlib MinHashLSH") {
+    // SURVEY §4.3 said try MLlib first; this parity check justifies the
+    // custom implementation (no Vector conversion, arrays stay codegen-
+    // friendly, banding tunable) by showing equal-or-better recall on
+    // the exact >=0.8-Jaccard ground truth.
+    import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH}
+    import org.apache.spark.ml.linalg.SparseVector
+    val docs = T.t(spark, sf, "documents")
+      .withColumn("toks", array_distinct(split(col("text"), " ")))
+    val cv = new CountVectorizer().setInputCol("toks").setOutputCol("vec")
+      .setBinary(true).fit(docs)
+    val vecs = cv.transform(docs).select("doc_id", "vec")
+    val mh = new MinHashLSH().setInputCol("vec").setOutputCol("sig")
+      .setNumHashTables(8).setSeed(42).fit(vecs)
+    val mllibPairs = mh.approxSimilarityJoin(vecs, vecs, 0.2, "dist") // 1-jaccard
+      .selectExpr("datasetA.doc_id AS a", "datasetB.doc_id AS b")
+      .filter(col("a") < col("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("text_jaccard_pairs")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val custom = graft.ops.MinHashDedup
+      .candidatePairs(T.t(spark, sf, "documents"), 0.5)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rM = exact.count(mllibPairs.contains).toDouble / exact.size
+    val rC = exact.count(custom.contains).toDouble / exact.size
+    info(f"recall mllib=$rM%.4f custom=$rC%.4f")
+    assert(rC >= rM - 0.02, f"custom $rC%.4f vs mllib $rM%.4f")
+  }
+
   test("minhash signature estimate correlates with exact jaccard") {
     val docs = T.t(spark, sf, "documents").limit(100)
     val est = MinHashDedup.candidatePairs(docs, 0.9)
