@@ -98,13 +98,18 @@ object Aggregates {
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
     }),
 
+    // Raw array column is dropped from the final projection (driver hasher
+    // cannot hash array cells); the sorted content is carried as a joined
+    // string plus its length.
     "agg_collect_sorted" -> ((s, d) =>
       t(s, d, "nation")
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(array_sort(collect_list(col("n_name"))).as("names"),
           count(lit(1)).as("cnt"))
-        .withColumn("names_str", array_join(col("names"), "|"))
+        .select(col("r_name"), col("cnt"),
+          array_join(col("names"), "|").as("names_str"),
+          size(col("names")).cast("long").as("n_names"))
         .orderBy("r_name")),
 
     // t2=N (approximate): ScalaTest asserts within 5% of exact.
@@ -244,8 +249,9 @@ object Aggregates {
         "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) " +
         "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
     "agg_collect_sorted" ->
-      ("SELECT r_name, list(n_name ORDER BY n_name) AS names, CAST(COUNT(*) AS BIGINT) AS cnt, " +
-        "array_to_string(list(n_name ORDER BY n_name), '|') AS names_str " +
+      ("SELECT r_name, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        "array_to_string(list(n_name ORDER BY n_name), '|') AS names_str, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_names " +
         "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"),
     "udaf_geomean" ->
       ("SELECT event_type, CAST(ROUND(EXP(SUM(LN(value)) / COUNT(*)), 4) AS DOUBLE) AS geomean, " +

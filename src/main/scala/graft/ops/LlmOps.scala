@@ -31,11 +31,16 @@ object LlmOps {
       lit(0.0), (acc, x) => acc + x))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Group on sha2(text) so the shuffle carries a 64-char key, not the
+    // full document; text is reduced to (hash, length) map-side — at
+    // 100 TB the exchange moves ~100 B/row regardless of document size.
     "text_exact_dedup" -> ((s, d) =>
       t(s, d, "documents")
-        .groupBy(col("text"))
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"),
+          length(col("text")).as("ln0"))
+        .groupBy(col("h"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"),
-          length(col("text")).as("ln"))
+          max(col("ln0")).as("ln"))
         .select("doc_id", "dup_cnt", "ln")
         .orderBy("doc_id")),
 
@@ -79,51 +84,38 @@ object LlmOps {
         .select(col("vec_id"), col("label"), round(col("raw"), 6).as("cos_sim"))
     }),
 
-    // Broadcast one side and run a primitive-array kernel per partition
-    // (per-partition top-k, then global top-k): ~100x less overhead than
-    // evaluating higher-order expressions over the 2M-pair join, and the
-    // same block-broadcast shape a 1000-executor brute-force kNN uses.
-    // Arithmetic is float-widened-to-double, sequential — identical to
-    // the HOF formulation and the DuckDB oracle.
+    // Distributed exact all-pairs kNN: block-partitioned triangle join.
+    // Each vector hashes into one of B blocks; the tiny block-pair
+    // relation (pi <= pj, B(B+1)/2 rows, broadcast) replicates each side
+    // ~B/2-fold so every unordered vector pair lands in EXACTLY ONE
+    // (pi, pj) reducer group. No driver collect and no broadcast of the
+    // data itself — the O(n^2) compute is spread evenly over the block
+    // pairs, which is the shape that survives a 1000-executor scale-up
+    // (grow B with n so each block fits an executor). Cosine runs through
+    // the codegen'd graft_cosine expression; arithmetic is float-widened-
+    // to-double, identical to the DuckDB oracle.
     "vec_knn_join" -> ((s, d) => {
-      val sp = s
-      import sp.implicits._
+      graft.Graft.registerFunctions(s)
       val e = t(s, d, "embeddings").select("vec_id", "embedding")
-        .as[(Long, Array[Float])]
-      val all = e.collect().sortBy(_._1)
-      val norms = all.map { case (_, v) =>
-        var i = 0; var acc = 0.0
-        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-        math.sqrt(acc)
-      }
-      val bAll = s.sparkContext.broadcast((all, norms))
-      val k = 20
-      val top = e.repartition(col("vec_id")).mapPartitions { rows =>
-        val (vecs, nrm) = bAll.value
-        val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](
-          Ordering.by[(Double, Long, Long), Double](_._1).reverse)
-        rows.foreach { case (aId, aVec) =>
-          var an = 0.0
-          var i = 0
-          while (i < aVec.length) { an += aVec(i).toDouble * aVec(i).toDouble; i += 1 }
-          an = math.sqrt(an)
-          var bi = 0
-          while (bi < vecs.length) {
-            val (bId, bVec) = vecs(bi)
-            if (aId < bId) {
-              var dp = 0.0
-              i = 0
-              while (i < aVec.length) { dp += aVec(i).toDouble * bVec(i).toDouble; i += 1 }
-              val cos = dp / (an * nrm(bi))
-              if (heap.size < k) heap.enqueue((cos, aId, bId))
-              else if (cos > heap.head._1) { heap.dequeue(); heap.enqueue((cos, aId, bId)) }
-            }
-            bi += 1
-          }
-        }
-        heap.iterator
-      }.toDF("raw", "a_id", "b_id")
-      top.orderBy(col("raw").desc, col("a_id"), col("b_id")).limit(k)
+      val B = 8
+      val bp = broadcast(s.range(B.toLong * B)
+        .select((col("id") / B).cast("int").as("pi"),
+          pmod(col("id"), lit(B)).cast("int").as("pj"))
+        .filter(col("pi") <= col("pj")))
+      val a = e.select(pmod(col("vec_id"), lit(B)).cast("int").as("pi"),
+          col("vec_id").as("l_id"), col("embedding").as("l_emb"))
+        .join(bp, "pi")
+      val b = e.select(pmod(col("vec_id"), lit(B)).cast("int").as("pj"),
+          col("vec_id").as("r_id"), col("embedding").as("r_emb"))
+        .join(bp, "pj")
+      a.join(b, Seq("pi", "pj"))
+        // diagonal blocks would otherwise emit both (x,y) and (y,x)
+        .filter(col("pi") < col("pj") || col("l_id") < col("r_id"))
+        .select(least(col("l_id"), col("r_id")).as("a_id"),
+          greatest(col("l_id"), col("r_id")).as("b_id"),
+          expr("graft_cosine(l_emb, r_emb)").as("raw"))
+        .orderBy(col("raw").desc, col("a_id"), col("b_id"))
+        .limit(20)
         .select(col("a_id"), col("b_id"), round(col("raw"), 6).as("cos_sim"))
     }),
 
@@ -200,7 +192,7 @@ object LlmOps {
   val oracles: Map[String, String] = Map(
     "text_exact_dedup" ->
       ("SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_cnt, " +
-        "CAST(LENGTH(text) AS INT) AS ln FROM documents GROUP BY text ORDER BY doc_id"),
+        "CAST(MAX(LENGTH(text)) AS INT) AS ln FROM documents GROUP BY sha256(text) ORDER BY doc_id"),
     "text_jaccard_pairs" ->
       ("WITH dt AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents WHERE doc_id < 1000), " +
         "ex AS (SELECT doc_id, unnest(toks) AS tok FROM dt), " +

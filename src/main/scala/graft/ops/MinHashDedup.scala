@@ -42,33 +42,57 @@ object MinHashDedup {
   }
 
   /** Near-dup dedup assignment: doc_id → cluster representative (min
-    * doc_id reachable through shared LSH buckets, `iters` rounds of
-    * label propagation — an iterative-DataFrame union-find approximation
-    * of connected components, SURVEY §7.2 item 9).
+    * doc_id reachable through shared LSH buckets, label propagation TO
+    * CONVERGENCE — an iterative-DataFrame union-find over the band
+    * graph, SURVEY §7.2 item 9).
+    *
+    * Each round moves a label one bucket-hop, so a duplicate chain of
+    * any length resolves to one representative; the loop stops as soon
+    * as an (order-independent) checksum of the assignment is stable
+    * between rounds, capped at `maxIters` as a runaway guard.
     *
     * This is the 100 TB-shaped output: O(docs × bands) rows through
     * key-partitioned shuffles, never the quadratic candidate-pair set
     * (which on a near-dup-heavy corpus is quadratic BY OUTPUT).
     */
-  def dedupAssign(docs: DataFrame, iters: Int = 3): DataFrame = {
+  def dedupAssign(docs: DataFrame, maxIters: Int = 10): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sigs = signatures(docs)
     val bandKeys = (0 until Bands).map { b =>
       val parts = (0 until R).map(j => col("sig").getItem(b * R + j))
       struct(lit(b).as("band"), xxhash64(parts: _*).as("bh"))
     }
-    // banded is reused 1 + 2*iters times; persist so the signature
+    // banded is reused twice per round; persist so the signature
     // computation (the expensive explode+groupBy) runs exactly once
     // rather than once per label-propagation round.
     val banded = sigs.select(col("doc_id"),
         explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = banded.select(col("doc_id"), col("doc_id").as("rep"))
-    for (_ <- 0 until iters) {
+      .persist(MEMORY_AND_DISK)
+    // Order-independent assignment checksum; decimal(38,0) accumulator so
+    // the sum of n 64-bit hashes cannot overflow (ANSI mode would throw).
+    def checksum(df: DataFrame): String =
+      String.valueOf(df.agg(sum(xxhash64(col("doc_id"), col("rep"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head.get(0))
+    // One row per doc (NOT per band) — an undeduplicated seed would
+    // multiply the first round's join by Bands^2.
+    var labels = docs.select(col("doc_id"), col("doc_id").as("rep"))
+      .persist(MEMORY_AND_DISK)
+    var prev = checksum(labels)
+    var it = 0
+    var stable = false
+    while (it < maxIters && !stable) {
       val bucketMin = banded.join(labels, "doc_id")
         .groupBy("bk").agg(min(col("rep")).as("bmin"))
-      labels = banded.join(bucketMin, "bk")
+      val next = banded.join(bucketMin, "bk")
         .groupBy("doc_id").agg(min(col("bmin")).as("rep"))
+        .persist(MEMORY_AND_DISK)
+      val cs = checksum(next) // materializes `next` under its persist
+      labels.unpersist()
+      labels = next
+      stable = cs == prev
+      prev = cs
+      it += 1
     }
     labels
   }

@@ -50,6 +50,20 @@ object MoreOps {
         .orderBy("p_brand", "p_partkey")
     }),
 
+    // TPC-H Q2/Q5-flavor supplier enrichment: fact side shuffles only on
+    // the group keys; both dims broadcast (no shuffle on nation/region).
+    "join_supplier_enrich" -> ((s, d) =>
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_supp"),
+          money(sum(dec(col("s_acctbal")))).as("total_bal"),
+          money(max(dec(col("s_acctbal")))).as("max_bal"))
+        .orderBy("r_name", "n_name")),
+
     // Binlog "latest value per key" via max_by/min_by on a unique
     // monotone key (no window needed — single aggregation pass).
     "agg_latest_by" -> ((s, d) =>
@@ -212,6 +226,13 @@ object MoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_supplier_enrich" ->
+      ("SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_supp, " +
+        s"${oMoney(s"SUM(${oDec("s_acctbal")})")} AS total_bal, " +
+        s"${oMoney(s"MAX(${oDec("s_acctbal")})")} AS max_bal " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"),
     "cdc_merge_upsert" ->
       ("WITH base AS (SELECT c_custkey AS key, c_acctbal AS base_bal FROM customer), " +
         s"chg AS (SELECT o_custkey AS ckey, SUM(${oDec("o_totalprice")}) AS delta_dec, " +

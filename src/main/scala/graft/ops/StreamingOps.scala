@@ -31,6 +31,16 @@ object StreamingOps {
   def tumblingStream(events: DataFrame): DataFrame =
     tumblingAgg(events.withWatermark("ts", "10 minutes"))
 
+  /** Watermarked session windows for true streaming (t2=N, ScalaTest):
+    * out-of-order events within the watermark must MERGE adjacent
+    * sessions before the window finalizes. */
+  def sessionStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"))
+      .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"),
+        col("cnt"), col("sum_val"))
+
   /** Arbitrary stateful op (t2=N, ScalaTest): running per-user count and
     * value sum across micro-batches via mapGroupsWithState. */
   def statefulRunningCount(spark: SparkSession, events: DataFrame): DataFrame = {

@@ -180,18 +180,51 @@ object TextAnalysis {
 
     // t2=N: SimHash needs a shared 64-bit token hash, which the oracle
     // dialect lacks; asserted structurally in ScalaTest instead.
-    "text_simhash" -> ((s, d) => {
-      val tok = t(s, d, "documents").select(col("doc_id"),
-          explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      val bitSums = (0 until 64).map(j =>
-        sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
-      val folded = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until 64).map(j =>
-        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-      folded.select(col("doc_id"), simhash.as("simhash")).orderBy("doc_id")
+    "text_simhash" -> ((s, d) =>
+      simhashDF(t(s, d, "documents")).orderBy("doc_id")),
+
+    // t2=N: SimHash near-dup JOIN — the second bucketed near-dup family
+    // (besides MinHash-LSH). The 64-bit simhash is banded into 4×16-bit
+    // chunks; by pigeonhole any pair at Hamming distance ≤ 3 shares at
+    // least one identical chunk, so the chunk equi-join is a COMPLETE
+    // candidate generator for that radius — a key-partitioned shuffle,
+    // never an all-pairs product. Verified candidates keep
+    // bit_count(xor) ≤ 3. ScalaTest asserts recall vs the exact-dup
+    // groups and agreement with token-set Jaccard on the bounded fixture.
+    "text_simhash_neardup" -> ((s, d) => {
+      val sh = simhashDF(t(s, d, "documents"))
+      val chunks = sh.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("ci"),
+              expr(s"shiftright(simhash, ${16 * j}) & 65535").as("ck"))): _*))
+            .as("c"))
+        .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.ck"))
+      val a = chunks.select(col("ci"), col("ck"),
+        col("doc_id").as("a_id"), col("simhash").as("sh_a"))
+      val b = chunks.select(col("ci"), col("ck"),
+        col("doc_id").as("b_id"), col("simhash").as("sh_b"))
+      a.join(b, Seq("ci", "ck")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("bit_count(sh_a ^ sh_b)").cast(IntegerType).as("hamming"))
+        .dropDuplicates("a_id", "b_id")
+        .filter(col("hamming") <= 3)
+        .orderBy("a_id", "b_id")
     })
   )
+
+  /** (doc_id, simhash): 64 signed bit-counters folded in ONE map-side-
+    * combinable aggregation (single shuffle keyed by doc_id). */
+  private def simhashDF(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j"))
+    val folded = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    folded.select(col("doc_id"), simhash.as("simhash"))
+  }
 
   private val oTrigrams =
     "list_distinct([substring(substring(text, 1, 120), CAST(i AS INT), 3) " +

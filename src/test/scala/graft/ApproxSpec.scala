@@ -41,6 +41,22 @@ class ApproxSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall exact=${exact.size} cand=${cand.size}")
   }
 
+  test("minhash dedupAssign: 5-hop duplicate chain converges to one representative") {
+    // doc i = 40-word window shifted by 3: consecutive docs have Jaccard
+    // ~0.80 (banded together), far-apart docs do not — the cluster only
+    // resolves through ≥5 bucket-hops, which a fixed-3-round propagation
+    // would split. The convergence loop must return a single rep (0).
+    import spark.implicits._
+    val words = (0 until 80).map(i => f"tokword$i%02d")
+    val chain = (0 until 6).map { i =>
+      (i.toLong, words.slice(3 * i, 3 * i + 40).mkString(" "))
+    }.toDF("doc_id", "text")
+    val assign = MinHashDedup.dedupAssign(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.size == 6)
+    assert(assign.values.toSet == Set(0L), s"chain split: $assign")
+  }
+
   test("minhash dedupAssign: exact duplicates share a representative") {
     val docs = T.t(spark, sf, "documents")
     val assign = MinHashDedup.dedupAssign(docs)

@@ -71,6 +71,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("AQEShuffleRead coalesced"), p)
   }
 
+  test("vec_knn_join builds lazily (no driver materialization) with distributed top-k") {
+    // Constructing the query must not read any DATA (the round-1 version
+    // collected the whole embeddings table to the driver at build time).
+    // Parquet schema-inference jobs may fire but read 0 records.
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries("vec_knn_join")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      // top-k never materializes a global sort
+      assert(p.contains("TakeOrderedAndProject"), p)
+      Thread.sleep(500) // let listener-bus events drain
+      assert(recordsRead.get() == 0,
+        s"query construction read ${recordsRead.get()} records")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("partial aggregation (map-side combine) in grouped aggregates") {
     val p = SparkEntry.queries("agg_group_pricing")(spark, sf)
       .queryExecution.executedPlan.toString

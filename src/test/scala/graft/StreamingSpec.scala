@@ -154,6 +154,32 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(7L) == 4.0)
   }
 
+  test("session windows merge out-of-order events into one session") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.sessionStream(mem.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    // Batch 1: two events 40 min apart — two provisional sessions.
+    mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 10:40:00"), "click", 2.0, 1L))
+    q.processAllAvailable()
+    // Batch 2: out-of-order 10:20 (>= watermark 10:10) bridges the gap —
+    // the two sessions must merge into one [10:00, 11:10).
+    mem.addData(Ev(ts("2024-01-01 10:20:00"), "click", 4.0, 1L))
+    q.processAllAvailable()
+    // Batch 3: advance the watermark past 11:10 so the session finalizes.
+    mem.addData(Ev(ts("2024-01-01 13:00:00"), "view", 8.0, 2L))
+    q.processAllAvailable(); q.stop()
+    val u1 = spark.table("sess").filter(col("user_id") === 1L).collect()
+    assert(u1.length == 1, s"expected one merged session, got ${u1.toSeq}")
+    assert(u1.head.getAs[Timestamp]("ws") == ts("2024-01-01 10:00:00"))
+    assert(u1.head.getAs[Timestamp]("we") == ts("2024-01-01 11:10:00"))
+    assert(u1.head.getAs[Long]("cnt") == 3L)
+    assert(u1.head.getAs[Double]("sum_val") == 7.0)
+  }
+
   test("stream_dedup within watermark drops duplicate (user_id,event_id)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -8,6 +8,35 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("simhash_neardup: finds every exact-duplicate pair, no Hamming>3 pair") {
+    val docs = T.t(spark, sf, "documents")
+    val found = q("text_simhash_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(found.forall(_._3 <= 3))
+    val foundPairs = found.map(t => (t._1, t._2)).toSet
+    // exact duplicates have identical simhash (Hamming 0) — every pair
+    // inside a duplicate group must be reported (vacuous if the slice has
+    // no dups; the brute-force truth check below still binds)
+    val dupGroups = docs.groupBy("text")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1).collect()
+      .map(_.getAs[Seq[Long]]("ids").sorted)
+    dupGroups.foreach { ids =>
+      for (a <- ids; b <- ids if a < b)
+        assert(foundPairs.contains((a, b)), s"missing exact-dup pair ($a,$b)")
+    }
+    // banding is a complete candidate generator at radius 3 (pigeonhole:
+    // ≤3 flipped bits leave one of the 4 chunks intact): recompute ground
+    // truth by brute force on the collected simhashes and compare
+    val sh = q("text_simhash").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (a, ha) <- sh; (b, hb) <- sh
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(foundPairs == truth,
+      s"candidates=${foundPairs.size} truth=${truth.size}")
+  }
+
   test("simhash: exact-duplicate texts get identical simhash") {
     val sh = q("text_simhash")
     val docs = T.t(spark, sf, "documents")
