@@ -13,10 +13,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/scheduler/FS cache so the first timed query does
-    // not absorb ~5s of session start cost.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // not absorb session start cost, and touch EVERY table once — the
+    // alphabetically-first queries otherwise pay each table's cold read.
+    T.tables.foreach { name =>
+      if (name == "events") T.events(spark, sfDir).count()
+      else spark.read.parquet(s"$sfDir/$name.parquet").count()
+    }
     spark.range(100).groupBy((org.apache.spark.sql.functions.col("id") % 5)
       .as("k")).count().count()
+    // First use of broadcast exchange, window exec, and the parquet write
+    // committer each pays one-time init — take it out of the first
+    // queries that happen to use them.
+    locally {
+      import org.apache.spark.sql.functions._
+      val warm = spark.range(100)
+        .select(col("id"), pmod(col("id"), lit(5)).as("k"))
+      warm.join(broadcast(spark.range(5).toDF("k")), "k")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")))
+        .groupBy("k").agg(count(lit(1))).count()
+      warm.write.mode("overwrite").parquet("target/tmp/bench_warm")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

