@@ -118,6 +118,22 @@ object Aggregates {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")),
 
+    // t2=N (approximate): the distributed-sketch rollup idiom — build one
+    // HLL sketch per (event_type, day) partition, then UNION the binary
+    // sketches across days and estimate. At 100 TB the daily sketches are
+    // the materialized layer (a few KB each); any date-range distinct
+    // count is a sketch merge, never a re-scan of raw events. ScalaTest
+    // bounds the estimate against exact countDistinct.
+    "agg_hll_union" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val daily = ev.groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
+    }),
+
     "udaf_geomean" -> ((s, d) => {
       val geo = udaf(GeoMean)
       T.events(s, d).filter(col("value") > 0)

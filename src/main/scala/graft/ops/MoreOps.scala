@@ -50,6 +50,34 @@ object MoreOps {
         .orderBy("p_brand", "p_partkey")
     }),
 
+    // Skew-mitigated join through Graft.saltedJoin: event_type has only 5
+    // values (each key holds ~20% of the fact table — the classic hot-key
+    // shape), so the build side is exploded into 8 salted replicas and
+    // the probe side scatters deterministically. Semantics = plain inner
+    // join, which is exactly what the oracle executes.
+    "join_skew_salted" -> ((s, d) => {
+      val ev = T.events(s, d).select("event_id", "event_type", "value")
+      val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_n"))
+      graft.Graft.saltedJoin(ev, dim, "event_type", "event_id", 8)
+        .groupBy("event_type", "type_n")
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(dec(col("value")))).as("sum_val"))
+        .orderBy("event_type")
+    }),
+
+    // Quality-aware near-dup pruning: group by token-set fingerprint and
+    // keep the "best" member (longest text, then lowest doc_id) in ONE
+    // aggregation pass — max_by on a struct key, no window, no self-join.
+    "text_dedup_keep_best" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+            .as("fp"))
+        .groupBy("fp")
+        .agg(expr("max_by(doc_id, struct(n_chars, -doc_id))").as("keep_id"),
+          count(lit(1)).as("grp_n"))
+        .orderBy("fp")),
+
     // TPC-H Q2/Q5-flavor supplier enrichment: fact side shuffles only on
     // the group keys; both dims broadcast (no shuffle on nation/region).
     "join_supplier_enrich" -> ((s, d) =>
@@ -226,6 +254,22 @@ object MoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_skew_salted" ->
+      ("WITH dim AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n " +
+        "FROM events GROUP BY 1) " +
+        "SELECT e.event_type, d.type_n, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        s"${oMoney(s"SUM(${oDec("e.value")})")} AS sum_val " +
+        "FROM events e JOIN dim d ON e.event_type = d.event_type " +
+        "GROUP BY 1, 2 ORDER BY e.event_type"),
+    "text_dedup_keep_best" ->
+      ("WITH f AS (SELECT doc_id, n_chars, " +
+        "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp " +
+        "FROM documents), " +
+        "r AS (SELECT fp, doc_id, ROW_NUMBER() OVER (PARTITION BY fp " +
+        "ORDER BY n_chars DESC, doc_id ASC) AS rn, " +
+        "CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS grp_n FROM f) " +
+        "SELECT fp, CAST(doc_id AS BIGINT) AS keep_id, grp_n " +
+        "FROM r WHERE rn = 1 ORDER BY fp"),
     "join_supplier_enrich" ->
       ("SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_supp, " +
         s"${oMoney(s"SUM(${oDec("s_acctbal")})")} AS total_bal, " +

@@ -59,6 +59,44 @@ object StreamingOps {
       .toDF("user_id", "cnt", "sum_val")
   }
 
+  /** Custom-state sessionizer (t2=N, ScalaTest): flatMapGroupsWithState
+    * with an EVENT-TIME timeout — sessions close (and emit their span +
+    * event count) only when the watermark passes last-event + gap, so
+    * out-of-order events inside the gap still extend the open session.
+    * This is the surface for session semantics richer than
+    * `session_window` (e.g. per-session custom accumulators). */
+  def sessionizeState(spark: SparkSession, events: DataFrame,
+                      gapSec: Long = 1800): DataFrame = {
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      // keep `ts` itself (a projection that casts it away would drop the
+      // watermark attribute the event-time timeout validates against)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         st: GroupState[(Long, Long, Int)]) =>
+          if (st.hasTimedOut) {
+            val (start, last, n) = st.get
+            st.remove()
+            Iterator((user, n, last - start))
+          } else {
+            val times = rows.map(_._2.getTime / 1000).toSeq
+            val (start, last, n) =
+              st.getOption.getOrElse((times.min, times.max, 0))
+            val ns = (math.min(start, times.min),
+              math.max(last, times.max), n + times.size)
+            st.update(ns)
+            st.setTimeoutTimestamp((ns._2 + gapSec) * 1000)
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "n_events", "dur_sec")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_1h" -> ((s, d) =>
       tumblingAgg(T.events(s, d)).orderBy("ws", "event_type")),

@@ -18,6 +18,18 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch-union estimate within 5% of exact distinct users") {
+    val est = SparkEntry.queries("agg_hll_union")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = T.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(est(k) - ex).toDouble / ex <= 0.05,
+        s"$k: est=${est(k)} exact=$ex")
+    }
+  }
+
   test("percentile_approx within 1% of exact percentile") {
     val approx = SparkEntry.queries("agg_percentile_approx")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -180,6 +180,29 @@ class StreamingSpec extends SparkSpec {
     assert(u1.head.getAs[Double]("sum_val") == 7.0)
   }
 
+  test("flatMapGroupsWithState sessionizer emits on event-time timeout") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.sessionizeState(spark, mem.toDF())
+      .writeStream.format("memory").queryName("fmgs")
+      .outputMode(OutputMode.Append).start()
+    // one session for user 1: 10:00 and 10:10 (inside the 30-min gap)
+    mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 10:10:00"), "click", 2.0, 1L))
+    q.processAllAvailable()
+    // advance the watermark well past 10:10 + 30 min so the session
+    // times out (watermark for a batch comes from the previous one —
+    // two advancing batches make the timeout deterministic)
+    mem.addData(Ev(ts("2024-01-01 12:00:00"), "view", 1.0, 2L))
+    q.processAllAvailable()
+    mem.addData(Ev(ts("2024-01-01 12:30:00"), "view", 1.0, 2L))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("fmgs").filter(col("user_id") === 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 2, 600L)), rows.toSeq.toString)
+  }
+
   test("stream_dedup within watermark drops duplicate (user_id,event_id)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
