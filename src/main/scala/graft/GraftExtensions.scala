@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.expr.{CosineSimilarity, NGrams}
+
+/** Library entry point via `spark.sql.extensions` (or
+  * `SparkSession.builder.withExtensions`): registers the custom Catalyst
+  * expressions PERMANENTLY into every session built on the config —
+  * cluster deployments get `graft_cosine` / `graft_ngrams` in plain SQL
+  * with zero per-session `Graft.registerFunctions` calls.
+  *
+  * Usage: `--conf spark.sql.extensions=graft.GraftExtensions`
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NGrams(exprs.head, 3)))
+  }
+}

@@ -159,6 +159,10 @@ object LlmOps {
     "mm_decode_pipeline" -> ((s, d) =>
       Multimodal.decodePipeline(s, d).orderBy("doc_id")),
 
+    // t2=N: resize + frame-sample stage over the same binary plumbing.
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSamplePipeline(s, d).orderBy("doc_id")),
+
     // Custom Generator expression through SQL LATERAL VIEW (the second
     // UDTF surface besides Dataset.flatMap below).
     "udtf_ngrams_expr" -> ((s, d) => {

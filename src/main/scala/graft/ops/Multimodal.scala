@@ -45,6 +45,53 @@ object Multimodal {
       struct(lit("image/fake").as("mime"), col("lang").as("src_lang"),
         length(col("text")).as("orig_len")).as("meta"))
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_frames", IntegerType),
+    StructField("sampled", IntegerType), StructField("rs_width", IntegerType),
+    StructField("rs_height", IntegerType), StructField("frame_sum", LongType)))
+
+  /** Resize + frame-sample stage over the decoded payloads: aspect-
+    * preserving fit into a 256-box (pure arithmetic on the decoded dims,
+    * the shape a real resize kernel slots into), and every-8th "frame"
+    * sampling treating the payload as fixed-width frames (a video/audio
+    * stand-in; `frame_sum` checksums the sampled bytes so the output is
+    * deterministic and testable). Same partition-batched plumbing as
+    * decodePipeline — one iterator per partition, no per-row UDF. */
+  def frameSamplePipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(frameSchema)
+    val frameBytes = 16
+    val every = 8
+    binaryTable(spark, sfDir)
+      .select("doc_id", "payload")
+      .repartition(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (w, h, _) = fakeDecode(bytes)
+          // aspect-preserving resize into a 256x256 box
+          val scale = 256.0 / math.max(w, h)
+          val (rw, rh) = (math.max(1, math.round(w * scale).toInt),
+            math.max(1, math.round(h * scale).toInt))
+          val nFrames = math.max(1, bytes.length / frameBytes)
+          var sampled = 0
+          var sum = 0L
+          var f = 0
+          while (f < nFrames) {
+            if (f % every == 0) {
+              sampled += 1
+              var i = f * frameBytes
+              val end = math.min(i + frameBytes, bytes.length)
+              while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+            }
+            f += 1
+          }
+          org.apache.spark.sql.Row(id, nFrames, sampled, rw, rh, sum)
+        }
+      }(enc)
+  }
+
   /** Partition-batched decode + feature extract + "frame sample" (byte
     * slice as thumbnail stand-in). */
   def decodePipeline(spark: SparkSession, sfDir: String): DataFrame = {

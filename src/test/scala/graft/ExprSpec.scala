@@ -26,6 +26,31 @@ class ExprSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("GraftExtensions registers functions in a session built with withExtensions") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // reuses the existing SparkContext; builds a FRESH session so the
+      // extensions path (spark.sql.extensions equivalent) actually runs
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val c = s2.sql(
+        "SELECT graft_cosine(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+          "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c")
+        .head.getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+      val ng = s2.sql("SELECT g.ngram FROM (SELECT array('a','b','c','d') AS t) " +
+        "LATERAL VIEW graft_ngrams(t) g AS pos, ngram").count()
+      assert(ng == 2)
+    } finally {
+      SparkSession.setDefaultSession(prevDefault.orNull)
+      SparkSession.setActiveSession(prevActive.orNull)
+    }
+  }
+
   test("CosineSimilarity: self-similarity is 1.0 within 1e-12") {
     Graft.registerFunctions(spark)
     val bad = T.t(spark, sf, "embeddings")

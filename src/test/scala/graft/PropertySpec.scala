@@ -71,6 +71,24 @@ class PropertySpec extends SparkSpec {
     assert(out.filter(col("thumb_len") > 16).count() == 0)
   }
 
+  test("multimodal frame-sample: resize box, sampling rate, determinism") {
+    val out = Multimodal.frameSamplePipeline(spark, sf)
+    assert(out.schema == Multimodal.frameSchema)
+    val rows = out.collect()
+    assert(rows.length == T.t(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val (n, sampled, rw, rh) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(sampled == (n + 7) / 8, s"every-8th sampling: n=$n got=$sampled")
+      assert(math.max(rw, rh) == 256 && math.min(rw, rh) >= 1,
+        s"aspect-fit into 256 box, got ${rw}x$rh")
+    }
+    // deterministic across runs (stub decode + checksum are pure)
+    val again = Multimodal.frameSamplePipeline(spark, sf)
+      .orderBy("doc_id").collect().toSeq
+    assert(out.orderBy("doc_id").collect().toSeq == again)
+  }
+
   test("GeoMean Aggregator: merge order independence") {
     import graft.functions.GeoMean
     val xs = List(1.0, 2.0, 4.0, 8.0)
