@@ -180,6 +180,25 @@ class StreamingSpec extends SparkSpec {
     assert(u1.head.getAs[Double]("sum_val") == 7.0)
   }
 
+  test("stream-static join: stream enriched against a broadcast dim table") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq(("click", 1.0), ("view", 0.5)).toDF("event_type", "weight")
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF()
+      .join(broadcast(dim), Seq("event_type"))
+      .select(col("user_id"), (col("value") * col("weight")).as("wv"))
+      .writeStream.format("memory").queryName("ssdim")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 4.0, 1L),
+      Ev(ts("2024-01-01 10:01:00"), "view", 4.0, 1L),
+      Ev(ts("2024-01-01 10:02:00"), "purchase", 9.0, 2L)) // no dim row → dropped
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssdim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._2)
+    assert(rows.toSeq == Seq((1L, 2.0), (1L, 4.0)), rows.toSeq.toString)
+  }
+
   test("flatMapGroupsWithState sessionizer emits on event-time timeout") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
