@@ -34,10 +34,21 @@ object Bench {
         .groupBy("k").agg(count(lit(1))).count()
       warm.write.mode("overwrite").parquet("target/tmp/bench_warm")
     }
+    // BASELINE.md's DuckDB numbers are the MEDIAN OF 3 RUNS per query;
+    // time each query the same way so the comparison is like-for-like
+    // (a single cold run would also charge Spark's one-time codegen
+    // compile to the query, which the baseline's medians exclude).
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until runs).map { _ =>
+        // full recompute every run: queries that persist() intermediates
+        // must not serve run 2+ from the cache manager
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.sorted.apply(runs / 2)
     }
     // Round to ms so the one-line JSON stays short enough that tail
     // capture cannot truncate per-query entries.
@@ -46,7 +57,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r(results.map(_._2).sum)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"sf":"$sfDir"}"""
     // Durable machine-parseable copy (the stdout line can be clipped by
     // log capture); the driver contract line is still printed last.
     try {
