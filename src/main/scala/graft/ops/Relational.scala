@@ -78,7 +78,7 @@ object Relational {
     "join_multiway_star" -> ((s, d) =>
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
@@ -192,7 +192,7 @@ object Relational {
           col("c_custkey").asc)),
 
     "topk_orders" -> ((s, d) =>
-      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      broadcast(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING"))
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
         .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
         .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
