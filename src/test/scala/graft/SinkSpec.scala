@@ -9,6 +9,30 @@ import org.apache.spark.sql.functions._
   * would clobber the whole table. */
 class SinkSpec extends SparkSpec {
 
+  test("csv source: PERMISSIVE captures corrupt records, DROPMALFORMED drops") {
+    import spark.implicits._
+    val path = "/root/repo/target/tmp/csv_malformed"
+    Seq("1,alpha,2.5", "oops,beta", "3,gamma,7.0").toDF("line")
+      .coalesce(1).write.mode(SaveMode.Overwrite).text(path)
+    val schema = "id INT, name STRING, v DOUBLE, _corrupt_record STRING"
+    // Spark disallows querying ONLY the corrupt column off the raw scan —
+    // materialize the rows first (the documented cache/collect workaround)
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path).collect()
+    assert(permissive.length == 3)
+    assert(permissive.count(r => !r.isNullAt(3)) == 1)
+    assert(permissive.find(r => !r.isNullAt(0) && r.getInt(0) == 1)
+      .exists(_.getString(1) == "alpha"))
+    // collect() (not count()) — CSV column pruning would otherwise parse
+    // zero fields and never detect the malformed row
+    val dropped = spark.read.schema("id INT, name STRING, v DOUBLE")
+      .option("mode", "DROPMALFORMED").csv(path).collect()
+    assert(dropped.length == 2)
+    assert(dropped.map(_.getDouble(2)).sum == 9.5)
+  }
+
   test("bucketed tables: co-located join plans without a shuffle") {
     // The 100 TB co-location story (SURVEY §4.2): two fact tables
     // bucketed on the join key join WITHOUT an Exchange — at scale this

@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Partition-count invariance evidence: run `graft.Verify` at two thread/
+shuffle-partition counts and assert every query's output is identical
+(PERF.md's "bit-identical at local[4] vs local[32]" claim, automated).
+
+Usage: python3 tools/invariance.py <sfDir> [cpusA] [cpusB]
+Runs sbt twice (slow); compares row-sets per query via DuckDB.
+"""
+import os, subprocess, sys
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+ca = sys.argv[2] if len(sys.argv) > 2 else "4"
+cb = sys.argv[3] if len(sys.argv) > 3 else "32"
+outa, outb = f"target/inv_{ca}", f"target/inv_{cb}"
+
+for cpus, out in ((ca, outa), (cb, outb)):
+    env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
+    subprocess.run(["sbt", "-batch", f"runMain graft.Verify {sfdir} {out}"],
+                   env=env, check=True, capture_output=True)
+
+con = duckdb.connect()
+fails = 0
+keys = sorted(k for k in os.listdir(outa) if k != "oracle_sql.json")
+for k in keys:
+    try:
+        ra = con.execute(f"SELECT * FROM read_parquet('{outa}/{k}/*.parquet')").fetchall()
+        rb = con.execute(f"SELECT * FROM read_parquet('{outb}/{k}/*.parquet')").fetchall()
+    except Exception as e:
+        print(f"FAIL {k}: {e}")
+        fails += 1
+        continue
+    if ra != rb:
+        print(f"FAIL {k}: {len(ra)} vs {len(rb)} rows, or value drift")
+        fails += 1
+    else:
+        print(f"ok   {k}: {len(ra)} rows identical at {ca} and {cb} threads")
+print("RESULT:", "FAIL" if fails else "PASS", f"({fails} failing of {len(keys)})")
+sys.exit(1 if fails else 0)
