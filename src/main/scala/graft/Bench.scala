@@ -39,7 +39,11 @@ object Bench {
     // (a single cold run would also charge Spark's one-time codegen
     // compile to the query, which the baseline's medians exclude).
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run (dev iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         // full recompute every run: queries that persist() intermediates
         // must not serve run 2+ from the cache manager

@@ -78,16 +78,24 @@ object MinHashDedup {
     // multiply the first round's join by Bands^2.
     var labels = docs.select(col("doc_id"), col("doc_id").as("rep"))
       .persist(MEMORY_AND_DISK)
-    var prev = checksum(labels)
+    // seed checksum deliberately not computed: round 1 always runs, and
+    // on a dup-free corpus stability is detected one round later anyway
+    var prev = ""
     var it = 0
     var stable = false
+    val wBk = org.apache.spark.sql.expressions.Window.partitionBy("bk")
     while (it < maxIters && !stable) {
-      val bucketMin = banded.join(labels, "doc_id")
-        .groupBy("bk").agg(min(col("rep")).as("bmin"))
-      val next = banded.join(bucketMin, "bk")
+      // banded and labels are both hash-partitioned by doc_id (banded via
+      // the signature groupBy, labels via the previous round's groupBy),
+      // so the join needs no exchange; the per-bucket min comes from a
+      // window over bk instead of a groupBy+join back — two exchanges per
+      // round (bk, then doc_id), the minimum the doc→bucket→doc hop needs.
+      val next = banded.join(labels, "doc_id")
+        .withColumn("bmin", min(col("rep")).over(wBk))
         .groupBy("doc_id").agg(min(col("bmin")).as("rep"))
         .persist(MEMORY_AND_DISK)
       val cs = checksum(next) // materializes `next` under its persist
+      if (sys.env.contains("GRAFT_DEBUG_ROUNDS")) println(s"[dedup] round ${it + 1} cs=$cs")
       labels.unpersist()
       labels = next
       stable = cs == prev
