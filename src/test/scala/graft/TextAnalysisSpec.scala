@@ -8,6 +8,12 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  // Note on recall-vs-Jaccard: on this corpus a token-SET Jaccard ≥ 0.8
+  // holds for most doc pairs (31-word vocabulary ⇒ near-identical sets,
+  // ~32k "pairs" among 500 docs), while count-weighted SimHash at
+  // Hamming ≤ 3 is a far stricter notion (~27 pairs) — so a recall bound
+  // against text_jaccard_pairs is vacuous here. The binding contracts are
+  // below: exact dups always found, and candidates == brute-force truth.
   test("simhash_neardup: finds every exact-duplicate pair, no Hamming>3 pair") {
     val docs = T.t(spark, sf, "documents")
     val found = q("text_simhash_neardup")
