@@ -56,7 +56,11 @@ object Scalars {
     "fn_math_pack" -> ((s, d) =>
       t(s, d, "customer").select(
         col("c_custkey"),
-        round(col("c_acctbal") * 1.337, 2).as("rd"),
+        // decimal multiply: 2dp × 3dp = exact 5dp, so round-to-2 ties
+        // (cents ending in 5) resolve identically on both engines —
+        // double math here flips the tie on ~1e-4 of rows at sf0.1
+        round(dec(col("c_acctbal")) * lit(BigDecimal("1.337")), 2)
+          .cast(DoubleType).as("rd"),
         floor(col("c_acctbal")).as("fl"),
         ceil(col("c_acctbal")).as("ce"),
         abs(col("c_acctbal")).as("ab"),
@@ -155,7 +159,7 @@ object Scalars {
         "strftime(o_orderdate, '%Y/%m/%d') AS fmt, CAST(o_orderdate AS DATE) AS td " +
         "FROM orders ORDER BY o_orderkey"),
     "fn_math_pack" ->
-      ("SELECT c_custkey, round(c_acctbal * 1.337, 2) AS rd, CAST(floor(c_acctbal) AS BIGINT) AS fl, " +
+      (s"SELECT c_custkey, CAST(round(${oDec("c_acctbal")} * CAST(1.337 AS DECIMAL(4,3)), 2) AS DOUBLE) AS rd, CAST(floor(c_acctbal) AS BIGINT) AS fl, " +
         "CAST(ceil(c_acctbal) AS BIGINT) AS ce, abs(c_acctbal) AS ab, " +
         "round(sqrt(abs(c_acctbal)), 4) AS sq, round(exp(c_acctbal / 10000.0), 6) AS ex, " +
         "round(ln(abs(c_acctbal) + 1), 6) AS lnn, round(log10(abs(c_acctbal) + 1), 6) AS lg, " +

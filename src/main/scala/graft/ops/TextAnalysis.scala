@@ -80,10 +80,20 @@ object TextAnalysis {
           round((length(col("text")) -
             length(replace(col("text"), lit("a"), lit(""))))
             .cast(DoubleType) / length(col("text")), 4).as("a_ratio"))
+        // quality combines the three ROUNDED 4dp ratios in exact decimal
+        // (0.7 - 0.4·sr - 0.3·ar + least(0.03·awl, 0.3) — multiplication
+        // only, no division). The terms have at most 6 decimal places, so
+        // rounding AT scale 6 is exact (tie-free): double sums flip the
+        // last ulp between engines, and a 4dp round hits real .00005 ties
+        // where Spark (half-up) and the oracle (half-even) disagree —
+        // both observed at sf0.1.
         .withColumn("quality",
-          round(lit(0.4) * (lit(1.0) - col("stop_ratio")) +
-            lit(0.3) * least(col("avg_word_len") / 10.0, lit(1.0)) +
-            lit(0.3) * (lit(1.0) - col("a_ratio")), 4))
+          round(lit(BigDecimal("0.7")) -
+            lit(BigDecimal("0.4")) * col("stop_ratio").cast(DecimalType(10, 4)) -
+            lit(BigDecimal("0.3")) * col("a_ratio").cast(DecimalType(10, 4)) +
+            least(lit(BigDecimal("0.03")) *
+              col("avg_word_len").cast(DecimalType(10, 4)),
+              lit(BigDecimal("0.3"))), 6).cast(DoubleType))
         .orderBy("doc_id")),
 
     "text_token_count" -> ((s, d) =>
@@ -259,8 +269,11 @@ object TextAnalysis {
         "round(CAST(length(text) - (len(tokens) - 1) AS DOUBLE) / len(tokens), 4) AS avg_word_len, " +
         "round(CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE) / length(text), 4) AS a_ratio " +
         "FROM q) " +
-        "SELECT *, round(0.4 * (1.0 - stop_ratio) + 0.3 * least(avg_word_len / 10.0, 1.0) " +
-        "+ 0.3 * (1.0 - a_ratio), 4) AS quality FROM m ORDER BY doc_id"),
+        "SELECT *, CAST(round(CAST(0.7 AS DECIMAL(4,1)) " +
+        "- CAST(0.4 AS DECIMAL(4,1)) * CAST(stop_ratio AS DECIMAL(10,4)) " +
+        "- CAST(0.3 AS DECIMAL(4,1)) * CAST(a_ratio AS DECIMAL(10,4)) " +
+        "+ least(CAST(0.03 AS DECIMAL(5,2)) * CAST(avg_word_len AS DECIMAL(10,4)), " +
+        "CAST(0.3 AS DECIMAL(5,2))), 6) AS DOUBLE) AS quality FROM m ORDER BY doc_id"),
     "text_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens, " +
