@@ -50,6 +50,27 @@ object MoreOps {
         .orderBy("p_brand", "p_partkey")
     }),
 
+    // Ordered funnel (view → click → purchase): each stage is the user's
+    // earliest qualifying event STRICTLY AFTER the previous stage — the
+    // event-analytics conversion idiom. Three grouped aggregates chained
+    // by equi-joins on user_id (key-partitioned; no window over the whole
+    // event stream, no self-join explosion), then three 1-row counts.
+    "report_funnel" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min(col("us")).as("t3"))
+      v.agg(count(lit(1)).as("viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("clicked_after")))
+        .crossJoin(p.agg(count(lit(1)).as("purchased_after")))
+    }),
+
     // Skew-mitigated join through Graft.saltedJoin: event_type has only 5
     // values (each key holds ~20% of the fact table — the classic hot-key
     // shape), so the build side is exploded into 8 salted replicas and
@@ -254,6 +275,16 @@ object MoreOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "report_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "v AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN v ON e.user_id = v.user_id " +
+        "WHERE event_type = 'click' AND us > t1 GROUP BY 1), " +
+        "p AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN c ON e.user_id = c.user_id " +
+        "WHERE event_type = 'purchase' AND us > t2 GROUP BY 1) " +
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS viewed, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS clicked_after, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS purchased_after"),
     "join_skew_salted" ->
       ("WITH dim AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n " +
         "FROM events GROUP BY 1) " +
