@@ -86,6 +86,22 @@ object MoreOps {
         .orderBy("event_type")
     }),
 
+    // Deterministic stratified sample: within each lang stratum, order by
+    // a content-independent hash (md5 of the key) and keep the first 20%
+    // — reproducible train/eval splits at any scale, no RNG state. One
+    // window shuffle keyed by the stratum.
+    "sample_stratified" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .filter(col("rn") <= ceil(col("n") * 0.2))
+        .select(col("doc_id"), col("lang"), col("rn").cast(IntegerType).as("rn"))
+        .orderBy("doc_id")
+    }),
+
     // Quality-aware near-dup pruning: group by token-set fingerprint and
     // keep the "best" member (longest text, then lowest doc_id) in ONE
     // aggregation pass — max_by on a struct key, no window, no self-join.
@@ -292,6 +308,12 @@ object MoreOps {
         s"${oMoney(s"SUM(${oDec("e.value")})")} AS sum_val " +
         "FROM events e JOIN dim d ON e.event_type = d.event_type " +
         "GROUP BY 1, 2 ORDER BY e.event_type"),
+    "sample_stratified" ->
+      ("WITH r AS (SELECT doc_id, lang, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY lang) AS n FROM documents) " +
+        "SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM r " +
+        "WHERE rn <= ceil(n * 0.2) ORDER BY doc_id"),
     "text_dedup_keep_best" ->
       ("WITH f AS (SELECT doc_id, n_chars, " +
         "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp " +
