@@ -86,6 +86,36 @@ object MoreOps {
         .orderBy("event_type")
     }),
 
+    // Column profiling (the data-quality sweep every ingest runs): one
+    // aggregation pass computes per-column null counts, ranges, and
+    // distincts — a single shuffle regardless of column count.
+    "agg_profile_columns" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_tax").isNull, 1).otherwise(0)).as("null_tax"),
+        countDistinct(col("l_orderkey")).as("d_orderkey"),
+        countDistinct(col("l_returnflag")).as("d_returnflag"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+        money(sum(dec(col("l_extendedprice")))).as("sum_price"),
+        min(col("l_shipdate")).cast(DateType).as("min_ship"),
+        max(col("l_shipdate")).cast(DateType).as("max_ship"))),
+
+    // Edit-distance near-dup (the character-level member of the dedup
+    // family): Levenshtein between each doc and its doc_id-successor on a
+    // bounded slice — O(len²) per pair, so candidates must come from a
+    // bucketed generator (LSH/SimHash) at scale; this is the verifier.
+    "text_editdist_neighbors" -> ((s, d) => {
+      val w = Window.orderBy("doc_id")
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .withColumn("next_text", lead(col("text"), 1).over(w))
+        .filter(col("next_text").isNotNull)
+        .select(col("doc_id"),
+          levenshtein(col("text"), col("next_text")).as("edit_dist"),
+          (length(col("text")) - length(col("next_text"))).as("len_delta"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sample: within each lang stratum, order by
     // a content-independent hash (md5 of the key) and keep the first 20%
     // — reproducible train/eval splits at any scale, no RNG state. One
@@ -308,6 +338,21 @@ object MoreOps {
         s"${oMoney(s"SUM(${oDec("e.value")})")} AS sum_val " +
         "FROM events e JOIN dim d ON e.event_type = d.event_type " +
         "GROUP BY 1, 2 ORDER BY e.event_type"),
+    "agg_profile_columns" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_tax, " +
+        "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d_orderkey, " +
+        "CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS d_returnflag, " +
+        "MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, " +
+        s"${oMoney(s"SUM(${oDec("l_extendedprice")})")} AS sum_price, " +
+        "CAST(MIN(l_shipdate) AS DATE) AS min_ship, CAST(MAX(l_shipdate) AS DATE) AS max_ship " +
+        "FROM lineitem"),
+    "text_editdist_neighbors" ->
+      ("WITH w AS (SELECT doc_id, text, LEAD(text, 1) OVER (ORDER BY doc_id) AS next_text " +
+        "FROM documents WHERE doc_id < 200) " +
+        "SELECT doc_id, CAST(levenshtein(text, next_text) AS INT) AS edit_dist, " +
+        "CAST(length(text) - length(next_text) AS INT) AS len_delta " +
+        "FROM w WHERE next_text IS NOT NULL ORDER BY doc_id"),
     "sample_stratified" ->
       ("WITH r AS (SELECT doc_id, lang, " +
         "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn, " +
