@@ -94,6 +94,39 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("runtime Bloom-filter join pruning injects might_contain on the big side") {
+    // At 100 TB this is the lever that keeps a selective dim join from
+    // scanning the whole fact table: Catalyst builds a Bloom filter from
+    // the small (filtered) side at runtime and pushes might_contain into
+    // the big side's scan. Local thresholds are far above our testdata,
+    // so lower them to prove the optimization engages.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
+    val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // broadcast would bypass the runtime filter — force a shuffle join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = T.t(spark, sf, "lineitem")
+      val sel = T.t(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p.take(2000))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("partial aggregation (map-side combine) in grouped aggregates") {
     val p = SparkEntry.queries("agg_group_pricing")(spark, sf)
       .queryExecution.executedPlan.toString
