@@ -2,17 +2,19 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
-  * §7 (build plan). One `queries` entry per implemented operator; each
-  * t2=Y key has a DuckDB oracle in `oracleSql` (SURVEY §0, [B:2]).
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory,
+  * §2.11 for post-contract additions) and §7 (build plan). One `queries`
+  * entry per implemented operator; each t2=Y key has a DuckDB oracle in
+  * `oracleSql` (SURVEY §0, [B:2]).
   *
-  * 90 operators across: Relational (scans/filters/joins/sorts/sets),
-  * Aggregates (grouping/windows/UDAF), Scalars (8 function packs),
-  * SourcesSinks (partitioned parquet / jsonlines / csv), StreamingOps
-  * (event-time windows, sessions, dedup), LlmOps + MinHashDedup +
-  * Multimodal + TextAnalysis (dedup, similarity, language/quality/
-  * token/fingerprint analysis, ANN), MoreOps (percentiles, latest-by,
-  * CDC merge, pivot/unpivot, subqueries, reports).
+  * 101 operators across: Relational (scans/filters/joins/sorts/sets),
+  * Aggregates (grouping/windows/UDAF/HLL sketches), Scalars (8 function
+  * packs), SourcesSinks (partitioned parquet / jsonlines / csv),
+  * StreamingOps (event-time windows, sessions, dedup), LlmOps +
+  * MinHashDedup + Multimodal + TextAnalysis (dedup families, similarity
+  * search, language/quality/token/fingerprint analysis, ANN), MoreOps
+  * (percentiles, latest-by, CDC merge, pivot/unpivot, subqueries,
+  * reports, funnel, sampling, profiling, salted join).
   */
 object SparkEntry {
   /** Flagship query (SURVEY §5.2 t1): 5-way star join on sf0.001. */
