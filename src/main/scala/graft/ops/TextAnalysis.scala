@@ -157,13 +157,19 @@ object TextAnalysis {
       val e = t(s, d, "embeddings")
       val cents = broadcast(e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
-      val wA = Window.partitionBy("vec_id")
-        .orderBy(col("c_cos").desc, col("cid").asc)
+      // Nearest-centroid assignment as a map-side-combinable argmin agg:
+      // min_by on (-cos, cid) reproduces the (cos DESC, cid ASC) argmax
+      // without the 8×-row window shuffle. Persisted because the self-join
+      // below reads it twice — unpersisted, Spark recomputes the whole
+      // crossJoin+agg subtree per side.
       val assign = e.crossJoin(cents)
         .select(col("vec_id"), col("embedding"), col("cid"),
           expr("graft_cosine(embedding, c_emb)").as("c_cos"))
-        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-        .select("vec_id", "embedding", "cid")
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"),
+            struct((-col("c_cos")).as("nc"), col("cid"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = assign.select(col("cid"), col("vec_id").as("a_id"),
         col("embedding").as("a_emb"))
       val b = assign.select(col("cid"), col("vec_id").as("b_id"),
