@@ -26,7 +26,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Aggregates.queries ++
       ops.Scalars.queries ++ ops.SourcesSinks.queries ++
       ops.StreamingOps.queries ++ ops.LlmOps.queries ++
-      ops.TextAnalysis.queries ++ ops.MoreOps.queries
+      ops.TextAnalysis.queries ++ ops.MoreOps.queries ++
+      ops.Round3Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Aggregates.oracles ++
       ops.Scalars.oracles ++ ops.SourcesSinks.oracles ++
       ops.StreamingOps.oracles ++ ops.LlmOps.oracles ++
-      ops.TextAnalysis.oracles ++ ops.MoreOps.oracles
+      ops.TextAnalysis.oracles ++ ops.MoreOps.oracles ++
+      ops.Round3Ops.oracleSql
 }

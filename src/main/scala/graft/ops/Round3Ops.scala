@@ -1,0 +1,220 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Round-3 operator additions: batch sessionization, the bucketed range
+  * join (scale path for theta joins), TF-IDF keyword extraction, SCD2
+  * run-compression, deterministic mode, an ORC source round trip, and a
+  * width-bucket histogram.
+  *
+  * Determinism canon per SURVEY §7.2: event time as epoch-µs on both
+  * engines, decimal sums for double aggregates, total ORDER BY, explicit
+  * tie-breaks on every argmax/row_number.
+  */
+object Round3Ops {
+  import T._
+
+  private val sessionGapUs = 30L * 60 * 1000000 // 30 min in µs
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gap-based sessionization in batch: a session break is >30 min of
+    // user inactivity. lag → break flag → running sum = session id; all
+    // three windows share one (user_id) shuffle + one sort, then the
+    // per-session rollup reuses the same key partitioning. This is the
+    // batch twin of stream_session_30m (session_window in streaming).
+    "report_sessionize_batch" -> ((s, d) => {
+      val ev = T.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("brk", when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > sessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .withColumn("dur_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Range (theta) join |a.value − b.value| ≤ 0.25 as a bucketed
+    // EQUI-join: bucket = floor(value/0.25); the right side fans out to
+    // bucket−1/bucket/bucket+1 so every qualifying pair meets in exactly
+    // one bucket (|Δvalue| ≤ W ⇒ |Δbucket| ≤ 1), then the exact predicate
+    // filters. Shuffle is hash-on-(type,bucket) — no nested-loop, no
+    // cross product; this is the 100-TB shape for bounded-distance theta
+    // joins. The ORACLE runs the naive range join, so the hash-match
+    // proves the bucketing loses no pair and duplicates none.
+    "join_range_bucketed" -> ((s, d) => {
+      val width = 0.25
+      val ev = T.events(s, d).filter(col("value") <= 10)
+        .select(col("event_id"), col("event_type"), col("value"),
+          floor(col("value") / width).cast(LongType).as("b0"))
+      val a = ev.select(col("event_type"), col("b0").as("b"),
+        col("event_id").as("a_id"), col("value").as("a_val"))
+      val bb = ev.select(col("event_type"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("b"),
+        col("event_id").as("b_id"), col("value").as("b_val"))
+      a.join(bb, Seq("event_type", "b"))
+        .filter(abs(col("a_val") - col("b_val")) <= width &&
+          col("a_id") < col("b_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          money(sum(abs(col("a_val") - col("b_val"))
+            .cast(DecimalType(18, 4)))).as("sum_gap"))
+        .orderBy("event_type")
+    }),
+
+    // TF-IDF top-3 terms per document. tf and df are grouped aggregates
+    // (map-side combinable); N reaches the plan as a broadcast 1-row
+    // crossJoin, never a driver collect. Ranking uses the 6-dp ROUNDED
+    // score (then term ASC): the corpus vocabulary is small integers, so
+    // mathematically-equal scores like 2·ln(10) vs ln(100) are computed
+    // with different float error per engine — ranking on the raw double
+    // would tie-break differently across engines.
+    "text_tfidf_topterms" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs") / col("df")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("rk"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // SCD type-2 from an event changelog: per user, collapse consecutive
+    // runs of the same event_type, emit [valid_from, valid_to) intervals
+    // with a version number and a current flag. lag-filter + lead share
+    // one user_id shuffle; the run-compression filter happens before the
+    // second window so the lead/row_number sort sees only run heads.
+    "cdc_scd2" -> ((s, d) => {
+      val ev = T.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val heads = ev
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      heads
+        .withColumn("valid_to", lead(col("us"), 1).over(w))
+        .withColumn("version", row_number().over(w))
+        .select(col("user_id"), col("event_type"),
+          col("us").as("valid_from"), col("valid_to"), col("version"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // Deterministic MODE per group: two-level aggregate (count per value,
+    // then argmax via min_by on (−cnt, value)) — both levels map-side
+    // combinable, and the (cnt DESC, value ASC) tie-break is explicit so
+    // both engines resolve multi-modal groups identically. Built-in
+    // mode() is tie-unspecified on BOTH engines — unusable under a
+    // hash-match contract.
+    "agg_mode" -> ((s, d) => {
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy("l_returnflag")
+        .agg(min_by(struct(col("l_quantity"), col("cnt")),
+          struct((-col("cnt")).as("nc"), col("l_quantity"))).as("m"))
+        .select(col("l_returnflag"), col("m.l_quantity").as("mode_qty"),
+          col("m.cnt").as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ORC round trip: write a lineitem projection as ORC, read it back,
+    // aggregate. Proves the second columnar format end-to-end (schema,
+    // compression, pushdown); the oracle computes the same aggregate from
+    // the original parquet, so the hash-match proves losslessness.
+    "source_orc" -> ((s, d) => {
+      val path = "target/tmp/orc_roundtrip"
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("l_returnflag")
+        .agg(money(sum(dec(col("l_quantity")))).as("sum_qty"),
+          money(sum(dec(col("l_extendedprice")))).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Width-bucket histogram: fixed-width value buckets per event type —
+    // single map-side-combinable aggregate, the standard distribution
+    // profile for numeric columns at scale.
+    "agg_histogram" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") / 10).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "report_sessionize_batch" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM ev), " +
+        "n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM l), " +
+        "sess AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n) " +
+        "SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+        "MIN(us) AS start_us, MAX(us) AS end_us, MAX(us) - MIN(us) AS dur_us " +
+        "FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "join_range_bucketed" ->
+      ("WITH ev AS (SELECT event_id, event_type, value FROM events WHERE value <= 10) " +
+        "SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        s"${oMoney("SUM(CAST(abs(a.value - b.value) AS DECIMAL(18,4)))")} AS sum_gap " +
+        "FROM ev a JOIN ev b ON a.event_type = b.event_type " +
+        "AND abs(a.value - b.value) <= 0.25 AND a.event_id < b.event_id " +
+        "GROUP BY a.event_type ORDER BY a.event_type"),
+    "text_tfidf_topterms" ->
+      ("WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tfc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tf GROUP BY 1, 2), " +
+        "dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY 1), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS tfidf " +
+        "FROM tfc JOIN dfc USING (term) CROSS JOIN nn), " +
+        "rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, term ASC) AS INT) AS rk FROM scored) " +
+        "SELECT doc_id, term, rk, tfidf FROM rk WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "cdc_scd2" ->
+      ("WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type FROM ev), " +
+        "heads AS (SELECT * FROM l WHERE prev_type IS NULL OR prev_type <> event_type) " +
+        "SELECT user_id, event_type, us AS valid_from, " +
+        "lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS INT) AS version, " +
+        "(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL) AS is_current " +
+        "FROM heads ORDER BY user_id, version"),
+    "agg_mode" ->
+      ("WITH c AS (SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY cnt DESC, l_quantity ASC) AS rn FROM c) " +
+        "SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM r WHERE rn = 1 " +
+        "ORDER BY l_returnflag"),
+    "source_orc" ->
+      (s"SELECT l_returnflag, ${oMoney(s"SUM(${oDec("l_quantity")})")} AS sum_qty, " +
+        s"${oMoney(s"SUM(${oDec("l_extendedprice")})")} AS sum_price, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag " +
+        "ORDER BY l_returnflag"),
+    "agg_histogram" ->
+      ("SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events " +
+        "GROUP BY 1, 2 ORDER BY event_type, bucket")
+  )
+}

@@ -97,6 +97,28 @@ object StreamingOps {
       .toDF("user_id", "n_events", "dur_sec")
   }
 
+  /** Watermarked stream-stream interval self-join (t2=N, ScalaTest):
+    * clicks ⋈ purchases of the same user where the purchase lands within
+    * 1 h after the click. Both sides carry watermarks and the join
+    * condition bounds event time in both directions, so Spark can expire
+    * join state — the unbounded-state stream join is rejected by the
+    * planner, this shape is the scalable one. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_val"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"),
+        col("p_val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_1h" -> ((s, d) =>
       tumblingAgg(T.events(s, d)).orderBy("ws", "event_type")),

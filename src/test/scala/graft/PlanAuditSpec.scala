@@ -133,4 +133,16 @@ class PlanAuditSpec extends SparkSpec {
     // two-phase hash aggregate: partial_ functions before the shuffle
     assert(p.contains("partial_"), p)
   }
+
+  test("join_range_bucketed plans an equi-join, never a nested loop") {
+    val p = plan("join_range_bucketed")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p.take(2000))
+    assert(p.contains("Join"), p.take(500)) // it IS a join — just hashed
+  }
+
+  test("join_asof_latest is join-free (merged-stream window, no pair blowup)") {
+    val p = plan("join_asof_latest")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(500))
+  }
 }

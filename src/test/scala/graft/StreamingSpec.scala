@@ -239,4 +239,27 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     assert(spark.table("ddup").count() == 2)
   }
+
+  test("stream-stream interval join: purchases within 1h of a click, per user") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.clickPurchaseJoin(mem.toDF())
+      .writeStream.format("memory").queryName("ssj_self")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 10:05:00"), "click", 1.0, 2L))
+    q.processAllAvailable()
+    // Arrives in a LATER micro-batch than the clicks it joins — proves
+    // the click side is buffered in join state, not batch-local.
+    mem.addData(
+      Ev(ts("2024-01-01 10:30:00"), "purchase", 9.0, 1L),   // in window
+      Ev(ts("2024-01-01 10:10:00"), "purchase", 5.0, 2L),   // in window
+      Ev(ts("2024-01-01 11:30:00"), "purchase", 7.0, 1L))   // 90 min: out
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj_self")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).sorted
+    assert(rows.toSeq == Seq((1L, 9.0), (2L, 5.0)), rows.toSeq.toString)
+  }
 }
