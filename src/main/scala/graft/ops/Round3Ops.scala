@@ -161,7 +161,62 @@ object Round3Ops {
         .groupBy(col("event_type"),
           floor(col("value") / 10).cast(LongType).as("bucket"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("event_type", "bucket"))
+        .orderBy("event_type", "bucket")),
+
+    // Statistical moment pack: corr/covar/stddev/var are all single-pass
+    // mergeable co-moment aggregates (two-phase in Spark). 6-dp rounding
+    // absorbs the ~1e-12 cross-engine merge-order float drift.
+    "agg_stats_pack" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("covar_qp"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
+          round(var_samp(col("l_quantity")), 6).as("var_q"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Regexp scalar pack: extract / replace-all / match over the docs
+    // corpus — all codegen'd built-ins, no UDF.
+    "fn_regexp_pack" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]{6,})", 1).as("first_long"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).as("novowel_len"),
+        col("text").rlike("scan .* merge").as("has_scan_merge"))
+        .orderBy("doc_id")),
+
+    // NOT IN subquery with the three-valued-logic trap kept visible: the
+    // planner rewrites both to semi/anti joins (the scalable form) — no
+    // per-row re-execution of the subquery.
+    "sub_in_notin" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("r3_cust")
+      t(s, d, "orders").createOrReplaceTempView("r3_ord")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment FROM r3_cust
+        WHERE c_custkey IN (SELECT o_custkey FROM r3_ord WHERE o_orderstatus = 'F')
+          AND c_custkey NOT IN (SELECT o_custkey FROM r3_ord WHERE o_orderstatus = 'O')
+        ORDER BY c_custkey""")
+    }),
+
+    // Partition-pruned scan: write date-partitioned parquet, read back
+    // with a partition predicate — the scan must touch only 3 of ~30
+    // date directories (plan-audited: PartitionFilters non-empty). THE
+    // core 100-TB pattern: time-partitioned facts + pruned reads.
+    "scan_partition_prune" -> ((s, d) => {
+      val path = "target/tmp/scan_partition_prune"
+      T.events(s, d)
+        .withColumn("dt", col("ts").cast(DateType))
+        .repartition(col("dt"))
+        .write.partitionBy("dt").mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("dt").between("2024-01-10", "2024-01-12"))
+        .groupBy("dt", "event_type")
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(dec(col("value")))).as("sum_val"))
+        .orderBy("dt", "event_type")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -215,6 +270,28 @@ object Round3Ops {
     "agg_histogram" ->
       ("SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bucket, " +
         "CAST(COUNT(*) AS BIGINT) AS n FROM events " +
-        "GROUP BY 1, 2 ORDER BY event_type, bucket")
+        "GROUP BY 1, 2 ORDER BY event_type, bucket"),
+    "agg_stats_pack" ->
+      ("SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, " +
+        "round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp, " +
+        "round(stddev_samp(l_quantity), 6) AS sd_q, " +
+        "round(var_samp(l_quantity), 6) AS var_q, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "fn_regexp_pack" ->
+      ("SELECT doc_id, regexp_extract(text, '([a-z]{6,})', 1) AS first_long, " +
+        "CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS novowel_len, " +
+        "regexp_matches(text, 'scan .* merge') AS has_scan_merge " +
+        "FROM documents ORDER BY doc_id"),
+    "sub_in_notin" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer " +
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') " +
+        "AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') " +
+        "ORDER BY c_custkey"),
+    "scan_partition_prune" ->
+      ("SELECT CAST(ts AS DATE) AS dt, event_type, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        s"${oMoney(s"SUM(${oDec("value")})")} AS sum_val FROM events " +
+        "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12' " +
+        "GROUP BY 1, 2 ORDER BY dt, event_type")
   )
 }

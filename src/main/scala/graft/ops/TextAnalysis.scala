@@ -219,7 +219,10 @@ object TextAnalysis {
     // bit_count(xor) ≤ 3. ScalaTest asserts recall vs the exact-dup
     // groups and agreement with token-set Jaccard on the bounded fixture.
     "text_simhash_neardup" -> ((s, d) => {
+      // persisted: both sides of the band join read it — unpersisted,
+      // the tokenize + 64-counter agg subtree runs twice
       val sh = simhashDF(t(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val chunks = sh.select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map(j =>
             struct(lit(j).as("ci"),

@@ -145,4 +145,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
     assert(p.contains("Window"), p.take(500))
   }
+
+  test("scan_partition_prune: partition filter reaches the scan (3 of ~30 dirs)") {
+    val p = plan("scan_partition_prune")
+    assert(p.contains("PartitionFilters: ["), p.take(2000))
+    assert(!p.contains("PartitionFilters: []"), p.take(2000))
+  }
+
+  test("sub_in_notin plans as semi/anti joins, not per-row subqueries") {
+    val p = plan("sub_in_notin")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti") || p.contains("NULL Aware"), p.take(2000))
+  }
 }
