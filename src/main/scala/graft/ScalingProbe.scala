@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Scale-up evidence (PERF.md): amplify the sf0.1 tables 10× in-plan
+  * (crossJoin with a replica index, keys shifted so join fanout and
+  * per-key group sizes are preserved exactly) and measure the core plan
+  * shapes at 1× and 10×. A plan whose cost is dominated by fixed
+  * overhead shows ratio ≪ 10; a plan that blows up super-linearly shows
+  * ratio ≫ 10. This does NOT create new fixture data on disk — the
+  * amplification is a deterministic Spark plan over the driver-provided
+  * parquet, used only for timing.
+  */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val N = 10
+
+    // replicate n× with a shifted key so join fanout / group sizes are
+    // IDENTICAL per replica (no artificial skew, no cross-replica joins)
+    def amp(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val rep = spark.range(N).toDF("rep_idx")
+      keys.foldLeft(df.crossJoin(rep)) { (d, k) =>
+        d.withColumn(k, col(k) * N + col("rep_idx"))
+      }.drop("rep_idx")
+    }
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val li = T.t(spark, sfDir, "lineitem")
+    val ord = T.t(spark, sfDir, "orders")
+    val ev = T.events(spark, sfDir)
+    val docs = T.t(spark, sfDir, "documents")
+
+    def q1(l: DataFrame): Long = l.groupBy("l_returnflag", "l_linestatus")
+      .agg(T.money(sum(T.dec(col("l_quantity")))).as("sq"),
+        T.money(sum(T.dec(col("l_extendedprice")))).as("sp"),
+        count(lit(1)).as("n")).count()
+
+    def joinAgg(o: DataFrame, l: DataFrame): Long =
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          T.money(sum(T.dec(col("l_extendedprice")))).as("rev")).count()
+
+    def winLatest(e: DataFrame): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).count()
+    }
+
+    def minhash(d: DataFrame): Long =
+      ops.MinHashDedup.dedupAssign(d).count()
+
+    // warm up IO + codegen once so both measurements are steady-state
+    q1(li); joinAgg(ord, li); winLatest(ev); ()
+
+    val results = Seq(
+      ("agg_q1_shape", time(q1(li)), time(q1(amp(li, Seq("l_orderkey"))))),
+      ("join_shuffle_agg", time(joinAgg(ord, li)),
+        time(joinAgg(amp(ord, Seq("o_orderkey")), amp(li, Seq("l_orderkey"))))),
+      ("win_latest", time(winLatest(ev)),
+        time(winLatest(amp(ev, Seq("user_id", "event_id"))))),
+      ("minhash_dedup", time(minhash(docs)),
+        time(minhash(amp(docs, Seq("doc_id")))))
+    )
+    def r(v: Double): Double = math.rint(v * 1000) / 1000
+    val json = results.map { case (k, t1, t10) =>
+      s"""{"op":"$k","t1x":${r(t1)},"t10x":${r(t10)},"ratio":${r(t10 / t1)}}"""
+    }.mkString("[", ",", "]")
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/scaling.json"), json)
+    println(json)
+    spark.stop()
+  }
+}

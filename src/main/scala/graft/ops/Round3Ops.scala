@@ -200,6 +200,59 @@ object Round3Ops {
         ORDER BY c_custkey""")
     }),
 
+    // Bucketed co-located join: both fact tables written bucketed on the
+    // join key (bucketBy + sortBy + saveAsTable), so the join consumes
+    // the tables' bucket partitioning directly — NO shuffle exchange on
+    // either join input (plan-audited). At 100 TB this is the difference
+    // between re-shuffling both facts per query and a one-time layout
+    // cost amortized over every join on that key.
+    "join_bucketed_colocated" -> ((s, d) => {
+      // a previous JVM's warehouse dir orphans the managed-table
+      // location (the in-memory catalog forgot the table but the files
+      // remain) — drop both and clear the leftover dirs first
+      Seq("g_orders_bucketed", "g_customer_bucketed").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+        }
+        if (loc.exists()) rm(loc)
+      }
+      t(s, d, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("g_orders_bucketed")
+      t(s, d, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("g_customer_bucketed")
+      // merge hint: keep the broadcast planner from hiding the bucket
+      // co-location this operator exists to demonstrate
+      s.table("g_orders_bucketed").hint("merge")
+        .join(s.table("g_customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(dec(col("o_totalprice")))).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // TPC-H Q13 flavor: how many customers placed k orders — LEFT OUTER
+    // join so zero-order customers land in the k=0 bucket, then a
+    // distribution over the per-customer counts (two key-partitioned
+    // aggregations, no window).
+    "report_order_counts" -> ((s, d) => {
+      val c = t(s, d, "customer").select("c_custkey")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // Partition-pruned scan: write date-partitioned parquet, read back
     // with a partition predicate — the scan must touch only 3 of ~30
     // date directories (plan-audited: PartitionFilters non-empty). THE
@@ -288,6 +341,17 @@ object Round3Ops {
         "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') " +
         "AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') " +
         "ORDER BY c_custkey"),
+    "join_bucketed_colocated" ->
+      (s"SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "report_order_counts" ->
+      ("WITH pc AS (SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS c_count " +
+        "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey " +
+        "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) " +
+        "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM pc " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
     "scan_partition_prune" ->
       ("SELECT CAST(ts AS DATE) AS dt, event_type, CAST(COUNT(*) AS BIGINT) AS cnt, " +
         s"${oMoney(s"SUM(${oDec("value")})")} AS sum_val FROM events " +

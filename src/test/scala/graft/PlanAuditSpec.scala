@@ -157,4 +157,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p.take(2000))
     assert(p.contains("LeftAnti") || p.contains("NULL Aware"), p.take(2000))
   }
+
+  test("join_bucketed_colocated: bucketed scans feed the join with no shuffle") {
+    val p = plan("join_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), p.take(1000))
+    assert(p.contains("Bucketed: true"), p.take(3000))
+    // exchanges above the join (final agg, orderBy) are fine; the join
+    // INPUTS must consume the tables' bucket partitioning directly — no
+    // Exchange anywhere below SortMergeJoin
+    val joinSubtree = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange"),
+      s"shuffle below the bucketed join:\n${joinSubtree.take(2000)}")
+  }
 }
