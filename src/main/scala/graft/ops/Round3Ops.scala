@@ -253,6 +253,40 @@ object Round3Ops {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // Higher-order (lambda) array functions — filter/aggregate/exists/
+    // forall/transform all run inside codegen, no UDF: the idiomatic way
+    // to process array columns without exploding them through a shuffle.
+    "fn_lambda_pack" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          size(expr("filter(toks, x -> length(x) > 4)")).as("n_long"),
+          expr("aggregate(toks, 0, (acc, x) -> acc + length(x))")
+            .as("total_len"),
+          expr("exists(toks, x -> x = 'scan')").as("has_scan"),
+          expr("forall(toks, x -> length(x) < 20)").as("all_short"),
+          array_join(expr("transform(slice(toks, 1, 3), x -> upper(x))"),
+            ",").as("first3_upper"))
+        .orderBy("doc_id")),
+
+    // Small-file compaction: the operational fix for the classic
+    // many-tiny-files layout (here 64 shards of a 150k-row table) —
+    // read, coalesce (no shuffle), rewrite. The oracle checks the
+    // compacted copy is content-identical to the source; the ScalaTest
+    // checks the file counts.
+    "sink_compact_small_files" -> ((s, d) => {
+      val frag = "target/tmp/compact_frag"
+      val out = "target/tmp/compact_out"
+      t(s, d, "orders").repartition(64).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          money(sum(dec(col("o_totalprice")))).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Partition-pruned scan: write date-partitioned parquet, read back
     // with a partition predicate — the scan must touch only 3 of ~30
     // date directories (plan-audited: PartitionFilters non-empty). THE
@@ -352,6 +386,19 @@ object Round3Ops {
         "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) " +
         "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM pc " +
         "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "fn_lambda_pack" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(list_filter(toks, x -> length(x) > 4)) AS INT) AS n_long, " +
+        "CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS INT) AS total_len, " +
+        "list_contains(toks, 'scan') AS has_scan, " +
+        "list_bool_and(list_transform(toks, x -> length(x) < 20)) AS all_short, " +
+        "array_to_string(list_transform(toks[1:3], x -> upper(x)), ',') AS first3_upper " +
+        "FROM t ORDER BY doc_id"),
+    "sink_compact_small_files" ->
+      (s"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS total " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "scan_partition_prune" ->
       ("SELECT CAST(ts AS DATE) AS dt, event_type, CAST(COUNT(*) AS BIGINT) AS cnt, " +
         s"${oMoney(s"SUM(${oDec("value")})")} AS sum_val FROM events " +

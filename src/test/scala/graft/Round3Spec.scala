@@ -70,6 +70,30 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("sink_compact_small_files: 64 fragments collapse to <=4 files, content kept") {
+    val out = ops.Round3Ops.queries("sink_compact_small_files")(spark, sf)
+    val total = out.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == T.t(spark, sf, "orders").count())
+    def parquets(dir: String) = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquets("target/tmp/compact_frag") == 64)
+    assert(parquets("target/tmp/compact_out") <= 4)
+  }
+
+  test("identical aggregate subtrees reuse one exchange (computed once)") {
+    val o = T.t(spark, sf, "orders")
+    val agg = o.groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("s"), count(lit(1)).as("n"))
+    // merge hint: a broadcast build side would plan a BroadcastExchange
+    // instead of the second (identical) shuffle exchange — nothing to reuse
+    val j = agg.as("a").hint("merge").join(agg.as("b"),
+      col("a.o_custkey") === col("b.o_custkey") && col("a.n") === col("b.n"))
+    j.collect() // AQE finalizes stage reuse at execution of THIS plan
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"), p.take(3000))
+  }
+
   test("report_sessionize_batch: session durations bounded by gap rule") {
     val out = ops.Round3Ops.queries("report_sessionize_batch")(spark, sf)
       .collect()
