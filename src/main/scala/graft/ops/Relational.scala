@@ -150,14 +150,28 @@ object Relational {
     // same user. Compared in epoch-µs so Spark (µs) and DuckDB (ns) agree.
     "join_interval_events" -> ((s, d) => {
       val e = T.events(s, d)
+      // Interval join (clicks within 5 min before each purchase) keyed on
+      // (user, time-bucket) rather than user alone: clicks fan out to
+      // their own and the NEXT 5-min bucket, so every qualifying pair
+      // meets in exactly one bucket (c ∈ [p−W, p] ⇒ c_bucket ∈
+      // {p_bucket−1, p_bucket}) and the join never enumerates a user's
+      // full purchase×click cross product — per-user-quadratic candidates
+      // become per-5-minute candidates. Integer `div` keeps bucketing
+      // exact; the oracle runs the plain interval join, so the hash-match
+      // proves the fan-out loses/duplicates nothing.
+      val W = 300000000L // 5 min in µs
       val p = e.filter(col("event_type") === "purchase").select(
         col("event_id").as("purchase_id"), col("user_id"),
         unix_micros(col("ts")).as("p_us"))
+        .withColumn("tb", expr(s"p_us div $W"))
       val c = e.filter(col("event_type") === "click").select(
         col("event_id").as("click_id"), col("user_id").as("c_user"),
         unix_micros(col("ts")).as("c_us"))
+        .withColumn("tb", explode(array(expr(s"c_us div $W"),
+          expr(s"c_us div $W") + 1)))
       p.join(c, col("user_id") === col("c_user") &&
-          col("c_us") >= col("p_us") - lit(300000000L) &&
+          p("tb") === c("tb") &&
+          col("c_us") >= col("p_us") - lit(W) &&
           col("c_us") <= col("p_us"))
         .select("purchase_id", "user_id", "click_id")
         .orderBy("purchase_id", "click_id")

@@ -158,6 +158,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti") || p.contains("NULL Aware"), p.take(2000))
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of the left side lands on key 0 → one hot shuffle partition
+      val skewed = spark.range(200000).select(
+        when(col("id") % 10 === 0, col("id")).otherwise(lit(0L)).as("k"),
+        lpad(col("id").cast("string"), 64, "x").as("payload"))
+      val right = spark.range(50000).select(col("id").as("k"),
+        lpad(col("id").cast("string"), 64, "y").as("p2"))
+      val j = skewed.hint("merge").join(right, "k")
+      j.collect() // AQE decides the skew split from runtime stats
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(3000))
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join_bucketed_colocated: bucketed scans feed the join with no shuffle") {
     val p = plan("join_bucketed_colocated")
     assert(p.contains("SortMergeJoin"), p.take(1000))
