@@ -15,6 +15,8 @@ import graft.expr.{CosineSimilarity, NGrams}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // auto-rewrite abs(x−y)<=W theta joins into bucketed equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing())
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -51,6 +51,40 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinBucketing rule: naive abs-distance join becomes an equi-join") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      // deterministic fractional values; pairs within 0.25 of each other
+      val a = s2.range(200).select(col("id").as("a_id"),
+        (col("id") % 40 / lit(8.0)).as("a_v"))
+      val b = s2.range(200).select(col("id").as("b_id"),
+        (col("id") % 50 / lit(10.0)).as("b_v"))
+      val j = a.join(b, abs(col("a_v") - col("b_v")) <= 0.25)
+      val p = j.queryExecution.executedPlan.toString
+      // the naive predicate would plan a nested-loop cross product; the
+      // rule's bucket equality must turn it into a hashable equi-join
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p.take(2000))
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+      // brute-force expectation computed driver-side
+      val av = (0 until 200).map(i => (i.toLong, (i % 40) / 8.0))
+      val bv = (0 until 200).map(i => (i.toLong, (i % 50) / 10.0))
+      val want = (for {
+        (ai, x) <- av; (bi, y) <- bv if math.abs(x - y) <= 0.25
+      } yield (ai, bi)).sorted
+      assert(got.toSeq == want)
+    } finally {
+      SparkSession.setDefaultSession(prevDefault.orNull)
+      SparkSession.setActiveSession(prevActive.orNull)
+    }
+  }
+
   test("CosineSimilarity: self-similarity is 1.0 within 1e-12") {
     Graft.registerFunctions(spark)
     val bad = T.t(spark, sf, "embeddings")
