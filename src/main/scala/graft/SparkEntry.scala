@@ -7,14 +7,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entry per implemented operator; each t2=Y key has a DuckDB oracle in
   * `oracleSql` (SURVEY §0, [B:2]).
   *
-  * 101 operators across: Relational (scans/filters/joins/sorts/sets),
-  * Aggregates (grouping/windows/UDAF/HLL sketches), Scalars (8 function
-  * packs), SourcesSinks (partitioned parquet / jsonlines / csv),
-  * StreamingOps (event-time windows, sessions, dedup), LlmOps +
-  * MinHashDedup + Multimodal + TextAnalysis (dedup families, similarity
-  * search, language/quality/token/fingerprint analysis, ANN), MoreOps
-  * (percentiles, latest-by, CDC merge, pivot/unpivot, subqueries,
-  * reports, funnel, sampling, profiling, salted join).
+  * 116+ operators across: Relational (scans/filters/joins/sorts/sets),
+  * Aggregates (grouping/windows/UDAF/HLL sketches), Scalars (function
+  * packs), SourcesSinks (partitioned parquet / jsonlines / csv / orc),
+  * StreamingOps (event-time windows, sessions, dedup, stream-stream
+  * joins), LlmOps + MinHashDedup + Multimodal + TextAnalysis (dedup
+  * families, similarity search, language/quality/token/fingerprint
+  * analysis, TF-IDF, ANN), MoreOps (percentiles, latest-by, CDC merge,
+  * pivot/unpivot, subqueries, reports, funnel, sampling, profiling,
+  * salted join), Round3Ops (sessionization, bucketed range join, SCD2,
+  * mode, histogram, stats/regexp/lambda packs, bucketed co-located
+  * join, partition-pruned scan, small-file compaction).
   */
 object SparkEntry {
   /** Flagship query (SURVEY §5.2 t1): 5-way star join on sf0.001. */

@@ -287,6 +287,52 @@ object Round3Ops {
         .orderBy("o_orderstatus")
     }),
 
+    // URL parsing pack: parse_url host/path/query-param extraction over
+    // synthesized URLs (the corpus has no URL column; the construction
+    // is deterministic from doc columns). The ORACLE mirrors the
+    // semantics with regexps — DuckDB 1.0 has no parse_url — so the
+    // hash-match pins Spark's parse_url behavior on these shapes.
+    "fn_url_pack" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id"),
+          lit("?lang="), col("lang"), lit("&v=2")))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("q_lang"))
+        .orderBy("doc_id")),
+
+    // Bitwise aggregates: bit_or/bit_and/bit_xor fold per group — e.g.
+    // presence-mask rollups; map-side combinable single shuffle.
+    "agg_bit_pack" -> ((s, d) =>
+      T.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          expr("shiftleft(1L, cast(user_id % 16 as int))").as("mask"))
+        .groupBy("event_type")
+        .agg(bit_or(col("mask")).as("users_mask"),
+          bit_and(col("mask")).as("common_mask"),
+          bit_xor(col("mask")).as("parity_mask"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // first/last IGNORE NULLS over an ordered frame — the
+    // carry-forward-last-observation window idiom (null-gap filling).
+    "win_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          when(col("event_type") === "purchase", col("value")).as("pv"))
+        .withColumn("last_purchase_value",
+          last(col("pv"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("us"),
+          col("last_purchase_value"))
+        .orderBy("user_id", "us", "event_id")
+    }),
+
     // Partition-pruned scan: write date-partitioned parquet, read back
     // with a partition predicate — the scan must touch only 3 of ~30
     // date directories (plan-audited: PartitionFilters non-empty). THE
@@ -399,6 +445,26 @@ object Round3Ops {
       (s"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
         s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS total " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "fn_url_pack" ->
+      ("WITH u AS (SELECT doc_id, 'https://' || source || '.example.com/docs/' || doc_id " +
+        "|| '?lang=' || lang || '&v=2' AS url FROM documents) " +
+        "SELECT doc_id, url, " +
+        "regexp_extract(url, '^https://([^/]+)/', 1) AS host, " +
+        "regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path, " +
+        "regexp_extract(url, 'lang=([^&]*)', 1) AS q_lang " +
+        "FROM u ORDER BY doc_id"),
+    "agg_bit_pack" ->
+      ("WITH m AS (SELECT event_type, CAST(1 AS BIGINT) << CAST(user_id % 16 AS INT) AS mask FROM events) " +
+        "SELECT event_type, bit_or(mask) AS users_mask, bit_and(mask) AS common_mask, " +
+        "bit_xor(mask) AS parity_mask, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM m GROUP BY event_type ORDER BY event_type"),
+    "win_ignore_nulls" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, " +
+        "CASE WHEN event_type = 'purchase' THEN value END AS pv FROM events) " +
+        "SELECT user_id, event_id, us, " +
+        "last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value " +
+        "FROM e ORDER BY user_id, us, event_id"),
     "scan_partition_prune" ->
       ("SELECT CAST(ts AS DATE) AS dt, event_type, CAST(COUNT(*) AS BIGINT) AS cnt, " +
         s"${oMoney(s"SUM(${oDec("value")})")} AS sum_val FROM events " +

@@ -240,6 +240,28 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ddup").count() == 2)
   }
 
+  test("Trigger.AvailableNow drains pending input and terminates itself") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val mem = MemoryStream[Ev]
+    // data queued BEFORE start: AvailableNow must process exactly the
+    // backlog (possibly in several micro-batches) then stop unprompted —
+    // the batch-job-over-streaming-source operating mode.
+    mem.addData(
+      Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+      Ev(ts("2024-01-01 10:05:00"), "view", 2.0, 2L),
+      Ev(ts("2024-01-01 10:10:00"), "click", 4.0, 1L))
+    val q = StreamingOps.tumblingAgg(mem.toDF())
+      .writeStream.format("memory").queryName("avnow")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "query did not self-terminate")
+    val rows = spark.table("avnow").collect()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == 3L)
+    assert(rows.map(_.getAs[Double]("sum_val")).sum == 7.0)
+  }
+
   test("stream-stream interval join: purchases within 1h of a click, per user") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
