@@ -333,6 +333,48 @@ object Round3Ops {
         .orderBy("user_id", "us", "event_id")
     }),
 
+    // Dynamic partition overwrite — the INSERT OVERWRITE ... PARTITION
+    // idiom ETL pipelines rebuild a single day with: full write, then a
+    // one-partition rewrite (values doubled) under
+    // partitionOverwriteMode=dynamic. Only the touched date directory
+    // may be replaced; the oracle computes the expected merged state, so
+    // a static-mode wipe (all other days lost) hash-mismatches loudly.
+    "sink_dynamic_overwrite" -> ((s, d) => {
+      val path = "target/tmp/dyn_overwrite"
+      val ev = T.events(s, d).withColumn("dt", col("ts").cast(DateType))
+        .select("event_id", "event_type", "value", "dt")
+      ev.repartition(col("dt"))
+        .write.partitionBy("dt").mode("overwrite").parquet(path)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        ev.filter(col("dt") === "2024-01-05")
+          .withColumn("value", col("value") * 2)
+          .repartition(col("dt"))
+          .write.partitionBy("dt").mode("overwrite").parquet(path)
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(path)
+        .groupBy("dt")
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(dec(col("value")))).as("sum_val"))
+        .orderBy("dt")
+    }),
+
+    // try_-family error handling: malformed casts and division by zero
+    // yield NULL instead of an ANSI runtime error — the quarantine-style
+    // ingestion path for dirty data.
+    "fn_try_pack" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        expr("try_cast(substr(text, 1, 3) AS INT)").as("bad_int"),
+        expr("try_cast(n_chars AS INT)").as("good_int"),
+        expr("try_divide(n_chars, doc_id % 3)").as("maybe_div"),
+        expr("try_cast(lang AS DATE)").as("bad_date"))
+        .orderBy("doc_id")),
+
     // Partition-pruned scan: write date-partitioned parquet, read back
     // with a partition predicate — the scan must touch only 3 of ~30
     // date directories (plan-audited: PartitionFilters non-empty). THE
@@ -465,6 +507,19 @@ object Round3Ops {
         "last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value " +
         "FROM e ORDER BY user_id, us, event_id"),
+    "sink_dynamic_overwrite" ->
+      ("WITH ev AS (SELECT CAST(ts AS DATE) AS dt, " +
+        "CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05' THEN value * 2 ELSE value END AS v " +
+        "FROM events) " +
+        "SELECT dt, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        s"${oMoney(s"SUM(${oDec("v")})")} AS sum_val " +
+        "FROM ev GROUP BY dt ORDER BY dt"),
+    "fn_try_pack" ->
+      ("SELECT doc_id, TRY_CAST(substr(text, 1, 3) AS INT) AS bad_int, " +
+        "TRY_CAST(n_chars AS INT) AS good_int, " +
+        "n_chars / NULLIF(doc_id % 3, 0) AS maybe_div, " +
+        "TRY_CAST(lang AS DATE) AS bad_date " +
+        "FROM documents ORDER BY doc_id"),
     "scan_partition_prune" ->
       ("SELECT CAST(ts AS DATE) AS dt, event_type, CAST(COUNT(*) AS BIGINT) AS cnt, " +
         s"${oMoney(s"SUM(${oDec("value")})")} AS sum_val FROM events " +

@@ -25,6 +25,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinBucketing rewrite == brute force on random data (property)") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      import s2.implicits._
+      val valGen = Gen.chooseNum(-50.0, 50.0)
+      // three random datasets × widths, including a tiny and a large W
+      Seq(0.1, 1.7, 25.0).zipWithIndex.foreach { case (w, i) =>
+        val as = samples(valGen, 80).zipWithIndex.map { case (v, ix) =>
+          (ix.toLong + i * 1000, math.rint(v * 100) / 100)
+        }
+        val bs = samples(valGen, 80).zipWithIndex.map { case (v, ix) =>
+          (ix.toLong + 5000 + i * 1000, math.rint(v * 100) / 100)
+        }
+        val j = as.toDF("a_id", "a_v")
+          .join(bs.toDF("b_id", "b_v"), abs(col("a_v") - col("b_v")) <= w)
+        val p = j.queryExecution.executedPlan.toString
+        assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+          s"W=$w not rewritten:\n${p.take(1500)}")
+        val got = j.collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+        val want = (for {
+          (ai, x) <- as; (bi, y) <- bs if math.abs(x - y) <= w
+        } yield (ai, bi)).sorted
+        assert(got.toSeq == want, s"W=$w: ${got.length} vs ${want.length} pairs")
+      }
+    } finally {
+      SparkSession.setDefaultSession(prevDefault.orNull)
+      SparkSession.setActiveSession(prevActive.orNull)
+    }
+  }
+
   test("date_add/datediff inverse law (property, via Spark)") {
     import spark.implicits._
     val deltas = samples(Gen.chooseNum(-3000, 3000))
