@@ -375,6 +375,46 @@ object Round3Ops {
         expr("try_cast(lang AS DATE)").as("bad_date"))
         .orderBy("doc_id")),
 
+    // grouping_id over a cube: lets a consumer distinguish "NULL because
+    // subtotal" from "NULL data" — required for correct cube post-
+    // processing at any scale.
+    "agg_grouping_id" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping_id().cast(LongType).as("gid"),
+          grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Timestamp/interval arithmetic pack on the order dates.
+    "fn_interval_arith" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("plus3d"),
+        date_trunc("month", col("o_orderdate")).cast(DateType)
+          .as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"))
+        .orderBy("o_orderkey")),
+
+    // Correlated LATERAL subquery: per-customer top order via a lateral
+    // derived table — the planner decorrelates it into a join, no
+    // per-row re-execution.
+    "sub_lateral_join" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("r3l_cust")
+      t(s, d, "orders").createOrReplaceTempView("r3l_ord")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment, t.max_price, t.n_orders
+        FROM r3l_cust,
+        LATERAL (SELECT MAX(o_totalprice) AS max_price,
+                        COUNT(*) AS n_orders
+                 FROM r3l_ord WHERE o_custkey = c_custkey) t
+        WHERE t.n_orders > 0
+        ORDER BY c_custkey""")
+    }),
+
     // Partition-pruned scan: write date-partitioned parquet, read back
     // with a partition predicate — the scan must touch only 3 of ~30
     // date directories (plan-audited: PartitionFilters non-empty). THE
@@ -507,6 +547,23 @@ object Round3Ops {
         "last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value " +
         "FROM e ORDER BY user_id, us, event_id"),
+    "agg_grouping_id" ->
+      ("SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, " +
+        "CAST(GROUPING(o_orderstatus) AS INT) AS g_status " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"),
+    "fn_interval_arith" ->
+      ("SELECT o_orderkey, o_orderdate + INTERVAL 3 DAY AS plus3d, " +
+        "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
+        "last_day(o_orderdate) AS month_end, " +
+        "CAST(year(o_orderdate) AS INT) AS yr, CAST(quarter(o_orderdate) AS INT) AS qtr " +
+        "FROM orders ORDER BY o_orderkey"),
+    "sub_lateral_join" ->
+      ("SELECT c_custkey, c_mktsegment, t.max_price, t.n_orders " +
+        "FROM customer, LATERAL (SELECT MAX(o_totalprice) AS max_price, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders WHERE o_custkey = c_custkey) t " +
+        "WHERE t.n_orders > 0 ORDER BY c_custkey"),
     "sink_dynamic_overwrite" ->
       ("WITH ev AS (SELECT CAST(ts AS DATE) AS dt, " +
         "CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05' THEN value * 2 ELSE value END AS v " +
