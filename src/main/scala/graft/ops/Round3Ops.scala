@@ -415,6 +415,53 @@ object Round3Ops {
         ORDER BY c_custkey""")
     }),
 
+    // DAU / WAU: daily and weekly distinct actives — the staple activity
+    // report; two independent distinct-aggregations, each one shuffle.
+    "report_dau_wau" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("ts").cast(DateType).as("dt"))
+      val dau = ev.groupBy("dt")
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ev
+        .select(date_trunc("week", col("dt")).cast(DateType).as("wk"),
+          col("user_id"))
+        .groupBy("wk").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau,
+          date_trunc("week", col("dt")).cast(DateType) === col("wk"))
+        .select(col("dt"), col("dau"), col("wk"), col("wau"))
+        .orderBy("dt")
+    }),
+
+    // One k-means iteration over the embeddings — the IVF index BUILD
+    // step made explicit: nearest-centroid assignment (min_by argmin,
+    // map-side combinable) then per-(centroid, dimension) mean.
+    // posexplode keys the shuffle by (cid, dim); per-dimension sums go
+    // through DECIMAL so the float adds are order-independent (the same
+    // canon money uses — float32 inputs are exact in decimal(28,10)).
+    "vec_centroid_recluster" -> ((s, d) => {
+      graft.Graft.registerFunctions(s)
+      val e = t(s, d, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+      val assign = e.crossJoin(cents)
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          expr("graft_cosine(embedding, c_emb)").as("c_cos"))
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"),
+            struct((-col("c_cos")).as("nc"), col("cid"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+      assign
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("v").cast(DecimalType(28, 10))) /
+            count(lit(1))).as("raw"),
+          count(lit(1)).as("n_members"))
+        .select(col("cid"), col("dim"),
+          round(col("raw"), 6).cast(DoubleType).as("centroid_v"),
+          col("n_members"))
+        .orderBy("cid", "dim")
+    }),
+
     // Partition-pruned scan: write date-partitioned parquet, read back
     // with a partition predicate — the scan must touch only 3 of ~30
     // date directories (plan-audited: PartitionFilters non-empty). THE
@@ -564,6 +611,25 @@ object Round3Ops {
         "FROM customer, LATERAL (SELECT MAX(o_totalprice) AS max_price, " +
         "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders WHERE o_custkey = c_custkey) t " +
         "WHERE t.n_orders > 0 ORDER BY c_custkey"),
+    "report_dau_wau" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events), " +
+        "dau AS (SELECT dt, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM ev GROUP BY dt), " +
+        "wau AS (SELECT CAST(date_trunc('week', dt) AS DATE) AS wk, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM ev GROUP BY 1) " +
+        "SELECT dt, dau, wk, wau FROM dau JOIN wau ON CAST(date_trunc('week', dt) AS DATE) = wk " +
+        "ORDER BY dt"),
+    "vec_centroid_recluster" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8), " +
+        "assign AS (SELECT vec_id, emb, cid FROM (" +
+        "SELECT e.vec_id, e.emb, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC, c.cid ASC) AS rn FROM e, cents c) WHERE rn = 1), " +
+        "x AS (SELECT cid, CAST(i - 1 AS INT) AS dim, " +
+        "CAST(emb[CAST(i AS INT)] AS DECIMAL(28,10)) AS v " +
+        "FROM assign, UNNEST(generate_series(1, len(emb))) AS t(i)) " +
+        "SELECT cid, dim, CAST(ROUND(SUM(v) / COUNT(*), 6) AS DOUBLE) AS centroid_v, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_members " +
+        "FROM x GROUP BY cid, dim ORDER BY cid, dim"),
     "sink_dynamic_overwrite" ->
       ("WITH ev AS (SELECT CAST(ts AS DATE) AS dt, " +
         "CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05' THEN value * 2 ELSE value END AS v " +
