@@ -462,6 +462,35 @@ object Round3Ops {
         .orderBy("cid", "dim")
     }),
 
+    // PMI collocations: pointwise mutual information of adjacent word
+    // pairs vs their unigram probabilities — the corpus-statistics pass
+    // that surfaces multi-word expressions. Three grouped counts + two
+    // broadcast-sized joins; totals enter as 1-row crossJoins. PMI is
+    // emitted ROUNDED (6 dp) and the output is keyed by the bigram
+    // itself, so no cross-engine float ordering is involved.
+    "text_pmi_bigrams" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(split(col("text"), " ").as("w"))
+      val uni = toks.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val t1 = uni.agg(sum(col("c1")).as("t1"))
+      val big = toks
+        .select(posexplode(col("w")).as(Seq("i", "a")), col("w"))
+        .filter(col("i") < size(col("w")) - 1)
+        .select(col("a"), element_at(col("w"), col("i") + 2).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c2"))
+      val t2 = big.agg(sum(col("c2")).as("t2"))
+      big.filter(col("c2") >= 5)
+        .join(uni.select(col("tok").as("a"), col("c1").as("ca")), "a")
+        .join(uni.select(col("tok").as("b"), col("c1").as("cb")), "b")
+        .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+        .select(col("a"), col("b"), col("c2"),
+          round(log((col("c2") / col("t2")) /
+            ((col("ca") / col("t1")) * (col("cb") / col("t1")))), 6)
+            .as("pmi"))
+        .orderBy("a", "b")
+    }),
+
     // Partition-pruned scan: write date-partitioned parquet, read back
     // with a partition predicate — the scan must touch only 3 of ~30
     // date directories (plan-audited: PartitionFilters non-empty). THE
@@ -630,6 +659,18 @@ object Round3Ops {
         "SELECT cid, dim, CAST(ROUND(SUM(v) / COUNT(*), 6) AS DOUBLE) AS centroid_v, " +
         "CAST(COUNT(*) AS BIGINT) AS n_members " +
         "FROM x GROUP BY cid, dim ORDER BY cid, dim"),
+    "text_pmi_bigrams" ->
+      ("WITH dt AS (SELECT string_split(text, ' ') AS w FROM documents), " +
+        "uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM " +
+        "(SELECT unnest(w) AS tok FROM dt) GROUP BY tok), " +
+        "t1 AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1 FROM uc), " +
+        "bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM " +
+        "(SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b " +
+        "FROM dt, UNNEST(generate_series(1, len(w) - 1)) AS t(i)) GROUP BY a, b), " +
+        "t2 AS (SELECT CAST(SUM(c2) AS BIGINT) AS t2 FROM bc) " +
+        "SELECT a, b, c2, round(ln((c2 / t2.t2) / ((ca.c1 / t1.t1) * (cb.c1 / t1.t1))), 6) AS pmi " +
+        "FROM bc JOIN uc ca ON bc.a = ca.tok JOIN uc cb ON bc.b = cb.tok " +
+        "CROSS JOIN t1 CROSS JOIN t2 WHERE c2 >= 5 ORDER BY a, b"),
     "sink_dynamic_overwrite" ->
       ("WITH ev AS (SELECT CAST(ts AS DATE) AS dt, " +
         "CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05' THEN value * 2 ELSE value END AS v " +
