@@ -491,6 +491,16 @@ object Round3Ops {
         .orderBy("a", "b")
     }),
 
+    // Boolean/conditional aggregates: count_if + universal/existential
+    // quantifiers per group — single map-side-combinable pass.
+    "agg_countif_pack" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count_if(col("l_discount") > 0.05).as("n_disc"),
+          bool_or(col("l_quantity") > 45).as("any_bulk"),
+          bool_and(col("l_extendedprice") > 0).as("all_paid"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // Partition-pruned scan: write date-partitioned parquet, read back
     // with a partition predicate — the scan must touch only 3 of ~30
     // date directories (plan-audited: PartitionFilters non-empty). THE
@@ -659,6 +669,11 @@ object Round3Ops {
         "SELECT cid, dim, CAST(ROUND(SUM(v) / COUNT(*), 6) AS DOUBLE) AS centroid_v, " +
         "CAST(COUNT(*) AS BIGINT) AS n_members " +
         "FROM x GROUP BY cid, dim ORDER BY cid, dim"),
+    "agg_countif_pack" ->
+      ("SELECT l_returnflag, CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc, " +
+        "bool_or(l_quantity > 45) AS any_bulk, bool_and(l_extendedprice > 0) AS all_paid, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "text_pmi_bigrams" ->
       ("WITH dt AS (SELECT string_split(text, ' ') AS w FROM documents), " +
         "uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM " +

@@ -135,6 +135,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.agg(sum("value")).collect()(0).getDouble(0) == 6.0)
   }
 
+  test("file source: files appearing in a directory arrive as micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/repo/target/tmp/stream_file_source"
+    val f = new java.io.File(dir)
+    if (f.exists()) {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); ()
+      }
+      rm(f)
+    }
+    f.mkdirs()
+    // batch 1 on disk BEFORE the stream starts
+    Seq((1L, 10.0)).toDF("id", "v").write.parquet(s"$dir/p1")
+    val sdf = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, v DOUBLE"))
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val q = sdf.writeStream.format("memory").queryName("fsrc")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    assert(spark.table("fsrc").count() == 1)
+    // batch 2 lands while the stream is running
+    Seq((2L, 20.0), (3L, 30.0)).toDF("id", "v").write.parquet(s"$dir/p2")
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("fsrc").count() == 3)
+    assert(spark.table("fsrc").agg(sum("v")).head.getDouble(0) == 60.0)
+  }
+
   test("foreachBatch: micro-batches merge into a batch table") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
