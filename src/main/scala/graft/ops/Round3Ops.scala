@@ -491,6 +491,26 @@ object Round3Ops {
         .orderBy("a", "b")
     }),
 
+    // Array set operations vs a probe vocabulary — union/intersect/
+    // except/overlap, emitted sorted-and-joined (set semantics make the
+    // native ordering engine-specific, and raw array columns crash the
+    // driver's hasher — SURVEY §7.2 item 6).
+    "fn_array_setops" -> ((s, d) => {
+      val probe = array(lit("scan"), lit("merge"), lit("the"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .select(col("doc_id"),
+          array_join(array_sort(array_union(col("toks"), probe)), ",")
+            .as("u"),
+          array_join(array_sort(array_intersect(col("toks"), probe)), ",")
+            .as("i"),
+          array_join(array_sort(array_except(col("toks"), probe)), ",")
+            .as("e"),
+          arrays_overlap(col("toks"), probe).as("o"))
+        .orderBy("doc_id")
+    }),
+
     // Boolean/conditional aggregates: count_if + universal/existential
     // quantifiers per group — single map-side-combinable pass.
     "agg_countif_pack" -> ((s, d) =>
@@ -669,6 +689,17 @@ object Round3Ops {
         "SELECT cid, dim, CAST(ROUND(SUM(v) / COUNT(*), 6) AS DOUBLE) AS centroid_v, " +
         "CAST(COUNT(*) AS BIGINT) AS n_members " +
         "FROM x GROUP BY cid, dim ORDER BY cid, dim"),
+    "fn_array_setops" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks, " +
+        "['scan', 'merge', 'the'] AS probe FROM documents) " +
+        "SELECT doc_id, " +
+        // list_sort of an empty list yields NULL in DuckDB; Spark's
+        // array_join of an empty array yields '' — coalesce to match
+        "array_to_string(list_sort(list_distinct(list_concat(toks, probe))), ',') AS u, " +
+        "COALESCE(array_to_string(list_sort(list_filter(toks, x -> list_contains(probe, x))), ','), '') AS i, " +
+        "COALESCE(array_to_string(list_sort(list_filter(toks, x -> NOT list_contains(probe, x))), ','), '') AS e, " +
+        "len(list_filter(toks, x -> list_contains(probe, x))) > 0 AS o " +
+        "FROM t ORDER BY doc_id"),
     "agg_countif_pack" ->
       ("SELECT l_returnflag, CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc, " +
         "bool_or(l_quantity > 45) AS any_bulk, bool_and(l_extendedprice > 0) AS all_paid, " +
