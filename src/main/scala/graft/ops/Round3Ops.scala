@@ -491,6 +491,23 @@ object Round3Ops {
         .orderBy("a", "b")
     }),
 
+    // Schema evolution: two parquet batches with different column sets
+    // read through mergeSchema — the old batch's missing column surfaces
+    // as NULL. The oracle computes the expected merged aggregate, so a
+    // wrong union schema or dropped batch hash-mismatches.
+    "source_schema_evolution" -> ((s, d) => {
+      val p = "target/tmp/schema_evo"
+      val ev = T.events(s, d)
+      ev.select("event_id", "value")
+        .write.mode("overwrite").parquet(s"$p/batch=1")
+      ev.select("event_id", "value", "event_type")
+        .write.mode("overwrite").parquet(s"$p/batch=2")
+      s.read.option("mergeSchema", "true").parquet(p)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("event_type")).as("n_typed"),
+          money(sum(dec(col("value")))).as("sum_val"))
+    }),
+
     // Array set operations vs a probe vocabulary — union/intersect/
     // except/overlap, emitted sorted-and-joined (set semantics make the
     // native ordering engine-specific, and raw array columns crash the
@@ -689,6 +706,10 @@ object Round3Ops {
         "SELECT cid, dim, CAST(ROUND(SUM(v) / COUNT(*), 6) AS DOUBLE) AS centroid_v, " +
         "CAST(COUNT(*) AS BIGINT) AS n_members " +
         "FROM x GROUP BY cid, dim ORDER BY cid, dim"),
+    "source_schema_evolution" ->
+      ("SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_typed, " +
+        s"${oMoney(s"2 * SUM(${oDec("value")})")} AS sum_val FROM events"),
     "fn_array_setops" ->
       ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks, " +
         "['scan', 'merge', 'the'] AS probe FROM documents) " +

@@ -94,6 +94,24 @@ class Round3Spec extends SparkSpec {
       p.contains("TableCacheQueryStage"), p.take(3000))
   }
 
+  test("count_min_sketch: estimates bounded by eps over exact counts") {
+    val ev = T.events(spark, sf)
+    val bytes = ev.agg(
+      expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)")).head
+      .getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"$k: CMS never undercounts, got $est < $c")
+      assert(est <= c + math.max(1, (0.001 * total).toLong * 2),
+        s"$k: est $est too far above exact $c")
+    }
+  }
+
   test("report_sessionize_batch: session durations bounded by gap rule") {
     val out = ops.Round3Ops.queries("report_sessionize_batch")(spark, sf)
       .collect()
