@@ -85,6 +85,39 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinBucketing leaves ineligible joins untouched") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val a = s2.range(50).select(col("id").as("a_id"),
+        (col("id") % 7).cast("double").as("a_v"))
+      val b = s2.range(50).select(col("id").as("b_id"),
+        (col("id") % 5).cast("double").as("b_v"))
+      // abs over a SUM is not a distance bound — must NOT be rewritten
+      // (and must still return the right rows via whatever plan Spark picks)
+      val j1 = a.join(b, abs(col("a_v") + col("b_v")) <= 3.0)
+      assert(!j1.queryExecution.executedPlan.toString.contains("__graft_rb"))
+      assert(j1.count() ==
+        (for (x <- 0 until 50; y <- 0 until 50
+              if math.abs(x % 7 + y % 5) <= 3.0) yield 1).size)
+      // a plain equi-join stays a plain equi-join
+      val j2 = a.join(b, col("a_v") === col("b_v"))
+      assert(!j2.queryExecution.executedPlan.toString.contains("__graft_rb"))
+      assert(j2.count() ==
+        (for (x <- 0 until 50; y <- 0 until 50
+              if (x % 7).toDouble == (y % 5).toDouble) yield 1).size)
+    } finally {
+      SparkSession.setDefaultSession(prevDefault.orNull)
+      SparkSession.setActiveSession(prevActive.orNull)
+    }
+  }
+
   test("CosineSimilarity: self-similarity is 1.0 within 1e-12") {
     Graft.registerFunctions(spark)
     val bad = T.t(spark, sf, "embeddings")
