@@ -491,6 +491,41 @@ object Round3Ops {
         .orderBy("a", "b")
     }),
 
+    // Two-stage report: daily GMV then a 7-day trailing moving average —
+    // the rollup feeds a RANGE-framed window over day numbers, so gaps
+    // in the calendar (none here) would still bound the frame by TIME
+    // not by row count. Decimal sums keep the window math exact.
+    "report_gmv_moving_avg" -> ((s, d) => {
+      val daily = T.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("ts").cast(DateType).as("dt"))
+        .agg(sum(dec(col("value"))).as("gmv_d"))
+      val w = Window.orderBy(col("dayn")).rangeBetween(-6, 0)
+      daily
+        .withColumn("dayn", datediff(col("dt"), lit("2024-01-01").cast(DateType)))
+        .withColumn("ma7_raw", avg(col("gmv_d")).over(w))
+        .select(col("dt"), money(col("gmv_d")).as("gmv"),
+          money(col("ma7_raw")).as("gmv_ma7"))
+        .orderBy("dt")
+    }),
+
+    // Quality-filter pass — the training-data curation idiom: score every
+    // doc on cheap per-row signals, keep survivors, report the reason
+    // mix. One projection + one filter, no shuffle until the tiny rollup.
+    "text_quality_filter" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("uniq_ratio",
+          round(size(array_distinct(col("toks"))) /
+            greatest(col("n_tok"), lit(1)).cast(DoubleType), 6))
+        .withColumn("keep",
+          col("n_tok") >= 5 && col("uniq_ratio") >= 0.5)
+      scored.filter(col("keep"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("uniq_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Schema evolution: two parquet batches with different column sets
     // read through mergeSchema — the old batch's missing column surfaces
     // as NULL. The oracle computes the expected merged aggregate, so a
@@ -706,6 +741,19 @@ object Round3Ops {
         "SELECT cid, dim, CAST(ROUND(SUM(v) / COUNT(*), 6) AS DOUBLE) AS centroid_v, " +
         "CAST(COUNT(*) AS BIGINT) AS n_members " +
         "FROM x GROUP BY cid, dim ORDER BY cid, dim"),
+    "report_gmv_moving_avg" ->
+      (s"WITH daily AS (SELECT CAST(ts AS DATE) AS dt, SUM(${oDec("value")}) AS gmv_d " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "x AS (SELECT dt, gmv_d, datediff('day', DATE '2024-01-01', dt) AS dayn FROM daily) " +
+        s"SELECT dt, ${oMoney("gmv_d")} AS gmv, " +
+        s"${oMoney("AVG(gmv_d) OVER (ORDER BY dayn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)")} AS gmv_ma7 " +
+        "FROM x ORDER BY dt"),
+    "text_quality_filter" ->
+      ("WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), " +
+        "x AS (SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tok, " +
+        "round(len(list_distinct(toks)) / greatest(len(toks), 1), 6) AS uniq_ratio FROM s) " +
+        "SELECT doc_id, lang, n_tok, uniq_ratio FROM x " +
+        "WHERE n_tok >= 5 AND uniq_ratio >= 0.5 ORDER BY doc_id"),
     "source_schema_evolution" ->
       ("SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows, " +
         "CAST(COUNT(*) AS BIGINT) AS n_typed, " +
