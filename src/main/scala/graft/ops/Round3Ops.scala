@@ -526,6 +526,41 @@ object Round3Ops {
         .orderBy("doc_id")
     }),
 
+    // Embedding L2-norm distribution per label — the vector-sanity pass
+    // run before any similarity work. The norm folds left-to-right via
+    // aggregate() (same sequential order DuckDB's list_sum uses, so the
+    // doubles agree bit-for-bit); the per-group mean goes through
+    // decimal on the 6-dp-rounded norms.
+    "vec_norm_stats" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .withColumn("norm", round(sqrt(expr(
+          "aggregate(embedding, CAST(0 AS DOUBLE), " +
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 6))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"),
+          money(sum(col("norm").cast(DecimalType(18, 8))) /
+            count(lit(1))).as("avg_norm"))
+        .orderBy("label")),
+
+    // Null-safe equality join (<=>): NULL keys MATCH each other instead
+    // of vanishing — the semantics a changelog join needs when "key
+    // absent" is itself a join value. DuckDB mirror: IS NOT DISTINCT FROM.
+    "join_null_safe" -> ((s, d) => {
+      val e = T.events(s, d).select(col("event_id"),
+        when(col("value") < 50, floor(col("value") / 10).cast(LongType))
+          .as("k"))
+      val dim = s.range(5).select(col("id").as("k"),
+          concat(lit("band_"), col("id")).as("band"))
+        .unionAll(s.range(1).select(lit(null).cast(LongType).as("k"),
+          lit("band_null").as("band")))
+      e.join(dim, e("k") <=> dim("k"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("band")
+    }),
+
     // Schema evolution: two parquet batches with different column sets
     // read through mergeSchema — the old batch's missing column surfaces
     // as NULL. The oracle computes the expected merged aggregate, so a
@@ -741,6 +776,21 @@ object Round3Ops {
         "SELECT cid, dim, CAST(ROUND(SUM(v) / COUNT(*), 6) AS DOUBLE) AS centroid_v, " +
         "CAST(COUNT(*) AS BIGINT) AS n_members " +
         "FROM x GROUP BY cid, dim ORDER BY cid, dim"),
+    "vec_norm_stats" ->
+      ("WITH e AS (SELECT label, round(sqrt(list_sum(list_transform(" +
+        "CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm FROM embeddings) " +
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n, MIN(norm) AS min_norm, " +
+        "MAX(norm) AS max_norm, " +
+        s"${oMoney("SUM(CAST(norm AS DECIMAL(18,8))) / COUNT(*)")} AS avg_norm " +
+        "FROM e GROUP BY label ORDER BY label"),
+    "join_null_safe" ->
+      ("WITH e AS (SELECT event_id, CASE WHEN value < 50 THEN " +
+        "CAST(FLOOR(value / 10) AS BIGINT) END AS k FROM events), " +
+        "dim AS (SELECT CAST(id AS BIGINT) AS k, 'band_' || id AS band " +
+        "FROM range(5) t(id) UNION ALL SELECT NULL, 'band_null') " +
+        "SELECT band, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM e JOIN dim ON e.k IS NOT DISTINCT FROM dim.k " +
+        "GROUP BY band ORDER BY band"),
     "report_gmv_moving_avg" ->
       (s"WITH daily AS (SELECT CAST(ts AS DATE) AS dt, SUM(${oDec("value")}) AS gmv_d " +
         "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
