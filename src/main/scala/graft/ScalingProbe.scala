@@ -64,6 +64,41 @@ object ScalingProbe {
     def minhash(d: DataFrame): Long =
       ops.MinHashDedup.dedupAssign(d).count()
 
+    // the round-3 rewrites whose claims need empirical backing: both are
+    // keyed on (user/type, time-or-value bucket), so candidates per key
+    // stay constant under replica amplification — time should scale ~with
+    // output rows, never quadratically.
+    def asof(e: DataFrame): Long = {
+      val merged = e.filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          when(col("event_type") === "click", lit(0)).otherwise(lit(1))
+            .as("kind"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("t"), col("kind"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      merged.withColumn("best", max(when(col("kind") === 0,
+          struct(col("t").as("c_us"), col("event_id").as("click_id")))).over(w))
+        .filter(col("kind") === 1 && col("best").isNotNull).count()
+    }
+
+    def intervalJoin(e: DataFrame): Long = {
+      val W = 300000000L
+      val p = e.filter(col("event_type") === "purchase").select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+        .withColumn("tb", expr(s"p_us div $W"))
+      val c = e.filter(col("event_type") === "click").select(
+        col("event_id").as("click_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"))
+        .withColumn("tb", explode(array(expr(s"c_us div $W"),
+          expr(s"c_us div $W") + 1)))
+      p.join(c, col("user_id") === col("c_user") &&
+        p("tb") === c("tb") &&
+        col("c_us") >= col("p_us") - lit(W) &&
+        col("c_us") <= col("p_us")).count()
+    }
+
     // warm up IO + codegen once so both measurements are steady-state
     q1(li); joinAgg(ord, li); winLatest(ev); ()
 
@@ -74,7 +109,11 @@ object ScalingProbe {
       ("win_latest", time(winLatest(ev)),
         time(winLatest(amp(ev, Seq("user_id", "event_id"))))),
       ("minhash_dedup", time(minhash(docs)),
-        time(minhash(amp(docs, Seq("doc_id")))))
+        time(minhash(amp(docs, Seq("doc_id"))))),
+      ("asof_merged_window", time(asof(ev)),
+        time(asof(amp(ev, Seq("user_id", "event_id"))))),
+      ("interval_bucketed_join", time(intervalJoin(ev)),
+        time(intervalJoin(amp(ev, Seq("user_id", "event_id")))))
     )
     def r(v: Double): Double = math.rint(v * 1000) / 1000
     val json = results.map { case (k, t1, t10) =>
