@@ -526,6 +526,35 @@ object Round3Ops {
         .orderBy("doc_id")
     }),
 
+    // sequence() generation + per-element transform, stringified (array
+    // canon) — the row-local series generator.
+    "fn_sequence_pack" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+        array_join(transform(
+          sequence(lit(1), (col("o_orderkey") % 5 + 1).cast(IntegerType)),
+          x => x * x), ",").as("squares"),
+        size(sequence(lit(1),
+          (col("o_orderkey") % 5 + 1).cast(IntegerType))).as("n"))
+        .orderBy("o_orderkey")),
+
+    // Session-size distribution: the 30-min sessionization composed into
+    // a histogram — how many sessions have k events.
+    "report_session_histogram" -> ((s, d) => {
+      val ev = T.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("brk", when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > sessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("n_events")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("n_events")
+    }),
+
     // Embedding L2-norm distribution per label — the vector-sanity pass
     // run before any similarity work. The norm folds left-to-right via
     // aggregate() (same sequential order DuckDB's list_sum uses, so the
@@ -776,6 +805,21 @@ object Round3Ops {
         "SELECT cid, dim, CAST(ROUND(SUM(v) / COUNT(*), 6) AS DOUBLE) AS centroid_v, " +
         "CAST(COUNT(*) AS BIGINT) AS n_members " +
         "FROM x GROUP BY cid, dim ORDER BY cid, dim"),
+    "fn_sequence_pack" ->
+      ("SELECT o_orderkey, array_to_string([x * x FOR x IN " +
+        "generate_series(1, CAST(o_orderkey % 5 + 1 AS INT))], ',') AS squares, " +
+        "CAST(len(generate_series(1, CAST(o_orderkey % 5 + 1 AS INT))) AS INT) AS n " +
+        "FROM orders ORDER BY o_orderkey"),
+    "report_session_histogram" ->
+      ("WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), " +
+        "l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM ev), " +
+        "n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM l), " +
+        "sess AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n), " +
+        "sz AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events " +
+        "FROM sess GROUP BY 1, 2) " +
+        "SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM sz " +
+        "GROUP BY n_events ORDER BY n_events"),
     "vec_norm_stats" ->
       ("WITH e AS (SELECT label, round(sqrt(list_sum(list_transform(" +
         "CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS norm FROM embeddings) " +
