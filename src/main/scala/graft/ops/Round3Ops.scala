@@ -526,6 +526,22 @@ object Round3Ops {
         .orderBy("doc_id")
     }),
 
+    // Multimodal ingest metadata, ORACLE-checked: the binary-column path
+    // (payload bytes + typed meta struct) rolled up per source language.
+    // The corpus is ASCII, so octet_length(payload) == length(text) and
+    // DuckDB can verify the binary path end-to-end — upgrading the
+    // multimodal family beyond rows-only evidence.
+    "mm_metadata_stats" -> ((s, d) =>
+      Multimodal.binaryTable(s, d)
+        .select(col("meta.src_lang").as("src_lang"),
+          length(col("payload")).as("blen"),
+          col("meta.orig_len").as("olen"))
+        .groupBy("src_lang")
+        .agg(count(lit(1)).as("n"),
+          sum(col("blen").cast(LongType)).as("total_bytes"),
+          min(col("olen")).as("min_len"), max(col("olen")).as("max_len"))
+        .orderBy("src_lang")),
+
     // sequence() generation + per-element transform, stringified (array
     // canon) — the row-local series generator.
     "fn_sequence_pack" -> ((s, d) =>
@@ -805,6 +821,12 @@ object Round3Ops {
         "SELECT cid, dim, CAST(ROUND(SUM(v) / COUNT(*), 6) AS DOUBLE) AS centroid_v, " +
         "CAST(COUNT(*) AS BIGINT) AS n_members " +
         "FROM x GROUP BY cid, dim ORDER BY cid, dim"),
+    "mm_metadata_stats" ->
+      ("SELECT lang AS src_lang, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(length(text)) AS BIGINT) AS total_bytes, " +
+        "CAST(MIN(length(text)) AS INT) AS min_len, " +
+        "CAST(MAX(length(text)) AS INT) AS max_len " +
+        "FROM documents GROUP BY lang ORDER BY src_lang"),
     "fn_sequence_pack" ->
       ("SELECT o_orderkey, array_to_string([x * x FOR x IN " +
         "generate_series(1, CAST(o_orderkey % 5 + 1 AS INT))], ',') AS squares, " +
