@@ -6,6 +6,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
+/** Typed-Dataset row for the lineitem pipeline (top-level so the
+  * case-class Encoder derives). */
+case class LineItemRow(l_orderkey: Long, l_quantity: Double,
+                       l_extendedprice: Double, l_returnflag: String)
+
 /** Round-3 operator additions: batch sessionization, the bucketed range
   * join (scale path for theta joins), TF-IDF keyword extraction, SCD2
   * run-compression, deterministic mode, an ORC source round trip, and a
@@ -526,6 +531,35 @@ object Round3Ops {
         .orderBy("doc_id")
     }),
 
+    // Typed Dataset[T] pipeline: case-class Encoder, lambda filter,
+    // groupByKey + mapGroups — the type-safe API surface, oracle-checked
+    // like any untyped query. Per-element BigDecimal(2dp) accumulation
+    // mirrors the dec() canon so the group sums are exact. (mapGroups
+    // skips partial aggregation — for production-scale aggregates use an
+    // Aggregator like udaf_geomean; this key exists to pin the typed
+    // surface itself.)
+    "typed_dataset_pipeline" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_returnflag")
+        .as[LineItemRow]
+        .filter(_.l_quantity > 10)
+        .groupByKey(_.l_returnflag)
+        .mapGroups { (flag, rows) =>
+          var n = 0L
+          var total = BigDecimal(0)
+          rows.foreach { r =>
+            n += 1
+            total += BigDecimal(r.l_extendedprice)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          }
+          (flag, n, total.setScale(4).toDouble)
+        }
+        .toDF("l_returnflag", "n", "revenue")
+        .orderBy("l_returnflag")
+    }),
+
     // Multimodal ingest metadata, ORACLE-checked: the binary-column path
     // (payload bytes + typed meta struct) rolled up per source language.
     // The corpus is ASCII, so octet_length(payload) == length(text) and
@@ -821,6 +855,11 @@ object Round3Ops {
         "SELECT cid, dim, CAST(ROUND(SUM(v) / COUNT(*), 6) AS DOUBLE) AS centroid_v, " +
         "CAST(COUNT(*) AS BIGINT) AS n_members " +
         "FROM x GROUP BY cid, dim ORDER BY cid, dim"),
+    "typed_dataset_pipeline" ->
+      (s"SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("l_extendedprice")})")} AS revenue " +
+        "FROM lineitem WHERE l_quantity > 10 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "mm_metadata_stats" ->
       ("SELECT lang AS src_lang, CAST(COUNT(*) AS BIGINT) AS n, " +
         "CAST(SUM(length(text)) AS BIGINT) AS total_bytes, " +
