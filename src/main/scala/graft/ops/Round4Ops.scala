@@ -301,7 +301,7 @@ object Round4Ops {
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
         "c AS (SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM d) " +
-        "SELECT source, cum // 2048 AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "SELECT source, CAST(cum // 2048 AS BIGINT) AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
         "CAST(SUM(n_tok) AS BIGINT) AS tokens, MIN(doc_id) AS first_doc, " +
         "MAX(doc_id) AS last_doc " +
         "FROM c GROUP BY source, seq_id ORDER BY source, seq_id"),
