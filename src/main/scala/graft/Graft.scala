@@ -44,4 +44,50 @@ object Graft {
       explode(sequence(lit(0), lit(salt - 1))))
     p.join(b, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Scoring kernel for the packed block-matrix kNN self-join: all
+    * unordered pairs across (or, when bi == bj, within) two id-vector
+    * blocks, cosine in the exact double-widened sequential fold of
+    * expr/CosineSimilarity, keeping only the local top-k under the global
+    * output order (cos desc, a_id, b_id) — so the global TakeOrdered over
+    * block-pair locals equals the full enumeration's top-k. */
+  def blockTopK(bi: Int, bj: Int, va: Array[IdVec], vb: Array[IdVec],
+      k: Int): Iterator[(Long, Long, Double)] = {
+    // max-first total order == output order; the heap keeps the k best
+    implicit val ord: Ordering[(Long, Long, Double)] =
+      Ordering.by[(Long, Long, Double), (Double, Long, Long)](
+        t => (-t._3, t._1, t._2))
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Double)]
+    var i = 0
+    while (i < va.length) {
+      val x = va(i)
+      var j = 0
+      while (j < vb.length) {
+        val y = vb(j)
+        // same-block pairs enumerate both (x,y) and (y,x): keep one
+        if (x.id != y.id && (bi != bj || x.id < y.id)) {
+          val xa = x.embedding; val xb = y.embedding
+          var dp = 0.0; var na = 0.0; var nb = 0.0
+          var m = 0
+          val n = math.min(xa.length, xb.length)
+          while (m < n) {
+            val p = xa(m).toDouble; val q = xb(m).toDouble
+            dp += p * q; na += p * p; nb += q * q
+            m += 1
+          }
+          val cos = dp / (math.sqrt(na) * math.sqrt(nb))
+          val row = (math.min(x.id, y.id), math.max(x.id, y.id), cos)
+          if (heap.size < k) heap.enqueue(row)
+          else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row) }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    heap.iterator.toList.iterator
+  }
 }
+
+/** One (id, vector) element of a packed kNN block — top-level so Spark can
+  * derive a product Encoder for the flatMap kernel's input. */
+case class IdVec(id: Long, embedding: Array[Float])
