@@ -196,4 +196,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!joinSubtree.contains("Exchange"),
       s"shuffle below the bucketed join:\n${joinSubtree.take(2000)}")
   }
+
+  test("report_market_share: both tiny dims broadcast, fact never re-scanned") {
+    val p = plan("report_market_share")
+    assert(p.split("BroadcastHashJoin").length >= 3, p.take(3000))
+    // share-of-total uses a window over the grouped rows, not a second
+    // aggregation of lineitem: exactly one scan of the fact table
+    assert(p.split("lineitem").length - 1 <= 2, p.take(3000)) // scan node + ReadSchema line
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("sort_zorder_layout: morton key stays inside whole-stage codegen") {
+    val p = plan("sort_zorder_layout")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(2000))
+    // `*(n)` marks whole-stage-codegen spans in executedPlan.toString
+    assert(p.contains("*(1) Project"), p.take(2000))
+  }
+
+  test("vec_knn_join: packed blocks — no per-pair exchange, no driver collect") {
+    val p = plan("vec_knn_join")
+    assert(!p.contains("CollectLimit"), p.take(2000))
+    // the pair expansion happens inside the flatMap kernel, so the only
+    // aggregation shuffle is the B-row block packing
+    assert(p.contains("SerializeFromObject"), p.take(2000))
+  }
 }
