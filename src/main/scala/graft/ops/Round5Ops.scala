@@ -235,6 +235,99 @@ object Round5Ops {
     "stream_static_enrich" -> ((s, d) =>
       staticEnrich(T.events(s, d)).orderBy("ws", "event_type")),
 
+    // As-of join with a staleness tolerance: latest click at-or-before
+    // each purchase, but only if within 10 minutes — otherwise NULL
+    // (left semantics). Same merged-stream running-max shape as
+    // join_asof_latest (one shuffle + one sort per user, no quadratic
+    // candidate join); the tolerance is a post-filter on the carried
+    // struct, so it adds zero shuffles.
+    "join_asof_tolerance" -> ((s, d) => {
+      val tolUs = 600000000L // 10 min
+      val merged = T.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("kind"),
+          col("event_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      merged
+        .withColumn("best", max(when(col("kind") === 0,
+          struct(col("t").as("c_us"), col("event_id").as("click_id"))))
+          .over(w))
+        .filter(col("kind") === 1)
+        .withColumn("ok", col("best").isNotNull &&
+          col("t") - col("best.c_us") <= tolUs)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("ok"), col("best.click_id")).as("click_id"),
+          when(col("ok"), col("t") - col("best.c_us")).as("gap_us"))
+        .orderBy("purchase_id")
+    }),
+
+    // Deterministic stratified train/val/test split: per-language
+    // md5-rank (seedless, engine-portable) assigns the first 80% to
+    // train, next 10% to val, rest to test. One window shuffle on the
+    // stratum key; no RNG state, so the split is stable across runs,
+    // partitionings and engines — the property a reproducible data
+    // pipeline needs.
+    "sample_split_train_test" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      t(s, d, "documents").select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("split",
+          when(col("rn") <= lit(0.8) * col("n"), "train")
+            .when(col("rn") <= lit(0.9) * col("n"), "val").otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Unigram-LM surprisal scoring (perplexity proxy): corpus unigram
+    // frequencies -> per-doc mean -ln p(token). The per-doc sum of ln
+    // terms goes through DECIMAL(18,12) so it is order-independent
+    // (double addition is not associative; the decimal canon keeps the
+    // result partition-invariant), finalized as a double ratio. The
+    // frequency table is an equi-join — broadcast-able when the vocab
+    // is small, shuffle-partitioned when it is web-scale.
+    "text_unigram_logprob" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val cf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = cf.agg(sum(col("c")).as("tot"))
+      toks.join(cf, "tok").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (-log(col("c") / col("tot"))).cast(DecimalType(18, 12)).as("surp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("surp")).as("ssum"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("ssum").cast(DoubleType) / col("n_tok"), 6).as("avg_surprisal"))
+        .orderBy("doc_id")
+    }),
+
+    // Symmetric int8 vector quantization (the memory-scale ANN
+    // companion to vec_pq_codes): per-vector absmax scale, clamped
+    // rounded codes, exact code checksum and max dequantization error.
+    // All higher-order functions over the float array — whole-stage
+    // codegen, no UDF; 64 floats -> 64 bytes + 1 scale at serving time.
+    "vec_quantize_int8" -> ((s, d) => {
+      val embD = transform(col("embedding"), x => x.cast(DoubleType))
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), embD.as("e"))
+        .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
+        .withColumn("sc", when(col("amax") > 0, col("amax") / 127.0))
+      def code(x: Column): Column =
+        least(lit(127.0), greatest(lit(-127.0), round(x / col("sc"))))
+      e.select(col("vec_id"), round(col("amax"), 6).as("amax"),
+          when(col("sc").isNull, 0L).otherwise(
+            aggregate(transform(col("e"), x => code(x).cast(LongType)),
+              lit(0L), (a, x) => a + x)).as("code_sum"),
+          round(when(col("sc").isNull, 0.0).otherwise(
+            array_max(transform(col("e"), x => abs(x - code(x) * col("sc"))))), 6)
+            .as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     // CSV round-trip with hostile content: embedded quotes, commas and a
     // newline inside a field, RFC-4180 quote-doubling (escape = quote),
     // multiLine read-back. Proves the CSV source/sink pair preserves
@@ -324,6 +417,48 @@ object Round5Ops {
 
     "source_csv_roundtrip" ->
       ("SELECT doc_id, text || chr(10) || '\"quoted, field\"' AS payload " +
-        "FROM documents WHERE doc_id < 200 ORDER BY doc_id")
+        "FROM documents WHERE doc_id < 200 ORDER BY doc_id"),
+
+    "join_asof_tolerance" ->
+      ("WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT event_id AS click_id, user_id AS c_user, epoch_us(ts) AS c_us " +
+        "FROM events WHERE event_type = 'click'), " +
+        "j AS (SELECT purchase_id, click_id, p_us - c_us AS gap_us, " +
+        "ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY c_us DESC, click_id DESC) AS rn " +
+        "FROM p JOIN c ON user_id = c_user AND c_us <= p_us " +
+        "AND c_us >= p_us - 600000000) " +
+        "SELECT p.purchase_id, p.user_id, j.click_id, j.gap_us " +
+        "FROM p LEFT JOIN j ON p.purchase_id = j.purchase_id AND j.rn = 1 " +
+        "ORDER BY p.purchase_id"),
+
+    "sample_split_train_test" ->
+      ("WITH r AS (SELECT doc_id, lang, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY lang) AS n FROM documents) " +
+        "SELECT doc_id, lang, CASE WHEN rn <= 0.8 * n THEN 'train' " +
+        "WHEN rn <= 0.9 * n THEN 'val' ELSE 'test' END AS split " +
+        "FROM r ORDER BY doc_id"),
+
+    "text_unigram_logprob" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok), " +
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM cf), " +
+        "s AS (SELECT doc_id, CAST(-ln(c / tot) AS DECIMAL(18,12)) AS surp " +
+        "FROM tok JOIN cf USING (tok) CROSS JOIN tot) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, " +
+        "ROUND(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal " +
+        "FROM s GROUP BY doc_id ORDER BY doc_id"),
+
+    "vec_quantize_int8" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "a AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax FROM v), " +
+        "s AS (SELECT vec_id, e, amax, CASE WHEN amax > 0 THEN amax / 127.0 END AS sc FROM a) " +
+        "SELECT vec_id, round(amax, 6) AS amax, " +
+        "CAST(CASE WHEN sc IS NULL THEN 0 ELSE list_sum(list_transform(e, " +
+        "x -> CAST(least(127.0, greatest(-127.0, round(x / sc))) AS BIGINT))) END AS BIGINT) AS code_sum, " +
+        "round(CASE WHEN sc IS NULL THEN 0.0 ELSE list_max(list_transform(e, " +
+        "x -> abs(x - least(127.0, greatest(-127.0, round(x / sc))) * sc))) END, 6) AS max_err " +
+        "FROM s ORDER BY vec_id")
   )
 }

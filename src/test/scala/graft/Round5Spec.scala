@@ -91,6 +91,45 @@ class Round5Spec extends SparkSpec {
     assert(streamed.find(_.getString(1) == "purchase").get.getDouble(3) == 30.0)
   }
 
+  test("join_asof_tolerance: stale or missing clicks yield NULL, gaps bounded") {
+    val rows = q("join_asof_tolerance").collect()
+    val purchases = T.events(spark, sf).filter(col("event_type") === "purchase").count()
+    assert(rows.length == purchases) // left semantics: every purchase kept
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 600000000L)
+    }
+    assert(rows.exists(_.isNullAt(2)), "expected at least one un-matched purchase")
+    // agrees with join_asof_latest wherever that one is within tolerance
+    val latest = ops.Relational.queries("join_asof_latest")(spark, sf)
+      .filter(col("gap_us") <= 600000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      assert(latest.get(r.getLong(0)).contains(r.getLong(2)))
+    }
+  }
+
+  test("sample_split_train_test: 80/10/10 per stratum, deterministic") {
+    val rows = q("sample_split_train_test").collect()
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val n = rs.length
+      val train = rs.count(_.getString(2) == "train")
+      val valN = rs.count(_.getString(2) == "val")
+      assert(train == math.floor(0.8 * n).toInt, s"$lang train=$train n=$n")
+      assert(train + valN == math.floor(0.9 * n).toInt, s"$lang val=$valN n=$n")
+    }
+    assert(rows.toSeq == q("sample_split_train_test").collect().toSeq) // stable
+  }
+
+  test("vec_quantize_int8: codes bounded, error below half a quantization step") {
+    val rows = q("vec_quantize_int8").collect()
+    rows.foreach { r =>
+      val amax = r.getDouble(1); val codeSum = r.getLong(2); val err = r.getDouble(3)
+      assert(math.abs(codeSum) <= 127L * 64)
+      // |x - round(x/s)*s| <= s/2 (+ rounding of the stored 6dp)
+      assert(err <= amax / 127.0 / 2 + 1e-6, s"err=$err amax=$amax")
+    }
+  }
+
   test("report_market_share: shares sum to 1 per year") {
     val rows = q("report_market_share").collect()
     assert(rows.nonEmpty)
