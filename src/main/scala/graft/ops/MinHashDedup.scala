@@ -84,6 +84,20 @@ object MinHashDedup {
     var it = 0
     var stable = false
     val wBk = org.apache.spark.sql.expressions.Window.partitionBy("bk")
+    // Loop conf (same pattern as Round5Ops.graph_components): per-round
+    // data volume is known (docs × bands rows), so size the loop's
+    // shuffle parallelism from it and pause AQE — its per-stage
+    // re-planning dominates these micro-stages. Restored in the finally;
+    // the returned plan is consumed after restore.
+    val s = docs.sparkSession
+    val sessShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val sessAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val nBanded = banded.count()
+    val loopParts = math.max(1L,
+      math.min(sessShuffle.toLong, nBanded / 50000 + 1)).toString
+    try {
+    s.conf.set("spark.sql.shuffle.partitions", loopParts)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     while (it < maxIters && !stable) {
       // banded and labels are both hash-partitioned by doc_id (banded via
       // the signature groupBy, labels via the previous round's groupBy),
@@ -101,6 +115,10 @@ object MinHashDedup {
       stable = cs == prev
       prev = cs
       it += 1
+    }
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", sessShuffle)
+      s.conf.set("spark.sql.adaptive.enabled", sessAqe)
     }
     labels
   }
