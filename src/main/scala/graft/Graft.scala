@@ -7,6 +7,26 @@ import graft.expr.{CosineSimilarity, NGrams}
 /** Engine-level registration + scale utilities. */
 object Graft {
 
+  /** Run `body` against a CLONED session carrying loop-scoped SQL confs.
+    * Iterative operators (connected components, MinHash label propagation)
+    * want small fixed shuffle parallelism and AQE off for their
+    * micro-stages; mutating the caller's session conf (the round-5 shape)
+    * would leak those settings into any plan a concurrent caller compiles
+    * mid-loop. The clone shares the SparkContext and cache manager but owns
+    * its SQLConf, so the overrides are invisible outside `body`. */
+  def withLoopConf[A](spark: SparkSession, confs: (String, String)*)(
+      body: SparkSession => A): A = {
+    val s2 = org.apache.spark.sql.graft.GraftSqlBridge.cloneSession(spark)
+    confs.foreach { case (k, v) => s2.conf.set(k, v) }
+    body(s2)
+  }
+
+  /** Rebind `df`'s logical plan to `to` (same SparkContext) so it is
+    * planned under `to`'s conf. Persisted subtrees still hit the shared
+    * cache manager; no data is copied. */
+  def rebind(df: DataFrame, to: SparkSession): DataFrame =
+    org.apache.spark.sql.graft.GraftSqlBridge.ofRows(to, df.queryExecution.logical)
+
   /** Register the custom Catalyst expressions as SQL functions (usable in
     * expr()/spark.sql/LATERAL VIEW). Idempotent per session. */
   def registerFunctions(spark: SparkSession): Unit = {
@@ -75,10 +95,17 @@ object Graft {
             dp += p * q; na += p * p; nb += q * q
             m += 1
           }
-          val cos = dp / (math.sqrt(na) * math.sqrt(nb))
-          val row = (math.min(x.id, y.id), math.max(x.id, y.id), cos)
-          if (heap.size < k) heap.enqueue(row)
-          else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row) }
+          // zero-norm vectors: 0/0 = NaN, which this Ordering ranks worst
+          // (evicted first) while Spark's global ORDER BY ranks NaN FIRST —
+          // the local/global order mismatch would break the top-k merge
+          // invariant, so such pairs are skipped outright (a zero vector
+          // has no defined cosine to anything).
+          if (na != 0.0 && nb != 0.0) {
+            val cos = dp / (math.sqrt(na) * math.sqrt(nb))
+            val row = (math.min(x.id, y.id), math.max(x.id, y.id), cos)
+            if (heap.size < k) heap.enqueue(row)
+            else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row) }
+          }
         }
         j += 1
       }

@@ -62,65 +62,72 @@ object MinHashDedup {
       val parts = (0 until R).map(j => col("sig").getItem(b * R + j))
       struct(lit(b).as("band"), xxhash64(parts: _*).as("bh"))
     }
-    // banded is reused twice per round; persist so the signature
-    // computation (the expensive explode+groupBy) runs exactly once
-    // rather than once per label-propagation round.
-    val banded = sigs.select(col("doc_id"),
-        explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk"))
-      .persist(MEMORY_AND_DISK)
     // Order-independent assignment checksum; decimal(38,0) accumulator so
     // the sum of n 64-bit hashes cannot overflow (ANSI mode would throw).
     def checksum(df: DataFrame): String =
       String.valueOf(df.agg(sum(xxhash64(col("doc_id"), col("rep"))
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head.get(0))
-    // One row per doc (NOT per band) — an undeduplicated seed would
-    // multiply the first round's join by Bands^2.
-    var labels = docs.select(col("doc_id"), col("doc_id").as("rep"))
-      .persist(MEMORY_AND_DISK)
-    // seed checksum deliberately not computed: round 1 always runs, and
-    // on a dup-free corpus stability is detected one round later anyway
-    var prev = ""
-    var it = 0
-    var stable = false
-    val wBk = org.apache.spark.sql.expressions.Window.partitionBy("bk")
-    // Loop conf (same pattern as Round5Ops.graph_components): per-round
-    // data volume is known (docs × bands rows), so size the loop's
-    // shuffle parallelism from it and pause AQE — its per-stage
-    // re-planning dominates these micro-stages. Restored in the finally;
-    // the returned plan is consumed after restore.
+    // Loop conf (same pattern as Round5Ops.graphComponents): per-round
+    // data volume is known exactly (docs × Bands rows — one band key per
+    // doc per band, no count needed), so size the loop's shuffle
+    // parallelism from it and pause AQE — its per-stage re-planning
+    // dominates these micro-stages. The loop runs on a CLONED session
+    // (isolated SQLConf, shared context + cache manager), so the
+    // overrides cannot leak into plans compiled concurrently on the
+    // caller's session; the returned plan is rebound to the caller.
     val s = docs.sparkSession
-    val sessShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val sessAqe = s.conf.get("spark.sql.adaptive.enabled")
-    val nBanded = banded.count()
-    val loopParts = math.max(1L,
-      math.min(sessShuffle.toLong, nBanded / 50000 + 1)).toString
-    try {
-    s.conf.set("spark.sql.shuffle.partitions", loopParts)
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    while (it < maxIters && !stable) {
-      // banded and labels are both hash-partitioned by doc_id (banded via
-      // the signature groupBy, labels via the previous round's groupBy),
-      // so the join needs no exchange; the per-bucket min comes from a
-      // window over bk instead of a groupBy+join back — two exchanges per
-      // round (bk, then doc_id), the minimum the doc→bucket→doc hop needs.
-      val next = banded.join(labels, "doc_id")
-        .withColumn("bmin", min(col("rep")).over(wBk))
-        .groupBy("doc_id").agg(min(col("bmin")).as("rep"))
+    val nBanded = docs.count() * Bands
+    val loopParts = math.max(1L, math.min(
+      s.conf.get("spark.sql.shuffle.partitions").toLong,
+      nBanded / 50000 + 1))
+    // banded is reused twice per round: persist it hash-partitioned by
+    // doc_id at exactly loopParts, and MATERIALIZE it here on the caller's
+    // session — the expensive explode+groupBy signature stage runs once at
+    // full session parallelism (not under the loop's narrow conf), and the
+    // in-loop doc_id join then reuses the persisted layout with no
+    // per-round exchange of the banded side.
+    val banded = sigs.select(col("doc_id"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk"))
+      .repartition(loopParts.toInt, col("doc_id"))
+      .persist(MEMORY_AND_DISK)
+    banded.count()
+    val labels = graft.Graft.withLoopConf(s,
+      "spark.sql.shuffle.partitions" -> loopParts.toString,
+      "spark.sql.adaptive.enabled" -> "false") { s2 =>
+      val bandedL = graft.Graft.rebind(banded, s2)
+      // One row per doc (NOT per band) — an undeduplicated seed would
+      // multiply the first round's join by Bands^2.
+      var labs = graft.Graft
+        .rebind(docs.select(col("doc_id"), col("doc_id").as("rep")), s2)
         .persist(MEMORY_AND_DISK)
-      val cs = checksum(next) // materializes `next` under its persist
-      if (sys.env.contains("GRAFT_DEBUG_ROUNDS")) println(s"[dedup] round ${it + 1} cs=$cs")
-      labels.unpersist()
-      labels = next
-      stable = cs == prev
-      prev = cs
-      it += 1
+      // seed checksum deliberately not computed: round 1 always runs, and
+      // on a dup-free corpus stability is detected one round later anyway
+      var prev = ""
+      var it = 0
+      var stable = false
+      val wBk = org.apache.spark.sql.expressions.Window.partitionBy("bk")
+      while (it < maxIters && !stable) {
+        // banded and labels are both hash-partitioned by doc_id (banded via
+        // the signature groupBy, labels via the previous round's groupBy),
+        // so the join needs no exchange; the per-bucket min comes from a
+        // window over bk instead of a groupBy+join back — two exchanges per
+        // round (bk, then doc_id), the minimum the doc→bucket→doc hop needs.
+        val next = bandedL.join(labs, "doc_id")
+          .withColumn("bmin", min(col("rep")).over(wBk))
+          .groupBy("doc_id").agg(min(col("bmin")).as("rep"))
+          .persist(MEMORY_AND_DISK)
+        val cs = checksum(next) // materializes `next` under its persist
+        if (sys.env.contains("GRAFT_DEBUG_ROUNDS")) println(s"[dedup] round ${it + 1} cs=$cs")
+        labs.unpersist()
+        labs = next
+        stable = cs == prev
+        prev = cs
+        it += 1
+      }
+      labs
     }
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", sessShuffle)
-      s.conf.set("spark.sql.adaptive.enabled", sessAqe)
-    }
-    labels
+    graft.Graft.rebind(labels, s)
   }
 
   /** Candidate pairs from band-bucket equi-join, with estimated Jaccard

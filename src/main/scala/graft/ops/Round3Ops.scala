@@ -350,17 +350,14 @@ object Round3Ops {
         .select("event_id", "event_type", "value", "dt")
       ev.repartition(col("dt"))
         .write.partitionBy("dt").mode("overwrite").parquet(path)
-      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        ev.filter(col("dt") === "2024-01-05")
-          .withColumn("value", col("value") * 2)
-          .repartition(col("dt"))
-          .write.partitionBy("dt").mode("overwrite").parquet(path)
-      } finally prev match {
-        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      // per-write option (not a session conf mutation): scoped to this
+      // writer only, so concurrent writes on the session keep their mode
+      ev.filter(col("dt") === "2024-01-05")
+        .withColumn("value", col("value") * 2)
+        .repartition(col("dt"))
+        .write.partitionBy("dt").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
       s.read.parquet(path)
         .groupBy("dt")
         .agg(count(lit(1)).as("cnt"),

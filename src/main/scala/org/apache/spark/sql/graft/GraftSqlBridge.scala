@@ -1,0 +1,35 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Minimal `private[sql]` escape hatch (the standard pattern for Spark
+  * extension libraries: a bridge object inside the `org.apache.spark.sql`
+  * namespace so session-cloning and plan-rebinding internals are reachable
+  * without reflection).
+  *
+  * Used by iterative operators (connected components, MinHash label
+  * propagation) to run their loops under a CLONED session — the clone
+  * shares the SparkContext, shuffle service and cache manager but has its
+  * own SQLConf, so loop-scoped settings (`spark.sql.shuffle.partitions`,
+  * AQE toggles) can never leak into plans a concurrent caller compiles on
+  * the original session.
+  */
+object GraftSqlBridge {
+
+  /** Clone `spark` with a COPY of its current session state (conf, temp
+    * views, registered functions) — unlike `newSession()`, runtime conf
+    * already set by the caller (e.g. the nanos-as-long parquet flag) is
+    * preserved, so plans compiled on the clone behave identically modulo
+    * the explicitly overridden keys. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Rebind a DataFrame's (unanalyzed) logical plan to another session of
+    * the same SparkContext. No data movement: re-analysis under `to`'s
+    * conf; persisted subtrees are still picked up from the shared cache
+    * manager. */
+  def ofRows(to: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(to.asInstanceOf[classic.SparkSession], plan)
+}
