@@ -180,24 +180,44 @@ object Round5Ops {
 
     // ABC / Pareto classification: parts ranked by revenue; cumulative
     // share of the total splits A (first 50%), B (to 80%), C (tail).
-    // The cumulative window is a global prefix sum — fine at dimension
-    // cardinality (parts), and at fact scale it becomes a two-level
-    // range-partitioned scan-sum; the per-part revenue aggregation
-    // before it is the usual two-phase hash agg.
+    // The cumulative sum is Graft.scanSum — the two-level range-
+    // partitioned scan (per-partition local cumsum + broadcast offsets),
+    // NOT a global unpartitioned window: no operator in the plan moves
+    // the full parts relation through one task, so the same shape holds
+    // when part cardinality is 100× (PlanAuditSpec asserts no
+    // empty-partition-spec Window). The per-part revenue aggregation
+    // before it is the usual two-phase hash agg; the grand total rides
+    // along from scanSum's per-partition totals (no second lineitem
+    // pass).
     "report_abc_pareto" -> ((s, d) => {
       val disc = dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
-      val wcum = Window.orderBy(col("rev").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wall = Window.partitionBy()
-      t(s, d, "lineitem")
+      val byPart = t(s, d, "lineitem")
         .groupBy("l_partkey").agg(sum(disc).as("rev"))
+      graft.Graft.scanSum(byPart, col("rev"),
+          Seq(col("rev").desc, col("l_partkey")), "cum", "tot")
         .select(col("l_partkey"), money(col("rev")).as("revenue"),
-          round(sum(col("rev")).over(wcum).cast(DoubleType) /
-            sum(col("rev")).over(wall).cast(DoubleType), 6).as("cum_share"))
+          round(col("cum").cast(DoubleType) /
+            col("tot").cast(DoubleType), 6).as("cum_share"))
         .withColumn("abc_class",
           when(col("cum_share") <= 0.5, "A")
             .when(col("cum_share") <= 0.8, "B").otherwise("C"))
         .orderBy(col("revenue").desc, col("l_partkey"))
+    }),
+
+    // Whale curve: customers ranked by lifetime spend, cumulative share
+    // of total revenue — the second consumer of the scanSum primitive
+    // (cumulative-anything over a large dimension without a global
+    // window). Flags the head segment that carries half the revenue.
+    "report_whale_curve" -> ((s, d) => {
+      val byCust = t(s, d, "orders")
+        .groupBy("o_custkey").agg(sum(dec(col("o_totalprice"))).as("spend"))
+      graft.Graft.scanSum(byCust, col("spend"),
+          Seq(col("spend").desc, col("o_custkey")), "cum", "tot")
+        .select(col("o_custkey"), money(col("spend")).as("spend"),
+          round(col("cum").cast(DoubleType) /
+            col("tot").cast(DoubleType), 6).as("cum_share"))
+        .withColumn("is_whale", col("cum_share") <= 0.5)
+        .orderBy(col("spend").desc, col("o_custkey"))
     }),
 
     // Calendar densification + forward fill: every (user, day) cell of
@@ -405,6 +425,16 @@ object Round5Ops {
         "CASE WHEN cum_share <= 0.5 THEN 'A' WHEN cum_share <= 0.8 THEN 'B' " +
         "ELSE 'C' END AS abc_class " +
         "FROM c ORDER BY revenue DESC, l_partkey"),
+
+    "report_whale_curve" ->
+      (s"WITH c AS (SELECT o_custkey, SUM(${oDec("o_totalprice")}) AS spend " +
+        "FROM orders GROUP BY 1), " +
+        s"w AS (SELECT o_custkey, ${oMoney("spend")} AS spend, " +
+        "ROUND(CAST(SUM(spend) OVER (ORDER BY spend DESC, o_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / " +
+        "CAST(SUM(spend) OVER () AS DOUBLE), 6) AS cum_share FROM c) " +
+        "SELECT o_custkey, spend, cum_share, cum_share <= 0.5 AS is_whale " +
+        "FROM w ORDER BY spend DESC, o_custkey"),
 
     "ts_gapfill_ffill" ->
       ("WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value " +

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
 
@@ -32,4 +32,22 @@ object GraftSqlBridge {
     * manager. */
   def ofRows(to: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(to.asInstanceOf[classic.SparkSession], plan)
+
+  /** Catalyst Expression behind a Column (classic sessions only). */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
+  /** Column over a raw Catalyst Expression. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** (key, isDescending) behind a Column produced by `.desc`/`.asc`; a
+    * bare column reads as ascending. Works on the column-node tree (the
+    * Spark 4 public Column representation). */
+  def sortKey(c: Column): (Column, Boolean) = c.node match {
+    case s: org.apache.spark.sql.internal.SortOrder =>
+      (new Column(s.child),
+        s.sortDirection == org.apache.spark.sql.internal.SortOrder.Descending)
+    case _ => (c, false)
+  }
 }

@@ -27,6 +27,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(star.contains("BroadcastHashJoin"), star)
   }
 
+  test("cumulative-share reports contain no global (empty-partition) window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("report_abc_pareto", "report_whale_curve").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q moves all rows through one task: ${bad.mkString("; ")}")
+    }
+  }
+
   test("topk_orders plans TakeOrderedAndProject (no full sort)") {
     val p = plan("topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -25,6 +25,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scanSum == global-window prefix sum on random data (property)") {
+    import org.apache.spark.sql.expressions.Window
+    val sp = spark
+    import sp.implicits._
+    // duplicate values on purpose (chooseNum collides at n=400) — the
+    // unique key k breaks ties, as scanSum's contract requires
+    val vals = samples(Gen.chooseNum(-100L, 100L), 400).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = vals.toDF("k", "v").repartition(7)
+    val order = Seq(col("v").desc, col("k"))
+    val got = Graft.scanSum(df, col("v"), order, "cum")
+      .orderBy(order: _*).select("k", "cum").as[(Long, Long)].collect().toSeq
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+      .orderBy(order: _*).select("k", "cum").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("RangeJoinBucketing rewrite == brute force on random data (property)") {
     import org.apache.spark.sql.SparkSession
     val prevDefault = SparkSession.getDefaultSession
