@@ -84,42 +84,41 @@ object LlmOps {
         .select(col("vec_id"), col("label"), round(col("raw"), 6).as("cos_sim"))
     }),
 
-    // Distributed exact all-pairs kNN: block-partitioned triangle join.
-    // Each vector hashes into one of B blocks; the tiny block-pair
-    // relation (pi <= pj, B(B+1)/2 rows, broadcast) replicates each side
-    // ~B/2-fold so every unordered vector pair lands in EXACTLY ONE
-    // (pi, pj) reducer group. No driver collect and no broadcast of the
-    // data itself — the O(n^2) compute is spread evenly over the block
-    // pairs, which is the shape that survives a 1000-executor scale-up
-    // (grow B with n so each block fits an executor). Cosine runs through
-    // the codegen'd graft_cosine expression; arithmetic is float-widened-
-    // to-double, identical to the DuckDB oracle.
-    // Block-matrix triangle self-join, PACKED: each of the B row-blocks is
-    // folded into ONE row (collect_list of (id, vec)), the 36 triangle
-    // block-pairs are formed by two tiny joins, and each block-pair row is
-    // scored inside a flatMap kernel over primitive float arrays with a
-    // bounded local top-k. The shuffle carries B packed blocks (not the
-    // B²/2·|block|² expanded pairs with two arrays per row, which was 10×
-    // slower), and the kernel's double arithmetic is the exact sequential
-    // fold of expr/CosineSimilarity — so results hash-match the naive-join
-    // oracle. At cluster scale B grows with parallelism and |block| is
-    // bounded by executor memory: the standard distributed block-matrix
-    // product shape.
+    // Distributed exact all-pairs kNN: block-matrix triangle self-join,
+    // PACKED and SHUFFLED. Each vector hashes into one of B blocks
+    // (B sized from the table's metadata row count so a block stays
+    // ~256 vectors — at cluster scale B grows with n and |block| stays
+    // bounded by task memory); each block folds into ONE packed row
+    // (collect_list of (id, vec)). The B(B+1)/2 triangle pairs are formed
+    // by exploding each packed row to its partner-pair keys — block k is
+    // the A-side of pairs (k, j≥k) and the B-side of pairs (i≤k, k) —
+    // and equi-joining the two sides on (bi, bj). NOTHING is broadcast
+    // and nothing lands on the driver: the exchange carries each block
+    // ~B/2 times, which is the point — a broadcast of the packed table
+    // would require every executor (and the driver) to hold the ENTIRE
+    // dataset and dies at Spark's 8 GB broadcast cap long before 100 TB.
+    // shuffle_hash pins the join against AQE's broadcast conversion.
+    // Each block-pair row is scored in a flatMap kernel over primitive
+    // float arrays with a bounded local top-k under the global output
+    // order, so TakeOrdered over the locals equals the full enumeration's
+    // top-k; the kernel's double arithmetic is the exact sequential fold
+    // of expr/CosineSimilarity — results hash-match the naive-join oracle.
     "vec_knn_join" -> ((s, d) => {
       import s.implicits._
-      val B = 8
+      val nVecs = t(s, d, "embeddings").count() // parquet metadata count
+      val B = math.max(2L, math.min(64L, nVecs / 256 + 1)).toInt
       val blocks = t(s, d, "embeddings")
         .select(pmod(col("vec_id"), lit(B)).cast("int").as("blk"),
           col("vec_id").as("id"), col("embedding"))
         .groupBy("blk")
         .agg(collect_list(struct(col("id"), col("embedding"))).as("vecs"))
-      val bp = s.range(B.toLong * B)
-        .select((col("id") / B).cast("int").as("bi"),
-          pmod(col("id"), lit(B)).cast("int").as("bj"))
-        .filter(col("bi") <= col("bj"))
-      val scored = bp
-        .join(broadcast(blocks.select(col("blk").as("bi"), col("vecs").as("va"))), "bi")
-        .join(broadcast(blocks.select(col("blk").as("bj"), col("vecs").as("vb"))), "bj")
+      val aSide = blocks.select(col("blk").as("bi"),
+        explode(sequence(col("blk"), lit(B - 1))).as("bj"),
+        col("vecs").as("va"))
+      val bSide = blocks.select(
+        explode(sequence(lit(0), col("blk"))).as("bi"),
+        col("blk").as("bj"), col("vecs").as("vb"))
+      val scored = aSide.hint("shuffle_hash").join(bSide, Seq("bi", "bj"))
         .select(col("bi"), col("bj"), col("va"), col("vb"))
         .as[(Int, Int, Array[IdVec], Array[IdVec])]
         .flatMap { case (bi, bj, va, vb) =>
