@@ -59,6 +59,21 @@ object StreamingOps {
       .toDF("user_id", "cnt", "sum_val")
   }
 
+  /** transformWithState twin of statefulRunningCount (t2=N, ScalaTest):
+    * SURVEY §2.9 names Spark 4's arbitrary-state surface explicitly —
+    * typed named state handles (ValueState/ListState/MapState), TTL and
+    * timers, RocksDB-backed. Same semantics as the mapGroupsWithState
+    * version, so the golden test asserts identical cross-batch state. */
+  def statefulRunningCountTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "cnt", "sum_val")
+  }
+
   /** Custom-state sessionizer (t2=N, ScalaTest): flatMapGroupsWithState
     * with an EVENT-TIME timeout — sessions close (and emit their span +
     * event count) only when the watermark passes last-event + gap, so
@@ -146,6 +161,25 @@ object StreamingOps {
   )
 
   private val sumVal = s"${oMoney(s"SUM(${oDec("value")})")} AS sum_val"
+
+  /** Per-user running (count, sum) with an explicit named ValueState —
+    * the StatefulProcessor behind statefulRunningCountTws. */
+  class RunningCountProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+        tv: TimerValues): Iterator[(Long, Long, Double)] = {
+      val (c0, s0) = if (st.exists()) st.get() else (0L, 0.0)
+      var c = c0; var s = s0
+      rows.foreach { r => c += 1; s += r._2 }
+      st.update((c, s))
+      Iterator.single((user, c, s))
+    }
+  }
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling_1h" ->

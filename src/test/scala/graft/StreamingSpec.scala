@@ -80,6 +80,36 @@ class StreamingSpec extends SparkSpec {
     assert(last(8L) == (1L, 10.0))
   }
 
+  test("transformWithState: per-user ValueState accumulates across micro-batches") {
+    // Spark 4's arbitrary-state surface requires the RocksDB state store.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = StreamingOps.statefulRunningCountTws(spark, mem.toDF())
+        .writeStream.format("memory").queryName("tws")
+        .outputMode(OutputMode.Update).start()
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1.5, 7L))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 10:01:00"), "click", 2.5, 7L),
+        Ev(ts("2024-01-01 10:02:00"), "view", 10.0, 8L))
+      q.processAllAvailable(); q.stop()
+      val last = spark.table("tws").groupBy("user_id")
+        .agg(max("cnt").as("cnt"), max("sum_val").as("sum_val"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // identical cross-batch state to the mapGroupsWithState twin
+      assert(last(7L) == (2L, 4.0))
+      assert(last(8L) == (1L, 10.0))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join: clicks within 5 min before purchase") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
