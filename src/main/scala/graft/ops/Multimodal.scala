@@ -12,24 +12,85 @@ import org.apache.spark.sql.types._
   * UDF: one iterator per partition, batch-shaped work, no per-row
   * serialization round trip.
   *
-  * STUB NOTE: no image/audio codecs exist in this container, so
-  * `fakeDecode` is a clearly-marked deterministic stand-in (dimensions
-  * derived from a byte hash). The Spark-side plumbing — binary schema,
-  * partition batching, output schema, pushdown-friendly metadata
-  * columns — is real and tested (MultimodalSpec).
+  * The decode path is REAL: payloads are genuine PNG bytes (synthesized
+  * deterministically per document — no image corpus ships with the
+  * testdata) and `decodeImage` runs the JDK's javax.imageio PNG codec,
+  * headless-safe, no external libraries. This replaces the round-3..5
+  * `fakeDecode` hash stub; a production deployment swaps the synthetic
+  * payload generator for its real ingest bytes and keeps everything else.
   */
 object Multimodal {
 
-  /** Deterministic stand-in for an image decoder: (width, height,
-    * channels) from a stable hash of the payload bytes. A real deployment
-    * swaps only this function. */
-  private[graft] def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val w = 64 + math.floorMod(h, 448).toInt
-    val hh = 64 + math.floorMod(h >> 16, 448).toInt
-    (w, hh, 3)
+  /** Deterministic synthetic PNG: dimensions and pixel gradient derived
+    * from (doc_id, orig_len), so tests can assert the DECODED dimensions
+    * against values known without decoding. Real image bytes — the
+    * decode below exercises the actual codec, not a stand-in. */
+  private[graft] def pngPayload(docId: Long, seedLen: Int): Array[Byte] = {
+    val w = 16 + (docId % 48).toInt
+    val h = 16 + math.floorMod(seedLen, 48)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (x * 31 + y * 7 + (docId % 255).toInt) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real image decode via the JDK's ImageIO. Returns (width, height,
+    * color components). Throws on undecodable bytes — a quarantine
+    * branch would catch per-row in a production ingest. */
+  private[graft] def decodeImage(payload: Array[Byte]): (Int, Int, Int) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+  }
+
+  /** documents → opaque binary payloads + typed metadata (the ingest
+    * shape for DOCUMENT bytes). The payload is the text's UTF-8 bytes, so
+    * octet_length(payload) == length(text) on this ASCII corpus and the
+    * whole binary path stays DuckDB-oracle-checkable (mm_metadata_stats). */
+  def binaryTable(spark: SparkSession, sfDir: String): DataFrame =
+    T.t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").cast(BinaryType).as("payload"),
+      struct(lit("application/octet-stream").as("mime"),
+        col("lang").as("src_lang"),
+        length(col("text")).as("orig_len")).as("meta"))
+
+  val binSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType), StructField("src_lang", StringType),
+      StructField("orig_len", IntegerType))))))
+
+  /** documents → real PNG image payloads + typed metadata (the ingest
+    * shape for IMAGE bytes; no image corpus ships with the testdata, so
+    * the payloads are synthesized deterministically per document).
+    * Synthesis is partition-batched like every other stage — the encoder
+    * runs executor-side, nothing touches the driver. */
+  def imageTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(binSchema)
+    T.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), length(col("text")).as("orig_len"))
+      .repartition(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val len = r.getInt(2)
+          org.apache.spark.sql.Row(id, pngPayload(id, len),
+            org.apache.spark.sql.Row("image/png", r.getString(1), len))
+        }
+      }(enc)
   }
 
   val outSchema: StructType = StructType(Seq(
@@ -37,22 +98,14 @@ object Multimodal {
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("channels", IntegerType), StructField("thumb_len", IntegerType)))
 
-  /** documents → opaque binary payloads + metadata (the ingest shape). */
-  def binaryTable(spark: SparkSession, sfDir: String): DataFrame =
-    T.t(spark, sfDir, "documents").select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").cast(BinaryType).as("payload"),
-      struct(lit("image/fake").as("mime"), col("lang").as("src_lang"),
-        length(col("text")).as("orig_len")).as("meta"))
-
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("n_frames", IntegerType),
     StructField("sampled", IntegerType), StructField("rs_width", IntegerType),
     StructField("rs_height", IntegerType), StructField("frame_sum", LongType)))
 
   /** Resize + frame-sample stage over the decoded payloads: aspect-
-    * preserving fit into a 256-box (pure arithmetic on the decoded dims,
-    * the shape a real resize kernel slots into), and every-8th "frame"
+    * preserving fit into a 256-box (pure arithmetic on the REAL decoded
+    * dims, the shape a resize kernel slots into), and every-8th "frame"
     * sampling treating the payload as fixed-width frames (a video/audio
     * stand-in; `frame_sum` checksums the sampled bytes so the output is
     * deterministic and testable). Same partition-batched plumbing as
@@ -62,14 +115,13 @@ object Multimodal {
       .encoderFor(frameSchema)
     val frameBytes = 16
     val every = 8
-    binaryTable(spark, sfDir)
+    imageTable(spark, sfDir)
       .select("doc_id", "payload")
-      .repartition(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val (w, h, _) = fakeDecode(bytes)
+          val (w, h, _) = decodeImage(bytes)
           // aspect-preserving resize into a 256x256 box
           val scale = 256.0 / math.max(w, h)
           val (rw, rh) = (math.max(1, math.round(w * scale).toInt),
@@ -92,19 +144,18 @@ object Multimodal {
       }(enc)
   }
 
-  /** Partition-batched decode + feature extract + "frame sample" (byte
-    * slice as thumbnail stand-in). */
+  /** Partition-batched decode + feature extract + thumbnail stand-in
+    * (leading byte slice). Dimensions come from the real PNG codec. */
   def decodePipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
-    binaryTable(spark, sfDir)
+    imageTable(spark, sfDir)
       .select("doc_id", "payload")
-      .repartition(col("doc_id"))  // spread decode work evenly
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val (w, h, c) = fakeDecode(bytes)
+          val (w, h, c) = decodeImage(bytes)
           val thumb = bytes.take(math.min(16, bytes.length))
           org.apache.spark.sql.Row(id, bytes.length, w, h, c, thumb.length)
         }

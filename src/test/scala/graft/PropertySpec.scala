@@ -110,20 +110,32 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
-  test("fakeDecode is deterministic and in-range (property)") {
-    samples(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))).foreach { bs =>
-      val a = Multimodal.fakeDecode(bs.toArray)
-      val b = Multimodal.fakeDecode(bs.toArray)
-      assert(a == b)
-      assert(a._1 >= 64 && a._1 < 512 && a._2 >= 64 && a._2 < 512 && a._3 == 3)
-    }
+  test("PNG payload round-trips through the real ImageIO codec (property)") {
+    samples(Gen.zip(Gen.chooseNum(0L, 100000L), Gen.chooseNum(0, 10000)), 20)
+      .foreach { case (id, len) =>
+        val png = Multimodal.pngPayload(id, len)
+        // PNG magic: real bytes, not a stand-in
+        assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+        val (w, h, c) = Multimodal.decodeImage(png)
+        assert(w == 16 + (id % 48).toInt, s"id=$id")
+        assert(h == 16 + math.floorMod(len, 48), s"len=$len")
+        assert(c == 3)
+        // deterministic: same inputs, same bytes
+        assert(java.util.Arrays.equals(png, Multimodal.pngPayload(id, len)))
+      }
   }
 
-  test("multimodal pipeline: schema and row preservation") {
+  test("multimodal pipeline: schema, row preservation, real decoded dims") {
     val out = Multimodal.decodePipeline(spark, sf)
     assert(out.schema == Multimodal.outSchema)
     assert(out.count() == T.t(spark, sf, "documents").count())
     assert(out.filter(col("thumb_len") > 16).count() == 0)
+    // decoded dimensions equal the known synthesis formula for EVERY row —
+    // the codec really ran
+    val badDims = out
+      .filter(col("width") =!= lit(16) + pmod(col("doc_id"), lit(48)) ||
+        col("height") < 16 || col("height") >= 64 || col("channels") =!= 3)
+    assert(badDims.count() == 0)
   }
 
   test("multimodal frame-sample: resize box, sampling rate, determinism") {
