@@ -1,0 +1,274 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Round-6 operator additions.
+  *
+  * Analytics: gaps-and-islands activity streaks, linear-regression
+  * aggregate pack, cohort lifetime-value report, hourly OHLC bars.
+  *
+  * Scale patterns: grid-bucketed spatial distance join (the 2D analog
+  * of the 1D range-join bucketing rule — equi-join on a cell key
+  * instead of a cross join), co-occurrence triangle counting (edge
+  * list self-joins, the wedge-probe shape), character-bigram Shannon
+  * entropy (curation signal, decimal-canon order-independent sum).
+  *
+  * Determinism canon per SURVEY §7.2: decimal money, total ORDER BY,
+  * exact dyadic-rational coordinates for the spatial fixture, BIGINT /
+  * INT casts wherever DuckDB would widen differently.
+  */
+object Round6Ops {
+  import T._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gaps-and-islands: per-user runs of consecutive active days.
+    // row_number per user minus the day index is constant within a run
+    // (the classic islands key), so one window + one groupBy finds every
+    // streak — state per user is one sort partition, no self-join, and
+    // the shape scales horizontally with the user-key partitioning.
+    "report_user_streaks" -> ((s, d) => {
+      val days = T.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("g", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "g")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
+        .orderBy("user_id")
+    }),
+
+    // Least-squares regression aggregates (slope/intercept/r2/count of
+    // extendedprice on quantity per return flag) — single-pass
+    // map-side-combinable moments, the same two-phase shape as
+    // avg/stddev; rounded to 6dp for cross-engine double parity.
+    "agg_regr_pack" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity"))
+            .cast(LongType).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Grid-bucketed spatial distance join: all (customer, supplier)
+    // pairs within Euclidean radius 2 on a synthetic-but-deterministic
+    // coordinate plane (dyadic-rational coords — every dx/dy/dist² is
+    // an exact double, so the oracle comparison is bit-stable). The 2D
+    // analog of the 1D range-join bucketing: each point hashes to a
+    // cell of side = radius×? (here side 2 = r, so a qualifying pair is
+    // at most one cell apart per axis); the SMALLER side is exploded to
+    // its 3×3 cell neighborhood and the join is a plain equi-join on
+    // the cell key — O(n·9) shuffle rows instead of the O(n·m) cross
+    // join, skew-safe under AQE, and each pair meets in exactly one
+    // cell (the probe side keeps its single home cell) so no dedup
+    // pass is needed.
+    "join_grid_spatial" -> ((s, d) => {
+      def cell(c: org.apache.spark.sql.Column) =
+        floor(c / 2.0).cast(LongType)
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+          ((col("c_custkey") * 7) % 140 - 70 + lit(0.25)).as("x"),
+          ((col("c_custkey") * 13) % 360 - 180 + lit(0.25)).as("y"))
+        .withColumn("cx", cell(col("x")))
+        .withColumn("cy", cell(col("y")))
+      val supp = t(s, d, "supplier").select(col("s_suppkey"),
+          ((col("s_suppkey") * 11) % 140 - 70 + lit(0.5)).as("sx"),
+          ((col("s_suppkey") * 17) % 360 - 180 + lit(0.5)).as("sy"))
+        .withColumn("di", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dj", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("s_suppkey"), col("sx"), col("sy"),
+          (cell(col("sx")) + col("di")).as("cx"),
+          (cell(col("sy")) + col("dj")).as("cy"))
+      val dx = col("x") - col("sx")
+      val dy = col("y") - col("sy")
+      cust.join(supp, Seq("cx", "cy"))
+        .withColumn("dist2", dx * dx + dy * dy)
+        .filter(col("dist2") <= 4.0)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist2"))
+        .orderBy("c_custkey", "s_suppkey")
+    }),
+
+    // Triangle counting over the co-purchase graph (parts appearing in
+    // the same order are linked): edge build is one self-join grouped
+    // to DISTINCT src<dst pairs, triangles are the wedge-probe —
+    // e1(a,b)⋈e2(b,c) builds wedges, e3(a,c) closes them. Every join
+    // is a key-partitioned equi-join (no cartesian); at web scale the
+    // standard refinement is orienting edges by degree so wedge fan-out
+    // is bounded — noted, not needed at this density. Node set bounded
+    // to partkey<1000 (the oracle mirrors the bound): co-purchase pair
+    // volume is quadratic in basket size by construction.
+    "graph_triangle_count" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_partkey") < 1000)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .distinct()
+      val tri = edges.as("e1")
+        .join(edges.as("e2"), col("e1.p2") === col("e2.p1"))
+        .join(edges.as("e3"),
+          col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    }),
+
+    // Hourly OHLC bars over the event stream: open/close are the
+    // first/last value under a TOTAL order (exact-ns timestamp, then
+    // event_id — the µs-truncated ts alone could tie), high/low/volume
+    // are plain min/max/decimal-sum. One window + one groupBy, both
+    // partitioned by the bar key — the standard market-data resample
+    // at any scale.
+    "ts_ohlc_bars" -> ((s, d) => {
+      val e = T.events(s, d).select(
+        date_trunc("hour", col("ts")).as("ws"),
+        col("ts_ns"), col("event_id"), col("value"))
+      val w = Window.partitionBy("ws").orderBy(col("ts_ns"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      e.withColumn("open", first(col("value")).over(w))
+        .withColumn("close", last(col("value")).over(wf))
+        .groupBy("ws")
+        .agg(min(col("open")).as("open"), max(col("value")).as("high"),
+          min(col("value")).as("low"), min(col("close")).as("close"),
+          count(lit(1)).as("n"), money(sum(dec(col("value")))).as("vol"))
+        .orderBy("ws")
+    }),
+
+    // Cohort LTV: customers grouped by first-order month; per cohort ×
+    // month offset, active customers, period GMV and running cumulative
+    // GMV. The heavy part (first-order month, period rollup) is plain
+    // key-partitioned agg+join; the cumulative window runs on the tiny
+    // cohort×offset grid, partitioned by cohort — never a single task.
+    "report_cohort_ltv" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("m"),
+        col("o_totalprice"))
+      val f = o.groupBy("o_custkey").agg(min(col("m")).as("cm"))
+      val g = o.join(f, "o_custkey")
+        .withColumn("m_off",
+          (year(col("m")) * 12 + month(col("m"))) -
+            (year(col("cm")) * 12 + month(col("cm"))))
+        .groupBy(col("cm").as("cohort"), col("m_off"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          sum(dec(col("o_totalprice"))).as("gmv"))
+      val wc = Window.partitionBy("cohort").orderBy("m_off")
+      g.select(col("cohort"), col("m_off"), col("n_cust"),
+          money(col("gmv")).as("gmv"),
+          money(sum(col("gmv")).over(wc)).as("cum_gmv"))
+        .orderBy("cohort", "m_off")
+    }),
+
+    // Character-bigram Shannon entropy per document (nats) — a
+    // low-entropy screen catches keyboard-mash / repeated-char spam
+    // that word-level quality signals miss. H = ln n − (Σ c·ln c)/n
+    // over bigram counts c; the Σ c·ln c term goes through
+    // DECIMAL(18,12) so the per-doc sum is order-independent
+    // (partition-invariant), finalized as a rounded double.
+    "text_char_entropy" -> ((s, d) => {
+      val b = t(s, d, "documents").filter(length(col("text")) >= 2)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
+          col("text"))
+        .select(col("doc_id"), col("text").substr(col("i"), lit(2)).as("bg"))
+      b.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n"),
+          sum((col("c") * log(col("c"))).cast(DecimalType(18, 12))).as("clnc"))
+        .select(col("doc_id"), col("n").as("n_bigrams"),
+          round(log(col("n")) -
+            col("clnc").cast(DoubleType) / col("n"), 6).as("entropy"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "report_user_streaks" ->
+      ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "runs AS (SELECT user_id, day - CAST(ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id ORDER BY day) AS INT) AS g FROM days), " +
+        "streaks AS (SELECT user_id, g, COUNT(*) AS len FROM runs GROUP BY 1, 2) " +
+        "SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_streaks, " +
+        "CAST(MAX(len) AS BIGINT) AS longest_streak " +
+        "FROM streaks GROUP BY user_id ORDER BY user_id"),
+
+    "agg_regr_pack" ->
+      ("SELECT l_returnflag, " +
+        "ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope, " +
+        "ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept, " +
+        "ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2, " +
+        "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "join_grid_spatial" ->
+      ("WITH c AS (SELECT c_custkey, " +
+        "((c_custkey * 7) % 140) - 70 + 0.25 AS x, " +
+        "((c_custkey * 13) % 360) - 180 + 0.25 AS y FROM customer), " +
+        "sp AS (SELECT s_suppkey, " +
+        "((s_suppkey * 11) % 140) - 70 + 0.5 AS sx, " +
+        "((s_suppkey * 17) % 360) - 180 + 0.5 AS sy FROM supplier) " +
+        "SELECT c_custkey, s_suppkey, " +
+        "(x - sx) * (x - sx) + (y - sy) * (y - sy) AS dist2 " +
+        "FROM c, sp WHERE (x - sx) * (x - sx) + (y - sy) * (y - sy) <= 4.0 " +
+        "ORDER BY c_custkey, s_suppkey"),
+
+    "graph_triangle_count" ->
+      ("WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 1000), " +
+        "edges AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2 " +
+        "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey) " +
+        "SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_triangles " +
+        "FROM edges e1 JOIN edges e2 ON e1.p2 = e2.p1 " +
+        "JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2"),
+
+    "ts_ohlc_bars" ->
+      ("WITH x AS (SELECT date_trunc('hour', ts) AS ws, value, " +
+        "FIRST_VALUE(value) OVER (PARTITION BY date_trunc('hour', ts) " +
+        "ORDER BY ts, event_id) AS open, " +
+        "LAST_VALUE(value) OVER (PARTITION BY date_trunc('hour', ts) " +
+        "ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close " +
+        "FROM events) " +
+        "SELECT ws, MIN(open) AS open, MAX(value) AS high, MIN(value) AS low, " +
+        "MIN(close) AS close, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("value")})")} AS vol " +
+        "FROM x GROUP BY ws ORDER BY ws"),
+
+    "report_cohort_ltv" ->
+      (s"WITH o AS (SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m, " +
+        "o_totalprice FROM orders), " +
+        "f AS (SELECT o_custkey, MIN(m) AS cm FROM o GROUP BY 1), " +
+        "g AS (SELECT cm AS cohort, " +
+        "CAST((year(m) * 12 + month(m)) - (year(cm) * 12 + month(cm)) AS INT) AS m_off, " +
+        "COUNT(DISTINCT o.o_custkey) AS n_cust, " +
+        s"SUM(${oDec("o_totalprice")}) AS gmv " +
+        "FROM o JOIN f ON o.o_custkey = f.o_custkey GROUP BY 1, 2) " +
+        "SELECT cohort, m_off, CAST(n_cust AS BIGINT) AS n_cust, " +
+        s"${oMoney("gmv")} AS gmv, " +
+        s"${oMoney("SUM(gmv) OVER (PARTITION BY cohort ORDER BY m_off)")} AS cum_gmv " +
+        "FROM g ORDER BY cohort, m_off"),
+
+    "text_char_entropy" ->
+      ("WITH b AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg " +
+        "FROM documents, unnest(range(1, length(text))) AS t(i) " +
+        "WHERE length(text) >= 2), " +
+        "c AS (SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY 1, 2), " +
+        "a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(c * ln(c) AS DECIMAL(18,12))) AS DOUBLE) AS clnc " +
+        "FROM c GROUP BY 1) " +
+        "SELECT doc_id, n AS n_bigrams, ROUND(ln(n) - clnc / n, 6) AS entropy " +
+        "FROM a ORDER BY doc_id")
+  )
+}
