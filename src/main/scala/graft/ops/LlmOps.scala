@@ -85,19 +85,25 @@ object LlmOps {
     }),
 
     // Distributed exact all-pairs kNN: block-matrix triangle self-join,
-    // PACKED and SHUFFLED. Each vector hashes into one of B blocks
-    // (B sized from the table's metadata row count so a block stays
-    // ~256 vectors — at cluster scale B grows with n and |block| stays
-    // bounded by task memory); each block folds into ONE packed row
-    // (collect_list of (id, vec)). The B(B+1)/2 triangle pairs are formed
-    // by exploding each packed row to its partner-pair keys — block k is
-    // the A-side of pairs (k, j≥k) and the B-side of pairs (i≤k, k) —
-    // and equi-joining the two sides on (bi, bj). NOTHING is broadcast
-    // and nothing lands on the driver: the exchange carries each block
-    // ~B/2 times, which is the point — a broadcast of the packed table
-    // would require every executor (and the driver) to hold the ENTIRE
-    // dataset and dies at Spark's 8 GB broadcast cap long before 100 TB.
-    // shuffle_hash pins the join against AQE's broadcast conversion.
+    // PACKED and SHUFFLED in a single pass. Each vector hashes into one
+    // of B blocks; each block folds into ONE packed row (collect_list of
+    // (id, vec)). Block k then explodes to its B partner keys, tagged by
+    // side — k is the A side of pairs (k, j≥k) and the B side of pairs
+    // (i<k, k) — and one groupBy on the pair key reassembles each of the
+    // B(B+1)/2 triangle pairs from its two tagged rows (the diagonal
+    // pair (k,k) arrives A-side only; the kernel scores it against
+    // itself). One scan, two exchanges, NO join — so the packed-block
+    // aggregation is computed once, not once per join side. NOTHING is
+    // broadcast and nothing lands on the driver: the pair exchange
+    // carries each block ~B/2 times, which is the point — a broadcast of
+    // the packed table would require every executor (and the driver) to
+    // hold the ENTIRE dataset and dies at Spark's 8 GB broadcast cap
+    // long before 100 TB. B needs no sizing job: the scan's metadata
+    // size estimate bounds a block to task memory (64 MB), and the
+    // context's parallelism sets the task-count floor (B(B+1)/2 ≥ 2·par)
+    // — at 100 TB the memory bound dominates and B grows with the data;
+    // past ~10^5 blocks exact all-pairs is the wrong tool and
+    // vec_ivf_topk is the scale path.
     // Each block-pair row is scored in a flatMap kernel over primitive
     // float arrays with a bounded local top-k under the global output
     // order, so TakeOrdered over the locals equals the full enumeration's
@@ -105,24 +111,30 @@ object LlmOps {
     // of expr/CosineSimilarity — results hash-match the naive-join oracle.
     "vec_knn_join" -> ((s, d) => {
       import s.implicits._
-      val nVecs = t(s, d, "embeddings").count() // parquet metadata count
-      val B = math.max(2L, math.min(64L, nVecs / 256 + 1)).toInt
-      val blocks = t(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
+      val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+      val par = s.sparkContext.defaultParallelism
+      val bMem = (bytes / (64L << 20)).toLong + 1
+      val bPar = math.ceil((math.sqrt(16.0 * par + 1) - 1) / 2).toLong
+      val B = math.max(2L, math.max(bMem, bPar)).toInt
+      val blocks = emb
         .select(pmod(col("vec_id"), lit(B)).cast("int").as("blk"),
           col("vec_id").as("id"), col("embedding"))
         .groupBy("blk")
         .agg(collect_list(struct(col("id"), col("embedding"))).as("vecs"))
-      val aSide = blocks.select(col("blk").as("bi"),
-        explode(sequence(col("blk"), lit(B - 1))).as("bj"),
-        col("vecs").as("va"))
-      val bSide = blocks.select(
-        explode(sequence(lit(0), col("blk"))).as("bi"),
-        col("blk").as("bj"), col("vecs").as("vb"))
-      val scored = aSide.hint("shuffle_hash").join(bSide, Seq("bi", "bj"))
-        .select(col("bi"), col("bj"), col("va"), col("vb"))
+      val tagged = blocks
+        .select(col("blk"), explode(sequence(lit(0), lit(B - 1))).as("j"),
+          col("vecs"))
+        .select(least(col("blk"), col("j")).as("bi"),
+          greatest(col("blk"), col("j")).as("bj"),
+          (col("j") >= col("blk")).as("isA"), col("vecs"))
+      val paired = tagged.groupBy("bi", "bj")
+        .agg(first(when(col("isA"), col("vecs")), ignoreNulls = true).as("va"),
+          first(when(!col("isA"), col("vecs")), ignoreNulls = true).as("vb"))
+      val scored = paired
         .as[(Int, Int, Array[IdVec], Array[IdVec])]
         .flatMap { case (bi, bj, va, vb) =>
-          Graft.blockTopK(bi, bj, va, vb, 20)
+          Graft.blockTopK(bi, bj, va, if (vb == null) va else vb, 20)
         }
         .toDF("a_id", "b_id", "raw")
       scored.orderBy(col("raw").desc, col("a_id"), col("b_id"))

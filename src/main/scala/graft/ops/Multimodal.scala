@@ -21,6 +21,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default cache spools every encode/decode through a TEMP
+  // FILE — per-image disk I/O that dwarfs the codec itself on a batch
+  // pipeline. Classloading this object (first touch of any codec call,
+  // per executor JVM) switches it to in-memory streams once.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic synthetic PNG: dimensions and pixel gradient derived
     * from (doc_id, orig_len), so tests can assert the DECODED dimensions
     * against values known without decoding. Real image bytes — the
@@ -30,11 +36,21 @@ object Multimodal {
     val h = 16 + math.floorMod(seedLen, 48)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // write the B,G,R raster bytes directly: same pixels as per-pixel
+    // setRGB (TYPE_3BYTE_BGR stores the sRGB values verbatim) without
+    // its per-call ColorModel round trip
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    val base = (docId % 255).toInt
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, (x * 31 + y * 7 + (docId % 255).toInt) & 0xFFFFFF)
+        val v = (x * 31 + y * 7 + base) & 0xFFFFFF
+        val i = (y * w + x) * 3
+        data(i) = (v & 0xFF).toByte
+        data(i + 1) = ((v >> 8) & 0xFF).toByte
+        data(i + 2) = ((v >> 16) & 0xFF).toByte
         x += 1
       }
       y += 1

@@ -86,9 +86,8 @@ class PlanAuditSpec extends SparkSpec {
   test("vec_knn_join builds lazily (no driver materialization) with distributed top-k") {
     // Constructing the query must not materialize any vector DATA (the
     // round-1 version collected the whole embeddings table to the driver
-    // at build time). The only allowed build-time job is the B-sizing
-    // metadata count, which emits empty rows (one per vector, zero
-    // columns) straight from the parquet footers.
+    // at build time). B-sizing reads only the plan's metadata size
+    // estimate — building the query runs NO job at all.
     val nRows = spark.read.parquet(s"$sf/embeddings.parquet").count()
     val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
     val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
@@ -232,17 +231,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1) Project"), p.take(2000))
   }
 
-  test("vec_knn_join: packed blocks — shuffled pair join, no broadcast, no driver collect") {
+  test("vec_knn_join: packed blocks — single-pass shuffle, no join, no broadcast, no driver collect") {
     val p = plan("vec_knn_join")
     assert(!p.contains("CollectLimit"), p.take(2000))
     // the pair expansion happens inside the flatMap kernel, so the only
-    // aggregation shuffle is the B-row block packing
+    // heavy shuffle rows are the B-per-block tagged packed rows
     assert(p.contains("SerializeFromObject"), p.take(2000))
     // the packed blocks travel by exchange (each ~B/2 times), NEVER by
     // broadcast — a broadcast would pin the whole dataset on every
     // executor and the driver, capping scale at Spark's 8 GB limit
     assert(!p.contains("BroadcastExchange"),
       "packed relation must not be broadcast:\n" + p.take(2000))
-    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    // the pair-reassembly is a groupBy on the pair key, not a join: the
+    // packed-block aggregation must appear in the plan exactly ONCE
+    assert(!p.contains("Join"), "pair reassembly must not be a join:\n" + p.take(2000))
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r
+      .findFirstIn(p).isDefined, p.take(2000))
   }
 }
