@@ -169,6 +169,132 @@ object Round6Ops {
         .orderBy("cohort", "m_off")
     }),
 
+    // RFM customer segmentation: recency/frequency/monetary quintiles.
+    // The per-customer rollup is one key-partitioned agg; each quintile
+    // is one ntile window with a total (metric, key) order so bucket
+    // edges are deterministic in both engines. Three windows over the
+    // CUSTOMER dimension (not the fact table) — at 100 TB the fact scan
+    // dominates and the windows run on the much smaller rollup.
+    "report_rfm_segments" -> ((s, d) => {
+      val cust = t(s, d, "orders").groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(dec(col("o_totalprice"))).as("spend"))
+      val mx = cust.agg(max(col("last_day")).as("mx"))
+      val base = cust.crossJoin(broadcast(mx))
+        .select(col("o_custkey"),
+          datediff(col("mx"), col("last_day")).as("recency_days"),
+          col("freq"), col("spend"))
+      def q(o: Seq[org.apache.spark.sql.Column]) =
+        ntile(5).over(Window.orderBy(o: _*))
+      base
+        .withColumn("r_q", q(Seq(col("recency_days"), col("o_custkey"))))
+        .withColumn("f_q", q(Seq(col("freq").desc, col("o_custkey"))))
+        .withColumn("m_q", q(Seq(col("spend").desc, col("o_custkey"))))
+        .select(col("o_custkey"), col("recency_days"), col("freq"),
+          money(col("spend")).as("spend"),
+          concat(col("r_q"), col("f_q"), col("m_q")).as("segment"))
+        .orderBy("o_custkey")
+    }),
+
+    // Market-basket affinity: brand-pair co-occurrence with support and
+    // lift. Baskets are DISTINCT (order, brand) rows; the pair build is
+    // a self-join keyed on the order (bounded by basket cardinality —
+    // brands, not items); supports broadcast back onto the 300-row pair
+    // table. The association-rules primitive at any scale.
+    "report_basket_affinity" -> ((s, d) => {
+      val baskets = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand")).distinct()
+      val nOrders = baskets.select(countDistinct(col("ok")).as("n_orders"))
+      val sup = baskets.groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+      val pairs = baskets.as("x").join(baskets.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p_brand") < col("y.p_brand"))
+        .groupBy(col("x.p_brand").as("b1"), col("y.p_brand").as("b2"))
+        .agg(count(lit(1)).as("pair_cnt"))
+      pairs
+        .join(broadcast(sup.select(col("p_brand").as("b1"), col("cnt").as("c1"))), "b1")
+        .join(broadcast(sup.select(col("p_brand").as("b2"), col("cnt").as("c2"))), "b2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("b1"), col("b2"), col("pair_cnt"),
+          round(col("pair_cnt").cast(DoubleType) / col("n_orders"), 6).as("support"),
+          round(col("pair_cnt").cast(DoubleType) * col("n_orders") /
+            (col("c1").cast(DoubleType) * col("c2")), 6).as("lift"))
+        .orderBy("b1", "b2")
+    }),
+
+    // Snapshot diff (the lake "what changed between table versions"
+    // primitive): full outer join of two snapshots on the key, column
+    // null-safe comparison for changed rows, per-status counts. The
+    // fixture derives the current snapshot from the previous one with
+    // deterministic deletes / updates / inserts so both engines build
+    // identical versions. One key-partitioned shuffle — the same shape
+    // Delta/Iceberg CDF materializes, expressed as a plain join.
+    "cdc_snapshot_diff" -> ((s, d) => {
+      val prev = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val kept = prev.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 7, lit("X-MODIFIED"))
+            .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+          col("o_totalprice"))
+      val ins = prev.filter(col("o_orderkey") % 10 === 1)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+      val curr = kept.unionAll(ins)
+      val j = prev.as("p").join(curr.as("c"),
+        col("p.o_orderkey") === col("c.o_orderkey"), "full_outer")
+      val status = when(col("p.o_orderkey").isNull, "added")
+        .when(col("c.o_orderkey").isNull, "removed")
+        .when(!(col("p.o_orderpriority") <=> col("c.o_orderpriority")) ||
+          !(col("p.o_totalprice") <=> col("c.o_totalprice")), "changed")
+        .otherwise("unchanged")
+      j.groupBy(status.as("status")).agg(count(lit(1)).as("cnt"))
+        .orderBy("status")
+    }),
+
+    // Zipf-law fit over the corpus vocabulary: ln(freq) regressed on
+    // ln(rank) for the top-200 terms — word counts are one shuffle, the
+    // rank is a bounded TakeOrdered, the fit is the single-pass regr_*
+    // moments. A one-row corpus-health signal (natural text ≈ -1 slope).
+    "text_zipf_fit" -> ((s, d) => {
+      val wc = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(200)
+      wc.withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+        .agg(
+          round(regr_slope(log(col("cnt")), log(col("rank"))), 6).as("slope"),
+          round(regr_intercept(log(col("cnt")), log(col("rank"))), 6)
+            .as("intercept"),
+          round(regr_r2(log(col("cnt")), log(col("rank"))), 6).as("r2"),
+          count(lit(1)).as("n_terms"))
+    }),
+
+    // Matryoshka funnel retrieval: cheap prefix-dim cosine (first 16 of
+    // 64 dims) selects 50 candidates, full-dim cosine re-ranks to the
+    // final 10 — the coarse-to-fine ANN pattern (MRL embeddings) that
+    // cuts the scoring cost 4x at the scan. Both stages are bounded
+    // TakeOrdered merges, never a global sort; the prefix slice is a
+    // zero-copy array slice inside codegen.
+    "vec_mrl_prefix_topk" -> ((s, d) => {
+      graft.Graft.registerFunctions(s)
+      val e = t(s, d, "embeddings")
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("p_emb")))
+      val cand = e.filter(col("vec_id") =!= 0).crossJoin(probe)
+        .select(col("vec_id"), col("label"),
+          expr("graft_cosine(slice(embedding, 1, 16), slice(p_emb, 1, 16))")
+            .as("cos16"),
+          expr("graft_cosine(embedding, p_emb)").as("cosf"))
+        .orderBy(col("cos16").desc, col("vec_id")).limit(50)
+      cand.orderBy(col("cosf").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), col("label"),
+          round(col("cos16"), 6).as("cos_prefix"),
+          round(col("cosf"), 6).as("cos_full"))
+    }),
+
     // Character-bigram Shannon entropy per document (nats) — a
     // low-entropy screen catches keyboard-mash / repeated-char spam
     // that word-level quality signals miss. H = ln n − (Σ c·ln c)/n
@@ -259,6 +385,71 @@ object Round6Ops {
         s"${oMoney("gmv")} AS gmv, " +
         s"${oMoney("SUM(gmv) OVER (PARTITION BY cohort ORDER BY m_off)")} AS cum_gmv " +
         "FROM g ORDER BY cohort, m_off"),
+
+    "report_rfm_segments" ->
+      (s"WITH cust AS (SELECT o_custkey, CAST(MAX(o_orderdate) AS DATE) AS last_day, " +
+        s"COUNT(*) AS freq, SUM(${oDec("o_totalprice")}) AS spend FROM orders GROUP BY 1), " +
+        "base AS (SELECT o_custkey, " +
+        "date_diff('day', last_day, (SELECT MAX(last_day) FROM cust)) AS recency_days, " +
+        "freq, spend FROM cust) " +
+        "SELECT o_custkey, CAST(recency_days AS INT) AS recency_days, " +
+        s"CAST(freq AS BIGINT) AS freq, ${oMoney("spend")} AS spend, " +
+        "CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS VARCHAR) || " +
+        "CAST(NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS VARCHAR) || " +
+        "CAST(NTILE(5) OVER (ORDER BY spend DESC, o_custkey) AS VARCHAR) AS segment " +
+        "FROM base ORDER BY o_custkey"),
+
+    "report_basket_affinity" ->
+      ("WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, p_brand " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey), " +
+        "n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM baskets), " +
+        "sup AS (SELECT p_brand, COUNT(*) AS cnt FROM baskets GROUP BY 1), " +
+        "pairs AS (SELECT x.p_brand AS b1, y.p_brand AS b2, COUNT(*) AS pair_cnt " +
+        "FROM baskets x JOIN baskets y ON x.ok = y.ok AND x.p_brand < y.p_brand " +
+        "GROUP BY 1, 2) " +
+        "SELECT b1, b2, CAST(pair_cnt AS BIGINT) AS pair_cnt, " +
+        "ROUND(CAST(pair_cnt AS DOUBLE) / n_orders, 6) AS support, " +
+        "ROUND(CAST(pair_cnt AS DOUBLE) * n_orders / " +
+        "(CAST(s1.cnt AS DOUBLE) * s2.cnt), 6) AS lift " +
+        "FROM pairs JOIN sup s1 ON pairs.b1 = s1.p_brand " +
+        "JOIN sup s2 ON pairs.b2 = s2.p_brand CROSS JOIN n " +
+        "ORDER BY b1, b2"),
+
+    "cdc_snapshot_diff" ->
+      ("WITH prev AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders), " +
+        "curr AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 10 = 7 THEN 'X-MODIFIED' ELSE o_orderpriority END " +
+        "AS o_orderpriority, o_totalprice FROM prev WHERE o_orderkey % 10 <> 3 " +
+        "UNION ALL SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice " +
+        "FROM prev WHERE o_orderkey % 10 = 1) " +
+        "SELECT CASE WHEN p.o_orderkey IS NULL THEN 'added' " +
+        "WHEN c.o_orderkey IS NULL THEN 'removed' " +
+        "WHEN p.o_orderpriority IS DISTINCT FROM c.o_orderpriority " +
+        "OR p.o_totalprice IS DISTINCT FROM c.o_totalprice THEN 'changed' " +
+        "ELSE 'unchanged' END AS status, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM prev p FULL OUTER JOIN curr c ON p.o_orderkey = c.o_orderkey " +
+        "GROUP BY 1 ORDER BY status"),
+
+    "text_zipf_fit" ->
+      ("WITH wc AS (SELECT tok, COUNT(*) AS cnt FROM (SELECT " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1 " +
+        "ORDER BY cnt DESC, tok LIMIT 200), " +
+        "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank FROM wc) " +
+        "SELECT ROUND(regr_slope(ln(cnt), ln(rank)), 6) AS slope, " +
+        "ROUND(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept, " +
+        "ROUND(regr_r2(ln(cnt), ln(rank)), 6) AS r2, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_terms FROM r"),
+
+    "vec_mrl_prefix_topk" ->
+      ("WITH p AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0), " +
+        "cand AS (SELECT vec_id, label, " +
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[])[1:16], p.pe[1:16]) AS cos16, " +
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pe) AS cosf " +
+        "FROM embeddings e, p WHERE vec_id <> 0 " +
+        "ORDER BY cos16 DESC, vec_id LIMIT 50) " +
+        "SELECT vec_id, label, ROUND(cos16, 6) AS cos_prefix, " +
+        "ROUND(cosf, 6) AS cos_full FROM cand " +
+        "ORDER BY cosf DESC, vec_id LIMIT 10"),
 
     "text_char_entropy" ->
       ("WITH b AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg " +
