@@ -248,4 +248,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("ObjectHashAggregate|SortAggregate|HashAggregate".r
       .findFirstIn(p).isDefined, p.take(2000))
   }
+
+  test("join_grid_spatial: cell-bucketed equi-join, never a cartesian") {
+    // the 2D distance join must execute as an equi-join on the cell key
+    // (the whole point of the grid bucketing); a cartesian/nested-loop
+    // plan would be the O(n·m) shape the bucketing exists to avoid
+    val p = plan("join_grid_spatial")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("Join") || p.contains("join"), p.take(2000))
+  }
+
+  test("graph_triangle_count: wedge probe is equi-joins only") {
+    // the edge/wedge joins must be hash/merge equi-joins; the only
+    // permitted nested-loop is the final 1-row × 1-row combine of the
+    // two scalar aggregates (n_edges × n_triangles), which is a
+    // nested-loop by construction and carries two rows total
+    val p = plan("graph_triangle_count")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val equiJoins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(equiJoins >= 3, s"expected >=3 equi-joins, got $equiJoins:\n" + p.take(2000))
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 1, s"only the scalar combine may nest-loop ($nlj):\n" + p.take(2000))
+  }
 }
