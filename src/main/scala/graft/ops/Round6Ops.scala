@@ -295,6 +295,55 @@ object Round6Ops {
           round(col("cosf"), 6).as("cos_full"))
     }),
 
+    // File-provenance scan: Spark's hidden _metadata struct exposes the
+    // source file name/size of every row with no join and no extra I/O
+    // — the lineage column a lake audit or a selective re-ingest needs.
+    // t2=N (rows-only driver check): the oracle's DuckDB views abstract
+    // file paths away; Round6Spec asserts name/size/count against the
+    // real file instead.
+    "scan_metadata_files" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("_metadata.file_name").as("src_file"),
+          col("_metadata.file_size").as("src_bytes"))
+        .groupBy("src_file", "src_bytes").agg(count(lit(1)).as("n_rows"))
+        .orderBy("src_file")),
+
+    // Year-over-year growth: monthly GMV self-joined on (year−1, same
+    // month) — robust to missing periods (a lag-12 window silently
+    // misaligns on a sparse calendar), and the join runs on the tiny
+    // month rollup, never the fact table. The standard period-over-
+    // period BI primitive.
+    "report_yoy_growth" -> ((s, d) => {
+      val m = t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(sum(dec(col("o_totalprice"))).as("gmv"))
+      val prev = m.select(col("y").as("py"), col("m").as("pm"),
+        col("gmv").as("prev_gmv"))
+      m.join(prev, col("y") - 1 === col("py") && col("m") === col("pm"), "left")
+        .select(col("y"), col("m"), money(col("gmv")).as("gmv"),
+          money(col("prev_gmv")).as("prev_gmv"),
+          round((money(col("gmv")) - money(col("prev_gmv"))) /
+            money(col("prev_gmv")), 6).as("yoy"))
+        .orderBy("y", "m")
+    }),
+
+    // Per-type latency/value bands: exact interpolated percentiles over
+    // the event stream — the SLO-report shape. Exact percentile needs
+    // the group's values together (one key-partitioned sort); at 100 TB
+    // the approx sketch (agg_percentile_approx) is the mergeable
+    // single-pass alternative, this is the exact companion.
+    "report_latency_bands" -> ((s, d) => {
+      T.events(s, d).createOrReplaceTempView("ev_bands")
+      s.sql("""
+        SELECT event_type,
+               CAST(ROUND(percentile(value, 0.5), 4) AS DOUBLE) AS p50,
+               CAST(ROUND(percentile(value, 0.9), 4) AS DOUBLE) AS p90,
+               CAST(ROUND(percentile(value, 0.99), 4) AS DOUBLE) AS p99,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ev_bands GROUP BY event_type ORDER BY event_type""")
+    }),
+
     // Character-bigram Shannon entropy per document (nats) — a
     // low-entropy screen catches keyboard-mash / repeated-char spam
     // that word-level quality signals miss. H = ln n − (Σ c·ln c)/n
@@ -450,6 +499,24 @@ object Round6Ops {
         "SELECT vec_id, label, ROUND(cos16, 6) AS cos_prefix, " +
         "ROUND(cosf, 6) AS cos_full FROM cand " +
         "ORDER BY cosf DESC, vec_id LIMIT 10"),
+
+    "report_yoy_growth" ->
+      (s"WITH m AS (SELECT CAST(year(o_orderdate) AS INT) AS y, " +
+        s"CAST(month(o_orderdate) AS INT) AS m, " +
+        s"SUM(${oDec("o_totalprice")}) AS gmv FROM orders GROUP BY 1, 2) " +
+        s"SELECT a.y, a.m, ${oMoney("a.gmv")} AS gmv, " +
+        s"${oMoney("p.gmv")} AS prev_gmv, " +
+        s"ROUND((${oMoney("a.gmv")} - ${oMoney("p.gmv")}) / ${oMoney("p.gmv")}, 6) AS yoy " +
+        "FROM m a LEFT JOIN m p ON a.y - 1 = p.y AND a.m = p.m " +
+        "ORDER BY a.y, a.m"),
+
+    "report_latency_bands" ->
+      ("SELECT event_type, " +
+        "CAST(ROUND(quantile_cont(value, 0.5), 4) AS DOUBLE) AS p50, " +
+        "CAST(ROUND(quantile_cont(value, 0.9), 4) AS DOUBLE) AS p90, " +
+        "CAST(ROUND(quantile_cont(value, 0.99), 4) AS DOUBLE) AS p99, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
 
     "text_char_entropy" ->
       ("WITH b AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg " +
