@@ -308,6 +308,38 @@ object Round6Ops {
         .groupBy("src_file", "src_bytes").agg(count(lit(1)).as("n_rows"))
         .orderBy("src_file")),
 
+    // Spark 4 VARIANT surface: parse_json into the binary semi-
+    // structured type, typed-path extraction (variant_get), missing-path
+    // NULL semantics, malformed-input try_parse_json, and a round trip
+    // through to_json(struct). VARIANT is the modern replacement for
+    // string-JSON hot paths — parsed once, shredded binary, no
+    // re-tokenizing per extraction. Oracle mirrors with DuckDB's JSON
+    // extraction (semantics, not the internal encoding).
+    "fn_variant_pack" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      T.events(s, d).select(
+          col("event_id"),
+          variant_get(v, "$.k", "int").as("vk"),
+          variant_get(v, "$.missing", "string").as("vmiss"),
+          try_parse_json(concat(lit("{"), col("props"))).isNull.as("bad_json"),
+          variant_get(parse_json(to_json(struct(col("user_id").as("u")))),
+            "$.u", "long").as("u2"))
+        .orderBy("event_id")
+    }),
+
+    // Skewness/kurtosis: Spark computes POPULATION g1/g2, DuckDB SAMPLE
+    // G1/G2 — same single-pass co-moments, different bias correction.
+    // The oracle inverts the correction algebraically (g1 = G1·(n−2)/
+    // √(n(n−1)); g2 = (G2·(n−2)(n−3)/(n−1) − 6)/(n+1)) so both engines
+    // report the population statistic — the cross-engine canon for
+    // higher-moment aggregates, rounded 6dp like corr/stddev.
+    "agg_skew_kurt" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(skewness(col("l_quantity")), 6).as("skew"),
+          round(kurtosis(col("l_quantity")), 6).as("kurt"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // Year-over-year growth: monthly GMV self-joined on (year−1, same
     // month) — robust to missing periods (a lag-12 window silently
     // misaligns on a sparse calendar), and the join runs on the tiny
@@ -499,6 +531,22 @@ object Round6Ops {
         "SELECT vec_id, label, ROUND(cos16, 6) AS cos_prefix, " +
         "ROUND(cosf, 6) AS cos_full FROM cand " +
         "ORDER BY cosf DESC, vec_id LIMIT 10"),
+
+    "fn_variant_pack" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS vk, " +
+        "json_extract_string(props, '$.missing') AS vmiss, " +
+        "(TRY_CAST('{' || props AS JSON) IS NULL) AS bad_json, " +
+        "CAST(json_extract_string(to_json(struct_pack(u := user_id)), '$.u') AS BIGINT) AS u2 " +
+        "FROM events ORDER BY event_id"),
+
+    "agg_skew_kurt" ->
+      ("SELECT l_returnflag, " +
+        "ROUND(skewness(l_quantity) * (COUNT(*) - 2) / " +
+        "sqrt(COUNT(*) * (COUNT(*) - 1.0)), 6) AS skew, " +
+        "ROUND((kurtosis(l_quantity) * (COUNT(*) - 2.0) * (COUNT(*) - 3) / " +
+        "(COUNT(*) - 1) - 6) / (COUNT(*) + 1), 6) AS kurt, " +
+        "CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "report_yoy_growth" ->
       (s"WITH m AS (SELECT CAST(year(o_orderdate) AS INT) AS y, " +
