@@ -181,6 +181,61 @@ object StreamingOps {
     }
   }
 
+  /** transformWithState sessionizer with EVENT-TIME TIMERS (t2=N,
+    * ScalaTest): the timer-based twin of `sessionizeState` — each input
+    * re-arms a timer at last-event + gap; when the watermark passes it,
+    * `handleExpiredTimer` emits the closed session and clears state.
+    * Timers are the transformWithState replacement for
+    * GroupStateTimeout: explicit, multiple per key, and decoupled from
+    * input arrival. Golden test asserts the same session as the
+    * flatMapGroupsWithState version. */
+  def sessionizeTws(spark: SparkSession, events: DataFrame,
+                    gapSec: Long = 1800): DataFrame = {
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapSec),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF("user_id", "n_events", "dur_sec")
+  }
+
+  /** Per-user session state closed by an event-time timer — the
+    * StatefulProcessor behind sessionizeTws. */
+  class SessionTimerProcessor(gapSec: Long) extends org.apache.spark.sql
+      .streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), (Long, Int, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long, Int)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Int)]("session",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Int)], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        tv: TimerValues): Iterator[(Long, Int, Long)] = {
+      val times = rows.map(_._2.getTime / 1000).toSeq
+      val prev = if (st.exists()) Some(st.get()) else None
+      prev.foreach { case (_, last, _) =>
+        getHandle.deleteTimer((last + gapSec) * 1000)
+      }
+      val (start0, last0, n0) =
+        prev.getOrElse((times.min, times.max, 0))
+      val ns = (math.min(start0, times.min),
+        math.max(last0, times.max), n0 + times.size)
+      st.update(ns)
+      getHandle.registerTimer((ns._2 + gapSec) * 1000)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Int, Long)] = {
+      val (start, last, n) = st.get()
+      st.clear()
+      Iterator.single((user, n, last - start))
+    }
+  }
+
   val oracles: Map[String, String] = Map(
     "stream_tumbling_1h" ->
       (s"SELECT date_trunc('hour', ts) AS ws, event_type, CAST(COUNT(*) AS BIGINT) AS cnt, $sumVal " +

@@ -282,6 +282,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 2, 600L)), rows.toSeq.toString)
   }
 
+  test("transformWithState event-time timer closes the session like the GroupState twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = StreamingOps.sessionizeTws(spark, mem.toDF())
+        .writeStream.format("memory").queryName("twstimer")
+        .outputMode(OutputMode.Append).start()
+      // same batches as the flatMapGroupsWithState golden test
+      mem.addData(Ev(ts("2024-01-01 10:00:00"), "click", 1.0, 1L),
+        Ev(ts("2024-01-01 10:10:00"), "click", 2.0, 1L))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 12:00:00"), "view", 1.0, 2L))
+      q.processAllAvailable()
+      mem.addData(Ev(ts("2024-01-01 12:30:00"), "view", 1.0, 2L))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("twstimer").filter(col("user_id") === 1L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 2, 600L)), rows.toSeq.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream_dedup within watermark drops duplicate (user_id,event_id)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
