@@ -308,6 +308,69 @@ object Round6Ops {
         .groupBy("src_file", "src_bytes").agg(count(lit(1)).as("n_rows"))
         .orderBy("src_file")),
 
+    // Spark 4 collation surface: UTF8_LCASE comparison semantics pushed
+    // into equality and grouping — no lower() rewrite of the data, the
+    // comparison itself is collation-aware (and collation-aware
+    // grouping stays hash-aggregable). Fixture upper-cases every even
+    // row so the collation actually has work to do; the oracle mirrors
+    // with explicit lower() (DuckDB's equivalent semantics).
+    "fn_collation_pack" -> ((s, d) => {
+      val mixed = T.events(s, d).select(col("event_id"),
+        when(col("event_id") % 2 === 0, upper(col("event_type")))
+          .otherwise(col("event_type")).as("et"))
+      val lcase = collate(col("et"), "UTF8_LCASE")
+      mixed
+        .filter(lcase === lit("click") || lcase === lit("VIEW"))
+        .groupBy(lower(col("et")).as("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    // Hash + cipher pack: md5/sha2 content digests (the exact-dedup and
+    // fingerprint keys) and an AES encrypt→decrypt round trip — the
+    // oracle states the identity (decrypt∘encrypt = id), so a
+    // hash-match proves the cipher path preserves bytes. Key handling
+    // is a fixture literal; production wires a KMS column.
+    "fn_crypto_pack" -> ((s, d) => {
+      val key = lit("0123456789abcdef") // 128-bit fixture key
+      t(s, d, "documents").select(col("doc_id"),
+          md5(col("text")).as("md5_hex"),
+          sha2(col("text"), 256).as("sha256_hex"),
+          aes_decrypt(aes_encrypt(col("text").cast(BinaryType), key,
+            lit("ECB")), key, lit("ECB")).cast(StringType).as("roundtrip"))
+        .orderBy("doc_id")
+    }),
+
+    // Event-transition matrix (the Markov/Sankey primitive): per-user
+    // lag pairs under a total (exact-ns, event_id) order, counted and
+    // normalized to per-source probabilities. One user-partitioned
+    // window + one 25-row agg — the funnel-discovery shape at any
+    // scale.
+    "report_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      val pairs = T.events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      pairs
+        .withColumn("p", round(col("cnt").cast(DoubleType) /
+          sum(col("cnt")).over(Window.partitionBy("from_type")), 6))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Whole-file binary ingest: Spark's binaryFile source reads any
+    // file as (path, modificationTime, length, content) rows — the
+    // ingest front door for image/audio corpora that predate any table
+    // format. t2=N (rows-only): paths are environment-specific; the
+    // ScalaTest asserts length == content size == on-disk size.
+    "source_binaryfile" -> ((s, d) =>
+      s.read.format("binaryFile").load(s"$d/region.parquet")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length"), length(col("content")).cast(LongType).as("content_len"))
+        .orderBy("file_name")),
+
     // Spark 4 VARIANT surface: parse_json into the binary semi-
     // structured type, typed-path extraction (variant_get), missing-path
     // NULL semantics, malformed-input try_parse_json, and a round trip
@@ -531,6 +594,27 @@ object Round6Ops {
         "SELECT vec_id, label, ROUND(cos16, 6) AS cos_prefix, " +
         "ROUND(cosf, 6) AS cos_full FROM cand " +
         "ORDER BY cosf DESC, vec_id LIMIT 10"),
+
+    "fn_collation_pack" ->
+      ("WITH mixed AS (SELECT event_id, CASE WHEN event_id % 2 = 0 " +
+        "THEN upper(event_type) ELSE event_type END AS et FROM events) " +
+        "SELECT lower(et) AS event_type, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM mixed WHERE lower(et) = 'click' OR lower(et) = 'view' " +
+        "GROUP BY 1 ORDER BY event_type"),
+
+    "fn_crypto_pack" ->
+      ("SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex, " +
+        "text AS roundtrip FROM documents ORDER BY doc_id"),
+
+    "report_event_transitions" ->
+      ("WITH p AS (SELECT user_id, event_type AS to_type, " +
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type " +
+        "FROM events), " +
+        "c AS (SELECT from_type, to_type, COUNT(*) AS cnt FROM p " +
+        "WHERE from_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt, " +
+        "ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY from_type), 6) AS p " +
+        "FROM c ORDER BY from_type, to_type"),
 
     "fn_variant_pack" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS vk, " +

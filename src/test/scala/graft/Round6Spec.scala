@@ -21,6 +21,17 @@ class Round6Spec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") == n, s"$r vs $n")
   }
 
+  test("source_binaryfile length and content size match the file on disk") {
+    val rows = SparkEntry.queries("source_binaryfile")(spark, sf).collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    val r = rows.head
+    assert(r.getAs[String]("file_name") == "region.parquet", r)
+    val onDisk = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$sf/region.parquet"))
+    assert(r.getAs[Long]("length") == onDisk, s"$r vs $onDisk")
+    assert(r.getAs[Long]("content_len") == onDisk, s"$r vs $onDisk")
+  }
+
   test("join_grid_spatial equals the unbucketed brute-force distance join") {
     val bucketed = SparkEntry.queries("join_grid_spatial")(spark, sf)
     val cust = T.t(spark, sf, "customer").select(col("c_custkey"),
