@@ -99,6 +99,40 @@ object ScalingProbe {
         col("c_us") <= col("p_us")).count()
     }
 
+    // round-6 shapes: the grid-bucketed spatial join amplifies the probe
+    // (customer) side only — output grows ~10×, and the cell equi-join
+    // should track it linearly; the triangle edge-build measures the
+    // DISTINCT reduction over 10× pair instances (same edge set).
+    val cust = T.t(spark, sfDir, "customer")
+    val supp = T.t(spark, sfDir, "supplier")
+    def gridJoin(c: DataFrame): Long = {
+      def cell(x: org.apache.spark.sql.Column) = floor(x / 2.0).cast("long")
+      val cc = c.select(col("c_custkey"),
+          ((col("c_custkey") * 7) % 140 - 70 + lit(0.25)).as("x"),
+          ((col("c_custkey") * 13) % 360 - 180 + lit(0.25)).as("y"))
+        .withColumn("cx", cell(col("x"))).withColumn("cy", cell(col("y")))
+      val sp = supp.select(col("s_suppkey"),
+          ((col("s_suppkey") * 11) % 140 - 70 + lit(0.5)).as("sx"),
+          ((col("s_suppkey") * 17) % 360 - 180 + lit(0.5)).as("sy"))
+        .withColumn("di", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dj", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("s_suppkey"), col("sx"), col("sy"),
+          (cell(col("sx")) + col("di")).as("cx"),
+          (cell(col("sy")) + col("dj")).as("cy"))
+      val dx = col("x") - col("sx"); val dy = col("y") - col("sy")
+      cc.join(sp, Seq("cx", "cy"))
+        .filter(dx * dx + dy * dy <= 4.0).count()
+    }
+    def triEdges(l: DataFrame): Long = {
+      val p = l.filter(col("l_partkey") < 1000)
+        .select(col("l_orderkey"), col("l_partkey"))
+      p.as("a").join(p.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .distinct().count()
+    }
+
     // warm up IO + codegen once so both measurements are steady-state
     q1(li); joinAgg(ord, li); winLatest(ev); ()
 
@@ -113,7 +147,11 @@ object ScalingProbe {
       ("asof_merged_window", time(asof(ev)),
         time(asof(amp(ev, Seq("user_id", "event_id"))))),
       ("interval_bucketed_join", time(intervalJoin(ev)),
-        time(intervalJoin(amp(ev, Seq("user_id", "event_id")))))
+        time(intervalJoin(amp(ev, Seq("user_id", "event_id"))))),
+      ("grid_spatial_join", time(gridJoin(cust)),
+        time(gridJoin(amp(cust, Seq("c_custkey"))))),
+      ("triangle_edge_distinct", time(triEdges(li)),
+        time(triEdges(amp(li, Seq("l_orderkey")))))
     )
     def r(v: Double): Double = math.rint(v * 1000) / 1000
     val json = results.map { case (k, t1, t10) =>

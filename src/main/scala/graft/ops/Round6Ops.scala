@@ -308,6 +308,43 @@ object Round6Ops {
         .groupBy("src_file", "src_bytes").agg(count(lit(1)).as("n_rows"))
         .orderBy("src_file")),
 
+    // The reference's layered-warehouse pipeline in one composite
+    // (SURVEY §1.1: ODS binlog ingest → DWD latest-record dedup → DWS
+    // daily rollup): the ODS fixture unions deterministic "update"
+    // binlog rows onto the base snapshot; DWD keeps the latest record
+    // per key (ROW_NUMBER ... ORDER BY update_time DESC = 1 — the
+    // binlog dedup idiom verbatim); DWS rolls DWD up to daily order
+    // counts and GMV. Each layer is one key-partitioned shuffle.
+    "etl_ods_to_dws" -> ((s, d) => {
+      val base = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderdate"), col("o_orderpriority"), col("o_totalprice"),
+        lit(0L).as("update_time"))
+      val updates = base.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          lit("9-UPDATED").as("o_orderpriority"),
+          col("o_totalprice") + 10.0, lit(1L).as("update_time"))
+      val ods = base.unionAll(updates)
+      val w = Window.partitionBy("o_orderkey")
+        .orderBy(col("update_time").desc)
+      val dwd = ods.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      dwd.groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(dec(col("o_totalprice")))).as("gmv"),
+          count(when(col("o_orderpriority") === "9-UPDATED", 1)).as("n_updated"))
+        .orderBy("dt")
+    }),
+
+    // PII masking: the mask() redaction function (upper→X, lower→x,
+    // digit→n; plus a custom alphabet with '#' for punctuation) — the
+    // data-governance scrub that runs inside codegen, no UDF. Oracle
+    // mirrors via ordered character-class regexp_replace.
+    "fn_mask_pack" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          mask(col("text")).as("masked"),
+          mask(col("text"), lit("Y"), lit("y"), lit("d"), lit("#")).as("masked2"))
+        .orderBy("doc_id")),
+
     // Spark 4 collation surface: UTF8_LCASE comparison semantics pushed
     // into equality and grouping — no lower() rewrite of the data, the
     // comparison itself is collation-aware (and collation-aware
@@ -594,6 +631,30 @@ object Round6Ops {
         "SELECT vec_id, label, ROUND(cos16, 6) AS cos_prefix, " +
         "ROUND(cosf, 6) AS cos_full FROM cand " +
         "ORDER BY cosf DESC, vec_id LIMIT 10"),
+
+    "etl_ods_to_dws" ->
+      (s"WITH base AS (SELECT o_orderkey, o_orderdate, o_orderpriority, " +
+        "o_totalprice, 0 AS update_time FROM orders), " +
+        "updates AS (SELECT o_orderkey, o_orderdate, '9-UPDATED', " +
+        "o_totalprice + 10.0, 1 FROM base WHERE o_orderkey % 5 = 0), " +
+        "ods AS (SELECT * FROM base UNION ALL SELECT * FROM updates), " +
+        "dwd AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER " +
+        "(PARTITION BY o_orderkey ORDER BY update_time DESC) AS rn FROM ods) " +
+        "WHERE rn = 1) " +
+        "SELECT CAST(o_orderdate AS DATE) AS dt, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS gmv, " +
+        "CAST(COUNT(CASE WHEN o_orderpriority = '9-UPDATED' THEN 1 END) AS BIGINT) " +
+        "AS n_updated FROM dwd GROUP BY 1 ORDER BY dt"),
+
+    "fn_mask_pack" ->
+      ("SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Z]', 'Y', 'g'), '[a-z]', 'y', 'g'), '[0-9]', 'd', 'g'), " +
+        "'[^Yyd]', '#', 'g') AS masked2 " +
+        "FROM documents ORDER BY doc_id"),
 
     "fn_collation_pack" ->
       ("WITH mixed AS (SELECT event_id, CASE WHEN event_id % 2 = 0 " +
