@@ -53,6 +53,9 @@ object Graft {
     * `cum` names the running-sum column; a non-empty `total` additionally
     * attaches the grand total (handy for cumulative-share reports, saving
     * the caller a second pass over `df`'s lineage). */
+  private val scanSumPersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
   def scanSum(df: DataFrame, value: Column, order: Seq[Column],
               cum: String, total: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -62,7 +65,17 @@ object Graft {
       org.apache.spark.sql.graft.GraftSqlBridge.sortKey(order.head)
     // persisted: consumed by the bounds agg, the bucket totals and the
     // main pass — one materialization of the (often expensive) lineage.
+    // Registered in a bounded queue: each call pins one cache entry, and
+    // callers have no handle to release it, so without eviction a
+    // long-lived session calling scanSum repeatedly leaks storage. The
+    // oldest entries beyond the window are unpersisted (blocking=false —
+    // an in-flight job on an evicted entry just recomputes its lineage).
     val in = df.persist(MEMORY_AND_DISK)
+    scanSumPersists.add(in)
+    while (scanSumPersists.size > 8) {
+      val old = scanSumPersists.poll()
+      if (old != null) old.unpersist(blocking = false)
+    }
     val bucketed = if (n <= 1) in.withColumn("_pid", lit(0)) else {
       val pcts = array((1 until n).map(i => lit(i.toDouble / n)): _*)
       val bounds = in.agg(

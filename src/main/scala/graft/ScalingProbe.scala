@@ -103,35 +103,26 @@ object ScalingProbe {
     // (customer) side only — output grows ~10×, and the cell equi-join
     // should track it linearly; the triangle edge-build measures the
     // DISTINCT reduction over 10× pair instances (same edge set).
+    // same geometry/edge definitions as the operator and the parity spec
+    // (ops.Round6Ops helpers) — the probe must measure the same fixture
     val cust = T.t(spark, sfDir, "customer")
     val supp = T.t(spark, sfDir, "supplier")
+    import ops.Round6Ops.{custPoints, suppPoints, gridCell, gridRadius2, coPurchaseEdges}
     def gridJoin(c: DataFrame): Long = {
-      def cell(x: org.apache.spark.sql.Column) = floor(x / 2.0).cast("long")
-      val cc = c.select(col("c_custkey"),
-          ((col("c_custkey") * 7) % 140 - 70 + lit(0.25)).as("x"),
-          ((col("c_custkey") * 13) % 360 - 180 + lit(0.25)).as("y"))
-        .withColumn("cx", cell(col("x"))).withColumn("cy", cell(col("y")))
-      val sp = supp.select(col("s_suppkey"),
-          ((col("s_suppkey") * 11) % 140 - 70 + lit(0.5)).as("sx"),
-          ((col("s_suppkey") * 17) % 360 - 180 + lit(0.5)).as("sy"))
+      val cc = custPoints(c)
+        .withColumn("cx", gridCell(col("x")))
+        .withColumn("cy", gridCell(col("y")))
+      val sp = suppPoints(supp)
         .withColumn("di", explode(array(lit(-1L), lit(0L), lit(1L))))
         .withColumn("dj", explode(array(lit(-1L), lit(0L), lit(1L))))
         .select(col("s_suppkey"), col("sx"), col("sy"),
-          (cell(col("sx")) + col("di")).as("cx"),
-          (cell(col("sy")) + col("dj")).as("cy"))
+          (gridCell(col("sx")) + col("di")).as("cx"),
+          (gridCell(col("sy")) + col("dj")).as("cy"))
       val dx = col("x") - col("sx"); val dy = col("y") - col("sy")
       cc.join(sp, Seq("cx", "cy"))
-        .filter(dx * dx + dy * dy <= 4.0).count()
+        .filter(dx * dx + dy * dy <= gridRadius2).count()
     }
-    def triEdges(l: DataFrame): Long = {
-      val p = l.filter(col("l_partkey") < 1000)
-        .select(col("l_orderkey"), col("l_partkey"))
-      p.as("a").join(p.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .distinct().count()
-    }
+    def triEdges(l: DataFrame): Long = coPurchaseEdges(l).count()
 
     // warm up IO + codegen once so both measurements are steady-state
     q1(li); joinAgg(ord, li); winLatest(ev); ()

@@ -30,6 +30,47 @@ object LlmOps {
     sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x))
 
+  /** The packed-block kNN core behind vec_knn_join, parameterized so the
+    * spec can drive it with a sparse id fixture (empty residue classes
+    * mod B) — see the vec_knn_join entry's comment for the full design.
+    * `emb` needs (vec_id, embedding); returns the global top-k pairs. */
+  private[graft] def knnJoin(emb: DataFrame, B: Int, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val blocks = emb
+      .select(pmod(col("vec_id"), lit(B)).cast("int").as("blk"),
+        col("vec_id").as("id"), col("embedding"))
+      .groupBy("blk")
+      .agg(collect_list(struct(col("id"), col("embedding"))).as("vecs"))
+    val tagged = blocks
+      .select(col("blk"), explode(sequence(lit(0), lit(B - 1))).as("j"),
+        col("vecs"))
+      .select(least(col("blk"), col("j")).as("bi"),
+        greatest(col("blk"), col("j")).as("bj"),
+        (col("j") >= col("blk")).as("isA"), col("vecs"))
+    val paired = tagged.groupBy("bi", "bj")
+      .agg(first(when(col("isA"), col("vecs")), ignoreNulls = true).as("va"),
+        first(when(!col("isA"), col("vecs")), ignoreNulls = true).as("vb"))
+    val scored = paired
+      .as[(Int, Int, Array[IdVec], Array[IdVec])]
+      .flatMap { case (bi, bj, va, vb) =>
+        // An empty residue class mod B (sparse/gappy vec_ids, or B >
+        // distinct residues on a small table) yields a one-sided pair
+        // row. Off-diagonal with either side absent → no cross pairs
+        // exist, emit nothing (falling back to va would double-count
+        // block i's internal pairs already scored by its diagonal).
+        // The diagonal (k,k) arrives A-side only by construction —
+        // score it against itself.
+        if (bi == bj) Graft.blockTopK(bi, bj, va, va, k)
+        else if (va == null || vb == null) Iterator.empty
+        else Graft.blockTopK(bi, bj, va, vb, k)
+      }
+      .toDF("a_id", "b_id", "raw")
+    scored.orderBy(col("raw").desc, col("a_id"), col("b_id"))
+      .limit(k)
+      .select(col("a_id"), col("b_id"), round(col("raw"), 6).as("cos_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Group on sha2(text) so the shuffle carries a 64-char key, not the
     // full document; text is reduced to (hash, length) map-side — at
@@ -110,36 +151,13 @@ object LlmOps {
     // top-k; the kernel's double arithmetic is the exact sequential fold
     // of expr/CosineSimilarity — results hash-match the naive-join oracle.
     "vec_knn_join" -> ((s, d) => {
-      import s.implicits._
       val emb = t(s, d, "embeddings")
       val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
       val par = s.sparkContext.defaultParallelism
       val bMem = (bytes / (64L << 20)).toLong + 1
       val bPar = math.ceil((math.sqrt(16.0 * par + 1) - 1) / 2).toLong
       val B = math.max(2L, math.max(bMem, bPar)).toInt
-      val blocks = emb
-        .select(pmod(col("vec_id"), lit(B)).cast("int").as("blk"),
-          col("vec_id").as("id"), col("embedding"))
-        .groupBy("blk")
-        .agg(collect_list(struct(col("id"), col("embedding"))).as("vecs"))
-      val tagged = blocks
-        .select(col("blk"), explode(sequence(lit(0), lit(B - 1))).as("j"),
-          col("vecs"))
-        .select(least(col("blk"), col("j")).as("bi"),
-          greatest(col("blk"), col("j")).as("bj"),
-          (col("j") >= col("blk")).as("isA"), col("vecs"))
-      val paired = tagged.groupBy("bi", "bj")
-        .agg(first(when(col("isA"), col("vecs")), ignoreNulls = true).as("va"),
-          first(when(!col("isA"), col("vecs")), ignoreNulls = true).as("vb"))
-      val scored = paired
-        .as[(Int, Int, Array[IdVec], Array[IdVec])]
-        .flatMap { case (bi, bj, va, vb) =>
-          Graft.blockTopK(bi, bj, va, if (vb == null) va else vb, 20)
-        }
-        .toDF("a_id", "b_id", "raw")
-      scored.orderBy(col("raw").desc, col("a_id"), col("b_id"))
-        .limit(20)
-        .select(col("a_id"), col("b_id"), round(col("raw"), 6).as("cos_sim"))
+      knnJoin(emb, B, 20)
     }),
 
     "text_lang_stats" -> ((s, d) =>

@@ -72,11 +72,23 @@ object Round5Ops {
     * the final localCheckpoint'd labels (~1 row/node), which the catalog
     * cache-clear between bench runs does not evict (RDD-level, not
     * CacheManager). */
+  /** Single per-JVM scratch dir for the CSV round-trip fixture. */
+  private[graft] lazy val csvRoundtripDir: String =
+    java.nio.file.Files.createTempDirectory("graft_csv_roundtrip").toString
+
   private val ccMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private[graft] def graphComponents(s: SparkSession, d: String): DataFrame = {
-    val key = s.sparkContext.applicationId + "|" + d
+    // key includes the edge source's (size, mtime): rewriting the input
+    // in-place invalidates the memo instead of silently serving stale
+    // labels (the memo is a materialized view; this is its freshness check)
+    val src = java.nio.file.Paths.get(s"$d/orders.parquet")
+    val stamp =
+      try s"${java.nio.file.Files.size(src)}:" +
+        java.nio.file.Files.getLastModifiedTime(src).toMillis
+      catch { case _: java.io.IOException => "0:0" }
+    val key = s.sparkContext.applicationId + "|" + d + "|" + stamp
     val cached = ccMemo.get(key)
     if (cached != null) return graft.Graft.rebind(cached, s)
     // Loop sizing from the ONE known count: nodes (parquet metadata-only
@@ -380,10 +392,11 @@ object Round5Ops {
     // bytes exactly; the oracle regenerates the same strings straight
     // from the parquet table.
     "source_csv_roundtrip" -> ((s, d) => {
-      // unique per-invocation dir: cwd-independent, no overwrite race
-      // between concurrent or repeated invocations (bench runs n=3)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_csv_roundtrip").toString
+      // ONE temp dir per JVM (lazy): cwd-independent, no overwrite race
+      // across processes, and repeated invocations (bench warm-up + 3
+      // runs) overwrite the same dir instead of accumulating one
+      // orphaned directory of CSV output per call
+      val out = Round5Ops.csvRoundtripDir
       val tricky = concat(col("text"), lit("\n\"quoted, field\""))
       t(s, d, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"), tricky.as("payload"))

@@ -23,6 +23,35 @@ import org.apache.spark.sql.types._
   */
 object Round6Ops {
   import T._
+  import org.apache.spark.sql.Column
+
+  // ---- shared spatial/graph fixture geometry --------------------------
+  // One definition for the operator, the scaling probe AND the
+  // brute-force parity spec: the dyadic-rational coordinate formulas,
+  // cell side and radius must stay identical across all three or the
+  // probe/spec silently measure a different operator.
+  private[graft] def gridCell(c: Column): Column = floor(c / 2.0).cast(LongType)
+  private[graft] val gridRadius2 = 4.0
+  /** customer points (c_custkey, x, y) — exact doubles. */
+  private[graft] def custPoints(c: DataFrame): DataFrame =
+    c.select(col("c_custkey"),
+      ((col("c_custkey") * 7) % 140 - 70 + lit(0.25)).as("x"),
+      ((col("c_custkey") * 13) % 360 - 180 + lit(0.25)).as("y"))
+  /** supplier points (s_suppkey, sx, sy) — exact doubles. */
+  private[graft] def suppPoints(sp: DataFrame): DataFrame =
+    sp.select(col("s_suppkey"),
+      ((col("s_suppkey") * 11) % 140 - 70 + lit(0.5)).as("sx"),
+      ((col("s_suppkey") * 17) % 360 - 180 + lit(0.5)).as("sy"))
+  /** DISTINCT src<dst co-purchase edges over partkey<1000. */
+  private[graft] def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.filter(col("l_partkey") < 1000)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .distinct()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gaps-and-islands: per-user runs of consecutive active days.
@@ -75,26 +104,20 @@ object Round6Ops {
     // cell (the probe side keeps its single home cell) so no dedup
     // pass is needed.
     "join_grid_spatial" -> ((s, d) => {
-      def cell(c: org.apache.spark.sql.Column) =
-        floor(c / 2.0).cast(LongType)
-      val cust = t(s, d, "customer").select(col("c_custkey"),
-          ((col("c_custkey") * 7) % 140 - 70 + lit(0.25)).as("x"),
-          ((col("c_custkey") * 13) % 360 - 180 + lit(0.25)).as("y"))
-        .withColumn("cx", cell(col("x")))
-        .withColumn("cy", cell(col("y")))
-      val supp = t(s, d, "supplier").select(col("s_suppkey"),
-          ((col("s_suppkey") * 11) % 140 - 70 + lit(0.5)).as("sx"),
-          ((col("s_suppkey") * 17) % 360 - 180 + lit(0.5)).as("sy"))
+      val cust = custPoints(t(s, d, "customer"))
+        .withColumn("cx", gridCell(col("x")))
+        .withColumn("cy", gridCell(col("y")))
+      val supp = suppPoints(t(s, d, "supplier"))
         .withColumn("di", explode(array(lit(-1L), lit(0L), lit(1L))))
         .withColumn("dj", explode(array(lit(-1L), lit(0L), lit(1L))))
         .select(col("s_suppkey"), col("sx"), col("sy"),
-          (cell(col("sx")) + col("di")).as("cx"),
-          (cell(col("sy")) + col("dj")).as("cy"))
+          (gridCell(col("sx")) + col("di")).as("cx"),
+          (gridCell(col("sy")) + col("dj")).as("cy"))
       val dx = col("x") - col("sx")
       val dy = col("y") - col("sy")
       cust.join(supp, Seq("cx", "cy"))
         .withColumn("dist2", dx * dx + dy * dy)
-        .filter(col("dist2") <= 4.0)
+        .filter(col("dist2") <= gridRadius2)
         .select(col("c_custkey"), col("s_suppkey"), col("dist2"))
         .orderBy("c_custkey", "s_suppkey")
     }),
@@ -109,13 +132,7 @@ object Round6Ops {
     // to partkey<1000 (the oracle mirrors the bound): co-purchase pair
     // volume is quadratic in basket size by construction.
     "graph_triangle_count" -> ((s, d) => {
-      val li = t(s, d, "lineitem").filter(col("l_partkey") < 1000)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .distinct()
+      val edges = coPurchaseEdges(t(s, d, "lineitem"))
       val tri = edges.as("e1")
         .join(edges.as("e2"), col("e1.p2") === col("e2.p1"))
         .join(edges.as("e3"),

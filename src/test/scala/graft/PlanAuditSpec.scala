@@ -87,8 +87,7 @@ class PlanAuditSpec extends SparkSpec {
     // Constructing the query must not materialize any vector DATA (the
     // round-1 version collected the whole embeddings table to the driver
     // at build time). B-sizing reads only the plan's metadata size
-    // estimate — building the query runs NO job at all.
-    val nRows = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    // estimate — building the query runs NO job and reads ZERO records.
     val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
     val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -106,8 +105,8 @@ class PlanAuditSpec extends SparkSpec {
       // top-k never materializes a global sort
       assert(p.contains("TakeOrderedAndProject"), p)
       Thread.sleep(500) // let listener-bus events drain
-      assert(recordsRead.get() <= nRows,
-        s"query construction read ${recordsRead.get()} records (> $nRows)")
+      assert(recordsRead.get() == 0,
+        s"query construction read ${recordsRead.get()} records (expected 0)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

@@ -32,19 +32,48 @@ class Round6Spec extends SparkSpec {
     assert(r.getAs[Long]("content_len") == onDisk, s"$r vs $onDisk")
   }
 
+  test("knnJoin with empty residue classes matches brute force (no NPE, no duplicates)") {
+    // vec_ids ≡ 0 or 1 (mod 5) only → residues 2,3,4 are EMPTY blocks:
+    // every off-diagonal pair involving them is one-sided. The old code
+    // either NPE'd (va null) or double-counted block-internal pairs
+    // (vb null fallback); the fix emits nothing for one-sided pairs.
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      val id = (i / 2) * 5L + (i % 2) // 0,1,5,6,10,11,...
+      (id, Array.tabulate(8)(j => (1.0f + ((id * 7 + j * 3) % 13))))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = ops.LlmOps.knnJoin(emb, 5, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 8).foreach { m =>
+        val p = a(m).toDouble; val q = b(m).toDouble
+        dp += p * q; na += p * p; nb += q * q
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for {
+      x <- vecs; y <- vecs if x._1 < y._1
+    } yield (x._1, y._1, cos(x._2, y._2)))
+      .sortBy(t => (-t._3, t._1, t._2)).take(50)
+      .map(t => (t._1, t._2, math.rint(t._3 * 1e6) / 1e6))
+    assert(got.length == brute.length, s"${got.length} vs ${brute.length}")
+    assert(got.toSeq == brute.toSeq,
+      got.toSeq.take(5) + " vs " + brute.toSeq.take(5))
+  }
+
   test("join_grid_spatial equals the unbucketed brute-force distance join") {
+    // brute force uses the OPERATOR's own point generators — one
+    // geometry definition, so this parity can't silently desynchronize
     val bucketed = SparkEntry.queries("join_grid_spatial")(spark, sf)
-    val cust = T.t(spark, sf, "customer").select(col("c_custkey"),
-      ((col("c_custkey") * 7) % 140 - 70 + lit(0.25)).as("x"),
-      ((col("c_custkey") * 13) % 360 - 180 + lit(0.25)).as("y"))
-    val supp = T.t(spark, sf, "supplier").select(col("s_suppkey"),
-      ((col("s_suppkey") * 11) % 140 - 70 + lit(0.5)).as("sx"),
-      ((col("s_suppkey") * 17) % 360 - 180 + lit(0.5)).as("sy"))
+    val cust = ops.Round6Ops.custPoints(T.t(spark, sf, "customer"))
+    val supp = ops.Round6Ops.suppPoints(T.t(spark, sf, "supplier"))
     val dx = col("x") - col("sx")
     val dy = col("y") - col("sy")
     val brute = cust.crossJoin(supp)
       .withColumn("dist2", dx * dx + dy * dy)
-      .filter(col("dist2") <= 4.0)
+      .filter(col("dist2") <= ops.Round6Ops.gridRadius2)
       .select(col("c_custkey"), col("s_suppkey"), col("dist2"))
       .orderBy("c_custkey", "s_suppkey")
     assert(bucketed.collect().toSeq == brute.collect().toSeq)
