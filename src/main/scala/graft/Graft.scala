@@ -106,6 +106,31 @@ object Graft {
     withTot.drop("_pid", "_off", "_tot")
   }
 
+  /** Per-key top-k through the custom [[graft.plans.TopKPerKey]]
+    * operator stack (LogicalPlan → Strategy → two-level SparkPlan):
+    * unlike the `row_number ≤ k` window, nothing is fully sorted and
+    * the exchange carries at most k rows per (key, input partition) —
+    * the map-side-combine of top-k. Idempotently injects the strategy
+    * into the session via the public `experimental.extraStrategies`
+    * hook. */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder => CSortOrder}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.TopKPerKeyStrategy
+    val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    val sortOrders = order.map { c =>
+      val (key, desc) = bridge.sortKey(c)
+      CSortOrder(bridge.sessionExpression(spark, key),
+        if (desc) Descending else Ascending)
+    }
+    bridge.ofRows(spark, plans.TopKPerKey(
+      keys.map(bridge.sessionExpression(spark, _)),
+      sortOrders, k, df.queryExecution.logical))
+  }
+
   /** Register the custom Catalyst expressions as SQL functions (usable in
     * expr()/spark.sql/LATERAL VIEW). Idempotent per session. */
   def registerFunctions(spark: SparkSession): Unit = {

@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // auto-rewrite abs(x−y)<=W theta joins into bucketed equi-joins
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBucketing())
+    // plan the custom per-key top-k logical node (two-level exec);
+    // Graft.topKPerKey also injects this per-session via
+    // experimental.extraStrategies for sessions built without extensions
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entry per implemented operator; each t2=Y key has a DuckDB oracle in
   * `oracleSql` (SURVEY §0, [B:2]).
   *
-  * 184 query keys (173 DuckDB-oracled) across: Relational
+  * 185 query keys (174 DuckDB-oracled) across: Relational
   * (scans/filters/joins/sorts/sets),
   * Aggregates (grouping/windows/UDAF/HLL sketches), Scalars (function
   * packs), SourcesSinks (partitioned parquet / jsonlines / csv / orc),

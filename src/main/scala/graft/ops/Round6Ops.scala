@@ -325,6 +325,23 @@ object Round6Ops {
         .groupBy("src_file", "src_bytes").agg(count(lit(1)).as("n_rows"))
         .orderBy("src_file")),
 
+    // Per-key top-k through the custom whole-operator stack
+    // (plans.TopKPerKey: LogicalPlan → Strategy → two-level SparkPlan
+    // with a map-side partial): top-3 orders by value per priority.
+    // The window formulation sorts every group fully and shuffles every
+    // row; this shuffles ≤ k rows per (key, input partition). The
+    // oracle IS the window formulation — the hash-match proves the
+    // custom operator's semantics; PlanAuditSpec proves the plan shape.
+    "topk_per_key" -> ((s, d) =>
+      graft.Graft.topKPerKey(
+          t(s, d, "orders").select(col("o_orderpriority"),
+            col("o_orderkey"), col("o_totalprice")),
+          keys = Seq(col("o_orderpriority")),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+          k = 3)
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey"))),
+
     // The reference's layered-warehouse pipeline in one composite
     // (SURVEY §1.1: ODS binlog ingest → DWD latest-record dedup → DWS
     // daily rollup): the ODS fixture unions deterministic "update"
@@ -648,6 +665,14 @@ object Round6Ops {
         "SELECT vec_id, label, ROUND(cos16, 6) AS cos_prefix, " +
         "ROUND(cosf, 6) AS cos_full FROM cand " +
         "ORDER BY cosf DESC, vec_id LIMIT 10"),
+
+    "topk_per_key" ->
+      ("SELECT o_orderpriority, o_orderkey, o_totalprice FROM " +
+        "(SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) " +
+        "WHERE rn <= 3 " +
+        "ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"),
 
     "etl_ods_to_dws" ->
       (s"WITH base AS (SELECT o_orderkey, o_orderdate, o_orderpriority, " +

@@ -37,6 +37,15 @@ object GraftSqlBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Catalyst Expression behind a Column, FULLY CONVERTED through the
+    * session's node converter (plain UnresolvedAttribute etc., no lazy
+    * ColumnNodeExpression wrapper) — required when the expression is
+    * placed into a CUSTOM logical node, where only the analyzer's
+    * generic reference resolution will ever visit it. */
+  def sessionExpression(spark: SparkSession, c: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
   /** Column over a raw Catalyst Expression. */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)

@@ -248,6 +248,23 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("topk_per_key plans the custom two-level operator: partial before the exchange, no Window, no full Sort") {
+    val df = SparkEntry.queries("topk_per_key")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // two TopKPerKey exec levels (map-side partial + final; the node
+    // name renders without the Exec suffix) ...
+    val levels = """TopKPerKey \[""".r.findAllIn(p).size
+    assert(levels == 2, s"expected 2 TopKPerKey levels, got $levels:\n" + p.take(2000))
+    // ... separated by the hash exchange the final level's required
+    // distribution inserts
+    assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+    // and no window operator anywhere — the whole point vs row_number<=k
+    assert(!p.contains("Window"), p.take(2000))
+    // correctness of the two-level merge on this fixture is the DuckDB
+    // oracle's job (window formulation); spot-check output size here
+    assert(df.count() == 15, "3 per priority x 5 priorities")
+  }
+
   test("join_grid_spatial: cell-bucketed equi-join, never a cartesian") {
     // the 2D distance join must execute as an equi-join on the cell key
     // (the whole point of the grid bucketing); a cartesian/nested-loop
