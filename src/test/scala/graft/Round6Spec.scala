@@ -32,6 +32,28 @@ class Round6Spec extends SparkSpec {
     assert(r.getAs[Long]("content_len") == onDisk, s"$r vs $onDisk")
   }
 
+  test("topKPerKey equals the window formulation on nulls, ties and small groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic fixture: null keys, heavy value ties, one group
+    // smaller than k — every edge the heap merge must agree on
+    val rows = (0 until 400).map { i =>
+      val key: Integer = if (i % 11 == 0) null else Integer.valueOf(i % 7)
+      (key, (i * 13) % 5, i.toLong) // value has many ties; id breaks them
+    } :+ ((Integer.valueOf(99), 1, 9999L)) // singleton group, k > size
+    val df = rows.toDF("k", "v", "id")
+    val got = graft.Graft.topKPerKey(df, Seq(col("k")),
+        Seq(col("v").desc, col("id")), 3)
+      .orderBy(col("k").asc_nulls_first, col("v").desc, col("id"))
+      .collect().toSeq
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("k").asc_nulls_first, col("v").desc, col("id"))
+      .collect().toSeq
+    assert(got == want, s"${got.take(5)} vs ${want.take(5)}")
+  }
+
   test("knnJoin with empty residue classes matches brute force (no NPE, no duplicates)") {
     // vec_ids ≡ 0 or 1 (mod 5) only → residues 2,3,4 are EMPTY blocks:
     // every off-diagonal pair involving them is one-sided. The old code
