@@ -74,7 +74,19 @@ object Graft {
     scanSumPersists.add(in)
     while (scanSumPersists.size > 8) {
       val old = scanSumPersists.poll()
-      if (old != null) old.unpersist(blocking = false)
+      // CacheManager keys entries by CANONICALIZED plan: two scanSum
+      // calls over the same logical input share one cache entry, and
+      // unpersisting the evicted handle would drop the entry a retained
+      // (newer) call still relies on — only unpersist when no retained
+      // handle canonicalizes to the same plan.
+      if (old != null) {
+        val oldCanon = old.queryExecution.analyzed.canonicalized
+        val retained = scanSumPersists.iterator()
+        var shared = false
+        while (!shared && retained.hasNext)
+          shared = retained.next().queryExecution.analyzed.canonicalized == oldCanon
+        if (!shared) old.unpersist(blocking = false)
+      }
     }
     val bucketed = if (n <= 1) in.withColumn("_pid", lit(0)) else {
       val pcts = array((1 until n).map(i => lit(i.toDouble / n)): _*)
@@ -115,16 +127,22 @@ object Graft {
     * hook. */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
                  k: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder => CSortOrder}
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder => CSortOrder}
+    require(keys.nonEmpty,
+      "topKPerKey needs grouping keys; for a global top-k use orderBy(...).limit(k)")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.TopKPerKeyStrategy
     val bridge = org.apache.spark.sql.graft.GraftSqlBridge
+    // the session converter maps a sort Column (desc_nulls_first etc.)
+    // straight to a catalyst SortOrder, preserving the null ordering —
+    // a bare column defaults to ascending
     val sortOrders = order.map { c =>
-      val (key, desc) = bridge.sortKey(c)
-      CSortOrder(bridge.sessionExpression(spark, key),
-        if (desc) Descending else Ascending)
+      bridge.sessionExpression(spark, c) match {
+        case so: CSortOrder => so
+        case e => CSortOrder(e, Ascending)
+      }
     }
     bridge.ofRows(spark, plans.TopKPerKey(
       keys.map(bridge.sessionExpression(spark, _)),

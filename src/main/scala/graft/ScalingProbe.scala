@@ -125,7 +125,9 @@ object ScalingProbe {
     def triEdges(l: DataFrame): Long = coPurchaseEdges(l).count()
 
     // warm up IO + codegen once so both measurements are steady-state
-    q1(li); joinAgg(ord, li); winLatest(ev); ()
+    // (incl. first read of customer/supplier + the grid-join codegen and
+    // the triangle edge-build, so their 1× rows are not cold-read IO)
+    q1(li); joinAgg(ord, li); winLatest(ev); gridJoin(cust); triEdges(li); ()
 
     val results = Seq(
       ("agg_q1_shape", time(q1(li)), time(q1(amp(li, Seq("l_orderkey"))))),

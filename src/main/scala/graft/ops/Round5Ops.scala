@@ -62,6 +62,29 @@ object Round5Ops {
         col("weighted_val"))
   }
 
+  /** Single per-JVM scratch base for the CSV round-trip fixture. */
+  private lazy val csvRoundtripBase: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_csv_roundtrip")
+  private val csvRoundtripSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Fresh numbered subdir per invocation; prunes siblings older than
+    * the previous 3 (long done by then under any serial or mildly
+    * concurrent harness), so disk use stays bounded. */
+  private[graft] def nextCsvRoundtripDir(): String = {
+    val seq = csvRoundtripSeq.incrementAndGet()
+    val dir = csvRoundtripBase.resolve(seq.toString)
+    val stale = java.nio.file.Files.list(csvRoundtripBase).filter { p =>
+      val n = p.getFileName.toString
+      n.forall(_.isDigit) && n.toLong < seq - 3
+    }
+    stale.forEach { p =>
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+    }
+    dir.toString
+  }
+
   /** Connected-component labels for one input dir, memoized per
     * (SparkContext, dir). CC of a static graph is a deterministic pure
     * function of the input files, so the labelling is a materialized
@@ -72,12 +95,12 @@ object Round5Ops {
     * the final localCheckpoint'd labels (~1 row/node), which the catalog
     * cache-clear between bench runs does not evict (RDD-level, not
     * CacheManager). */
-  /** Single per-JVM scratch dir for the CSV round-trip fixture. */
-  private[graft] lazy val csvRoundtripDir: String =
-    java.nio.file.Files.createTempDirectory("graft_csv_roundtrip").toString
-
+  // value = (freshness stamp, labels): ONE entry per (app, dir), so a
+  // rewritten input REPLACES the stale entry (whose localCheckpoint
+  // blocks become unreferenced and ContextCleaner-collectable) instead
+  // of accumulating one pinned entry per rewrite
   private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
   private[graft] def graphComponents(s: SparkSession, d: String): DataFrame = {
     // key includes the edge source's (size, mtime): rewriting the input
@@ -88,9 +111,10 @@ object Round5Ops {
       try s"${java.nio.file.Files.size(src)}:" +
         java.nio.file.Files.getLastModifiedTime(src).toMillis
       catch { case _: java.io.IOException => "0:0" }
-    val key = s.sparkContext.applicationId + "|" + d + "|" + stamp
+    val key = s.sparkContext.applicationId + "|" + d
     val cached = ccMemo.get(key)
-    if (cached != null) return graft.Graft.rebind(cached, s)
+    if (cached != null && cached._1 == stamp)
+      return graft.Graft.rebind(cached._2, s)
     // Loop sizing from the ONE known count: nodes (parquet metadata-only
     // count — no data scan). Edges = 2×chain + self-loops ≈ 3×nodes.
     val nNodes = t(s, d, "orders").count()
@@ -162,7 +186,7 @@ object Round5Ops {
     }
     val out = labels
       .select(col("node").as("o_orderkey"), col("lab").as("component"))
-    ccMemo.putIfAbsent(key, out)
+    ccMemo.put(key, (stamp, out))
     graft.Graft.rebind(out, s)
   }
 
@@ -392,11 +416,12 @@ object Round5Ops {
     // bytes exactly; the oracle regenerates the same strings straight
     // from the parquet table.
     "source_csv_roundtrip" -> ((s, d) => {
-      // ONE temp dir per JVM (lazy): cwd-independent, no overwrite race
-      // across processes, and repeated invocations (bench warm-up + 3
-      // runs) overwrite the same dir instead of accumulating one
-      // orphaned directory of CSV output per call
-      val out = Round5Ops.csvRoundtripDir
+      // numbered subdir of ONE per-JVM base (lazy temp dir):
+      // cwd-independent, no overwrite race across processes OR between
+      // concurrent invocations in this JVM (each gets its own subdir),
+      // and siblings older than the last 4 invocations are pruned so
+      // repeated bench/test runs stay bounded on disk
+      val out = Round5Ops.nextCsvRoundtripDir()
       val tricky = concat(col("text"), lit("\n\"quoted, field\""))
       t(s, d, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"), tricky.as("payload"))

@@ -46,7 +46,14 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * existing partitioning (map-side: ≤ k rows per key per partition
   * survive); `partial = false` declares `ClusteredDistribution(keys)`,
   * so the planner inserts the hash exchange and the same heap pass over
-  * co-located keys yields the exact global answer. */
+  * co-located keys yields the exact global answer.
+  *
+  * Memory contract: like a hash aggregate before spill support, state
+  * is O(distinct keys per partition × k) on-heap — the right tool when
+  * keys-per-partition × k fits task memory (grouping keys, the common
+  * top-k-per-group case). For near-unique keys the `row_number ≤ k`
+  * window (external sort, spills) is the safe formulation; a
+  * spill-to-sorter fallback is the known follow-up. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
