@@ -265,6 +265,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() == 15, "3 per priority x 5 priorities")
   }
 
+  test("report_daily_topn: rank window reuses TopKPerKey's dt partitioning — no extra exchange") {
+    val p = SparkEntry.queries("report_daily_topn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("""TopKPerKey \[""".r.findAllIn(p).size == 2, p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    // exactly two hash exchanges: the (dt,user) aggregation and the
+    // operator's final level on dt; the window must NOT add a third
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 2, s"expected 2 hash exchanges, got $ex:\n" + p.take(3000))
+  }
+
   test("join_grid_spatial: cell-bucketed equi-join, never a cartesian") {
     // the 2D distance join must execute as an equi-join on the cell key
     // (the whole point of the grid bucketing); a cartesian/nested-loop
