@@ -45,7 +45,12 @@ object Bench {
     // of 3 when run 1 is several times slower; DuckDB (AOT native) has
     // no analogous first-run compile tax, so warming the JIT is what
     // makes the median measure the same thing on both engines.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    // 5 timed runs by default (was 3): round-7 vs round-6 ran the
+    // IDENTICAL binary and still swung individual queries 2-4× between
+    // driver runs — single-run (and thin-median) numbers cannot support
+    // per-query perf verdicts on this shared machine. min/median/max
+    // over 5 runs goes into the output so a verdict can cite the spread.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt)
     val warmups = math.max(0, sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt)
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (dev iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -63,14 +68,21 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.sorted.apply(runs / 2)
+      }.sorted
+      name -> times
     }
     def r(v: Double): Double = math.rint(v * 1000) / 1000
-    def toJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + r(v) }
+    def med(ts: Seq[Double]): Double = ts(ts.size / 2)
+    // "queries" stays name→median (the driver's parse contract); the
+    // spread map carries [min, median, max] alongside it.
+    def toJson(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (k, ts) => s"\"" + k + "\":" + r(med(ts)) }
         .mkString("{", ",", "}")
-    val total = r(results.map(_._2).sum)
+    def toSpreadJson(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (k, ts) =>
+        "\"" + k + "\":[" + r(ts.head) + "," + r(med(ts)) + "," + r(ts.last) + "]"
+      }.mkString("{", ",", "}")
+    val total = r(results.map(kv => med(kv._2)).sum)
     // Full per-query map (100+ entries, several KB) goes to a file; the
     // stdout contract line carries only the BASELINE.md headline queries,
     // keeping it a few hundred bytes so the driver's tail capture can never
@@ -83,13 +95,15 @@ object Bench {
       "text_exact_dedup")
     val headline = results.filter(kv => headlineKeys.contains(kv._1))
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","queries":${toJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","queries":${toJson(results)},"spread":${toSpreadJson(results)},"sf":"$sfDir"}"""
     try {
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/bench.json"), fullJson)
     } catch { case _: Throwable => () }
+    // stdout line stays a few hundred bytes (headline spread only); the
+    // full 185-key spread map lives in target/bench.json.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","n_queries":${results.size},"queries":${toJson(headline)},"headline_total":${r(headline.map(_._2).sum)},"full":"target/bench.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","n_queries":${results.size},"queries":${toJson(headline)},"spread":${toSpreadJson(headline)},"headline_total":${r(headline.map(kv => med(kv._2)).sum)},"full":"target/bench.json","sf":"$sfDir"}"""
     println(json)
     spark.stop()
   }

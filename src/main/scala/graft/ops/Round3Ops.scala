@@ -544,14 +544,17 @@ object Round3Ops {
         .filter(_.l_quantity > 10)
         .groupByKey(_.l_returnflag)
         .mapGroups { (flag, rows) =>
+          // accumulate exact 2dp money as Long cents — same value as
+          // per-row BigDecimal(2dp, HALF_UP) accumulation but zero
+          // allocations in the per-row loop (the prices are 2dp money,
+          // so round-to-cents is the HALF_UP decimal exactly)
           var n = 0L
-          var total = BigDecimal(0)
+          var cents = 0L
           rows.foreach { r =>
             n += 1
-            total += BigDecimal(r.l_extendedprice)
-              .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            cents += math.round(r.l_extendedprice * 100d)
           }
-          (flag, n, total.setScale(4).toDouble)
+          (flag, n, (BigDecimal(cents) / 100).setScale(4).toDouble)
         }
         .toDF("l_returnflag", "n", "revenue")
         .orderBy("l_returnflag")

@@ -67,11 +67,13 @@ object TextAnalysis {
     "text_quality_score" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("tokens", split(col("text"), " "))
+        // carry text through the narrow projection — joining documents
+        // back to itself just to re-fetch text would be a second full
+        // scan + shuffle at scale
         .select(
-          col("doc_id"),
+          col("doc_id"), col("text"),
           size(col("tokens")).as("n_tok"),
           size(expr("filter(tokens, x -> x IN ('the', 'a'))")).as("n_stop"))
-        .join(t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id")
         .select(
           col("doc_id"), col("n_tok"), col("n_stop"),
           round(col("n_stop").cast(DoubleType) / col("n_tok"), 4).as("stop_ratio"),
@@ -125,13 +127,22 @@ object TextAnalysis {
       val e = t(s, d, "embeddings")
       val cents = broadcast(e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
-      val wA = Window.partitionBy("vec_id")
-        .orderBy(col("c_cos").desc, col("cid").asc)
+      // Nearest-centroid assignment as a map-side-combinable argmin agg
+      // (same rewrite as vec_neardup_pairs): min_by on (-cos, cid)
+      // reproduces the (c_cos DESC, cid ASC) window argmax without
+      // shuffling the 8×-row crossJoin through a window sort.
       val assign = e.crossJoin(cents)
         .select(col("vec_id"), col("label"), col("embedding"), col("cid"),
           expr("graft_cosine(embedding, c_emb)").as("c_cos"))
-        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"),
+            struct((-col("c_cos")).as("nc"), col("cid"))).as("cid"),
+          first(col("label")).as("label"),
+          first(col("embedding")).as("embedding"))
         .select("vec_id", "label", "embedding", "cid")
+        // both the probe (vec_id = 0) and the search side read assign —
+        // unpersisted, the crossJoin+agg subtree runs twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val probeBuckets = assign.filter(col("vec_id") === 0)
         .select(col("embedding").as("p_emb"))
         .crossJoin(cents)
@@ -233,11 +244,16 @@ object TextAnalysis {
         col("doc_id").as("a_id"), col("simhash").as("sh_a"))
       val b = chunks.select(col("ci"), col("ck"),
         col("doc_id").as("b_id"), col("simhash").as("sh_b"))
+      // hamming is a pure function of (sh_a, sh_b) — identical for every
+      // chunk-duplicate of a pair — so the radius filter BEFORE the pair
+      // dedup is semantics-preserving and shrinks the dedup shuffle from
+      // all band-collision candidates to only the pairs at radius ≤ 3
+      // (near-dup-light corpora: orders of magnitude fewer rows).
       a.join(b, Seq("ci", "ck")).filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           expr("bit_count(sh_a ^ sh_b)").cast(IntegerType).as("hamming"))
-        .dropDuplicates("a_id", "b_id")
         .filter(col("hamming") <= 3)
+        .dropDuplicates("a_id", "b_id")
         .orderBy("a_id", "b_id")
     })
   )

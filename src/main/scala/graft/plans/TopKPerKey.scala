@@ -2,11 +2,13 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Whole-operator custom plan: per-key top-k — the k first rows of each
   * key group under `order`. Spark's native formulation
@@ -48,12 +50,19 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * so the planner inserts the hash exchange and the same heap pass over
   * co-located keys yields the exact global answer.
   *
-  * Memory contract: like a hash aggregate before spill support, state
-  * is O(distinct keys per partition × k) on-heap — the right tool when
-  * keys-per-partition × k fits task memory (grouping keys, the common
-  * top-k-per-group case). For near-unique keys the `row_number ≤ k`
-  * window (external sort, spills) is the safe formulation; a
-  * spill-to-sorter fallback is the known follow-up. */
+  * Memory contract: heap state is O(tracked keys per partition × k)
+  * on-heap, BOUNDED at `spark.graft.topk.maxKeysPerPartition` tracked
+  * keys (default 131072). Past the bound the stages degrade without
+  * losing exactness:
+  *  - partial: the full heap map is FLUSHED downstream and cleared
+  *    (epoch flush). Always correct — partial output is merely a
+  *    reduction; a row dropped by a heap had ≥ k better same-key rows
+  *    retained in that epoch, all of which are emitted.
+  *  - final: the retained heap rows plus the rest of the input move
+  *    into Spark's spillable [[UnsafeExternalRowSorter]] ordered by
+  *    (keys, order) — the same external sort the `row_number ≤ k`
+  *    window would use — and a streaming group-scan keeps the first k
+  *    rows per key in O(1) extra memory. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
@@ -67,6 +76,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val sortExprs = order
     val limit = k
     val childOutput = child.output
+    val isPartial = partial
+    val maxKeys = math.max(1,
+      conf.getConfString("spark.graft.topk.maxKeysPerPartition", "131072").toInt)
     child.execute().mapPartitions { rows =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = GenerateOrdering.generate(sortExprs, childOutput)
@@ -76,7 +88,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         scala.collection.mutable.PriorityQueue[UnsafeRow]]()
       implicit val rowOrd: Ordering[UnsafeRow] =
         (a: UnsafeRow, b: UnsafeRow) => ord.compare(a, b)
-      rows.foreach { row =>
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -89,8 +101,78 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           heap.enqueue(row.copy().asInstanceOf[UnsafeRow])
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator)
+      def drain(): Iterator[InternalRow] = {
+        val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+        heaps.values().forEach(h => h.foreach(out += _))
+        heaps.clear()
+        out.iterator
+      }
+
+      if (isPartial) {
+        // Bounded map-side pass: when the number of tracked keys
+        // exceeds the bound, flush every retained row downstream and
+        // start a fresh epoch. Lazy so a flush streams out before more
+        // input is consumed.
+        new Iterator[InternalRow] {
+          private var out: Iterator[InternalRow] = Iterator.empty
+          private def advance(): Unit = {
+            while (!out.hasNext && (rows.hasNext || !heaps.isEmpty)) {
+              var flushed = false
+              while (rows.hasNext && !flushed) {
+                insert(rows.next())
+                if (heaps.size() > maxKeys) { out = drain(); flushed = true }
+              }
+              if (!flushed) out = drain() // input exhausted: final epoch
+            }
+          }
+          override def hasNext: Boolean = { advance(); out.hasNext }
+          override def next(): InternalRow = { advance(); out.next() }
+        }
+      } else {
+        // Exact final pass: heap map while it fits; past the bound,
+        // hand everything to the spillable external sorter keyed by
+        // (keys, order) and stream the first k rows of each key group.
+        var sorter: UnsafeExternalRowSorter = null
+        while (rows.hasNext && sorter == null) {
+          insert(rows.next())
+          if (heaps.size() > maxKeys) {
+            val schema = StructType(childOutput.map(a =>
+              StructField(a.name, a.dataType, a.nullable, a.metadata)))
+            val sortOrd = GenerateOrdering.generate(
+              keyExprs.map(SortOrder(_, Ascending)) ++ sortExprs, childOutput)
+            // constant prefix: every comparison falls through to the
+            // full row ordering (no radix path)
+            val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+              private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+              override def computePrefix(row: InternalRow)
+                  : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+                p.value = 0L; p.isNull = false; p
+              }
+            }
+            sorter = UnsafeExternalRowSorter.create(schema, sortOrd,
+              PrefixComparators.LONG, prefixComputer,
+              org.apache.spark.sql.graft.GraftSqlBridge.pageSizeBytes, false)
+            heaps.values().forEach(h => h.foreach(sorter.insertRow))
+            heaps.clear()
+          }
+        }
+        if (sorter == null) drain()
+        else {
+          while (rows.hasNext) {
+            sorter.insertRow(rows.next().asInstanceOf[UnsafeRow])
+          }
+          // sorted by (keys, order): each key is one contiguous run,
+          // already best-first — keep the first k of each run
+          var curKey: UnsafeRow = null
+          var kept = 0
+          sorter.sort().filter { r =>
+            val key = keyProj(r)
+            if (curKey == null || curKey != key) { curKey = key.copy(); kept = 0 }
+            kept += 1
+            kept <= limit
+          }
+        }
+      }
     }
   }
 

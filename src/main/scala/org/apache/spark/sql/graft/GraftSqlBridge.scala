@@ -50,6 +50,12 @@ object GraftSqlBridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Memory-manager page size for external sorters — what SortExec
+    * passes to UnsafeExternalRowSorter; `private[spark]`, hence
+    * bridged. */
+  def pageSizeBytes: Long =
+    org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+
   /** (key, isDescending) behind a Column produced by `.desc`/`.asc`; a
     * bare column reads as ascending. Works on the column-node tree (the
     * Spark 4 public Column representation). */

@@ -42,7 +42,7 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
-  test("minhash-LSH recall >= 0.9 against exact Jaccard >= 0.8 pairs") {
+  test("text_minhash_dedup: minhash-LSH recall >= 0.9 against exact Jaccard >= 0.8 pairs") {
     val exact = SparkEntry.queries("text_jaccard_pairs")(spark, sf)
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

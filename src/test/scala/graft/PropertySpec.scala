@@ -125,7 +125,7 @@ class PropertySpec extends SparkSpec {
       }
   }
 
-  test("multimodal pipeline: schema, row preservation, real decoded dims") {
+  test("mm_decode_pipeline: schema, row preservation, real decoded dims") {
     val out = Multimodal.decodePipeline(spark, sf)
     assert(out.schema == Multimodal.outSchema)
     assert(out.count() == T.t(spark, sf, "documents").count())
@@ -138,7 +138,7 @@ class PropertySpec extends SparkSpec {
     assert(badDims.count() == 0)
   }
 
-  test("multimodal frame-sample: resize box, sampling rate, determinism") {
+  test("mm_frame_sample: resize box, sampling rate, determinism") {
     val out = Multimodal.frameSamplePipeline(spark, sf)
     assert(out.schema == Multimodal.frameSchema)
     val rows = out.collect()

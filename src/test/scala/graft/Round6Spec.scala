@@ -54,6 +54,33 @@ class Round6Spec extends SparkSpec {
     assert(got == want, s"${got.take(5)} vs ${want.take(5)}")
   }
 
+  test("topKPerKey near-unique keys under a tiny key budget: epoch flush + sorter fallback stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ~6700 distinct keys across 20k rows with the tracked-key bound
+    // forced to 37: the partial level epoch-flushes hundreds of times and
+    // every final-level partition overflows into the external-sorter
+    // path — memory stays O(bound × k) instead of O(distinct keys × k).
+    val df = (0 until 20000).map { i =>
+      val key: Integer = if (i % 501 == 0) null else Integer.valueOf(i % 6673)
+      (key, (i * 13) % 5, i.toLong)
+    }.toDF("k", "v", "id")
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "37")
+    try {
+      val got = graft.Graft.topKPerKey(df, Seq(col("k")),
+          Seq(col("v").desc, col("id")), 2)
+        .orderBy(col("k").asc_nulls_first, col("v").desc, col("id"))
+        .collect().toSeq
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+        .orderBy(col("k").asc_nulls_first, col("v").desc, col("id"))
+        .collect().toSeq
+      assert(got.size == want.size, s"${got.size} vs ${want.size}")
+      assert(got == want, s"${got.take(5)} vs ${want.take(5)}")
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+  }
+
   test("knnJoin with empty residue classes matches brute force (no NPE, no duplicates)") {
     // vec_ids ≡ 0 or 1 (mod 5) only → residues 2,3,4 are EMPTY blocks:
     // every off-diagonal pair involving them is one-sided. The old code
