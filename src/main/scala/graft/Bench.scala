@@ -34,10 +34,12 @@ object Bench {
         .groupBy("k").agg(count(lit(1))).count()
       warm.write.mode("overwrite").parquet("target/tmp/bench_warm")
     }
-    // BASELINE.md's DuckDB numbers are the MEDIAN OF 3 RUNS per query;
-    // time each query the same way so the comparison is like-for-like
+    // BASELINE.md's DuckDB numbers are per-query medians (of 3 runs);
+    // time each query as a median too so the comparison is like-for-like
     // (a single cold run would also charge Spark's one-time codegen
     // compile to the query, which the baseline's medians exclude).
+    // Medians of different odd sample counts stay comparable — Spark
+    // uses 5 for the spread telemetry below.
     // One UNTIMED warm-up run per query first (declared as "warmup" in
     // the output JSON): standard JVM practice (JMH) — the first
     // execution of a query JIT-compiles its generated code and Spark

@@ -120,9 +120,14 @@ object Graft {
 
   /** Per-key top-k through the custom [[graft.plans.TopKPerKey]]
     * operator stack (LogicalPlan → Strategy → two-level SparkPlan):
-    * unlike the `row_number ≤ k` window, nothing is fully sorted and
-    * the exchange carries at most k rows per (key, input partition) —
-    * the map-side-combine of top-k. Idempotently injects the strategy
+    * unlike the `row_number ≤ k` window, nothing is fully sorted and —
+    * while distinct keys per input partition stay within
+    * `spark.graft.topk.maxKeysPerPartition` — the exchange carries at
+    * most k rows per (key, input partition), the map-side-combine of
+    * top-k. Past that bound memory stays capped instead: the partial
+    * epoch-flushes (shuffle degrades toward every-row) and the final
+    * level spills via external sort, so near-unique keys are safe, just
+    * no cheaper than the window form. Idempotently injects the strategy
     * into the session via the public `experimental.extraStrategies`
     * hook. */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],

@@ -127,16 +127,20 @@ object TextAnalysis {
       val e = t(s, d, "embeddings")
       val cents = broadcast(e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
-      // Nearest-centroid assignment as a map-side-combinable argmin agg
-      // (same rewrite as vec_neardup_pairs): min_by on (-cos, cid)
+      // Nearest-centroid assignment as a map-side-combinable argmax agg
+      // (same rewrite as vec_neardup_pairs): max_by on (c_cos, -cid)
       // reproduces the (c_cos DESC, cid ASC) window argmax without
-      // shuffling the 8×-row crossJoin through a window sort.
+      // shuffling the 8×-row crossJoin through a window sort. max_by on
+      // the un-negated cosine keeps the window's (and the oracle's)
+      // NULL/NaN ordering: a NULL score can never win, NaN sorts
+      // greatest on both engines — negating the score (min_by) would
+      // flip both edge cases.
       val assign = e.crossJoin(cents)
         .select(col("vec_id"), col("label"), col("embedding"), col("cid"),
           expr("graft_cosine(embedding, c_emb)").as("c_cos"))
         .groupBy("vec_id")
-        .agg(min_by(col("cid"),
-            struct((-col("c_cos")).as("nc"), col("cid"))).as("cid"),
+        .agg(max_by(col("cid"),
+            struct(col("c_cos"), (-col("cid")).as("nid"))).as("cid"),
           first(col("label")).as("label"),
           first(col("embedding")).as("embedding"))
         .select("vec_id", "label", "embedding", "cid")
@@ -168,17 +172,20 @@ object TextAnalysis {
       val e = t(s, d, "embeddings")
       val cents = broadcast(e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
-      // Nearest-centroid assignment as a map-side-combinable argmin agg:
-      // min_by on (-cos, cid) reproduces the (cos DESC, cid ASC) argmax
-      // without the 8×-row window shuffle. Persisted because the self-join
-      // below reads it twice — unpersisted, Spark recomputes the whole
-      // crossJoin+agg subtree per side.
+      // Nearest-centroid assignment as a map-side-combinable argmax agg:
+      // max_by on (cos, -cid) reproduces the (cos DESC, cid ASC) argmax
+      // without the 8×-row window shuffle, and keeps the window's (and
+      // the oracle's) NULL/NaN ordering — a NULL score never wins, NaN
+      // sorts greatest on both engines (negating the score would flip
+      // both). Persisted because the self-join below reads it twice —
+      // unpersisted, Spark recomputes the whole crossJoin+agg subtree
+      // per side.
       val assign = e.crossJoin(cents)
         .select(col("vec_id"), col("embedding"), col("cid"),
           expr("graft_cosine(embedding, c_emb)").as("c_cos"))
         .groupBy("vec_id")
-        .agg(min_by(col("cid"),
-            struct((-col("c_cos")).as("nc"), col("cid"))).as("cid"),
+        .agg(max_by(col("cid"),
+            struct(col("c_cos"), (-col("cid")).as("nid"))).as("cid"),
           first(col("embedding")).as("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = assign.select(col("cid"), col("vec_id").as("a_id"),

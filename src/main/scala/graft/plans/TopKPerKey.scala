@@ -7,17 +7,20 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
-import org.apache.spark.sql.types.{StructField, StructType}
-import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Whole-operator custom plan: per-key top-k — the k first rows of each
   * key group under `order`. Spark's native formulation
   * (`row_number().over(partitionBy(keys).orderBy(order)) <= k`) must
   * SORT every group completely and shuffle EVERY input row; this
   * operator keeps a bounded k-row heap per key and runs in two levels
-  * like an aggregate — a map-side partial before the exchange, so the
-  * shuffle carries at most k rows per (key, input partition) and
-  * nothing is ever fully sorted. The missing-operator case the
+  * like an aggregate — a map-side partial before the exchange. While
+  * the partial's tracked keys fit the per-partition bound (the common
+  * grouping-key case) the shuffle carries at most k rows per (key,
+  * input partition) and nothing is ever fully sorted; past the bound
+  * the partial epoch-flushes (≤ k rows per key PER EPOCH cross the
+  * shuffle — degrading toward the window formulation's every-row
+  * shuffle, never past it by more than the per-epoch duplicates). The
+  * missing-operator case the
   * LogicalPlan → Strategy → SparkPlan stack exists for (SURVEY §4.2
   * preference (c)); `Graft.topKPerKey` is the public surface and
   * injects [[TopKPerKeyStrategy]] through
@@ -136,22 +139,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         while (rows.hasNext && sorter == null) {
           insert(rows.next())
           if (heaps.size() > maxKeys) {
-            val schema = StructType(childOutput.map(a =>
-              StructField(a.name, a.dataType, a.nullable, a.metadata)))
-            val sortOrd = GenerateOrdering.generate(
-              keyExprs.map(SortOrder(_, Ascending)) ++ sortExprs, childOutput)
-            // constant prefix: every comparison falls through to the
-            // full row ordering (no radix path)
-            val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
-              private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
-              override def computePrefix(row: InternalRow)
-                  : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
-                p.value = 0L; p.isNull = false; p
-              }
-            }
-            sorter = UnsafeExternalRowSorter.create(schema, sortOrd,
-              PrefixComparators.LONG, prefixComputer,
-              org.apache.spark.sql.graft.GraftSqlBridge.pageSizeBytes, false)
+            // SortExec's sorter recipe (real leading-column prefix, not
+            // a constant — a constant would send every comparison
+            // through the full row ordering), via the sql-internal
+            // bridge
+            sorter = org.apache.spark.sql.graft.GraftSqlBridge
+              .externalRowSorter(childOutput,
+                keyExprs.map(SortOrder(_, Ascending)) ++ sortExprs)
             heaps.values().forEach(h => h.foreach(sorter.insertRow))
             heaps.clear()
           }

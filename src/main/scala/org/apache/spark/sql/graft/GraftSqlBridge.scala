@@ -56,6 +56,46 @@ object GraftSqlBridge {
   def pageSizeBytes: Long =
     org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
 
+  /** Spillable external row sorter over `output` rows ordered by
+    * `sortOrder`, with the REAL 8-byte sort prefix on the leading sort
+    * column — the exact recipe of SortExec.createSorter (prefix
+    * generator + comparator from the `private[sql]` SortPrefixUtils,
+    * null-prefix handling, radix only when the prefix alone fully
+    * sorts). A constant prefix would force every comparison through the
+    * full generated row ordering. Must be called on an executor within
+    * a task (the sorter binds to the running task's memory manager). */
+  def externalRowSorter(
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      sortOrder: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder])
+      : org.apache.spark.sql.execution.UnsafeExternalRowSorter = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, SortPrefix, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+    import org.apache.spark.sql.execution.{SortPrefixUtils, UnsafeExternalRowSorter}
+    import org.apache.spark.sql.internal.SQLConf
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val ordering = GenerateOrdering.generate(sortOrder, output)
+    val boundSortExpression = BindReferences.bindReference(sortOrder.head, output)
+    val prefixComparator = SortPrefixUtils.getPrefixComparator(boundSortExpression)
+    val prefixExpr = SortPrefix(boundSortExpression)
+    val prefixProjection = UnsafeProjection.create(Seq(prefixExpr))
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val result = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: InternalRow)
+          : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        val prefix = prefixProjection.apply(row)
+        result.isNull = prefix.isNullAt(0)
+        result.value = if (result.isNull) prefixExpr.nullValue else prefix.getLong(0)
+        result
+      }
+    }
+    val canUseRadixSort = SQLConf.get.enableRadixSort && sortOrder.length == 1 &&
+      SortPrefixUtils.canSortFullyWithPrefix(boundSortExpression)
+    UnsafeExternalRowSorter.create(
+      StructType(output.map(a => StructField(a.name, a.dataType, a.nullable, a.metadata))),
+      ordering, prefixComparator, prefixComputer, pageSizeBytes, canUseRadixSort)
+  }
+
   /** (key, isDescending) behind a Column produced by `.desc`/`.asc`; a
     * bare column reads as ascending. Works on the column-node tree (the
     * Spark 4 public Column representation). */

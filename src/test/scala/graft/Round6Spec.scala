@@ -81,6 +81,29 @@ class Round6Spec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
   }
 
+  test("centroid argmax via max_by(cos, -cid) matches the window form under NULL and NaN scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the IVF assignment rewrite replaced row_number().over(c_cos DESC,
+    // cid ASC) with max_by(cid, struct(c_cos, -cid)); that is only valid
+    // if NULL scores lose and NaN scores win in BOTH formulations —
+    // exactly the edge a zero-norm or null embedding would produce
+    val rows = Seq(
+      (1L, 0L, Some(0.9)), (1L, 1L, Some(0.9)), (1L, 2L, Some(0.1)), // tie → min cid
+      (2L, 0L, Some(0.5)), (2L, 1L, None), (2L, 2L, Some(0.8)),      // null loses
+      (3L, 0L, Some(0.7)), (3L, 1L, Some(Double.NaN)), (3L, 2L, Some(0.9)), // NaN wins
+      (4L, 0L, None), (4L, 1L, None), (4L, 2L, None)                 // all null → min cid
+    ).map { case (v, c, s) => (v, c, s.map(Double.box).orNull) }
+      .toDF("vec_id", "cid", "c_cos")
+    val viaAgg = rows.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("c_cos"), (-col("cid")).as("nid"))).as("cid"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cid").asc)
+    val viaWin = rows.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaAgg == viaWin, s"$viaAgg vs $viaWin")
+  }
+
   test("knnJoin with empty residue classes matches brute force (no NPE, no duplicates)") {
     // vec_ids ≡ 0 or 1 (mod 5) only → residues 2,3,4 are EMPTY blocks:
     // every off-diagonal pair involving them is one-sided. The old code
