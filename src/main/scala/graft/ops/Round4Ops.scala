@@ -164,6 +164,50 @@ object Round4Ops {
         .orderBy("vec_id", "m")
     }),
 
+    // PQ-ADC search (asymmetric distance computation): the serving-time
+    // companion to vec_pq_codes. The probe (vec_id=0) precomputes its
+    // L2² to every sub-centroid — a 4×8 distance TABLE, broadcast — and
+    // each database vector's approximate distance is the sum of 4 table
+    // lookups through its PQ codes: the corpus is never re-read as
+    // floats at query time (64 floats → 4 bytes/vector + one tiny
+    // table). Codes use the map-side-combinable min_by argmin (no
+    // window shuffle); the ADC sum folds the 4 addends in fixed m-order
+    // (sorted-fold canon) so the double sum is deterministic and
+    // DuckDB-mirrorable. Top-10 ascending approx distance.
+    "vec_pq_adc_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+      val diff = "(CAST(element_at(embedding, m*16 + i) AS DOUBLE) - " +
+        "CAST(element_at(cvec, m*16 + i) AS DOUBLE))"
+      val codes = e.select(col("vec_id"), col("label"), col("embedding"),
+          explode(expr("sequence(0, 3)")).as("m"))
+        .join(cents)
+        .withColumn("dist", expr(
+          s"aggregate(sequence(1, 16), CAST(0 AS DOUBLE), (acc, i) -> acc + $diff * $diff)"))
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("code"),
+          first(col("label")).as("label"))
+      val pdiff = "(CAST(element_at(pvec, m*16 + i) AS DOUBLE) - " +
+        "CAST(element_at(cvec, m*16 + i) AS DOUBLE))"
+      val dtab = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pvec"))
+        .crossJoin(cents)
+        .select(col("cid").as("code"), col("pvec"), col("cvec"),
+          explode(expr("sequence(0, 3)")).as("m"))
+        .withColumn("pdist", expr(
+          s"aggregate(sequence(1, 16), CAST(0 AS DOUBLE), (acc, i) -> acc + $pdiff * $pdiff)"))
+        .select("m", "code", "pdist"))
+      codes.join(dtab, Seq("m", "code"))
+        .groupBy("vec_id")
+        .agg(expr("aggregate(array_sort(collect_list(struct(m, pdist))), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x.pdist)").as("adc"),
+          first(col("label")).as("label"))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("adc").asc, col("vec_id").asc).limit(10)
+        .select(col("vec_id"), col("label"), round(col("adc"), 6).as("adc_dist"))
+    }),
+
     // TPC-H Q18 shape: orders whose lineitems sum past a quantity
     // threshold, enriched with the customer — HAVING-filtered agg joined
     // back to two dims, top-50 by price. The agg runs BEFORE the joins,
@@ -336,6 +380,27 @@ object Round4Ops {
         "(PARTITION BY vec_id, m ORDER BY dist, cid) AS rk FROM d) " +
         "SELECT vec_id, CAST(m AS INT) AS m, CAST(cid AS INT) AS code, " +
         "CAST(ROUND(dist, 4) AS DOUBLE) AS dist FROM r WHERE rk = 1 ORDER BY vec_id, m"),
+
+    "vec_pq_adc_topk" ->
+      ("WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings), " +
+        "s AS (SELECT vec_id, label, ev, unnest(generate_series(0, 3)) AS m FROM e), " +
+        "d AS (SELECT vec_id, label, m, cid, list_sum(list_transform(generate_series(1, 16), " +
+        "i -> (ev[m*16 + i] - cvec[m*16 + i]) * (ev[m*16 + i] - cvec[m*16 + i]))) AS dist " +
+        "FROM s, cents), " +
+        "codes AS (SELECT vec_id, m, cid AS code, label FROM (SELECT vec_id, label, m, cid, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rk FROM d) WHERE rk = 1), " +
+        "p AS (SELECT ev AS pv FROM e WHERE vec_id = 0), " +
+        "dtab AS (SELECT m, cid AS code, list_sum(list_transform(generate_series(1, 16), " +
+        "i -> (pv[m*16 + i] - cvec[m*16 + i]) * (pv[m*16 + i] - cvec[m*16 + i]))) AS pdist " +
+        "FROM (SELECT cid, cvec, pv, unnest(generate_series(0, 3)) AS m FROM cents, p)), " +
+        "adc AS (SELECT vec_id, list_sum(list_transform(" +
+        "list_sort(list({'m': m, 'pdist': pdist})), x -> x.pdist)) AS adc, " +
+        "any_value(label) AS label " +
+        "FROM codes JOIN dtab USING (m, code) GROUP BY vec_id) " +
+        "SELECT vec_id, label, CAST(ROUND(adc, 6) AS DOUBLE) AS adc_dist " +
+        "FROM adc WHERE vec_id <> 0 ORDER BY adc ASC, vec_id ASC LIMIT 10"),
 
     "report_large_orders" ->
       (s"WITH big AS (SELECT l_orderkey, SUM(${oDec("l_quantity")}) AS qty " +

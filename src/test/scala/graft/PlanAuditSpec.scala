@@ -276,6 +276,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(ex == 2, s"expected 2 hash exchanges, got $ex:\n" + p.take(3000))
   }
 
+  test("vec_pq_adc_topk: broadcast table lookups, map-side argmin, no window, bounded top-k") {
+    val df = SparkEntry.queries("vec_pq_adc_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the centroid set and the probe's 4×8 distance table must both be
+    // broadcast — the corpus side is never shuffled for the lookup
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // code assignment is the min_by aggregate, not a row_number window
+    assert(!p.contains("Window"), p.take(2000))
+    // top-10 plans as TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(df.count() == 10)
+  }
+
   test("join_grid_spatial: cell-bucketed equi-join, never a cartesian") {
     // the 2D distance join must execute as an equi-join on the cell key
     // (the whole point of the grid bucketing); a cartesian/nested-loop
