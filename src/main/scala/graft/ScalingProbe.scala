@@ -124,10 +124,28 @@ object ScalingProbe {
     }
     def triEdges(l: DataFrame): Long = coPurchaseEdges(l).count()
 
+    // round-8 shape: topKPerKey on a NEAR-UNIQUE key (l_orderkey:
+    // ~4 lineitems per order, 150k keys at sf0.1 → 1.5M at 10×) with
+    // the tracked-key bound forced low enough that every partition
+    // takes the degraded path — partial epoch-flush + final
+    // external-sort spill. The claim under test: the fallback scales
+    // ~linearly like the external-sort window formulation it degrades
+    // to, instead of OOMing (the pre-round-8 behavior at this
+    // cardinality was unbounded heap growth).
+    def topkSpill(l: DataFrame): Long = {
+      spark.conf.set("spark.graft.topk.maxKeysPerPartition", "1024")
+      try Graft.topKPerKey(l.select("l_orderkey", "l_extendedprice",
+          "l_linenumber"),
+        Seq(col("l_orderkey")),
+        Seq(col("l_extendedprice").desc, col("l_linenumber")), 2).count()
+      finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+    }
+
     // warm up IO + codegen once so both measurements are steady-state
     // (incl. first read of customer/supplier + the grid-join codegen and
     // the triangle edge-build, so their 1× rows are not cold-read IO)
-    q1(li); joinAgg(ord, li); winLatest(ev); gridJoin(cust); triEdges(li); ()
+    q1(li); joinAgg(ord, li); winLatest(ev); gridJoin(cust); triEdges(li)
+    topkSpill(li); ()
 
     val results = Seq(
       ("agg_q1_shape", time(q1(li)), time(q1(amp(li, Seq("l_orderkey"))))),
@@ -144,7 +162,9 @@ object ScalingProbe {
       ("grid_spatial_join", time(gridJoin(cust)),
         time(gridJoin(amp(cust, Seq("c_custkey"))))),
       ("triangle_edge_distinct", time(triEdges(li)),
-        time(triEdges(amp(li, Seq("l_orderkey")))))
+        time(triEdges(amp(li, Seq("l_orderkey"))))),
+      ("topk_per_key_spill", time(topkSpill(li)),
+        time(topkSpill(amp(li, Seq("l_orderkey")))))
     )
     def r(v: Double): Double = math.rint(v * 1000) / 1000
     val json = results.map { case (k, t1, t10) =>

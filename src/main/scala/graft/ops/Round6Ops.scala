@@ -220,6 +220,12 @@ object Round6Ops {
     // brands, not items); supports broadcast back onto the 300-row pair
     // table. The association-rules primitive at any scale.
     "report_basket_affinity" -> ((s, d) => {
+      // four consumers (n_orders, support counts, both self-join sides),
+      // deliberately NOT persisted: the self-join sides already share
+      // their shuffle via ReusedExchange, and an A/B at sf0.1 measured
+      // persist 0.6 s SLOWER (2.21 s [1.94, 2.61] vs 1.60 s
+      // [1.41, 1.83]) — cache materialization costs more than the
+      // remaining recompute
       val baskets = t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand")).distinct()
