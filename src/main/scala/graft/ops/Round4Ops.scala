@@ -53,6 +53,40 @@ object Round4Ops {
         .orderBy("doc_id")
     }),
 
+    // t2=N: Bloom-filter decontamination — the probabilistic scale
+    // companion to text_contamination_check (same bench/corpus split and
+    // 5-gram shingles). The benchmark side is folded into a ~KB Bloom
+    // sketch (spark-sketch BloomFilter via df.stat.bloomFilter — a
+    // distributed treeAggregate build; insertion-order-independent, so
+    // the bit array and therefore the output are deterministic) and
+    // broadcast; the 100 TB corpus side then probes locally with NO join
+    // and NO shuffle of the benchmark set — the posture when the bench
+    // set is large and the corpus enormous. Bloom guarantees zero false
+    // NEGATIVES (every truly contaminated doc is flagged); fpp=1e-4 per
+    // shingle keeps doc-level false positives rare (~1% at ~100
+    // shingles/doc). ScalaTest asserts exact-hit superset + FP bound; no
+    // DuckDB oracle (no bloom primitive in the oracle dialect).
+    "text_bloom_decontaminate" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      def shingles(df: DataFrame): DataFrame =
+        df.filter(size(col("toks")) >= 5).select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks)-4), " +
+            "i -> array_join(slice(toks, i, 5), ' '))")).as("g"))
+      val bench = shingles(toks.filter(col("doc_id") % 97 === 0))
+        .select("g").distinct()
+      // sketch build is the one driver-side artifact — the standard
+      // broadcast-side pattern (like a broadcast hash relation), sized
+      // generously so the fpp bound holds without a pre-count
+      val bf = bench.stat.bloomFilter("g", 200000L, 1e-4)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((g: String) => g != null && bfB.value.mightContain(g))
+      shingles(toks.filter(col("doc_id") % 97 =!= 0))
+        .filter(mightContain(col("g")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidate_hits"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental dedup: a "new batch" (doc_id % 10 == 7) lands against
     // an existing corpus; drop batch docs whose sha256 already exists
     // (left ANTI join on the 32-byte hash — the shuffle never carries

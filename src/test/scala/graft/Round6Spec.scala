@@ -81,6 +81,24 @@ class Round6Spec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
   }
 
+  test("text_bloom_decontaminate: superset of exact contamination hits, bounded false-positive rate") {
+    // Bloom guarantee: NO false negatives — every doc the exact shingle
+    // equi-join flags must appear among the bloom candidates; false
+    // POSITIVES are allowed but must stay rare (fpp=1e-4 per shingle,
+    // ~100 shingles/doc → ~1% per clean doc; assert ≤ 5%).
+    val exact = SparkEntry.queries("text_contamination_check")(spark, sf)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val bloom = SparkEntry.queries("text_bloom_decontaminate")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(bloom),
+      s"false negatives: ${(exact -- bloom).take(5)}")
+    val nCorpus = T.t(spark, sf, "documents")
+      .filter(col("doc_id") % 97 =!= 0).count()
+    val fp = (bloom -- exact).size.toDouble / (nCorpus - exact.size)
+    assert(fp <= 0.05, s"doc-level false-positive rate $fp > 5%")
+  }
+
   test("centroid argmax via max_by(cos, -cid) matches the window form under NULL and NaN scores") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
