@@ -87,6 +87,31 @@ object Round4Ops {
         .orderBy("doc_id")
     }),
 
+    // t2=N: Count-Min-Sketch heavy hitters — completes the sketch
+    // family (HLL distinct, approx percentile, Bloom membership, CMS
+    // frequency). The token stream folds into a fixed-seed CMS
+    // (df.stat.countMinSketch — distributed build; counter adds are
+    // commutative and the hash seed is pinned, so the sketch and the
+    // estimates are deterministic AND partition-invariant, which the
+    // order-sensitive freqItems sketch is not); the exact global top-20
+    // is then annotated with its CMS estimate and overestimate. At
+    // 100 TB the sketch is the only thing that leaves the executors
+    // (~KBs), the posture for hot-token / hot-key monitoring. ScalaTest
+    // asserts the CMS one-sided error bound (est ≥ exact, overshoot ≤
+    // eps·N at 99% confidence). No oracle: no CMS in the DuckDB dialect.
+    "agg_cms_token_counts" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val cms = toks.stat.countMinSketch(col("tok"),
+        eps = 0.001, confidence = 0.99, seed = 42)
+      val cmsB = s.sparkContext.broadcast(cms)
+      val est = udf((t: String) => cmsB.value.estimateCount(t))
+      toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+        .withColumn("cms_est", est(col("tok")))
+        .withColumn("overestimate", col("cms_est") - col("exact_cnt"))
+    }),
+
     // Incremental dedup: a "new batch" (doc_id % 10 == 7) lands against
     // an existing corpus; drop batch docs whose sha256 already exists
     // (left ANTI join on the 32-byte hash — the shuffle never carries

@@ -99,6 +99,29 @@ class Round6Spec extends SparkSpec {
     assert(fp <= 0.05, s"doc-level false-positive rate $fp > 5%")
   }
 
+  test("agg_cms_token_counts: CMS estimates are one-sided within eps*N, invariant at 4 vs 1 partitions") {
+    val rows = SparkEntry.queries("agg_cms_token_counts")(spark, sf).collect()
+    assert(rows.length == 20)
+    val totalTokens = T.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t")).count()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val estv = r.getAs[Long]("cms_est")
+      assert(estv >= exact, s"CMS must never underestimate: $r")
+      assert(estv - exact <= (0.001 * totalTokens).ceil.toLong,
+        s"overshoot past eps*N=$totalTokens*0.001: $r")
+    }
+    // commutative counter adds + pinned seed → same estimates whatever
+    // the input partitioning (the property freqItems lacks)
+    val one = T.t(spark, sf, "documents").coalesce(1)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cms1 = one.stat.countMinSketch(col("tok"), 0.001, 0.99, 42)
+    rows.foreach { r =>
+      assert(cms1.estimateCount(r.getAs[String]("tok")) == r.getAs[Long]("cms_est"),
+        s"partitioning changed the estimate: $r")
+    }
+  }
+
   test("centroid argmax via max_by(cos, -cid) matches the window form under NULL and NaN scores") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
