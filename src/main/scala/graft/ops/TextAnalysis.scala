@@ -37,7 +37,10 @@ object TextAnalysis {
       val langs = Seq("de", "en", "es", "fr", "zh")
       val docs = t(s, d, "documents")
       // tg feeds both the profile build and the scoring join — persist so
-      // the trigram explode runs once, not twice.
+      // the trigram explode runs once, not twice (A/B at sf0.1: 1.66 s
+      // [1.52, 1.93] persisted vs 2.13 s [2.03, 2.20] recomputed — the
+      // opposite call from report_basket_affinity, where the subtree is
+      // cheap and ReusedExchange already shares it).
       val tg = docs.select(col("doc_id"), col("lang"),
           explode(array_distinct(expr(trigramsExpr))).as("tg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
