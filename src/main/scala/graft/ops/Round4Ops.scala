@@ -25,6 +25,52 @@ import org.apache.spark.sql.types._
 object Round4Ops {
   import T._
 
+  // ---- shared contamination fixture -----------------------------------
+  // ONE definition of the token projection, the 5-gram shingling and the
+  // bench/corpus split for BOTH the exact equi-join checker and the
+  // Bloom variant: the Bloom spec's zero-false-negative superset
+  // assertion only holds while the two queries shingle identically, so
+  // the coupling is structural, not copy-paste.
+  private def docToks(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("toks"))
+  /** word 5-gram shingles of docs with ≥ 5 tokens → (doc_id, g). */
+  private[graft] def shingles5(df: DataFrame): DataFrame =
+    df.filter(size(col("toks")) >= 5).select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks)-4), " +
+        "i -> array_join(slice(toks, i, 5), ' '))")).as("g"))
+  /** held-out benchmark split predicate (doc_id % 97 == 0). */
+  private def isBench = col("doc_id") % 97 === 0
+
+  // ---- shared PQ codebook ---------------------------------------------
+  // ONE definition of the subspace L2 and the code assignment for
+  // vec_pq_codes (code table) and vec_pq_adc_topk (ADC search): the two
+  // must agree on what a vector's code IS, including edge semantics.
+  /** SQL fold: L2² between 16-float subspace `m` of array cols a and b. */
+  private def subL2(a: String, b: String): String = {
+    val diff = s"(CAST(element_at($a, m*16 + i) AS DOUBLE) - " +
+      s"CAST(element_at($b, m*16 + i) AS DOUBLE))"
+    s"aggregate(sequence(1, 16), CAST(0 AS DOUBLE), (acc, i) -> acc + $diff * $diff)"
+  }
+  /** Per-(vec_id, m) PQ code: argmin-L2 sub-centroid as a map-side
+    * min_by (no window shuffle) under (dist ASC NULLS LAST, cid ASC) —
+    * the oracle's ROW_NUMBER ordering. The coalesce-to-+∞ makes a NULL
+    * dist (null/short embedding) LOSE the argmin on both engines; NaN
+    * sorts above +∞ on both, so it loses too. Returns
+    * (vec_id, m, code, dist, label); `dist` is min(dist) = the winning
+    * distance (NULL iff every centroid's dist is NULL, as in the
+    * oracle). */
+  private[graft] def pqCodes(e: DataFrame, cents: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"), col("embedding"),
+        explode(expr("sequence(0, 3)")).as("m"))
+      .join(cents)
+      .withColumn("dist", expr(subL2("embedding", "cvec")))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("cid"),
+          struct(coalesce(col("dist"), lit(Double.PositiveInfinity)).as("nd"),
+            col("cid"))).as("code"),
+        min(col("dist")).as("dist"),
+        first(col("label")).as("label"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Benchmark decontamination: flag corpus docs sharing any word
@@ -35,16 +81,11 @@ object Round4Ops {
     // broadcast bloom/hash set; semantics are identical, so the oracle
     // checks the string-keyed form.
     "text_contamination_check" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      def shingles(df: DataFrame): DataFrame =
-        df.filter(size(col("toks")) >= 5).select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks)-4), " +
-            "i -> array_join(slice(toks, i, 5), ' '))")).as("g"))
-      val corpus = toks.filter(col("doc_id") % 97 =!= 0)
-      val bench = toks.filter(col("doc_id") % 97 === 0)
-      val benchG = broadcast(shingles(bench).select("g").distinct())
-      val hits = shingles(corpus).join(benchG, "g")
+      val toks = docToks(s, d)
+      val corpus = toks.filter(!isBench)
+      val bench = toks.filter(isBench)
+      val benchG = broadcast(shingles5(bench).select("g").distinct())
+      val hits = shingles5(corpus).join(benchG, "g")
         .groupBy("doc_id").agg(countDistinct(col("g")).as("n_hits"))
       corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -67,21 +108,19 @@ object Round4Ops {
     // shingles/doc). ScalaTest asserts exact-hit superset + FP bound; no
     // DuckDB oracle (no bloom primitive in the oracle dialect).
     "text_bloom_decontaminate" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      def shingles(df: DataFrame): DataFrame =
-        df.filter(size(col("toks")) >= 5).select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks)-4), " +
-            "i -> array_join(slice(toks, i, 5), ' '))")).as("g"))
-      val bench = shingles(toks.filter(col("doc_id") % 97 === 0))
-        .select("g").distinct()
+      val toks = docToks(s, d)
+      val bench = shingles5(toks.filter(isBench)).select("g").distinct()
       // sketch build is the one driver-side artifact — the standard
-      // broadcast-side pattern (like a broadcast hash relation), sized
-      // generously so the fpp bound holds without a pre-count
-      val bf = bench.stat.bloomFilter("g", 200000L, 1e-4)
+      // broadcast-side pattern (like a broadcast hash relation). The
+      // capacity comes from a counted sizing pass (documented
+      // materialization action, MinHashDedup precedent): a hardcoded
+      // capacity would silently saturate past its bound at a larger sf
+      // and the fpp contract — and the spec's FP bound — would collapse.
+      val nBench = math.max(bench.count(), 1000L)
+      val bf = bench.stat.bloomFilter("g", nBench, 1e-4)
       val bfB = s.sparkContext.broadcast(bf)
       val mightContain = udf((g: String) => g != null && bfB.value.mightContain(g))
-      shingles(toks.filter(col("doc_id") % 97 =!= 0))
+      shingles5(toks.filter(!isBench))
         .filter(mightContain(col("g")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidate_hits"))
         .orderBy("doc_id")
@@ -208,17 +247,13 @@ object Round4Ops {
       val e = t(s, d, "embeddings")
       val cents = broadcast(e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
-      val diff = "(CAST(element_at(embedding, m*16 + i) AS DOUBLE) - " +
-        "CAST(element_at(cvec, m*16 + i) AS DOUBLE))"
-      val dist = e.select(col("vec_id"), col("embedding"),
-          explode(expr("sequence(0, 3)")).as("m"))
-        .join(cents)
-        .withColumn("dist", expr(
-          s"aggregate(sequence(1, 16), CAST(0 AS DOUBLE), (acc, i) -> acc + $diff * $diff)"))
-      val w = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cid"))
-      dist.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      // shared assignment helper (also feeds vec_pq_adc_topk): min_by
+      // argmin replaces the original row_number window — no 8×-row
+      // window sort, and NULL-dist semantics now match the oracle's
+      // NULLS LAST instead of Spark's window nulls-first default
+      pqCodes(e, cents)
         .select(col("vec_id"), col("m").cast(IntegerType).as("m"),
-          col("cid").cast(IntegerType).as("code"),
+          col("code").cast(IntegerType).as("code"),
           round(col("dist"), 4).as("dist"))
         .orderBy("vec_id", "m")
     }),
@@ -237,25 +272,14 @@ object Round4Ops {
       val e = t(s, d, "embeddings")
       val cents = broadcast(e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
-      val diff = "(CAST(element_at(embedding, m*16 + i) AS DOUBLE) - " +
-        "CAST(element_at(cvec, m*16 + i) AS DOUBLE))"
-      val codes = e.select(col("vec_id"), col("label"), col("embedding"),
-          explode(expr("sequence(0, 3)")).as("m"))
-        .join(cents)
-        .withColumn("dist", expr(
-          s"aggregate(sequence(1, 16), CAST(0 AS DOUBLE), (acc, i) -> acc + $diff * $diff)"))
-        .groupBy("vec_id", "m")
-        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("code"),
-          first(col("label")).as("label"))
-      val pdiff = "(CAST(element_at(pvec, m*16 + i) AS DOUBLE) - " +
-        "CAST(element_at(cvec, m*16 + i) AS DOUBLE))"
+      // same codebook as vec_pq_codes by construction (shared helper)
+      val codes = pqCodes(e, cents)
       val dtab = broadcast(e.filter(col("vec_id") === 0)
         .select(col("embedding").as("pvec"))
         .crossJoin(cents)
         .select(col("cid").as("code"), col("pvec"), col("cvec"),
           explode(expr("sequence(0, 3)")).as("m"))
-        .withColumn("pdist", expr(
-          s"aggregate(sequence(1, 16), CAST(0 AS DOUBLE), (acc, i) -> acc + $pdiff * $pdiff)"))
+        .withColumn("pdist", expr(subL2("pvec", "cvec")))
         .select("m", "code", "pdist"))
       codes.join(dtab, Seq("m", "code"))
         .groupBy("vec_id")
