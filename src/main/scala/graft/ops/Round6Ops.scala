@@ -54,6 +54,25 @@ object Round6Ops {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Daily new vs returning users — the canonical acquisition/retention
+    // split: a user is "new" on their first-ever active day, "returning"
+    // after. first_day is a per-user min (map-side combinable); the join
+    // back to daily activity is co-partitioned on user_id with the
+    // distinct that precedes it, so no extra exchange, then one day-keyed
+    // rollup. Scales as two user-hash shuffles + one day shuffle.
+    "report_new_vs_returning" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("ts").cast(DateType).as("dt")).distinct()
+      val firstDay = ev.groupBy("user_id").agg(min(col("dt")).as("first_dt"))
+      ev.join(firstDay, "user_id")
+        .groupBy("dt")
+        .agg(count(lit(1)).as("active_users"),
+          sum(when(col("dt") === col("first_dt"), 1L).otherwise(0L))
+            .as("new_users"))
+        .withColumn("returning_users", col("active_users") - col("new_users"))
+        .orderBy("dt")
+    }),
+
     // Gaps-and-islands: per-user runs of consecutive active days.
     // row_number per user minus the day index is constant within a run
     // (the classic islands key), so one window + one groupBy finds every
@@ -540,6 +559,13 @@ object Round6Ops {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "report_new_vs_returning" ->
+      ("WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events), " +
+        "fd AS (SELECT user_id, MIN(dt) AS first_dt FROM ev GROUP BY user_id) " +
+        "SELECT dt, CAST(COUNT(*) AS BIGINT) AS active_users, " +
+        "CAST(SUM(CASE WHEN dt = first_dt THEN 1 ELSE 0 END) AS BIGINT) AS new_users, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN dt = first_dt THEN 1 ELSE 0 END) AS BIGINT) AS returning_users " +
+        "FROM ev JOIN fd USING (user_id) GROUP BY dt ORDER BY dt"),
     "report_user_streaks" ->
       ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "runs AS (SELECT user_id, day - CAST(ROW_NUMBER() OVER " +
