@@ -56,15 +56,19 @@ object Round6Ops {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Daily new vs returning users — the canonical acquisition/retention
     // split: a user is "new" on their first-ever active day, "returning"
-    // after. first_day is a per-user min (map-side combinable); the join
-    // back to daily activity is co-partitioned on user_id with the
-    // distinct that precedes it, so no extra exchange, then one day-keyed
-    // rollup. Scales as two user-hash shuffles + one day shuffle.
+    // after. JOIN-FREE two-shuffle shape: collect_set(day) per user
+    // (map-side combinable, bounded by the 30-day window), first day =
+    // array_min of the set, explode back to (day, is_new) and roll up by
+    // day. The naive formulation (distinct → per-user min → join back →
+    // day rollup) pays 4 exchanges and a join because distinct hashes on
+    // (user, day) while the min hashes on user alone; this one is
+    // plan-audited at 2 exchanges, no join.
     "report_new_vs_returning" -> ((s, d) => {
-      val ev = T.events(s, d)
-        .select(col("user_id"), col("ts").cast(DateType).as("dt")).distinct()
-      val firstDay = ev.groupBy("user_id").agg(min(col("dt")).as("first_dt"))
-      ev.join(firstDay, "user_id")
+      val days = T.events(s, d)
+        .select(col("user_id"), col("ts").cast(DateType).as("dt"))
+        .groupBy("user_id").agg(collect_set(col("dt")).as("days"))
+      days.select(array_min(col("days")).as("first_dt"),
+          explode(col("days")).as("dt"))
         .groupBy("dt")
         .agg(count(lit(1)).as("active_users"),
           sum(when(col("dt") === col("first_dt"), 1L).otherwise(0L))

@@ -290,6 +290,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() == 10)
   }
 
+  test("report_new_vs_returning: join-free, exactly two hash exchanges") {
+    val p = plan("report_new_vs_returning")
+    // collect_set per user + explode → day rollup: user hash + day hash,
+    // no join back to the activity set (the naive formulation pays 4
+    // exchanges and a join)
+    assert(!p.contains("Join"), p.take(2000))
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 2, s"expected 2 hash exchanges, got $ex:\n" + p.take(3000))
+  }
+
   test("join_grid_spatial: cell-bucketed equi-join, never a cartesian") {
     // the 2D distance join must execute as an equi-join on the cell key
     // (the whole point of the grid bucketing); a cartesian/nested-loop
