@@ -57,15 +57,18 @@ object Round6Ops {
     // Daily new vs returning users — the canonical acquisition/retention
     // split: a user is "new" on their first-ever active day, "returning"
     // after. JOIN-FREE two-shuffle shape: collect_set(day) per user
-    // (map-side combinable, bounded by the 30-day window), first day =
-    // array_min of the set, explode back to (day, is_new) and roll up by
-    // day. The naive formulation (distinct → per-user min → join back →
-    // day rollup) pays 4 exchanges and a join because distinct hashes on
-    // (user, day) while the min hashes on user alone; this one is
-    // plan-audited at 2 exchanges, no join.
+    // (map-side combinable; per-user state is O(distinct active days) —
+    // the fixture's retention window is 30 days, and on longer histories
+    // the report is run over a bounded reporting window, which keeps the
+    // set small by the same contract), first day = array_min of the set,
+    // explode back to (day, is_new) and roll up by day. The naive
+    // formulation (distinct → per-user min → join back → day rollup)
+    // pays 4 exchanges and a join because distinct hashes on (user, day)
+    // while the min hashes on user alone; this one is plan-audited at
+    // 2 exchanges, no join.
     "report_new_vs_returning" -> ((s, d) => {
       val days = T.events(s, d)
-        .select(col("user_id"), col("ts").cast(DateType).as("dt"))
+        .select(col("user_id"), to_date(col("ts")).as("dt"))
         .groupBy("user_id").agg(collect_set(col("dt")).as("days"))
       days.select(array_min(col("days")).as("first_dt"),
           explode(col("days")).as("dt"))
@@ -563,13 +566,16 @@ object Round6Ops {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // join-free like the Spark side: a window MIN instead of a join back
+    // to a per-user aggregate, so a hypothetical NULL user_id would
+    // group (not drop) identically on both engines
     "report_new_vs_returning" ->
       ("WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events), " +
-        "fd AS (SELECT user_id, MIN(dt) AS first_dt FROM ev GROUP BY user_id) " +
+        "f AS (SELECT dt, MIN(dt) OVER (PARTITION BY user_id) AS first_dt FROM ev) " +
         "SELECT dt, CAST(COUNT(*) AS BIGINT) AS active_users, " +
         "CAST(SUM(CASE WHEN dt = first_dt THEN 1 ELSE 0 END) AS BIGINT) AS new_users, " +
         "CAST(COUNT(*) - SUM(CASE WHEN dt = first_dt THEN 1 ELSE 0 END) AS BIGINT) AS returning_users " +
-        "FROM ev JOIN fd USING (user_id) GROUP BY dt ORDER BY dt"),
+        "FROM f GROUP BY dt ORDER BY dt"),
     "report_user_streaks" ->
       ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "runs AS (SELECT user_id, day - CAST(ROW_NUMBER() OVER " +
