@@ -56,23 +56,38 @@ object Bench {
     val warmups = math.max(0, sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt)
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (dev iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
-      .map { case (name, fn) =>
-      (0 until warmups).foreach { _ =>
-        spark.catalog.clearCache()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      }
-      val times = (0 until runs).map { _ =>
-        // full recompute every run: queries that persist() intermediates
-        // must not serve run 2+ from the cache manager
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times
+    // INTERLEAVED protocol: the samples for one query are spread across
+    // N full round-robin passes over the whole suite, NOT taken
+    // back-to-back. Round 8 showed why back-to-back sampling is unsound
+    // on a shared machine: a several-minute ambient-contention window
+    // poisoned one contiguous alphabetical block of queries INCLUDING
+    // all five of their samples (agg_collect_sorted — a 25-row broadcast
+    // join — recorded min 1.27 s, physically impossible as steady
+    // state), while untouched neighbors stayed at their historical
+    // 0.2 s. With round-robin passes the same window would dilute into
+    // one elevated sample of many different queries, and each query's
+    // median across passes shakes it off. A whole pass takes minutes, so
+    // consecutive samples of one query are also minutes apart — medians
+    // now sample the environment at suite scale, not block scale.
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // full recompute every run: queries that persist() intermediates
+      // must not serve pass 2+ from the cache manager
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
+    // Warm-up = whole untimed passes (JIT the generated code of every
+    // query before ANY timed sample exists, same intent as before).
+    (0 until warmups).foreach { _ => suite.foreach { case (_, fn) => runOnce(fn) } }
+    val samples = collection.mutable.LinkedHashMap[String, Vector[Double]](
+      suite.map { case (name, _) => name -> Vector.empty[Double] }: _*)
+    (0 until runs).foreach { _ =>
+      suite.foreach { case (name, fn) => samples(name) = samples(name) :+ runOnce(fn) }
+    }
+    val results = suite.map { case (name, _) => name -> samples(name).sorted }
     def r(v: Double): Double = math.rint(v * 1000) / 1000
     def med(ts: Seq[Double]): Double = ts(ts.size / 2)
     // "queries" stays name→median (the driver's parse contract); the
@@ -97,7 +112,7 @@ object Bench {
       "text_exact_dedup")
     val headline = results.filter(kv => headlineKeys.contains(kv._1))
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","queries":${toJson(results)},"spread":${toSpreadJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","protocol":"interleaved","queries":${toJson(results)},"spread":${toSpreadJson(results)},"sf":"$sfDir"}"""
     try {
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/bench.json"), fullJson)
@@ -105,7 +120,7 @@ object Bench {
     // stdout line stays a few hundred bytes (headline spread only); the
     // full 185-key spread map lives in target/bench.json.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","n_queries":${results.size},"queries":${toJson(headline)},"spread":${toSpreadJson(headline)},"headline_total":${r(headline.map(kv => med(kv._2)).sum)},"full":"target/bench.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","protocol":"interleaved","n_queries":${results.size},"queries":${toJson(headline)},"spread":${toSpreadJson(headline)},"headline_total":${r(headline.map(kv => med(kv._2)).sum)},"full":"target/bench.json","sf":"$sfDir"}"""
     println(json)
     spark.stop()
   }

@@ -141,11 +141,23 @@ object ScalingProbe {
       finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
     }
 
+    // round-9 shape: the k-means training loop at a FIXED 5 iterations
+    // (minIters pins the count — the amp'd corpus would otherwise hit
+    // the assignment fixpoint immediately) so 1× and 10× run identical
+    // work shapes. The claim under test: per-iteration cost is one
+    // treeAggregate over the corpus — linear in rows, constant driver
+    // state (k×64 decimals) — so 10× data ⇒ ≈10× time, no driver-side
+    // blowup. (After amp the 8 seed ids collapse to replicas of one
+    // vector — degenerate clustering, identical per-row compute.)
+    val emb = T.t(spark, sfDir, "embeddings")
+    def kmeans(e: DataFrame): Long =
+      ops.Round9Ops.kmeansTrain(e, maxIters = 5, minIters = 5)._1.size.toLong
+
     // warm up IO + codegen once so both measurements are steady-state
     // (incl. first read of customer/supplier + the grid-join codegen and
     // the triangle edge-build, so their 1× rows are not cold-read IO)
     q1(li); joinAgg(ord, li); winLatest(ev); gridJoin(cust); triEdges(li)
-    topkSpill(li); ()
+    topkSpill(li); kmeans(emb); ()
 
     val results = Seq(
       ("agg_q1_shape", time(q1(li)), time(q1(amp(li, Seq("l_orderkey"))))),
@@ -164,7 +176,9 @@ object ScalingProbe {
       ("triangle_edge_distinct", time(triEdges(li)),
         time(triEdges(amp(li, Seq("l_orderkey"))))),
       ("topk_per_key_spill", time(topkSpill(li)),
-        time(topkSpill(amp(li, Seq("l_orderkey")))))
+        time(topkSpill(amp(li, Seq("l_orderkey"))))),
+      ("kmeans_train_5iter", time(kmeans(emb)),
+        time(kmeans(amp(emb, Seq("vec_id")))))
     )
     def r(v: Double): Double = math.rint(v * 1000) / 1000
     val json = results.map { case (k, t1, t10) =>

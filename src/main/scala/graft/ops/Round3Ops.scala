@@ -544,10 +544,13 @@ object Round3Ops {
         .filter(_.l_quantity > 10)
         .groupByKey(_.l_returnflag)
         .mapGroups { (flag, rows) =>
-          // accumulate exact 2dp money as Long cents — same value as
-          // per-row BigDecimal(2dp, HALF_UP) accumulation but zero
-          // allocations in the per-row loop (the prices are 2dp money,
-          // so round-to-cents is the HALF_UP decimal exactly)
+          // accumulate exact 2dp money as Long cents — zero allocations
+          // in the per-row loop. PRECONDITION: prices are POSITIVE 2dp
+          // money (TPC-H extendedprice), where round-to-nearest-cent is
+          // exact and math.round (half-up toward +∞) coincides with
+          // BigDecimal HALF_UP (half away from zero); for negative
+          // amounts or >2dp inputs the two rounding modes differ and
+          // this shortcut would not be decimal-exact
           var n = 0L
           var cents = 0L
           rows.foreach { r =>

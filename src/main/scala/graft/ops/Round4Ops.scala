@@ -45,8 +45,10 @@ object Round4Ops {
   // ONE definition of the subspace L2 and the code assignment for
   // vec_pq_codes (code table) and vec_pq_adc_topk (ADC search): the two
   // must agree on what a vector's code IS, including edge semantics.
-  /** SQL fold: L2² between 16-float subspace `m` of array cols a and b. */
-  private def subL2(a: String, b: String): String = {
+  /** SQL fold: L2² between 16-float subspace `m` of array cols a and b.
+    * Shared with Round9Ops.vec_ivf_pq_topk — the composed IVF×PQ search
+    * must build its distance table from the SAME fold as the codes. */
+  private[graft] def subL2(a: String, b: String): String = {
     val diff = s"(CAST(element_at($a, m*16 + i) AS DOUBLE) - " +
       s"CAST(element_at($b, m*16 + i) AS DOUBLE))"
     s"aggregate(sequence(1, 16), CAST(0 AS DOUBLE), (acc, i) -> acc + $diff * $diff)"

@@ -67,8 +67,15 @@ object Round6Ops {
     // while the min hashes on user alone; this one is plan-audited at
     // 2 exchanges, no join.
     "report_new_vs_returning" -> ((s, d) => {
+      // NULL days excluded explicitly on BOTH engines: collect_set drops
+      // NULL elements silently, but the oracle's SELECT DISTINCT would
+      // keep a NULL day as a group — an unparseable ts would otherwise
+      // diverge (and a user with only NULL days would vanish here while
+      // surviving there). The filter makes the contract symmetric
+      // instead of leaning on the fixture's non-null ts.
       val days = T.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("dt"))
+        .filter(col("dt").isNotNull)
         .groupBy("user_id").agg(collect_set(col("dt")).as("days"))
       days.select(array_min(col("days")).as("first_dt"),
           explode(col("days")).as("dt"))
@@ -568,9 +575,12 @@ object Round6Ops {
   val oracleSql: Map[String, String] = Map(
     // join-free like the Spark side: a window MIN instead of a join back
     // to a per-user aggregate, so a hypothetical NULL user_id would
-    // group (not drop) identically on both engines
+    // group (not drop) identically on both engines; NULL days filtered
+    // explicitly to mirror the Spark side's isNotNull (collect_set
+    // would drop them silently there)
     "report_new_vs_returning" ->
-      ("WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events), " +
+      ("WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events " +
+        "WHERE CAST(ts AS DATE) IS NOT NULL), " +
         "f AS (SELECT dt, MIN(dt) OVER (PARTITION BY user_id) AS first_dt FROM ev) " +
         "SELECT dt, CAST(COUNT(*) AS BIGINT) AS active_users, " +
         "CAST(SUM(CASE WHEN dt = first_dt THEN 1 ELSE 0 END) AS BIGINT) AS new_users, " +

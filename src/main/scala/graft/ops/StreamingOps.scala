@@ -134,6 +134,43 @@ object StreamingOps {
         col("p_val"))
   }
 
+  /** Streaming ingest-time dedup (t2=N `stream_dedup_incremental`,
+    * ScalaTest): documents arrive in micro-batches and are dropped if
+    * (a) their content hash already exists in the historical corpus, or
+    * (b) a duplicate arrived earlier in the stream within the watermark
+    * horizon — the ingest-time shape of a training-data pipeline, and
+    * the streaming twin of the batch `text_dedup_incremental` anti-join.
+    *
+    * History is probed through a broadcast Bloom sketch built ONCE from
+    * the corpus hashes (the text_bloom_decontaminate artifact — ~KBs,
+    * deterministic treeAggregate build): per batch there is NO join and
+    * NO shuffle of the historical side, which is the only workable
+    * posture when the corpus is 100 TB and the stream is an ingest
+    * firehose. Bloom guarantees zero false NEGATIVES — no historical
+    * duplicate ever passes; at fpp=1e-4 roughly 1 in 10⁴ genuinely-new
+    * docs is sacrificed (dropped as a presumed dup), the standard
+    * ingest-dedup trade (an exact rescue pass, if required, is the batch
+    * anti-join replayed over the day's accepted docs). Within-stream
+    * duplicates are handled by dropDuplicatesWithinWatermark on the
+    * content hash — state is bounded by the watermark horizon instead of
+    * growing with the stream. */
+  def incrementalDedupStream(spark: SparkSession, corpus: DataFrame,
+      stream: DataFrame): DataFrame = {
+    val ch = corpus.select(sha2(col("text"), 256).as("h"))
+    // counted Bloom capacity (text_bloom_decontaminate precedent): a
+    // hardcoded capacity would silently saturate at a larger corpus and
+    // void the fpp contract
+    val nHist = math.max(ch.count(), 1000L)
+    val bf = ch.stat.bloomFilter("h", nHist, 1e-4)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val inHistory = udf((h: String) => h != null && bfB.value.mightContain(h))
+    stream
+      .withColumn("h", sha2(col("text"), 256))
+      .withWatermark("ts", "10 minutes")
+      .filter(!inHistory(col("h")))
+      .dropDuplicatesWithinWatermark("h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_1h" -> ((s, d) =>
       tumblingAgg(T.events(s, d)).orderBy("ws", "event_type")),

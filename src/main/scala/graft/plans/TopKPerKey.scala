@@ -39,7 +39,19 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   * shape. */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
+    case TopKPerKey(keys0, order, k, child) =>
+      // Float/double keys: canonicalize -0.0/NaN exactly as the
+      // optimizer's NormalizeFloatingNumbers rule does for built-in
+      // grouping keys. This custom node sits outside that rule's
+      // pattern match, and BOTH the hash exchange (ClusteredDistribution
+      // over keys) and the heap/group-scan key comparisons use UnsafeRow
+      // binary equality — without this, 0.0 vs -0.0 would land on
+      // different reducers and split one logical group, unlike the
+      // row_number window formulation. Applied here (not at node build)
+      // because normalize needs resolved dataTypes; by strategy time the
+      // plan is analyzed.
+      val keys = keys0.map(
+        org.apache.spark.sql.graft.GraftSqlBridge.normalizeFloats)
       val partial =
         TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
       TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil

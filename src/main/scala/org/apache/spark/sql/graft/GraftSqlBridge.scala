@@ -50,6 +50,17 @@ object GraftSqlBridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Canonicalize floating-point subexpressions (-0.0 → 0.0, NaN bit
+    * patterns → the canonical NaN) exactly as the optimizer's
+    * NormalizeFloatingNumbers rule does for built-in grouping/join
+    * keys. Custom logical nodes (TopKPerKey) sit outside that rule's
+    * pattern match, so they normalize their own keys at construction —
+    * without this, UnsafeRow binary equality would split 0.0 vs -0.0
+    * into two groups, unlike a groupBy/window on the same keys. */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** Memory-manager page size for external sorters — what SortExec
     * passes to UnsafeExternalRowSorter; `private[spark]`, hence
     * bridged. */

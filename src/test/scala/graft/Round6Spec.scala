@@ -104,13 +104,21 @@ class Round6Spec extends SparkSpec {
     assert(rows.length == 20)
     val totalTokens = T.t(spark, sf, "documents")
       .select(explode(split(col("text"), " ")).as("t")).count()
+    // One-sidedness (est >= exact) is a hard CMS invariant; the eps*N
+    // overshoot bound holds only at 99% confidence PER QUERY, so across
+    // 20 items a hard per-item assert could flake (~18% worst case).
+    // Assert instead that at most 1 of the 20 exceeds eps*N — the
+    // binomial tail beyond that is <2% even at the nominal 1% miss rate,
+    // and in practice a depth-5 sketch essentially never misses twice.
+    val epsN = (0.001 * totalTokens).ceil.toLong
+    var over = 0
     rows.foreach { r =>
       val exact = r.getAs[Long]("exact_cnt")
       val estv = r.getAs[Long]("cms_est")
       assert(estv >= exact, s"CMS must never underestimate: $r")
-      assert(estv - exact <= (0.001 * totalTokens).ceil.toLong,
-        s"overshoot past eps*N=$totalTokens*0.001: $r")
+      if (estv - exact > epsN) over += 1
     }
+    assert(over <= 1, s"$over of 20 items overshoot past eps*N=$epsN")
     // commutative counter adds + pinned seed → same estimates whatever
     // the input partitioning (the property freqItems lacks)
     val one = T.t(spark, sf, "documents").coalesce(1)

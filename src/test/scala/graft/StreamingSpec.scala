@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.ops.StreamingOps
 
 case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+case class DocEv(doc_id: Long, text: String, ts: Timestamp)
 
 /** Streaming golden tier (SURVEY §5.2): MemoryStream micro-batches prove
   * the incremental path — watermark late-drop, stateful accumulation, and
@@ -372,5 +373,32 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.table("ssj_self")
       .collect().map(r => (r.getLong(0), r.getDouble(3))).sorted
     assert(rows.toSeq == Seq((1L, 9.0), (2L, 5.0)), rows.toSeq.toString)
+  }
+
+  test("stream_dedup_incremental: history Bloom + within-stream dedup across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // historical corpus: two already-ingested documents
+    val corpus = Seq((100L, "the quick brown fox"), (101L, "hello world"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[DocEv]
+    val q = StreamingOps.incrementalDedupStream(spark, corpus, mem.toDF())
+      .writeStream.format("memory").queryName("sdi")
+      .outputMode(OutputMode.Append).start()
+    // Batch 1: one historical dup (must drop — Bloom has no false
+    // negatives), one genuinely new doc (must pass)
+    mem.addData(
+      DocEv(1L, "hello world", ts("2024-01-01 10:00:00")),
+      DocEv(2L, "a brand new document", ts("2024-01-01 10:00:30")))
+    q.processAllAvailable()
+    // Batch 2: a LATER-batch duplicate of the batch-1 doc (must drop via
+    // dropDuplicatesWithinWatermark state), plus another new doc
+    mem.addData(
+      DocEv(3L, "a brand new document", ts("2024-01-01 10:01:00")),
+      DocEv(4L, "another new document", ts("2024-01-01 10:02:00")))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("sdi").collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(ids.toSeq == Seq(2L, 4L),
+      s"expected only the first copies of the two new docs, got ${ids.toSeq}")
   }
 }
