@@ -1,7 +1,8 @@
 package graft.ops
 
 import graft.T
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -181,6 +182,86 @@ object Round9Ops {
       inertias.toSeq, it)
   }
 
+  /** Fixed-iteration PageRank over the part–supplier bipartite graph
+    * (nodes = 2*partkey / 2*suppkey+1; edges = distinct lineitem pairs,
+    * undirected by doubling). Rows-only key (`graph_pagerank`): an
+    * iterative fixpoint loop is not one SQL statement — same contract
+    * as graph_components, whose loop pattern this reuses.
+    *
+    * Determinism / partition invariance: ranks live in DECIMAL(38,18)
+    * end-to-end — the per-edge share rank/deg is an exact decimal
+    * division and the per-node SUM of shares is a decimal sum
+    * (commutative-associative), so every iteration is bit-identical at
+    * local[4] vs local[32]; no double ever enters the loop. The graph is
+    * bipartite-connected with no dangling nodes (every node appears on
+    * both edge directions), so total rank is conserved up to decimal
+    * truncation (≤|edges|×1e-16 per iteration; Round9Spec asserts the
+    * total stays within 1e-6 of 1 after all iterations).
+    *
+    * Posture at 100 TB: the edge list is partitioned by the probe key
+    * ONCE and persisted (every iteration's join reuses the layout); each
+    * iteration is one shuffle_hash join + one key-partitioned sum —
+    * O(edges) shuffle rows, constant driver state. localCheckpoint
+    * truncates lineage so the analyzer doesn't grow per round (the
+    * graph_components lesson); on a cluster it would be a reliable
+    * checkpoint to the shuffle store. */
+  private[graft] def pageRank(s: SparkSession, d: String,
+      iters: Int = 8): DataFrame = {
+    import graft.Graft
+    val ranks = Graft.withLoopConf(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") { s2 =>
+      val pairs = T.t(s2, d, "lineitem")
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      val edges = pairs
+        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ed = edges.join(deg, "src").repartition(col("src")).persist()
+      val nNodes = deg.count()
+      // The two per-run constants (1/N and 0.15/N) are divided DRIVER-
+      // side at scale 24 and shipped as exact decimal literals: Spark's
+      // decimal-division promotion for `decimal / longLiteral` lands on
+      // scale 6, which rounds 0.15/N to 6dp and leaks ~N×3e-7 of rank
+      // per iteration (measured 2.9e-4 over 8 iterations) — driver-side
+      // BigDecimal division sidesteps the promotion rule entirely. The
+      // damp factor stays the NARROWEST possible decimal: a (38,18)
+      // damp would push damp*in_rank past precision 38 and the
+      // precision-loss rule would crush ITS scale to 6 too; (3,2)×
+      // (38,18) adjusts to scale 16 — still exact to ~1e-16/node/iter.
+      def overN(x: java.math.BigDecimal): Column =
+        lit(x.divide(new java.math.BigDecimal(nNodes), 24,
+          java.math.RoundingMode.HALF_UP)).cast(DecimalType(38, 18))
+      val initRank = overN(java.math.BigDecimal.ONE)
+      val baseOverN = overN(new java.math.BigDecimal("0.15"))
+      val damp = lit(new java.math.BigDecimal("0.85")).cast(DecimalType(3, 2))
+      var r = deg.select(col("src").as("node"), initRank.as("rank"))
+        .localCheckpoint()
+      var it = 0
+      while (it < iters) {
+        r = ed.hint("shuffle_hash")
+          .join(r, col("src") === col("node"))
+          .select(col("dst"), (col("rank") / col("deg")).as("share"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("share")).as("in_rank"))
+          .select(col("node"),
+            (baseOverN + damp * col("in_rank"))
+              .cast(DecimalType(38, 18)).as("rank"))
+          .localCheckpoint()
+        it += 1
+      }
+      ed.unpersist()
+      r
+    }
+    Graft.rebind(ranks, s)
+      .select(
+        when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").cast(LongType).as("key"),
+        round(col("rank").cast(DoubleType) * 1e6, 6).as("rank_ppm"))
+      .orderBy("node_type", "key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Composed IVF×PQ ANN search — the actual 100 TB serving plan, built
@@ -270,7 +351,131 @@ object Round9Ops {
         .withColumn("final_inertia",
           round(lit(inertias.lastOption.getOrElse(0d)), 6))
         .orderBy("cid", "dim")
-    })
+    }),
+
+    // Linear interpolation of interior gaps in a per-user daily series —
+    // the resample/interpolate half of the ts family (ts_gapfill_ffill
+    // is the step-function half). Grid = users × calendar (calendar is a
+    // tiny broadcast); prev/next known points come from ONE window pass
+    // each direction (last/first IGNORE NULLS) — no self-join, no
+    // per-gap search, so the plan is two window sorts over the grid
+    // regardless of gap structure. Ends stay NULL (no extrapolation) —
+    // that's the contract that distinguishes interpolation from ffill.
+    // Determinism: known values are money-decimal sums; the
+    // interpolation arithmetic is the same IEEE-double expression tree
+    // on both engines (datediff ratios), rounded to 6dp.
+    "ts_interpolate_linear" -> ((s, d) => {
+      val e = T.events(s, d).filter(col("user_id") < 300)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val daily = e.groupBy("user_id", "day")
+        .agg(money(sum(dec(col("value")))).as("gmv"))
+      val cal = e.select(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val grid = e.select("user_id").distinct().crossJoin(broadcast(cal))
+      val wPrev = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last(col("gmv"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("gmv").isNotNull, col("day")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("gmv"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("gmv").isNotNull, col("day")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("gmv_interp",
+          when(col("gmv").isNotNull, col("gmv"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              round(col("pv") + (col("nv") - col("pv")) *
+                (datediff(col("day"), col("pd")).cast(DoubleType) /
+                  datediff(col("nd"), col("pd")).cast(DoubleType)), 6))
+            .otherwise(lit(null).cast(DoubleType)))
+        .select(col("user_id"), col("day"), col("gmv"), col("gmv_interp"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Declarative data-quality gate: structural rules (null keys,
+    // duplicate keys, referential orphans) + expectation rules (value
+    // ranges) over orders/lineitem, ONE conditional-aggregation scan per
+    // table — adding a rule adds a sum(when), not a pass. The orphan
+    // check is the only join: left join on the (distinct) key set,
+    // shuffle-keyed — at 100 TB it would take a broadcast Bloom of the
+    // parent keys first (text_bloom_decontaminate's shape) so only
+    // probable orphans reach the shuffle. Clean-fixture rules legitimately
+    // report 0 violations; the range rules fire (thresholds chosen inside
+    // the fixture's real value range).
+    "dq_rule_checks" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      def unpack(agg: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+        agg.select(explode(array(pairs.map { case (rule, v) =>
+          struct(lit(rule).as("rule"), col("n").as("n_checked"),
+            col(v).as("n_violations"))
+        }: _*)).as("r")).select(col("r.*"))
+      val oAgg = o.agg(count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_nonpos"),
+        sum(when(col("o_totalprice") > 400000, 1L).otherwise(0L)).as("v_big"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"))
+      val lAgg = li.agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 45, 1L)
+          .otherwise(0L)).as("v_qty"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("v_disc"))
+      val orphan = li.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey")).distinct(),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_orph"))
+      unpack(oAgg, Seq(
+        "orders.null_custkey" -> "v_null",
+        "orders.nonpos_price" -> "v_nonpos",
+        "orders.price_over_400k" -> "v_big",
+        "orders.dup_orderkey" -> "v_dup"))
+        .unionAll(unpack(lAgg, Seq(
+          "lineitem.qty_out_of_1_45" -> "v_qty",
+          "lineitem.discount_over_5pct" -> "v_disc")))
+        .unionAll(unpack(orphan, Seq("lineitem.orphan_orderkey" -> "v_orph")))
+        .withColumn("violation_rate",
+          round(col("n_violations").cast(DoubleType) / col("n_checked"), 6))
+        .orderBy("rule")
+    }),
+
+    // Importance-weighted (domain-mixing) sampling: per-language keep
+    // rates — the upsample-quality/downsample-boilerplate step of a
+    // training-data mix. Deterministic like sample_stratified/
+    // split_train_test: md5-rank within the stratum, keep the first
+    // floor(n*rate) — no RNG state, so the sample is reproducible on any
+    // cluster and the oracle replays it exactly. Rates are 20ths and the
+    // cutoff is PURE INTEGER arithmetic (rn*20 <= n*num): `ceil(n*wt)`
+    // with a double wt would diverge between engines whenever n*wt is an
+    // exact integer (Spark's 70*0.4 = 28.000000000000004 ceils to 29,
+    // DuckDB's DECIMAL 28.0 to 28). The window sorts within strata only
+    // (bounded by stratum size, shuffle-keyed by lang; for a web-scale
+    // stratum the shard-keyed window of text_pack_sequences is the
+    // drop-in).
+    "sample_importance_weighted" -> ((s, d) => {
+      // keep-rate numerators over denominator 20: en 0.9, zh 0.6,
+      // fr 0.5, de 0.4, default 0.25
+      val num = when(col("lang") === "en", 18L)
+        .when(col("lang") === "zh", 12L)
+        .when(col("lang") === "fr", 10L)
+        .when(col("lang") === "de", 8L)
+        .otherwise(5L)
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      t(s, d, "documents").select(col("doc_id"), col("lang"))
+        .withColumn("num", num)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .filter(col("rn") * 20L <= col("n") * col("num"))
+        .select(col("doc_id"), col("lang"),
+          (col("num").cast(DoubleType) / 20).as("wt"),
+          col("rn").cast(IntegerType).as("rn"))
+        .orderBy("doc_id")
+    }),
+
+    // t2=N: iterative PageRank (decimal-exact loop; see pageRank above).
+    "graph_pagerank" -> ((s, d) => pageRank(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -313,6 +518,76 @@ object Round9Ops {
         "i -> (ev[i] - pv[i]) * (ev[i] - pv[i]))) AS exact FROM short) " +
         "SELECT vec_id, label, cid, CAST(ROUND(adc, 6) AS DOUBLE) AS adc_dist, " +
         "CAST(ROUND(exact, 6) AS DOUBLE) AS l2_dist " +
-        "FROM rr ORDER BY exact, vec_id LIMIT 10")
+        "FROM rr ORDER BY exact, vec_id LIMIT 10"),
+
+    // Same grid + IGNORE-NULLS window shape as ts_gapfill_ffill's
+    // oracle; the interpolation expression tree mirrors the Spark side
+    // term-for-term (same IEEE-double op order), rounded to 6dp.
+    "ts_interpolate_linear" ->
+      ("WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value " +
+        "FROM events WHERE user_id < 300), " +
+        "daily AS (SELECT user_id, day, " +
+        s"${oMoney(s"SUM(${oDec("value")})")} AS gmv FROM e GROUP BY 1, 2), " +
+        "cal AS (SELECT CAST(unnest(generate_series(CAST(MIN(day) AS TIMESTAMP), " +
+        "CAST(MAX(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM e), " +
+        "grid AS (SELECT DISTINCT e.user_id, c.day FROM e CROSS JOIN cal c), " +
+        "j AS (SELECT g.user_id, g.day, d.gmv FROM grid g " +
+        "LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day), " +
+        "w AS (SELECT user_id, day, gmv, " +
+        "last_value(gmv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
+        "last_value(CASE WHEN gmv IS NOT NULL THEN day END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd, " +
+        "first_value(gmv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
+        "first_value(CASE WHEN gmv IS NOT NULL THEN day END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY day " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd FROM j) " +
+        "SELECT user_id, day, gmv, " +
+        "CASE WHEN gmv IS NOT NULL THEN gmv " +
+        "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN " +
+        "CAST(ROUND(pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / " +
+        "CAST(nd - pd AS DOUBLE)), 6) AS DOUBLE) " +
+        "ELSE NULL END AS gmv_interp " +
+        "FROM w ORDER BY user_id, day"),
+
+    // One aggregate SELECT per rule, UNION ALL — DuckDB runs the same
+    // conditional sums; counts cast to BIGINT (DuckDB integer SUM is
+    // HUGEINT), rate rounded to 6dp double on both engines.
+    "dq_rule_checks" ->
+      ("WITH u AS (" +
+        "SELECT 'orders.null_custkey' AS rule, CAST(COUNT(*) AS BIGINT) AS n_checked, " +
+        "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM orders " +
+        "UNION ALL SELECT 'orders.nonpos_price', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'orders.price_over_400k', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'orders.dup_orderkey', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'lineitem.qty_out_of_1_45', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'lineitem.discount_over_5pct', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'lineitem.orphan_orderkey', CAST(COUNT(*) AS BIGINT), " +
+        "CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o " +
+        "ON l.l_orderkey = o.o_orderkey) " +
+        "SELECT rule, n_checked, n_violations, " +
+        "CAST(ROUND(CAST(n_violations AS DOUBLE) / n_checked, 6) AS DOUBLE) AS violation_rate " +
+        "FROM u ORDER BY rule"),
+
+    // The sample_stratified oracle with a per-lang CASE rate instead of
+    // the flat 0.2.
+    // Integer cutoff (rn*20 <= n*num) exactly as the Spark side — see
+    // the double-vs-decimal CEIL divergence note there.
+    "sample_importance_weighted" ->
+      ("WITH r AS (SELECT doc_id, lang, " +
+        "CASE lang WHEN 'en' THEN 18 WHEN 'zh' THEN 12 WHEN 'fr' THEN 10 " +
+        "WHEN 'de' THEN 8 ELSE 5 END AS num, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY lang) AS n FROM documents) " +
+        "SELECT doc_id, lang, CAST(num AS DOUBLE) / 20 AS wt, CAST(rn AS INT) AS rn " +
+        "FROM r WHERE rn * 20 <= n * num ORDER BY doc_id")
   )
 }

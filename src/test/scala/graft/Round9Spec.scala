@@ -86,4 +86,79 @@ class Round9Spec extends SparkSpec {
     val recall = exact10.intersect(ivf10).size / 10.0
     assert(recall >= 0.7, s"recall@10 = $recall with trained codebook")
   }
+
+  test("graph_pagerank: rank conserved, deterministic, covers every node") {
+    val df = q("graph_pagerank")
+    val rows = df.collect()
+    val li = T.t(spark, sf, "lineitem")
+    val nParts = li.select("l_partkey").distinct().count()
+    val nSupps = li.select("l_suppkey").distinct().count()
+    assert(rows.length == nParts + nSupps, "one rank row per node")
+    val total = rows.map(_.getAs[Double]("rank_ppm")).sum / 1e6
+    assert(math.abs(total - 1.0) <= 1e-6,
+      s"total rank drifted from 1: $total")
+    assert(rows.forall(_.getAs[Double]("rank_ppm") > 0), "ranks positive")
+    // bit-identical across runs (decimal-exact loop, no RNG)
+    val again = q("graph_pagerank").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("ts_interpolate_linear: interior gaps filled linearly, ends stay null") {
+    val rows = q("ts_interpolate_linear").collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val known = rs.zipWithIndex.filter(!_._1.isNullAt(2)).map(_._2)
+      if (known.nonEmpty) {
+        rs.zipWithIndex.foreach { case (r, i) =>
+          val interp = Option(r.getAs[java.lang.Double]("gmv_interp"))
+          if (i < known.min || i > known.max)
+            assert(interp.isEmpty, s"extrapolated at edge: $r")
+          else assert(interp.isDefined, s"interior day not filled: $r")
+        }
+        // a filled interior value lies between its bracketing knowns
+        rs.zipWithIndex.filter { case (r, i) =>
+          r.isNullAt(2) && i > known.min && i < known.max
+        }.foreach { case (r, i) =>
+          val lo = known.filter(_ < i).max
+          val hi = known.filter(_ > i).min
+          val a = rs(lo).getAs[Double]("gmv_interp")
+          val b = rs(hi).getAs[Double]("gmv_interp")
+          val v = r.getAs[Double]("gmv_interp")
+          assert(v >= math.min(a, b) - 1e-6 && v <= math.max(a, b) + 1e-6,
+            s"interpolant $v outside [$a,$b] at row $r")
+        }
+      }
+    }
+  }
+
+  test("dq_rule_checks: structural rules clean, expectation rules fire") {
+    val rows = q("dq_rule_checks").collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"))).toMap
+    assert(rows.size == 7)
+    // fixture is referentially clean: structural rules must report 0
+    Seq("orders.null_custkey", "orders.nonpos_price", "orders.dup_orderkey",
+      "lineitem.orphan_orderkey").foreach { k =>
+      assert(rows(k)._2 == 0L, s"$k: ${rows(k)}")
+    }
+    // range expectations are chosen inside the fixture's value range
+    Seq("orders.price_over_400k", "lineitem.qty_out_of_1_45",
+      "lineitem.discount_over_5pct").foreach { k =>
+      assert(rows(k)._2 > 0L && rows(k)._2 < rows(k)._1, s"$k: ${rows(k)}")
+    }
+  }
+
+  test("sample_importance_weighted: per-stratum kept count is floor(n*rate)") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val docs = T.t(spark, sf, "documents")
+    val nByLang = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val numOf = Map("en" -> 18L, "zh" -> 12L, "fr" -> 10L, "de" -> 8L)
+    val kept = q("sample_importance_weighted").collect()
+      .groupBy(_.getAs[String]("lang")).map { case (l, rs) => l -> rs.length.toLong }
+    nByLang.foreach { case (lang, n) =>
+      val expect = n * numOf.getOrElse(lang, 5L) / 20L
+      assert(kept.getOrElse(lang, 0L) == expect,
+        s"$lang: kept ${kept.getOrElse(lang, 0L)} of $n, expected $expect")
+    }
+  }
 }
