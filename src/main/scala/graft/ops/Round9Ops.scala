@@ -186,79 +186,88 @@ object Round9Ops {
     * (nodes = 2*partkey / 2*suppkey+1; edges = distinct lineitem pairs,
     * undirected by doubling). Rows-only key (`graph_pagerank`): an
     * iterative fixpoint loop is not one SQL statement — same contract
-    * as graph_components, whose loop pattern this reuses.
+    * as graph_components.
     *
-    * Determinism / partition invariance: ranks live in DECIMAL(38,18)
-    * end-to-end — the per-edge share rank/deg is an exact decimal
-    * division and the per-node SUM of shares is a decimal sum
-    * (commutative-associative), so every iteration is bit-identical at
-    * local[4] vs local[32]; no double ever enters the loop. The graph is
-    * bipartite-connected with no dangling nodes (every node appears on
-    * both edge directions), so total rank is conserved up to decimal
-    * truncation (≤|edges|×1e-16 per iteration; Round9Spec asserts the
-    * total stays within 1e-6 of 1 after all iterations).
+    * Like kmeansTrain, this is deliberately the imperative tier ((d) in
+    * the operator-preference order), NOT a per-iteration DataFrame
+    * plan: a DataFrame loop re-analyzes, re-optimizes and re-compiles
+    * codegen on every iteration — measured 6.5 s for 8 iterations at
+    * sf0.1 with ~0.8 s/iter of pure planning/scheduling overhead
+    * (tuning partitions 8→25 made it WORSE, 7.6 s, and lazy
+    * checkpointing didn't help, 7.3 s — the cost is fixed per plan, not
+    * data). The canonical RDD shape runs the same 8 iterations as one
+    * narrow-join lineage: adjacency lists hash-partitioned ONCE and
+    * persisted, ranks produced by reduceByKey ON THE SAME PARTITIONER —
+    * so every join is narrow (zero per-iteration edge shuffle, the
+    * GraphX/Pregel layout) and the contribution shuffle carries ~|nodes|
+    * combined rows per partition, not |edges|.
     *
-    * Posture at 100 TB: the edge list is partitioned by the probe key
-    * ONCE and persisted (every iteration's join reuses the layout); each
-    * iteration is one shuffle_hash join + one key-partitioned sum —
-    * O(edges) shuffle rows, constant driver state. localCheckpoint
-    * truncates lineage so the analyzer doesn't grow per round (the
-    * graph_components lesson); on a cluster it would be a reliable
-    * checkpoint to the shuffle store. */
+    * Determinism / partition invariance: ranks are java.math.BigDecimal
+    * end-to-end — share = rank/deg at scale 24 HALF_UP (exact decimal
+    * division, same result wherever computed), contributions combine by
+    * exact BigDecimal.add (commutative, associative, scale = max —
+    * merge-order invariant), damp multiply is exact. No double enters
+    * the loop; 1/N and 0.15/N are divided once driver-side (a DataFrame
+    * decimal/longLiteral division promotes to scale 6 and leaked
+    * ~2.9e-4 of total rank over 8 iterations — root cause found in the
+    * declarative formulation and sidestepped here). The graph is
+    * bipartite with no dangling nodes (every node appears on both edge
+    * directions), so total rank is conserved up to the scale-24
+    * division truncation (≤|nodes|×5e-25/iter; Round9Spec asserts the
+    * total stays within 1e-6 of 1 after all iterations and that two
+    * runs are bit-identical). */
   private[graft] def pageRank(s: SparkSession, d: String,
       iters: Int = 8): DataFrame = {
-    import graft.Graft
-    val ranks = Graft.withLoopConf(s,
-      "spark.sql.shuffle.partitions" -> "8",
-      "spark.sql.adaptive.enabled" -> "false") { s2 =>
-      val pairs = T.t(s2, d, "lineitem")
-        .select((col("l_partkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst")).distinct()
-      val edges = pairs
-        .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val ed = edges.join(deg, "src").repartition(col("src")).persist()
-      val nNodes = deg.count()
-      // The two per-run constants (1/N and 0.15/N) are divided DRIVER-
-      // side at scale 24 and shipped as exact decimal literals: Spark's
-      // decimal-division promotion for `decimal / longLiteral` lands on
-      // scale 6, which rounds 0.15/N to 6dp and leaks ~N×3e-7 of rank
-      // per iteration (measured 2.9e-4 over 8 iterations) — driver-side
-      // BigDecimal division sidesteps the promotion rule entirely. The
-      // damp factor stays the NARROWEST possible decimal: a (38,18)
-      // damp would push damp*in_rank past precision 38 and the
-      // precision-loss rule would crush ITS scale to 6 too; (3,2)×
-      // (38,18) adjusts to scale 16 — still exact to ~1e-16/node/iter.
-      def overN(x: java.math.BigDecimal): Column =
-        lit(x.divide(new java.math.BigDecimal(nNodes), 24,
-          java.math.RoundingMode.HALF_UP)).cast(DecimalType(38, 18))
-      val initRank = overN(java.math.BigDecimal.ONE)
-      val baseOverN = overN(new java.math.BigDecimal("0.15"))
-      val damp = lit(new java.math.BigDecimal("0.85")).cast(DecimalType(3, 2))
-      var r = deg.select(col("src").as("node"), initRank.as("rank"))
-        .localCheckpoint()
-      var it = 0
-      while (it < iters) {
-        r = ed.hint("shuffle_hash")
-          .join(r, col("src") === col("node"))
-          .select(col("dst"), (col("rank") / col("deg")).as("share"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("share")).as("in_rank"))
-          .select(col("node"),
-            (baseOverN + damp * col("in_rank"))
-              .cast(DecimalType(38, 18)).as("rank"))
-          .localCheckpoint()
-        it += 1
-      }
-      ed.unpersist()
-      r
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val pairs = T.t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    val pairRdd = pairs.select(col("src").cast(LongType),
+      col("dst").cast(LongType))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val part = new org.apache.spark.HashPartitioner(
+      s.conf.get("spark.sql.shuffle.partitions").toInt)
+    // adjacency lists: partitioned once, reused by every iteration's
+    // (narrow) join — the dsts array order is merge-dependent but only
+    // orders emission of identical shares, so results are unaffected
+    val links = pairRdd.flatMap { case (p, q) => Iterator((p, q), (q, p)) }
+      .groupByKey(part).mapValues(_.toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNodes = links.count()
+    val initRank = JBD.ONE.divide(new JBD(nNodes), 24, RoundingMode.HALF_UP)
+    val baseOverN =
+      new JBD("0.15").divide(new JBD(nNodes), 24, RoundingMode.HALF_UP)
+    val damp = new JBD("0.85")
+    var ranks = links.mapValues(_ => initRank) // same partitioner
+    var it = 0
+    while (it < iters) {
+      val contribs = links.join(ranks) // narrow: both sides on `part`
+        .flatMap { case (_, (dsts, r)) =>
+          val share = r.divide(new JBD(dsts.length), 24, RoundingMode.HALF_UP)
+          dsts.iterator.map(dd => (dd, share))
+        }
+      ranks = contribs.reduceByKey(part, _.add(_))
+        .mapValues(in => baseOverN.add(damp.multiply(in)))
+      it += 1
     }
-    Graft.rebind(ranks, s)
+    // ONE action computes the whole 8-iteration narrow lineage into a
+    // persisted per-node result (output stays distributed — |nodes| can
+    // be huge at scale; only loop CONTROL is driver-side), then the
+    // adjacency cache is released. ppm rounding via setScale HALF_UP —
+    // deterministic.
+    val out = ranks.map { case (node, r) =>
+      (node, r.multiply(new JBD(1000000)).setScale(6, RoundingMode.HALF_UP)
+        .doubleValue)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    links.unpersist(blocking = false)
+    import s.implicits._
+    out.toDF("node", "rank_ppm")
       .select(
         when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
           .as("node_type"),
         expr("node div 2").cast(LongType).as("key"),
-        round(col("rank").cast(DoubleType) * 1e6, 6).as("rank_ppm"))
+        col("rank_ppm"))
       .orderBy("node_type", "key")
   }
 
@@ -310,8 +319,8 @@ object Round9Ops {
       // the code table is stored bucketed by cid, so this restriction
       // is a partition prune, and ADC work is proportional to the
       // nprobe buckets, not the corpus
-      val codes = Round4Ops.pqCodes(e, cents)
-        .join(cand.select("vec_id"), "vec_id")
+      val codes = Round4Ops.pqCodes(
+        e.join(cand.select("vec_id"), "vec_id"), cents)
       val dtab = broadcast(probe.crossJoin(cents)
         .select(col("cid").as("code"), col("pvec"), col("cvec"),
           explode(expr("sequence(0, 3)")).as("m"))
