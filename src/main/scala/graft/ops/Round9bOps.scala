@@ -1,0 +1,271 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-9 second batch: the exact-distinct bitmap rollup, frequent-items
+  * sketch, dynamic partition pruning, z-score anomaly detection, and two
+  * LLM-curation text operators (RAG chunking, duplicated-span ratio).
+  *
+  * Determinism canon per SURVEY §7.2 throughout: exact integer/decimal
+  * accumulators for anything order-sensitive, shared IEEE expression
+  * trees (mirrored term-for-term in the oracle) for the few double
+  * divisions, round(_, 6) finalization, total ORDER BY on unique keys.
+  */
+object Round9bOps {
+  import T._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // EXACT distinct counting as a re-aggregatable artifact — the 100 TB
+    // alternative to COUNT(DISTINCT)'s single giant shuffle and to HLL's
+    // approximation. Level 1 packs each (month, bucket)'s customer ids
+    // into a fixed 4 KB bitmap (bitmap_bit_position / bitmap_construct_agg,
+    // Spark 3.5+); the month count is then sum(bitmap_count), and — the
+    // point of the exercise — the QUARTER count is NOT a sum of month
+    // counts but an OR-merge of the month bitmaps (bitmap_or_agg), i.e.
+    // the pre-aggregated cube can roll up exact distincts without
+    // re-touching fact rows. Shuffle volume after level 1 is
+    // |months|×|buckets| bitmaps (4 KB each), never the fact table; at
+    // 100 TB level 1 would be a stored bucketed table and every distinct
+    // rollup reads only bitmaps. All arithmetic is exact integer —
+    // partition-invariant by construction.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      val o = t(s, d, "orders").select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        concat(year(col("o_orderdate")).cast(StringType), lit("-Q"),
+          quarter(col("o_orderdate")).cast(StringType)).as("qtr"),
+        col("o_custkey"))
+      val bm = o
+        .groupBy(col("month"), col("qtr"),
+          expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+          .as("bm"))
+      val mdist = bm.groupBy("month", "qtr")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_cust_month"))
+      val qdist = bm.groupBy("qtr", "bkt")
+        .agg(expr("bitmap_or_agg(bm)").as("qbm"))
+        .groupBy("qtr")
+        .agg(sum(expr("bitmap_count(qbm)")).as("n_cust_quarter"))
+      mdist.join(broadcast(qdist), "qtr")
+        .select(col("month"), col("qtr"), col("n_cust_month"),
+          col("n_cust_quarter"))
+        .orderBy("month")
+    }),
+
+    // Frequent-items sketch (ApproxTopK, Spark 4.x): the bounded-memory
+    // heavy-hitters aggregate — the mergeable companion to
+    // agg_cms_token_counts (CMS answers point queries; this one RETURNS
+    // the top list). On this fixture the 5 distinct event types are far
+    // below maxItemsTracked=1024, so the sketch degenerates to exact
+    // counts — which is precisely what makes it oracle-checkable; the
+    // approximation regime is the sketch's contract, not this query's.
+    // The array is exploded and re-sorted on (count DESC, item) because
+    // the sketch's internal tie order is not part of its contract.
+    "agg_approx_topk_items" -> ((s, d) => {
+      T.events(s, d)
+        .agg(expr("approx_top_k(event_type, 5, 1024)").as("tk"))
+        .select(explode(col("tk")).as("x"))
+        .select(col("x.item").as("item"), col("x.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))
+    }),
+
+    // Dynamic partition pruning: the fact table is laid out partitioned
+    // by event_type; the "registry" dim (blessed event types) only
+    // becomes known at runtime, so no static filter exists on the fact —
+    // the partition restriction must flow THROUGH the broadcast join.
+    // Catalyst inserts dynamicpruningexpression(...) into the fact scan's
+    // PartitionFilters (asserted in Round9bSpec), so non-blessed
+    // partitions are never read — at 100 TB this is the difference
+    // between scanning 2 of N type-partitions and scanning the whole
+    // fact table. Layout write is part of the operator (sink_* pattern);
+    // reads go through the partitioned copy.
+    "scan_dpp_prune" -> ((s, d) => {
+      val path = "target/tmp/dpp_events"
+      T.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      val fact = s.read.parquet(path)
+      val dim = T.events(s, d)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_type")).distinct()
+      fact.join(broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          money(sum(dec(col("value")))).as("revenue"))
+        .orderBy("event_type")
+    }),
+
+    // Daily event-count anomalies per type: |z| >= 2 vs the type's own
+    // day-count distribution. The moments (n, Σcnt, Σcnt²) are EXACT
+    // integer sums — partition-invariant — and mean/sd/z are derived
+    // from them in one shared IEEE expression tree mirrored term-for-term
+    // in the oracle (the ts_interpolate_linear technique), so the double
+    // arithmetic is bit-identical across engines and partitionings.
+    // Stats join is a broadcast of |event_types| rows. Days with zero
+    // events don't appear in the grid (anomaly is relative to observed
+    // days; the gap-fill operators own the zero-fill semantics).
+    "report_anomaly_zscore" -> ((s, d) => {
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("ssum"),
+          sum(col("cnt") * col("cnt")).as("ssumsq"))
+      daily.join(broadcast(stats), "event_type")
+        .filter(col("n") > 1)
+        .withColumn("mean", col("ssum").cast(DoubleType) / col("n"))
+        .withColumn("sd", sqrt(
+          (col("ssumsq").cast(DoubleType) -
+            col("ssum").cast(DoubleType) * col("ssum").cast(DoubleType) /
+              col("n")) / (col("n") - 1)))
+        .filter(col("sd") > 0)
+        .withColumn("z", round((col("cnt") - col("mean")) / col("sd"), 6))
+        .filter(abs(col("z")) >= 2)
+        .select(col("event_type"), col("day"), col("cnt"),
+          round(col("mean"), 6).as("mean_cnt"),
+          round(col("sd"), 6).as("sd_cnt"), col("z"))
+        .orderBy("event_type", "day")
+    }),
+
+    // RAG-style document chunking: fixed 200-char windows on a 150-char
+    // stride (50-char overlap), the retrieval-index prep step. One
+    // narrow pass — sequence+explode+substring, no shuffle until the
+    // final ORDER BY — and the emitted artifact is (position, length,
+    // md5) rather than the chunk text, so the result (and any shuffle of
+    // it) carries 16-byte digests, not prose; a real chunk store would
+    // write the text column too, partitioned by doc shard. Character
+    // (not byte) offsets in both engines, so multibyte text chunks
+    // identically.
+    "text_chunk_split" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(col("text").isNotNull && length(col("text")) >= 1)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), length(col("text")), lit(150)))
+            .as("start_pos"),
+          col("text"))
+        .withColumn("chunk", expr("substring(text, start_pos, 200)"))
+        .select(col("doc_id"), col("lang"),
+          expr("(start_pos - 1) div 150").cast(IntegerType).as("chunk_id"),
+          col("start_pos").cast(IntegerType),
+          length(col("chunk")).cast(IntegerType).as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Duplicated-span ratio (the substring-level dedup signal of Lee et
+    // al.'s "Deduplicating Training Data" — exact doc dedup misses
+    // boilerplate spans pasted across distinct docs): every 8-token
+    // window on a stride of 2 is hashed; a window is duplicated if its
+    // hash occurs anywhere else in the corpus (other docs OR repeated in
+    // the same doc). Per doc: window count, duplicated-window count,
+    // ratio. The shuffle carries (md5, doc_id) pairs — never text — and
+    // the hash-frequency side is a map-side-combinable count; at 100 TB
+    // the frequency table is the stored artifact and docs re-probe it.
+    // Docs with < 8 tokens have no window and are excluded by contract.
+    "text_span_dedup" -> ((s, d) => {
+      val wins = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("nw", size(col("toks")))
+        .filter(col("nw") >= 8)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), col("nw") - 7, lit(2))).as("wstart"),
+          col("toks"))
+        .withColumn("h",
+          md5(array_join(slice(col("toks"), col("wstart"), lit(8)), " ")))
+        .select(col("doc_id"), col("h"))
+      val freq = wins.groupBy("h").agg(count(lit(1)).as("nh"))
+      wins.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("nh") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+        .withColumn("dup_ratio",
+          round(col("n_dup_windows").cast(DoubleType) / col("n_windows"), 6))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Plain COUNT(DISTINCT) at both granularities — the bitmap rollup
+    // must reproduce it exactly (bitmaps are exact, not sketches).
+    "agg_bitmap_distinct" ->
+      ("WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, " +
+        "CONCAT(CAST(year(o_orderdate) AS INT), '-Q', " +
+        "CAST(quarter(o_orderdate) AS INT)) AS qtr, o_custkey FROM orders), " +
+        "m AS (SELECT month, qtr, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) " +
+        "AS n_cust_month FROM o GROUP BY 1, 2), " +
+        "q AS (SELECT qtr, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) " +
+        "AS n_cust_quarter FROM o GROUP BY 1) " +
+        "SELECT month, m.qtr, n_cust_month, n_cust_quarter " +
+        "FROM m JOIN q USING (qtr) ORDER BY month"),
+
+    // Exact counts: 5 distinct items << 1024 tracked, so the sketch IS
+    // the exact answer (degenerate regime, the oracle-checkable one).
+    "agg_approx_topk_items" ->
+      ("SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM events GROUP BY 1 ORDER BY cnt DESC, item"),
+
+    // The registry filter baked in: same join result regardless of the
+    // partition-pruned layout.
+    "scan_dpp_prune" ->
+      ("SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("value")})")} AS revenue " +
+        "FROM events WHERE event_type IN ('purchase', 'signup') " +
+        "GROUP BY event_type ORDER BY event_type"),
+
+    // Same moments → same IEEE tree → same doubles (see Spark side).
+    "report_anomaly_zscore" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(cnt) AS BIGINT) AS ssum, " +
+        "CAST(SUM(cnt * cnt) AS BIGINT) AS ssumsq FROM daily GROUP BY 1), " +
+        "j AS (SELECT d.event_type, d.day, d.cnt, " +
+        "CAST(ssum AS DOUBLE) / n AS mean, " +
+        "sqrt((CAST(ssumsq AS DOUBLE) - CAST(ssum AS DOUBLE) * " +
+        "CAST(ssum AS DOUBLE) / n) / (n - 1)) AS sd " +
+        "FROM daily d JOIN st USING (event_type) WHERE n > 1), " +
+        "z AS (SELECT event_type, day, cnt, " +
+        "CAST(ROUND(mean, 6) AS DOUBLE) AS mean_cnt, " +
+        "CAST(ROUND(sd, 6) AS DOUBLE) AS sd_cnt, " +
+        "CAST(ROUND((cnt - mean) / sd, 6) AS DOUBLE) AS z " +
+        "FROM j WHERE sd > 0) " +
+        "SELECT * FROM z WHERE abs(z) >= 2 ORDER BY event_type, day"),
+
+    // substr/generate_series mirror — both engines are 1-based and
+    // character-addressed; md5 runs over identical UTF-8 bytes.
+    "text_chunk_split" ->
+      ("SELECT doc_id, lang, " +
+        "CAST((start_pos - 1) // 150 AS INT) AS chunk_id, " +
+        "CAST(start_pos AS INT) AS start_pos, " +
+        "CAST(length(substr(text, CAST(start_pos AS INT), 200)) AS INT) " +
+        "AS chunk_len, " +
+        "md5(substr(text, CAST(start_pos AS INT), 200)) AS chunk_md5 " +
+        "FROM (SELECT doc_id, lang, text, " +
+        "unnest(generate_series(1, length(text), 150)) AS start_pos " +
+        "FROM documents WHERE text IS NOT NULL AND length(text) >= 1) " +
+        "ORDER BY doc_id, chunk_id"),
+
+    // list_slice is inclusive-1-based: [wstart, wstart+7] = 8 tokens,
+    // exactly Spark's slice(toks, wstart, 8).
+    "text_span_dedup" ->
+      ("WITH dt AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "w AS (SELECT doc_id, md5(array_to_string(" +
+        "list_slice(toks, CAST(wstart AS INT), CAST(wstart AS INT) + 7), ' ')) AS h " +
+        "FROM (SELECT doc_id, toks, " +
+        "unnest(generate_series(1, len(toks) - 7, 2)) AS wstart " +
+        "FROM dt WHERE len(toks) >= 8)), " +
+        "f AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS nh FROM w GROUP BY h) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, " +
+        "CAST(SUM(CASE WHEN nh >= 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dup_windows, " +
+        "CAST(ROUND(CAST(SUM(CASE WHEN nh >= 2 THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*), 6) AS DOUBLE) AS dup_ratio " +
+        "FROM w JOIN f USING (h) GROUP BY doc_id ORDER BY doc_id")
+  )
+}
