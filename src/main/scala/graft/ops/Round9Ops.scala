@@ -33,12 +33,12 @@ object Round9Ops {
     * count, inertia and per-dimension sums in exact arbitrary-precision
     * decimal (order-independent), assignment checksum as a wrapping
     * Long sum (exact mod 2^64, order-independent). */
-  private final class KmAcc extends Serializable {
+  private final class KmAcc(dim: Int = 64) extends Serializable {
     var n: Long = 0L
     var sh: Long = 0L
     var sd: java.math.BigDecimal = java.math.BigDecimal.ZERO
     val dims: Array[java.math.BigDecimal] =
-      Array.fill(64)(java.math.BigDecimal.ZERO)
+      Array.fill(dim)(java.math.BigDecimal.ZERO)
     def add(id: Long, cid: Int, dist: Double, emb: Array[Float]): Unit = {
       n += 1
       // fixed per-assignment mix (any deterministic hash works — this is
@@ -47,7 +47,7 @@ object Round9Ops {
       if (java.lang.Double.isFinite(dist))
         sd = sd.add(new java.math.BigDecimal(dist))
       var i = 0
-      while (i < 64) {
+      while (i < dims.length) {
         dims(i) = dims(i).add(new java.math.BigDecimal(emb(i).toDouble))
         i += 1
       }
@@ -55,7 +55,7 @@ object Round9Ops {
     def merge(o: KmAcc): Unit = {
       n += o.n; sh += o.sh; sd = sd.add(o.sd)
       var i = 0
-      while (i < 64) { dims(i) = dims(i).add(o.dims(i)); i += 1 }
+      while (i < dims.length) { dims(i) = dims(i).add(o.dims(i)); i += 1 }
     }
   }
 
@@ -107,14 +107,14 @@ object Round9Ops {
     * unexercised).
     */
   private[graft] def kmeansTrain(e0: DataFrame, maxIters: Int = 25,
-      tol: Double = 1e-4, minIters: Int = 0)
+      tol: Double = 1e-4, minIters: Int = 0, dim: Int = 64)
       : (Seq[(Int, Seq[Double], Long)], Seq[Double], Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s = e0.sparkSession
     import s.implicits._
     val ds = e0
       .select(col("vec_id").cast(LongType), col("embedding"))
-      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
       .as[(Long, Array[Float])]
       .persist(MEMORY_AND_DISK)
     // fixture init: the 8 seed vectors every vec_* operator starts from
@@ -131,7 +131,7 @@ object Round9Ops {
       val cidOf = cents.map(_._1).toArray
       val bc = s.sparkContext.broadcast(
         cents.map(_._2.toArray).toArray)
-      val agg = ds.rdd.treeAggregate(Array.fill(k)(new KmAcc))(
+      val agg = ds.rdd.treeAggregate(Array.fill(k)(new KmAcc(dim)))(
         seqOp = (acc, row) => {
           val (id, emb) = row
           val cvs = bc.value
@@ -142,7 +142,7 @@ object Round9Ops {
             val cv = cvs(c)
             var dst = 0.0
             var i = 0
-            while (i < 64) {
+            while (i < cv.length) {
               val t = emb(i).toDouble - cv(i); dst += t * t; i += 1
             }
             // strict < : ties keep the smallest cid; NaN never wins

@@ -1,0 +1,257 @@
+package graft.ops
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-9 third batch: pointer-jumping list rank (the parallel
+  * "sequential scan" primitive), fixed-horizon EWMA smoothing, corpus
+  * perplexity bucketing, ordered listagg, and the trained PQ codebook
+  * (per-subspace k-means) completing the PQ training story.
+  *
+  * Determinism canon per SURVEY §7.2: exact integer/decimal
+  * accumulators everywhere order matters, shared IEEE expression trees
+  * mirrored term-for-term in the oracle for the double arithmetic,
+  * round(_, 6) finalization, total ORDER BY on unique keys.
+  */
+object Round9cOps {
+  import T._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // List ranking by pointer jumping (Wyllie): each node's hop depth
+    // from the head of its per-customer order chain. A sequential scan
+    // is O(chain) DEPTH; pointer doubling (d += d[ptr]; ptr = ptr[ptr])
+    // finishes in ceil(log2(maxChain)) join rounds — the only shape
+    // that works when one chain is millions of rows on a cluster (the
+    // classic parallel list-ranking problem; same iterative contract as
+    // graph_components' hook+jump). All arithmetic is exact integer →
+    // partition-invariant; the loop runs on a cloned session with tiny
+    // fixed shuffle parallelism and per-round localCheckpoint to keep
+    // the analyzer from re-walking a doubling plan tree. The oracle
+    // exploits the chain structure's closed form (row_number - 1) —
+    // an independent formulation, not a mirror.
+    "graph_list_rank" -> ((s, d) => {
+      val nNodes = t(s, d, "orders").count()
+      val loopParts = math.max(1L, math.min(
+        s.conf.get("spark.sql.shuffle.partitions").toLong,
+        nNodes / 50000 + 1)).toString
+      val ranked = graft.Graft.withLoopConf(s,
+        "spark.sql.shuffle.partitions" -> loopParts,
+        "spark.sql.adaptive.enabled" -> "false") { s2 =>
+        val w = Window.partitionBy("o_custkey").orderBy("node")
+        var pd = t(s2, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey").as("node"))
+          .withColumn("ptr", lag(col("node"), 1).over(w))
+          .select(col("node"), col("o_custkey"), col("ptr"),
+            when(col("ptr").isNotNull, 1L).otherwise(0L).as("d"))
+          .localCheckpoint()
+        var remaining = pd.filter(col("ptr").isNotNull).count()
+        var it = 0
+        val maxIters = 17 // chains up to 2^17 hops; loud fail below
+        while (remaining > 0 && it < maxIters) {
+          val p2 = pd.select(col("node").as("pnode"),
+            col("ptr").as("pptr"), col("d").as("pd"))
+          // left join: a null ptr never matches → (pptr, pd) = (null, 0)
+          // keeps finished rows fixed; a non-null ptr always matches, so
+          // pptr is the grandparent (or null at the head) and pd the
+          // parent's accumulated distance
+          pd = pd.hint("shuffle_hash")
+            .join(p2, col("ptr") === col("pnode"), "left")
+            .select(col("node"), col("o_custkey"),
+              col("pptr").as("ptr"),
+              (col("d") + coalesce(col("pd"), lit(0L))).as("d"))
+            .localCheckpoint()
+          remaining = pd.filter(col("ptr").isNotNull).count()
+          it += 1
+        }
+        if (remaining > 0) throw new IllegalStateException(
+          s"graph_list_rank: $remaining pointers unresolved after " +
+            s"$maxIters doubling rounds — chain longer than 2^$maxIters; " +
+            "raise the cap rather than return wrong depths")
+        pd
+      }
+      graft.Graft.rebind(ranked, s)
+        .select(col("node").as("o_orderkey"), col("o_custkey"),
+          col("d").as("depth"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Fixed-horizon EWMA (8 observations, α = 0.5) of daily revenue per
+    // order priority — the smoothing primitive of every monitoring
+    // dashboard. The base series is exact decimal (hash-stable doubles
+    // after money()); the EWMA itself is 8 lag terms folded LEFT in a
+    // fixed order with exact-binary weights (0.5^j), the identical IEEE
+    // tree in both engines — deterministic without decimal gymnastics.
+    // Leading rows shorten the window: absent lags contribute 0 to both
+    // numerator and the weight sum. Lags are over OBSERVED days (gap
+    // semantics owned by the gap-fill operators). One window over the
+    // pre-aggregated daily table — |priorities| × |days| rows, never the
+    // fact table.
+    "ts_ewma_daily" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          col("o_orderdate").as("day"))
+        .agg(money(sum(dec(col("o_totalprice")))).as("rev"))
+      val w = Window.partitionBy("prio").orderBy("day")
+      val terms = (0 until 8).map { j =>
+        val l = if (j == 0) col("rev") else lag(col("rev"), j).over(w)
+        val wj = lit(math.pow(0.5, j)) // exact binary doubles
+        (when(l.isNotNull, l * wj).otherwise(lit(0.0)),
+          when(l.isNotNull, wj).otherwise(lit(0.0)))
+      }
+      val num = terms.map(_._1).reduceLeft(_ + _)
+      val den = terms.map(_._2).reduceLeft(_ + _)
+      daily
+        .select(col("prio"), col("day"), col("rev"),
+          round(num / den, 6).as("ewma_rev"))
+        .orderBy("prio", "day")
+    }),
+
+    // Perplexity-bucket curation (the CCNet recipe): rank every doc by
+    // its unigram avg surprisal (the text_unigram_logprob pipeline —
+    // already proven hash-identical cross-engine) and split the corpus
+    // into 10 quality deciles; report per-bucket sizes and surprisal
+    // ranges. The decile assignment orders on the ROUNDED surprisal
+    // (6 dp, bit-identical across engines) with doc_id tie-break, so
+    // ntile is deterministic. The global ntile is a single-partition
+    // window over |docs| pre-aggregated rows by construction (exact
+    // deciles need a total order); at 100 TB the same report uses
+    // approx_percentile boundaries instead — this key is the exact
+    // recall oracle for that tier. Bucket means accumulate in exact
+    // decimal (order-independent).
+    "text_perplexity_bucket" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val cf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = cf.agg(sum(col("c")).as("tot"))
+      val perDoc = toks.join(cf, "tok").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (-log(col("c") / col("tot"))).cast(DecimalType(18, 12)).as("surp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("surp")).as("ssum"))
+        .select(col("doc_id"),
+          round(col("ssum").cast(DoubleType) / col("n_tok"), 6)
+            .as("avg_surprisal"))
+      perDoc
+        .withColumn("bucket",
+          ntile(10).over(Window.orderBy(col("avg_surprisal"), col("doc_id")))
+            .cast(LongType))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("avg_surprisal")), 6).as("min_surprisal"),
+          round(max(col("avg_surprisal")), 6).as("max_surprisal"),
+          round(sum(col("avg_surprisal").cast(DecimalType(18, 6)))
+            .cast(DoubleType) / count(lit(1)), 6).as("mean_surprisal"))
+        .orderBy("bucket")
+    }),
+
+    // Ordered string aggregation (Spark 4's listagg WITHIN GROUP — the
+    // SQL-standard form): nations per region as a comma-joined sorted
+    // list. The WITHIN GROUP sort is per-group (never global), and the
+    // groups here are broadcast-small; for wide groups the same result
+    // shape comes from agg_collect_sorted's array form.
+    "agg_listagg_ordered" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+            .as("nations"))
+        .orderBy("r_name")
+    }),
+
+    // Trained PQ codebook: per-subspace Lloyd k-means (4 subspaces ×
+    // 16 dims × k=8) to the assignment fixpoint — the training step
+    // vec_pq_codes/vec_pq_adc_topk quantize against (their fixture init
+    // is exactly this trainer's iteration 0). Each subspace trains
+    // independently on a 16-dim slice via the generalized kmeansTrain
+    // (same exact-decimal accumulators → partition-invariant, same
+    // treeAggregate-per-iteration posture: only k×16 doubles ever reach
+    // the driver). Rows-only key (iterative fixpoint, not one SQL
+    // statement — the vec_kmeans_train contract); Round9cSpec asserts
+    // determinism, member conservation and monotone inertia.
+    "vec_pq_train" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val rows = (0 until 4).flatMap { m =>
+        val sub = e.select(col("vec_id"),
+          slice(col("embedding"), m * 16 + 1, 16).as("embedding"))
+        val (cents, inertias, iters) =
+          Round9Ops.kmeansTrain(sub, maxIters = 12, dim = 16)
+        cents.map { case (cid, v, nMem) =>
+          // sequential fold over the 16 dims — fixed order, deterministic
+          val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+          (m, cid, nMem, norm, inertias.last, iters)
+        }
+      }
+      import s.implicits._
+      rows.toDF("subspace", "cid", "n_members", "c_norm_raw",
+          "inertia_raw", "iters")
+        .select(col("subspace"), col("cid"), col("n_members"),
+          round(col("c_norm_raw"), 6).as("c_norm"),
+          round(col("inertia_raw"), 4).as("final_inertia"), col("iters"))
+        .orderBy("subspace", "cid")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Independent closed form: depth in a chain ordered by orderkey IS
+    // row_number - 1 — no pointer semantics needed on the oracle side.
+    "graph_list_rank" ->
+      ("SELECT o_orderkey, o_custkey, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) " +
+        "- 1 AS BIGINT) AS depth FROM orders ORDER BY o_orderkey"),
+
+    // Same 8-term left fold, weights written as exact-binary literals.
+    "ts_ewma_daily" -> {
+      val lags = (1 to 7).map(j => s"lag(rev, $j) OVER w AS r$j").mkString(", ")
+      val ws = (0 to 7).map(j => math.pow(0.5, j))
+      def term(j: Int): String =
+        if (j == 0) s"rev * CAST(${ws(0)} AS DOUBLE)"
+        else s"CASE WHEN r$j IS NOT NULL THEN r$j * CAST(${ws(j)} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+      def wterm(j: Int): String =
+        if (j == 0) s"CAST(${ws(0)} AS DOUBLE)"
+        else s"CASE WHEN r$j IS NOT NULL THEN CAST(${ws(j)} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+      val num = (0 to 7).map(term).mkString(" + ")
+      val den = (0 to 7).map(wterm).mkString(" + ")
+      "WITH daily AS (SELECT o_orderpriority AS prio, o_orderdate AS day, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS rev " +
+        "FROM orders GROUP BY 1, 2), " +
+        s"l AS (SELECT prio, day, rev, $lags FROM daily " +
+        "WINDOW w AS (PARTITION BY prio ORDER BY day)) " +
+        s"SELECT prio, day, rev, CAST(ROUND(($num) / ($den), 6) AS DOUBLE) " +
+        "AS ewma_rev FROM l ORDER BY prio, day"
+    },
+
+    // The proven unigram-surprisal mirror, then NTILE on the rounded
+    // values with doc_id tie-break; bucket mean in exact decimal.
+    "text_perplexity_bucket" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok), " +
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM cf), " +
+        "s AS (SELECT doc_id, CAST(-ln(c / tot) AS DECIMAL(18,12)) AS surp " +
+        "FROM tok JOIN cf USING (tok) CROSS JOIN tot), " +
+        "pd AS (SELECT doc_id, ROUND(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 6) " +
+        "AS avg_surprisal FROM s GROUP BY doc_id), " +
+        "b AS (SELECT doc_id, avg_surprisal, " +
+        "NTILE(10) OVER (ORDER BY avg_surprisal, doc_id) AS bucket FROM pd) " +
+        "SELECT CAST(bucket AS BIGINT) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "ROUND(MIN(avg_surprisal), 6) AS min_surprisal, " +
+        "ROUND(MAX(avg_surprisal), 6) AS max_surprisal, " +
+        "CAST(ROUND(CAST(SUM(CAST(avg_surprisal AS DECIMAL(18,6))) AS DOUBLE) " +
+        "/ COUNT(*), 6) AS DOUBLE) AS mean_surprisal " +
+        "FROM b GROUP BY bucket ORDER BY bucket"),
+
+    // DuckDB's ordered string_agg = SQL-standard listagg WITHIN GROUP.
+    "agg_listagg_ordered" ->
+      ("SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations, " +
+        "string_agg(n_name, ',' ORDER BY n_name) AS nations " +
+        "FROM nation JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name")
+  )
+}

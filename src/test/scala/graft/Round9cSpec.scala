@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9c specs: pointer-jumping list rank vs an independent window
+  * formulation, EWMA bounds and identities, perplexity-decile
+  * invariants, ordered listagg, and the trained PQ codebook (members
+  * conserved, inertia monotone, deterministic). */
+class Round9cSpec extends SparkSpec {
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("graph_list_rank: pointer-jumped depths equal the window closed form") {
+    val got = q("graph_list_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val want = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        (row_number().over(w) - 1).cast("long").as("depth"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (k, d) =>
+      assert(got(k) == d, s"order $k: pointer-jump ${got(k)} != closed $d")
+    }
+  }
+
+  test("ts_ewma_daily: head equals the raw value; ewma inside trailing-window bounds") {
+    val rows = q("ts_ewma_daily").collect()
+    assert(rows.nonEmpty)
+    var prevPrio = ""
+    val hist = scala.collection.mutable.Queue.empty[Double]
+    rows.foreach { r =>
+      val (prio, rev, ewma) = (r.getString(0), r.getDouble(2), r.getDouble(3))
+      if (prio != prevPrio) { hist.clear(); prevPrio = prio }
+      hist.enqueue(rev)
+      while (hist.size > 8) hist.dequeue()
+      // a convex combination of the trailing window can't escape its range
+      assert(ewma >= hist.min - 1e-6 && ewma <= hist.max + 1e-6,
+        s"$prio ${r.get(1)}: ewma $ewma outside [${hist.min}, ${hist.max}]")
+      if (hist.size == 1)
+        assert(math.abs(ewma - rev) < 1e-6, "first observation: ewma == rev")
+    }
+  }
+
+  test("text_perplexity_bucket: deciles partition the corpus with ordered ranges") {
+    val rows = q("text_perplexity_bucket").collect()
+    assert(rows.length == 10)
+    val nDocs = T.t(spark, sf, "documents")
+      .filter(col("text").isNotNull).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "deciles must cover every doc")
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(4) + 1e-6 &&
+        r.getDouble(4) <= r.getDouble(3) + 1e-6, "min <= mean <= max")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) <= b.getDouble(2),
+        "bucket min surprisal must be non-decreasing across deciles")
+    }
+  }
+
+  test("agg_listagg_ordered: 5 regions, 25 nations, lists sorted") {
+    val rows = q("agg_listagg_ordered").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(1)).sum == 25)
+    rows.foreach { r =>
+      val parts = r.getString(2).split(",").toSeq
+      assert(parts.length == r.getLong(1))
+      assert(parts == parts.sorted, s"${r.getString(0)}: list not sorted")
+    }
+  }
+
+  test("vec_pq_train: 4x8 codebook, members conserved per subspace, deterministic") {
+    val a = q("vec_pq_train").collect()
+    assert(a.length == 32)
+    val nVecs = T.t(spark, sf, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .count()
+    (0 until 4).foreach { m =>
+      val sub = a.filter(_.getInt(0) == m)
+      assert(sub.length == 8, s"subspace $m must have k=8 centroids")
+      assert(sub.map(_.getLong(2)).sum == nVecs,
+        s"subspace $m: member counts must sum to the corpus")
+    }
+    val b = q("vec_pq_train").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "trainer must be bit-deterministic across runs")
+  }
+
+  test("vec_pq_train: per-subspace inertia is monotone non-increasing") {
+    val sub = T.t(spark, sf, "embeddings").select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val (_, inertias, _) = ops.Round9Ops.kmeansTrain(sub, maxIters = 12, dim = 16)
+    assert(inertias.size >= 2)
+    inertias.sliding(2).foreach { case Seq(x, y) =>
+      assert(y <= x + 1e-9, s"inertia rose: $x -> $y")
+    }
+  }
+}
