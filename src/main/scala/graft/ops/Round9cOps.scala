@@ -48,10 +48,18 @@ object Round9cOps {
           .select(col("node"), col("o_custkey"), col("ptr"),
             when(col("ptr").isNotNull, 1L).otherwise(0L).as("d"))
           .localCheckpoint()
-        var remaining = pd.filter(col("ptr").isNotNull).count()
+        // the round count is KNOWN up front: after k doublings every
+        // pointer has jumped 2^k hops, so ceil(log2(maxChain)) rounds
+        // resolve everything — one upfront max-chain agg replaces a
+        // convergence count per round (half the actions per iteration)
+        val maxChain = t(s2, d, "orders")
+          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).head().getLong(0)
+        val rounds =
+          if (maxChain <= 1) 0
+          else 64 - java.lang.Long.numberOfLeadingZeros(maxChain - 1)
         var it = 0
-        val maxIters = 17 // chains up to 2^17 hops; loud fail below
-        while (remaining > 0 && it < maxIters) {
+        while (it < rounds) {
           val p2 = pd.select(col("node").as("pnode"),
             col("ptr").as("pptr"), col("d").as("pd"))
           // left join: a null ptr never matches → (pptr, pd) = (null, 0)
@@ -64,13 +72,13 @@ object Round9cOps {
               col("pptr").as("ptr"),
               (col("d") + coalesce(col("pd"), lit(0L))).as("d"))
             .localCheckpoint()
-          remaining = pd.filter(col("ptr").isNotNull).count()
           it += 1
         }
+        val remaining = pd.filter(col("ptr").isNotNull).count()
         if (remaining > 0) throw new IllegalStateException(
           s"graph_list_rank: $remaining pointers unresolved after " +
-            s"$maxIters doubling rounds — chain longer than 2^$maxIters; " +
-            "raise the cap rather than return wrong depths")
+            s"$rounds doubling rounds — the chain-length bound was " +
+            "violated; raise the cap rather than return wrong depths")
         pd
       }
       graft.Graft.rebind(ranked, s)
@@ -164,6 +172,67 @@ object Round9cOps {
         .orderBy("r_name")
     }),
 
+    // Recursive CTE (Spark 4's WITH RECURSIVE): a compounding
+    // multiplicative-additive recurrence along each customer's order
+    // chain — balance_t = balance_{t-1} * 1.01 + price_t. Genuinely
+    // recursive: a multiply-accumulate chain is NOT window-expressible
+    // (no sum/product frame computes it), so this exercises the
+    // recursion executor, not window sugar. Both engines run the SAME
+    // linear recursion — each step one join of the frontier against the
+    // rn+1 successor — so the double arithmetic replays the identical
+    // IEEE sequence per chain. Restricted to 1 in 20 customers: the
+    // semantics live in the DEPTH of the recursion (full chains kept),
+    // not the customer count; the full-corpus variant of a linear
+    // recurrence at 100 TB is graph_list_rank-style pointer doubling
+    // with (product, sum) pairs, since a recursive CTE's step count is
+    // the chain length.
+    "sql_recursive_chain" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_rec_orders")
+      s.sql("""
+        WITH RECURSIVE seq0 AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(o_totalprice AS DOUBLE) AS price,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderkey) AS rn
+          FROM graft_rec_orders
+          WHERE o_custkey % 10 = 0
+        ),
+        seq AS (SELECT * FROM seq0 WHERE rn <= 8),
+        bal (o_custkey, rn, o_orderkey, balance) AS (
+          SELECT o_custkey, rn, o_orderkey, price FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT s.o_custkey, s.rn, s.o_orderkey,
+                 b.balance * CAST(1.01 AS DOUBLE) + s.price
+          FROM bal b JOIN seq s
+            ON s.o_custkey = b.o_custkey AND s.rn = b.rn + 1
+        )
+        SELECT o_custkey, rn, o_orderkey,
+               CAST(ROUND(balance, 4) AS DOUBLE) AS balance
+        FROM bal ORDER BY o_custkey, rn
+      """)
+    }),
+
+    // XML scalar pack: build an XML doc per nation, then extract with
+    // xpath_string/xpath_int, parse with from_xml into a typed struct,
+    // and round-trip a to_xml artifact back through xpath — the oracle
+    // states the identity (every extraction reconstructs the source
+    // column), the fn_crypto_pack pattern. Inputs are alphabetic
+    // fixture strings (no XML-escaping hazard; a production pack wraps
+    // user text in CDATA).
+    "fn_xml_pack" -> ((s, d) => {
+      t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          concat(lit("<nation><name>"), col("n_name"), lit("</name><rk>"),
+            col("n_regionkey"), lit("</rk></nation>")).as("xml"))
+        .select(col("n_nationkey"),
+          expr("xpath_string(xml, '/nation/name')").as("xname"),
+          expr("xpath_int(xml, '/nation/rk')").as("xrk"),
+          expr("from_xml(xml, 'name STRING, rk INT').name").as("rt_name"),
+          expr("xpath_string(to_xml(named_struct('name', n_name)), " +
+            "'/ROW/name')").as("rt2_name"))
+        .orderBy("n_nationkey")
+    }),
+
     // Trained PQ codebook: per-subspace Lloyd k-means (4 subspaces ×
     // 16 dims × k=8) to the assignment fixpoint — the training step
     // vec_pq_codes/vec_pq_adc_topk quantize against (their fixture init
@@ -246,6 +315,33 @@ object Round9cOps {
         "CAST(ROUND(CAST(SUM(CAST(avg_surprisal AS DECIMAL(18,6))) AS DOUBLE) " +
         "/ COUNT(*), 6) AS DOUBLE) AS mean_surprisal " +
         "FROM b GROUP BY bucket ORDER BY bucket"),
+
+    // The same recursion almost verbatim — both engines replay one
+    // join-step per chain position, so the multiply-accumulate doubles
+    // are IEEE-identical.
+    "sql_recursive_chain" ->
+      ("WITH RECURSIVE seq0 AS (SELECT o_custkey, o_orderkey, " +
+        "CAST(o_totalprice AS DOUBLE) AS price, " +
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn " +
+        "FROM orders WHERE o_custkey % 10 = 0), " +
+        "seq AS (SELECT * FROM seq0 WHERE rn <= 8), " +
+        "bal (o_custkey, rn, o_orderkey, balance) AS (" +
+        "SELECT o_custkey, rn, o_orderkey, price FROM seq WHERE rn = 1 " +
+        "UNION ALL " +
+        "SELECT s.o_custkey, s.rn, s.o_orderkey, " +
+        "b.balance * CAST(1.01 AS DOUBLE) + s.price " +
+        "FROM bal b JOIN seq s ON s.o_custkey = b.o_custkey AND s.rn = b.rn + 1) " +
+        "SELECT o_custkey, rn, o_orderkey, " +
+        "CAST(ROUND(balance, 4) AS DOUBLE) AS balance " +
+        "FROM bal ORDER BY o_custkey, rn"),
+
+    // Identity oracle: every XML extraction reconstructs its source
+    // column (DuckDB has no XML functions; the CONTRACT is the
+    // round-trip identity, which plain columns state exactly).
+    "fn_xml_pack" ->
+      ("SELECT n_nationkey, n_name AS xname, " +
+        "CAST(n_regionkey AS INT) AS xrk, n_name AS rt_name, " +
+        "n_name AS rt2_name FROM nation ORDER BY n_nationkey"),
 
     // DuckDB's ordered string_agg = SQL-standard listagg WITHIN GROUP.
     "agg_listagg_ordered" ->

@@ -86,6 +86,41 @@ class Round9cSpec extends SparkSpec {
       "trainer must be bit-deterministic across runs")
   }
 
+  test("sql_recursive_chain: recursion depth covers full chains; balance compounds") {
+    val rows = q("sql_recursive_chain").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // every kept customer's chain is complete: rn is 1..len contiguous
+    rows.groupBy(_._1).foreach { case (ck, rs) =>
+      val rns = rs.map(_._2).sorted.toSeq
+      assert(rns == (1L to rns.length).toSeq, s"cust $ck: chain has holes")
+    }
+    // positive prices + compounding: balance strictly increases along
+    // each chain
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.zipWithIndex.drop(1).foreach { case (r, i) =>
+        assert(r._3 > sorted(i - 1)._3,
+          "balance must be strictly increasing along a chain of positive prices")
+      }
+    }
+  }
+
+  test("fn_xml_pack: every XML extraction reconstructs its source column") {
+    val rows = q("fn_xml_pack").collect()
+    assert(rows.length == 25)
+    val base = T.t(spark, sf, "nation").collect()
+      .map(r => r.getAs[Number](0).longValue() ->
+        (r.getString(1), r.getAs[Number](2).longValue())).toMap
+    rows.foreach { r =>
+      val (name, rk) = base(r.getAs[Number](0).longValue())
+      assert(r.getString(1) == name && r.getString(3) == name &&
+        r.getString(4) == name, "xpath/from_xml/to_xml round trips")
+      assert(r.getInt(2) == rk.toInt, "xpath_int reconstructs the region key")
+    }
+  }
+
   test("vec_pq_train: per-subspace inertia is monotone non-increasing") {
     val sub = T.t(spark, sf, "embeddings").select(col("vec_id"),
       slice(col("embedding"), 1, 16).as("embedding"))
