@@ -237,19 +237,19 @@ object Round9cOps {
     // 16 dims × k=8) to the assignment fixpoint — the training step
     // vec_pq_codes/vec_pq_adc_topk quantize against (their fixture init
     // is exactly this trainer's iteration 0). Each subspace trains
-    // independently on a 16-dim slice via the generalized kmeansTrain
-    // (same exact-decimal accumulators → partition-invariant, same
-    // treeAggregate-per-iteration posture: only k×16 doubles ever reach
-    // the driver). Rows-only key (iterative fixpoint, not one SQL
+    // via the FUSED pqTrain loop — all 4 subspaces assign and
+    // accumulate in ONE treeAggregate per iteration, so the corpus is
+    // scanned once per round no matter how many subspaces train (the
+    // 100 TB posture; Round9cSpec proves fused == independent
+    // per-subspace training, same exact-decimal accumulators →
+    // partition-invariant, only M×k×16 doubles ever reach the
+    // driver). Rows-only key (iterative fixpoint, not one SQL
     // statement — the vec_kmeans_train contract); Round9cSpec asserts
     // determinism, member conservation and monotone inertia.
     "vec_pq_train" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val rows = (0 until 4).flatMap { m =>
-        val sub = e.select(col("vec_id"),
-          slice(col("embedding"), m * 16 + 1, 16).as("embedding"))
-        val (cents, inertias, iters) =
-          Round9Ops.kmeansTrain(sub, maxIters = 12, dim = 16)
+      val trained = Round9Ops.pqTrain(e, m = 4, subDim = 16, maxIters = 12)
+      val rows = trained.zipWithIndex.flatMap { case ((cents, inertias, iters), m) =>
         cents.map { case (cid, v, nMem) =>
           // sequential fold over the 16 dims — fixed order, deterministic
           val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))

@@ -130,4 +130,19 @@ class Round9cSpec extends SparkSpec {
       assert(y <= x + 1e-9, s"inertia rose: $x -> $y")
     }
   }
+
+  test("pqTrain fused loop equals independent per-subspace kmeansTrain") {
+    val e = T.t(spark, sf, "embeddings")
+    val fused = ops.Round9Ops.pqTrain(e, m = 4, subDim = 16, maxIters = 12)
+    (0 until 4).foreach { m =>
+      val sub = e.select(col("vec_id"),
+        slice(col("embedding"), m * 16 + 1, 16).as("embedding"))
+      val (cents, inertias, iters) =
+        ops.Round9Ops.kmeansTrain(sub, maxIters = 12, dim = 16)
+      val (fc, fi, fit) = fused(m)
+      assert(fit == iters, s"subspace $m: fused ran $fit active iters vs $iters")
+      assert(fi == inertias, s"subspace $m: inertia history differs")
+      assert(fc == cents, s"subspace $m: fused centroids/members differ")
+    }
+  }
 }
