@@ -172,6 +172,76 @@ object Round9cOps {
         .orderBy("r_name")
     }),
 
+    // Theta-sketch set algebra (the DataSketches audience-overlap
+    // primitive): per-month user sketches for two event types, then
+    // union / intersection / difference ESTIMATES from the sketches
+    // alone. This is the capability HLL lacks (HLL unions but cannot
+    // intersect); at 100 TB the per-(month,type) sketches are the
+    // stored artifact (~KBs) and every overlap query is sketch algebra,
+    // never a re-scan or an exact distinct join. Sketches are
+    // set-semantic (retained min-k hashes) → order/partition-invariant;
+    // t2=N rows-only (a sketch estimate has no SQL oracle), Round9cSpec
+    // bounds every estimate against the exact set sizes and checks the
+    // inclusion-exclusion identity.
+    "agg_theta_setops" -> ((s, d) => {
+      val sk = T.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(date_format(col("ts"), "yyyy-MM").as("month"),
+          col("event_type"), col("user_id"))
+        .groupBy("month", "event_type")
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      sk.groupBy("month")
+        .agg(expr("max(CASE WHEN event_type = 'click' THEN sk END)").as("skc"),
+          expr("max(CASE WHEN event_type = 'purchase' THEN sk END)").as("skp"))
+        .filter(col("skc").isNotNull && col("skp").isNotNull)
+        .select(col("month"),
+          expr("theta_sketch_estimate(skc)").as("n_click"),
+          expr("theta_sketch_estimate(skp)").as("n_purchase"),
+          expr("theta_sketch_estimate(theta_union(skc, skp))").as("n_either"),
+          expr("theta_sketch_estimate(theta_intersection(skc, skp))")
+            .as("n_both"),
+          expr("theta_sketch_estimate(theta_difference(skc, skp))")
+            .as("n_click_only"))
+        .orderBy("month")
+    }),
+
+    // The approx tier text_perplexity_bucket's comment promises: decile
+    // boundaries from approx_percentile (one small agg → 9 doubles),
+    // broadcast to a map-side bucket assignment (aggregate-HOF count of
+    // boundaries below each doc's surprisal) and one final group-by.
+    // NO global-order window anywhere — this is the shape that runs at
+    // 100 TB, with the exact-ntile key as its recall oracle (Round9cSpec
+    // compares bucket populations). t2=N rows-only: approx_percentile
+    // boundaries have no cross-engine SQL oracle.
+    "text_perplexity_bucket_approx" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val cf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = cf.agg(sum(col("c")).as("tot"))
+      val perDoc = toks.join(cf, "tok").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (-log(col("c") / col("tot"))).cast(DecimalType(18, 12)).as("surp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("surp")).as("ssum"))
+        .select(col("doc_id"),
+          round(col("ssum").cast(DoubleType) / col("n_tok"), 6)
+            .as("avg_surprisal"))
+      val bounds = perDoc.agg(expr(
+        "approx_percentile(avg_surprisal, " +
+          "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000)")
+        .as("bs"))
+      perDoc.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("avg_surprisal"),
+          expr("1 + aggregate(bs, 0, (a, b) -> " +
+            "a + CASE WHEN avg_surprisal > b THEN 1 ELSE 0 END)")
+            .cast(LongType).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("avg_surprisal")), 6).as("min_surprisal"),
+          round(max(col("avg_surprisal")), 6).as("max_surprisal"))
+        .orderBy("bucket")
+    }),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE): a compounding
     // multiplicative-additive recurrence along each customer's order
     // chain — balance_t = balance_{t-1} * 1.01 + price_t. Genuinely

@@ -131,6 +131,58 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  test("agg_theta_setops: estimates bound the exact set sizes; inclusion-exclusion holds") {
+    val rows = q("agg_theta_setops").collect()
+    assert(rows.nonEmpty)
+    val ev = T.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(date_format(col("ts"), "yyyy-MM").as("month"),
+        col("event_type"), col("user_id"))
+    val exact = ev.collect()
+      .groupBy(_.getString(0))
+      .map { case (mth, rs) =>
+        val c = rs.filter(_.getString(1) == "click").map(_.getLong(2)).toSet
+        val p = rs.filter(_.getString(1) == "purchase").map(_.getLong(2)).toSet
+        mth -> (c, p)
+      }
+    rows.foreach { r =>
+      val (c, p) = exact(r.getString(0))
+      def ok(est: Long, ex: Int, what: String): Unit =
+        assert(math.abs(est - ex) <= math.max(2.0, 0.05 * ex),
+          s"${r.getString(0)} $what: est $est vs exact $ex")
+      ok(r.getLong(1), c.size, "click")
+      ok(r.getLong(2), p.size, "purchase")
+      ok(r.getLong(3), c.union(p).size, "either")
+      ok(r.getLong(4), c.intersect(p).size, "both")
+      ok(r.getLong(5), (c -- p).size, "click_only")
+      // inclusion-exclusion on the estimates themselves (loose: each
+      // estimate carries its own error)
+      assert(math.abs(r.getLong(4) + r.getLong(5) - r.getLong(1)) <=
+        math.max(3.0, 0.1 * r.getLong(1)), "both + click_only ≈ click")
+    }
+  }
+
+  test("text_perplexity_bucket_approx: covers the corpus; tracks the exact deciles") {
+    val approx = q("text_perplexity_bucket_approx").collect()
+    val exact = q("text_perplexity_bucket").collect()
+    val nDocs = exact.map(_.getLong(1)).sum
+    assert(approx.map(_.getLong(1)).sum == nDocs,
+      "approx buckets must cover every doc exactly once")
+    assert(approx.length >= 8 && approx.length <= 10,
+      "about 10 buckets (boundary ties may merge a couple)")
+    // each approx bucket's population stays near the exact decile size
+    approx.foreach { r =>
+      assert(r.getLong(1) <= math.ceil(0.35 * nDocs),
+        s"bucket ${r.getLong(0)} holds ${r.getLong(1)} of $nDocs — " +
+          "approx boundaries should keep buckets near n/10")
+    }
+    // bucket ranges must be ordered and non-overlapping
+    approx.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2) + 1e-6,
+        "bucket ranges must not overlap")
+    }
+  }
+
   test("pqTrain fused loop equals independent per-subspace kmeansTrain") {
     val e = T.t(spark, sf, "embeddings")
     val fused = ops.Round9Ops.pqTrain(e, m = 4, subDim = 16, maxIters = 12)
