@@ -160,6 +160,56 @@ object Multimodal {
       }(enc)
   }
 
+  val thumbSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("thumb_checksum", LongType),
+    StructField("mean_lum_x100", LongType)))
+
+  /** REAL pixel resize (not the dimension-arithmetic stand-in of
+    * frameSamplePipeline): decode the PNG through the JDK codec,
+    * nearest-neighbor resample to an 8×8 RGB thumbnail, and emit
+    * deterministic stats of the RESAMPLED pixels — a positional
+    * wrapping-Long checksum over the 64 samples in raster order and an
+    * integer mean luminance (BT.601 weights, exact integer division).
+    * All-integer arithmetic on a deterministic payload → bit-identical
+    * at any parallelism; the synthetic gradient means Round9cSpec can
+    * recompute every checksum from the closed-form pixel formula
+    * WITHOUT ImageIO, proving the decode→resize path end-to-end.
+    * Same partition-batched shape as the other stages. */
+  def resizeThumbnail(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(thumbSchema)
+    imageTable(spark, sfDir)
+      .select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, "undecodable image payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var cs = 0L
+          var lum = 0L
+          var ty = 0
+          while (ty < 8) {
+            var tx = 0
+            while (tx < 8) {
+              val rgb = img.getRGB(tx * w / 8, ty * h / 8) // NN sample
+              val rr = (rgb >> 16) & 0xFF
+              val gg = (rgb >> 8) & 0xFF
+              val bb = rgb & 0xFF
+              cs = cs * 1000003L + ((rr << 16) | (gg << 8) | bb)
+              lum += (299 * rr + 587 * gg + 114 * bb) / 1000
+              tx += 1
+            }
+            ty += 1
+          }
+          org.apache.spark.sql.Row(id, w, h, cs, lum * 100L / 64L)
+        }
+      }(enc)
+  }
+
   /** Partition-batched decode + feature extract + thumbnail stand-in
     * (leading byte slice). Dimensions come from the real PNG codec. */
   def decodePipeline(spark: SparkSession, sfDir: String): DataFrame = {

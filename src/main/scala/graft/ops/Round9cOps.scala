@@ -172,6 +172,39 @@ object Round9cOps {
         .orderBy("r_name")
     }),
 
+    // SQL session variables + named-parameter queries (Spark 4):
+    // DECLARE/SET VAR for session-scoped thresholds and
+    // spark.sql(text, args) named parameters — the two
+    // safe-parameterization surfaces a dashboard/ETL user relies on
+    // (no string interpolation). The oracle inlines the same literals;
+    // money stays in the exact-decimal canon.
+    "sql_session_variables" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_var_orders")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_min_total DOUBLE")
+      s.sql("SET VAR graft_min_total = 150000.0")
+      s.sql(
+        """SELECT o_orderpriority,
+                  count(*) AS n,
+                  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 4)
+                       AS DOUBLE) AS revenue
+           FROM graft_var_orders
+           WHERE o_totalprice > graft_min_total
+             AND o_orderstatus = :status
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority""",
+        Map("status" -> "O"))
+    }),
+
+    // Real multimodal resize (the north-star op list's "resize",
+    // upgraded from dimension arithmetic to actual pixel resampling):
+    // JDK-decoded PNG → nearest-neighbor 8×8 RGB thumbnail →
+    // deterministic integer stats. t2=N rows-only; Round9cSpec
+    // recomputes every checksum from the synthetic gradient's
+    // closed-form pixel formula with no codec, an end-to-end proof of
+    // the decode→resample path.
+    "mm_resize_thumbnail" -> ((s, d) =>
+      Multimodal.resizeThumbnail(s, d).orderBy("doc_id")),
+
     // Theta-sketch set algebra (the DataSketches audience-overlap
     // primitive): per-month user sketches for two event types, then
     // union / intersection / difference ESTIMATES from the sketches
@@ -385,6 +418,16 @@ object Round9cOps {
         "CAST(ROUND(CAST(SUM(CAST(avg_surprisal AS DECIMAL(18,6))) AS DOUBLE) " +
         "/ COUNT(*), 6) AS DOUBLE) AS mean_surprisal " +
         "FROM b GROUP BY bucket ORDER BY bucket"),
+
+    // Variable and parameter inlined as literals — the parameterization
+    // surface is Spark-side API; the CONTRACT is that it binds to
+    // exactly these values.
+    "sql_session_variables" ->
+      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS revenue " +
+        "FROM orders WHERE o_totalprice > 150000.0 " +
+        "AND o_orderstatus = 'O' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
 
     // The same recursion almost verbatim — both engines replay one
     // join-step per chain position, so the multiply-accumulate doubles

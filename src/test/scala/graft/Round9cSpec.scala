@@ -131,6 +131,43 @@ class Round9cSpec extends SparkSpec {
     }
   }
 
+  test("mm_resize_thumbnail: checksums match the closed-form pixel formula, codec-free") {
+    val rows = q("mm_resize_thumbnail").collect()
+    assert(rows.nonEmpty)
+    val docs = T.t(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      // the synthetic gradient (Multimodal.pngPayload): pixel (x, y) has
+      // packed value v = (x*31 + y*7 + base) & 0xFFFFFF stored as sRGB
+      val w = 16 + (id % 48).toInt
+      val h = 16 + math.floorMod(docs(id), 48)
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"doc $id dims")
+      val base = (id % 255).toInt
+      var cs = 0L
+      var lum = 0L
+      var ty = 0
+      while (ty < 8) {
+        var tx = 0
+        while (tx < 8) {
+          val v = ((tx * w / 8) * 31 + (ty * h / 8) * 7 + base) & 0xFFFFFF
+          val rr = (v >> 16) & 0xFF
+          val gg = (v >> 8) & 0xFF
+          val bb = v & 0xFF
+          cs = cs * 1000003L + ((rr << 16) | (gg << 8) | bb)
+          lum += (299 * rr + 587 * gg + 114 * bb) / 1000
+          tx += 1
+        }
+        ty += 1
+      }
+      assert(r.getLong(3) == cs,
+        s"doc $id: decoded+resampled checksum != closed form")
+      assert(r.getLong(4) == lum * 100L / 64L, s"doc $id: mean luminance")
+    }
+  }
+
   test("agg_theta_setops: estimates bound the exact set sizes; inclusion-exclusion holds") {
     val rows = q("agg_theta_setops").collect()
     assert(rows.nonEmpty)
