@@ -153,11 +153,20 @@ object ScalingProbe {
     def kmeans(e: DataFrame): Long =
       ops.Round9Ops.kmeansTrain(e, maxIters = 5, minIters = 5)._1.size.toLong
 
+    // round-9 shape: pointer-jumping list rank. Amplifying BOTH keys
+    // keeps every chain's length (and therefore the round count —
+    // ceil(log2(maxChain)) — ) identical while each round processes 10×
+    // rows. The claim under test: per-round cost is one key-partitioned
+    // join over the frontier — linear in rows — so the loop is bounded
+    // by log2(chain) × linear work, never by chain length itself.
+    def listRank(o: DataFrame): Long =
+      ops.Round9cOps.listRank(spark, o).count()
+
     // warm up IO + codegen once so both measurements are steady-state
     // (incl. first read of customer/supplier + the grid-join codegen and
     // the triangle edge-build, so their 1× rows are not cold-read IO)
     q1(li); joinAgg(ord, li); winLatest(ev); gridJoin(cust); triEdges(li)
-    topkSpill(li); kmeans(emb); ()
+    topkSpill(li); kmeans(emb); listRank(ord); ()
 
     val results = Seq(
       ("agg_q1_shape", time(q1(li)), time(q1(amp(li, Seq("l_orderkey"))))),
@@ -178,7 +187,9 @@ object ScalingProbe {
       ("topk_per_key_spill", time(topkSpill(li)),
         time(topkSpill(amp(li, Seq("l_orderkey"))))),
       ("kmeans_train_5iter", time(kmeans(emb)),
-        time(kmeans(amp(emb, Seq("vec_id")))))
+        time(kmeans(amp(emb, Seq("vec_id"))))),
+      ("list_rank_pointer_jump", time(listRank(ord)),
+        time(listRank(amp(ord, Seq("o_orderkey", "o_custkey")))))
     )
     def r(v: Double): Double = math.rint(v * 1000) / 1000
     val json = results.map { case (k, t1, t10) =>

@@ -19,6 +19,65 @@ import org.apache.spark.sql.types._
 object Round9cOps {
   import T._
 
+  /** Pointer-jumping list rank over the per-customer order chains of
+    * `orders` — factored so ScalingProbe can run it on an amplified
+    * frame. Returns (node, o_custkey, ptr=null, d=depth). The loop runs
+    * on a cloned small-parallelism session with per-round
+    * localCheckpoint; round count is ceil(log2(maxChain)), known up
+    * front from one max-chain agg (no per-round convergence actions). */
+  private[graft] def listRank(s: SparkSession,
+      orders: DataFrame): DataFrame = {
+    val nNodes = orders.count()
+    val loopParts = math.max(1L, math.min(
+      s.conf.get("spark.sql.shuffle.partitions").toLong,
+      nNodes / 50000 + 1)).toString
+    val ranked = graft.Graft.withLoopConf(s,
+      "spark.sql.shuffle.partitions" -> loopParts,
+      "spark.sql.adaptive.enabled" -> "false") { s2 =>
+      val o2 = graft.Graft.rebind(orders, s2)
+      val w = Window.partitionBy("o_custkey").orderBy("node")
+      var pd = o2
+        .select(col("o_custkey"), col("o_orderkey").as("node"))
+        .withColumn("ptr", lag(col("node"), 1).over(w))
+        .select(col("node"), col("o_custkey"), col("ptr"),
+          when(col("ptr").isNotNull, 1L).otherwise(0L).as("d"))
+        .localCheckpoint()
+      // the round count is KNOWN up front: after k doublings every
+      // pointer has jumped 2^k hops, so ceil(log2(maxChain)) rounds
+      // resolve everything — one upfront max-chain agg replaces a
+      // convergence count per round (half the actions per iteration)
+      val maxChain = o2
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      val rounds =
+        if (maxChain <= 1) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(maxChain - 1)
+      var it = 0
+      while (it < rounds) {
+        val p2 = pd.select(col("node").as("pnode"),
+          col("ptr").as("pptr"), col("d").as("pd"))
+        // left join: a null ptr never matches → (pptr, pd) = (null, 0)
+        // keeps finished rows fixed; a non-null ptr always matches, so
+        // pptr is the grandparent (or null at the head) and pd the
+        // parent's accumulated distance
+        pd = pd.hint("shuffle_hash")
+          .join(p2, col("ptr") === col("pnode"), "left")
+          .select(col("node"), col("o_custkey"),
+            col("pptr").as("ptr"),
+            (col("d") + coalesce(col("pd"), lit(0L))).as("d"))
+          .localCheckpoint()
+        it += 1
+      }
+      val remaining = pd.filter(col("ptr").isNotNull).count()
+      if (remaining > 0) throw new IllegalStateException(
+        s"graph_list_rank: $remaining pointers unresolved after " +
+          s"$rounds doubling rounds — the chain-length bound was " +
+          "violated; raise the cap rather than return wrong depths")
+      pd
+    }
+    graft.Graft.rebind(ranked, s)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // List ranking by pointer jumping (Wyllie): each node's hop depth
@@ -33,59 +92,11 @@ object Round9cOps {
     // the analyzer from re-walking a doubling plan tree. The oracle
     // exploits the chain structure's closed form (row_number - 1) —
     // an independent formulation, not a mirror.
-    "graph_list_rank" -> ((s, d) => {
-      val nNodes = t(s, d, "orders").count()
-      val loopParts = math.max(1L, math.min(
-        s.conf.get("spark.sql.shuffle.partitions").toLong,
-        nNodes / 50000 + 1)).toString
-      val ranked = graft.Graft.withLoopConf(s,
-        "spark.sql.shuffle.partitions" -> loopParts,
-        "spark.sql.adaptive.enabled" -> "false") { s2 =>
-        val w = Window.partitionBy("o_custkey").orderBy("node")
-        var pd = t(s2, d, "orders")
-          .select(col("o_custkey"), col("o_orderkey").as("node"))
-          .withColumn("ptr", lag(col("node"), 1).over(w))
-          .select(col("node"), col("o_custkey"), col("ptr"),
-            when(col("ptr").isNotNull, 1L).otherwise(0L).as("d"))
-          .localCheckpoint()
-        // the round count is KNOWN up front: after k doublings every
-        // pointer has jumped 2^k hops, so ceil(log2(maxChain)) rounds
-        // resolve everything — one upfront max-chain agg replaces a
-        // convergence count per round (half the actions per iteration)
-        val maxChain = t(s2, d, "orders")
-          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
-          .agg(max(col("n"))).head().getLong(0)
-        val rounds =
-          if (maxChain <= 1) 0
-          else 64 - java.lang.Long.numberOfLeadingZeros(maxChain - 1)
-        var it = 0
-        while (it < rounds) {
-          val p2 = pd.select(col("node").as("pnode"),
-            col("ptr").as("pptr"), col("d").as("pd"))
-          // left join: a null ptr never matches → (pptr, pd) = (null, 0)
-          // keeps finished rows fixed; a non-null ptr always matches, so
-          // pptr is the grandparent (or null at the head) and pd the
-          // parent's accumulated distance
-          pd = pd.hint("shuffle_hash")
-            .join(p2, col("ptr") === col("pnode"), "left")
-            .select(col("node"), col("o_custkey"),
-              col("pptr").as("ptr"),
-              (col("d") + coalesce(col("pd"), lit(0L))).as("d"))
-            .localCheckpoint()
-          it += 1
-        }
-        val remaining = pd.filter(col("ptr").isNotNull).count()
-        if (remaining > 0) throw new IllegalStateException(
-          s"graph_list_rank: $remaining pointers unresolved after " +
-            s"$rounds doubling rounds — the chain-length bound was " +
-            "violated; raise the cap rather than return wrong depths")
-        pd
-      }
-      graft.Graft.rebind(ranked, s)
+    "graph_list_rank" -> ((s, d) =>
+      listRank(s, t(s, d, "orders"))
         .select(col("node").as("o_orderkey"), col("o_custkey"),
           col("d").as("depth"))
-        .orderBy("o_orderkey")
-    }),
+        .orderBy("o_orderkey")),
 
     // Fixed-horizon EWMA (8 observations, α = 0.5) of daily revenue per
     // order priority — the smoothing primitive of every monitoring

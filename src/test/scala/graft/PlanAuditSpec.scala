@@ -323,4 +323,27 @@ class PlanAuditSpec extends SparkSpec {
     val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(nlj <= 1, s"only the scalar combine may nest-loop ($nlj):\n" + p.take(2000))
   }
+
+  test("text_perplexity_bucket_approx: broadcast boundaries, NO window anywhere") {
+    // the whole point of the approx tier vs the exact ntile deciles: the
+    // bucket assignment is a map-side aggregate-HOF probe of 9 broadcast
+    // boundary values — a global-order WindowExec would mean it degraded
+    // to the exact tier's single-partition sort
+    val p = plan("text_perplexity_bucket_approx")
+    assert(!p.contains("Window"), "approx tier must not plan a window:\n" +
+      p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "boundaries must broadcast:\n" +
+      p.take(2000))
+  }
+
+  test("ts_ewma_daily: one window over the pre-aggregated daily table") {
+    // all 8 lag terms must share ONE WindowExec (same spec) and the
+    // window input is the post-aggregation daily series, never the fact
+    // table
+    val p = plan("ts_ewma_daily")
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows <= 2, s"expected one logical window (<=2 mentions), got $windows:\n" +
+      p.take(2000))
+  }
 }
