@@ -183,6 +183,26 @@ object Round9cOps {
         .orderBy("r_name")
     }),
 
+    // SQL pipe syntax (Spark 4's |> operators): the Q1 aggregation
+    // written as a linear FROM → WHERE → EXTEND → AGGREGATE → ORDER BY
+    // pipeline — the readability surface replacing nested subqueries.
+    // Pure syntax: Catalyst plans the identical Aggregate, so the
+    // exact-decimal money canon carries over verbatim; the oracle is
+    // the classic ANSI form of the same query.
+    "sql_pipe_syntax" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_pipe_lineitem")
+      s.sql("""
+        FROM graft_pipe_lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (1 - CAST(l_discount AS DECIMAL(4,2))) AS disc_price
+        |> AGGREGATE count(*) AS n,
+                     CAST(ROUND(SUM(disc_price), 4) AS DOUBLE) AS revenue
+             GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+      """)
+    }),
+
     // SQL session variables + named-parameter queries (Spark 4):
     // DECLARE/SET VAR for session-scoped thresholds and
     // spark.sql(text, args) named parameters — the two
@@ -429,6 +449,14 @@ object Round9cOps {
         "CAST(ROUND(CAST(SUM(CAST(avg_surprisal AS DECIMAL(18,6))) AS DOUBLE) " +
         "/ COUNT(*), 6) AS DOUBLE) AS mean_surprisal " +
         "FROM b GROUP BY bucket ORDER BY bucket"),
+
+    // The classic ANSI form — pipe syntax is parse-time sugar, so the
+    // plans (and the exact decimals) are identical.
+    "sql_pipe_syntax" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("l_extendedprice")} * (1 - ${oRate("l_discount")}))")} " +
+        "AS revenue FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
 
     // Variable and parameter inlined as literals — the parameterization
     // surface is Spark-side API; the CONTRACT is that it binds to
