@@ -126,7 +126,8 @@ object Bench {
       Files.writeString(Paths.get("target/bench.json"), fullJson)
     } catch { case _: Throwable => () }
     // stdout line stays a few hundred bytes (headline spread only); the
-    // full 185-key spread map lives in target/bench.json.
+    // full per-key spread map (every suite query) lives in
+    // target/bench.json.
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","protocol":"interleaved","n_queries":${results.size},"queries":${toJson(headline)},"spread":${toSpreadJson(headline)},"headline_total":${r(headline.map(kv => med(kv._2)).sum)},"full":"target/bench.json","sf":"$sfDir"}"""
     println(json)

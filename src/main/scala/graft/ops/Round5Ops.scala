@@ -102,6 +102,30 @@ object Round5Ops {
   private val ccMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
+  /** Per-doc unigram surprisal: (doc_id, n_tok, avg_surprisal), the
+    * corpus-LM scoring core shared by `text_unigram_logprob` (oracle-
+    * hashed) and both perplexity-decile keys in Round9cOps. ONE
+    * definition on purpose: the exact and approx decile tiers are
+    * spec-compared against each other and against the DuckDB oracle,
+    * so the surprisal arithmetic (DECIMAL(18,12) token surprisal,
+    * exact decimal sum, 6-dp rounded double mean) must stay
+    * expression-for-expression identical across all three.
+    */
+  private[graft] def docSurprisal(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val cf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = cf.agg(sum(col("c")).as("tot"))
+    toks.join(cf, "tok").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (-log(col("c") / col("tot"))).cast(DecimalType(18, 12)).as("surp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("surp")).as("ssum"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("ssum").cast(DoubleType) / col("n_tok"), 6)
+          .as("avg_surprisal"))
+  }
+
   private[graft] def graphComponents(s: SparkSession, d: String): DataFrame = {
     // key includes the edge source's (size, mtime): rewriting the input
     // in-place invalidates the memo instead of silently serving stale
@@ -372,20 +396,8 @@ object Round5Ops {
     // result partition-invariant), finalized as a double ratio. The
     // frequency table is an equi-join — broadcast-able when the vocab
     // is small, shuffle-partitioned when it is web-scale.
-    "text_unigram_logprob" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val cf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val tot = cf.agg(sum(col("c")).as("tot"))
-      toks.join(cf, "tok").crossJoin(broadcast(tot))
-        .select(col("doc_id"),
-          (-log(col("c") / col("tot"))).cast(DecimalType(18, 12)).as("surp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum(col("surp")).as("ssum"))
-        .select(col("doc_id"), col("n_tok"),
-          round(col("ssum").cast(DoubleType) / col("n_tok"), 6).as("avg_surprisal"))
-        .orderBy("doc_id")
-    }),
+    "text_unigram_logprob" -> ((s, d) =>
+      docSurprisal(s, d).orderBy("doc_id")),
 
     // Symmetric int8 vector quantization (the memory-scale ANN
     // companion to vec_pq_codes): per-vector absmax scale, clamped

@@ -231,14 +231,21 @@ object Round9Ops {
     val itM = Array.fill(m)(0) // per-subspace active-iteration count
     var it = 0
     while (it < maxIters && !stableM.forall(identity)) {
-      val bc = s.sparkContext.broadcast(cents)
+      // ship the frozen mask with the centroids: a frozen subspace's
+      // accumulators are never read driver-side (the update loop below
+      // skips stableM), so skipping its argmin scan + decimal adds in
+      // seqOp is bit-identical — and saves per-row 8-centroid distance
+      // work for every already-converged subspace on every later round
+      val bc = s.sparkContext.broadcast((cents, stableM.clone()))
       val agg = ds.rdd.treeAggregate(
         Array.fill(m * k)(new KmAcc(subDim)))(
         seqOp = (acc, row) => {
           val (id, emb) = row
-          val cvs = bc.value
+          val (cvs, frozen) = bc.value
           var mm = 0
           while (mm < cvs.length) {
+            if (frozen(mm)) { mm += 1 }
+            else {
             val sub = cvs(mm)
             val off = mm * subDim
             var bestC = 0
@@ -257,6 +264,7 @@ object Round9Ops {
             }
             acc(mm * k + bestC).addSlice(id, bestC, bestD, emb, off)
             mm += 1
+            }
           }
           acc
         },
@@ -456,7 +464,11 @@ object Round9Ops {
         .orderBy(col("adc").asc, col("vec_id").asc).limit(50)
       shortlist
         .withColumn("exact", expr(fullL2("embedding", "pvec")))
-        .orderBy(col("exact").asc, col("vec_id").asc).limit(10)
+        // NULLS LAST to match the DuckDB oracle's ASC default (Spark's
+        // is NULLS FIRST): a malformed/NULL embedding that survives to
+        // the shortlist (coarse assign parks it via coalesce-to-+inf)
+        // must rank behind every finite exact distance, not ahead
+        .orderBy(col("exact").asc_nulls_last, col("vec_id").asc).limit(10)
         .select(col("vec_id"), col("label"), col("cid"),
           round(col("adc"), 6).as("adc_dist"),
           round(col("exact"), 6).as("l2_dist"))

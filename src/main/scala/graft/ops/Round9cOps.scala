@@ -27,7 +27,13 @@ object Round9cOps {
     * front from one max-chain agg (no per-round convergence actions). */
   private[graft] def listRank(s: SparkSession,
       orders: DataFrame): DataFrame = {
-    val nNodes = orders.count()
+    // One aggregation job yields both sizing facts: per-chain counts
+    // roll up to (max = longest chain, sum = node count) — no separate
+    // full-scan count() for loopParts
+    val sizes = orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")), sum(col("n"))).head()
+    val maxChain = sizes.getLong(0)
+    val nNodes = sizes.getLong(1)
     val loopParts = math.max(1L, math.min(
       s.conf.get("spark.sql.shuffle.partitions").toLong,
       nNodes / 50000 + 1)).toString
@@ -46,9 +52,6 @@ object Round9cOps {
       // pointer has jumped 2^k hops, so ceil(log2(maxChain)) rounds
       // resolve everything — one upfront max-chain agg replaces a
       // convergence count per round (half the actions per iteration)
-      val maxChain = o2
-        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).head().getLong(0)
       val rounds =
         if (maxChain <= 1) 0
         else 64 - java.lang.Long.numberOfLeadingZeros(maxChain - 1)
@@ -142,18 +145,11 @@ object Round9cOps {
     // recall oracle for that tier. Bucket means accumulate in exact
     // decimal (order-independent).
     "text_perplexity_bucket" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val cf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val tot = cf.agg(sum(col("c")).as("tot"))
-      val perDoc = toks.join(cf, "tok").crossJoin(broadcast(tot))
-        .select(col("doc_id"),
-          (-log(col("c") / col("tot"))).cast(DecimalType(18, 12)).as("surp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum(col("surp")).as("ssum"))
-        .select(col("doc_id"),
-          round(col("ssum").cast(DoubleType) / col("n_tok"), 6)
-            .as("avg_surprisal"))
+      // surprisal arithmetic lives in ONE place (Round5Ops.docSurprisal)
+      // so this exact tier, the approx tier, and the oracle-hashed
+      // text_unigram_logprob can never drift apart
+      val perDoc = Round5Ops.docSurprisal(s, d)
+        .select(col("doc_id"), col("avg_surprisal"))
       perDoc
         .withColumn("bucket",
           ntile(10).over(Window.orderBy(col("avg_surprisal"), col("doc_id")))
@@ -276,20 +272,18 @@ object Round9cOps {
     // NO global-order window anywhere — this is the shape that runs at
     // 100 TB, with the exact-ntile key as its recall oracle (Round9cSpec
     // compares bucket populations). t2=N rows-only: approx_percentile
-    // boundaries have no cross-engine SQL oracle.
+    // boundaries have no cross-engine SQL oracle. Caveat, by design:
+    // approx_percentile's QuantileSummaries are exact (hence
+    // partition-invariant) only while per-partition input stays under
+    // the accuracy parameter (10000 rows here); past that, compression
+    // makes the 9 boundary doubles partitioning-dependent — acceptable
+    // for an approx-tier bucketing whose recall oracle is the exact
+    // key, but NOT for any oracle-hashed or invariance-gated use.
+    // That is why this key is rows-only while its exact twin carries
+    // the determinism contract.
     "text_perplexity_bucket_approx" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val cf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val tot = cf.agg(sum(col("c")).as("tot"))
-      val perDoc = toks.join(cf, "tok").crossJoin(broadcast(tot))
-        .select(col("doc_id"),
-          (-log(col("c") / col("tot"))).cast(DecimalType(18, 12)).as("surp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum(col("surp")).as("ssum"))
-        .select(col("doc_id"),
-          round(col("ssum").cast(DoubleType) / col("n_tok"), 6)
-            .as("avg_surprisal"))
+      val perDoc = Round5Ops.docSurprisal(s, d)
+        .select(col("doc_id"), col("avg_surprisal"))
       val bounds = perDoc.agg(expr(
         "approx_percentile(avg_surprisal, " +
           "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 10000)")
@@ -314,7 +308,7 @@ object Round9cOps {
     // recursion executor, not window sugar. Both engines run the SAME
     // linear recursion — each step one join of the frontier against the
     // rn+1 successor — so the double arithmetic replays the identical
-    // IEEE sequence per chain. Restricted to 1 in 20 customers: the
+    // IEEE sequence per chain. Restricted to 1 in 10 customers: the
     // semantics live in the DEPTH of the recursion (full chains kept),
     // not the customer count; the full-corpus variant of a linear
     // recurrence at 100 TB is graph_list_rank-style pointer doubling
