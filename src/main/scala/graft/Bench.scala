@@ -9,6 +9,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The interleaved protocol runs ~190 other queries between two
       // samples of the same query; the default 100-entry codegen class
@@ -23,9 +24,16 @@ object Bench {
     // Warm up codegen/scheduler/FS cache so the first timed query does
     // not absorb session start cost, and touch EVERY table once — the
     // alphabetically-first queries otherwise pay each table's cold read.
+    // Guarded per table (round-9 lesson: one broken loader in warm-up
+    // crashed the whole bench, rc=1 with zero timings — a single-table
+    // failure must cost one table's warmth, not the round's bench).
     T.tables.foreach { name =>
-      if (name == "events") T.events(spark, sfDir).count()
-      else spark.read.parquet(s"$sfDir/$name.parquet").count()
+      try {
+        if (name == "events") T.events(spark, sfDir).count()
+        else spark.read.parquet(s"$sfDir/$name.parquet").count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}")
+      }
     }
     spark.range(100).groupBy((org.apache.spark.sql.functions.col("id") % 5)
       .as("k")).count().count()
@@ -79,21 +87,31 @@ object Bench {
     // median across passes shakes it off. A whole pass takes minutes, so
     // consecutive samples of one query are also minutes apart — medians
     // now sample the environment at suite scale, not block scale.
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that throws still gets a (meaningless) time sample so the
+    // pass structure stays intact, but the failure is RECORDED — the
+    // bench total must never silently exclude broken queries (round-9
+    // verdict: runOnce swallowed Throwables, so a broken query would
+    // have benched as ~0 s with no trace).
+    val errors = collection.mutable.LinkedHashMap[String, String]()
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // full recompute every run: queries that persist() intermediates
       // must not serve pass 2+ from the cache manager
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replace('\n', ' ').take(300)
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Warm-up = whole untimed passes (JIT the generated code of every
     // query before ANY timed sample exists, same intent as before).
-    (0 until warmups).foreach { _ => suite.foreach { case (_, fn) => runOnce(fn) } }
+    (0 until warmups).foreach { _ => suite.foreach { case (name, fn) => runOnce(name, fn) } }
     val samples = collection.mutable.LinkedHashMap[String, Vector[Double]](
       suite.map { case (name, _) => name -> Vector.empty[Double] }: _*)
     (0 until runs).foreach { _ =>
-      suite.foreach { case (name, fn) => samples(name) = samples(name) :+ runOnce(fn) }
+      suite.foreach { case (name, fn) => samples(name) = samples(name) :+ runOnce(name, fn) }
     }
     val results = suite.map { case (name, _) => name -> samples(name).sorted }
     def r(v: Double): Double = math.rint(v * 1000) / 1000
@@ -119,8 +137,16 @@ object Bench {
       "vec_knn_join", "text_wordcount_topk", "text_lang_stats",
       "text_exact_dedup")
     val headline = results.filter(kv => headlineKeys.contains(kv._1))
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","protocol":"interleaved","queries":${toJson(results)},"spread":${toSpreadJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","protocol":"interleaved","failed":${errors.size},"errors":$errJson,"queries":${toJson(results)},"spread":${toSpreadJson(results)},"sf":"$sfDir"}"""
     try {
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/bench.json"), fullJson)
@@ -128,8 +154,12 @@ object Bench {
     // stdout line stays a few hundred bytes (headline spread only); the
     // full per-key spread map (every suite query) lives in
     // target/bench.json.
+    // stdout carries the failed-key COUNT and names (bounded); the full
+    // error messages live in target/bench.json's errors map.
+    val failedKeys = errors.keys.toSeq.sorted.take(20).map(jq)
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","protocol":"interleaved","n_queries":${results.size},"queries":${toJson(headline)},"spread":${toSpreadJson(headline)},"headline_total":${r(headline.map(kv => med(kv._2)).sum)},"full":"target/bench.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmup":$warmups,"stat":"median","protocol":"interleaved","n_queries":${results.size},"failed":${errors.size},"failed_keys":$failedKeys,"queries":${toJson(headline)},"spread":${toSpreadJson(headline)},"headline_total":${r(headline.map(kv => med(kv._2)).sum)},"full":"target/bench.json","sf":"$sfDir"}"""
     println(json)
     spark.stop()
   }

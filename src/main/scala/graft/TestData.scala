@@ -10,8 +10,8 @@ import org.apache.spark.sql.types._
   *  - money/double aggregates go through exact DECIMAL arithmetic and are
   *    finalized with round(_,4) cast to double (order-independent sums);
   *  - every result ends in a total ORDER BY over a unique key set;
-  *  - event timestamps (ns in parquet, µs in Spark) are truncated to
-  *    second granularity (or exposed as epoch millis) before hashing.
+  *  - event timestamps (ns- or µs-encoded parquet, µs in Spark) are
+  *    truncated to second granularity (or epoch millis) before hashing.
   */
 object T {
   val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -20,16 +20,38 @@ object T {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-    * as a timestamp. Read it as a nanos-long (`ts_ns`, exact — matches
-    * DuckDB `epoch_ns`) and derive a µs-truncated timestamp `ts` via
-    * integer division (ns ≈ 1.7e18 > 2^53, so double math would be lossy).
+  /** `events.ts` has been regenerated across rounds under TWO physical
+    * parquet encodings, and this loader must accept both (round-9 verdict:
+    * a silent testdata regeneration from `timestamp[ns]` to `timestamp[us]`
+    * took down 55 query keys because the old loader hard-assumed nanos):
+    *
+    *  - `timestamp[ns]`: Spark 4 refuses to read NANOS as a timestamp, so
+    *    with `nanosAsLong` it surfaces as a `LongType` of epoch-nanos. We
+    *    expose it as `ts_ns` (exact — matches DuckDB `epoch_ns`) and derive
+    *    a µs-truncated `ts` via integer division (ns ≈ 1.7e18 > 2^53, so
+    *    double math would be lossy).
+    *  - `timestamp[us]`: a plain Spark timestamp (TIMESTAMP or, when the
+    *    file is not UTC-adjusted, TIMESTAMP_NTZ — cast to TimestampType;
+    *    session TZ is UTC so values are identical). `ts_ns` is derived as
+    *    `unix_micros(ts) * 1000` so every ts_ns order-by/tiebreak usage and
+    *    oracle stays valid (no oracle references sub-µs precision).
+    *
+    * Both branches yield the same columns in the same order:
+    * (event_id, ts_ns LONG, user_id, event_type, value, props, ts TIMESTAMP).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = t(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+          .select("event_id", "ts_ns", "user_id", "event_type", "value",
+            "props", "ts")
+    }
   }
 
   // ---- determinism canon ------------------------------------------------

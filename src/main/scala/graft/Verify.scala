@@ -18,6 +18,12 @@ object Verify {
     // SPARK_GRAFT_ONLY=k1,k2 restricts the dump (dev iteration aid; the
     // driver sets nothing and gets the full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A failed key used to leave NO trace in the output dir, so the
+    // driver's correctness file OMITTED it instead of recording a failure
+    // (round 9: 55 keys vanished without a single red row). Collect every
+    // failure and write verify_errors.json alongside oracle_sql.json so
+    // mass breakage is visible as failures, not absence.
+    val errors = collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter(kv => only.forall(_.contains(kv._1)))
       .foreach { case (name, fn) =>
@@ -25,6 +31,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +50,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} key(s) FAILED: " +
+        errors.keys.toSeq.sorted.mkString(", "))
     spark.stop()
   }
 }
