@@ -90,7 +90,14 @@ class SchemaCanarySpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val bad = ev.filter(unix_micros(col("ts")) =!= expr("ts_ns div 1000")).count()
     assert(bad === 0L, s"$bad rows where ts and ts_ns disagree at µs grain")
-    assert(ev.count() > 0L)
+    val n = ev.count()
+    assert(n > 0L)
+    // Every (ts_ns, event_id) order-by in the suite (OHLC, streaks,
+    // sessionize, latest-dedup) relies on event_id as the tiebreak; with
+    // the µs-grain ts_ns encoding, ts_ns ties are MORE likely than under
+    // ns data, so the totality guarantee is event_id uniqueness. Pin it.
+    assert(ev.select("event_id").distinct.count() === n,
+      "event_id is no longer unique — ts_ns tiebreaks lose totality")
   }
 
   test("canary: documents/embeddings") {

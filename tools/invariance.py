@@ -21,7 +21,8 @@ for cpus, out in ((ca, outa), (cb, outb)):
 
 con = duckdb.connect()
 fails = 0
-keys = sorted(k for k in os.listdir(outa) if k != "oracle_sql.json")
+keys = sorted(k for k in os.listdir(outa)
+              if os.path.isdir(os.path.join(outa, k)))
 for k in keys:
     try:
         ra = con.execute(f"SELECT * FROM read_parquet('{outa}/{k}/*.parquet')").fetchall()
