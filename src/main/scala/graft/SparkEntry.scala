@@ -33,7 +33,7 @@ object SparkEntry {
       ops.TextAnalysis.queries ++ ops.MoreOps.queries ++
       ops.Round3Ops.queries ++ ops.Round4Ops.queries ++ ops.Round5Ops.queries ++
       ops.Round6Ops.queries ++ ops.Round9Ops.queries ++ ops.Round9bOps.queries ++
-      ops.Round9cOps.queries
+      ops.Round9cOps.queries ++ ops.Round10Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +44,5 @@ object SparkEntry {
       ops.TextAnalysis.oracles ++ ops.MoreOps.oracles ++
       ops.Round3Ops.oracleSql ++ ops.Round4Ops.oracleSql ++ ops.Round5Ops.oracleSql ++
       ops.Round6Ops.oracleSql ++ ops.Round9Ops.oracleSql ++ ops.Round9bOps.oracleSql ++
-      ops.Round9cOps.oracleSql
+      ops.Round9cOps.oracleSql ++ ops.Round10Ops.oracleSql
 }
