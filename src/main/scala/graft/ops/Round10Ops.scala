@@ -6,7 +6,13 @@ import org.apache.spark.sql.types._
 
 import graft.T.t
 
-/** Round-10 additions.
+/** Round-10 additions: `vec_lsh_topk` (multi-table sign-LSH ANN) and
+  * `stream_foreachbatch_upsert` (the foreachBatch serving-table upsert —
+  * merge logic lives in StreamingOps.{latestPerUser, upsertBatch,
+  * upsertStreamWriter}; the query key replays events through the real
+  * incremental merge in 3 chunks and returns the fixpoint table, which
+  * the associative/commutative reduction makes equal to the oracle's
+  * one-shot latest-per-user).
   *
   * `vec_lsh_topk` completes the ANN family's scale-path pair: the suite
   * has IVF bucketing (vec_ivf_topk, vec_ivf_pq_topk) but no LSH bucketing
@@ -84,6 +90,31 @@ object Round10Ops {
           expr("graft_cosine(embedding, p_emb)").as("raw"))
         .orderBy(col("raw").desc, col("vec_id")).limit(10)
         .select(col("vec_id"), col("label"), round(col("raw"), 6).as("cos_sim"))
+    }),
+
+    // foreachBatch upsert, exercised through the REAL incremental merge:
+    // the events table is replayed in 3 deterministic chunks
+    // (event_id mod 3) through StreamingOps.upsertBatch — read current
+    // table → union → latest-per-user → staged write → atomic swap — and
+    // the final serving table is returned. Because the reduction is
+    // associative/commutative over a total order, the fixpoint equals
+    // the one-shot batch latest-per-user, which is what the oracle
+    // computes; chunk order and replay count cannot change it
+    // (idempotence golden-tested in Round10Spec with a MemoryStream).
+    "stream_foreachbatch_upsert" -> ((s, d) => {
+      val dir = s"target/tmp/upsert_${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val ev = graft.T.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      (0 to 2).foreach { i =>
+        StreamingOps.upsertBatch(s, ev.filter(pmod(col("event_id"), lit(3)) === i), dir)
+      }
+      s.read.parquet(dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
     })
   )
 
@@ -104,6 +135,12 @@ object Round10Ops {
         "pv AS (SELECT emb AS p_emb FROM e WHERE vec_id = 0) " +
         "SELECT e.vec_id, e.label, round(list_cosine_similarity(e.emb, pv.p_emb), 6) AS cos_sim " +
         "FROM e JOIN cids USING (vec_id), pv " +
-        "ORDER BY list_cosine_similarity(e.emb, pv.p_emb) DESC, e.vec_id LIMIT 10")
+        "ORDER BY list_cosine_similarity(e.emb, pv.p_emb) DESC, e.vec_id LIMIT 10"),
+
+    "stream_foreachbatch_upsert" ->
+      ("SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value " +
+        "FROM (SELECT user_id, ts, event_id, event_type, value, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1 ORDER BY user_id")
   )
 }

@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-10: multi-table sign-LSH ANN (`vec_lsh_topk`). */
+case class UpEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+  event_type: String, value: Double)
+
+/** Round-10: multi-table sign-LSH ANN (`vec_lsh_topk`) and the
+  * foreachBatch incremental upsert sink. */
 class Round10Spec extends SparkSpec {
 
   private def lsh = ops.Round10Ops.queries("vec_lsh_topk")(spark, sf)
@@ -50,6 +54,39 @@ class Round10Spec extends SparkSpec {
       .select("vec_id").distinct().count()
     assert(nCand <= 0.4 * n, s"LSH scanned $nCand of $n — prune not real")
     assert(nCand >= 10, s"only $nCand candidates — buckets degenerate")
+  }
+
+  test("foreachBatch upsert: streaming micro-batches reach the batch fixpoint; replay is a no-op") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = "target/tmp/upsert_golden"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val b1 = Seq(
+      UpEv(1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0),
+      UpEv(2L, ts("2024-01-01 10:01:00"), 101L, "view", 2.0))
+    val b2 = Seq(
+      UpEv(1L, ts("2024-01-01 11:00:00"), 102L, "purchase", 9.0), // overwrites user 1
+      UpEv(3L, ts("2024-01-01 11:02:00"), 103L, "signup", 3.0),
+      UpEv(2L, ts("2024-01-01 09:00:00"), 104L, "click", 7.0)) // OLDER than user 2's row — must lose
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UpEv]
+    val q = ops.StreamingOps.upsertStreamWriter(spark, mem.toDF(), dir).start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    def table() = spark.read.parquet(dir).orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSeq
+    val expected = ops.StreamingOps.latestPerUser((b1 ++ b2).toDF())
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSeq
+    assert(table() === expected)
+    assert(table() === Seq(1L -> 102L, 2L -> 101L, 3L -> 103L))
+    // At-least-once delivery: re-applying an already-applied batch must
+    // not change the table (the sink-level exactly-once argument).
+    ops.StreamingOps.upsertBatch(spark, b2.toDF(), dir)
+    assert(table() === expected)
   }
 
   test("vec_lsh_topk: plan has broadcast candidate join, no corpus cartesian") {
