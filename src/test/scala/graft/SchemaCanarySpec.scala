@@ -100,6 +100,30 @@ class SchemaCanarySpec extends SparkSpec {
       "event_id is no longer unique — ts_ns tiebreaks lose totality")
   }
 
+  test("canary: events/orders/lineitem timestamp encodings at ALL scale factors") {
+    // Round 9's drift hit all three SFs at once, but nothing guarantees a
+    // future regeneration is uniform — assert the loader-relevant dtypes
+    // per SF (schema-only reads; no data scanned).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      def dt(tab: String, c: String) = T.t(spark, dir, tab).schema(c).dataType
+      val tsOk = dt("events", "ts") match {
+        case LongType | _: TimestampType.type | _: TimestampNTZType.type => true
+        case _ => false
+      }
+      assert(tsOk, s"$dir events.ts drifted to ${dt("events", "ts")}")
+      for ((tab, c) <- Seq("orders" -> "o_orderdate", "lineitem" -> "l_shipdate")) {
+        val ok = dt(tab, c) match {
+          case _: TimestampType.type | _: TimestampNTZType.type => true
+          case _ => false
+        }
+        assert(ok, s"$dir $tab.$c drifted to ${dt(tab, c)}")
+      }
+      assert(T.events(spark, dir).schema("ts").dataType === TimestampType)
+    }
+  }
+
   test("canary: documents/embeddings") {
     assert(fields("documents") === Map(
       "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
