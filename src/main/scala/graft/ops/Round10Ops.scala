@@ -92,6 +92,49 @@ object Round10Ops {
         .select(col("vec_id"), col("label"), round(col("raw"), 6).as("cos_sim"))
     }),
 
+    // Batched LSH serving: top-5 neighbors for EIGHT probes (vec_id
+    // 1..8) in one pass — the realistic serving shape. The signature
+    // pass is shared across probes (it's probe-independent), the
+    // candidate-bucket set is |probes|×L×(k+1) = 576 broadcast rows, and
+    // candidate (p_id, vec_id) pairs dedupe through an id-only exchange
+    // before exactly one scoring join. Per-probe cost amortizes: the
+    // corpus-side work (signatures) is paid once for the whole batch.
+    "vec_lsh_batch_topk" -> ((s, d) => {
+      graft.Graft.registerFunctions(s)
+      val e = t(s, d, "embeddings")
+      val hyps = broadcast(e.filter(col("vec_id").between(8, 8 + K * L - 1))
+        .select((col("vec_id") - 8).cast(IntegerType).as("hid"),
+          col("embedding").as("h_emb")))
+      val sig = e.crossJoin(hyps)
+        .select(col("vec_id"), expr(s"hid div $K").as("tid"),
+          when(expr("graft_cosine(embedding, h_emb)") >= 0,
+            expr(s"shiftleft(1L, hid % $K)")).otherwise(lit(0L)).as("bit"))
+        .groupBy("vec_id", "tid")
+        .agg(sum("bit").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = sig.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("p_id"), col("tid"),
+          explode(sequence(lit(0), lit(K))).as("j"), col("bucket"))
+        .select(col("p_id"), col("tid"), when(col("j") === K, col("bucket"))
+          .otherwise(expr("bucket ^ shiftleft(1L, j)")).as("bucket"))
+      val pairs = sig.join(broadcast(cand), Seq("tid", "bucket"))
+        .filter(col("vec_id") =!= col("p_id"))
+        .select("p_id", "vec_id").distinct()
+      val probeVecs = broadcast(e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("p_id"), col("embedding").as("p_emb")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p_id")
+        .orderBy(col("raw").desc, col("vec_id").asc)
+      e.join(pairs, Seq("vec_id"))
+        .join(probeVecs, Seq("p_id"))
+        .select(col("p_id"), col("vec_id"), col("label"),
+          expr("graft_cosine(embedding, p_emb)").as("raw"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("p_id"), col("rank"), col("vec_id"), col("label"),
+          round(col("raw"), 6).as("cos_sim"))
+        .orderBy("p_id", "rank")
+    }),
+
     // foreachBatch upsert, exercised through the REAL incremental merge:
     // the events table is replayed in 3 deterministic chunks
     // (event_id mod 3) through StreamingOps.upsertBatch — read current
@@ -136,6 +179,27 @@ object Round10Ops {
         "SELECT e.vec_id, e.label, round(list_cosine_similarity(e.emb, pv.p_emb), 6) AS cos_sim " +
         "FROM e JOIN cids USING (vec_id), pv " +
         "ORDER BY list_cosine_similarity(e.emb, pv.p_emb) DESC, e.vec_id LIMIT 10"),
+
+    "vec_lsh_batch_topk" ->
+      (s"WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        s"hyp AS (SELECT CAST(vec_id - 8 AS INT) AS hid, emb AS h_emb FROM e WHERE vec_id BETWEEN 8 AND ${8 + K * L - 1}), " +
+        s"sig AS (SELECT e.vec_id, h.hid // $K AS tid, " +
+        "CAST(SUM(CASE WHEN list_cosine_similarity(e.emb, h.h_emb) >= 0 " +
+        s"THEN (1::BIGINT << (h.hid % $K)) ELSE 0 END) AS BIGINT) AS bucket " +
+        s"FROM e, hyp h GROUP BY e.vec_id, h.hid // $K), " +
+        "cand AS (SELECT p.vec_id AS p_id, p.tid, " +
+        s"CASE WHEN t.j = $K THEN p.bucket ELSE xor(p.bucket, (1::BIGINT << t.j)) END AS bucket " +
+        s"FROM sig p, (SELECT unnest(range(0, ${K + 1})) AS j) t WHERE p.vec_id BETWEEN 1 AND 8), " +
+        "pairs AS (SELECT DISTINCT c.p_id, s.vec_id FROM sig s JOIN cand c " +
+        "ON s.tid = c.tid AND s.bucket = c.bucket WHERE s.vec_id <> c.p_id), " +
+        "pv AS (SELECT vec_id AS p_id, emb AS p_emb FROM e WHERE vec_id BETWEEN 1 AND 8), " +
+        "scored AS (SELECT pr.p_id, pr.vec_id, e.label, " +
+        "list_cosine_similarity(e.emb, pv.p_emb) AS raw, " +
+        "ROW_NUMBER() OVER (PARTITION BY pr.p_id " +
+        "ORDER BY list_cosine_similarity(e.emb, pv.p_emb) DESC, pr.vec_id ASC) AS rank " +
+        "FROM pairs pr JOIN e ON pr.vec_id = e.vec_id JOIN pv ON pr.p_id = pv.p_id) " +
+        "SELECT p_id, CAST(rank AS INT) AS rank, vec_id, label, round(raw, 6) AS cos_sim " +
+        "FROM scored WHERE rank <= 5 ORDER BY p_id, rank"),
 
     "stream_foreachbatch_upsert" ->
       ("SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value " +

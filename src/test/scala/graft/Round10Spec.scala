@@ -56,6 +56,19 @@ class Round10Spec extends SparkSpec {
     assert(nCand >= 10, s"only $nCand candidates — buckets degenerate")
   }
 
+  test("vec_lsh_batch_topk: 8 probes x top-5, per-probe ranks total, no self-matches") {
+    val rows = ops.Round10Ops.queries("vec_lsh_batch_topk")(spark, sf).collect()
+    assert(rows.length === 40)
+    val byProbe = rows.groupBy(_.getAs[Long]("p_id"))
+    assert(byProbe.keySet === (1L to 8L).toSet)
+    byProbe.foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 5))
+      assert(!rs.map(_.getAs[Long]("vec_id")).contains(p), s"self-match for probe $p")
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("foreachBatch upsert: streaming micro-batches reach the batch fixpoint; replay is a no-op") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
