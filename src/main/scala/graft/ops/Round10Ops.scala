@@ -135,6 +135,34 @@ object Round10Ops {
         .orderBy("p_id", "rank")
     }),
 
+    // Parquet bloom-filter data skipping on the WRITE path: the sink
+    // embeds a split-block bloom filter for event_id in every row group
+    // (footer-verified in Round10Spec), so a selective point lookup can
+    // skip row groups whose filter rules the key out — the storage-level
+    // companion to min/max pruning (which needs sorted layout; blooms
+    // work for high-cardinality point predicates on ANY layout).
+    // Dictionary encoding is disabled for the bloomed column because
+    // parquet-mr (correctly) skips the bloom when a chunk is fully
+    // dict-encoded — the dict page already answers membership exactly.
+    // That matches the scale reality: at 100 TB a key column's
+    // cardinality overflows the 1 MB dict-page budget, the writer falls
+    // back to plain encoding, and the bloom becomes the only per-group
+    // membership structure. The query round-trips the sink and runs the
+    // point lookup, so the skipping read is oracle-checked.
+    "sink_bloom_rowgroup" -> ((s, d) => {
+      val dir = s"target/tmp/bloom_${new java.io.File(d).getName}"
+      graft.T.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#event_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#event_id", "100000")
+        .option("parquet.enable.dictionary#event_id", "false")
+        .parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("event_id").isin(42L, 777L, 4242L))
+        .orderBy("event_id")
+    }),
+
     // foreachBatch upsert, exercised through the REAL incremental merge:
     // the events table is replayed in 3 deterministic chunks
     // (event_id mod 3) through StreamingOps.upsertBatch — read current
@@ -200,6 +228,10 @@ object Round10Ops {
         "FROM pairs pr JOIN e ON pr.vec_id = e.vec_id JOIN pv ON pr.p_id = pv.p_id) " +
         "SELECT p_id, CAST(rank AS INT) AS rank, vec_id, label, round(raw, 6) AS cos_sim " +
         "FROM scored WHERE rank <= 5 ORDER BY p_id, rank"),
+
+    "sink_bloom_rowgroup" ->
+      ("SELECT event_id, user_id, event_type, value FROM events " +
+        "WHERE event_id IN (42, 777, 4242) ORDER BY event_id"),
 
     "stream_foreachbatch_upsert" ->
       ("SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value " +

@@ -69,6 +69,38 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("sink_bloom_rowgroup: bloom filter lands in the parquet footer and the lookup is exact") {
+    import scala.jdk.CollectionConverters._
+    val res = ops.Round10Ops.queries("sink_bloom_rowgroup")(spark, sf).collect()
+    val expected = T.events(spark, sf)
+      .filter(col("event_id").isin(42L, 777L, 4242L))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id").collect()
+    assert(res.toSeq === expected.toSeq)
+    // Footer-level proof the write option took effect: every row group's
+    // event_id column chunk must carry a bloom-filter offset.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path("target/tmp/bloom_sf0.001")
+    val fs = dir.getFileSystem(conf)
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = rdr.getFooter.getBlocks.asScala
+        assert(blocks.nonEmpty)
+        blocks.foreach { b =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == "event_id").get
+          assert(cc.getBloomFilterOffset > 0,
+            s"no bloom filter for event_id in $p")
+        }
+      } finally rdr.close()
+    }
+  }
+
   test("foreachBatch upsert: streaming micro-batches reach the batch fixpoint; replay is a no-op") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
