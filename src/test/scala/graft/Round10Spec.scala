@@ -69,6 +69,21 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("vec_lsh_index_serve: store-served result equals the from-scratch funnel; store is tid-partitioned") {
+    val fresh = ops.Round10Ops.queries("vec_lsh_topk")(spark, sf).collect().toSeq
+    val served = ops.Round10Ops.queries("vec_lsh_index_serve")(spark, sf).collect().toSeq
+    assert(served === fresh,
+      "incremental signature ingest changed the served result")
+    // Store layout: one directory per LSH table id → a serving read with
+    // a tid predicate is partition-pruned to 1/L of the index.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path("target/tmp/lshidx_sf0.001")
+    val fs = dir.getFileSystem(conf)
+    val parts = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("tid=")).sorted
+    assert(parts.toSeq === (0 until 8).map(i => s"tid=$i"))
+  }
+
   test("sink_bloom_rowgroup: bloom filter lands in the parquet footer and the lookup is exact") {
     import scala.jdk.CollectionConverters._
     val res = ops.Round10Ops.queries("sink_bloom_rowgroup")(spark, sf).collect()
