@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.T.t
+import graft.T.{t, dec, rate, money, oDec, oRate, oMoney}
 
 /** Round-10 additions: `vec_lsh_topk` (multi-table sign-LSH ANN) and
   * `stream_foreachbatch_upsert` (the foreachBatch serving-table upsert —
@@ -229,6 +229,35 @@ object Round10Ops {
         .orderBy("event_id")
     }),
 
+    // Two-sided reconciliation — the payments-lake control report: the
+    // booked side (orders.o_totalprice) against the recomputed side
+    // (lineitem charges aggregated per order), full-outer joined and
+    // classified into matched / mismatch / left_only / right_only with
+    // the total absolute delta per class. Exact DECIMAL end to end (a
+    // recon that can drift by float rounding is worthless); the join is
+    // a key-partitioned shuffle on orderkey (both sides pre-reduced to
+    // one row per key, so shuffle volume is |orders|, not |lineitem|).
+    "dq_reconcile_sides" -> ((s, d) => {
+      val booked = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("booked"))
+      val computed = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"),
+          (dec(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))) *
+            (lit(1) + rate(col("l_tax")))).as("amt"))
+        .groupBy("k").agg(sum("amt").as("computed"))
+      booked.join(computed, Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("booked").isNull, "right_only")
+            .when(col("computed").isNull, "left_only")
+            .when(abs(col("booked") - col("computed")) <= lit(0.01), "matched")
+            .otherwise("mismatch"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("cnt"),
+          money(sum(abs(coalesce(col("booked"), lit(0)) -
+            coalesce(col("computed"), lit(0))))).as("abs_delta"))
+        .orderBy("status")
+    }),
+
     // foreachBatch upsert, exercised through the REAL incremental merge:
     // the events table is replayed in 3 deterministic chunks
     // (event_id mod 3) through StreamingOps.upsertBatch — read current
@@ -303,6 +332,20 @@ object Round10Ops {
     "sink_bloom_rowgroup" ->
       ("SELECT event_id, user_id, event_type, value FROM events " +
         "WHERE event_id IN (42, 777, 4242) ORDER BY event_id"),
+
+    "dq_reconcile_sides" ->
+      (s"WITH booked AS (SELECT o_orderkey AS k, ${oDec("o_totalprice")} AS booked FROM orders), " +
+        s"computed AS (SELECT l_orderkey AS k, SUM(${oDec("l_extendedprice")} * " +
+        s"(1 - ${oRate("l_discount")}) * (1 + ${oRate("l_tax")})) AS computed " +
+        "FROM lineitem GROUP BY 1), " +
+        "j AS (SELECT CASE WHEN booked IS NULL THEN 'right_only' " +
+        "WHEN computed IS NULL THEN 'left_only' " +
+        "WHEN abs(booked - computed) <= 0.01 THEN 'matched' " +
+        "ELSE 'mismatch' END AS status, " +
+        "abs(COALESCE(booked, 0) - COALESCE(computed, 0)) AS delta " +
+        "FROM booked FULL OUTER JOIN computed USING (k)) " +
+        s"SELECT status, CAST(COUNT(*) AS BIGINT) AS cnt, ${oMoney("SUM(delta)")} AS abs_delta " +
+        "FROM j GROUP BY status ORDER BY status"),
 
     "stream_foreachbatch_upsert" ->
       ("SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value " +

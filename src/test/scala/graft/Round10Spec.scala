@@ -84,6 +84,23 @@ class Round10Spec extends SparkSpec {
     assert(parts.toSeq === (0 until 8).map(i => s"tid=$i"))
   }
 
+  test("dq_reconcile_sides: classes partition the key universe; deltas non-negative") {
+    val rows = ops.Round10Ops.queries("dq_reconcile_sides")(spark, sf).collect()
+    val byStatus = rows.map(r => r.getAs[String]("status") ->
+      (r.getAs[Long]("cnt"), r.getAs[Double]("abs_delta"))).toMap
+    val nOrders = T.t(spark, sf, "orders").count()
+    val nComputed = T.t(spark, sf, "lineitem").select("l_orderkey").distinct.count()
+    // left classes cover exactly the orders keys; right classes exactly
+    // the lineitem keys (full-outer partition property).
+    val leftCnt = Seq("matched", "mismatch", "left_only")
+      .map(s => byStatus.get(s).map(_._1).getOrElse(0L)).sum
+    val rightCnt = Seq("matched", "mismatch", "right_only")
+      .map(s => byStatus.get(s).map(_._1).getOrElse(0L)).sum
+    assert(leftCnt === nOrders)
+    assert(rightCnt === nComputed)
+    assert(rows.forall(_.getAs[Double]("abs_delta") >= 0.0))
+  }
+
   test("sink_bloom_rowgroup: bloom filter lands in the parquet footer and the lookup is exact") {
     import scala.jdk.CollectionConverters._
     val res = ops.Round10Ops.queries("sink_bloom_rowgroup")(spark, sf).collect()
