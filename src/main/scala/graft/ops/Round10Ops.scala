@@ -258,6 +258,32 @@ object Round10Ops {
         .orderBy("status")
     }),
 
+    // Sequence-pattern analytics (MATCH_RECOGNIZE-lite): per (user, day),
+    // build the event-initial string in (ts, event_id) total order and
+    // count non-overlapping conversion patterns view→…→click→…→purchase
+    // with no intervening purchase (regex v[^p]*c[^p]*p). One shuffle to
+    // the (user, day) grain; the sequence lives as one row per key (a
+    // day of events per user — bounded), and the regex scan is
+    // per-group, embarrassingly parallel. Both engines run greedy
+    // leftmost non-overlapping matching, so the count is engine-stable.
+    "report_pattern_conversions" -> ((s, d) => {
+      val ev = graft.T.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts_ns"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("letter"))
+      ev.groupBy("user_id", "day")
+        .agg(array_sort(collect_list(struct(col("ts_ns"), col("event_id"),
+          col("letter")))).as("evs"))
+        .select(col("user_id"), col("day"),
+          array_join(expr("transform(evs, x -> x.letter)"), "").as("seq"))
+        .select(col("user_id"), col("day"),
+          length(col("seq")).as("n_events"),
+          regexp_count(col("seq"), lit("v[^p]*c[^p]*p")).cast(IntegerType)
+            .as("n_conversions"))
+        .filter(col("n_conversions") > 0)
+        .orderBy("user_id", "day")
+    }),
+
     // foreachBatch upsert, exercised through the REAL incremental merge:
     // the events table is replayed in 3 deterministic chunks
     // (event_id mod 3) through StreamingOps.upsertBatch — read current
@@ -332,6 +358,15 @@ object Round10Ops {
     "sink_bloom_rowgroup" ->
       ("SELECT event_id, user_id, event_type, value FROM events " +
         "WHERE event_id IN (42, 777, 4242) ORDER BY event_id"),
+
+    "report_pattern_conversions" ->
+      ("WITH seqs AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT user_id, day, CAST(length(seq) AS INT) AS n_events, " +
+        "CAST(length(regexp_split_to_array(seq, 'v[^p]*c[^p]*p')) - 1 AS INT) AS n_conversions " +
+        "FROM seqs WHERE length(regexp_split_to_array(seq, 'v[^p]*c[^p]*p')) > 1 " +
+        "ORDER BY user_id, day"),
 
     "dq_reconcile_sides" ->
       (s"WITH booked AS (SELECT o_orderkey AS k, ${oDec("o_totalprice")} AS booked FROM orders), " +
