@@ -153,6 +153,17 @@ object ScalingProbe {
     def kmeans(e: DataFrame): Long =
       ops.Round9Ops.kmeansTrain(e, maxIters = 5, minIters = 5)._1.size.toLong
 
+    // round-10 shape: the LSH ingest path (signature build). The claim
+    // under test: one 64-row broadcast nested-loop + one narrow
+    // map-side-combinable groupBy — linear in vectors, so 10× corpus ⇒
+    // ≈10× time; the shuffle carries (vec_id, tid, bucket) triples only,
+    // never the 64-float vectors. (Amplified hyperplane rows are replica
+    // mixes — irrelevant to cost shape, which is what this measures.)
+    def lshSig(e: DataFrame): Long = {
+      Graft.registerFunctions(spark)
+      ops.Round10Ops.lshSignatures(e, ops.Round10Ops.lshHyperplanes(e)).count()
+    }
+
     // round-9 shape: pointer-jumping list rank. Amplifying BOTH keys
     // keeps every chain's length (and therefore the round count —
     // ceil(log2(maxChain)) — ) identical while each round processes 10×
@@ -166,7 +177,7 @@ object ScalingProbe {
     // (incl. first read of customer/supplier + the grid-join codegen and
     // the triangle edge-build, so their 1× rows are not cold-read IO)
     q1(li); joinAgg(ord, li); winLatest(ev); gridJoin(cust); triEdges(li)
-    topkSpill(li); kmeans(emb); listRank(ord); ()
+    topkSpill(li); kmeans(emb); listRank(ord); lshSig(emb); ()
 
     val results = Seq(
       ("agg_q1_shape", time(q1(li)), time(q1(amp(li, Seq("l_orderkey"))))),
@@ -189,7 +200,9 @@ object ScalingProbe {
       ("kmeans_train_5iter", time(kmeans(emb)),
         time(kmeans(amp(emb, Seq("vec_id"))))),
       ("list_rank_pointer_jump", time(listRank(ord)),
-        time(listRank(amp(ord, Seq("o_orderkey", "o_custkey")))))
+        time(listRank(amp(ord, Seq("o_orderkey", "o_custkey"))))),
+      ("lsh_signature_build", time(lshSig(emb)),
+        time(lshSig(amp(emb, Seq("vec_id")))))
     )
     def r(v: Double): Double = math.rint(v * 1000) / 1000
     val json = results.map { case (k, t1, t10) =>

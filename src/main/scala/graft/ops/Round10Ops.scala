@@ -53,7 +53,7 @@ object Round10Ops {
 
   /** 64-row broadcast hyperplane set (corpus vectors 8..71); hid encodes
     * (table, bit) as tid = hid div K, bit = hid mod K. */
-  private def lshHyperplanes(e: DataFrame): DataFrame =
+  private[graft] def lshHyperplanes(e: DataFrame): DataFrame =
     broadcast(e.filter(col("vec_id").between(8, 8 + K * L - 1))
       .select((col("vec_id") - 8).cast(IntegerType).as("hid"),
         col("embedding").as("h_emb")))
@@ -61,7 +61,7 @@ object Round10Ops {
   /** Per-(vector, table) sign signatures for `part` — the ingest-time
     * computation: one broadcast nested-loop + one map-side-combinable
     * SUM, shuffling only (vec_id, tid, partial bucket). */
-  private def lshSignatures(part: DataFrame, hyps: DataFrame): DataFrame =
+  private[graft] def lshSignatures(part: DataFrame, hyps: DataFrame): DataFrame =
     part.crossJoin(hyps)
       .select(col("vec_id"), expr(s"hid div $K").as("tid"),
         when(expr("graft_cosine(embedding, h_emb)") >= 0,
