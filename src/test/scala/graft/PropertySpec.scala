@@ -16,6 +16,50 @@ class PropertySpec extends SparkSpec {
   private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
   private val text = Gen.listOfN(8, word).map(_.mkString(" "))
 
+  test("latestPerUser merge laws: chunk-order invariance and replay idempotence (property)") {
+    // The foreachBatch upsert is exactly-once-at-the-table-level ONLY
+    // because the reduction is an associative/commutative/idempotent
+    // fold over the (ts, event_id) total order. Pin the laws on random
+    // event sets: any chunking, any order, any replay → one fixpoint.
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    val ev = for {
+      user <- Gen.chooseNum(1L, 6L)
+      tSec <- Gen.chooseNum(0L, 5000L)
+      id <- Gen.chooseNum(1L, 10000L)
+      typ <- Gen.oneOf("click", "view", "purchase")
+      v <- Gen.chooseNum(0, 10000)
+    } yield (user, new Timestamp(1704067200000L + tSec * 1000), id, typ, v / 100.0)
+    val all0 = samples(ev, 300)
+    // event_id must be unique for the order to be total (the real
+    // events contract, pinned by SchemaCanarySpec).
+    val all = all0.groupBy(_._3).map(_._2.head).toSeq
+    def df(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+      rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      ops.StreamingOps.latestPerUser(d)
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val oneShot = canon(df(all))
+    // chunk-order invariance: fold chunks in both orders through the merge
+    val (c1, c2) = all.partition(_._3 % 2 == 0)
+    val fwd = canon(df(canonRows(df(c1)) ++ c2))
+    val rev = canon(df(canonRows(df(c2)) ++ c1))
+    assert(fwd === oneShot)
+    assert(rev === oneShot)
+    // replay idempotence: re-merging an already-applied chunk is a no-op
+    val replay = canon(df(canonRows(df(all)) ++ c1))
+    assert(replay === oneShot)
+  }
+
+  /** latestPerUser output back to plain rows, for re-merging. */
+  private def canonRows(d: org.apache.spark.sql.DataFrame) =
+    ops.StreamingOps.latestPerUser(d).collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value"))).toSeq
+
   test("norm UDF: idempotent and whitespace-collapsing (property)") {
     def norm(x: String) = x.trim.toLowerCase.replaceAll("\\s+", " ")
     samples(Gen.zip(text, Gen.chooseNum(0, 5))).foreach { case (t, pad) =>
