@@ -258,6 +258,53 @@ object Round10Ops {
         .orderBy("status")
     }),
 
+    // Rolling-hash fingerprint near-dup (winnowing-style): every 16-char
+    // window hashes to a 20-bit polynomial fingerprint (constants 31^k
+    // mod 1000003, precomputed and inlined IDENTICALLY into the Spark
+    // expression and the oracle SQL — exact integer arithmetic, no
+    // overflow: max term ≈ 255·1e6·16 ≪ 2^63); fingerprints with
+    // fp % 32 == 0 are selected (≈ 1/32 of windows — deterministic
+    // winnowing), ultra-common fingerprints (doc frequency > 64:
+    // boilerplate, the classic hot-key blowup at scale) and singletons
+    // are dropped, and documents sharing ≥ 3 surviving fingerprints are
+    // reported. Shuffles carry (doc_id, fp) pairs — ~1/32 of window
+    // volume — and the pair join is an equi-join on fp with per-key
+    // fan-out capped at 64² by the df filter: bounded by construction,
+    // never all-pairs. The hash is windowed-parallel (transform over
+    // positions, whole-stage codegen), not a stateful scan.
+    //
+    // Guarantee boundary (measured at sf0.1): mod-p selection is
+    // Manber-style — expected 1 fingerprint per 32 windows but NO
+    // per-window minimum, so documents much shorter than ~3·32+15 chars
+    // may select < 3 fingerprints and evade the pair threshold (2 of 8
+    // exact-dup pairs at sf0.1, both docs ≤ 135 chars). That is the
+    // intended division of labor: exact dups of ANY length are caught
+    // unconditionally by text_exact_dedup's sha2 hash-groupBy; winnow
+    // fingerprints exist to catch long-document containment and
+    // near-duplication that whole-document hashing cannot.
+    // Round10Spec pins exact-dup recall above the length boundary.
+    "text_winnow_neardup" -> ((s, d) => {
+      val P = (0 until 16).map(k => BigInt(31).modPow(k, 1000003).toLong)
+      val terms = (0 until 16)
+        .map(k => s"ascii(substring(text, i + ${15 - k}, 1)) * ${P(k)}L")
+        .mkString(" + ")
+      val fpExpr = s"transform(sequence(1, greatest(length(text) - 15, 1)), " +
+        s"i -> ($terms) % 1000003)"
+      val sel = t(s, d, "documents")
+        .select(col("doc_id"), explode(expr(fpExpr)).as("fp"))
+        .filter(col("fp") % 32 === 0).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keepFp = sel.groupBy("fp").agg(count(lit(1)).as("nd"))
+        .filter(col("nd").between(2, 64)).select("fp")
+      val kept = sel.join(keepFp, "fp")
+      kept.as("a").join(kept.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).cast(LongType).as("shared"))
+        .filter(col("shared") >= 3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Sequence-pattern analytics (MATCH_RECOGNIZE-lite): per (user, day),
     // build the event-initial string in (ts, event_id) total order and
     // count non-overlapping conversion patterns view→…→click→…→purchase
@@ -358,6 +405,21 @@ object Round10Ops {
     "sink_bloom_rowgroup" ->
       ("SELECT event_id, user_id, event_type, value FROM events " +
         "WHERE event_id IN (42, 777, 4242) ORDER BY event_id"),
+
+    "text_winnow_neardup" -> {
+      val P = (0 until 16).map(k => BigInt(31).modPow(k, 1000003).toLong)
+      val terms = (0 until 16)
+        .map(k => s"ascii(substr(text, i + ${15 - k}, 1)) * ${P(k)}")
+        .mkString(" + ")
+      s"WITH w AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(text) - 15, 1)), " +
+        s"i -> ($terms) % 1000003)) AS fp FROM documents), " +
+        "sel AS (SELECT DISTINCT doc_id, fp FROM w WHERE fp % 32 = 0), " +
+        "keep AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND 64), " +
+        "kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN keep USING (fp)) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS shared " +
+        "FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY a_id, b_id"
+    },
 
     "report_pattern_conversions" ->
       ("WITH seqs AS (SELECT user_id, CAST(ts AS DATE) AS day, " +

@@ -84,6 +84,32 @@ class Round10Spec extends SparkSpec {
     assert(parts.toSeq === (0 until 8).map(i => s"tid=$i"))
   }
 
+  test("text_winnow_neardup: catches every exact-dup pair above the length boundary (sf0.1)") {
+    val big = "/root/testdata/sf0.1"
+    val docs = T.t(spark, big, "documents")
+    val a = docs.select(col("doc_id").as("a_id"), col("text"),
+      length(col("text")).as("la"))
+    val b = docs.select(col("doc_id").as("b_id"), col("text"),
+      length(col("text")).as("lb"))
+    val exactPairs = a.join(b, Seq("text"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "la", "lb").collect()
+    assert(exactPairs.length >= 5, "fixture drifted: expected dup groups at sf0.1")
+    val got = ops.Round10Ops.queries("text_winnow_neardup")(spark, big)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Above ~3·32+15 chars the expected selected-fingerprint count is
+    // ≥ 3 with margin; every exact-dup pair there must surface. Short
+    // dups below the boundary are text_exact_dedup's responsibility.
+    val longPairs = exactPairs.filter(r =>
+      math.min(r.getAs[Int]("la"), r.getAs[Int]("lb")) >= 150)
+    assert(longPairs.nonEmpty)
+    longPairs.foreach { r =>
+      val p = (r.getLong(0), r.getLong(1))
+      assert(got.contains(p), s"long exact-dup pair $p missed by winnow")
+    }
+  }
+
   test("dq_reconcile_sides: classes partition the key universe; deltas non-negative") {
     val rows = ops.Round10Ops.queries("dq_reconcile_sides")(spark, sf).collect()
     val byStatus = rows.map(r => r.getAs[String]("status") ->
