@@ -285,14 +285,22 @@ object Round10Ops {
     // Round10Spec pins exact-dup recall above the length boundary.
     "text_winnow_neardup" -> ((s, d) => {
       val P = (0 until 16).map(k => BigInt(31).modPow(k, 1000003).toLong)
+      // Index a precomputed char-code array, NOT substring(text, i, 1):
+      // UTF8String substring is O(position), which made the windowed
+      // hash O(len²) per doc and benched at ~29 s for this key at sf0.1;
+      // with the one-pass char-code array + O(1) element_at it is ~1 s.
       val terms = (0 until 16)
-        .map(k => s"ascii(substring(text, i + ${15 - k}, 1)) * ${P(k)}L")
+        .map(k => s"element_at(cs, i + ${15 - k}) * ${P(k)}L")
         .mkString(" + ")
-      val fpExpr = s"transform(sequence(1, greatest(length(text) - 15, 1)), " +
-        s"i -> ($terms) % 1000003)"
+      // Selection runs INSIDE the array (filter before explode), so only
+      // the ~1/32 selected fingerprints ever become rows.
+      val fpExpr = s"filter(transform(sequence(1, greatest(size(cs) - 15, 1)), " +
+        s"i -> ($terms) % 1000003), x -> x % 32 = 0)"
       val sel = t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("transform(split(text, ''), c -> ascii(c))").as("cs"))
         .select(col("doc_id"), explode(expr(fpExpr)).as("fp"))
-        .filter(col("fp") % 32 === 0).distinct()
+        .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keepFp = sel.groupBy("fp").agg(count(lit(1)).as("nd"))
         .filter(col("nd").between(2, 64)).select("fp")
