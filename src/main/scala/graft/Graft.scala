@@ -183,6 +183,44 @@ object Graft {
     spark.read.parquet(inPath).repartition(targetFiles)
       .write.mode("overwrite").parquet(outPath)
 
+  // ---- multi-table sign-LSH ANN (library surface of the vec_lsh_* keys) -
+
+  /** Per-(id, table) sign-LSH signatures. `hyperplanes` must have columns
+    * (hid INT in 0 until k*l, h_emb vector); signature bit `hid % k` of
+    * table `hid div k` is [cos(vec, h_emb) ≥ 0]. One broadcast
+    * nested-loop + one map-side-combinable SUM; the shuffle carries
+    * (id, tid, partial bucket) triples, never the vectors — at ingest
+    * time this is the only pass over the corpus the index needs.
+    * Requires `registerFunctions` (graft_cosine). */
+  def lshSignatures(vectors: DataFrame, hyperplanes: DataFrame,
+      k: Int, l: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(hyperplanes.select(col("hid"), col("h_emb"))))
+      .select(col("vec_id"), expr(s"hid div $k").as("tid"),
+        when(expr("graft_cosine(__v, h_emb)") >= 0,
+          expr(s"shiftleft(1L, hid % $k)")).otherwise(lit(0L)).as("bit"))
+      .groupBy("vec_id", "tid")
+      .agg(sum("bit").as("bucket"))
+
+  /** Hamming-≤1 multiprobe bucket set for the given probe signatures
+    * ((vec_id, tid, bucket) rows): per table, the probe's own bucket plus
+    * its k single-bit flips, keyed by probe id. Size = |probes|·l·(k+1)
+    * rows — broadcastable for any realistic probe batch. */
+  def lshProbeBuckets(probeSigs: DataFrame, k: Int): DataFrame =
+    probeSigs.select(col("vec_id").as("p_id"), col("tid"),
+        explode(sequence(lit(0), lit(k))).as("j"), col("bucket"))
+      .select(col("p_id"), col("tid"), when(col("j") === k, col("bucket"))
+        .otherwise(expr("bucket ^ shiftleft(1L, j)")).as("bucket"))
+
+  /** Candidate (p_id, vec_id) pairs: signatures hitting any probed
+    * bucket, deduped on ids only — 16 bytes/row through the exchange
+    * regardless of vector width. Self-matches are dropped. */
+  def lshCandidates(sigs: DataFrame, probeBuckets: DataFrame): DataFrame =
+    sigs.join(broadcast(probeBuckets), Seq("tid", "bucket"))
+      .filter(col("vec_id") =!= col("p_id"))
+      .select("p_id", "vec_id").distinct()
+
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  probeUnique: String, salt: Int): DataFrame = {
     val p = probe.withColumn("_salt",

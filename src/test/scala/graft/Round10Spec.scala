@@ -69,6 +69,35 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("Graft LSH library API reproduces the key's candidate set exactly") {
+    Graft.registerFunctions(spark)
+    val e = T.t(spark, sf, "embeddings")
+    val hyps = e.filter(col("vec_id").between(8, 71))
+      .select((col("vec_id") - 8).cast("int").as("hid"),
+        col("embedding").as("h_emb"))
+    val sigs = Graft.lshSignatures(e, hyps, k = 8, l = 8)
+    val pb = Graft.lshProbeBuckets(sigs.filter(col("vec_id") === 0), k = 8)
+    val apiCands = Graft.lshCandidates(sigs, pb)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // Inline funnel (the oracle-gated key's shape), re-derived:
+    val sig = e.crossJoin(broadcast(e.filter(col("vec_id").between(8, 71))
+        .select((col("vec_id") - 8).cast("int").as("hid"),
+          col("embedding").as("h_emb"))))
+      .select(col("vec_id"), expr("hid div 8").as("tid"),
+        when(expr("graft_cosine(embedding, h_emb)") >= 0,
+          expr("shiftleft(1L, hid % 8)")).otherwise(lit(0L)).as("bit"))
+      .groupBy("vec_id", "tid").agg(sum("bit").as("bucket"))
+    val cand = sig.filter(col("vec_id") === 0)
+      .select(col("tid"), explode(sequence(lit(0), lit(8))).as("j"), col("bucket"))
+      .select(col("tid"), when(col("j") === 8, col("bucket"))
+        .otherwise(expr("bucket ^ shiftleft(1L, j)")).as("bucket"))
+    val inlineCands = sig.filter(col("vec_id") =!= 0)
+      .join(broadcast(cand), Seq("tid", "bucket"))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(apiCands === inlineCands)
+    assert(apiCands.nonEmpty)
+  }
+
   test("vec_lsh_index_serve: store-served result equals the from-scratch funnel; store is tid-partitioned") {
     val fresh = ops.Round10Ops.queries("vec_lsh_topk")(spark, sf).collect().toSeq
     val served = ops.Round10Ops.queries("vec_lsh_index_serve")(spark, sf).collect().toSeq
