@@ -6,13 +6,23 @@ import org.apache.spark.sql.types._
 
 import graft.T.{t, dec, rate, money, oDec, oRate, oMoney}
 
-/** Round-10 additions: `vec_lsh_topk` (multi-table sign-LSH ANN) and
-  * `stream_foreachbatch_upsert` (the foreachBatch serving-table upsert —
-  * merge logic lives in StreamingOps.{latestPerUser, upsertBatch,
-  * upsertStreamWriter}; the query key replays events through the real
-  * incremental merge in 3 chunks and returns the fixpoint table, which
-  * the associative/commutative reduction makes equal to the oracle's
-  * one-shot latest-per-user).
+/** Round-10 additions (8 keys, all oracled):
+  *
+  *  - `vec_lsh_topk` / `vec_lsh_batch_topk` / `vec_lsh_index_serve` —
+  *    multi-table sign-LSH ANN: single probe, batched probes, and
+  *    store-served (incrementally ingested signature index); the library
+  *    surface is Graft.{lshSignatures, lshProbeBuckets, lshCandidates}.
+  *  - `stream_foreachbatch_upsert` — foreachBatch serving-table upsert
+  *    (merge logic in StreamingOps.{latestPerUser, upsertBatch,
+  *    upsertStreamWriter}); the key replays events through the real
+  *    incremental merge in 3 chunks, and the associative/commutative
+  *    reduction makes the fixpoint equal the oracle's one-shot
+  *    latest-per-user.
+  *  - `sink_bloom_rowgroup` — parquet split-block bloom filters on the
+  *    write path (footer-verified row-group skipping structure).
+  *  - `dq_reconcile_sides` — two-sided exact-decimal reconciliation.
+  *  - `report_pattern_conversions` — MATCH_RECOGNIZE-lite sequence regex.
+  *  - `text_winnow_neardup` — rolling-hash fingerprint near-dup pairs.
   *
   * `vec_lsh_topk` completes the ANN family's scale-path pair: the suite
   * has IVF bucketing (vec_ivf_topk, vec_ivf_pq_topk) but no LSH bucketing
