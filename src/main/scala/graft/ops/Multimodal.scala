@@ -210,6 +210,78 @@ object Multimodal {
       }(enc)
   }
 
+  val phashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("phash", LongType)))
+
+  /** Perceptual average-hash (aHash) per image: decode the PNG, NN-sample
+    * an 8×8 luminance grid (same sampling as resizeThumbnail), threshold
+    * each sample against the integer mean → 64 bits, raster order, bit
+    * 63-i for sample i. All-integer, deterministic payloads →
+    * bit-identical at any parallelism. */
+  def phashTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(phashSchema)
+    imageTable(spark, sfDir)
+      .select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, "undecodable image payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val lum = new Array[Int](64)
+          var s = 0L
+          var i = 0
+          while (i < 64) {
+            val rgb = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+            lum(i) = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+              114 * (rgb & 0xFF)) / 1000
+            s += lum(i)
+            i += 1
+          }
+          val mean = s / 64
+          var hash = 0L
+          i = 0
+          while (i < 64) {
+            if (lum(i) > mean) hash |= 1L << (63 - i)
+            i += 1
+          }
+          org.apache.spark.sql.Row(id, hash)
+        }
+      }(enc)
+  }
+
+  /** Image near-duplicate pairs: SimHash-style banding of the 64-bit
+    * aHash into 4×16-bit chunks — two images within Hamming distance ≤ 3
+    * share at least one intact band by pigeonhole (complete at that
+    * radius; larger `maxHamming` is still candidate-complete in practice
+    * because near-dup corruption clusters bits). The pair join is an
+    * equi-join on (band, chunk) — key-partitioned, never all-pairs — and
+    * the exact Hamming distance re-check (`bit_count(xor)`) runs only on
+    * banded candidates. The image-dedup primitive for a multimodal
+    * training-data pipeline, built on the REAL decode path. */
+  def phashNearDup(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 6): DataFrame = {
+    val ph = phashTable(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = ph.select(col("doc_id"), col("phash"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .select(col("doc_id"), col("phash"), col("band"),
+        expr("shiftright(phash, band * 16) & 65535").as("chunk"))
+    val a = bands.select(col("band"), col("chunk"),
+      col("doc_id").as("a_id"), col("phash").as("a_hash"))
+    val b = bands.select(col("band"), col("chunk"),
+      col("doc_id").as("b_id"), col("phash").as("b_hash"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_hash ^ b_hash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Partition-batched decode + feature extract + thumbnail stand-in
     * (leading byte slice). Dimensions come from the real PNG codec. */
   def decodePipeline(spark: SparkSession, sfDir: String): DataFrame = {

@@ -268,6 +268,12 @@ object Round10Ops {
         .orderBy("status")
     }),
 
+    // Image near-dup via perceptual hash (t2=N rows-only: the aHash needs
+    // the JDK PNG codec, which no SQL oracle can replay; Round10Spec
+    // recomputes hashes from the closed-form synthetic pixels instead).
+    // See Multimodal.phashNearDup for the banded-join scale argument.
+    "mm_phash_neardup" -> ((s, d) => Multimodal.phashNearDup(s, d)),
+
     // Rolling-hash fingerprint near-dup (winnowing-style): every 16-char
     // window hashes to a 20-bit polynomial fingerprint (constants 31^k
     // mod 1000003, precomputed and inlined IDENTICALLY into the Spark

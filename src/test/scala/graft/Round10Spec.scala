@@ -139,6 +139,50 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("mm_phash_neardup: closed-form hash parity, pair validity, brightness-invariant dup found") {
+    // Recompute every aHash from the synthetic gradient's closed form —
+    // no ImageIO — proving the decode→sample→threshold path end to end
+    // (PNG is lossless and TYPE_3BYTE_BGR stores sRGB verbatim).
+    def expectedHash(docId: Long, textLen: Int): Long = {
+      val w = 16 + (docId % 48).toInt
+      val h = 16 + math.floorMod(textLen, 48)
+      val base = (docId % 255).toInt
+      val lum = (0 until 64).map { i =>
+        val x = (i % 8) * w / 8; val y = (i / 8) * h / 8
+        val v = (x * 31 + y * 7 + base) & 0xFFFFFF
+        (299 * ((v >> 16) & 0xFF) + 587 * ((v >> 8) & 0xFF) +
+          114 * (v & 0xFF)) / 1000
+      }
+      val mean = lum.map(_.toLong).sum / 64
+      (0 until 64).foldLeft(0L) { (acc, i) =>
+        if (lum(i) > mean) acc | (1L << (63 - i)) else acc
+      }
+    }
+    val lens = T.t(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hashes = ops.Multimodal.phashTable(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.size === lens.size)
+    hashes.foreach { case (id, got) =>
+      assert(got === expectedHash(id, lens(id)), s"hash mismatch for doc $id")
+    }
+    // Pair validity: hamming recomputed from the hashes, bounded, a<b.
+    val pairs = ops.Round10Ops.queries("mm_phash_neardup")(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b, hm) = (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))
+      assert(a < b)
+      assert(hm <= 6)
+      assert(java.lang.Long.bitCount(hashes(a) ^ hashes(b)) === hm)
+    }
+    // aHash is brightness-shift invariant: docs 0 and 288 share geometry
+    // (same docId % 48, same textLen % 48) but differ in gradient base —
+    // their hashes must still collide exactly (hamming 0).
+    assert(pairs.exists(r => r.getAs[Int]("hamming") == 0),
+      "expected at least one brightness-shifted exact-hash pair")
+  }
+
   test("dq_reconcile_sides: classes partition the key universe; deltas non-negative") {
     val rows = ops.Round10Ops.queries("dq_reconcile_sides")(spark, sf).collect()
     val byStatus = rows.map(r => r.getAs[String]("status") ->
