@@ -102,6 +102,43 @@ object Round10Ops {
       .select(col("vec_id"), col("label"), round(col("raw"), 6).as("cos_sim"))
   }
 
+  /** One incremental run of the watermark-driven daily load: process
+    * events with watermark < unix_micros(ts) ≤ cut, fold per-day
+    * (count, decimal-sum) partials into `dir`/daily via staged write +
+    * atomic swap, then persist the new watermark (= cut) to `dir`/state.
+    * Partials are associative and the store width is pinned, so any run
+    * partitioning reaches the same table as one full recompute. */
+  private[graft] def incrementalDailyLoad(s: SparkSession, d: String,
+      dir: String, cut: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stPath = new Path(s"$dir/state")
+    val aggPath = new Path(s"$dir/daily")
+    val wm: Long =
+      if (fs.exists(stPath)) s.read.parquet(stPath.toString).head.getLong(0)
+      else Long.MinValue
+    val batch = graft.T.events(s, d)
+      .select(to_date(col("ts")).as("day"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .filter(col("us") > wm && col("us") <= cut)
+    val part = batch.groupBy("day")
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sv"))
+      .select(col("day"), col("cnt"), col("sv").cast(DecimalType(30, 2)).as("sv"))
+    val merged =
+      if (fs.exists(aggPath)) s.read.parquet(aggPath.toString).unionByName(part)
+        .groupBy("day")
+        .agg(sum("cnt").as("cnt"), sum("sv").cast(DecimalType(30, 2)).as("sv"))
+      else part
+    val next = new Path(s"$dir/daily.next")
+    merged.write.mode("overwrite").parquet(next.toString)
+    fs.delete(aggPath, true)
+    fs.rename(next, aggPath)
+    val sp = s
+    import sp.implicits._
+    Seq(cut).toDF("wm").coalesce(1)
+      .write.mode("overwrite").parquet(stPath.toString)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The ingest/serving split the LSH design assumes, made literal:
     // signatures are computed INCREMENTALLY (two ingest chunks, each one
@@ -268,6 +305,33 @@ object Round10Ops {
         .orderBy("status")
     }),
 
+    // High-watermark incremental ETL — the daily-load idiom of an
+    // Airflow-orchestrated lake, made explicit: persistent state (the
+    // watermark) records the event-time frontier already loaded; each
+    // run processes ONLY (watermark, cut] rows, folds per-day partial
+    // aggregates ADDITIVELY into the cumulative daily table (exact
+    // decimal partials at a pinned DECIMAL(30,2) store width, so
+    // merge order can't change a cent), stages + atomically swaps the
+    // table, then advances the watermark. Because count/sum partials
+    // are associative, N incremental runs ≡ one full recompute — which
+    // is exactly what the oracle executes. A run with nothing new is a
+    // provable no-op (spec). At 100 TB this is the difference between
+    // scanning a day and scanning a history; the same shape drops onto
+    // dt-partitioned storage with dynamic partition overwrite.
+    "etl_incremental_watermark" -> ((s, d) => {
+      val dir = s"target/tmp/wmetl_${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      // run 1 loads through Jan 15 00:00 UTC; run 2 loads the rest
+      incrementalDailyLoad(s, d, dir, 1705276800000000L)
+      incrementalDailyLoad(s, d, dir, Long.MaxValue)
+      s.read.parquet(s"$dir/daily")
+        .select(col("day"), col("cnt"),
+          money(col("sv")).as("sum_val"))
+        .orderBy("day")
+    }),
+
     // Image near-dup via perceptual hash (t2=N rows-only: the aHash needs
     // the JDK PNG codec, which no SQL oracle can replay; Round10Spec
     // recomputes hashes from the closed-form synthetic pixels instead).
@@ -429,6 +493,11 @@ object Round10Ops {
     "sink_bloom_rowgroup" ->
       ("SELECT event_id, user_id, event_type, value FROM events " +
         "WHERE event_id IN (42, 777, 4242) ORDER BY event_id"),
+
+    "etl_incremental_watermark" ->
+      (s"SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        s"${oMoney(s"SUM(${oDec("value")})")} AS sum_val " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
 
     "text_winnow_neardup" -> {
       val P = (0 until 16).map(k => BigInt(31).modPow(k, 1000003).toLong)

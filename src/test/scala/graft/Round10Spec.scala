@@ -139,6 +139,32 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("etl_incremental_watermark: N runs == one recompute; empty run is a no-op; watermark advances") {
+    val dir = "target/tmp/wmetl_test"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // three uneven incremental runs instead of the key's two
+    Seq(1704844800000000L, 1705708800000000L, Long.MaxValue).foreach { cut =>
+      ops.Round10Ops.incrementalDailyLoad(spark, sf, dir, cut)
+    }
+    def table() = spark.read.parquet(s"$dir/daily")
+      .select(col("day"), col("cnt"), T.money(col("sv")).as("sum_val"))
+      .orderBy("day").collect().toSeq
+    val threeRuns = table()
+    val oneShot = T.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        T.money(sum(T.dec(col("value")))).as("sum_val"))
+      .orderBy("day").collect().toSeq
+    assert(threeRuns === oneShot)
+    // watermark is at the frontier; a fourth run finds nothing new and
+    // must leave the table byte-identical
+    assert(spark.read.parquet(s"$dir/state").head.getLong(0) === Long.MaxValue)
+    ops.Round10Ops.incrementalDailyLoad(spark, sf, dir, Long.MaxValue)
+    assert(table() === threeRuns)
+  }
+
   test("mm_phash_neardup: closed-form hash parity, pair validity, brightness-invariant dup found") {
     // Recompute every aHash from the synthetic gradient's closed form —
     // no ImageIO — proving the decode→sample→threshold path end to end
