@@ -107,7 +107,15 @@ object Round10Ops {
     * (count, decimal-sum) partials into `dir`/daily via staged write +
     * atomic swap, then persist the new watermark (= cut) to `dir`/state.
     * Partials are associative and the store width is pinned, so any run
-    * partitioning reaches the same table as one full recompute. */
+    * partitioning reaches the same table as one full recompute.
+    *
+    * Crash-consistency note: the watermark commits AFTER the table swap,
+    * so a crash in between replays the last batch ADDITIVELY on retry —
+    * unlike the idempotent upsert merge, double-counting is possible in
+    * that window. The production hardening is a single atomic commit of
+    * (table version, watermark) — a manifest file or a lakehouse
+    * transaction — or batch-id dedup in the fold; out of scope for this
+    * fixture, which demonstrates the frontier-state idiom itself. */
   private[graft] def incrementalDailyLoad(s: SparkSession, d: String,
       dir: String, cut: Long): Unit = {
     import org.apache.hadoop.fs.Path
@@ -296,7 +304,12 @@ object Round10Ops {
         .withColumn("status",
           when(col("booked").isNull, "right_only")
             .when(col("computed").isNull, "left_only")
-            .when(abs(col("booked") - col("computed")) <= lit(0.01), "matched")
+            // decimal literal, NOT lit(0.01): a double literal would
+            // promote the exact-decimal delta to double for the compare
+            // (DuckDB compares decimal-exact), and an exact-boundary
+            // delta of 0.01 could then classify differently per engine
+            .when(abs(col("booked") - col("computed")) <=
+              lit(BigDecimal("0.01")).cast(DecimalType(3, 2)), "matched")
             .otherwise("mismatch"))
         .groupBy("status")
         .agg(count(lit(1)).as("cnt"),
