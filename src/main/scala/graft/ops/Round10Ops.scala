@@ -125,10 +125,23 @@ object Round10Ops {
     val wm: Long =
       if (fs.exists(stPath)) s.read.parquet(stPath.toString).head.getLong(0)
       else Long.MinValue
+    // Frontier predicate on ts ITSELF, not unix_micros(ts): Catalyst
+    // unwraps the loader's NTZ→LTZ cast and pushes GreaterThan(ts, …) /
+    // LessThanOrEqual(ts, …) into the parquet scan (row-group min/max
+    // skipping — plan-audited in Round10Spec), while a predicate on the
+    // derived micros column pushes nothing and re-scans the history
+    // every run. Sentinel bounds skip their side entirely
+    // (timestamp_micros(Long.MinValue/MaxValue) would overflow the
+    // timestamp range).
+    val lower =
+      if (wm == Long.MinValue) lit(true)
+      else col("ts") > timestamp_micros(lit(wm))
+    val upper =
+      if (cut == Long.MaxValue) lit(true)
+      else col("ts") <= timestamp_micros(lit(cut))
     val batch = graft.T.events(s, d)
-      .select(to_date(col("ts")).as("day"), unix_micros(col("ts")).as("us"),
-        col("value"))
-      .filter(col("us") > wm && col("us") <= cut)
+      .filter(lower && upper)
+      .select(to_date(col("ts")).as("day"), col("value"))
     val part = batch.groupBy("day")
       .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sv"))
       .select(col("day"), col("cnt"), col("sv").cast(DecimalType(30, 2)).as("sv"))

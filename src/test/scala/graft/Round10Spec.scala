@@ -163,6 +163,14 @@ class Round10Spec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/state").head.getLong(0) === Long.MaxValue)
     ops.Round10Ops.incrementalDailyLoad(spark, sf, dir, Long.MaxValue)
     assert(table() === threeRuns)
+    // Scale posture: the frontier predicate must reach the parquet scan
+    // (pushed min/max filter on ts), not evaluate post-scan on a derived
+    // column — otherwise every incremental run re-scans the history.
+    val plan = T.events(spark, sf)
+      .filter(col("ts") > timestamp_micros(lit(1705276800000000L)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
+      s"frontier filter not pushed to scan:\n${plan.take(800)}")
   }
 
   test("mm_phash_neardup: closed-form hash parity, pair validity, brightness-invariant dup found") {
