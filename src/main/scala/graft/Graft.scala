@@ -155,13 +155,22 @@ object Graft {
   }
 
   /** Register the custom Catalyst expressions as SQL functions (usable in
-    * expr()/spark.sql/LATERAL VIEW). Idempotent per session. */
+    * expr()/spark.sql/LATERAL VIEW). Idempotent per session — a repeat
+    * call on a session that already has the functions is a registry
+    * lookup and nothing else. The guard matters because operators call
+    * this defensively inside query closures that the bench times:
+    * createOrReplaceTempFunction unconditionally re-binds and logs a
+    * "replaced a previously registered function" warning per call,
+    * per pass, for every LSH/ngram key. */
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_cosine",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_ngrams",
-      exprs => NGrams(exprs.head, 3), "scala_udf")
+    val cosId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")
+    if (!reg.functionExists(cosId)) {
+      reg.createOrReplaceTempFunction("graft_cosine",
+        exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_ngrams",
+        exprs => NGrams(exprs.head, 3), "scala_udf")
+    }
   }
 
   /** Skew-mitigating equi-join (SURVEY §4.2 "salting for skew"): explode

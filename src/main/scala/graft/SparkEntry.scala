@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entry per implemented operator; each t2=Y key has a DuckDB oracle in
   * `oracleSql` (SURVEY §0, [B:2]).
   *
-  * 185 query keys (174 DuckDB-oracled) across: Relational
+  * 223 query keys (203 DuckDB-oracled; counts pinned by
+  * EntryCountSpec so the doc cannot drift from the code) across: Relational
   * (scans/filters/joins/sorts/sets),
   * Aggregates (grouping/windows/UDAF/HLL sketches), Scalars (function
   * packs), SourcesSinks (partitioned parquet / jsonlines / csv / orc),

@@ -21,9 +21,20 @@ for cpus, out in ((ca, outa), (cb, outb)):
 
 con = duckdb.connect()
 fails = 0
-keys = sorted(k for k in os.listdir(outa)
-              if os.path.isdir(os.path.join(outa, k)))
-for k in keys:
+# UNION of both runs' keys: enumerating run A alone would silently drop a
+# query that errored (no output dir) in A but succeeded in B — the
+# asymmetric-failure case an invariance check exists to surface. A key
+# present on only one side FAILS below (the read of the missing side
+# raises).
+def dirs(out):
+    return {k for k in os.listdir(out) if os.path.isdir(os.path.join(out, k))}
+ka, kb = dirs(outa), dirs(outb)
+for k in sorted(ka ^ kb):
+    side = f"only in {outa if k in ka else outb}"
+    print(f"FAIL {k}: asymmetric — {side}")
+keys = sorted(ka | kb)
+fails += len(ka ^ kb)
+for k in sorted(ka & kb):
     try:
         ra = con.execute(f"SELECT * FROM read_parquet('{outa}/{k}/*.parquet')").fetchall()
         rb = con.execute(f"SELECT * FROM read_parquet('{outb}/{k}/*.parquet')").fetchall()
