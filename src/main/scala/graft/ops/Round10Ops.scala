@@ -102,29 +102,88 @@ object Round10Ops {
       .select(col("vec_id"), col("label"), round(col("raw"), 6).as("cos_sim"))
   }
 
-  /** One incremental run of the watermark-driven daily load: process
-    * events with watermark < unix_micros(ts) ≤ cut, fold per-day
-    * (count, decimal-sum) partials into `dir`/daily via staged write +
-    * atomic swap, then persist the new watermark (= cut) to `dir`/state.
-    * Partials are associative and the store width is pinned, so any run
-    * partitioning reaches the same table as one full recompute.
+  /** Watermark-driven incremental daily load with a SINGLE atomic commit
+    * of (table version, watermark) — the manifest idiom of a lakehouse
+    * transaction log, in miniature. Store layout under `dir`:
     *
-    * Crash-consistency note: the watermark commits AFTER the table swap,
-    * so a crash in between replays the last batch ADDITIVELY on retry —
-    * unlike the idempotent upsert merge, double-counting is possible in
-    * that window. The production hardening is a single atomic commit of
-    * (table version, watermark) — a manifest file or a lakehouse
-    * transaction — or batch-id dedup in the fold; out of scope for this
-    * fixture, which demonstrates the frontier-state idiom itself. */
+    *   daily_v<N>/           immutable table versions (parquet)
+    *   manifest/commit_<N>   one file per committed version; its content
+    *                         is the watermark that version includes
+    *
+    * Readers resolve the CURRENT table exclusively through the manifest
+    * (max committed N → `daily_v<N>`), so a half-staged version is
+    * invisible by construction. A load run stages `daily_v<N+1>` first
+    * and then commits it with one file create+rename — atomic on any
+    * Hadoop filesystem (the commit file either exists with its full
+    * content or not at all). Crash anywhere before the commit: the
+    * manifest still names (N, wm), the retry recomputes the SAME batch
+    * from the SAME watermark and overwrites the orphaned staging dir —
+    * no double count, which is exactly the window the previous
+    * delete-then-rename + trailing-watermark form left open
+    * (Round11Spec kills a run between stage and commit and proves the
+    * retry converges to the one-shot recompute). Single writer assumed
+    * (an orchestrator-scheduled daily load); the manifest serializes
+    * readers against the writer, not writers against each other.
+    *
+    * Partials are associative at a pinned DECIMAL(30,2) store width, so
+    * any run partitioning reaches the same table as one full recompute. */
   private[graft] def incrementalDailyLoad(s: SparkSession, d: String,
       dir: String, cut: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val v = stageDailyVersion(s, d, dir, cut)
+    commitDailyVersion(fs, dir, v, cut)
+  }
+
+  /** Latest committed (version, watermark) from the manifest, if any. */
+  private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(Int, Long)] = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val stPath = new Path(s"$dir/state")
-    val aggPath = new Path(s"$dir/daily")
-    val wm: Long =
-      if (fs.exists(stPath)) s.read.parquet(stPath.toString).head.getLong(0)
-      else Long.MinValue
+    val mdir = new Path(s"$dir/manifest")
+    if (!fs.exists(mdir)) None
+    else {
+      val vs = fs.listStatus(mdir).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("commit_"))
+        .flatMap(_.stripPrefix("commit_").toIntOption).toSeq
+      if (vs.isEmpty) None
+      else {
+        val v = vs.max
+        val in = fs.open(new Path(mdir, s"commit_$v"))
+        val wm =
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        Some((v, wm))
+      }
+    }
+  }
+
+  /** The manifest-resolved current daily table — the ONLY sanctioned read
+    * path; never point a reader at a `daily_v*` dir directly. */
+  private[graft] def currentDaily(s: SparkSession, dir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (v, _) = readManifest(fs, dir)
+      .getOrElse(sys.error(s"no committed daily version under $dir"))
+    s.read.parquet(s"$dir/daily_v$v")
+  }
+
+  private[graft] def currentWatermark(s: SparkSession, dir: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    readManifest(fs, dir).map(_._2).getOrElse(Long.MinValue)
+  }
+
+  /** First (crash-prone, side-effect-idempotent) half of a load run:
+    * compute the (watermark, cut] batch, fold it into the current
+    * committed table, and write the result as the NEXT version dir —
+    * WITHOUT committing. Returns the staged version number. */
+  private[graft] def stageDailyVersion(s: SparkSession, d: String,
+      dir: String, cut: Long): Int = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prev = readManifest(fs, dir)
+    val wm = prev.map(_._2).getOrElse(Long.MinValue)
     // Frontier predicate on ts ITSELF, not unix_micros(ts): Catalyst
     // unwraps the loader's NTZ→LTZ cast and pushes GreaterThan(ts, …) /
     // LessThanOrEqual(ts, …) into the parquet scan (row-group min/max
@@ -145,19 +204,41 @@ object Round10Ops {
     val part = batch.groupBy("day")
       .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sv"))
       .select(col("day"), col("cnt"), col("sv").cast(DecimalType(30, 2)).as("sv"))
-    val merged =
-      if (fs.exists(aggPath)) s.read.parquet(aggPath.toString).unionByName(part)
-        .groupBy("day")
-        .agg(sum("cnt").as("cnt"), sum("sv").cast(DecimalType(30, 2)).as("sv"))
-      else part
-    val next = new Path(s"$dir/daily.next")
-    merged.write.mode("overwrite").parquet(next.toString)
-    fs.delete(aggPath, true)
-    fs.rename(next, aggPath)
-    val sp = s
-    import sp.implicits._
-    Seq(cut).toDF("wm").coalesce(1)
-      .write.mode("overwrite").parquet(stPath.toString)
+    val merged = prev match {
+      case Some((v, _)) =>
+        s.read.parquet(s"$dir/daily_v$v").unionByName(part)
+          .groupBy("day")
+          .agg(sum("cnt").as("cnt"), sum("sv").cast(DecimalType(30, 2)).as("sv"))
+      case None => part
+    }
+    val vNew = prev.map(_._1 + 1).getOrElse(0)
+    merged.write.mode("overwrite").parquet(s"$dir/daily_v$vNew")
+    vNew
+  }
+
+  /** Second half: the atomic commit. One file create + rename makes
+    * version `v` (and watermark `wm`) visible in a single step; then
+    * superseded table versions older than v-1 are garbage-collected
+    * (keeping one prior version as a grace window for readers that
+    * resolved the manifest just before this commit — production would
+    * use a time-based retention instead). GC failure leaves garbage,
+    * never corruption. */
+  private[graft] def commitDailyVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v: Int, wm: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val mdir = new Path(s"$dir/manifest")
+    fs.mkdirs(mdir)
+    val tmp = new Path(mdir, s".tmp_$v")
+    val out = fs.create(tmp, true)
+    try out.write(wm.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(tmp, new Path(mdir, s"commit_$v"))
+    fs.listStatus(new Path(dir)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("daily_v") &&
+          n.stripPrefix("daily_v").toIntOption.exists(_ < v - 1))
+        fs.delete(st.getPath, true)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -337,8 +418,10 @@ object Round10Ops {
     // run processes ONLY (watermark, cut] rows, folds per-day partial
     // aggregates ADDITIVELY into the cumulative daily table (exact
     // decimal partials at a pinned DECIMAL(30,2) store width, so
-    // merge order can't change a cent), stages + atomically swaps the
-    // table, then advances the watermark. Because count/sum partials
+    // merge order can't change a cent), stages the next table version,
+    // and makes (version, watermark) visible in ONE atomic manifest
+    // commit — crash anywhere, the retry can't double-count
+    // (Round11Spec). Because count/sum partials
     // are associative, N incremental runs ≡ one full recompute — which
     // is exactly what the oracle executes. A run with nothing new is a
     // provable no-op (spec). At 100 TB this is the difference between
@@ -352,7 +435,7 @@ object Round10Ops {
       // run 1 loads through Jan 15 00:00 UTC; run 2 loads the rest
       incrementalDailyLoad(s, d, dir, 1705276800000000L)
       incrementalDailyLoad(s, d, dir, Long.MaxValue)
-      s.read.parquet(s"$dir/daily")
+      currentDaily(s, dir)
         .select(col("day"), col("cnt"),
           money(col("sv")).as("sum_val"))
         .orderBy("day")

@@ -40,10 +40,17 @@ object StreamingOps {
 
   /** One upsert step: merge a micro-batch into the keyed parquet serving
     * table at `dir` (read current → union → latest-per-user → write to a
-    * staging dir → atomic swap). The swap keeps readers from ever seeing
-    * a half-written table; at scale the same shape runs per-partition
-    * with dynamic partition overwrite so only touched key-ranges rewrite.
-    */
+    * staging dir → two renames). Guarantee boundary, stated precisely:
+    * readers never see a HALF-WRITTEN table (only fully-written dirs are
+    * ever at `dir`), and no committed data is ever lost (the previous
+    * table is renamed ASIDE, not deleted, before the new one renames in
+    * — a crash between the renames leaves `dir`.old and/or `dir`.next
+    * fully intact for recovery). What two plain renames cannot give is
+    * atomic visibility: a reader racing the swap can observe a brief
+    * missing-path window. Serving at scale closes that with a
+    * manifest-resolved read path — the exact construction
+    * Round10Ops.incrementalDailyLoad demonstrates — or dynamic partition
+    * overwrite so only touched key-ranges rewrite. */
   def upsertBatch(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -54,9 +61,12 @@ object StreamingOps {
       if (fs.exists(cur)) latestPerUser(spark.read.parquet(dir).unionByName(upd))
       else upd
     val next = new Path(dir + ".next")
+    val old = new Path(dir + ".old")
     merged.write.mode("overwrite").parquet(next.toString)
-    fs.delete(cur, true)
+    fs.delete(old, true)
+    if (fs.exists(cur)) fs.rename(cur, old)
     fs.rename(next, cur)
+    fs.delete(old, true)
   }
 
   /** Streaming entry: foreachBatch(upsertBatch) — the standard pattern

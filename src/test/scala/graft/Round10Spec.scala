@@ -148,7 +148,7 @@ class Round10Spec extends SparkSpec {
     Seq(1704844800000000L, 1705708800000000L, Long.MaxValue).foreach { cut =>
       ops.Round10Ops.incrementalDailyLoad(spark, sf, dir, cut)
     }
-    def table() = spark.read.parquet(s"$dir/daily")
+    def table() = ops.Round10Ops.currentDaily(spark, dir)
       .select(col("day"), col("cnt"), T.money(col("sv")).as("sum_val"))
       .orderBy("day").collect().toSeq
     val threeRuns = table()
@@ -160,7 +160,7 @@ class Round10Spec extends SparkSpec {
     assert(threeRuns === oneShot)
     // watermark is at the frontier; a fourth run finds nothing new and
     // must leave the table byte-identical
-    assert(spark.read.parquet(s"$dir/state").head.getLong(0) === Long.MaxValue)
+    assert(ops.Round10Ops.currentWatermark(spark, dir) === Long.MaxValue)
     ops.Round10Ops.incrementalDailyLoad(spark, sf, dir, Long.MaxValue)
     assert(table() === threeRuns)
     // Scale posture: the frontier predicate must reach the parquet scan
