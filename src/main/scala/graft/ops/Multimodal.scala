@@ -253,22 +253,30 @@ object Multimodal {
   }
 
   /** Image near-duplicate pairs: SimHash-style banding of the 64-bit
-    * aHash into 4×16-bit chunks — two images within Hamming distance ≤ 3
-    * share at least one intact band by pigeonhole (complete at that
-    * radius; larger `maxHamming` is still candidate-complete in practice
-    * because near-dup corruption clusters bits). The pair join is an
-    * equi-join on (band, chunk) — key-partitioned, never all-pairs — and
-    * the exact Hamming distance re-check (`bit_count(xor)`) runs only on
-    * banded candidates. The image-dedup primitive for a multimodal
-    * training-data pipeline, built on the REAL decode path. */
+    * aHash into 8×8-bit chunks — two images within Hamming distance ≤ 7
+    * share at least one intact band by pigeonhole, so the default
+    * radius 6 is candidate-COMPLETE, not heuristic (the earlier 4×16
+    * banding was only complete at radius 3 and could silently miss a
+    * distance-4..6 pair whose corrupted bits landed in all four bands;
+    * Round11Spec now asserts exact equality with brute force). The pair
+    * join is an equi-join on (band, chunk) — key-partitioned, never
+    * all-pairs — and the exact Hamming distance re-check
+    * (`bit_count(xor)`) runs only on banded candidates. Narrower bands
+    * mean fuller buckets (≤256 distinct chunks per band); at corpus
+    * scale the production guard is the winnow-style per-bucket
+    * frequency cap, dropping boilerplate chunks before the self-join.
+    * The image-dedup primitive for a multimodal training-data pipeline,
+    * built on the REAL decode path. */
   def phashNearDup(spark: SparkSession, sfDir: String,
       maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7,
+      s"8-band pigeonhole guarantee holds for maxHamming <= 7, got $maxHamming")
     val ph = phashTable(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = ph.select(col("doc_id"), col("phash"),
-      explode(expr("sequence(0, 3)")).as("band"))
+      explode(expr("sequence(0, 7)")).as("band"))
       .select(col("doc_id"), col("phash"), col("band"),
-        expr("shiftright(phash, band * 16) & 65535").as("chunk"))
+        expr("shiftright(phash, band * 8) & 255").as("chunk"))
     val a = bands.select(col("band"), col("chunk"),
       col("doc_id").as("a_id"), col("phash").as("a_hash"))
     val b = bands.select(col("band"), col("chunk"),

@@ -483,9 +483,17 @@ object Round10Ops {
         .mkString(" + ")
       // Selection runs INSIDE the array (filter before explode), so only
       // the ~1/32 selected fingerprints ever become rows.
-      val fpExpr = s"filter(transform(sequence(1, greatest(size(cs) - 15, 1)), " +
+      val fpExpr = s"filter(transform(sequence(1, size(cs) - 15), " +
         s"i -> ($terms) % 1000003), x -> x % 32 = 0)"
+      // Docs shorter than one 16-char window have no fingerprints BY
+      // DEFINITION and must be excluded up front: the old
+      // greatest(size-15, 1) clamp still emitted window index 1 for
+      // them, indexing past the char array — an ANSI-mode error in
+      // Spark and a silently divergent ascii('')=0 term in DuckDB. The
+      // length guard is mirrored in the oracle's WHERE; exact dups of
+      // any length remain text_exact_dedup's job.
       val sel = t(s, d, "documents")
+        .filter(length(col("text")) >= 16)
         .select(col("doc_id"),
           expr("transform(split(text, ''), c -> ascii(c))").as("cs"))
         .select(col("doc_id"), explode(expr(fpExpr)).as("fp"))
@@ -613,8 +621,8 @@ object Round10Ops {
       val terms = (0 until 16)
         .map(k => s"ascii(substr(text, i + ${15 - k}, 1)) * ${P(k)}")
         .mkString(" + ")
-      s"WITH w AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(text) - 15, 1)), " +
-        s"i -> ($terms) % 1000003)) AS fp FROM documents), " +
+      s"WITH w AS (SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 15), " +
+        s"i -> ($terms) % 1000003)) AS fp FROM documents WHERE length(text) >= 16), " +
         "sel AS (SELECT DISTINCT doc_id, fp FROM w WHERE fp % 32 = 0), " +
         "keep AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND 64), " +
         "kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN keep USING (fp)) " +

@@ -43,6 +43,48 @@ class Round11Spec extends SparkSpec {
     assert(ops.Round10Ops.currentWatermark(spark, dir) === Long.MaxValue)
   }
 
+  test("phashNearDup: 8-band candidate set equals brute force at the default radius") {
+    val ph = ops.Multimodal.phashTable(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for {
+      (a, ha) <- ph; (b, hb) <- ph
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b)).toSet
+    val got = ops.Multimodal.phashNearDup(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact set equality: pigeonhole banding + exact re-check must have
+    // 100% recall AND no false pairs — the round-10 4x16 banding was
+    // only complete at radius 3 and this assertion is what was missing
+    assert(got === expect,
+      s"missed: ${(expect -- got).take(5)}; spurious: ${(got -- expect).take(5)}")
+    // the guarantee boundary is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      ops.Multimodal.phashNearDup(spark, sf, maxHamming = 8)
+    }
+  }
+
+  test("text_winnow_neardup: docs shorter than one window are excluded, not mis-hashed") {
+    // The fixture corpus has min doc length 44, so the short-doc path
+    // only exists in regenerated testdata — drive the EXPRESSION
+    // directly with a synthetic short doc to pin the guard. A 10-char
+    // doc must contribute zero fingerprint rows (not an ANSI index
+    // error, not an ascii('')=0-padded hash).
+    import spark.implicits._
+    val docs = Seq((1L, "short text"), (2L, "x" * 40)).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("r11_short_docs")
+    val P = (0 until 16).map(k => BigInt(31).modPow(k, 1000003).toLong)
+    val terms = (0 until 16)
+      .map(k => s"element_at(cs, i + ${15 - k}) * ${P(k)}L").mkString(" + ")
+    val fps = spark.sql(
+      s"""SELECT doc_id, explode(filter(transform(sequence(1, size(cs) - 15),
+         |i -> ($terms) % 1000003), x -> x % 32 = 0)) AS fp
+         |FROM (SELECT doc_id, transform(split(text, ''), c -> ascii(c)) AS cs
+         |      FROM r11_short_docs WHERE length(text) >= 16)""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(!fps.contains(1L), "10-char doc produced fingerprints")
+  }
+
   test("upsertBatch: no committed row is lost across swaps; old dir cleaned up") {
     import spark.implicits._
     val dir = "target/tmp/upsert_r11"
