@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * the claimed numbers live.
   */
 class EntryCountSpec extends AnyFunSuite {
-  val claimedQueries = 223
-  val claimedOracles = 203
+  val claimedQueries = 225
+  val claimedOracles = 205
 
   test("queries.size matches the documented count") {
     assert(SparkEntry.queries.size == claimedQueries,

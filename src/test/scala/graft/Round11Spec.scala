@@ -43,6 +43,38 @@ class Round11Spec extends SparkSpec {
     assert(ops.Round10Ops.currentWatermark(spark, dir) === Long.MaxValue)
   }
 
+  test("vec_ivf_index_serve: store-served result equals the from-scratch funnel; store is cid-partitioned") {
+    val served = SparkEntry.queries("vec_ivf_index_serve")(spark, sf).collect().toSeq
+    val funnel = SparkEntry.queries("vec_ivf_pq_topk")(spark, sf).collect().toSeq
+    assert(served === funnel,
+      "incremental ingest + store-served probe diverged from the one-shot funnel")
+    // both store tables are physically partitioned by the coarse bucket,
+    // so the nprobe restriction at serve time is a partition prune
+    val base = s"target/tmp/ivfidx_${new java.io.File(sf).getName}"
+    for (tbl <- Seq("assign", "codes")) {
+      val parts = new java.io.File(s"$base/$tbl").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cid="))
+      assert(parts.length >= 2, s"$tbl store not partitioned by cid: ${parts.toSeq}")
+    }
+  }
+
+  test("report_pattern_latency: span decomposition agrees with the regex count; latencies sane") {
+    import org.apache.spark.sql.Row
+    val lat = SparkEntry.queries("report_pattern_latency")(spark, sf)
+      .collect().map { case Row(u: Long, d: java.sql.Date, n: Int, m: Double) =>
+        ((u, d.toString), (n, m)) }.toMap
+    val conv = SparkEntry.queries("report_pattern_conversions")(spark, sf)
+      .collect().map { case Row(u: Long, d: java.sql.Date, _: Int, n: Int) =>
+        ((u, d.toString), n) }.toMap
+    // the windowed span decomposition must count EXACTLY the greedy
+    // leftmost non-overlapping regex matches — same keys, same counts
+    assert(lat.keySet === conv.keySet)
+    lat.foreach { case (k, (n, m)) =>
+      assert(n === conv(k), s"span count != regex count at $k")
+      assert(m > 0, s"non-positive median latency at $k: a purchase cannot precede its view")
+    }
+  }
+
   test("phashNearDup: 8-band candidate set equals brute force at the default radius") {
     val ph = ops.Multimodal.phashTable(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
