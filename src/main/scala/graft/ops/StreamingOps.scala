@@ -251,7 +251,18 @@ object StreamingOps {
       T.events(s, d)
         .dropDuplicates("user_id", "event_id")
         .select("user_id", "event_id", "event_type", "value")
-        .orderBy("user_id", "event_id"))
+        .orderBy("user_id", "event_id")),
+
+    // Batch run of the watermarked stream-stream interval join (the
+    // MemoryStream golden test drives the same plan incrementally;
+    // withWatermark is a no-op in batch, so the oracle checks the join
+    // semantics the stream executes). Timestamps exported as epoch-µs —
+    // the engines' shared grain (SURVEY §7.2 item 3).
+    "stream_interval_join" -> ((s, d) =>
+      clickPurchaseJoin(T.events(s, d))
+        .select(col("user_id"), unix_micros(col("c_ts")).as("c_us"),
+          unix_micros(col("p_ts")).as("p_us"), col("p_val"))
+        .orderBy("user_id", "c_us", "p_us", "p_val"))
   )
 
   private val sumVal = s"${oMoney(s"SUM(${oDec("value")})")} AS sum_val"
@@ -353,6 +364,13 @@ object StreamingOps {
         "FROM g GROUP BY user_id, sess ORDER BY user_id, start_us"),
     "stream_dedup_exact" ->
       ("SELECT DISTINCT user_id, event_id, event_type, value FROM events " +
-        "ORDER BY user_id, event_id")
+        "ORDER BY user_id, event_id"),
+    "stream_interval_join" ->
+      ("SELECT c.user_id AS user_id, epoch_us(c.ts) AS c_us, " +
+        "epoch_us(p.ts) AS p_us, p.value AS p_val " +
+        "FROM events c JOIN events p ON c.user_id = p.user_id " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
+        "WHERE c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "ORDER BY user_id, c_us, p_us, p_val")
   )
 }
