@@ -6,7 +6,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,7 +19,15 @@ object Bench {
       // suite's generated classes — benchmarking steady-state execution,
       // not the compiler.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k=v" — ad-hoc config overrides for local
+    // perf experiments (the driver sets nothing; defaults above are the
+    // benched configuration).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/scheduler/FS cache so the first timed query does
     // not absorb session start cost, and touch EVERY table once — the
