@@ -170,6 +170,8 @@ object Graft {
         exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("graft_ngrams",
         exprs => NGrams(exprs.head, 3), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_winnow_fps",
+        exprs => graft.expr.WinnowFingerprints(exprs.head), "scala_udf")
     }
   }
 

@@ -473,30 +473,25 @@ object Round10Ops {
     // near-duplication that whole-document hashing cannot.
     // Round10Spec pins exact-dup recall above the length boundary.
     "text_winnow_neardup" -> ((s, d) => {
-      val P = (0 until 16).map(k => BigInt(31).modPow(k, 1000003).toLong)
-      // Index a precomputed char-code array, NOT substring(text, i, 1):
-      // UTF8String substring is O(position), which made the windowed
-      // hash O(len²) per doc and benched at ~29 s for this key at sf0.1;
-      // with the one-pass char-code array + O(1) element_at it is ~1 s.
-      val terms = (0 until 16)
-        .map(k => s"element_at(cs, i + ${15 - k}) * ${P(k)}L")
-        .mkString(" + ")
-      // Selection runs INSIDE the array (filter before explode), so only
-      // the ~1/32 selected fingerprints ever become rows.
-      val fpExpr = s"filter(transform(sequence(1, size(cs) - 15), " +
-        s"i -> ($terms) % 1000003), x -> x % 32 = 0)"
+      // The windowed hash is the native codegen'd WinnowFingerprints
+      // expression (graft.expr): one pass over a primitive code-point
+      // array per document, selection inside the kernel, so only the
+      // ~1/32 selected fingerprints ever become rows. Value-identical to
+      // the built-in filter(transform(...)) formulation it replaced
+      // (ExprSpec pins equality; the SQL-array version allocated a
+      // UTF8String per character and benched ~4 s at sf0.1 — this is
+      // sub-second). Constants 31^k mod 1000003 live in the expression
+      // and IDENTICALLY in the oracle SQL.
       // Docs shorter than one 16-char window have no fingerprints BY
-      // DEFINITION and must be excluded up front: the old
-      // greatest(size-15, 1) clamp still emitted window index 1 for
-      // them, indexing past the char array — an ANSI-mode error in
-      // Spark and a silently divergent ascii('')=0 term in DuckDB. The
-      // length guard is mirrored in the oracle's WHERE; exact dups of
-      // any length remain text_exact_dedup's job.
+      // DEFINITION and are excluded up front (mirrored in the oracle's
+      // WHERE; the expression also returns an empty array for them, but
+      // the explicit guard keeps both engines' row sets aligned). Exact
+      // dups of any length remain text_exact_dedup's job.
+      graft.Graft.registerFunctions(s)
       val sel = t(s, d, "documents")
         .filter(length(col("text")) >= 16)
         .select(col("doc_id"),
-          expr("transform(split(text, ''), c -> ascii(c))").as("cs"))
-        .select(col("doc_id"), explode(expr(fpExpr)).as("fp"))
+          explode(expr("graft_winnow_fps(text)")).as("fp"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keepFp = sel.groupBy("fp").agg(count(lit(1)).as("nd"))

@@ -26,6 +26,37 @@ class ExprSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("WinnowFingerprints == built-in filter/transform formulation, value-exact") {
+    Graft.registerFunctions(spark)
+    val P = (0 until 16).map(k => BigInt(31).modPow(k, 1000003).toLong)
+    val terms = (0 until 16)
+      .map(k => s"element_at(cs, i + ${15 - k}) * ${P(k)}L")
+      .mkString(" + ")
+    val fpExpr = s"filter(transform(sequence(1, size(cs) - 15), " +
+      s"i -> ($terms) % 1000003), x -> x % 32 = 0)"
+    val both = T.t(spark, sf, "documents")
+      .filter(length(col("text")) >= 16)
+      .select(col("doc_id"),
+        expr("graft_winnow_fps(text)").as("native"),
+        expr("transform(split(text, ''), c -> ascii(c))").as("cs"))
+      .select(col("doc_id"), col("native"), expr(fpExpr).as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+    // and the kernel actually selects something at this SF
+    assert(both.filter(size(col("native")) > 0).count() > 0)
+    // short and non-ASCII inputs: empty below one window, code points
+    // (not UTF-16 units) above it — "é" is one point, exactly as
+    // ascii()/DuckDB count it
+    val edge = spark.createDataFrame(Seq(
+      Tuple1("short"), Tuple1("exactly16chars!!"),
+      Tuple1("héllo wörld, 16+ chars of text"))).toDF("text")
+      .select(expr("graft_winnow_fps(text)").as("fps"),
+        expr("transform(split(text, ''), c -> ascii(c))").as("cs"))
+    val chk = edge.select(
+      (col("fps") === when(size(col("cs")) >= 16, expr(fpExpr))
+        .otherwise(array().cast("array<bigint>"))).as("ok"))
+    assert(chk.filter(!col("ok")).count() == 0)
+  }
+
   test("GraftExtensions registers functions in a session built with withExtensions") {
     import org.apache.spark.sql.SparkSession
     val prevDefault = SparkSession.getDefaultSession
