@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.T.t
 
-/** Round-11 additions (2 keys, both oracled):
+/** Round-11 additions (3 keys, all oracled):
   *
   *  - `vec_ivf_index_serve` — the ingest/serve split for the IVF×PQ ANN
   *    path, mirroring what `vec_lsh_index_serve` proved for LSH: coarse
@@ -28,6 +28,12 @@ import graft.T.t
   *    independent spans); within a span the matched view is the first v
   *    that still has a c after it = the first v before the span's last
   *    c, and the span converts iff that v and a terminating p exist.
+  *
+  *  - `etl_llm_corpus_pipeline` — the end-to-end training-corpus build
+  *    (quality gate → bench holdout → exact dedup → 5-gram
+  *    decontamination → 2048-token packing) composed from the standalone
+  *    stages' exact semantics into one declarative plan; oracled by the
+  *    stage-by-stage CTE mirror.
   */
 object Round11Ops {
 
@@ -146,6 +152,61 @@ object Round11Ops {
           expr("CAST(percentile(p_ts - v_ts, 0.5D) AS DOUBLE)")
             .as("median_latency_us"))
         .orderBy("user_id", "day")
+    }),
+
+    // The engine's reason to exist, as ONE key: the end-to-end training-
+    // corpus build — quality gate → held-out benchmark split → exact
+    // dedup → n-gram decontamination → sequence packing — each stage the
+    // exact semantics of its standalone key (text_quality_filter,
+    // text_exact_dedup's keep-min rule, text_contamination_check,
+    // text_pack_sequences), composed as one declarative plan so Catalyst
+    // sees the whole lineage (the split/tokenize projection is computed
+    // once and feeds three stages). Scale shape per stage: the gate is a
+    // map-only filter; dedup shuffles (sha256, doc_id) — 40 bytes/row,
+    // never the document; decontamination broadcasts the DISTINCT bench
+    // shingle set and anti-joins the corpus (at a 100 TB corpus with a
+    // large bench suite, swap in text_bloom_decontaminate's sketch —
+    // same stage contract, no shuffle at all); packing windows within
+    // (source) partitions only. The output is the training manifest:
+    // per-source 2048-token bins with doc ranges.
+    "etl_llm_corpus_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          split(col("text"), " ").as("toks"))
+      // stage 1: quality gate (text_quality_filter's exact rules)
+      val quality = toks
+        .withColumn("n_tok", size(col("toks")).cast(LongType))
+        .filter(col("n_tok") >= 5 &&
+          round(size(array_distinct(col("toks"))) /
+            greatest(col("n_tok"), lit(1L)).cast(DoubleType), 6) >= 0.5)
+      // stage 2: held-out benchmark split (contamination-check's split:
+      // bench shingles come from the RAW bench docs — a held-out suite
+      // is not quality-filtered)
+      val corpus = quality.filter(col("doc_id") % 97 =!= 0)
+      // stage 3: exact dedup — keep the smallest doc_id per content hash
+      val deduped = corpus
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      // stage 4: decontamination — drop any doc sharing a 5-gram with
+      // the bench split
+      val benchG = broadcast(Round4Ops.shingles5(
+          toks.filter(col("doc_id") % 97 === 0).select("doc_id", "toks"))
+        .select("g").distinct())
+      val contaminated = Round4Ops.shingles5(deduped.select("doc_id", "toks"))
+        .join(benchG, "g").select("doc_id").distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      // stage 5: pack into 2048-token sequences per source
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      clean.select(col("doc_id"), col("source"), col("n_tok"))
+        .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("seq_id", expr("cum div 2048"))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "seq_id")
     })
   )
 
@@ -172,6 +233,32 @@ object Round11Ops {
         "SELECT user_id, day, CAST(COUNT(*) AS INT) AS n_conversions, " +
         "CAST(median(p_ts - v_ts) AS DOUBLE) AS median_latency_us " +
         "FROM spans WHERE v_ts IS NOT NULL AND p_ts IS NOT NULL " +
-        "GROUP BY 1, 2 ORDER BY 1, 2")
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Stage-by-stage CTE mirror of the composed pipeline.
+    "etl_llm_corpus_pipeline" ->
+      ("WITH toks AS (SELECT doc_id, source, text, " +
+        "string_split(text, ' ') AS t FROM documents), " +
+        "q AS (SELECT * FROM toks WHERE len(t) >= 5 AND " +
+        "round(len(list_distinct(t)) / greatest(len(t), 1), 6) >= 0.5), " +
+        "c AS (SELECT * FROM q WHERE doc_id % 97 <> 0), " +
+        "dd AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER " +
+        "(PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM c) WHERE rn = 1), " +
+        "bg AS (SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g FROM " +
+        "(SELECT t, unnest(generate_series(1, len(t)-4)) AS i FROM toks " +
+        "WHERE doc_id % 97 = 0 AND len(t) >= 5)), " +
+        "cg AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g FROM " +
+        "(SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i FROM dd " +
+        "WHERE len(t) >= 5)), " +
+        "cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)), " +
+        "clean AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok " +
+        "FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont)), " +
+        "cum AS (SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source " +
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS cum FROM clean) " +
+        "SELECT source, CAST(cum // 2048 AS BIGINT) AS seq_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens, " +
+        "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
+        "FROM cum GROUP BY source, seq_id ORDER BY source, seq_id")
   )
 }

@@ -142,4 +142,35 @@ class Round11Spec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".next")))
   }
+
+  test("etl_llm_corpus_pipeline: stages compose — dedup'd, decontaminated, fully packed") {
+    val out = SparkEntry.queries("etl_llm_corpus_pipeline")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    // every accepted doc lands in exactly one bin: per source, doc
+    // ranges of consecutive bins must not overlap
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, bins) =>
+      val sorted = bins.sortBy(_.getAs[Long]("seq_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ => ()
+      }
+      // packing invariant: every bin except possibly the last crosses
+      // its 2048 boundary (cum div 2048 can only advance when it does)
+      sorted.init.foreach { r =>
+        assert(r.getAs[Long]("tokens") > 0L && r.getAs[Long]("n_docs") > 0L)
+      }
+    }
+    // the gate actually gates: accepted docs < corpus docs (bench split
+    // alone guarantees strictness at every SF)
+    val accepted = out.map(_.getAs[Long]("n_docs")).sum
+    val total = T.t(spark, sf, "documents").count()
+    assert(accepted < total)
+    // no bench doc survives: first/last doc ids are never % 97 == 0
+    out.foreach { r =>
+      assert(r.getAs[Long]("first_doc") % 97 != 0L)
+      assert(r.getAs[Long]("last_doc") % 97 != 0L)
+    }
+  }
 }
