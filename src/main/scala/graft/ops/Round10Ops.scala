@@ -135,28 +135,13 @@ object Round10Ops {
     commitDailyVersion(fs, dir, v, cut)
   }
 
-  /** Latest committed (version, watermark) from the manifest, if any. */
+  /** Latest committed (version, watermark) from the manifest, if any.
+    * Thin wrapper over the general GraftTable manifest (the watermark is
+    * the version's metadata string). */
   private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Option[(Int, Long)] = {
-    import org.apache.hadoop.fs.Path
-    val mdir = new Path(s"$dir/manifest")
-    if (!fs.exists(mdir)) None
-    else {
-      val vs = fs.listStatus(mdir).iterator.map(_.getPath.getName)
-        .filter(_.startsWith("commit_"))
-        .flatMap(_.stripPrefix("commit_").toIntOption).toSeq
-      if (vs.isEmpty) None
-      else {
-        val v = vs.max
-        val in = fs.open(new Path(mdir, s"commit_$v"))
-        val wm =
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        Some((v, wm))
-      }
-    }
-  }
+      dir: String): Option[(Int, Long)] =
+    graft.sources.GraftTable.readManifest(fs, dir)
+      .map { case (v, m) => (v, m.toLong) }
 
   /** The manifest-resolved current daily table — the ONLY sanctioned read
     * path; never point a reader at a `daily_v*` dir directly. */
@@ -216,30 +201,14 @@ object Round10Ops {
     vNew
   }
 
-  /** Second half: the atomic commit. One file create + rename makes
-    * version `v` (and watermark `wm`) visible in a single step; then
-    * superseded table versions older than v-1 are garbage-collected
-    * (keeping one prior version as a grace window for readers that
-    * resolved the manifest just before this commit — production would
-    * use a time-based retention instead). GC failure leaves garbage,
-    * never corruption. */
+  /** Second half: the atomic commit — GraftTable.commit with the
+    * watermark as the version's metadata and retain=1 (one prior
+    * version kept as a grace window for readers that resolved the
+    * manifest just before this commit). */
   private[graft] def commitDailyVersion(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, v: Int, wm: Long): Unit = {
-    import org.apache.hadoop.fs.Path
-    val mdir = new Path(s"$dir/manifest")
-    fs.mkdirs(mdir)
-    val tmp = new Path(mdir, s".tmp_$v")
-    val out = fs.create(tmp, true)
-    try out.write(wm.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.rename(tmp, new Path(mdir, s"commit_$v"))
-    fs.listStatus(new Path(dir)).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("daily_v") &&
-          n.stripPrefix("daily_v").toIntOption.exists(_ < v - 1))
-        fs.delete(st.getPath, true)
-    }
-  }
+      dir: String, v: Int, wm: Long): Unit =
+    graft.sources.GraftTable.commit(fs, dir, v, wm.toString,
+      retain = 1, prefix = "daily_v")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The ingest/serving split the LSH design assumes, made literal:

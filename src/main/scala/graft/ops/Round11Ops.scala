@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.T.t
+import graft.T.{t, dec, money, oDec, oMoney}
 
-/** Round-11 additions (3 keys, all oracled):
+/** Round-11 additions (5 keys, all oracled):
   *
   *  - `vec_ivf_index_serve` — the ingest/serve split for the IVF×PQ ANN
   *    path, mirroring what `vec_lsh_index_serve` proved for LSH: coarse
@@ -34,6 +34,15 @@ import graft.T.t
   *    decontamination → 2048-token packing) composed from the standalone
   *    stages' exact semantics into one declarative plan; oracled by the
   *    stage-by-stage CTE mirror.
+  *
+  *  - `stream_interval_join` (in StreamingOps) — the watermarked
+  *    stream-stream interval join surfaced as a driver-checked key.
+  *
+  *  - `table_time_travel` — GraftTable's manifest-committed versioned
+  *    store (atomic commits, snapshot isolation, time travel,
+  *    retention GC) demonstrated end to end: two committed versions,
+  *    both read back through the manifest and oracled against
+  *    recomputes from the raw table.
   */
 object Round11Ops {
 
@@ -207,6 +216,35 @@ object Round11Ops {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("source", "seq_id")
+    }),
+
+    // Lakehouse table semantics without the lakehouse jars (offline
+    // sandbox — SURVEY §7.1 M7): GraftTable's manifest gives atomic
+    // version commits, snapshot isolation and time travel on plain
+    // parquet + Hadoop FS renames. The key commits two versions of an
+    // orders snapshot (pre-1997, then full), then reads BOTH versions
+    // back through the manifest — the v0 read after v1's commit IS the
+    // time-travel guarantee, and the aggregate per version is what the
+    // oracle recomputes from the raw table. Store I/O is inside the
+    // timed query by design (the whole maintenance cycle, like the
+    // index-serve keys). Round11Spec additionally proves staged-but-
+    // uncommitted invisibility and retention GC.
+    "table_time_travel" -> ((s, d) => {
+      val dir = s"target/tmp/gtable_${new java.io.File(d).getName}"
+      graft.sources.GraftTable.fsOf(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          dec(col("o_totalprice")).as("price"))
+      graft.sources.GraftTable.commitNext(s, dir,
+        o.filter(col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+        "pre-1997")
+      graft.sources.GraftTable.commitNext(s, dir, o, "full")
+      def snap(v: Int): DataFrame =
+        graft.sources.GraftTable.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), money(sum(col("price"))).as("sum_price"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
+      snap(0).unionAll(snap(1)).orderBy("version")
     })
   )
 
@@ -259,6 +297,16 @@ object Round11Ops {
         "SELECT source, CAST(cum // 2048 AS BIGINT) AS seq_id, " +
         "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens, " +
         "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
-        "FROM cum GROUP BY source, seq_id ORDER BY source, seq_id")
+        "FROM cum GROUP BY source, seq_id ORDER BY source, seq_id"),
+
+    // Both table versions recomputed from the raw orders table.
+    "table_time_travel" ->
+      ("SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS sum_price " +
+        "FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' " +
+        "UNION ALL " +
+        "SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS sum_price " +
+        "FROM orders ORDER BY version")
   )
 }

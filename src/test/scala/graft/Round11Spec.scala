@@ -143,6 +143,51 @@ class Round11Spec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".next")))
   }
 
+  test("GraftTable: staged-but-uncommitted invisible; time travel exact; retention GCs data, keeps history") {
+    import graft.sources.GraftTable
+    import spark.implicits._
+    val dir = "target/tmp/gtable_spec"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+
+    val v0rows = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val v1rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    assert(GraftTable.commitNext(spark, dir, v0rows, "first") === 0)
+
+    // stage v1 WITHOUT commit: latest read must still be v0
+    GraftTable.stage(v1rows, dir, 1)
+    assert(GraftTable.read(spark, dir).count() === 2)
+    assert(GraftTable.versions(fs, dir) === Seq(0))
+
+    // commit v1; v0 stays readable by number with its metadata (time travel)
+    GraftTable.commit(fs, dir, 1, "second")
+    assert(GraftTable.read(spark, dir).count() === 3)
+    assert(GraftTable.readVersion(spark, dir, 0).orderBy("k")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    assert(GraftTable.meta(fs, dir, 0) === "first")
+    assert(GraftTable.versions(fs, dir) === Seq(0, 1))
+
+    // a reader that resolved v1 BEFORE the next commit keeps its
+    // snapshot (immutable data dirs)
+    val snapshot = GraftTable.read(spark, dir)
+    assert(GraftTable.commitNext(spark, dir, v0rows, "third") === 2)
+    assert(snapshot.count() === 3)
+
+    // retention: commit v3 with retain=1 → v0/v1 data gone, commit
+    // history intact, readVersion fails loudly for the GC'd version
+    GraftTable.stage(v1rows, dir, 3)
+    GraftTable.commit(fs, dir, 3, "fourth", retain = 1)
+    assert(GraftTable.versions(fs, dir) === Seq(0, 1, 2, 3))
+    assert(GraftTable.readVersion(spark, dir, 2).count() === 2)
+    intercept[IllegalArgumentException] {
+      GraftTable.readVersion(spark, dir, 0)
+    }
+    // never-committed version also fails loudly
+    intercept[IllegalArgumentException] {
+      GraftTable.readVersion(spark, dir, 9)
+    }
+  }
+
   test("etl_llm_corpus_pipeline: stages compose — dedup'd, decontaminated, fully packed") {
     val out = SparkEntry.queries("etl_llm_corpus_pipeline")(spark, sf)
       .collect()
