@@ -164,6 +164,24 @@ object ScalingProbe {
       ops.Round10Ops.lshSignatures(e, ops.Round10Ops.lshHyperplanes(e)).count()
     }
 
+    // round-11 shape: the composed corpus-build pipeline. The claim
+    // under test: every stage is linear — map-only gate, dedup shuffle
+    // of (sha256, doc_id), broadcast bench-shingle anti-join (the bench
+    // side is ~1/97 of docs; amp keeps that fraction), per-source
+    // packing windows — so 10× docs ⇒ ≈10× time, no stage quadratic in
+    // the corpus.
+    def corpus(docs: DataFrame): Long =
+      ops.Round11Ops.corpusPipeline(docs).count()
+    // text must VARY per replica: identical replicas would collapse in
+    // the dedup stage and the downstream stages would run at 1×, hiding
+    // their scaling. One appended replica token changes sha256 and adds
+    // one word — cost shape preserved.
+    def ampDocs(docs: DataFrame): DataFrame =
+      docs.crossJoin(spark.range(N).toDF("rep_idx"))
+        .withColumn("doc_id", col("doc_id") * N + col("rep_idx"))
+        .withColumn("text", concat(col("text"), lit(" rep"), col("rep_idx")))
+        .drop("rep_idx")
+
     // round-9 shape: pointer-jumping list rank. Amplifying BOTH keys
     // keeps every chain's length (and therefore the round count —
     // ceil(log2(maxChain)) — ) identical while each round processes 10×
@@ -177,7 +195,7 @@ object ScalingProbe {
     // (incl. first read of customer/supplier + the grid-join codegen and
     // the triangle edge-build, so their 1× rows are not cold-read IO)
     q1(li); joinAgg(ord, li); winLatest(ev); gridJoin(cust); triEdges(li)
-    topkSpill(li); kmeans(emb); listRank(ord); lshSig(emb); ()
+    topkSpill(li); kmeans(emb); listRank(ord); lshSig(emb); corpus(docs); ()
 
     val results = Seq(
       ("agg_q1_shape", time(q1(li)), time(q1(amp(li, Seq("l_orderkey"))))),
@@ -202,7 +220,9 @@ object ScalingProbe {
       ("list_rank_pointer_jump", time(listRank(ord)),
         time(listRank(amp(ord, Seq("o_orderkey", "o_custkey"))))),
       ("lsh_signature_build", time(lshSig(emb)),
-        time(lshSig(amp(emb, Seq("vec_id")))))
+        time(lshSig(amp(emb, Seq("vec_id"))))),
+      ("corpus_pipeline", time(corpus(docs)),
+        time(corpus(ampDocs(docs))))
     )
     def r(v: Double): Double = math.rint(v * 1000) / 1000
     val json = results.map { case (k, t1, t10) =>

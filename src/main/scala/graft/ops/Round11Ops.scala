@@ -178,46 +178,8 @@ object Round11Ops {
     // same stage contract, no shuffle at all); packing windows within
     // (source) partitions only. The output is the training manifest:
     // per-source 2048-token bins with doc ranges.
-    "etl_llm_corpus_pipeline" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), col("source"), col("text"),
-          split(col("text"), " ").as("toks"))
-      // stage 1: quality gate (text_quality_filter's exact rules)
-      val quality = toks
-        .withColumn("n_tok", size(col("toks")).cast(LongType))
-        .filter(col("n_tok") >= 5 &&
-          round(size(array_distinct(col("toks"))) /
-            greatest(col("n_tok"), lit(1L)).cast(DoubleType), 6) >= 0.5)
-      // stage 2: held-out benchmark split (contamination-check's split:
-      // bench shingles come from the RAW bench docs — a held-out suite
-      // is not quality-filtered)
-      val corpus = quality.filter(col("doc_id") % 97 =!= 0)
-      // stage 3: exact dedup — keep the smallest doc_id per content hash
-      val deduped = corpus
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
-        .filter(col("rn") === 1)
-      // stage 4: decontamination — drop any doc sharing a 5-gram with
-      // the bench split
-      val benchG = broadcast(Round4Ops.shingles5(
-          toks.filter(col("doc_id") % 97 === 0).select("doc_id", "toks"))
-        .select("g").distinct())
-      val contaminated = Round4Ops.shingles5(deduped.select("doc_id", "toks"))
-        .join(benchG, "g").select("doc_id").distinct()
-      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-      // stage 5: pack into 2048-token sequences per source
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      clean.select(col("doc_id"), col("source"), col("n_tok"))
-        .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        .withColumn("seq_id", expr("cum div 2048"))
-        .groupBy("source", "seq_id")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
-          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-        .orderBy("source", "seq_id")
-    }),
-
+    "etl_llm_corpus_pipeline" -> ((s, d) =>
+      corpusPipeline(t(s, d, "documents"))),
     // Lakehouse table semantics without the lakehouse jars (offline
     // sandbox — SURVEY §7.1 M7): GraftTable's manifest gives atomic
     // version commits, snapshot isolation and time travel on plain
@@ -247,6 +209,49 @@ object Round11Ops {
       snap(0).unionAll(snap(1)).orderBy("version")
     })
   )
+
+  /** The composed corpus-build plan over any `documents`-shaped frame
+    * (doc_id, source, text) — factored out so ScalingProbe can drive it
+    * over a 10×-amplified corpus. */
+  private[graft] def corpusPipeline(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ").as("toks"))
+    // stage 1: quality gate (text_quality_filter's exact rules)
+    val quality = toks
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .filter(col("n_tok") >= 5 &&
+        round(size(array_distinct(col("toks"))) /
+          greatest(col("n_tok"), lit(1L)).cast(DoubleType), 6) >= 0.5)
+    // stage 2: held-out benchmark split (contamination-check's split:
+    // bench shingles come from the RAW bench docs — a held-out suite
+    // is not quality-filtered)
+    val corpus = quality.filter(col("doc_id") % 97 =!= 0)
+    // stage 3: exact dedup — keep the smallest doc_id per content hash
+    val deduped = corpus
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    // stage 4: decontamination — drop any doc sharing a 5-gram with
+    // the bench split
+    val benchG = broadcast(Round4Ops.shingles5(
+        toks.filter(col("doc_id") % 97 === 0).select("doc_id", "toks"))
+      .select("g").distinct())
+    val contaminated = Round4Ops.shingles5(deduped.select("doc_id", "toks"))
+      .join(benchG, "g").select("doc_id").distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 5: pack into 2048-token sequences per source
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    clean.select(col("doc_id"), col("source"), col("n_tok"))
+      .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", expr("cum div 2048"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "seq_id")
+  }
 
   val oracleSql: Map[String, String] = Map(
     // The store-served IVF funnel must equal the from-scratch one —
