@@ -31,5 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         NGrams(exprs.head, 3)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[graft.expr.WinnowFingerprints].getName,
+        "graft_winnow_fps"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expr.WinnowFingerprints(exprs.head)))
   }
 }

@@ -231,6 +231,9 @@ object Round10Ops {
       val hyps = lshHyperplanes(e)
       (0 to 1).foreach { i =>
         lshSignatures(e.filter(pmod(col("vec_id"), lit(2)) === i), hyps)
+          // one file per tid per chunk, not one per (tid × shuffle
+          // partition) — the suite's partitioned-sink discipline
+          .repartition(col("tid"))
           .write.mode("append").partitionBy("tid").parquet(dir)
       }
       lshServe(s.read.parquet(dir).select("vec_id", "tid", "bucket"), e)

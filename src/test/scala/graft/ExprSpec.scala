@@ -76,6 +76,10 @@ class ExprSpec extends SparkSpec {
       val ng = s2.sql("SELECT g.ngram FROM (SELECT array('a','b','c','d') AS t) " +
         "LATERAL VIEW graft_ngrams(t) g AS pos, ngram").count()
       assert(ng == 2)
+      // winnow fingerprints resolve too; 15 chars < one window -> empty
+      val wf = s2.sql("SELECT size(graft_winnow_fps('123456789012345')) AS n")
+        .head.getInt(0)
+      assert(wf == 0)
     } finally {
       SparkSession.setDefaultSession(prevDefault.orNull)
       SparkSession.setActiveSession(prevActive.orNull)
