@@ -143,6 +143,59 @@ class Round11Spec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".next")))
   }
 
+  test("file-source streaming survives a restart: checkpointed watermark finalizes windows exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "target/tmp/fstream"
+    val srcDir = s"$base/src"; val cpDir = s"$base/cp"; val outDir = s"$base/out"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+
+    // split events at the time midpoint: file batch 1 = early half,
+    // file batch 2 = late half (so batch 2's data advances the watermark
+    // past batch 1's windows)
+    val ev = T.events(spark, sf).select(col("ts"), col("event_type"), col("value"))
+    val Array(tmin, tmax) = ev.agg(unix_micros(min("ts")), unix_micros(max("ts")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val tmid = tmin + (tmax - tmin) / 2
+    ev.filter(unix_micros(col("ts")) <= tmid).write.mode("append").parquet(srcDir)
+
+    def runAvailable(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+      val q = ops.StreamingOps.tumblingStream(stream)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", cpDir)
+        .option("path", outDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not self-terminate")
+    }
+
+    // run 1: watermark starts at epoch → nothing finalizes yet
+    runAvailable()
+    // run 2: RESTART from the checkpoint with the late half appended.
+    // The recovered watermark is max(batch-1 ts) − 10 min, so exactly
+    // the batch-1 windows that closed before it must emit — once.
+    ev.filter(unix_micros(col("ts")) > tmid).write.mode("append").parquet(srcDir)
+    runAvailable()
+
+    // After run 2's data batch, a no-data batch advances the watermark
+    // to max(all ts) − 10 min and finalizes every window closed before
+    // it — so the sink must equal the batch aggregate restricted to
+    // those windows, with NO duplicates from the restart.
+    val wm2 = tmax - 10L * 60 * 1000000
+    val expected = ops.StreamingOps.tumblingAgg(ev)
+      .filter(unix_micros(col("ws")) + 3600000000L <= wm2)
+      .orderBy("ws", "event_type").collect().toSeq
+    val emitted = spark.read.parquet(outDir)
+      .orderBy("ws", "event_type").collect().toSeq
+    assert(emitted.nonEmpty, "restart finalized no windows")
+    assert(emitted === expected,
+      "checkpoint-recovered stream diverged from the batch aggregate")
+  }
+
   test("GraftTable: staged-but-uncommitted invisible; time travel exact; retention GCs data, keeps history") {
     import graft.sources.GraftTable
     import spark.implicits._
