@@ -334,8 +334,7 @@ object Round9cOps {
           FROM bal b JOIN seq s
             ON s.o_custkey = b.o_custkey AND s.rn = b.rn + 1
         )
-        SELECT o_custkey, rn, o_orderkey,
-               CAST(ROUND(balance, 4) AS DOUBLE) AS balance
+        SELECT o_custkey, rn, o_orderkey, balance
         FROM bal ORDER BY o_custkey, rn
       """)
     }),
@@ -464,7 +463,13 @@ object Round9cOps {
 
     // The same recursion almost verbatim — both engines replay one
     // join-step per chain position, so the multiply-accumulate doubles
-    // are IEEE-identical.
+    // are IEEE-identical and the RAW double is the safest compare: a
+    // final ROUND(double, 4) actually BROKE the hash at sf0.1 (one
+    // chain's exact binary expansion sat on a .00005 boundary that
+    // Spark's exact-BigDecimal HALF_UP and DuckDB's scaled-double round
+    // resolved differently) — identical bit patterns need no rounding,
+    // and any decimal rounding of a genuine double reintroduces a
+    // boundary lottery.
     "sql_recursive_chain" ->
       ("WITH RECURSIVE seq0 AS (SELECT o_custkey, o_orderkey, " +
         "CAST(o_totalprice AS DOUBLE) AS price, " +
@@ -477,8 +482,7 @@ object Round9cOps {
         "SELECT s.o_custkey, s.rn, s.o_orderkey, " +
         "b.balance * CAST(1.01 AS DOUBLE) + s.price " +
         "FROM bal b JOIN seq s ON s.o_custkey = b.o_custkey AND s.rn = b.rn + 1) " +
-        "SELECT o_custkey, rn, o_orderkey, " +
-        "CAST(ROUND(balance, 4) AS DOUBLE) AS balance " +
+        "SELECT o_custkey, rn, o_orderkey, balance " +
         "FROM bal ORDER BY o_custkey, rn"),
 
     // Identity oracle: every XML extraction reconstructs its source
