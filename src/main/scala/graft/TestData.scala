@@ -86,6 +86,19 @@ object T {
   def rate(c: Column): Column = c.cast(DecimalType(4, 2))
   /** Finalize a decimal aggregate to a hash-stable double. */
   def money(c: Column): Column = round(c, 4).cast(DoubleType)
+
+  /** Round a genuine DOUBLE with DuckDB's exact semantics (DuckRound) —
+    * the canon for every double that is rounded before an oracle hash
+    * compare. Spark's `round(double, p)` rounds the exact decimal
+    * expansion HALF_UP while DuckDB rounds the scaled double; when the
+    * two sides feed identical doubles in (the suite's IEEE-identity
+    * canon), identical rounding semantics make the compare exact at any
+    * boundary. `money` stays Spark `round`: its input is DECIMAL, where
+    * both engines already round the exact value identically. */
+  def dround(c: Column, p: Int): Column = {
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    GraftSqlBridge.column(graft.expr.DuckRound(GraftSqlBridge.expression(c), p))
+  }
   /** events.ts truncated to whole seconds — safe in both engines. */
   def tsSec(c: Column): Column = date_trunc("second", c)
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.T.dround
 import graft.functions.GeoMean
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,7 +21,7 @@ object Aggregates {
   /** round(sumDec::double / cnt, 4) — deterministic "average". */
   private def avgX(sumDec: org.apache.spark.sql.Column,
                    cnt: org.apache.spark.sql.Column) =
-    round(sumDec.cast(DoubleType) / cnt, 4).cast(DoubleType)
+    dround(sumDec.cast(DoubleType) / cnt, 4).cast(DoubleType)
   private def oAvgX(sumDec: String) =
     s"CAST(ROUND(CAST($sumDec AS DOUBLE) / COUNT(*), 4) AS DOUBLE)"
 
@@ -138,7 +139,7 @@ object Aggregates {
       val geo = udaf(GeoMean)
       T.events(s, d).filter(col("value") > 0)
         .groupBy("event_type")
-        .agg(round(geo(col("value")), 4).as("geomean"),
+        .agg(dround(geo(col("value")), 4).as("geomean"),
           count(lit(1)).as("cnt"))
         .orderBy("event_type")
     }),
@@ -160,7 +161,7 @@ object Aggregates {
         col("p_brand"), col("p_partkey"), col("p_retailprice"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
-        round(percent_rank().over(w), 6).as("prnk"))
+        dround(percent_rank().over(w), 6).as("prnk"))
         .orderBy("p_brand", "p_partkey")
     }),
 

@@ -68,7 +68,7 @@ object LlmOps {
       .toDF("a_id", "b_id", "raw")
     scored.orderBy(col("raw").desc, col("a_id"), col("b_id"))
       .limit(k)
-      .select(col("a_id"), col("b_id"), round(col("raw"), 6).as("cos_sim"))
+      .select(col("a_id"), col("b_id"), dround(col("raw"), 6).as("cos_sim"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -105,7 +105,7 @@ object LlmOps {
         .withColumn("jac",
           col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
         .filter(col("jac") >= 0.8)
-        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+        .select(col("a_id"), col("b_id"), dround(col("jac"), 6).as("jac"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -122,7 +122,7 @@ object LlmOps {
           expr("graft_cosine(embedding, p_emb)").as("raw"))
         .orderBy(col("raw").desc, col("vec_id"))
         .limit(10)
-        .select(col("vec_id"), col("label"), round(col("raw"), 6).as("cos_sim"))
+        .select(col("vec_id"), col("label"), dround(col("raw"), 6).as("cos_sim"))
     }),
 
     // Distributed exact all-pairs kNN: block-matrix triangle self-join,
@@ -164,7 +164,7 @@ object LlmOps {
       t(s, d, "documents")
         .groupBy("lang")
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 4)
+          dround(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 4)
             .cast(DoubleType).as("avg_chars"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.T.dround
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -45,7 +46,7 @@ object MoreOps {
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       t(s, d, "part").select(
           col("p_brand"), col("p_partkey"),
-          round(cume_dist().over(w), 6).as("cd"),
+          dround(cume_dist().over(w), 6).as("cd"),
           nth_value(col("p_partkey"), 3).over(wf).as("third_cheapest"))
         .orderBy("p_brand", "p_partkey")
     }),
@@ -229,8 +230,8 @@ object MoreOps {
         .agg(count(lit(1)).as("active"),
           count(col("u1")).as("retained_d1"),
           count(col("u7")).as("retained_d7"),
-          round(count(col("u1")).cast(DoubleType) / count(lit(1)), 4).as("d1_rate"),
-          round(count(col("u7")).cast(DoubleType) / count(lit(1)), 4).as("d7_rate"))
+          dround(count(col("u1")).cast(DoubleType) / count(lit(1)), 4).as("d1_rate"),
+          dround(count(col("u7")).cast(DoubleType) / count(lit(1)), 4).as("d7_rate"))
         .orderBy("day")
     }),
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.T.{t, dec, rate, money, oDec, oRate, oMoney}
+import graft.T.{dround, t, dec, rate, money, oDec, oRate, oMoney}
 
 /** Round-10 additions (8 keys, all oracled):
   *
@@ -99,7 +99,7 @@ object Round10Ops {
       .select(col("vec_id"), col("label"),
         expr("graft_cosine(embedding, p_emb)").as("raw"))
       .orderBy(col("raw").desc, col("vec_id")).limit(10)
-      .select(col("vec_id"), col("label"), round(col("raw"), 6).as("cos_sim"))
+      .select(col("vec_id"), col("label"), dround(col("raw"), 6).as("cos_sim"))
   }
 
   /** Watermark-driven incremental daily load with a SINGLE atomic commit
@@ -276,7 +276,7 @@ object Round10Ops {
         .select(col("vec_id"), col("label"),
           expr("graft_cosine(embedding, p_emb)").as("raw"))
         .orderBy(col("raw").desc, col("vec_id")).limit(10)
-        .select(col("vec_id"), col("label"), round(col("raw"), 6).as("cos_sim"))
+        .select(col("vec_id"), col("label"), dround(col("raw"), 6).as("cos_sim"))
     }),
 
     // Batched LSH serving: top-5 neighbors for EIGHT probes (vec_id
@@ -318,7 +318,7 @@ object Round10Ops {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("p_id"), col("rank"), col("vec_id"), col("label"),
-          round(col("raw"), 6).as("cos_sim"))
+          dround(col("raw"), 6).as("cos_sim"))
         .orderBy("p_id", "rank")
     }),
 

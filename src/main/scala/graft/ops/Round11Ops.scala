@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.T.{t, dec, money, oDec, oMoney}
+import graft.T.{dround, t, dec, money, oDec, oMoney}
 
 /** Round-11 additions (5 keys, all oracled):
   *
@@ -127,8 +127,8 @@ object Round11Ops {
         .withColumn("exact", expr(Round9Ops.fullL2("embedding", "pvec")))
         .orderBy(col("exact").asc_nulls_last, col("vec_id").asc).limit(10)
         .select(col("vec_id"), col("label"), col("cid"),
-          round(col("adc"), 6).as("adc_dist"),
-          round(col("exact"), 6).as("l2_dist"))
+          dround(col("adc"), 6).as("adc_dist"),
+          dround(col("exact"), 6).as("l2_dist"))
     }),
 
     // Conversion timing. One window pass assigns each event its
@@ -227,7 +227,7 @@ object Round11Ops {
     val quality = toks
       .withColumn("n_tok", size(col("toks")).cast(LongType))
       .filter(col("n_tok") >= 5 &&
-        round(size(array_distinct(col("toks"))) /
+        dround(size(array_distinct(col("toks"))) /
           greatest(col("n_tok"), lit(1L)).cast(DoubleType), 6) >= 0.5)
     // stage 2: held-out benchmark split (contamination-check's split:
     // bench shingles come from the RAW bench docs — a held-out suite

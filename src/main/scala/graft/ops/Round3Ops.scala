@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.T.dround
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -94,7 +95,7 @@ object Round3Ops {
         .orderBy(col("tfidf").desc, col("term").asc)
       tf.join(df, "term").crossJoin(broadcast(n))
         .withColumn("tfidf",
-          round(col("tf") * log(col("n_docs") / col("df")), 6))
+          dround(col("tf") * log(col("n_docs") / col("df")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("term"), col("rk"), col("tfidf"))
@@ -173,12 +174,12 @@ object Round3Ops {
     // absorbs the ~1e-12 cross-engine merge-order float drift.
     "agg_stats_pack" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+        .agg(dround(corr(col("l_quantity"), col("l_extendedprice")), 6)
             .as("corr_qp"),
-          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6)
+          dround(covar_samp(col("l_quantity"), col("l_extendedprice")), 6)
             .as("covar_qp"),
-          round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
-          round(var_samp(col("l_quantity")), 6).as("var_q"),
+          dround(stddev_samp(col("l_quantity")), 6).as("sd_q"),
+          dround(var_samp(col("l_quantity")), 6).as("var_q"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
@@ -487,7 +488,7 @@ object Round3Ops {
         .join(uni.select(col("tok").as("b"), col("c1").as("cb")), "b")
         .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
         .select(col("a"), col("b"), col("c2"),
-          round(log((col("c2") / col("t2")) /
+          dround(log((col("c2") / col("t2")) /
             ((col("ca") / col("t1")) * (col("cb") / col("t1")))), 6)
             .as("pmi"))
         .orderBy("a", "b")
@@ -519,7 +520,7 @@ object Round3Ops {
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tok", size(col("toks")))
         .withColumn("uniq_ratio",
-          round(size(array_distinct(col("toks"))) /
+          dround(size(array_distinct(col("toks"))) /
             greatest(col("n_tok"), lit(1)).cast(DoubleType), 6))
         .withColumn("keep",
           col("n_tok") >= 5 && col("uniq_ratio") >= 0.5)

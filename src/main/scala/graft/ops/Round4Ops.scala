@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.T.dround
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -190,8 +191,8 @@ object Round4Ops {
       val dupf = lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tok")
       words.join(top, "doc_id")
         .select(col("doc_id"),
-          round(dupf, 4).as("dup_word_frac"),
-          round(col("topf"), 4).as("top_bigram_frac"),
+          dround(dupf, 4).as("dup_word_frac"),
+          dround(col("topf"), 4).as("top_bigram_frac"),
           (dupf <= 0.65 && col("topf") <= 0.15).as("keep"))
         .orderBy("doc_id")
     }),
@@ -256,7 +257,7 @@ object Round4Ops {
       pqCodes(e, cents)
         .select(col("vec_id"), col("m").cast(IntegerType).as("m"),
           col("code").cast(IntegerType).as("code"),
-          round(col("dist"), 4).as("dist"))
+          dround(col("dist"), 4).as("dist"))
         .orderBy("vec_id", "m")
     }),
 
@@ -290,7 +291,7 @@ object Round4Ops {
           first(col("label")).as("label"))
         .filter(col("vec_id") =!= 0)
         .orderBy(col("adc").asc, col("vec_id").asc).limit(10)
-        .select(col("vec_id"), col("label"), round(col("adc"), 6).as("adc_dist"))
+        .select(col("vec_id"), col("label"), dround(col("adc"), 6).as("adc_dist"))
     }),
 
     // TPC-H Q18 shape: orders whose lineitems sum past a quantity
@@ -359,8 +360,8 @@ object Round4Ops {
         cos(lat1) * sin(lat2) - sin(lat1) * cos(lat2) * cos(dLon)))
       c.join(n, col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name"),
-          round(distKm, 2).as("dist_km"),
-          round(bearing, 2).as("bearing_deg"))
+          dround(distKm, 2).as("dist_km"),
+          dround(bearing, 2).as("bearing_deg"))
         .orderBy("c_custkey")
     }),
 

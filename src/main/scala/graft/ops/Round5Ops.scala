@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.T.dround
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -122,7 +123,7 @@ object Round5Ops {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum(col("surp")).as("ssum"))
       .select(col("doc_id"), col("n_tok"),
-        round(col("ssum").cast(DoubleType) / col("n_tok"), 6)
+        dround(col("ssum").cast(DoubleType) / col("n_tok"), 6)
           .as("avg_surprisal"))
   }
 
@@ -233,7 +234,7 @@ object Round5Ops {
         .groupBy("o_year", "n_name")
         .agg(sum(col("rev")).as("nrev"))
         .select(col("o_year"), col("n_name"), money(col("nrev")).as("revenue"),
-          round(col("nrev").cast(DoubleType) /
+          dround(col("nrev").cast(DoubleType) /
             sum(col("nrev")).over(wy).cast(DoubleType), 6).as("share"))
         .orderBy("o_year", "n_name")
     }),
@@ -256,7 +257,7 @@ object Round5Ops {
       graft.Graft.scanSum(byPart, col("rev"),
           Seq(col("rev").desc, col("l_partkey")), "cum", "tot")
         .select(col("l_partkey"), money(col("rev")).as("revenue"),
-          round(col("cum").cast(DoubleType) /
+          dround(col("cum").cast(DoubleType) /
             col("tot").cast(DoubleType), 6).as("cum_share"))
         .withColumn("abc_class",
           when(col("cum_share") <= 0.5, "A")
@@ -274,7 +275,7 @@ object Round5Ops {
       graft.Graft.scanSum(byCust, col("spend"),
           Seq(col("spend").desc, col("o_custkey")), "cum", "tot")
         .select(col("o_custkey"), money(col("spend")).as("spend"),
-          round(col("cum").cast(DoubleType) /
+          dround(col("cum").cast(DoubleType) /
             col("tot").cast(DoubleType), 6).as("cum_share"))
         .withColumn("is_whale", col("cum_share") <= 0.5)
         .orderBy(col("spend").desc, col("o_custkey"))
@@ -411,12 +412,12 @@ object Round5Ops {
         .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
         .withColumn("sc", when(col("amax") > 0, col("amax") / 127.0))
       def code(x: Column): Column =
-        least(lit(127.0), greatest(lit(-127.0), round(x / col("sc"))))
+        least(lit(127.0), greatest(lit(-127.0), dround(x / col("sc"), 0)))
       e.select(col("vec_id"), round(col("amax"), 6).as("amax"),
           when(col("sc").isNull, 0L).otherwise(
             aggregate(transform(col("e"), x => code(x).cast(LongType)),
               lit(0L), (a, x) => a + x)).as("code_sum"),
-          round(when(col("sc").isNull, 0.0).otherwise(
+          dround(when(col("sc").isNull, 0.0).otherwise(
             array_max(transform(col("e"), x => abs(x - code(x) * col("sc"))))), 6)
             .as("max_err"))
         .orderBy("vec_id")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.T.dround
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -114,11 +115,11 @@ object Round6Ops {
     "agg_regr_pack" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(
-          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+          dround(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
             .as("slope"),
-          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6)
+          dround(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6)
             .as("intercept"),
-          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+          dround(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
             .as("r2"),
           regr_count(col("l_extendedprice"), col("l_quantity"))
             .cast(LongType).as("n"))
@@ -273,7 +274,7 @@ object Round6Ops {
         .join(broadcast(sup.select(col("p_brand").as("b2"), col("cnt").as("c2"))), "b2")
         .crossJoin(broadcast(nOrders))
         .select(col("b1"), col("b2"), col("pair_cnt"),
-          round(col("pair_cnt").cast(DoubleType) / col("n_orders"), 6).as("support"),
+          dround(col("pair_cnt").cast(DoubleType) / col("n_orders"), 6).as("support"),
           round(col("pair_cnt").cast(DoubleType) * col("n_orders") /
             (col("c1").cast(DoubleType) * col("c2")), 6).as("lift"))
         .orderBy("b1", "b2")
@@ -321,10 +322,10 @@ object Round6Ops {
       wc.withColumn("rank",
           row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
         .agg(
-          round(regr_slope(log(col("cnt")), log(col("rank"))), 6).as("slope"),
-          round(regr_intercept(log(col("cnt")), log(col("rank"))), 6)
+          dround(regr_slope(log(col("cnt")), log(col("rank"))), 6).as("slope"),
+          dround(regr_intercept(log(col("cnt")), log(col("rank"))), 6)
             .as("intercept"),
-          round(regr_r2(log(col("cnt")), log(col("rank"))), 6).as("r2"),
+          dround(regr_r2(log(col("cnt")), log(col("rank"))), 6).as("r2"),
           count(lit(1)).as("n_terms"))
     }),
 
@@ -347,8 +348,8 @@ object Round6Ops {
         .orderBy(col("cos16").desc, col("vec_id")).limit(50)
       cand.orderBy(col("cosf").desc, col("vec_id")).limit(10)
         .select(col("vec_id"), col("label"),
-          round(col("cos16"), 6).as("cos_prefix"),
-          round(col("cosf"), 6).as("cos_full"))
+          dround(col("cos16"), 6).as("cos_prefix"),
+          dround(col("cosf"), 6).as("cos_full"))
     }),
 
     // File-provenance scan: Spark's hidden _metadata struct exposes the
@@ -508,8 +509,8 @@ object Round6Ops {
     // higher-moment aggregates, rounded 6dp like corr/stddev.
     "agg_skew_kurt" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(round(skewness(col("l_quantity")), 6).as("skew"),
-          round(kurtosis(col("l_quantity")), 6).as("kurt"),
+        .agg(dround(skewness(col("l_quantity")), 6).as("skew"),
+          dround(kurtosis(col("l_quantity")), 6).as("kurt"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
@@ -528,7 +529,7 @@ object Round6Ops {
       m.join(prev, col("y") - 1 === col("py") && col("m") === col("pm"), "left")
         .select(col("y"), col("m"), money(col("gmv")).as("gmv"),
           money(col("prev_gmv")).as("prev_gmv"),
-          round((money(col("gmv")) - money(col("prev_gmv"))) /
+          dround((money(col("gmv")) - money(col("prev_gmv"))) /
             money(col("prev_gmv")), 6).as("yoy"))
         .orderBy("y", "m")
     }),
@@ -566,7 +567,7 @@ object Round6Ops {
         .agg(sum(col("c")).as("n"),
           sum((col("c") * log(col("c"))).cast(DecimalType(18, 12))).as("clnc"))
         .select(col("doc_id"), col("n").as("n_bigrams"),
-          round(log(col("n")) -
+          dround(log(col("n")) -
             col("clnc").cast(DoubleType) / col("n"), 6).as("entropy"))
         .orderBy("doc_id")
     })

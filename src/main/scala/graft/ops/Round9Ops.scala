@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.T.dround
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -470,8 +471,8 @@ object Round9Ops {
         // must rank behind every finite exact distance, not ahead
         .orderBy(col("exact").asc_nulls_last, col("vec_id").asc).limit(10)
         .select(col("vec_id"), col("label"), col("cid"),
-          round(col("adc"), 6).as("adc_dist"),
-          round(col("exact"), 6).as("l2_dist"))
+          dround(col("adc"), 6).as("adc_dist"),
+          dround(col("exact"), 6).as("l2_dist"))
     }),
 
     // t2=N: trained codebook — Lloyd's k-means run to its assignment
@@ -491,7 +492,7 @@ object Round9Ops {
         v.zipWithIndex.map { case (x, dim) => (cid, dim, x, n, iters) }
       }.toDF("cid", "dim", "centroid_v", "n_members", "n_iters")
         .withColumn("final_inertia",
-          round(lit(inertias.lastOption.getOrElse(0d)), 6))
+          dround(lit(inertias.lastOption.getOrElse(0d)), 6))
         .orderBy("cid", "dim")
     }),
 
@@ -528,7 +529,7 @@ object Round9Ops {
         .withColumn("gmv_interp",
           when(col("gmv").isNotNull, col("gmv"))
             .when(col("pv").isNotNull && col("nv").isNotNull,
-              round(col("pv") + (col("nv") - col("pv")) *
+              dround(col("pv") + (col("nv") - col("pv")) *
                 (datediff(col("day"), col("pd")).cast(DoubleType) /
                   datediff(col("nd"), col("pd")).cast(DoubleType)), 6))
             .otherwise(lit(null).cast(DoubleType)))
@@ -578,7 +579,7 @@ object Round9Ops {
           "lineitem.discount_over_5pct" -> "v_disc")))
         .unionAll(unpack(orphan, Seq("lineitem.orphan_orderkey" -> "v_orph")))
         .withColumn("violation_rate",
-          round(col("n_violations").cast(DoubleType) / col("n_checked"), 6))
+          dround(col("n_violations").cast(DoubleType) / col("n_checked"), 6))
         .orderBy("rule")
     }),
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.T.dround
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -126,8 +127,8 @@ object Round9bOps {
         .withColumn("z", round((col("cnt") - col("mean")) / col("sd"), 6))
         .filter(abs(col("z")) >= 2)
         .select(col("event_type"), col("day"), col("cnt"),
-          round(col("mean"), 6).as("mean_cnt"),
-          round(col("sd"), 6).as("sd_cnt"), col("z"))
+          dround(col("mean"), 6).as("mean_cnt"),
+          dround(col("sd"), 6).as("sd_cnt"), col("z"))
         .orderBy("event_type", "day")
     }),
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.T.dround
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -128,7 +129,7 @@ object Round9cOps {
       val den = terms.map(_._2).reduceLeft(_ + _)
       daily
         .select(col("prio"), col("day"), col("rev"),
-          round(num / den, 6).as("ewma_rev"))
+          dround(num / den, 6).as("ewma_rev"))
         .orderBy("prio", "day")
     }),
 
@@ -156,8 +157,8 @@ object Round9cOps {
             .cast(LongType))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"),
-          round(min(col("avg_surprisal")), 6).as("min_surprisal"),
-          round(max(col("avg_surprisal")), 6).as("max_surprisal"),
+          dround(min(col("avg_surprisal")), 6).as("min_surprisal"),
+          dround(max(col("avg_surprisal")), 6).as("max_surprisal"),
           round(sum(col("avg_surprisal").cast(DecimalType(18, 6)))
             .cast(DoubleType) / count(lit(1)), 6).as("mean_surprisal"))
         .orderBy("bucket")
@@ -295,8 +296,8 @@ object Round9cOps {
             .cast(LongType).as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"),
-          round(min(col("avg_surprisal")), 6).as("min_surprisal"),
-          round(max(col("avg_surprisal")), 6).as("max_surprisal"))
+          dround(min(col("avg_surprisal")), 6).as("min_surprisal"),
+          dround(max(col("avg_surprisal")), 6).as("max_surprisal"))
         .orderBy("bucket")
     }),
 
@@ -387,8 +388,8 @@ object Round9cOps {
       rows.toDF("subspace", "cid", "n_members", "c_norm_raw",
           "inertia_raw", "iters")
         .select(col("subspace"), col("cid"), col("n_members"),
-          round(col("c_norm_raw"), 6).as("c_norm"),
-          round(col("inertia_raw"), 4).as("final_inertia"), col("iters"))
+          dround(col("c_norm_raw"), 6).as("c_norm"),
+          dround(col("inertia_raw"), 4).as("final_inertia"), col("iters"))
         .orderBy("subspace", "cid")
     })
   )

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.T.dround
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -64,10 +65,10 @@ object Scalars {
         floor(col("c_acctbal")).as("fl"),
         ceil(col("c_acctbal")).as("ce"),
         abs(col("c_acctbal")).as("ab"),
-        round(sqrt(abs(col("c_acctbal"))), 4).as("sq"),
-        round(exp(col("c_acctbal") / 10000.0), 6).as("ex"),
-        round(log(abs(col("c_acctbal")) + 1), 6).as("lnn"),
-        round(log10(abs(col("c_acctbal")) + 1), 6).as("lg"),
+        dround(sqrt(abs(col("c_acctbal"))), 4).as("sq"),
+        dround(exp(col("c_acctbal") / 10000.0), 6).as("ex"),
+        dround(log(abs(col("c_acctbal")) + 1), 6).as("lnn"),
+        dround(log10(abs(col("c_acctbal")) + 1), 6).as("lg"),
         pow(pmod(col("c_custkey"), lit(7)), 2).as("pw"),
         pmod(col("c_custkey"), lit(7)).as("pm"),
         signum(col("c_acctbal")).cast(IntegerType).as("sg"),

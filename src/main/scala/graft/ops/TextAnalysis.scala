@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.T
+import graft.T.dround
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -79,10 +80,10 @@ object TextAnalysis {
           size(expr("filter(tokens, x -> x IN ('the', 'a'))")).as("n_stop"))
         .select(
           col("doc_id"), col("n_tok"), col("n_stop"),
-          round(col("n_stop").cast(DoubleType) / col("n_tok"), 4).as("stop_ratio"),
-          round((length(col("text")) - (col("n_tok") - 1)).cast(DoubleType)
+          dround(col("n_stop").cast(DoubleType) / col("n_tok"), 4).as("stop_ratio"),
+          dround((length(col("text")) - (col("n_tok") - 1)).cast(DoubleType)
             / col("n_tok"), 4).as("avg_word_len"),
-          round((length(col("text")) -
+          dround((length(col("text")) -
             length(replace(col("text"), lit("a"), lit(""))))
             .cast(DoubleType) / length(col("text")), 4).as("a_ratio"))
         // quality combines the three ROUNDED 4dp ratios in exact decimal
@@ -163,7 +164,7 @@ object TextAnalysis {
           expr("graft_cosine(embedding, p_emb)").as("raw"))
         .orderBy(col("raw").desc, col("vec_id")).limit(10)
         .select(col("vec_id"), col("label"), col("cid"),
-          round(col("raw"), 6).as("cos_sim"))
+          dround(col("raw"), 6).as("cos_sim"))
     }),
 
     // Embedding-cosine near-dup: pairs above a high cosine threshold,
@@ -200,7 +201,7 @@ object TextAnalysis {
           expr("graft_cosine(a_emb, b_emb)").as("raw"))
         .filter(col("raw") >= 0.5)
         .select(col("a_id"), col("b_id"), col("cid"),
-          round(col("raw"), 6).as("cos_sim"))
+          dround(col("raw"), 6).as("cos_sim"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -222,7 +223,7 @@ object TextAnalysis {
         .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
         .withColumn("jac", col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
         .filter(col("jac") >= 0.6)
-        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+        .select(col("a_id"), col("b_id"), dround(col("jac"), 6).as("jac"))
         .orderBy("a_id", "b_id")
     }),
 

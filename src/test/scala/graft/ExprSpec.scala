@@ -26,6 +26,43 @@ class ExprSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("DuckRound: matches DuckDB's scaled-double semantics; agrees with Spark round off-boundary") {
+    import graft.expr.DuckRound
+    // the sf0.1 row that exposed the divergence: Spark ROUND gave .8307
+    // (exact-decimal HALF_UP), DuckDB .8306 (scaled-double std::round) —
+    // DuckRound must take DuckDB's side
+    val v = 1160100.83065
+    assert(DuckRound.round(v, 4) === 1160100.8306)
+    // ties away from zero on exactly-representable halves
+    assert(DuckRound.round(2.5, 0) === 3.0)
+    assert(DuckRound.round(-2.5, 0) === -3.0)
+    assert(DuckRound.round(0.125, 2) === 0.13) // 0.125*100 = 12.5 exact
+    // NaN/Inf pass through; huge values are already integral
+    assert(DuckRound.round(Double.NaN, 4).isNaN)
+    assert(DuckRound.round(Double.PositiveInfinity, 4).isInfinite)
+    assert(DuckRound.round(9.007199254740993e15, 2) === 9.007199254740993e15)
+    // off boundaries the two semantics agree: exhaustive-ish sweep
+    val rnd = new scala.util.Random(42)
+    (0 until 20000).foreach { _ =>
+      val x = (rnd.nextDouble() - 0.5) * 2e6
+      val d = DuckRound.round(x, 6)
+      val s = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // disagreements can only occur within one ulp of a .5 boundary
+      if (d != s) {
+        val scaled = math.abs(x * 1e6)
+        val frac = scaled - math.floor(scaled)
+        assert(math.abs(frac - 0.5) < 1e-6,
+          s"DuckRound and Spark-round disagreed away from a boundary: $x -> $d vs $s")
+      }
+    }
+    // the Column path (interpreted + codegen) computes the same values
+    import spark.implicits._
+    val df = Seq(1160100.83065, 2.5, -2.5, 0.125).toDF("x")
+      .select(T.dround(col("x"), 4).as("r")).collect().map(_.getDouble(0))
+    assert(df.toSeq === Seq(1160100.8306, 2.5, -2.5, 0.125)
+      .map(DuckRound.round(_, 4)))
+  }
+
   test("WinnowFingerprints == built-in filter/transform formulation, value-exact") {
     Graft.registerFunctions(spark)
     val P = (0 until 16).map(k => BigInt(31).modPow(k, 1000003).toLong)
