@@ -53,9 +53,22 @@ object T {
     * Both branches yield the same columns in the same order:
     * (event_id, ts_ns LONG, user_id, event_type, value, props, ts TIMESTAMP).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    relCache.computeIfAbsent((spark, s"$sfDir#events-normalized"),
-      _ => eventsUncached(spark, sfDir))
+  /** NOT computeIfAbsent: eventsUncached calls t(), whose own
+    * computeIfAbsent would then nest inside this one on the SAME map —
+    * ConcurrentHashMap detects that as "Recursive update" whenever the
+    * two keys happen to share a hash bin (identity-hash dependent, so
+    * it surfaced only on some JVM runs). get + putIfAbsent cannot nest;
+    * the benign race just computes the plan twice and keeps the first. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = (spark, s"$sfDir#events-normalized")
+    val cached = relCache.get(key)
+    if (cached != null) cached
+    else {
+      val df = eventsUncached(spark, sfDir)
+      val prev = relCache.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
+  }
 
   private def eventsUncached(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -63,18 +63,34 @@ object GraftTable {
   }
 
   /** Stage `df` as the data of version `v` WITHOUT committing. Overwrite
-    * semantics make a retry after a crash idempotent. */
+    * semantics make a retry after a crash idempotent — but only for an
+    * UNCOMMITTED version: a committed version's data is immutable (it
+    * is what snapshot isolation hands to in-flight readers), so staging
+    * over it is refused loudly. */
   def stage(df: DataFrame, dir: String, v: Int,
-      prefix: String = "v"): Unit =
+      prefix: String = "v"): Unit = {
+    val fs = fsOf(df.sparkSession, dir)
+    require(!fs.exists(new Path(s"$dir/manifest/commit_$v")),
+      s"version $v is already committed under $dir — committed data is " +
+        "immutable; stage the NEXT version instead")
     df.write.mode("overwrite").parquet(s"$dir/$prefix$v")
+  }
 
   /** Atomically commit staged version `v`: one file create + rename
-    * makes it (and its metadata) visible in a single step. Then data
-    * dirs of versions older than `v - retain` are garbage-collected —
-    * `retain` prior versions stay readable for time travel and as a
-    * grace window for in-flight readers (production would add
-    * time-based retention). GC failure leaves garbage, never
-    * corruption. */
+    * makes it (and its metadata) visible in a single step. The rename
+    * doubles as OPTIMISTIC CONCURRENCY CONTROL — on HDFS rename onto an
+    * existing destination atomically fails (local POSIX rename
+    * overwrites, so an exists-check approximates the same contract
+    * there), so of two writers racing to commit the same version number
+    * exactly one wins and the loser gets a
+    * ConcurrentModificationException (re-stage against the new current
+    * version and retry — the lakehouse commit-loop protocol; silent
+    * last-writer-wins would let the loser's reader see data the
+    * manifest never named). Then data dirs of versions older than
+    * `v - retain` are garbage-collected — `retain` prior versions stay
+    * readable for time travel and as a grace window for in-flight
+    * readers (production would add time-based retention). GC failure
+    * leaves garbage, never corruption. */
   def commit(fs: FileSystem, dir: String, v: Int, metadata: String,
       retain: Int = Int.MaxValue, prefix: String = "v"): Unit = {
     val mdir = new Path(s"$dir/manifest")
@@ -83,7 +99,13 @@ object GraftTable {
     val out = fs.create(tmp, true)
     try out.write(metadata.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.rename(tmp, new Path(mdir, s"commit_$v"))
+    val dest = new Path(mdir, s"commit_$v")
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"version $v was committed by a concurrent writer under $dir — " +
+          "re-stage against the current version and retry")
+    }
     if (retain != Int.MaxValue)
       fs.listStatus(new Path(dir)).foreach { st =>
         val n = st.getPath.getName

@@ -239,6 +239,24 @@ class Round11Spec extends SparkSpec {
     intercept[IllegalArgumentException] {
       GraftTable.readVersion(spark, dir, 9)
     }
+
+    // committed data is immutable: staging over a committed version is
+    // refused before any write happens
+    intercept[IllegalArgumentException] {
+      GraftTable.stage(v0rows, dir, 3)
+    }
+    // optimistic concurrency: two writers race version 4 — both stage
+    // (uncommitted overwrite is the idempotent-retry path), exactly one
+    // commit wins, the loser throws instead of silently last-writer-
+    // winning, and the winner's metadata survives the attempt
+    GraftTable.stage(v0rows, dir, 4)
+    GraftTable.stage(v0rows, dir, 4)
+    GraftTable.commit(fs, dir, 4, "winner")
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTable.commit(fs, dir, 4, "loser")
+    }
+    assert(GraftTable.meta(fs, dir, 4) === "winner")
+    assert(GraftTable.read(spark, dir).count() === 2)
   }
 
   test("etl_llm_corpus_pipeline: stages compose — dedup'd, decontaminated, fully packed") {
