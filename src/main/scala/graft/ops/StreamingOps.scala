@@ -191,8 +191,10 @@ object StreamingOps {
         col("p_val"))
   }
 
-  /** Streaming ingest-time dedup (t2=N `stream_dedup_incremental`,
-    * ScalaTest): documents arrive in micro-batches and are dropped if
+  /** Streaming ingest-time dedup (golden-tested only — the
+    * `stream_dedup_incremental` MemoryStream test; no query key, because
+    * dropDuplicatesWithinWatermark is streaming-only and cannot run
+    * under batch Verify): documents arrive in micro-batches and are dropped if
     * (a) their content hash already exists in the historical corpus, or
     * (b) a duplicate arrived earlier in the stream within the watermark
     * horizon — the ingest-time shape of a training-data pipeline, and
