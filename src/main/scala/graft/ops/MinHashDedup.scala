@@ -55,9 +55,20 @@ object MinHashDedup {
     * key-partitioned shuffles, never the quadratic candidate-pair set
     * (which on a near-dup-heavy corpus is quadratic BY OUTPUT).
     */
-  def dedupAssign(docs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def dedupAssign(docs: DataFrame, maxIters: Int = 10): DataFrame =
+    dedupAssignFromSigs(signatures(docs), maxIters)
+
+  /** The assignment half, over an existing signature table — the serving
+    * path when signatures live in an incrementally-ingested store
+    * (`text_minhash_index_serve`): label propagation runs over STORED
+    * signatures with zero signature recomputation. Docs without a
+    * signature row (no tokens) have no bands and were never assignable;
+    * seeding from `sigs` makes that set explicit (dedupAssign's
+    * docs-seeded labels drop them on the first inner join anyway —
+    * identical output, proven in Round11Spec). */
+  def dedupAssignFromSigs(sigs0: DataFrame, maxIters: Int = 10): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sigs = signatures(docs)
+    val sigs = sigs0
     val bandKeys = (0 until Bands).map { b =>
       val parts = (0 until R).map(j => col("sig").getItem(b * R + j))
       struct(lit(b).as("band"), xxhash64(parts: _*).as("bh"))
@@ -75,8 +86,8 @@ object MinHashDedup {
     // (isolated SQLConf, shared context + cache manager), so the
     // overrides cannot leak into plans compiled concurrently on the
     // caller's session; the returned plan is rebound to the caller.
-    val s = docs.sparkSession
-    val nBanded = docs.count() * Bands
+    val s = sigs.sparkSession
+    val nBanded = sigs.count() * Bands
     val loopParts = math.max(1L, math.min(
       s.conf.get("spark.sql.shuffle.partitions").toLong,
       nBanded / 50000 + 1))
@@ -99,7 +110,7 @@ object MinHashDedup {
       // One row per doc (NOT per band) — an undeduplicated seed would
       // multiply the first round's join by Bands^2.
       var labs = graft.Graft
-        .rebind(docs.select(col("doc_id"), col("doc_id").as("rep")), s2)
+        .rebind(sigs.select(col("doc_id"), col("doc_id").as("rep")), s2)
         .persist(MEMORY_AND_DISK)
       // seed checksum deliberately not computed: round 1 always runs, and
       // on a dup-free corpus stability is detected one round later anyway

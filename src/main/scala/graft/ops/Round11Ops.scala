@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.T.{dround, t, dec, money, oDec, oMoney}
 
-/** Round-11 additions (5 keys, all oracled):
+/** Round-11 additions (6 keys, 5 oracled + 1 rows-only):
   *
   *  - `vec_ivf_index_serve` — the ingest/serve split for the IVF×PQ ANN
   *    path, mirroring what `vec_lsh_index_serve` proved for LSH: coarse
@@ -43,6 +43,11 @@ import graft.T.{dround, t, dec, money, oDec, oMoney}
   *    retention GC) demonstrated end to end: two committed versions,
   *    both read back through the manifest and oracled against
   *    recomputes from the raw table.
+  *
+  *  - `text_minhash_index_serve` (rows-only, like its from-scratch twin)
+  *    — the MinHash ingest/serve split over a GraftTable-versioned
+  *    signature store; served assignment proven row-identical to
+  *    from-scratch dedupAssign in Round11Spec.
   */
 object Round11Ops {
 
@@ -212,6 +217,42 @@ object Round11Ops {
           .agg(count(lit(1)).as("n_rows"), money(sum(col("price"))).as("sum_price"))
           .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
       snap(0).unionAll(snap(1)).orderBy("version")
+    }),
+
+    // MinHash ingest/serve split (t2=N rows-only, like its from-scratch
+    // twin text_minhash_dedup) — completes the trilogy with
+    // vec_lsh_index_serve and vec_ivf_index_serve: signatures are
+    // computed INCREMENTALLY (two disjoint doc chunks, each one
+    // explode+groupBy over only ITS documents) and committed to a
+    // GraftTable-versioned signature store (atomic manifest commits —
+    // a crash mid-ingest leaves the previous snapshot current, never a
+    // half-appended store), and the label-propagation dedup assignment
+    // is served FROM THE STORE with zero signature recomputation.
+    // Round11Spec proves the served assignment row-identical to the
+    // from-scratch dedupAssign and the store's two committed versions.
+    // At 100 TB: re-signing only the new day's documents is the entire
+    // ingest cost; the assignment loop reads fixed-width signatures,
+    // never the corpus text.
+    "text_minhash_index_serve" -> ((s, d) => {
+      val dir = s"target/tmp/mhidx_${new java.io.File(d).getName}"
+      graft.sources.GraftTable.fsOf(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val docs = t(s, d, "documents")
+      (0 to 1).foreach { i =>
+        val chunkSigs = MinHashDedup.signatures(
+          docs.filter(pmod(col("doc_id"), lit(2)) === i))
+        val fs = graft.sources.GraftTable.fsOf(s, dir)
+        val merged = graft.sources.GraftTable.readManifest(fs, dir) match {
+          case Some(_) =>
+            graft.sources.GraftTable.read(s, dir).unionByName(chunkSigs)
+          case None => chunkSigs
+        }
+        graft.sources.GraftTable.commitNext(s, dir, merged, s"chunk$i")
+      }
+      MinHashDedup.dedupAssignFromSigs(graft.sources.GraftTable.read(s, dir))
+        .select(col("doc_id"), col("rep"),
+          (col("doc_id") =!= col("rep")).as("is_dup"))
+        .orderBy("doc_id")
     })
   )
 

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the claimed numbers live.
   */
 class EntryCountSpec extends AnyFunSuite {
-  val claimedQueries = 228
+  val claimedQueries = 229
   val claimedOracles = 208
 
   test("queries.size matches the documented count") {

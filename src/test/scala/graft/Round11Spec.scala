@@ -259,6 +259,25 @@ class Round11Spec extends SparkSpec {
     assert(GraftTable.read(spark, dir).count() === 2)
   }
 
+  test("text_minhash_index_serve: store-served assignment equals from-scratch; two committed versions") {
+    val served = SparkEntry.queries("text_minhash_index_serve")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val scratch = ops.MinHashDedup.dedupAssign(T.t(spark, sf, "documents"))
+      .select(col("doc_id"), col("rep"),
+        (col("doc_id") =!= col("rep")).as("is_dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(served === scratch,
+      "incremental signature ingest changed the dedup assignment")
+    assert(served.nonEmpty)
+    // the store really is versioned: one commit per ingest chunk
+    val dir = s"target/tmp/mhidx_${new java.io.File(sf).getName}"
+    val fs = graft.sources.GraftTable.fsOf(spark, dir)
+    assert(graft.sources.GraftTable.versions(fs, dir) === Seq(0, 1))
+    // snapshot v0 holds exactly the first chunk's signature rows
+    val v0 = graft.sources.GraftTable.readVersion(spark, dir, 0)
+    assert(v0.filter(pmod(col("doc_id"), lit(2)) =!= 0).count() === 0)
+  }
+
   test("etl_llm_corpus_pipeline: stages compose — dedup'd, decontaminated, fully packed") {
     val out = SparkEntry.queries("etl_llm_corpus_pipeline")(spark, sf)
       .collect()
