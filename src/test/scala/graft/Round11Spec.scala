@@ -259,6 +259,27 @@ class Round11Spec extends SparkSpec {
     assert(GraftTable.read(spark, dir).count() === 2)
   }
 
+  test("relation cache: cold concurrent events/t access never deadlocks or recurses") {
+    // the round-11 'Recursive update' bug was identity-hash dependent —
+    // a fresh session makes every cache key cold, and 8 threads racing
+    // events() (whose builder itself calls t()) plus all 10 tables
+    // exercises the nested-resolution path under contention
+    val s2 = org.apache.spark.sql.graft.GraftSqlBridge.cloneSession(spark)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 24).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            if (i % 3 == 0) T.events(s2, sf).count()
+            else T.t(s2, sf, T.tables(i % T.tables.size)).count()
+        })
+      }
+      tasks.foreach { f =>
+        assert(f.get(120, java.util.concurrent.TimeUnit.SECONDS) > 0)
+      }
+    } finally pool.shutdown()
+  }
+
   test("text_minhash_index_serve: store-served assignment equals from-scratch; two committed versions") {
     val served = SparkEntry.queries("text_minhash_index_serve")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
