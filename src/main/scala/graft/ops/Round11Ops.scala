@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.T.{dround, t, dec, money, oDec, oMoney}
 
-/** Round-11 additions (6 keys, 5 oracled + 1 rows-only):
+/** Round-11 additions (7 keys, 6 oracled + 1 rows-only):
   *
   *  - `vec_ivf_index_serve` — the ingest/serve split for the IVF×PQ ANN
   *    path, mirroring what `vec_lsh_index_serve` proved for LSH: coarse
@@ -253,6 +253,43 @@ object Round11Ops {
         .select(col("doc_id"), col("rep"),
           (col("doc_id") =!= col("rep")).as("is_dup"))
         .orderBy("doc_id")
+    }),
+
+    // Malformed-record governance — the ingest reality every raw-JSON
+    // lake layer faces: the same corrupted feed read under PERMISSIVE
+    // (quarantine: bad lines survive as _corrupt_record rows, nothing
+    // is silently lost) and DROPMALFORMED (cleanse: bad lines dropped).
+    // The fixture is the events table as JSON lines plus 3 deterministic
+    // garbage lines; the report is row/corrupt counts per mode, oracled
+    // as events-count arithmetic. At 100 TB the PERMISSIVE quarantine
+    // column is the audit trail that makes a bad producer debuggable —
+    // mode choice is a per-feed policy, both paths one scan.
+    "source_corrupt_tolerant" -> ((s, d) => {
+      val dir = s"target/tmp/corrupt_${new java.io.File(d).getName}"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      graft.T.events(s, d).select("event_id", "user_id", "value")
+        .write.mode("overwrite").json(dir)
+      import s.implicits._
+      Seq("{bad json", "also,not,json}", "{\"event_id\":")
+        .toDF("value").coalesce(1).write.mode("append").text(dir)
+      val base = new StructType()
+        .add("event_id", LongType).add("user_id", LongType)
+        .add("value", DoubleType)
+      val perm = s.read.schema(base.add("_corrupt_record", StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPerm = perm.count()
+      val nCorrupt = perm.filter(col("_corrupt_record").isNotNull).count()
+      perm.unpersist(blocking = false)
+      val nDrop = s.read.schema(base).option("mode", "DROPMALFORMED")
+        .json(dir).count()
+      Seq(("dropmalformed", nDrop, 0L), ("permissive", nPerm, nCorrupt))
+        .toDF("mode", "n_rows", "n_corrupt")
+        .orderBy("mode")
     })
   )
 
@@ -349,6 +386,15 @@ object Round11Ops {
         "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens, " +
         "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
         "FROM cum GROUP BY source, seq_id ORDER BY source, seq_id"),
+
+    // Both modes' counts recomputed from the events table: PERMISSIVE
+    // keeps every line (+3 quarantined), DROPMALFORMED sheds the 3.
+    "source_corrupt_tolerant" ->
+      ("SELECT 'dropmalformed' AS mode, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(0 AS BIGINT) AS n_corrupt FROM events " +
+        "UNION ALL " +
+        "SELECT 'permissive' AS mode, CAST(COUNT(*) + 3 AS BIGINT) AS n_rows, " +
+        "CAST(3 AS BIGINT) AS n_corrupt FROM events ORDER BY mode"),
 
     // Both table versions recomputed from the raw orders table.
     "table_time_travel" ->
