@@ -48,6 +48,11 @@ import graft.T.{dround, t, dec, money, oDec, oMoney}
   *    — the MinHash ingest/serve split over a GraftTable-versioned
   *    signature store; served assignment proven row-identical to
   *    from-scratch dedupAssign in Round11Spec.
+  *
+  *  - `source_corrupt_tolerant` — malformed-record governance:
+  *    PERMISSIVE (quarantine via _corrupt_record) vs DROPMALFORMED over
+  *    a deliberately corrupted JSON-lines feed, oracled as events-count
+  *    arithmetic.
   */
 object Round11Ops {
 
