@@ -259,6 +259,41 @@ class Round11Spec extends SparkSpec {
     assert(GraftTable.read(spark, dir).count() === 2)
   }
 
+  test("T.events ns-long branch: a synthetic nanos-encoded events table yields the same contract") {
+    // The LongType branch has been dormant since the round-9 testdata
+    // regeneration switched to timestamp[us]; this synthetic fixture
+    // keeps it LIVE-tested so a future ns regeneration can't surprise.
+    // Spark can't write timestamp[ns] parquet, but nanosAsLong surfaces
+    // ns as a plain LONG named ts — which is exactly what the branch
+    // dispatches on, so a LONG ts column IS the branch's input shape.
+    import spark.implicits._
+    val dir = "target/tmp/ns_events"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val nsBase = 1705312800000000000L // 2024-01-15T10:00:00Z in epoch-ns
+    Seq(
+      (1L, nsBase + 123456789L, 10L, "click", 1.5, "{}"),
+      (2L, nsBase + 999L, 11L, "purchase", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = T.events(spark, dir)
+    assert(ev.schema.fields.map(f => (f.name, f.dataType)).toSeq === Seq(
+      "event_id" -> org.apache.spark.sql.types.LongType,
+      "ts_ns" -> org.apache.spark.sql.types.LongType,
+      "user_id" -> org.apache.spark.sql.types.LongType,
+      "event_type" -> org.apache.spark.sql.types.StringType,
+      "value" -> org.apache.spark.sql.types.DoubleType,
+      "props" -> org.apache.spark.sql.types.StringType,
+      "ts" -> org.apache.spark.sql.types.TimestampType))
+    val rows = ev.orderBy("event_id")
+      .select(col("ts_ns"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ts_ns keeps full ns precision; ts truncates to µs by integer div
+    assert(rows(0) === ((nsBase + 123456789L, (nsBase + 123456789L) / 1000)))
+    assert(rows(1) === ((nsBase + 999L, nsBase / 1000)))
+  }
+
   test("relation cache: cold concurrent events/t access never deadlocks or recurses") {
     // the round-11 'Recursive update' bug was identity-hash dependent —
     // a fresh session makes every cache key cold, and 8 threads racing
