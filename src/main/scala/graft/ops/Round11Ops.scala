@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.T.{dround, t, dec, money, oDec, oMoney}
 
-/** Round-11 additions (7 keys, 6 oracled + 1 rows-only):
+/** Round-11 additions (8 keys, 7 oracled + 1 rows-only):
   *
   *  - `vec_ivf_index_serve` — the ingest/serve split for the IVF×PQ ANN
   *    path, mirroring what `vec_lsh_index_serve` proved for LSH: coarse
@@ -295,6 +295,28 @@ object Round11Ops {
       Seq(("dropmalformed", nDrop, 0L), ("permissive", nPerm, nCorrupt))
         .toDF("mode", "n_rows", "n_corrupt")
         .orderBy("mode")
+    }),
+
+    // Day-of-week seasonality index — the staffing/capacity-planning
+    // report: each weekday's average daily GMV as a ratio to the overall
+    // daily average (index > 1 = above-trend weekday). Daily GMV folds
+    // in exact decimal; the two averages divide as doubles under the
+    // avg4/dround canon; the totals relation is one broadcast row. DOW
+    // emitted on DuckDB's 0=Sunday scale (Spark dayofweek is 1-based).
+    "report_seasonality_dow" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(sum(dec(col("o_totalprice"))).as("gmv"))
+      val dow = daily
+        .groupBy((dayofweek(col("day")) - 1).cast(IntegerType).as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("gmv")).as("sgmv"))
+      val tot = daily.agg(sum(col("gmv")).as("tg"), count(lit(1)).as("td"))
+      dow.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_days"),
+          dround(col("sgmv").cast(DoubleType) / col("n_days"), 4).as("avg_gmv"),
+          dround((col("sgmv").cast(DoubleType) / col("n_days")) /
+            (col("tg").cast(DoubleType) / col("td")), 6).as("dow_index"))
+        .orderBy("dow")
     })
   )
 
@@ -400,6 +422,19 @@ object Round11Ops {
         "UNION ALL " +
         "SELECT 'permissive' AS mode, CAST(COUNT(*) + 3 AS BIGINT) AS n_rows, " +
         "CAST(3 AS BIGINT) AS n_corrupt FROM events ORDER BY mode"),
+
+    // DuckDB dayofweek() is already 0=Sunday — Spark side shifts by 1.
+    "report_seasonality_dow" ->
+      (s"WITH daily AS (SELECT o_orderdate AS day, SUM(${oDec("o_totalprice")}) AS gmv " +
+        "FROM orders GROUP BY 1), " +
+        "dw AS (SELECT CAST(dayofweek(day) AS INT) AS dow, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_days, SUM(gmv) AS sgmv FROM daily GROUP BY 1), " +
+        "tot AS (SELECT SUM(gmv) AS tg, COUNT(*) AS td FROM daily) " +
+        "SELECT dow, n_days, " +
+        "CAST(ROUND(CAST(sgmv AS DOUBLE) / n_days, 4) AS DOUBLE) AS avg_gmv, " +
+        "CAST(ROUND((CAST(sgmv AS DOUBLE) / n_days) / (CAST(tg AS DOUBLE) / td), 6) " +
+        "AS DOUBLE) AS dow_index " +
+        "FROM dw, tot ORDER BY dow"),
 
     // Both table versions recomputed from the raw orders table.
     "table_time_travel" ->
