@@ -53,6 +53,10 @@ import graft.T.{dround, t, dec, money, oDec, oMoney}
   *    PERMISSIVE (quarantine via _corrupt_record) vs DROPMALFORMED over
   *    a deliberately corrupted JSON-lines feed, oracled as events-count
   *    arithmetic.
+  *
+  *  - `report_seasonality_dow` — day-of-week GMV seasonality index
+  *    (exact-decimal daily fold, dround-canon averages, broadcast
+  *    totals row).
   */
 object Round11Ops {
 
