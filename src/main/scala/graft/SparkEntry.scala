@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entry per implemented operator; each t2=Y key has a DuckDB oracle in
   * `oracleSql` (SURVEY §0, [B:2]).
   *
-  * 231 query keys (210 DuckDB-oracled; counts pinned by
+  * 236 query keys (215 DuckDB-oracled; counts pinned by
   * EntryCountSpec so the doc cannot drift from the code) across: Relational
   * (scans/filters/joins/sorts/sets),
   * Aggregates (grouping/windows/UDAF/HLL sketches), Scalars (function
@@ -34,7 +34,8 @@ object SparkEntry {
       ops.TextAnalysis.queries ++ ops.MoreOps.queries ++
       ops.Round3Ops.queries ++ ops.Round4Ops.queries ++ ops.Round5Ops.queries ++
       ops.Round6Ops.queries ++ ops.Round9Ops.queries ++ ops.Round9bOps.queries ++
-      ops.Round9cOps.queries ++ ops.Round10Ops.queries ++ ops.Round11Ops.queries
+      ops.Round9cOps.queries ++ ops.Round10Ops.queries ++ ops.Round11Ops.queries ++
+      ops.Round12Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       ops.TextAnalysis.oracles ++ ops.MoreOps.oracles ++
       ops.Round3Ops.oracleSql ++ ops.Round4Ops.oracleSql ++ ops.Round5Ops.oracleSql ++
       ops.Round6Ops.oracleSql ++ ops.Round9Ops.oracleSql ++ ops.Round9bOps.oracleSql ++
-      ops.Round9cOps.oracleSql ++ ops.Round10Ops.oracleSql ++ ops.Round11Ops.oracleSql
+      ops.Round9cOps.oracleSql ++ ops.Round10Ops.oracleSql ++ ops.Round11Ops.oracleSql ++
+      ops.Round12Ops.oracleSql
 }

@@ -286,19 +286,27 @@ object Round11Ops {
       val base = new StructType()
         .add("event_id", LongType).add("user_id", LongType)
         .add("value", DoubleType)
+      // Both modes fold to ONE lazy aggregation row each — no builder-time
+      // actions, no persist (SURVEY §6: queries() returns lazy plans). The
+      // PERMISSIVE agg also counts event_id (the parsed-row witness): it
+      // keeps the report honest (n_rows = n_valid + n_corrupt is visible
+      // in the output) and keeps the scan's required columns from being
+      // corrupt-record-only, which Spark's JSON source rejects.
       val perm = s.read.schema(base.add("_corrupt_record", StringType))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nPerm = perm.count()
-      val nCorrupt = perm.filter(col("_corrupt_record").isNotNull).count()
-      perm.unpersist(blocking = false)
-      val nDrop = s.read.schema(base).option("mode", "DROPMALFORMED")
-        .json(dir).count()
-      Seq(("dropmalformed", nDrop, 0L), ("permissive", nPerm, nCorrupt))
-        .toDF("mode", "n_rows", "n_corrupt")
-        .orderBy("mode")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          count(col("event_id")).as("n_valid"))
+        .select(lit("permissive").as("mode"), col("n_rows"),
+          col("n_corrupt"), col("n_valid"))
+      val dropm = s.read.schema(base).option("mode", "DROPMALFORMED")
+        .json(dir)
+        .agg(count(lit(1)).as("n_rows"), count(col("event_id")).as("n_valid"))
+        .select(lit("dropmalformed").as("mode"), col("n_rows"),
+          lit(0L).as("n_corrupt"), col("n_valid"))
+      dropm.unionByName(perm).orderBy("mode")
     }),
 
     // Day-of-week seasonality index — the staffing/capacity-planning
@@ -419,13 +427,15 @@ object Round11Ops {
         "FROM cum GROUP BY source, seq_id ORDER BY source, seq_id"),
 
     // Both modes' counts recomputed from the events table: PERMISSIVE
-    // keeps every line (+3 quarantined), DROPMALFORMED sheds the 3.
+    // keeps every line (+3 quarantined), DROPMALFORMED sheds the 3;
+    // parsed-row counts agree across modes.
     "source_corrupt_tolerant" ->
       ("SELECT 'dropmalformed' AS mode, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
-        "CAST(0 AS BIGINT) AS n_corrupt FROM events " +
+        "CAST(0 AS BIGINT) AS n_corrupt, CAST(COUNT(*) AS BIGINT) AS n_valid FROM events " +
         "UNION ALL " +
         "SELECT 'permissive' AS mode, CAST(COUNT(*) + 3 AS BIGINT) AS n_rows, " +
-        "CAST(3 AS BIGINT) AS n_corrupt FROM events ORDER BY mode"),
+        "CAST(3 AS BIGINT) AS n_corrupt, CAST(COUNT(*) AS BIGINT) AS n_valid " +
+        "FROM events ORDER BY mode"),
 
     // DuckDB dayofweek() is already 0=Sunday — Spark side shifts by 1.
     "report_seasonality_dow" ->

@@ -1,0 +1,228 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.T.{t, dec, money, oDec, oMoney}
+import graft.sources.GraftTable
+
+/** Round-12 additions — the versioned store grows the write-side table
+  * operations every long-lived lakehouse table needs (ranked 1–3 in the
+  * round-11 review), plus the multi-file base-table scan posture:
+  *
+  *  - `table_merge_upsert` — MERGE INTO the versioned store: apply a
+  *    changelog (updates + inserts) to the current snapshot and commit
+  *    the merged state as an atomic new version; BOTH versions read back
+  *    through the manifest, so the pre-merge snapshot's integrity after
+  *    the merge is oracle-checked, not just spec-asserted.
+  *
+  *  - `table_compact_version` — OPTIMIZE as a commit: rewrite the
+  *    current version's many small files into few, committed as a new
+  *    version with identical rows. The oracle proves row identity across
+  *    compaction (both versions aggregate to the same recompute from the
+  *    raw table); Round12Spec pins the mechanical half (file count
+  *    actually drops, pre-compaction version still time-travels).
+  *
+  *  - `table_cdc_changes` — the change-data query over a version
+  *    history: three grow-by-append commits, then each version's delta
+  *    (`GraftTable.versionDelta`) aggregated; oracled against the
+  *    disjoint date-band recomputes, proving delta(v) = exactly the rows
+  *    v added. The streaming subscription over the same history
+  *    (`GraftTable.cdcSubscribe`) is golden-tested in Round12Spec
+  *    (exactly-once delivery, checkpoint restart without replay).
+  *
+  *  - `scan_multifile_layout` — every base table in this harness is ONE
+  *    parquet file; at 100 TB a table is 10⁴–10⁶ files. This key writes
+  *    lineitem as a ~84-directory month-partitioned layout and runs a
+  *    partition-pruned, filter-pushed aggregate over it, oracled against
+  *    the single-file original — the proof that pruning and pushdown
+  *    hold beyond one file per table. Round12Spec audits the plan
+  *    (PartitionFilters non-empty, quantity filter in PushedFilters) and
+  *    the file-index size.
+  */
+object Round12Ops {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MERGE INTO — the single most common lakehouse write pattern:
+    // current snapshot FULL OUTER changelog on the key, per-column
+    // coalesce, committed atomically as version N+1 (cdc_merge_upsert's
+    // SCD1 semantics composed with GraftTable.commitNext). The changelog
+    // is orders pre-aggregated to one row per key BEFORE the merge join,
+    // so the shuffle carries |keys| rows, not |orders|; keys ≡ 0 (mod
+    // 10) are shifted past the base key space to exercise the
+    // WHEN-NOT-MATCHED INSERT arm, the rest are UPDATE arms, and base
+    // customers with no orders are the untouched arm. Reading BOTH
+    // versions back through the manifest afterwards makes snapshot
+    // isolation part of the oracle contract: a merge that mutated v0 in
+    // place would hash-mismatch on the version-0 rows. At 100 TB the
+    // merge is one key-partitioned shuffle join of snapshot × (small)
+    // changelog — Delta/Iceberg MERGE planned the same way — and the
+    // commit cost is O(manifest), not O(data).
+    "table_merge_upsert" -> ((s, d) => {
+      val dir = s"target/tmp/gmerge_${new java.io.File(d).getName}"
+      GraftTable.fsOf(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val base = t(s, d, "customer")
+        .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal"))
+      GraftTable.commitNext(s, dir, base, "base")
+      val chg = t(s, d, "orders").groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("delta"))
+        .select(when(col("o_custkey") % 10 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("ckey"), col("delta"))
+      val merged = GraftTable.read(s, dir)
+        .join(chg, col("key") === col("ckey"), "full")
+        .select(coalesce(col("key"), col("ckey")).as("key"),
+          (coalesce(col("bal"), lit(0).cast(DecimalType(12, 2))) +
+            coalesce(col("delta"), lit(0).cast(DecimalType(12, 2)))).as("bal"))
+      GraftTable.commitNext(s, dir, merged, "merged")
+      def snap(v: Int): DataFrame =
+        GraftTable.readVersion(s, dir, v)
+          .select(lit(v).as("version"), col("key"), money(col("bal")).as("bal"))
+      snap(0).unionByName(snap(1)).orderBy("version", "key")
+    }),
+
+    // OPTIMIZE — compaction as a table operation: version 0 commits the
+    // classic many-tiny-files layout (64 shards), version 1 commits the
+    // SAME rows coalesce(4)'d (no shuffle — coalesce only glues source
+    // partitions). Because versions are immutable, compaction is a
+    // WRITE, never a mutation: in-flight readers of v0 keep their
+    // snapshot, time travel to the fragmented layout still works, and a
+    // crash mid-compaction leaves v0 current. Both versions' aggregates
+    // oracle-check to the same raw recompute — row identity across the
+    // rewrite. At 100 TB this is the maintenance job that keeps the
+    // file-listing and task-granularity costs bounded, run as an
+    // ordinary committed version with retention eventually GC'ing the
+    // fragmented data.
+    "table_compact_version" -> ((s, d) => {
+      val dir = s"target/tmp/gcompact_${new java.io.File(d).getName}"
+      GraftTable.fsOf(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).as("price"))
+      GraftTable.commitNext(s, dir, o.repartition(64), "raw 64-shard layout")
+      GraftTable.commitNext(s, dir, GraftTable.read(s, dir).coalesce(4),
+        "optimize: compacted to 4 files")
+      def snap(v: Int): DataFrame =
+        GraftTable.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            money(sum(col("price"))).as("sum_price"))
+          .select(lit(v).as("version"), col("n_rows"), col("n_keys"),
+            col("sum_price"))
+      snap(0).unionByName(snap(1)).orderBy("version")
+    }),
+
+    // Change-data query over the version history: three grow-by-append
+    // commits (orders up to 1996, up to 1997, all), then versionDelta
+    // per version — delta(v) must be EXACTLY the date band v appended,
+    // which is what the oracle recomputes. The delta itself is one
+    // hash-partitioned exceptAll of adjacent snapshots (an append-only
+    // writer at scale skips even that by reading only v's added files);
+    // what this key pins is the CONTRACT every downstream subscriber
+    // relies on: per-version deltas partition the final table.
+    "table_cdc_changes" -> ((s, d) => {
+      val dir = s"target/tmp/gcdc_${new java.io.File(d).getName}"
+      GraftTable.fsOf(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"),
+        dec(col("o_totalprice")).as("price"))
+      GraftTable.commitNext(s, dir,
+        o.filter(col("o_orderdate") < to_timestamp(lit("1996-01-01"))), "pre-1996")
+      GraftTable.commitNext(s, dir,
+        o.filter(col("o_orderdate") < to_timestamp(lit("1997-01-01"))), "pre-1997")
+      GraftTable.commitNext(s, dir, o, "full")
+      def delta(v: Int): DataFrame =
+        GraftTable.versionDelta(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), money(sum(col("price"))).as("sum_price"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
+      delta(0).unionByName(delta(1)).unionByName(delta(2)).orderBy("version")
+    }),
+
+    // Multi-file base-table scan: lineitem rewritten as a ship-month
+    // partitioned layout (~84 directories; repartition by the partition
+    // column first — one file per month, the small-files discipline every
+    // partitioned sink in the suite follows), then a year's report over
+    // it. The month predicate is a PARTITION filter (pruned at planning
+    // from the file index — 12 of ~84 directories ever listed into the
+    // scan), the quantity predicate pushes into the parquet reader, and
+    // the aggregate is the standard two-phase hash shape. Oracled
+    // against the single-file original: layout must not change results.
+    // At 100 TB partition pruning is THE difference between reading 12
+    // months and reading the lake.
+    "scan_multifile_layout" -> ((s, d) => {
+      multifileScan(s, multifileLayout(s, d))
+    })
+  )
+
+  /** Write the month-partitioned lineitem fixture; returns its path.
+    * Factored out so Round12Spec can audit the served plan and the
+    * file-index size without re-stating the layout. */
+  private[graft] def multifileLayout(s: SparkSession, d: String): String = {
+    val dir = s"target/tmp/multifile_${new java.io.File(d).getName}"
+    t(s, d, "lineitem")
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .repartition(col("ship_month"))
+      .write.partitionBy("ship_month").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** The partition-pruned, filter-pushed report over the layout. */
+  private[graft] def multifileScan(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .filter(col("ship_month") >= "1995-01" && col("ship_month") <= "1995-12" &&
+        col("l_quantity") < 25)
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n"),
+        money(sum(dec(col("l_extendedprice")))).as("revenue"))
+      .orderBy("ship_month")
+
+  val oracleSql: Map[String, String] = Map(
+    // Both versions recomputed from the raw tables: v0 = the base
+    // snapshot untouched, v1 = the SCD1-merged state.
+    "table_merge_upsert" ->
+      (s"WITH base AS (SELECT c_custkey AS key, ${oDec("c_acctbal")} AS bal FROM customer), " +
+        "chg AS (SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 10000000 " +
+        s"ELSE o_custkey END AS ckey, SUM(${oDec("o_totalprice")}) AS delta " +
+        "FROM orders GROUP BY 1) " +
+        s"SELECT 0 AS version, key, ${oMoney("bal")} AS bal FROM base " +
+        "UNION ALL " +
+        "SELECT 1 AS version, COALESCE(key, ckey) AS key, " +
+        s"${oMoney("COALESCE(bal, 0) + COALESCE(delta, 0)")} AS bal " +
+        "FROM base FULL JOIN chg ON key = ckey " +
+        "ORDER BY version, key"),
+
+    // Row identity across compaction: both versions equal the raw
+    // recompute.
+    "table_compact_version" -> {
+      val row = "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS sum_price FROM orders"
+      s"SELECT 0 AS version, $row UNION ALL SELECT 1 AS version, $row ORDER BY version"
+    },
+
+    // Each version's delta = exactly its appended date band.
+    "table_cdc_changes" -> {
+      def band(v: Int, pred: String) =
+        s"SELECT $v AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS sum_price " +
+          s"FROM orders WHERE $pred"
+      band(0, "o_orderdate < TIMESTAMP '1996-01-01'") + " UNION ALL " +
+        band(1, "o_orderdate >= TIMESTAMP '1996-01-01' AND " +
+          "o_orderdate < TIMESTAMP '1997-01-01'") + " UNION ALL " +
+        band(2, "o_orderdate >= TIMESTAMP '1997-01-01'") + " ORDER BY version"
+    },
+
+    // The layout must not change results: same report straight off the
+    // single-file lineitem.
+    "scan_multifile_layout" ->
+      ("WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, " +
+        "l_quantity, l_extendedprice FROM lineitem) " +
+        "SELECT ship_month, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("l_extendedprice")})")} AS revenue " +
+        "FROM m WHERE ship_month >= '1995-01' AND ship_month <= '1995-12' " +
+        "AND l_quantity < 25 " +
+        "GROUP BY ship_month ORDER BY ship_month")
+  )
+}

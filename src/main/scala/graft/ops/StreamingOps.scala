@@ -191,6 +191,35 @@ object StreamingOps {
         col("p_val"))
   }
 
+  /** LEFT OUTER watermarked stream-stream interval join — the harder,
+    * commonly-needed semantics: every click emits, converted or not
+    * (funnel/attribution feeds need the unconverted rows). Matched pairs
+    * emit as they join; an UNMATCHED click can only emit once the
+    * watermark proves no qualifying purchase can still arrive (past
+    * c_ts + 1 h + the purchase-side delay), at which point Spark emits
+    * it null-padded and drops its state — so state stays bounded by the
+    * interval + watermark horizon exactly as in the inner join, and the
+    * null-padded rows are late by one watermark advance, never wrong.
+    * The click event_id rides along: (user, click) keys the output
+    * grain, and downstream dedup/attribution joins on it. */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_eid"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_val"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("c_user").as("user_id"), col("c_eid"), col("c_ts"),
+        col("p_ts"), col("p_val"))
+  }
+
   /** Streaming ingest-time dedup (golden-tested only — the
     * `stream_dedup_incremental` MemoryStream test; no query key, because
     * dropDuplicatesWithinWatermark is streaming-only and cannot run
@@ -264,7 +293,20 @@ object StreamingOps {
       clickPurchaseJoin(T.events(s, d))
         .select(col("user_id"), unix_micros(col("c_ts")).as("c_us"),
           unix_micros(col("p_ts")).as("p_us"), col("p_val"))
-        .orderBy("user_id", "c_us", "p_us", "p_val"))
+        .orderBy("user_id", "c_us", "p_us", "p_val")),
+
+    // Batch run of the LEFT OUTER watermarked interval join (the
+    // MemoryStream golden test drives the same plan incrementally and
+    // pins WHEN the null-padded rows may emit; batch checks WHAT they
+    // are). The click event_id makes the sort key total even when one
+    // user clicks twice in the same microsecond.
+    "stream_outer_interval_join" -> ((s, d) =>
+      clickPurchaseLeftJoin(T.events(s, d))
+        .select(col("user_id"), col("c_eid"),
+          unix_micros(col("c_ts")).as("c_us"),
+          unix_micros(col("p_ts")).as("p_us"), col("p_val"))
+        .orderBy(col("user_id"), col("c_eid"), col("c_us"),
+          col("p_us").asc_nulls_first, col("p_val").asc_nulls_first))
   )
 
   private val sumVal = s"${oMoney(s"SUM(${oDec("value")})")} AS sum_val"
@@ -373,6 +415,18 @@ object StreamingOps {
         "FROM events c JOIN events p ON c.user_id = p.user_id " +
         "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
         "WHERE c.event_type = 'click' AND p.event_type = 'purchase' " +
-        "ORDER BY user_id, c_us, p_us, p_val")
+        "ORDER BY user_id, c_us, p_us, p_val"),
+    // The purchase filter must live in the RIGHT-side derived table, not
+    // a WHERE over the join — a post-join WHERE would drop the
+    // null-padded rows the outer join exists to keep. NULLS FIRST
+    // matches Spark's ascending default.
+    "stream_outer_interval_join" ->
+      ("SELECT c.user_id AS user_id, c.event_id AS c_eid, epoch_us(c.ts) AS c_us, " +
+        "epoch_us(p.ts) AS p_us, p.p_val AS p_val " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+        "LEFT JOIN (SELECT user_id, ts, value AS p_val FROM events " +
+        "WHERE event_type = 'purchase') p ON c.user_id = p.user_id " +
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
+        "ORDER BY user_id, c_eid, c_us, p_us NULLS FIRST, p_val NULLS FIRST")
   )
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Versioned parquet table with an atomic manifest commit — the
@@ -76,36 +76,57 @@ object GraftTable {
     df.write.mode("overwrite").parquet(s"$dir/$prefix$v")
   }
 
-  /** Atomically commit staged version `v`: one file create + rename
-    * makes it (and its metadata) visible in a single step. The rename
-    * doubles as OPTIMISTIC CONCURRENCY CONTROL — on HDFS rename onto an
-    * existing destination atomically fails (local POSIX rename
-    * overwrites, so an exists-check approximates the same contract
-    * there), so of two writers racing to commit the same version number
-    * exactly one wins and the loser gets a
+  /** Atomically commit staged version `v`: the metadata is written to a
+    * writer-private temp file and PUBLISHED to `commit_v` in one atomic
+    * create-no-overwrite step, which doubles as OPTIMISTIC CONCURRENCY
+    * CONTROL: of two writers racing to commit the same version number
+    * exactly one's publish succeeds and the loser gets a
     * ConcurrentModificationException (re-stage against the new current
     * version and retry — the lakehouse commit-loop protocol; silent
     * last-writer-wins would let the loser's reader see data the
-    * manifest never named). Then data dirs of versions older than
-    * `v - retain` are garbage-collected — `retain` prior versions stay
-    * readable for time travel and as a grace window for in-flight
-    * readers (production would add time-based retention). GC failure
-    * leaves garbage, never corruption. */
+    * manifest never named). The publish primitive per filesystem:
+    *
+    *  - local FS: a HARD LINK (`link(2)`) — EEXIST on an existing
+    *    destination is arbitrated by the kernel inode layer, and the
+    *    destination appears with its content already complete. This is
+    *    the only local primitive that is both atomic-no-overwrite AND
+    *    content-atomic; Hadoop's local `rename` overwrites and its
+    *    `create(f, false)` is itself an exists-check + open (the
+    *    check-then-act window a previous round's commit had).
+    *  - elsewhere (HDFS et al.): `FileContext.rename(src, dst,
+    *    Options.Rename.NONE)` — atomic no-overwrite arbitrated
+    *    server-side by the namenode.
+    *
+    * A FileAlreadyExists outcome maps to ConcurrentModificationException;
+    * any OTHER IO failure propagates as itself — an unrelated disk error
+    * must never masquerade as a commit conflict (it would send the
+    * caller into a futile re-stage loop). Then data dirs of versions
+    * older than `v - retain` are garbage-collected — `retain` prior
+    * versions stay readable for time travel and as a grace window for
+    * in-flight readers (production would add time-based retention). GC
+    * failure leaves garbage, never corruption. */
   def commit(fs: FileSystem, dir: String, v: Int, metadata: String,
       retain: Int = Int.MaxValue, prefix: String = "v"): Unit = {
     val mdir = new Path(s"$dir/manifest")
     fs.mkdirs(mdir)
-    val tmp = new Path(mdir, s".tmp_$v")
+    // writer-PRIVATE temp name: two racing writers must not clobber each
+    // other's staged metadata before the publish step decides the winner
+    val tmp = new Path(mdir, s".tmp_${v}_${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(metadata.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = new Path(mdir, s"commit_$v")
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
+    val won =
+      try { publishNoOverwrite(fs, tmp, dest); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    fs.delete(tmp, false)
+    if (!won)
       throw new java.util.ConcurrentModificationException(
         s"version $v was committed by a concurrent writer under $dir — " +
           "re-stage against the current version and retry")
-    }
     if (retain != Int.MaxValue)
       fs.listStatus(new Path(dir)).foreach { st =>
         val n = st.getPath.getName
@@ -114,6 +135,21 @@ object GraftTable {
           fs.delete(st.getPath, true)
       }
   }
+
+  /** Atomic no-overwrite publish of a fully-written `src` to `dest`
+    * (see `commit` for the per-FS rationale). Throws
+    * [java.nio.file|hadoop.fs].FileAlreadyExistsException when `dest`
+    * exists — losing a race and an IO failure are distinct outcomes. */
+  private def publishNoOverwrite(fs: FileSystem, src: Path, dest: Path): Unit =
+    fs match {
+      case _: LocalFileSystem | _: RawLocalFileSystem =>
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath))
+      case _ =>
+        org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+          .rename(src, dest, org.apache.hadoop.fs.Options.Rename.NONE)
+    }
 
   /** Stage + commit `df` as the next version; returns its number. */
   def commitNext(spark: SparkSession, dir: String, df: DataFrame,
@@ -145,5 +181,74 @@ object GraftTable {
     require(fs.exists(new Path(s"$dir/$prefix$v")),
       s"version $v's data has been garbage-collected (retention)")
     spark.read.parquet(s"$dir/$prefix$v")
+  }
+
+  // ---- change-data feed ---------------------------------------------------
+
+  /** CDC delta of committed version `v`: the rows `v` ADDED relative to
+    * `v - 1` (multiset semantics via exceptAll, so duplicate rows that
+    * gained a copy are reported once per gained copy). Version 0's delta
+    * is its full content. This is the change-query primitive over a
+    * grow-by-append table history — both versions must still be within
+    * retention. At scale the exceptAll is one hash-partitioned shuffle of
+    * the two snapshots; an append-ONLY writer can skip it entirely by
+    * reading just the files version v added, which `cdcSubscribe`'s
+    * per-version batch handler is free to do instead. */
+  def versionDelta(spark: SparkSession, dir: String, v: Int,
+      prefix: String = "v"): DataFrame = {
+    val cur = readVersion(spark, dir, v, prefix)
+    if (v == 0) cur else cur.exceptAll(readVersion(spark, dir, v - 1, prefix))
+  }
+
+  /** Streaming CDC feed of the table's COMMITS: one row
+    * (version INT, metadata STRING) per newly committed version, exactly
+    * once. Built on Spark's file-stream source over the manifest
+    * directory — the source's checkpointed processed-files log is what
+    * makes delivery exactly-once across restarts (a restarted query
+    * resumes from the checkpoint and never re-emits an already-processed
+    * commit file). Writer-side temp files are dot-prefixed, so the
+    * source's hidden-file convention ignores them; a commit file is
+    * hard-linked/renamed into place with complete content, so a half
+    * -written manifest row can never be observed. Subscribers turn
+    * versions into data via foreachBatch + `versionDelta` (see
+    * `cdcSubscribe`). */
+  def commitFeed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.readStream
+      .option("maxFilesPerTrigger", 1) // one commit per micro-batch: a
+      // subscriber's foreachBatch sees version boundaries, not a coalesced
+      // blob of several commits
+      .text(s"$dir/manifest")
+      .select(
+        regexp_extract(input_file_name(), "commit_(\\d+)", 1)
+          .cast("int").as("version"),
+        col("value").as("metadata"))
+  }
+
+  /** Subscribe to the table: a started streaming query that, for every
+    * newly committed version, loads that version's delta rows and hands
+    * them to `onDelta(version, metadata, deltaRows)` exactly once. The
+    * returned query owns a checkpoint at `checkpointDir`; restarting with
+    * the same checkpoint resumes without replay. This closes the
+    * ingest → serve → subscribe loop: downstream consumers follow the
+    * table without polling or re-reading history. */
+  def cdcSubscribe(spark: SparkSession, dir: String, checkpointDir: String,
+      onDelta: (Int, String, DataFrame) => Unit,
+      prefix: String = "v"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        // commit files are tiny; the per-batch row set is bounded by
+        // maxFilesPerTrigger — driver-side collect here is collecting
+        // VERSION NUMBERS, never data
+        batch.collect().sortBy(_.getAs[Int]("version")).foreach { r =>
+          val v = r.getAs[Int]("version")
+          onDelta(v, r.getAs[String]("metadata"),
+            versionDelta(spark, dir, v, prefix))
+        }
+      }
+    commitFeed(spark, dir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(fn)
+      .start()
   }
 }

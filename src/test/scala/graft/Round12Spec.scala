@@ -1,0 +1,180 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.ops.{Round12Ops, StreamingOps}
+import graft.sources.GraftTable
+
+/** Event fixture with an id, for the outer-join grain. */
+case class EvId(ts: Timestamp, event_type: String, value: Double,
+    user_id: Long, event_id: Long)
+
+/** Round-12 table-operation mechanics: the commit-race arbitration, the
+  * halves of merge/compact/CDC that an SQL oracle cannot see (file
+  * counts, version intactness, exactly-once streaming delivery), and the
+  * multi-file scan's plan posture. */
+class Round12Spec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("GraftTable commit: two racing writers — exactly one wins, loser gets CME, winner's metadata serves") {
+    val dir = "target/tmp/race_gtable"
+    val fs = GraftTable.fsOf(spark, dir)
+    (0 until 20).foreach { i =>
+      fs.delete(new Path(dir), true)
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (0 until 2).map { tid =>
+        new Thread(() => {
+          latch.await()
+          try { GraftTable.commit(fs, dir, 0, s"writer$tid"); results.add(s"win$tid") }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              results.add(s"lose$tid")
+            case e: Throwable => results.add(s"err:${e.getClass.getName}")
+          }
+        })
+      }
+      threads.foreach(_.start()); latch.countDown(); threads.foreach(_.join())
+      val rs = results.toArray.map(_.toString).toSeq.sorted
+      assert(rs.count(_.startsWith("win")) == 1, s"iteration $i: $rs")
+      assert(rs.count(_.startsWith("lose")) == 1, s"iteration $i: $rs")
+      val winner = rs.find(_.startsWith("win")).get.stripPrefix("win")
+      assert(GraftTable.meta(fs, dir, 0) == s"writer$winner",
+        s"iteration $i: manifest serves the loser's metadata")
+    }
+  }
+
+  test("table_merge_upsert: pre-merge version is row-identical to the base snapshot AFTER the merge commit") {
+    SparkEntry.queries("table_merge_upsert")(spark, sf).collect()
+    val dir = s"target/tmp/gmerge_${new java.io.File(sf).getName}"
+    val fs = GraftTable.fsOf(spark, dir)
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1))
+    assert(GraftTable.meta(fs, dir, 0) == "base")
+    assert(GraftTable.meta(fs, dir, 1) == "merged")
+    val v0 = GraftTable.readVersion(spark, dir, 0)
+      .orderBy("key").collect().toSeq
+    val base = T.t(spark, sf, "customer")
+      .select(col("c_custkey").as("key"), T.dec(col("c_acctbal")).as("bal"))
+      .orderBy("key").collect().toSeq
+    assert(v0 == base, "merge commit must not disturb the committed v0 data")
+  }
+
+  test("table_compact_version: file count drops across the OPTIMIZE commit; both versions stay readable") {
+    SparkEntry.queries("table_compact_version")(spark, sf).collect()
+    val dir = s"target/tmp/gcompact_${new java.io.File(sf).getName}"
+    def files(v: Int): Int = new java.io.File(s"$dir/v$v")
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(files(0) == 64, s"fragmented layout expected 64 shards, got ${files(0)}")
+    assert(files(1) <= 4, s"compacted layout expected <=4 files, got ${files(1)}")
+    assert(GraftTable.readVersion(spark, dir, 0).count() ==
+      GraftTable.readVersion(spark, dir, 1).count())
+  }
+
+  test("scan_multifile_layout: many-directory layout, partition-pruned and filter-pushed scan") {
+    val dir = Round12Ops.multifileLayout(spark, sf)
+    val months = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("ship_month="))
+    assert(months > 32, s"expected a many-directory layout, got $months")
+    val df = Round12Ops.multifileScan(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), p.take(2000))
+    assert(!p.contains("PartitionFilters: []"), p.take(2000))
+    assert(p.contains("LessThan(l_quantity,25"), p.take(2000))
+    // pruning must restrict the scan to the 12 selected month directories
+    // (AQE wraps the plan in an AdaptiveSparkPlanExec LEAF — unwrap it)
+    val unwrapped = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case other => other
+    }
+    val scanned = unwrapped.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }
+    assert(scanned.contains(12), s"expected 12 pruned partitions, got $scanned of $months")
+  }
+
+  test("stream_outer_interval_join: null-padded click emits only after the watermark proves no match can arrive") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[EvId]
+    val q = StreamingOps.clickPurchaseLeftJoin(mem.toDF())
+      .writeStream.format("memory").queryName("outerij")
+      .outputMode(OutputMode.Append).start()
+    // Batch 1: u1's click will never convert; u3's click converts at
+    // 10:20. Watermark after this batch: 10:20 - 10 min = 10:10 — far
+    // before u1's 11:00 interval end, so no null-padded row may exist.
+    mem.addData(
+      EvId(ts("2024-01-01 10:00:00"), "click", 0.0, 1L, 101L),
+      EvId(ts("2024-01-01 10:00:00"), "click", 0.0, 3L, 102L),
+      EvId(ts("2024-01-01 10:20:00"), "purchase", 9.5, 3L, 103L))
+    q.processAllAvailable()
+    val after1 = spark.table("outerij").collect()
+    assert(!after1.exists(_.isNullAt(3)),
+      s"null-padded row emitted before the watermark allowed it: ${after1.toSeq}")
+    // Batch 2 advances BOTH sides' event time to 14:00 (the per-side
+    // watermark nodes sit after the click/purchase filters, and the
+    // query watermark is their MIN — a purchase alone would leave the
+    // click watermark at 9:50 and block eviction forever) → watermark
+    // 13:50, past 10:00 + 1 h + 10 min. The users are disjoint so batch
+    // 2/3 rows match nothing. Batch 3 triggers the eviction flush.
+    mem.addData(
+      EvId(ts("2024-01-01 14:00:00"), "click", 0.0, 8L, 104L),
+      EvId(ts("2024-01-01 14:00:00"), "purchase", 1.0, 9L, 105L))
+    q.processAllAvailable()
+    mem.addData(
+      EvId(ts("2024-01-01 15:00:00"), "click", 0.0, 10L, 106L),
+      EvId(ts("2024-01-01 15:00:00"), "purchase", 1.0, 11L, 107L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("outerij").collect()
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 1 && u1.head.isNullAt(3) && u1.head.isNullAt(4),
+      s"expected exactly one null-padded row for u1's click, got ${rows.toSeq}")
+    val u3 = rows.filter(_.getAs[Long]("user_id") == 3L)
+    assert(u3.length == 1 && u3.head.getAs[Double]("p_val") == 9.5,
+      s"matched pair must emit normally: ${rows.toSeq}")
+  }
+
+  test("GraftTable cdcSubscribe: each version's delta exactly once; checkpoint restart never replays") {
+    val dir = "target/tmp/cdc_gtable"
+    val ckpt = "target/tmp/cdc_ckpt"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    fs.delete(new Path(ckpt), true)
+    val received =
+      collection.mutable.ListBuffer[(Int, String, Seq[Long])]()
+    def onDelta(v: Int, m: String,
+        delta: org.apache.spark.sql.DataFrame): Unit = {
+      val keys = delta.collect().map(_.getLong(0)).toSeq.sorted
+      received.synchronized { received += ((v, m, keys)) }
+    }
+    // v0 exists before subscribing (and is itself a delta to deliver)
+    GraftTable.commitNext(spark, dir, spark.range(0, 5).toDF("k"), "v0")
+    val q = GraftTable.cdcSubscribe(spark, dir, ckpt, onDelta)
+    q.processAllAvailable()
+    GraftTable.commitNext(spark, dir, spark.range(0, 8).toDF("k"), "v1")
+    q.processAllAvailable()
+    GraftTable.commitNext(spark, dir, spark.range(0, 10).toDF("k"), "v2")
+    q.processAllAvailable()
+    q.stop()
+    assert(received.toList == List(
+      (0, "v0", Seq(0L, 1L, 2L, 3L, 4L)),
+      (1, "v1", Seq(5L, 6L, 7L)),
+      (2, "v2", Seq(8L, 9L))), received.toList)
+    // Restart against the same checkpoint: nothing replays…
+    val q2 = GraftTable.cdcSubscribe(spark, dir, ckpt, onDelta)
+    q2.processAllAvailable()
+    assert(received.size == 3, s"restart replayed commits: ${received.toList}")
+    // …and a post-restart commit arrives exactly once.
+    GraftTable.commitNext(spark, dir, spark.range(0, 12).toDF("k"), "v3")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(received.toList.last == ((3, "v3", Seq(10L, 11L))), received.toList)
+    assert(received.size == 4, received.toList)
+  }
+}
