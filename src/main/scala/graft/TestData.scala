@@ -26,13 +26,43 @@ object T {
     * immutable for the life of a session (all sinks write under
     * target/, never into the sf dir, and those paths do NOT go through
     * this cache — a re-read after a write must re-list). Keyed by
-    * session so tests with multiple sessions never share plans. */
+    * session so tests with multiple sessions never share plans.
+    *
+    * LRU-bounded at 64 entries (round-11 review): entries pin their
+    * SparkSession and resolved plans, so an UNBOUNDED map would leak a
+    * session per cloned-session test for the JVM's lifetime. 64 covers
+    * a bench run's working set (10 tables × a few sessions) with room;
+    * past it the least-recently-used relation is dropped and costs one
+    * ~100 ms re-list on its next access — an eviction policy, not a
+    * correctness surface. Compute happens OUTSIDE the lock (the nested
+    * events→t call pattern made ConcurrentHashMap.computeIfAbsent throw
+    * "Recursive update" — see `events`); the benign double-compute race
+    * keeps the first entry. */
+  private val relCacheMax = 64
   private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > relCacheMax
+    }
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    relCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-      k => k._1.read.parquet(k._2))
+  private def cachedRel(key: (SparkSession, String))(
+      compute: => DataFrame): DataFrame = {
+    val hit = relCache.synchronized(relCache.get(key))
+    if (hit != null) hit
+    else {
+      val df = compute
+      relCache.synchronized {
+        val prev = relCache.get(key)
+        if (prev != null) prev else { relCache.put(key, df); df }
+      }
+    }
+  }
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    cachedRel((spark, path))(spark.read.parquet(path))
+  }
 
   /** `events.ts` has been regenerated across rounds under TWO physical
     * parquet encodings, and this loader must accept both (round-9 verdict:
@@ -53,22 +83,13 @@ object T {
     * Both branches yield the same columns in the same order:
     * (event_id, ts_ns LONG, user_id, event_type, value, props, ts TIMESTAMP).
     */
-  /** NOT computeIfAbsent: eventsUncached calls t(), whose own
-    * computeIfAbsent would then nest inside this one on the SAME map —
-    * ConcurrentHashMap detects that as "Recursive update" whenever the
-    * two keys happen to share a hash bin (identity-hash dependent, so
-    * it surfaced only on some JVM runs). get + putIfAbsent cannot nest;
-    * the benign race just computes the plan twice and keeps the first. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val key = (spark, s"$sfDir#events-normalized")
-    val cached = relCache.get(key)
-    if (cached != null) cached
-    else {
-      val df = eventsUncached(spark, sfDir)
-      val prev = relCache.putIfAbsent(key, df)
-      if (prev != null) prev else df
-    }
-  }
+  /** Nests a t() lookup inside its own compute (the reason cachedRel
+    * computes outside the lock — a compute-under-lock design deadlocks
+    * or, with ConcurrentHashMap.computeIfAbsent, threw "Recursive
+    * update" whenever the two keys shared a hash bin). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    cachedRel((spark, s"$sfDir#events-normalized"))(
+      eventsUncached(spark, sfDir))
 
   private def eventsUncached(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

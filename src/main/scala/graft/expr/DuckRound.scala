@@ -40,7 +40,16 @@ case class DuckRound(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (DoubleType, IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // the kernel implements only DuckDB's p >= 0 branch
+        // (multiply-then-divide); DuckDB divides-then-multiplies for
+        // p < 0, so a negative precision would silently diverge from the
+        // oracle — reject it at analysis instead
+        right.eval() match {
+          case p: Integer if p >= 0 => TypeCheckResult.TypeCheckSuccess
+          case p => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires precision >= 0 (DuckDB's p < 0 " +
+              s"divide-then-multiply branch is not implemented), got $p")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (double, foldable int), got " +
           s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")

@@ -616,7 +616,7 @@ object Round3Ops {
     // decimal on the 6-dp-rounded norms.
     "vec_norm_stats" -> ((s, d) =>
       t(s, d, "embeddings")
-        .withColumn("norm", round(sqrt(expr(
+        .withColumn("norm", T.dround(sqrt(expr(
           "aggregate(embedding, CAST(0 AS DOUBLE), " +
             "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 6))
         .groupBy("label")

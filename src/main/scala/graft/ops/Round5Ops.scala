@@ -413,7 +413,7 @@ object Round5Ops {
         .withColumn("sc", when(col("amax") > 0, col("amax") / 127.0))
       def code(x: Column): Column =
         least(lit(127.0), greatest(lit(-127.0), dround(x / col("sc"), 0)))
-      e.select(col("vec_id"), round(col("amax"), 6).as("amax"),
+      e.select(col("vec_id"), dround(col("amax"), 6).as("amax"),
           when(col("sc").isNull, 0L).otherwise(
             aggregate(transform(col("e"), x => code(x).cast(LongType)),
               lit(0L), (a, x) => a + x)).as("code_sum"),

@@ -275,7 +275,7 @@ object Round6Ops {
         .crossJoin(broadcast(nOrders))
         .select(col("b1"), col("b2"), col("pair_cnt"),
           dround(col("pair_cnt").cast(DoubleType) / col("n_orders"), 6).as("support"),
-          round(col("pair_cnt").cast(DoubleType) * col("n_orders") /
+          dround(col("pair_cnt").cast(DoubleType) * col("n_orders") /
             (col("c1").cast(DoubleType) * col("c2")), 6).as("lift"))
         .orderBy("b1", "b2")
     }),

@@ -124,7 +124,7 @@ object Round9bOps {
             col("ssum").cast(DoubleType) * col("ssum").cast(DoubleType) /
               col("n")) / (col("n") - 1)))
         .filter(col("sd") > 0)
-        .withColumn("z", round((col("cnt") - col("mean")) / col("sd"), 6))
+        .withColumn("z", T.dround((col("cnt") - col("mean")) / col("sd"), 6))
         .filter(abs(col("z")) >= 2)
         .select(col("event_type"), col("day"), col("cnt"),
           dround(col("mean"), 6).as("mean_cnt"),

@@ -159,7 +159,7 @@ object Round9cOps {
         .agg(count(lit(1)).as("n_docs"),
           dround(min(col("avg_surprisal")), 6).as("min_surprisal"),
           dround(max(col("avg_surprisal")), 6).as("max_surprisal"),
-          round(sum(col("avg_surprisal").cast(DecimalType(18, 6)))
+          dround(sum(col("avg_surprisal").cast(DecimalType(18, 6)))
             .cast(DoubleType) / count(lit(1)), 6).as("mean_surprisal"))
         .orderBy("bucket")
     }),
