@@ -66,7 +66,10 @@ object Round12Ops {
         .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
       val base = t(s, d, "customer")
         .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal"))
-      GraftTable.commitNext(s, dir, base, "base")
+      // isolated commits (writer-private data dirs, named in the commit
+      // file): the multi-writer-safe path, exercised here under the
+      // oracle so the data= indirection is hash-checked end to end
+      GraftTable.commitNextIsolated(s, dir, base, "base")
       val chg = t(s, d, "orders").groupBy("o_custkey")
         .agg(sum(dec(col("o_totalprice"))).as("delta"))
         .select(when(col("o_custkey") % 10 === 0, col("o_custkey") + 10000000L)
@@ -76,7 +79,7 @@ object Round12Ops {
         .select(coalesce(col("key"), col("ckey")).as("key"),
           (coalesce(col("bal"), lit(0).cast(DecimalType(12, 2))) +
             coalesce(col("delta"), lit(0).cast(DecimalType(12, 2)))).as("bal"))
-      GraftTable.commitNext(s, dir, merged, "merged")
+      GraftTable.commitNextIsolated(s, dir, merged, "merged")
       def snap(v: Int): DataFrame =
         GraftTable.readVersion(s, dir, v)
           .select(lit(v).as("version"), col("key"), money(col("bal")).as("bal"))

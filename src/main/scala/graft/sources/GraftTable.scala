@@ -26,11 +26,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    previous version current and the retry converges (Round11Spec
   *    proves this for the watermark loader built on these primitives).
   *
-  * Single writer assumed (an orchestrator-scheduled job); the manifest
-  * serializes readers against the writer, not writers against each
-  * other. `Round10Ops.incrementalDailyLoad` is the watermark-specialized
-  * instance (prefix "daily_v", metadata = the event-time frontier,
-  * retain = 1).
+  * Writer concurrency, precisely: the COMMIT point arbitrates racing
+  * writers atomically (exactly one wins a version number, the loser
+  * throws). The convention-path `stage`/`commit` pair additionally
+  * assumes a single writer for DATA, because concurrent stagers share
+  * `$prefix$v`; `commitNextIsolated` removes that assumption with
+  * writer-private data dirs named in the commit file, and `vacuum`
+  * reclaims the orphans losers leave. `Round10Ops.incrementalDailyLoad`
+  * is the watermark-specialized instance (prefix "daily_v", metadata =
+  * the event-time frontier, retain = 1).
   */
 object GraftTable {
 
@@ -54,12 +58,34 @@ object GraftTable {
       .flatMap(_.stripPrefix("commit_").toIntOption).toSeq.sorted
   }
 
-  /** Metadata string of committed version `v`. */
-  def meta(fs: FileSystem, dir: String, v: Int): String = {
+  /** Raw content of version `v`'s commit file: either the metadata
+    * alone (convention-path commits: data lives at `$prefix$v`) or a
+    * leading `data=<dirname>` line naming a writer-private data dir
+    * (isolated commits — see `commitNextIsolated`) followed by the
+    * metadata. */
+  private def commitContent(fs: FileSystem, dir: String, v: Int): String = {
     val in = fs.open(new Path(s"$dir/manifest/commit_$v"))
     try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).trim
+      java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
+  }
+
+  /** Metadata string of committed version `v`. */
+  def meta(fs: FileSystem, dir: String, v: Int): String = {
+    val c = commitContent(fs, dir, v)
+    (if (c.startsWith("data=")) c.dropWhile(_ != '\n') else c).trim
+  }
+
+  /** Name of the data dir version `v`'s commit references — the
+    * manifest is the source of truth for WHERE a version's data lives,
+    * not a path convention (an isolated commit's writer-private dir is
+    * recorded in its commit file; convention-path commits default to
+    * `$prefix$v`). */
+  def dataDirOf(fs: FileSystem, dir: String, v: Int,
+      prefix: String = "v"): String = {
+    val c = commitContent(fs, dir, v)
+    if (c.startsWith("data=")) c.takeWhile(_ != '\n').stripPrefix("data=").trim
+    else s"$prefix$v"
   }
 
   /** Stage `df` as the data of version `v` WITHOUT committing. Overwrite
@@ -106,14 +132,16 @@ object GraftTable {
     * in-flight readers (production would add time-based retention). GC
     * failure leaves garbage, never corruption. */
   def commit(fs: FileSystem, dir: String, v: Int, metadata: String,
-      retain: Int = Int.MaxValue, prefix: String = "v"): Unit = {
+      retain: Int = Int.MaxValue, prefix: String = "v",
+      dataDir: Option[String] = None): Unit = {
     val mdir = new Path(s"$dir/manifest")
     fs.mkdirs(mdir)
     // writer-PRIVATE temp name: two racing writers must not clobber each
     // other's staged metadata before the publish step decides the winner
     val tmp = new Path(mdir, s".tmp_${v}_${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(metadata.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val content = dataDir.map(n => s"data=$n\n").getOrElse("") + metadata
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = new Path(mdir, s"commit_$v")
     val won =
@@ -127,14 +155,32 @@ object GraftTable {
       throw new java.util.ConcurrentModificationException(
         s"version $v was committed by a concurrent writer under $dir — " +
           "re-stage against the current version and retry")
-    if (retain != Int.MaxValue)
+    if (retain != Int.MaxValue) {
+      // GC by the version encoded in the dir NAME (covers both naming
+      // forms) — but never a dir a retained commit still references
+      val keep = versions(fs, dir).filter(_ >= v - retain)
+        .map(kv => dataDirOf(fs, dir, kv, prefix)).toSet
       fs.listStatus(new Path(dir)).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(prefix) &&
-            n.stripPrefix(prefix).toIntOption.exists(_ < v - retain))
+        if (!keep.contains(n) &&
+            dirVersion(n, prefix).exists(_ < v - retain))
           fs.delete(st.getPath, true)
       }
+    }
   }
+
+  /** Version encoded in a data-dir name: `$prefix$N` (convention) or
+    * `$prefix${N}_<uuid>` (isolated). None for anything else. */
+  private def dirVersion(name: String, prefix: String): Option[Int] =
+    if (!name.startsWith(prefix)) None
+    else {
+      val tail = name.stripPrefix(prefix)
+      val digits = tail.takeWhile(_.isDigit)
+      val rest = tail.drop(digits.length)
+      if (digits.nonEmpty && (rest.isEmpty || rest.startsWith("_")))
+        digits.toIntOption
+      else None
+    }
 
   /** Atomic no-overwrite publish of a fully-written `src` to `dest`
     * (see `commit` for the per-FS rationale). Throws
@@ -172,15 +218,63 @@ object GraftTable {
   }
 
   /** Time travel: read committed version `v`. Fails loudly for a version
-    * that was never committed or whose data retention has expired. */
+    * that was never committed or whose data retention has expired. The
+    * data location resolves THROUGH the commit file (dataDirOf), so
+    * isolated-commit versions read transparently. */
   def readVersion(spark: SparkSession, dir: String, v: Int,
       prefix: String = "v"): DataFrame = {
     val fs = fsOf(spark, dir)
     require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
       s"version $v was never committed under $dir")
-    require(fs.exists(new Path(s"$dir/$prefix$v")),
+    val data = dataDirOf(fs, dir, v, prefix)
+    require(fs.exists(new Path(s"$dir/$data")),
       s"version $v's data has been garbage-collected (retention)")
-    spark.read.parquet(s"$dir/$prefix$v")
+    spark.read.parquet(s"$dir/$data")
+  }
+
+  /** Stage + commit `df` as the next version with a WRITER-PRIVATE data
+    * dir — the multi-writer-safe commit path. The convention-path
+    * `stage`/`commit` pair is safe under the documented single-writer
+    * assumption, but two CONCURRENT writers staging the same version
+    * number share `$prefix$v`, so the commit winner could publish a dir
+    * the loser half-overwrote. Here each writer stages to
+    * `$prefix${v}_<uuid>` (nobody else ever writes there) and the
+    * commit file NAMES the dir — manifest-as-source-of-truth, the way
+    * Delta/Iceberg name data files rather than trusting a path
+    * convention. The loser's commit throws
+    * ConcurrentModificationException; its private dir becomes an orphan
+    * (never readable — no commit references it) that `vacuum` reclaims.
+    * Re-staging on retry is the caller's job: a merge's content depends
+    * on the snapshot it lost against. */
+  def commitNextIsolated(spark: SparkSession, dir: String, df: DataFrame,
+      metadata: String = "", retain: Int = Int.MaxValue,
+      prefix: String = "v"): Int = {
+    val fs = fsOf(spark, dir)
+    val v = readManifest(fs, dir).map(_._1 + 1).getOrElse(0)
+    val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("errorifexists").parquet(s"$dir/$data")
+    commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data))
+    v
+  }
+
+  /** Reclaim ORPHANED data dirs: dirs carrying a version number at or
+    * below the current committed maximum that no commit file references
+    * — the left-behind staging of crashed or race-losing writers.
+    * Dirs numbered ABOVE the current max are someone's in-progress next
+    * version and are never touched; referenced dirs (including
+    * retention-retained history) are never touched. Returns the deleted
+    * names. Safe to run any time — it deletes only what no reader can
+    * ever resolve. */
+  def vacuum(fs: FileSystem, dir: String, prefix: String = "v"): Seq[String] = {
+    val committed = versions(fs, dir)
+    if (committed.isEmpty) return Seq.empty
+    val cur = committed.max
+    val referenced = committed.map(v => dataDirOf(fs, dir, v, prefix)).toSet
+    fs.listStatus(new Path(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !referenced.contains(n) &&
+        dirVersion(n, prefix).exists(_ <= cur))
+      .map { n => fs.delete(new Path(s"$dir/$n"), true); n }
   }
 
   // ---- change-data feed ---------------------------------------------------

@@ -48,6 +48,56 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("commitNextIsolated: divergent racing writers never mix data — winner serves exactly its rows, vacuum reclaims the loser") {
+    val dir = "target/tmp/race_isolated"
+    val fs = GraftTable.fsOf(spark, dir)
+    (0 until 5).foreach { i =>
+      fs.delete(new Path(dir), true)
+      GraftTable.commitNextIsolated(spark, dir,
+        spark.range(0, 3).toDF("k"), "base")
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val outcome = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      // both writers stage DIVERGENT content for the SAME next version in
+      // writer-private dirs (the convention-path hazard this API removes:
+      // a shared v1 dir would let the winner publish the loser's bytes),
+      // then race the commit point
+      val threads = Seq(("a", 10L), ("b", 20L)).map { case (tag, n) =>
+        new Thread(() => {
+          latch.await()
+          val data = s"v1_$tag"
+          try {
+            spark.range(0, n).toDF("k").write.mode("overwrite")
+              .parquet(s"$dir/$data")
+            GraftTable.commit(fs, dir, 1, tag, dataDir = Some(data))
+            outcome.add(s"win:$tag:$n")
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              outcome.add(s"lose:$tag")
+            case e: Throwable => outcome.add(s"err:${e.getClass.getName}")
+          }
+        })
+      }
+      threads.foreach(_.start()); latch.countDown(); threads.foreach(_.join())
+      val rs = outcome.toArray.map(_.toString).toSeq.sorted
+      assert(rs.count(_.startsWith("win")) == 1, s"iteration $i: $rs")
+      assert(rs.count(_.startsWith("lose")) == 1, s"iteration $i: $rs")
+      val Array(_, winTag, winN) =
+        rs.find(_.startsWith("win")).get.split(":")
+      // the manifest names the WINNER's dir; its rows serve exactly
+      assert(GraftTable.dataDirOf(fs, dir, 1) == s"v1_$winTag")
+      assert(GraftTable.meta(fs, dir, 1) == winTag)
+      assert(GraftTable.readVersion(spark, dir, 1).count() == winN.toLong,
+        s"iteration $i: winner's version must serve the winner's bytes")
+      // the loser's staging is an unreachable orphan until vacuum
+      val loserTag = if (winTag == "a") "b" else "a"
+      assert(fs.exists(new Path(s"$dir/v1_$loserTag")))
+      assert(GraftTable.vacuum(fs, dir) == Seq(s"v1_$loserTag"))
+      assert(!fs.exists(new Path(s"$dir/v1_$loserTag")))
+      assert(GraftTable.readVersion(spark, dir, 1).count() == winN.toLong)
+      assert(GraftTable.readVersion(spark, dir, 0).count() == 3)
+    }
+  }
+
   test("table_merge_upsert: pre-merge version is row-identical to the base snapshot AFTER the merge commit") {
     SparkEntry.queries("table_merge_upsert")(spark, sf).collect()
     val dir = s"target/tmp/gmerge_${new java.io.File(sf).getName}"
