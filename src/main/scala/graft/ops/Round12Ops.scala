@@ -143,6 +143,109 @@ object Round12Ops {
       delta(0).unionByName(delta(1)).unionByName(delta(2)).orderBy("version")
     }),
 
+    // Row-level DELETE — the other half of the MERGE story: survivors of
+    // the delete predicate rewritten as a new version (copy-on-write,
+    // exactly how Delta/Iceberg execute DELETE without positional
+    // deletes), through the writer-isolated commit path. Both versions
+    // read back and grouped by the deleted dimension, so the oracle
+    // hash-checks that v1 dropped EXACTLY the predicate's rows and v0
+    // still carries them. At 100 TB copy-on-write DELETE touches only
+    // the files containing matches (file-level pruning on the predicate
+    // decides the rewrite set); the version mechanics are identical.
+    "table_delete_rows" -> ((s, d) => {
+      val dir = s"target/tmp/gdelete_${new java.io.File(d).getName}"
+      GraftTable.fsOf(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).as("price"))
+      GraftTable.commitNext(s, dir, o, "full")
+      GraftTable.commitNextIsolated(s, dir,
+        GraftTable.read(s, dir).filter(col("o_orderstatus") =!= "F"),
+        "delete where o_orderstatus = 'F'")
+      def snap(v: Int): DataFrame =
+        GraftTable.readVersion(s, dir, v)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), money(sum(col("price"))).as("sum_price"))
+          .select(lit(v).as("version"), col("o_orderstatus"), col("n"),
+            col("sum_price"))
+      snap(0).unionByName(snap(1)).orderBy("version", "o_orderstatus")
+    }),
+
+    // Incremental materialized-view maintenance driven by the CDC feed:
+    // a monthly-GMV aggregate table is maintained by folding EACH
+    // source-version delta's partial aggregates into the previous MV
+    // state (union + re-aggregate of |months| rows — never the source
+    // history), committing the MV itself as a versioned table. The
+    // oracle is the one-shot full recompute, so the key proves N
+    // delta-driven maintenance runs ≡ recompute — the contract that
+    // lets a 100 TB warehouse keep reports fresh by reading only each
+    // day's appended rows. (etl_incremental_watermark proved this for
+    // watermark cuts; this is the CDC-subscription twin, and the shape
+    // cdcSubscribe's onDelta callback would run.) Partials accumulate
+    // in exact decimal: fold order cannot change the result.
+    "table_cdc_maintain_agg" -> ((s, d) => {
+      val src = s"target/tmp/gmaint_src_${new java.io.File(d).getName}"
+      val mv = s"target/tmp/gmaint_mv_${new java.io.File(d).getName}"
+      val fs = GraftTable.fsOf(s, src)
+      fs.delete(new org.apache.hadoop.fs.Path(src), true) // pure-function reset
+      fs.delete(new org.apache.hadoop.fs.Path(mv), true)
+      val o = t(s, d, "orders").select(col("o_orderdate"),
+        dec(col("o_totalprice")).as("price"))
+      GraftTable.commitNext(s, src,
+        o.filter(col("o_orderdate") < to_timestamp(lit("1996-01-01"))), "pre-1996")
+      GraftTable.commitNext(s, src,
+        o.filter(col("o_orderdate") < to_timestamp(lit("1997-01-01"))), "pre-1997")
+      GraftTable.commitNext(s, src, o, "full")
+      (0 to 2).foreach { v =>
+        val part = GraftTable.versionDelta(s, src, v)
+          .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("ym"))
+          .agg(count(lit(1)).as("cnt"), sum(col("price")).as("sp"))
+          .select(col("ym"), col("cnt"), col("sp").cast(DecimalType(30, 2)).as("sp"))
+        val merged = GraftTable.readManifest(fs, mv) match {
+          case Some(_) => GraftTable.read(s, mv).unionByName(part)
+            .groupBy("ym")
+            .agg(sum(col("cnt")).as("cnt"),
+              sum(col("sp")).cast(DecimalType(30, 2)).as("sp"))
+          case None => part
+        }
+        GraftTable.commitNextIsolated(s, mv, merged, s"after src v$v")
+      }
+      GraftTable.read(s, mv)
+        .select(col("ym"), col("cnt"), money(col("sp")).as("gmv"))
+        .orderBy("ym")
+    }),
+
+    // Schema evolution across versions: v1 adds a column; the evolved
+    // read serves old versions with NULL backfill (unionByName over the
+    // union of schemas — the ADD COLUMN metadata-only semantics every
+    // table format guarantees: no rewrite of v0's files, old snapshots
+    // keep their own schema, and a cross-version read aligns by NAME,
+    // never by position). The oracle pins both the null backfill count
+    // and that neither version's data moved.
+    "table_schema_evolution" -> ((s, d) => {
+      val dir = s"target/tmp/gevolve_${new java.io.File(d).getName}"
+      GraftTable.fsOf(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val o = t(s, d, "orders")
+      GraftTable.commitNext(s, dir,
+        o.select(col("o_orderkey"), dec(col("o_totalprice")).as("price")),
+        "initial 2-column schema")
+      GraftTable.commitNextIsolated(s, dir,
+        o.select(col("o_orderkey"), dec(col("o_totalprice")).as("price"),
+          col("o_orderpriority")),
+        "add column o_orderpriority")
+      GraftTable.readVersion(s, dir, 0)
+        .select(lit(0).as("version"), col("*"))
+        .unionByName(
+          GraftTable.readVersion(s, dir, 1).select(lit(1).as("version"), col("*")),
+          allowMissingColumns = true)
+        .groupBy("version")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderpriority")).as("n_priority"),
+          money(sum(col("price"))).as("sum_price"))
+        .orderBy("version")
+    }),
+
     // Multi-file base-table scan: lineitem rewritten as a ship-month
     // partitioned layout (~84 directories; repartition by the partition
     // column first — one file per month, the small-files discipline every
@@ -215,6 +318,36 @@ object Round12Ops {
         band(1, "o_orderdate >= TIMESTAMP '1996-01-01' AND " +
           "o_orderdate < TIMESTAMP '1997-01-01'") + " UNION ALL " +
         band(2, "o_orderdate >= TIMESTAMP '1997-01-01'") + " ORDER BY version"
+    },
+
+    // v1 dropped EXACTLY the predicate's rows; v0 still carries them.
+    "table_delete_rows" -> {
+      def snap(v: Int, pred: String) =
+        s"SELECT $v AS version, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+          s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS sum_price " +
+          s"FROM orders $pred GROUP BY o_orderstatus"
+      snap(0, "") + " UNION ALL " +
+        snap(1, "WHERE o_orderstatus <> 'F'") +
+        " ORDER BY version, o_orderstatus"
+    },
+
+    // N delta-maintenance runs must equal the one-shot recompute.
+    "table_cdc_maintain_agg" ->
+      ("SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS ym, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS gmv " +
+        "FROM orders GROUP BY 1 ORDER BY ym"),
+
+    // Old version reads with NULL backfill for the added column; both
+    // versions' own data unchanged.
+    "table_schema_evolution" -> {
+      val sp = oMoney(s"SUM(${oDec("o_totalprice")})")
+      "SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(0 AS BIGINT) AS n_priority, $sp AS sum_price FROM orders " +
+        "UNION ALL " +
+        "SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(COUNT(o_orderpriority) AS BIGINT) AS n_priority, $sp AS sum_price " +
+        "FROM orders ORDER BY version"
     },
 
     // The layout must not change results: same report straight off the
