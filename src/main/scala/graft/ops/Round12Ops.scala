@@ -246,6 +246,84 @@ object Round12Ops {
         .orderBy("version")
     }),
 
+    // SemDeDup-style semantic deduplication: the embedding-space analog
+    // of text_dedup_keep_best. Vectors are assigned to their nearest of
+    // 8 broadcast centroids (the clustering step — shared construction
+    // with vec_neardup_pairs, max_by argmax so no window shuffle), and
+    // WITHIN each cluster a vector is a duplicate iff a LOWER-ID
+    // neighbor sits at cosine >= 0.35 (chosen above the corpus's
+    // within-cluster similarity tail so the rule actually fires at
+    // every SF — ~0.5% of pairs qualify); the kept representative pointer is
+    // the minimum such neighbor (one-hop, as in SemDeDup — reps are the
+    // members with no lower near-neighbor). Pair comparison is
+    // cluster-scoped, never corpus-wide: at 100 TB the candidate join
+    // fans out only within buckets, the same restriction the IVF/LSH
+    // families use, and the per-bucket pair count is what the cluster
+    // count k tunes. One persist because the self-join reads the
+    // assignment twice.
+    "vec_semantic_dedup" -> ((s, d) => {
+      graft.Graft.registerFunctions(s)
+      val e = t(s, d, "embeddings")
+      val cents = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+      val assign = e.crossJoin(cents)
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          expr("graft_cosine(embedding, c_emb)").as("c_cos"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"),
+            struct(col("c_cos"), (-col("cid")).as("nid"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dups = assign.as("a").join(assign.as("b"),
+          col("a.cid") === col("b.cid") &&
+            col("b.vec_id") < col("a.vec_id") &&
+            expr("graft_cosine(a.embedding, b.embedding)") >= 0.35)
+        .groupBy(col("a.vec_id").as("vec_id"))
+        .agg(min(col("b.vec_id")).as("rep0"))
+      assign.join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          col("rep0").isNotNull.as("is_dup"),
+          coalesce(col("rep0"), col("vec_id")).as("rep"))
+        .orderBy("vec_id")
+    }),
+
+    // Deequ-style expectation suite — the validation gate a pipeline
+    // runs before publishing a table: six rules (key completeness, key
+    // uniqueness, value range, value-set membership, column
+    // completeness, referential integrity against the customer dim) as
+    // ONE aggregation pass over orders plus one broadcast anti-join for
+    // the RI rule; the per-rule report rows explode out of the single
+    // combined row, so rule count never multiplies scans. At 100 TB
+    // this is one pass over the fact table regardless of how many
+    // single-column rules the suite carries.
+    "dq_expectation_suite" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val basic = o.agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderkey")).as("nk"),
+        countDistinct(col("o_orderkey")).as("ndk"),
+        sum(when(col("o_totalprice") <= 0 || col("o_totalprice") > 1e7, 1L)
+          .otherwise(0L)).as("range_viol"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("set_viol"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("date_nulls"))
+      val ri = o.join(
+          broadcast(t(s, d, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("ri_viol"))
+      basic.crossJoin(ri).select(explode(array(
+          struct(lit("custkey_ri").as("rule"), col("ri_viol").as("violations")),
+          struct(lit("date_complete").as("rule"), col("date_nulls").as("violations")),
+          struct(lit("key_not_null").as("rule"), (col("n") - col("nk")).as("violations")),
+          struct(lit("key_unique").as("rule"), (col("nk") - col("ndk")).as("violations")),
+          struct(lit("price_in_range").as("rule"), col("range_viol").as("violations")),
+          struct(lit("status_in_set").as("rule"), col("set_viol").as("violations"))
+        )).as("r"))
+        .select(col("r.rule"), col("r.violations"),
+          (col("r.violations") === 0).as("pass"))
+        .orderBy("rule")
+    }),
+
     // Multi-file base-table scan: lineitem rewritten as a ship-month
     // partitioned layout (~84 directories; repartition by the partition
     // column first — one file per month, the small-files discipline every
@@ -349,6 +427,39 @@ object Round12Ops {
         s"CAST(COUNT(o_orderpriority) AS BIGINT) AS n_priority, $sp AS sum_price " +
         "FROM orders ORDER BY version"
     },
+
+    // Same clustering as vec_neardup_pairs' oracle; the drop rule is the
+    // lower-id near-neighbor existence, the rep the min such neighbor.
+    "vec_semantic_dedup" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "cents AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8), " +
+        "assign AS (SELECT vec_id, emb, cid FROM (" +
+        "SELECT e.vec_id, e.emb, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id " +
+        "ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC, c.cid ASC) AS rn " +
+        "FROM e, cents c) WHERE rn = 1), " +
+        "d AS (SELECT a.vec_id, MIN(b.vec_id) AS rep0 FROM assign a JOIN assign b " +
+        "ON a.cid = b.cid AND b.vec_id < a.vec_id " +
+        "AND list_cosine_similarity(a.emb, b.emb) >= 0.35 GROUP BY 1) " +
+        "SELECT a.vec_id AS vec_id, a.cid, d.rep0 IS NOT NULL AS is_dup, " +
+        "COALESCE(d.rep0, a.vec_id) AS rep " +
+        "FROM assign a LEFT JOIN d ON a.vec_id = d.vec_id ORDER BY a.vec_id"),
+
+    "dq_expectation_suite" ->
+      ("WITH b AS (SELECT COUNT(*) AS n, COUNT(o_orderkey) AS nk, " +
+        "COUNT(DISTINCT o_orderkey) AS ndk, " +
+        "SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > 10000000 THEN 1 ELSE 0 END) AS range_viol, " +
+        "SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS set_viol, " +
+        "SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS date_nulls FROM orders), " +
+        "ri AS (SELECT COUNT(*) AS ri_viol FROM orders o LEFT JOIN customer c " +
+        "ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL), " +
+        "rules AS (" +
+        "SELECT 'custkey_ri' AS rule, CAST(ri_viol AS BIGINT) AS violations FROM ri " +
+        "UNION ALL SELECT 'date_complete', CAST(date_nulls AS BIGINT) FROM b " +
+        "UNION ALL SELECT 'key_not_null', CAST(n - nk AS BIGINT) FROM b " +
+        "UNION ALL SELECT 'key_unique', CAST(nk - ndk AS BIGINT) FROM b " +
+        "UNION ALL SELECT 'price_in_range', CAST(range_viol AS BIGINT) FROM b " +
+        "UNION ALL SELECT 'status_in_set', CAST(set_viol AS BIGINT) FROM b) " +
+        "SELECT rule, violations, violations = 0 AS pass FROM rules ORDER BY rule"),
 
     // The layout must not change results: same report straight off the
     // single-file lineitem.

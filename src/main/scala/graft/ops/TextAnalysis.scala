@@ -199,7 +199,7 @@ object TextAnalysis {
       a.join(b, Seq("cid")).filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), col("cid"),
           expr("graft_cosine(a_emb, b_emb)").as("raw"))
-        .filter(col("raw") >= 0.5)
+        .filter(col("raw") >= 0.35)
         .select(col("a_id"), col("b_id"), col("cid"),
           dround(col("raw"), 6).as("cos_sim"))
         .orderBy("a_id", "b_id")
@@ -332,7 +332,7 @@ object TextAnalysis {
         "SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cid, " +
         "round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim " +
         "FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id " +
-        "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.5 ORDER BY a_id, b_id"),
+        "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35 ORDER BY a_id, b_id"),
     "text_ngram_jaccard" ->
       ("WITH dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 500), " +
         "sh AS (SELECT doc_id, list_distinct([concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT) + 1]) " +
