@@ -182,6 +182,33 @@ object ScalingProbe {
         .withColumn("text", concat(col("text"), lit(" rep"), col("rep_idx")))
         .drop("rep_idx")
 
+    // round-12 shape: the MERGE write path's COMPUTE (table_merge_upsert
+    // minus the store IO). The claim under test: merge = one
+    // key-partitioned FULL OUTER join of snapshot × pre-aggregated
+    // changelog + a map-only coalesce projection — linear in keys, no
+    // per-row re-read of either side. (The omitted parquet write is
+    // trivially linear in output bytes; timing the plan isolates the
+    // join shape the claim is about.)
+    val cust12 = T.t(spark, sfDir, "customer")
+    def mergeShape(c: DataFrame, o: DataFrame): Long = {
+      val base = c.select(col("c_custkey").as("key"),
+        T.dec(col("c_acctbal")).as("bal"))
+      val chg = o.groupBy("o_custkey")
+        .agg(sum(T.dec(col("o_totalprice"))).as("delta"))
+      base.join(chg, col("key") === col("o_custkey"), "full")
+        .select(coalesce(col("key"), col("o_custkey")).as("key"),
+          (coalesce(col("bal"), lit(0)) + coalesce(col("delta"), lit(0)))
+            .as("bal")).count()
+    }
+
+    // round-12 shape: the CDC delta (versionDelta's exceptAll of
+    // adjacent snapshots). The claim under test: exceptAll is one hash
+    // repartition of each side + a per-key counter — linear in rows,
+    // never a pairwise compare.
+    def cdcDelta(o: DataFrame): Long =
+      o.exceptAll(o.filter(col("o_orderdate") <
+        to_timestamp(lit("1997-01-01")))).count()
+
     // round-9 shape: pointer-jumping list rank. Amplifying BOTH keys
     // keeps every chain's length (and therefore the round count —
     // ceil(log2(maxChain)) — ) identical while each round processes 10×
@@ -195,7 +222,8 @@ object ScalingProbe {
     // (incl. first read of customer/supplier + the grid-join codegen and
     // the triangle edge-build, so their 1× rows are not cold-read IO)
     q1(li); joinAgg(ord, li); winLatest(ev); gridJoin(cust); triEdges(li)
-    topkSpill(li); kmeans(emb); listRank(ord); lshSig(emb); corpus(docs); ()
+    topkSpill(li); kmeans(emb); listRank(ord); lshSig(emb); corpus(docs)
+    mergeShape(cust12, ord); cdcDelta(ord); ()
 
     val results = Seq(
       ("agg_q1_shape", time(q1(li)), time(q1(amp(li, Seq("l_orderkey"))))),
@@ -222,7 +250,12 @@ object ScalingProbe {
       ("lsh_signature_build", time(lshSig(emb)),
         time(lshSig(amp(emb, Seq("vec_id"))))),
       ("corpus_pipeline", time(corpus(docs)),
-        time(corpus(ampDocs(docs))))
+        time(corpus(ampDocs(docs)))),
+      ("merge_upsert_shape", time(mergeShape(cust12, ord)),
+        time(mergeShape(amp(cust12, Seq("c_custkey")),
+          amp(ord, Seq("o_custkey"))))),
+      ("cdc_delta_exceptall", time(cdcDelta(ord)),
+        time(cdcDelta(amp(ord, Seq("o_orderkey")))))
     )
     def r(v: Double): Double = math.rint(v * 1000) / 1000
     val json = results.map { case (k, t1, t10) =>
