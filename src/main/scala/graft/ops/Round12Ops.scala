@@ -246,6 +246,55 @@ object Round12Ops {
         .orderBy("version")
     }),
 
+    // The lakehouse write-side story as ONE key — the composition
+    // flagship for the table family, the way etl_llm_corpus_pipeline is
+    // for the corpus family: initial load → MERGE a changelog → DELETE
+    // by predicate → OPTIMIZE compaction, each stage an atomic committed
+    // version of the SAME table, all four versions read back through the
+    // manifest afterwards. The oracle recomputes every stage from the
+    // raw tables as chained CTEs, so the whole version history — not
+    // just the final state — is hash-checked: a stage that mutated its
+    // predecessor in place, lost rows in compaction, or deleted the
+    // wrong predicate's rows mismatches at that version's rows. Stage
+    // costs at 100 TB: load = one grouped scan; merge = one
+    // key-partitioned full-outer of snapshot × pre-aggregated changelog;
+    // delete = copy-on-write of survivors; optimize = IO-only rewrite;
+    // every commit O(manifest).
+    "etl_lakehouse_pipeline" -> ((s, d) => {
+      val dir = s"target/tmp/glake_${new java.io.File(d).getName}"
+      GraftTable.fsOf(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val o = t(s, d, "orders")
+      def band(pred: org.apache.spark.sql.Column) =
+        o.filter(pred).groupBy(col("o_custkey").as("key"))
+          .agg(sum(dec(col("o_totalprice"))).as("bal"))
+      // v0 — load: pre-1996 per-customer balances
+      GraftTable.commitNext(s, dir,
+        band(col("o_orderdate") < to_timestamp(lit("1996-01-01"))), "load pre-1996")
+      // v1 — merge: 1996's changelog upserted (update + insert arms)
+      val chg = band(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("key").as("ckey"), col("bal").as("delta"))
+      val merged = GraftTable.read(s, dir)
+        .join(chg, col("key") === col("ckey"), "full")
+        .select(coalesce(col("key"), col("ckey")).as("key"),
+          (coalesce(col("bal"), lit(0).cast(DecimalType(12, 2))) +
+            coalesce(col("delta"), lit(0).cast(DecimalType(12, 2)))).as("bal"))
+      GraftTable.commitNextIsolated(s, dir, merged, "merge 1996 changelog")
+      // v2 — delete: drop balances under 50k (copy-on-write survivors)
+      GraftTable.commitNextIsolated(s, dir,
+        GraftTable.read(s, dir).filter(col("bal") >= 50000), "delete bal < 50000")
+      // v3 — optimize: same rows, compacted
+      GraftTable.commitNextIsolated(s, dir,
+        GraftTable.read(s, dir).coalesce(2), "optimize compact")
+      def snap(v: Int): DataFrame =
+        GraftTable.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), money(sum(col("bal"))).as("total_bal"))
+          .select(lit(v).as("version"), col("n_rows"), col("total_bal"))
+      snap(0).unionByName(snap(1)).unionByName(snap(2)).unionByName(snap(3))
+        .orderBy("version")
+    }),
+
     // SemDeDup-style semantic deduplication: the embedding-space analog
     // of text_dedup_keep_best. Vectors are assigned to their nearest of
     // 8 broadcast centroids (the clustering step — shared construction
@@ -426,6 +475,24 @@ object Round12Ops {
         "SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
         s"CAST(COUNT(o_orderpriority) AS BIGINT) AS n_priority, $sp AS sum_price " +
         "FROM orders ORDER BY version"
+    },
+
+    // Every stage of the version history recomputed as chained CTEs.
+    "etl_lakehouse_pipeline" -> {
+      val snap = (v: Int, src: String) =>
+        s"SELECT $v AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          s"${oMoney("SUM(bal)")} AS total_bal FROM $src"
+      s"WITH b0 AS (SELECT o_custkey AS key, SUM(${oDec("o_totalprice")}) AS bal " +
+        "FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1), " +
+        s"chg AS (SELECT o_custkey AS ckey, SUM(${oDec("o_totalprice")}) AS delta " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1), " +
+        "b1 AS (SELECT COALESCE(key, ckey) AS key, " +
+        "COALESCE(bal, 0) + COALESCE(delta, 0) AS bal " +
+        "FROM b0 FULL JOIN chg ON key = ckey), " +
+        "b2 AS (SELECT * FROM b1 WHERE bal >= 50000) " +
+        snap(0, "b0") + " UNION ALL " + snap(1, "b1") + " UNION ALL " +
+        snap(2, "b2") + " UNION ALL " + snap(3, "b2") + " ORDER BY version"
     },
 
     // Same clustering as vec_neardup_pairs' oracle; the drop rule is the
