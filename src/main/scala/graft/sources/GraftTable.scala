@@ -257,6 +257,37 @@ object GraftTable {
     v
   }
 
+  /** Write-time contract enforcement: evaluate named expectation rules
+    * (each a boolean Column; a row violates a rule when the predicate is
+    * FALSE or NULL) in ONE aggregation pass over `df`, and only if every
+    * rule has zero violations commit `df` through the isolated path. A
+    * violating frame throws IllegalStateException naming each failed
+    * rule and its violation count, and NO version is created — the
+    * constraint gate every table format bolts on (Delta CHECK
+    * constraints / NOT NULL): bad data is refused at the write boundary
+    * instead of poisoning every reader downstream. The validation scan
+    * is one extra pass over the input — at 100 TB that pass is the
+    * price of the contract, and it shares the cluster-friendly shape of
+    * dq_expectation_suite (one agg, no shuffle beyond the partial
+    * merge). */
+  def checkedCommit(spark: SparkSession, dir: String, df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      metadata: String = "", retain: Int = Int.MaxValue,
+      prefix: String = "v"): Int = {
+    require(rules.nonEmpty, "checkedCommit without rules is commitNextIsolated")
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(pred, 0L).otherwise(1L)).as(name)
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
+    val bad = rules.map(_._1).map(n => n -> row.getAs[Long](n))
+      .filter(_._2 > 0)
+    if (bad.nonEmpty)
+      throw new IllegalStateException("commit refused — expectation " +
+        "violations: " + bad.map { case (n, c) => s"$n=$c" }.mkString(", "))
+    commitNextIsolated(spark, dir, df, metadata, retain, prefix)
+  }
+
   /** Reclaim ORPHANED data dirs: dirs carrying a version number at or
     * below the current committed maximum that no commit file references
     * — the left-behind staging of crashed or race-losing writers.

@@ -190,6 +190,68 @@ class Round12Spec extends SparkSpec {
       s"matched pair must emit normally: ${rows.toSeq}")
   }
 
+  test("checkedCommit: expectation violations refuse the commit by name; no version is created") {
+    import spark.implicits._
+    val dir = "target/tmp/gchecked"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    val rules = Seq(
+      "k_not_null" -> col("k").isNotNull,
+      "v_positive" -> (col("v") > 0))
+    val good = Seq((Option(1L), 10.0), (Option(2L), 20.0)).toDF("k", "v")
+    assert(GraftTable.checkedCommit(spark, dir, good, rules, "ok") == 0)
+    // one row violates each rule (a NULL predicate counts as a violation)
+    val bad = Seq((Option(3L), -5.0), (Option.empty[Long], 1.0)).toDF("k", "v")
+    val e = intercept[IllegalStateException] {
+      GraftTable.checkedCommit(spark, dir, bad, rules, "bad")
+    }
+    assert(e.getMessage.contains("k_not_null=1"), e.getMessage)
+    assert(e.getMessage.contains("v_positive=1"), e.getMessage)
+    // the refused write left NO trace: same single version, same rows
+    assert(GraftTable.versions(fs, dir) == Seq(0))
+    assert(GraftTable.read(spark, dir).count() == 2)
+  }
+
+  test("cdcSubscribe drives incremental MV maintenance to the batch fixpoint") {
+    val src = "target/tmp/cdcmv_src"
+    val mv = "target/tmp/cdcmv_mv"
+    val ckpt = "target/tmp/cdcmv_ckpt"
+    val fs = GraftTable.fsOf(spark, src)
+    Seq(src, mv, ckpt).foreach(p => fs.delete(new Path(p), true))
+    // the onDelta handler = table_cdc_maintain_agg's fold, driven by the
+    // SUBSCRIPTION instead of a batch loop: per-bucket (cnt, sum)
+    // partials merged into the previous MV state
+    def fold(delta: org.apache.spark.sql.DataFrame): Unit = {
+      val part = delta.groupBy((col("k") % 3).as("b"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("s"))
+      val merged = GraftTable.readManifest(fs, mv) match {
+        case Some(_) => GraftTable.read(spark, mv).unionByName(part)
+          .groupBy("b").agg(sum(col("cnt")).as("cnt"), sum(col("s")).as("s"))
+        case None => part
+      }
+      GraftTable.commitNextIsolated(spark, mv, merged)
+    }
+    GraftTable.commitNext(spark, src, spark.range(0, 5).toDF("k"), "v0")
+    val q = GraftTable.cdcSubscribe(spark, src, ckpt,
+      (_, _, delta) => fold(delta))
+    q.processAllAvailable()
+    GraftTable.commitNext(spark, src, spark.range(0, 9).toDF("k"), "v1")
+    q.processAllAvailable()
+    GraftTable.commitNext(spark, src, spark.range(0, 12).toDF("k"), "v2")
+    q.processAllAvailable()
+    q.stop()
+    val got = GraftTable.read(spark, mv).orderBy("b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = spark.range(0, 12).toDF("k")
+      .groupBy((col("k") % 3).as("b"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("s"))
+      .orderBy("b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"subscription-maintained MV $got != recompute $want")
+    // three source versions → three MV versions (one fold per delta)
+    assert(GraftTable.versions(fs, mv) == Seq(0, 1, 2))
+  }
+
   test("GraftTable cdcSubscribe: each version's delta exactly once; checkpoint restart never replays") {
     val dir = "target/tmp/cdc_gtable"
     val ckpt = "target/tmp/cdc_ckpt"
