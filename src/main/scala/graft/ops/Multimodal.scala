@@ -307,4 +307,108 @@ object Multimodal {
         }
       }(enc)
   }
+
+  // ---- audio modality -----------------------------------------------------
+
+  /** Integer-deterministic PCM16 sample: a doc-frequency sawtooth.
+    * Pure integer arithmetic — bit-identical on any JVM/platform (no
+    * Math.sin, whose libm results are platform-dependent), which is what
+    * lets the spec recompute every feature closed-form. */
+  private[graft] def sampleAt(docId: Long, i: Int): Short =
+    (((i * (docId % 7 + 1)) % 256 - 128) * 256).toShort
+
+  private[graft] def wavSampleCount(docId: Long): Int =
+    800 + (docId % 1600).toInt
+
+  /** Deterministic synthetic WAV: a genuine RIFF/WAVE container (44-byte
+    * canonical header + PCM16LE mono frames at 8 kHz) around the integer
+    * sawtooth — real audio bytes, so decode exercises the JDK's actual
+    * javax.sound.sampled WAV codec, mirroring what pngPayload/ImageIO do
+    * for the image modality. */
+  private[graft] def wavPayload(docId: Long): Array[Byte] = {
+    val n = wavSampleCount(docId)
+    val rate = 8000
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(n * 2)
+    var i = 0
+    while (i < n) { bb.putShort(sampleAt(docId, i)); i += 1 }
+    bb.array()
+  }
+
+  /** Decode a WAV payload through the REAL JDK audio stack
+    * (AudioSystem): header-parsed format + PCM frames back as shorts. */
+  private[graft] def decodeWav(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected WAV shape: $fmt")
+      val raw = ais.readAllBytes()
+      val out = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, out)
+    } finally ais.close()
+  }
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType), StructField("n_frames", IntegerType),
+    StructField("peak_frame", IntegerType), StructField("peak_rms", DoubleType),
+    StructField("mean_rms", DoubleType)))
+
+  /** documents → WAV payloads → per-frame RMS energy features: 256-sample
+    * frames (tail partial frame included), per-frame root-mean-square,
+    * the peak frame (first index on ties) and the mean frame RMS — the
+    * silence-detection / loudness-normalization primitives of an audio
+    * ingest pipeline. Same partition-batched plumbing as the image
+    * stages: synth and decode both run inside one mapPartitions, nothing
+    * touches the driver, and the doubles are rounded through the
+    * DuckRound canon kernel so results are hash-stable. */
+  def audioEnergyPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioSchema)
+    T.t(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .repartition(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (rate, samples) = decodeWav(wavPayload(id))
+          val frame = 256
+          val nFrames = (samples.length + frame - 1) / frame
+          var peakIdx = 0
+          var peak = -1.0
+          var sumRms = 0.0
+          var f = 0
+          while (f < nFrames) {
+            val from = f * frame
+            val until = math.min(from + frame, samples.length)
+            var acc = 0.0
+            var i = from
+            while (i < until) {
+              val s = samples(i).toDouble; acc += s * s; i += 1
+            }
+            val rms = math.sqrt(acc / (until - from))
+            if (rms > peak) { peak = rms; peakIdx = f }
+            sumRms += rms
+            f += 1
+          }
+          org.apache.spark.sql.Row(id, rate, samples.length, nFrames,
+            peakIdx, graft.expr.DuckRound.round(peak, 6),
+            graft.expr.DuckRound.round(sumRms / nFrames, 6))
+        }
+      }(enc)
+  }
 }

@@ -295,6 +295,19 @@ object Round12Ops {
         .orderBy("version")
     }),
 
+    // t2=N (rows-only): the AUDIO modality — synthetic-but-genuine WAV
+    // payloads (RIFF/WAVE header + PCM16LE frames around an
+    // integer-deterministic sawtooth) decoded through the REAL JDK
+    // javax.sound.sampled codec, then 256-sample frame RMS energy, peak
+    // frame and mean loudness per document, all partition-batched. No
+    // SQL oracle can run a WAV codec; Round12Spec recomputes every
+    // feature closed-form from the waveform definition without touching
+    // the codec, so the decode path is pinned end to end. Completes the
+    // image (PNG codec) / video (frame sampling) / audio modality
+    // coverage of the binary-column family.
+    "mm_audio_energy" -> ((s, d) =>
+      Multimodal.audioEnergyPipeline(s, d).orderBy("doc_id")),
+
     // SemDeDup-style semantic deduplication: the embedding-space analog
     // of text_dedup_keep_best. Vectors are assigned to their nearest of
     // 8 broadcast centroids (the clustering step — shared construction

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the claimed numbers live.
   */
 class EntryCountSpec extends AnyFunSuite {
-  val claimedQueries = 242
+  val claimedQueries = 243
   val claimedOracles = 221
 
   test("queries.size matches the documented count") {

@@ -190,6 +190,33 @@ class Round12Spec extends SparkSpec {
       s"matched pair must emit normally: ${rows.toSeq}")
   }
 
+  test("mm_audio_energy: JDK WAV codec round-trip matches the closed-form integer waveform") {
+    import graft.ops.Multimodal
+    // codec path: real AudioSystem decode returns exactly the synthesized
+    // integer sawtooth at the declared rate
+    val (rate, samples) = Multimodal.decodeWav(Multimodal.wavPayload(42L))
+    assert(rate == 8000)
+    assert(samples.length == Multimodal.wavSampleCount(42L))
+    assert(samples.toSeq ==
+      samples.indices.map(i => Multimodal.sampleAt(42L, i)))
+    // pipeline features for one doc vs a from-scratch recompute that
+    // never touches the WAV bytes
+    val row = SparkEntry.queries("mm_audio_energy")(spark, sf)
+      .filter(col("doc_id") === 7L).collect()(0)
+    val n = Multimodal.wavSampleCount(7L)
+    val sig = (0 until n).map(i => Multimodal.sampleAt(7L, i).toDouble)
+    val rms = sig.grouped(256).map { fr =>
+      math.sqrt(fr.map(s => s * s).sum / fr.length)
+    }.toSeq
+    assert(row.getAs[Int]("n_samples") == n)
+    assert(row.getAs[Int]("n_frames") == rms.length)
+    assert(row.getAs[Int]("peak_frame") == rms.indexOf(rms.max))
+    assert(row.getAs[Double]("peak_rms") ==
+      graft.expr.DuckRound.round(rms.max, 6))
+    assert(row.getAs[Double]("mean_rms") ==
+      graft.expr.DuckRound.round(rms.sum / rms.length, 6))
+  }
+
   test("checkedCommit: expectation violations refuse the commit by name; no version is created") {
     import spark.implicits._
     val dir = "target/tmp/gchecked"
