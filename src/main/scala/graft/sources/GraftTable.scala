@@ -257,6 +257,32 @@ object GraftTable {
     v
   }
 
+  /** TIMESTAMP AS OF resolution: the latest version whose commit file
+    * was published at or before `asOfMs` (epoch millis). The publish
+    * instant is the commit file's FS modification time — set when the
+    * writer finished writing the metadata, carried through the
+    * hard-link/rename publish unchanged — so "what did the table look
+    * like at T" resolves without any content change to the manifest.
+    * (A production deployment would ALSO record wall-time inside the
+    * commit metadata to survive FS migrations; mtime is the right local
+    * semantics and keeps old manifests compatible.) None when no commit
+    * existed yet at `asOfMs`. */
+  def versionAsOf(fs: FileSystem, dir: String, asOfMs: Long): Option[Int] =
+    versions(fs, dir).filter { v =>
+      fs.getFileStatus(new Path(s"$dir/manifest/commit_$v"))
+        .getModificationTime <= asOfMs
+    }.maxOption
+
+  /** Time travel by timestamp: read the snapshot current at `asOfMs`.
+    * Fails loudly when the table did not exist yet at that instant. */
+  def readAsOf(spark: SparkSession, dir: String, asOfMs: Long,
+      prefix: String = "v"): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val v = versionAsOf(fs, dir, asOfMs).getOrElse(sys.error(
+      s"no version of $dir existed at epoch-ms $asOfMs"))
+    readVersion(spark, dir, v, prefix)
+  }
+
   /** Write-time contract enforcement: evaluate named expectation rules
     * (each a boolean Column; a row violates a rule when the predicate is
     * FALSE or NULL) in ONE aggregation pass over `df`, and only if every

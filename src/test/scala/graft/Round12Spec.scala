@@ -217,6 +217,28 @@ class Round12Spec extends SparkSpec {
       graft.expr.DuckRound.round(rms.sum / rms.length, 6))
   }
 
+  test("readAsOf: timestamp time-travel resolves the snapshot current at each instant") {
+    val dir = "target/tmp/gasof"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    GraftTable.commitNext(spark, dir, spark.range(0, 3).toDF("k"), "v0")
+    val t0 = fs.getFileStatus(new Path(s"$dir/manifest/commit_0"))
+      .getModificationTime
+    Thread.sleep(30) // distinct publish instants at mtime granularity
+    GraftTable.commitNextIsolated(spark, dir, spark.range(0, 8).toDF("k"), "v1")
+    val t1 = fs.getFileStatus(new Path(s"$dir/manifest/commit_1"))
+      .getModificationTime
+    assert(t1 > t0, "publish instants must be distinguishable")
+    // at t0 the table was v0; at t1 (and after) it is v1; before t0 it
+    // did not exist
+    assert(GraftTable.readAsOf(spark, dir, t0).count() == 3)
+    assert(GraftTable.readAsOf(spark, dir, t1).count() == 8)
+    assert(GraftTable.readAsOf(spark, dir, t1 + 60000).count() == 8)
+    intercept[RuntimeException] {
+      GraftTable.readAsOf(spark, dir, t0 - 60000)
+    }
+  }
+
   test("checkedCommit: expectation violations refuse the commit by name; no version is created") {
     import spark.implicits._
     val dir = "target/tmp/gchecked"
