@@ -173,6 +173,49 @@ object Graft {
       reg.createOrReplaceTempFunction("graft_winnow_fps",
         exprs => graft.expr.WinnowFingerprints(exprs.head), "scala_udf")
     }
+    val treg = spark.sessionState.tableFunctionRegistry
+    val verId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_version")
+    if (!treg.functionExists(verId)) {
+      treg.createOrReplaceTempFunction("graft_version",
+        versionTvf, "scala_udf")
+      treg.createOrReplaceTempFunction("graft_changes",
+        changesTvf, "scala_udf")
+    }
+  }
+
+  /** TVF builders shared with GraftExtensions' cluster-wide injection. */
+  private[graft] def versionTvf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    tableFnPlan("graft_version", exprs,
+      (d, v) => sources.GraftTable.readVersion(SparkSession.active, d, v))
+
+  private[graft] def changesTvf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    tableFnPlan("graft_changes", exprs,
+      (d, v) => sources.GraftTable.versionDelta(SparkSession.active, d, v))
+
+  /** Table-valued-function builder for the versioned-store SQL surface:
+    * `SELECT * FROM graft_version('<dir>', 0)` /
+    * `graft_changes('<dir>', 1)` — the version history queryable from
+    * plain SQL the way Delta exposes `table_changes(...)`. Arguments
+    * must be literals (the plan is resolved at analysis time); the
+    * returned logical plan is the same manifest-resolved read the Scala
+    * API builds, so pruning/pushdown work identically. */
+  private def tableFnPlan(name: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      f: (String, Int) => DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 2 && exprs.forall(_.foldable),
+      s"$name(dir, version) requires two literal arguments")
+    val dir = exprs(0).eval().toString
+    val v = exprs(1).eval() match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => l.intValue
+      case other => sys.error(s"$name: version must be integral, got $other")
+    }
+    f(dir, v).queryExecution.logical
   }
 
   /** Skew-mitigating equi-join (SURVEY §4.2 "salting for skew"): explode

@@ -37,5 +37,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_winnow_fps"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.expr.WinnowFingerprints(exprs.head)))
+    // the versioned store's SQL TVF surface (graft_version /
+    // graft_changes), cluster-wide; per-session twin in
+    // Graft.registerFunctions — both delegate to the same builders
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_version"),
+      new ExpressionInfo(graft.sources.GraftTable.getClass.getName,
+        "graft_version"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.Graft.versionTvf(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(graft.sources.GraftTable.getClass.getName,
+        "graft_changes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.Graft.changesTvf(exprs)))
   }
 }

@@ -217,6 +217,50 @@ class Round12Spec extends SparkSpec {
       graft.expr.DuckRound.round(rms.sum / rms.length, 6))
   }
 
+  test("graft_version/graft_changes: the version history is queryable from plain SQL") {
+    val dir = "target/tmp/gtvf"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    GraftTable.commitNext(spark, dir, spark.range(0, 5).toDF("k"), "v0")
+    GraftTable.commitNextIsolated(spark, dir, spark.range(0, 8).toDF("k"), "v1")
+    Graft.registerFunctions(spark)
+    assert(spark.sql(s"SELECT * FROM graft_version('$dir', 0)").count() == 5)
+    assert(spark.sql(s"SELECT * FROM graft_version('$dir', 1)").count() == 8)
+    val delta = spark.sql(s"SELECT k FROM graft_changes('$dir', 1) ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(delta == Seq(5L, 6L, 7L))
+    // TVFs compose like any relation: join the delta in SQL
+    val joined = spark.sql(
+      s"SELECT COUNT(*) FROM graft_changes('$dir', 1) c " +
+        s"JOIN graft_version('$dir', 1) v ON c.k = v.k")
+      .collect()(0).getLong(0)
+    assert(joined == 3)
+  }
+
+  test("graft_changes via spark.sql.extensions: the TVFs inject cluster-wide, no per-session call") {
+    val dir = "target/tmp/gtvf_ext"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    GraftTable.commitNext(spark, dir, spark.range(0, 4).toDF("k"), "v0")
+    GraftTable.commitNext(spark, dir, spark.range(0, 6).toDF("k"), "v1")
+    // fresh session built WITH the extensions (RangeJoinRuleSpec's
+    // pattern) — no Graft.registerFunctions call anywhere
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]").withExtensions(new GraftExtensions).getOrCreate()
+      val delta = s2.sql(s"SELECT k FROM graft_changes('$dir', 1) ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(delta == Seq(4L, 5L))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(prevDefault.orNull)
+      org.apache.spark.sql.SparkSession.setActiveSession(prevActive.orNull)
+    }
+  }
+
   test("readAsOf: timestamp time-travel resolves the snapshot current at each instant") {
     val dir = "target/tmp/gasof"
     val fs = GraftTable.fsOf(spark, dir)
