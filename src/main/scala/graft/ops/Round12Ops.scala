@@ -295,6 +295,32 @@ object Round12Ops {
         .orderBy("version")
     }),
 
+    // Higher-order MAP functions (transform_keys / transform_values /
+    // map_filter / map_zip_with) — the map analog of fn_lambda_pack's
+    // array coverage, codegen-friendly, no explode shuffle. The map is
+    // built from three deterministic scalars so the oracle recomputes
+    // every output closed-form; entry serialization sorts by key so the
+    // result is hash-stable regardless of map iteration order.
+    "fn_map_ho_pack" -> ((s, d) => {
+      val e = graft.T.events(s, d)
+        .withColumn("kv", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .withColumn("m", map(
+          lit("k"), col("kv"),
+          lit("u"), (col("user_id") % 100).cast(IntegerType),
+          lit("e"), length(col("event_type"))))
+      e.select(col("event_id"),
+          concat_ws(",", array_sort(transform(
+            map_entries(expr("transform_values(m, (k, v) -> v * 2)")),
+            x => concat(x("key"), lit(":"), x("value"))))).as("doubled"),
+          concat_ws(",", array_sort(map_keys(
+            expr("transform_keys(m, (k, v) -> concat('p_', k))")))).as("pkeys"),
+          size(expr("map_filter(m, (k, v) -> v % 2 = 0)")).as("n_even"),
+          expr("aggregate(map_values(map_zip_with(m, " +
+            "transform_values(m, (k, v) -> v * 2), (k, v1, v2) -> v1 + v2)), " +
+            "0, (a, x) -> a + x)").as("zip_sum"))
+        .orderBy("event_id")
+    }),
+
     // t2=N (rows-only): the AUDIO modality — synthetic-but-genuine WAV
     // payloads (RIFF/WAVE header + PCM16LE frames around an
     // integer-deterministic sawtooth) decoded through the REAL JDK
@@ -507,6 +533,22 @@ object Round12Ops {
         snap(0, "b0") + " UNION ALL " + snap(1, "b1") + " UNION ALL " +
         snap(2, "b2") + " UNION ALL " + snap(3, "b2") + " ORDER BY version"
     },
+
+    // The three map entries recomputed from their source scalars; the
+    // sorted-entry serialization orders e < k < u lexicographically.
+    "fn_map_ho_pack" ->
+      ("WITH src AS (SELECT event_id, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
+        "CAST(user_id % 100 AS INT) AS u, " +
+        "CAST(length(event_type) AS INT) AS e FROM events) " +
+        "SELECT event_id, " +
+        "'e:' || (2 * e) || ',k:' || (2 * k) || ',u:' || (2 * u) AS doubled, " +
+        "'p_e,p_k,p_u' AS pkeys, " +
+        "CAST((CASE WHEN e % 2 = 0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS INT) AS n_even, " +
+        "CAST(3 * (e + k + u) AS INT) AS zip_sum " +
+        "FROM src ORDER BY event_id"),
 
     // Same clustering as vec_neardup_pairs' oracle; the drop rule is the
     // lower-id near-neighbor existence, the rep the min such neighbor.

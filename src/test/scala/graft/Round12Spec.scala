@@ -261,6 +261,40 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("Observation: observe() metrics match the query's own aggregates (pipeline monitoring surface)") {
+    // the observability idiom a production pipeline attaches to every
+    // stage: named metrics ride the SAME job as the real work (no
+    // second scan), collected driver-side after the action
+    val obs = org.apache.spark.sql.Observation("graft_metrics")
+    val df = T.t(spark, sf, "orders")
+      .observe(obs, count(lit(1)).as("n"),
+        sum(T.dec(col("o_totalprice"))).as("total"))
+      .filter(col("o_totalprice") > 0)
+    df.count()
+    val direct = T.t(spark, sf, "orders")
+      .agg(count(lit(1)), sum(T.dec(col("o_totalprice")))).collect()(0)
+    assert(obs.get("n") == direct.getLong(0))
+    assert(obs.get("total") == direct.getDecimal(1))
+  }
+
+  test("CACHE TABLE surface: cached relation serves from InMemoryTableScan, then uncaches") {
+    val name = "r12_cache_probe"
+    T.t(spark, sf, "nation").createOrReplaceTempView(name)
+    spark.catalog.cacheTable(name)
+    try {
+      val df = spark.table(name).groupBy("n_regionkey").count()
+      df.collect() // materialize the cache
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan") ||
+        p.contains("TableCacheQueryStage") || p.contains("InMemoryRelation"),
+        p)
+    } finally {
+      spark.catalog.uncacheTable(name)
+      spark.catalog.dropTempView(name)
+    }
+    ()
+  }
+
   test("readAsOf: timestamp time-travel resolves the snapshot current at each instant") {
     val dir = "target/tmp/gasof"
     val fs = GraftTable.fsOf(spark, dir)
