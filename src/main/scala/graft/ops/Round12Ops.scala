@@ -295,6 +295,35 @@ object Round12Ops {
         .orderBy("version")
     }),
 
+    // RESTORE — roll a table back by committing an OLD snapshot as the
+    // NEW current version (Delta's RESTORE TABLE ... TO VERSION):
+    // history is append-only, so the bad version stays inspectable for
+    // forensics while every reader's "current" is the restored state.
+    // v0 = pre-1997 orders, v1 = a "bad load" (everything, prices
+    // doubled), v2 = RESTORE of v0. The oracle recomputes all three —
+    // v2's rows must equal v0's exactly, and v1 must still carry the
+    // bad data (restore is a new commit, not a rewrite of history).
+    "table_restore_version" -> ((s, d) => {
+      val dir = s"target/tmp/grestore_${new java.io.File(d).getName}"
+      GraftTable.fsOf(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        dec(col("o_totalprice")).as("price"), col("o_orderdate"))
+      GraftTable.commitNext(s, dir,
+        o.filter(col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .drop("o_orderdate"), "good load")
+      GraftTable.commitNextIsolated(s, dir,
+        o.select(col("o_orderkey"), (col("price") * 2).as("price")),
+        "bad load: doubled prices")
+      GraftTable.commitNextIsolated(s, dir,
+        GraftTable.readVersion(s, dir, 0), "restore to version 0")
+      def snap(v: Int): DataFrame =
+        GraftTable.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), money(sum(col("price"))).as("sum_price"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
+      snap(0).unionByName(snap(1)).unionByName(snap(2)).orderBy("version")
+    }),
+
     // Higher-order MAP functions (transform_keys / transform_values /
     // map_filter / map_zip_with) — the map analog of fn_lambda_pack's
     // array coverage, codegen-friendly, no explode shuffle. The map is
@@ -532,6 +561,19 @@ object Round12Ops {
         "b2 AS (SELECT * FROM b1 WHERE bal >= 50000) " +
         snap(0, "b0") + " UNION ALL " + snap(1, "b1") + " UNION ALL " +
         snap(2, "b2") + " UNION ALL " + snap(3, "b2") + " ORDER BY version"
+    },
+
+    // v2 ≡ v0 exactly; v1 still carries the bad (doubled) state.
+    "table_restore_version" -> {
+      val good = s"SELECT COUNT(*), ${oMoney(s"SUM(${oDec("o_totalprice")})")} " +
+        "FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'"
+      s"SELECT 0 AS version, CAST(n AS BIGINT) AS n_rows, s AS sum_price FROM ($good) t0(n, s) " +
+        "UNION ALL " +
+        "SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"${oMoney(s"SUM(2 * ${oDec("o_totalprice")})")} AS sum_price FROM orders " +
+        "UNION ALL " +
+        s"SELECT 2 AS version, CAST(n AS BIGINT) AS n_rows, s AS sum_price FROM ($good) t2(n, s) " +
+        "ORDER BY version"
     },
 
     // The three map entries recomputed from their source scalars; the
