@@ -217,6 +217,40 @@ class Round12Spec extends SparkSpec {
       graft.expr.DuckRound.round(rms.sum / rms.length, 6))
   }
 
+  test("retention GC understands isolated data dirs: old versions' uuid dirs are reclaimed, retained ones kept") {
+    val dir = "target/tmp/gisogc"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    // four isolated commits with retain=1 on the last: versions 0 and 1
+    // (below v - retain = 2) must lose their DATA dirs, 2 and 3 stay
+    (0 to 2).foreach { i =>
+      GraftTable.commitNextIsolated(spark, dir,
+        spark.range(0, 3 + i).toDF("k"), s"v$i")
+    }
+    val fourth = spark.range(0, 9).toDF("k")
+    val fsNames0 = fs.listStatus(new Path(dir)).map(_.getPath.getName).toSet
+    assert(fsNames0.count(_.startsWith("v")) == 3, fsNames0)
+    // retain=1 on the v3 commit triggers GC of v0/v1 data
+    val v3 = {
+      val v = GraftTable.readManifest(fs, dir).map(_._1 + 1).getOrElse(0)
+      val data = s"v${v}_gc-test"
+      fourth.write.parquet(s"$dir/$data")
+      GraftTable.commit(fs, dir, v, "v3", retain = 1, dataDir = Some(data))
+      v
+    }
+    assert(v3 == 3)
+    val names = fs.listStatus(new Path(dir)).map(_.getPath.getName).toSet
+    // commit HISTORY intact, old data dirs gone, retained dirs present
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1, 2, 3))
+    assert(!names.exists(n => n.startsWith("v0_") || n.startsWith("v1_")),
+      s"retention must reclaim isolated v0/v1 data dirs: $names")
+    assert(GraftTable.readVersion(spark, dir, 2).count() == 5)
+    assert(GraftTable.readVersion(spark, dir, 3).count() == 9)
+    intercept[IllegalArgumentException] {
+      GraftTable.readVersion(spark, dir, 0)
+    }
+  }
+
   test("graft_version/graft_changes: the version history is queryable from plain SQL") {
     val dir = "target/tmp/gtvf"
     val fs = GraftTable.fsOf(spark, dir)
