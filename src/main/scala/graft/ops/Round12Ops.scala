@@ -295,6 +295,26 @@ object Round12Ops {
         .orderBy("version")
     }),
 
+    // Range-clustered layout — the ORDER BY table property every
+    // warehouse applies to its hot predicate column: repartitionByRange
+    // + sortWithinPartitions writes files whose l_shipdate ranges are
+    // pairwise disjoint (range partitioning guarantees partition i's
+    // keys <= partition i+1's whatever the sampled boundaries), so a
+    // date-band read skips whole files on parquet min/max stats before
+    // a single row group decompresses — the complement of partition
+    // pruning (scan_multifile_layout) and bloom skipping
+    // (sink_bloom_rowgroup) in the layout family. Oracle = the band
+    // aggregate off the unclustered original (layout must not change
+    // results); Round12Spec reads the per-file min/max back and asserts
+    // the disjointness that makes skipping effective.
+    "sink_range_clustered" -> ((s, d) => {
+      val dir = rangeClusteredLayout(s, d)
+      s.read.parquet(dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-06-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-09-01")))
+        .agg(count(lit(1)).as("n"), money(sum(col("price"))).as("revenue"))
+    }),
+
     // RESTORE — roll a table back by committing an OLD snapshot as the
     // NEW current version (Delta's RESTORE TABLE ... TO VERSION):
     // history is append-only, so the bad version stays inspectable for
@@ -457,6 +477,20 @@ object Round12Ops {
     })
   )
 
+  /** Write the range-clustered lineitem layout; returns its path.
+    * Factored out so Round12Spec can audit per-file min/max
+    * disjointness on the same files the key reads. */
+  private[graft] def rangeClusteredLayout(s: SparkSession, d: String): String = {
+    val dir = s"target/tmp/rangeclust_${new java.io.File(d).getName}"
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        dec(col("l_extendedprice")).as("price"))
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
   /** Write the month-partitioned lineitem fixture; returns its path.
     * Factored out so Round12Spec can audit the served plan and the
     * file-index size without re-stating the layout. */
@@ -562,6 +596,14 @@ object Round12Ops {
         snap(0, "b0") + " UNION ALL " + snap(1, "b1") + " UNION ALL " +
         snap(2, "b2") + " UNION ALL " + snap(3, "b2") + " ORDER BY version"
     },
+
+    // The clustered layout must serve the same band aggregate as the
+    // unclustered original.
+    "sink_range_clustered" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("l_extendedprice")})")} AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01' " +
+        "AND l_shipdate < TIMESTAMP '1995-09-01'"),
 
     // v2 ≡ v0 exactly; v1 still carries the bad (doubled) state.
     "table_restore_version" -> {

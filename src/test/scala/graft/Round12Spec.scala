@@ -251,6 +251,26 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("sink_range_clustered: per-file l_shipdate ranges are pairwise disjoint (min/max skipping is effective)") {
+    val dir = graft.ops.Round12Ops.rangeClusteredLayout(spark, sf)
+    // compare in epoch-µs: the written file round-trips as NTZ
+    val tsUs = unix_micros(col("l_shipdate")
+      .cast(org.apache.spark.sql.types.TimestampType))
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(tsUs).as("lo"), max(tsUs).as("hi"))
+      .collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "range clustering should produce several files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(lo2 >= hi,
+          s"file ranges overlap: hi=$hi lo2=$lo2 — min/max skipping defeated")
+      case _ =>
+    }
+  }
+
   test("graft_version/graft_changes: the version history is queryable from plain SQL") {
     val dir = "target/tmp/gtvf"
     val fs = GraftTable.fsOf(spark, dir)
