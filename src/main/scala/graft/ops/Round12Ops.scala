@@ -295,6 +295,62 @@ object Round12Ops {
         .orderBy("version")
     }),
 
+    // Sliding-window DISTINCT cardinality — the DAU-style rolling-uniques
+    // report (distinct users per 1h window every 15 min). countDistinct
+    // inside a window-keyed groupBy: Catalyst's distinct-agg expansion
+    // still runs two-phase (partial dedup per (window, user) before the
+    // final count), so the shuffle carries (window, user) pairs, never
+    // raw events; at 100 TB the same report swaps in HLL sketches
+    // (agg_hll_union) when exactness is negotiable.
+    "agg_sliding_distinct_users" -> ((s, d) =>
+      graft.T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("users"), col("n"))
+        .orderBy("ws")),
+
+    // NEAREST as-of join — bidirectional: each purchase pairs with the
+    // click minimizing |Δt| (ties → the earlier, i.e. backward, click),
+    // the sensor-reading-alignment idiom join_asof_latest's backward-only
+    // form can't express. Same merged-stream shape as join_asof_latest —
+    // one shuffle on user_id + one sort, TWO window passes (running max
+    // of preceding clicks, running min of following clicks), then a
+    // per-row argmin — O(n log n) per user, never the quadratic
+    // purchase×click candidate join (which the ORACLE deliberately is).
+    "join_asof_nearest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = graft.T.events(s, d)
+      val merged = e.filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          when(col("event_type") === "click", lit(0)).otherwise(lit(1))
+            .as("kind"),
+          col("event_id"))
+      val order = Seq(col("t"), col("kind"), col("event_id"))
+      val wB = Window.partitionBy("user_id").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy("user_id").orderBy(order: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickStruct = when(col("kind") === 0,
+        struct(col("t").as("c_us"), col("event_id").as("click_id")))
+      merged
+        // same-t clicks sort BEFORE the purchase (kind 0 < 1), so they
+        // are backward candidates with gap 0 — and gap-0 backward always
+        // wins the argmin, keeping the two windows' boundary exact
+        .withColumn("back", max(clickStruct).over(wB))
+        .withColumn("fwd", min(clickStruct).over(wF))
+        .filter(col("kind") === 1 &&
+          (col("back").isNotNull || col("fwd").isNotNull))
+        .withColumn("bg", col("t") - col("back.c_us"))
+        .withColumn("fg", col("fwd.c_us") - col("t"))
+        .withColumn("best", when(col("back").isNull, col("fwd"))
+          .when(col("fwd").isNull, col("back"))
+          .when(col("bg") <= col("fg"), col("back")).otherwise(col("fwd")))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("best.click_id").as("click_id"),
+          abs(col("t") - col("best.c_us")).as("abs_gap_us"))
+        .orderBy("purchase_id")
+    }),
+
     // Range-clustered layout — the ORDER BY table property every
     // warehouse applies to its hot predicate column: repartitionByRange
     // + sortWithinPartitions writes files whose l_shipdate ranges are
@@ -596,6 +652,32 @@ object Round12Ops {
         snap(0, "b0") + " UNION ALL " + snap(1, "b1") + " UNION ALL " +
         snap(2, "b2") + " UNION ALL " + snap(3, "b2") + " ORDER BY version"
     },
+
+    // Each event belongs to 4 sliding windows (stream_sliding_1h_15m's
+    // expansion), distinct users per window.
+    "agg_sliding_distinct_users" ->
+      ("WITH x AS (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) " +
+        "- i * INTERVAL '15 minutes' AS ws, user_id " +
+        "FROM events, unnest(generate_series(0, 3)) AS t(i)) " +
+        "SELECT ws, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY ws ORDER BY ws"),
+
+    // Deliberately the naive quadratic candidate join — the exactness
+    // oracle for the merged-window O(n log n) plan. Tie order: smaller
+    // |Δ| first, then the earlier (backward) click, then click_id DESC
+    // among backward / ASC among forward — matching the running
+    // max/min struct argmins.
+    "join_asof_nearest" ->
+      ("WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT event_id AS click_id, user_id AS c_user, epoch_us(ts) AS c_us " +
+        "FROM events WHERE event_type = 'click'), " +
+        "j AS (SELECT purchase_id, user_id, click_id, ABS(p_us - c_us) AS abs_gap_us, " +
+        "ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY ABS(p_us - c_us) ASC, " +
+        "c_us ASC, CASE WHEN c_us <= p_us THEN -click_id ELSE click_id END ASC) AS rn " +
+        "FROM p JOIN c ON user_id = c_user) " +
+        "SELECT purchase_id, user_id, click_id, abs_gap_us FROM j WHERE rn = 1 " +
+        "ORDER BY purchase_id"),
 
     // The clustered layout must serve the same band aggregate as the
     // unclustered original.
