@@ -58,11 +58,26 @@ object GraftTable {
       .flatMap(_.stripPrefix("commit_").toIntOption).toSeq.sorted
   }
 
-  /** Raw content of version `v`'s commit file: either the metadata
-    * alone (convention-path commits: data lives at `$prefix$v`) or a
-    * leading `data=<dirname>` line naming a writer-private data dir
-    * (isolated commits — see `commitNextIsolated`) followed by the
-    * metadata. */
+  /** Reserved commit-file HEADER keys. A commit file is zero or more
+    * leading `key=value` header lines drawn from this set, followed by
+    * the caller's metadata (one line — `commit` enforces it). Headers
+    * carry the table format's own record keeping:
+    *
+    *   data=<dirname>   writer-private data dir (isolated commits)
+    *   ts=<epochMillis> wall-clock commit time, recorded by the WRITER
+    *                    at publish — TIMESTAMP AS OF resolves from this,
+    *                    not from FS mtime, so time travel survives FS
+    *                    migrations and coarse-mtime filesystems
+    *   stats=<encoded>  per-file column statistics (see `TableStats`)
+    *
+    * Keeping headers line-oriented keeps old manifests readable: a
+    * round-12 commit file with no ts= line still parses (mtime fallback
+    * in `versionAsOf`). */
+  private val headerKeys = Seq("data=", "ts=", "stats=")
+
+  private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
+
+  /** Raw content of version `v`'s commit file. */
   private def commitContent(fs: FileSystem, dir: String, v: Int): String = {
     val in = fs.open(new Path(s"$dir/manifest/commit_$v"))
     try new String(in.readAllBytes(),
@@ -70,11 +85,22 @@ object GraftTable {
     finally in.close()
   }
 
-  /** Metadata string of committed version `v`. */
-  def meta(fs: FileSystem, dir: String, v: Int): String = {
-    val c = commitContent(fs, dir, v)
-    (if (c.startsWith("data=")) c.dropWhile(_ != '\n') else c).trim
+  /** (headers, metadata) split of a commit file's content: leading
+    * reserved `key=value` lines are headers, the remainder is the
+    * caller's metadata. `commit` rejects metadata that COULD be read
+    * back as a header line, so the split is unambiguous. */
+  private[graft] def parseCommit(c: String): (Map[String, String], String) = {
+    val lines = c.split("\n", -1)
+    val hdr = lines.takeWhile(isHeaderLine)
+    val headers = hdr.map { l =>
+      val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1).trim)
+    }.toMap
+    (headers, lines.drop(hdr.length).mkString("\n").trim)
   }
+
+  /** Metadata string of committed version `v`. */
+  def meta(fs: FileSystem, dir: String, v: Int): String =
+    parseCommit(commitContent(fs, dir, v))._2
 
   /** Name of the data dir version `v`'s commit references — the
     * manifest is the source of truth for WHERE a version's data lives,
@@ -82,10 +108,119 @@ object GraftTable {
     * recorded in its commit file; convention-path commits default to
     * `$prefix$v`). */
   def dataDirOf(fs: FileSystem, dir: String, v: Int,
-      prefix: String = "v"): String = {
-    val c = commitContent(fs, dir, v)
-    if (c.startsWith("data=")) c.takeWhile(_ != '\n').stripPrefix("data=").trim
-    else s"$prefix$v"
+      prefix: String = "v"): String =
+    parseCommit(commitContent(fs, dir, v))._1.getOrElse("data", s"$prefix$v")
+
+  // ---- manifest-level file statistics ---------------------------------------
+
+  /** Per-file column statistics of one committed version — the
+    * data-skipping index Delta/Iceberg keep in the transaction log. At
+    * 10⁴–10⁶ files per table, pruning from parquet FOOTERS still pays a
+    * full listing plus one open per file; pruning from the manifest pays
+    * O(stats-line) and never touches a skipped file. Stat values are
+    * ORDINAL LONGS: the committer declares each stat column as a
+    * long-valued expression (timestamps via unix_micros, numerics via
+    * cast) so range overlap is a plain integer comparison — the testable
+    * core of the typed min/max JSON the production formats store.
+    * `mins(i)`/`maxs(i)` align with `cols(i)`; `file` is the data-file
+    * BASENAME (the data dir comes from the commit's data= header, so
+    * stats survive a data-dir rename only the manifest knows about). */
+  final case class FileStats(file: String, rows: Long,
+      mins: Seq[Long], maxs: Seq[Long])
+
+  final case class TableStats(cols: Seq[String], files: Seq[FileStats]) {
+    /** One-line encoding for the stats= commit header:
+      * `c1,c2;f|rows|min1|max1|min2|max2;...` — file names are
+      * URL-encoded so the delimiters can never collide. */
+    def encoded: String = {
+      def enc(s: String) =
+        java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+      cols.map(enc).mkString(",") + ";" + files.map { f =>
+        (Seq(enc(f.file), f.rows.toString) ++
+          f.mins.zip(f.maxs).flatMap { case (a, b) => Seq(a.toString, b.toString) })
+          .mkString("|")
+      }.mkString(";")
+    }
+
+    /** Files whose [min,max] range on `col` intersects [lo,hi] — the
+      * read set of a band predicate; everything else is skippable
+      * WITHOUT being listed or opened. */
+    def overlapping(col: String, lo: Long, hi: Long): Seq[FileStats] = {
+      val i = cols.indexOf(col)
+      require(i >= 0, s"no stats recorded for column '$col' (have $cols)")
+      files.filter(f => f.maxs(i) >= lo && f.mins(i) <= hi)
+    }
+  }
+
+  object TableStats {
+    def decode(s: String): TableStats = {
+      def dec(x: String) =
+        java.net.URLDecoder.decode(x, java.nio.charset.StandardCharsets.UTF_8)
+      val parts = s.split(";", -1)
+      val cols = parts.head.split(",").map(dec).toSeq
+      val files = parts.tail.filter(_.nonEmpty).map { fe =>
+        val xs = fe.split("\\|", -1)
+        val vals = xs.drop(2).map(_.toLong)
+        FileStats(dec(xs(0)), xs(1).toLong,
+          vals.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }.toSeq,
+          vals.zipWithIndex.collect { case (v, i) if i % 2 == 1 => v }.toSeq)
+      }.toSeq
+      TableStats(cols, files)
+    }
+  }
+
+  /** Stats of committed version `v`, when its commit recorded any. */
+  def statsOf(fs: FileSystem, dir: String, v: Int): Option[TableStats] =
+    parseCommit(commitContent(fs, dir, v))._1.get("stats").map(TableStats.decode)
+
+  /** Compute per-file (rows, min/max) stats over a just-written data
+    * dir. `statsCols` maps column name → long-valued Column (the
+    * ordinal encoding above). One grouped pass over the written files —
+    * at write time the files are hot, and this replaces the
+    * per-READ listing+footer pass with a once-per-commit cost, exactly
+    * the trade the transaction-log formats make. */
+  private def computeStats(spark: SparkSession, dataPath: String,
+      statsCols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)]): TableStats = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(dataPath)
+    val aggs = statsCols.flatMap { case (name, ord) =>
+      Seq(min(ord(col(name))).as(s"__min_$name"),
+        max(ord(col(name))).as(s"__max_$name"))
+    }
+    val rows = df
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("__file"))
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .orderBy("__file")
+      .collect() // one small row per FILE — never data
+    TableStats(statsCols.map(_._1),
+      rows.toSeq.map { r =>
+        FileStats(r.getAs[String]("__file"), r.getAs[Long]("__rows"),
+          statsCols.map(c => r.getAs[Long](s"__min_${c._1}")),
+          statsCols.map(c => r.getAs[Long](s"__max_${c._1}")))
+      })
+  }
+
+  /** The log-skipping read: resolve version `v`'s data files whose
+    * recorded [min,max] on `col` intersects [lo,hi] FROM THE MANIFEST
+    * and read exactly those — the skipped files are never listed, never
+    * opened, their footers never fetched. Returns (DataFrame over the
+    * overlapping files, paths read, total file count in the version) so
+    * callers — and the spec — can see the skip ratio. The band predicate
+    * still needs re-applying by the caller (file granularity ≠ row
+    * granularity), same as partition pruning. An empty read set yields
+    * an empty frame with the version's schema. */
+  def readStatsBand(spark: SparkSession, dir: String, v: Int, col: String,
+      lo: Long, hi: Long, prefix: String = "v"): (DataFrame, Seq[String], Int) = {
+    val fs = fsOf(spark, dir)
+    val st = statsOf(fs, dir, v).getOrElse(sys.error(
+      s"version $v of $dir carries no file statistics in its commit"))
+    val data = dataDirOf(fs, dir, v, prefix)
+    val hit = st.overlapping(col, lo, hi).map(f => s"$dir/$data/${f.file}")
+    val df =
+      if (hit.nonEmpty) spark.read.parquet(hit: _*)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        readVersion(spark, dir, v, prefix).schema)
+    (df, hit, st.files.size)
   }
 
   /** Stage `df` as the data of version `v` WITHOUT committing. Overwrite
@@ -133,14 +268,34 @@ object GraftTable {
     * failure leaves garbage, never corruption. */
   def commit(fs: FileSystem, dir: String, v: Int, metadata: String,
       retain: Int = Int.MaxValue, prefix: String = "v",
-      dataDir: Option[String] = None): Unit = {
+      dataDir: Option[String] = None, stats: Option[TableStats] = None): Unit = {
+    // metadata is ONE line that must not masquerade as a header: an
+    // embedded newline would split it across feed rows / future header
+    // parses, and a leading reserved key=` prefix would be read back as
+    // a header (a convention-path commit whose metadata started with
+    // `data=` used to break readVersion for that version). Reject both
+    // loudly at the write boundary — the manifest is the table's source
+    // of truth and never gets to hold ambiguous bytes.
+    require(!metadata.contains('\n') && !metadata.contains('\r'),
+      s"commit metadata must be a single line (got ${metadata.length} chars " +
+        "with a line break) — encode structured metadata before committing")
+    require(!isHeaderLine(metadata),
+      s"commit metadata must not start with a reserved header key " +
+        s"(${headerKeys.mkString(", ")}): '${metadata.take(40)}'")
     val mdir = new Path(s"$dir/manifest")
     fs.mkdirs(mdir)
     // writer-PRIVATE temp name: two racing writers must not clobber each
     // other's staged metadata before the publish step decides the winner
     val tmp = new Path(mdir, s".tmp_${v}_${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    val content = dataDir.map(n => s"data=$n\n").getOrElse("") + metadata
+    // ts= is always recorded (versionAsOf prefers it over FS mtime) and
+    // incidentally guarantees a commit file is never zero-byte, so the
+    // streaming manifest feed can never silently skip an empty-metadata
+    // version.
+    val content = dataDir.map(n => s"data=$n\n").getOrElse("") +
+      s"ts=${System.currentTimeMillis()}\n" +
+      stats.map(st => s"stats=${st.encoded}\n").getOrElse("") +
+      metadata
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = new Path(mdir, s"commit_$v")
@@ -248,30 +403,121 @@ object GraftTable {
     * on the snapshot it lost against. */
   def commitNextIsolated(spark: SparkSession, dir: String, df: DataFrame,
       metadata: String = "", retain: Int = Int.MaxValue,
-      prefix: String = "v"): Int = {
+      prefix: String = "v", partitionBy: Seq[String] = Nil,
+      statsCols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Nil): Int = {
     val fs = fsOf(spark, dir)
     val v = readManifest(fs, dir).map(_._1 + 1).getOrElse(0)
     val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("errorifexists").parquet(s"$dir/$data")
-    commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data))
+    val w = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$dir/$data")
+    val st =
+      if (statsCols.isEmpty) None
+      else Some(computeStats(spark, s"$dir/$data", statsCols))
+    commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data), stats = st)
     v
   }
 
-  /** TIMESTAMP AS OF resolution: the latest version whose commit file
-    * was published at or before `asOfMs` (epoch millis). The publish
-    * instant is the commit file's FS modification time — set when the
-    * writer finished writing the metadata, carried through the
-    * hard-link/rename publish unchanged — so "what did the table look
-    * like at T" resolves without any content change to the manifest.
-    * (A production deployment would ALSO record wall-time inside the
-    * commit metadata to survive FS migrations; mtime is the right local
-    * semantics and keeps old manifests compatible.) None when no commit
-    * existed yet at `asOfMs`. */
+  /** The OCC commit LOOP the commit doc prescribes: read the current
+    * snapshot, apply the caller's `transform` to it (None when the table
+    * has no version yet), stage writer-private, attempt the commit; on
+    * losing the race (ConcurrentModificationException) re-read the NEW
+    * current snapshot, re-apply, re-stage, retry — so two writers with
+    * COMMUTING changes (e.g. merges of disjoint changelogs) BOTH land
+    * instead of the loser failing outright. This is Delta's
+    * write-conflict retry in its simplest honest form: re-execution of
+    * the transform against the fresh snapshot is what makes the retry
+    * semantically safe (a blind re-publish of the stale staged data
+    * would silently drop the winner's changes). Bounded attempts; the
+    * loser's abandoned staging dirs are vacuum-reclaimable orphans.
+    * Returns the committed version number. */
+  def commitWithRetry(spark: SparkSession, dir: String,
+      transform: Option[DataFrame] => DataFrame, metadata: String = "",
+      maxAttempts: Int = 10, retain: Int = Int.MaxValue,
+      prefix: String = "v"): Int = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val fs = fsOf(spark, dir)
+      val cur = readManifest(fs, dir).map(_._1)
+      val out = transform(cur.map(v => readVersion(spark, dir, v, prefix)))
+      val v = cur.map(_ + 1).getOrElse(0)
+      val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+      out.write.mode("errorifexists").parquet(s"$dir/$data")
+      try {
+        commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data))
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+        // anything else (disk failure etc.) propagates — only a genuine
+        // commit conflict justifies another loop
+      }
+    }
+    -1 // unreachable
+  }
+
+  // ---- exactly-once streaming ingest ----------------------------------------
+
+  /** Commit one micro-batch as a table version, idempotently keyed by
+    * the streaming `epochId`: the epoch is recorded in the commit
+    * metadata (`epoch=<id>`), and a batch whose epoch some committed
+    * version already carries is a NO-OP — Structured Streaming replays
+    * the last un-checkpointed batch after a restart, and replay must not
+    * mint a duplicate version (the foreachBatch half of exactly-once;
+    * the source checkpoint is the other half). The epoch scan reads
+    * commit METADATA (O(versions), tiny strings), never data. Returns
+    * the committed version, or None for a detected replay. */
+  def commitEpoch(spark: SparkSession, dir: String, df: DataFrame,
+      epochId: Long, retain: Int = Int.MaxValue,
+      prefix: String = "v"): Option[Int] = {
+    val fs = fsOf(spark, dir)
+    val tag = s"epoch=$epochId"
+    if (versions(fs, dir).exists(v => meta(fs, dir, v) == tag)) None
+    else Some(commitNextIsolated(spark, dir, df, tag, retain, prefix))
+  }
+
+  /** Streaming writer INTO the versioned store: every micro-batch of
+    * `stream` becomes one atomically committed GraftTable version, with
+    * `commitEpoch`'s replay detection making the version history immune
+    * to restarts. This closes the ingest half of the lakehouse loop —
+    * `cdcSubscribe` (the read half) can follow the same table the
+    * stream writes. The batch body runs on the driver like every
+    * foreachBatch sink; the WRITE inside it is a distributed parquet
+    * write plus an O(manifest) commit. */
+  def streamingSink(dir: String, checkpointDir: String,
+      stream: DataFrame, retain: Int = Int.MaxValue, prefix: String = "v")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, epochId) => {
+        commitEpoch(batch.sparkSession, dir, batch, epochId,
+          retain, prefix); ()
+      }
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(fn)
+      .start()
+  }
+
+  /** TIMESTAMP AS OF resolution: the latest version committed at or
+    * before `asOfMs` (epoch millis). The commit instant is the ts=
+    * header the WRITER recorded at publish (millisecond wall clock,
+    * inside the commit file's content — survives FS migrations and
+    * filesystems with coarse mtime granularity); manifests from before
+    * the header existed fall back to the commit file's FS modification
+    * time. None when no commit existed yet at `asOfMs`. */
   def versionAsOf(fs: FileSystem, dir: String, asOfMs: Long): Option[Int] =
     versions(fs, dir).filter { v =>
-      fs.getFileStatus(new Path(s"$dir/manifest/commit_$v"))
-        .getModificationTime <= asOfMs
+      commitTimeMs(fs, dir, v) <= asOfMs
     }.maxOption
+
+  /** Wall-clock commit time of version `v`: the ts= header when present
+    * (every commit since it was introduced writes one), else FS mtime. */
+  def commitTimeMs(fs: FileSystem, dir: String, v: Int): Long =
+    parseCommit(commitContent(fs, dir, v))._1.get("ts")
+      .flatMap(_.toLongOption)
+      .getOrElse(fs.getFileStatus(new Path(s"$dir/manifest/commit_$v"))
+        .getModificationTime)
 
   /** Time travel by timestamp: read the snapshot current at `asOfMs`.
     * Fails loudly when the table did not exist yet at that instant. */
@@ -320,18 +566,34 @@ object GraftTable {
     * Dirs numbered ABOVE the current max are someone's in-progress next
     * version and are never touched; referenced dirs (including
     * retention-retained history) are never touched. Returns the deleted
-    * names. Safe to run any time — it deletes only what no reader can
-    * ever resolve. */
-  def vacuum(fs: FileSystem, dir: String, prefix: String = "v"): Seq[String] = {
+    * names.
+    *
+    * `graceMs` is the safety window for a dir carrying the CURRENT
+    * version number: an OCC retry writer stages `$prefix${cur+1}_…`
+    * (never reclaimable here), but a writer racing for version `cur`
+    * ITSELF — staged just before the winner published — looks exactly
+    * like an orphan the instant it loses. A dir modified within the last
+    * `graceMs` is therefore skipped, so a slow in-flight writer's
+    * staging is never yanked out from under it between its write and its
+    * (failing) commit; once the window passes the loser is provably
+    * abandoned (its commit attempt has long since thrown) and is
+    * reclaimed by the next vacuum. graceMs = 0 keeps the old eager
+    * semantics for tests that construct their orphans synchronously. */
+  def vacuum(fs: FileSystem, dir: String, prefix: String = "v",
+      graceMs: Long = 0L): Seq[String] = {
     val committed = versions(fs, dir)
     if (committed.isEmpty) return Seq.empty
     val cur = committed.max
+    val cutoff = System.currentTimeMillis() - graceMs
     val referenced = committed.map(v => dataDirOf(fs, dir, v, prefix)).toSet
     fs.listStatus(new Path(dir)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => !referenced.contains(n) &&
-        dirVersion(n, prefix).exists(_ <= cur))
-      .map { n => fs.delete(new Path(s"$dir/$n"), true); n }
+      .filter { st =>
+        val n = st.getPath.getName
+        !referenced.contains(n) &&
+          dirVersion(n, prefix).exists(_ <= cur) &&
+          st.getModificationTime <= cutoff
+      }
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
   }
 
   // ---- change-data feed ---------------------------------------------------
@@ -362,18 +624,30 @@ object GraftTable {
     * hard-linked/renamed into place with complete content, so a half
     * -written manifest row can never be observed. Subscribers turn
     * versions into data via foreachBatch + `versionDelta` (see
-    * `cdcSubscribe`). */
+    * `cdcSubscribe`).
+    *
+    * The file is read WHOLE (`wholetext`) — one row per commit FILE, not
+    * per line: an isolated commit's file is `data=` + `ts=` (+ `stats=`)
+    * header lines plus the metadata, and a line-based read would emit
+    * one feed row per line, firing a subscriber once per header for the
+    * same version (double-applied deltas — the round-12 advisory).
+    * Header lines are stripped here with the same reserved-prefix rule
+    * `meta()` uses, so the feed carries exactly the caller's metadata;
+    * and because every commit writes a ts= header, a commit file is
+    * never zero-byte, so no committed version can vanish from the feed. */
   def commitFeed(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.readStream
       .option("maxFilesPerTrigger", 1) // one commit per micro-batch: a
       // subscriber's foreachBatch sees version boundaries, not a coalesced
       // blob of several commits
+      .option("wholetext", true)
       .text(s"$dir/manifest")
       .select(
         regexp_extract(input_file_name(), "commit_(\\d+)", 1)
           .cast("int").as("version"),
-        col("value").as("metadata"))
+        trim(regexp_replace(col("value"),
+          "(?s)^((?:data|ts|stats)=[^\\n]*\\n)*", "")).as("metadata"))
   }
 
   /** Subscribe to the table: a started streaming query that, for every

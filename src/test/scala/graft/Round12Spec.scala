@@ -354,12 +354,14 @@ class Round12Spec extends SparkSpec {
     val fs = GraftTable.fsOf(spark, dir)
     fs.delete(new Path(dir), true)
     GraftTable.commitNext(spark, dir, spark.range(0, 3).toDF("k"), "v0")
-    val t0 = fs.getFileStatus(new Path(s"$dir/manifest/commit_0"))
-      .getModificationTime
-    Thread.sleep(30) // distinct publish instants at mtime granularity
+    // commit instants come from the ts= header the WRITER recorded (ms
+    // wall clock inside the commit file) — NOT from FS mtime, whose
+    // granularity is filesystem-dependent (the round-12 advisory). The
+    // 2 ms sleep only guarantees distinct millisecond readings.
+    val t0 = GraftTable.commitTimeMs(fs, dir, 0)
+    Thread.sleep(2)
     GraftTable.commitNextIsolated(spark, dir, spark.range(0, 8).toDF("k"), "v1")
-    val t1 = fs.getFileStatus(new Path(s"$dir/manifest/commit_1"))
-      .getModificationTime
+    val t1 = GraftTable.commitTimeMs(fs, dir, 1)
     assert(t1 > t0, "publish instants must be distinguishable")
     // at t0 the table was v0; at t1 (and after) it is v1; before t0 it
     // did not exist
