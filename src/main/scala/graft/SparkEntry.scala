@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entry per implemented operator; each t2=Y key has a DuckDB oracle in
   * `oracleSql` (SURVEY §0, [B:2]).
   *
-  * 248 query keys (226 DuckDB-oracled; counts pinned by
+  * 254 query keys (231 DuckDB-oracled; counts pinned by
   * EntryCountSpec so the doc cannot drift from the code) across: Relational
   * (scans/filters/joins/sorts/sets),
   * Aggregates (grouping/windows/UDAF/HLL sketches), Scalars (function
@@ -35,7 +35,7 @@ object SparkEntry {
       ops.Round3Ops.queries ++ ops.Round4Ops.queries ++ ops.Round5Ops.queries ++
       ops.Round6Ops.queries ++ ops.Round9Ops.queries ++ ops.Round9bOps.queries ++
       ops.Round9cOps.queries ++ ops.Round10Ops.queries ++ ops.Round11Ops.queries ++
-      ops.Round12Ops.queries
+      ops.Round12Ops.queries ++ ops.Round13Ops.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +47,5 @@ object SparkEntry {
       ops.Round3Ops.oracleSql ++ ops.Round4Ops.oracleSql ++ ops.Round5Ops.oracleSql ++
       ops.Round6Ops.oracleSql ++ ops.Round9Ops.oracleSql ++ ops.Round9bOps.oracleSql ++
       ops.Round9cOps.oracleSql ++ ops.Round10Ops.oracleSql ++ ops.Round11Ops.oracleSql ++
-      ops.Round12Ops.oracleSql
+      ops.Round12Ops.oracleSql ++ ops.Round13Ops.oracleSql
 }

@@ -1,0 +1,352 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.T.{t, dec, money, oDec, oMoney}
+import graft.sources.GraftTable
+
+/** Round-13 additions — the manifest becomes a data-skipping INDEX and
+  * the streaming/concurrent write paths land (ranked 1–3 in the
+  * round-12 review), plus the 2-D layout proof and partition evolution:
+  *
+  *  - `scan_stats_skipping` — log-based data skipping: the commit
+  *    records per-file (rows, min/max) statistics and a date-band read
+  *    selects its files FROM THE MANIFEST — skipped files are never
+  *    listed, never opened, their footers never fetched. The 10⁵-file
+  *    lever: footer-based skipping (sink_range_clustered) still pays a
+  *    full listing + one open per file; this pays O(stats line).
+  *
+  *  - `stream_table_sink` — exactly-once streaming ingest INTO the
+  *    versioned store: each micro-batch commits as an atomic version
+  *    with its epoch id in the commit metadata, and a REPLAYED batch
+  *    (restart re-delivery) detects its epoch and becomes a no-op. The
+  *    key replays one chunk deliberately and exposes the version count,
+  *    so idempotence is oracle-checked, not just spec-asserted.
+  *
+  *  - `table_concurrent_merge` — the OCC commit loop under real
+  *    contention: two writers merge DISJOINT changelogs concurrently
+  *    through `GraftTable.commitWithRetry`; the race loser re-reads the
+  *    winner's snapshot, re-applies its merge, and BOTH land. Final
+  *    state ≡ sequential application (the merges commute), which is
+  *    what the oracle recomputes.
+  *
+  *  - `sink_zorder_clustered` — 2-D file skipping: lineitem written
+  *    z-ordered (Morton-interleaved ship-day × quantity), so a 2-D band
+  *    read prunes on per-file min/max RECTANGLES — the multi-dimensional
+  *    companion of sink_range_clustered's 1-D disjointness proof.
+  *
+  *  - `table_partition_evolution` — a LAYOUT change committed as a
+  *    version: v0 unpartitioned, v1 the same rows month-partitioned;
+  *    cross-version reads span both layouts transparently because each
+  *    version's data location (and hence directory shape) resolves
+  *    through its own commit record.
+  *
+  *  - `agg_sliding_distinct_hll` — the documented 100 TB swap for
+  *    agg_sliding_distinct_users: HLL sketches instead of exact
+  *    distincts for the rolling-uniques report (rows-only; Round13Spec
+  *    bounds the error against the exact tier).
+  */
+object Round13Ops {
+
+  private def epochUs(date: String): Long =
+    java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli * 1000L
+
+  /** Commit the range-clustered lineitem layout as GraftTable version 0
+    * WITH per-file l_shipdate statistics in the commit record; returns
+    * the table dir. Factored out so Round13Spec can audit the stats and
+    * the opened-file count on the same commit the key serves. */
+  private[graft] def statsClusteredTable(s: SparkSession, d: String): String = {
+    val dir = s"target/tmp/gstats_${new java.io.File(d).getName}"
+    GraftTable.fsOf(s, dir)
+      .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        dec(col("l_extendedprice")).as("price"))
+      // ORDER BY clustering (sink_range_clustered's layout) is what makes
+      // per-file ranges disjoint and stats-skipping effective; stats are
+      // recorded as ordinal longs (epoch-µs for the timestamp column)
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+    GraftTable.commitNextIsolated(s, dir, li, "clustered on l_shipdate",
+      // parquet serves the column as TIMESTAMP_NTZ; session TZ is UTC so
+      // the TimestampType cast is value-identical, and unix_micros gives
+      // the ordinal-long encoding the stats contract wants
+      statsCols = Seq("l_shipdate" ->
+        ((c: Column) => unix_micros(c.cast(TimestampType)))))
+    dir
+  }
+
+  /** Write the z-ordered lineitem layout; returns its path. The Morton
+    * key interleaves ship-day (days since 1992-01-01) with quantity, so
+    * range-partitioning + sorting on it co-locates rows close in BOTH
+    * dimensions — per-file min/max rectangles on (l_shipdate,
+    * l_quantity) become tight, and a 2-D band read skips most files on
+    * footer stats alone. The key column itself is dropped before the
+    * write: z-order is a LAYOUT property, not data. Factored out so
+    * Round13Spec can audit the per-file rectangles. */
+  private[graft] def zorderLayout(s: SparkSession, d: String): String = {
+    val dir = s"target/tmp/zorderclust_${new java.io.File(d).getName}"
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        col("l_quantity").cast(LongType).as("l_quantity"),
+        dec(col("l_extendedprice")).as("price"))
+      .withColumn("zx",
+        datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+          .cast(LongType).bitwiseAND(lit(65535L)))
+      .withColumn("zy", col("l_quantity").bitwiseAND(lit(65535L)))
+      .withColumn("z", Round5Ops.morton16(col("zx"), col("zy")))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .drop("zx", "zy", "z")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** The 2-D band report every file of the z-ordered layout is judged
+    * against: a 3-month ship-date band × a 16-wide quantity band. */
+  private[graft] def zorderBandScan(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-06-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1995-09-01")) &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 25)
+      .agg(count(lit(1)).as("n"), money(sum(col("price"))).as("revenue"))
+
+  /** One exactly-once micro-batch step for the stream-table sink: fold
+    * the batch into the current latest-per-user snapshot and commit the
+    * new state as the next version, keyed by `epoch` — a replayed epoch
+    * evaluates and writes NOTHING (commitEpoch's by-name contract).
+    * This is the transform `GraftTable.streamingSink` runs per batch;
+    * the batch twin below and Round13Spec's MemoryStream golden test
+    * drive the same function. */
+  private[graft] def upsertEpoch(s: SparkSession, dir: String,
+      batch: DataFrame, epoch: Long): Option[Int] =
+    GraftTable.commitEpoch(s, dir, epoch) {
+      val fs = GraftTable.fsOf(s, dir)
+      val merged = GraftTable.readManifest(fs, dir) match {
+        case Some(_) =>
+          StreamingOps.latestPerUser(GraftTable.read(s, dir).unionByName(batch))
+        case None => StreamingOps.latestPerUser(batch)
+      }
+      merged
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Log-based data skipping: the band's files are resolved from the
+    // manifest's per-file statistics — readStatsBand hands back ONLY the
+    // overlapping files' paths, so the scan below never lists the data
+    // dir and never opens a skipped footer. The band predicate is then
+    // re-applied row-level (file granularity ≠ row granularity — the
+    // same contract as partition pruning), and the pushed filter still
+    // prunes row groups INSIDE the surviving files. Oracled against the
+    // raw recompute: skipping must not change results. At 10⁵ files the
+    // listing+footer pass this removes IS the scan bottleneck; the
+    // manifest line is O(files) tiny integers read once.
+    "scan_stats_skipping" -> ((s, d) => {
+      val dir = statsClusteredTable(s, d)
+      val (band, _, _) = GraftTable.readStatsBand(s, dir, 0, "l_shipdate",
+        epochUs("1996-03-01"), epochUs("1996-06-01") - 1L)
+      band
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-06-01")))
+        .agg(count(lit(1)).as("n"), money(sum(col("price"))).as("revenue"))
+    }),
+
+    // Exactly-once streaming ingest into the versioned store, replay
+    // included: the events table arrives as three deterministic chunks
+    // (event_id mod 3) committed via upsertEpoch, and epoch 1's chunk is
+    // DELIVERED TWICE — the restart-replay case — so the idempotence
+    // contract sits inside the oracle: were the replay double-applied as
+    // a fourth version, n_versions would be 4, and were the fold wrong,
+    // the latest-per-user rows would mismatch the one-shot batch
+    // recompute (same fixpoint argument as stream_foreachbatch_upsert:
+    // the reduction is associative/commutative over a total (ts,
+    // event_id) order, so chunking cannot change it). At 100 TB each
+    // version commit is O(manifest) and the fold reads |users| serving
+    // rows + one micro-batch — never event history.
+    "stream_table_sink" -> ((s, d) => {
+      val dir = s"target/tmp/gstreamsink_${new java.io.File(d).getName}"
+      val fs = GraftTable.fsOf(s, dir)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val ev = graft.T.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      Seq(0L, 1L, 1L, 2L).foreach { e => // epoch 1 replayed deliberately
+        upsertEpoch(s, dir, ev.filter(pmod(col("event_id"), lit(3)) === e), e)
+      }
+      val nv = GraftTable.versions(fs, dir).size
+      GraftTable.read(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"),
+          lit(nv).as("n_versions"))
+        .orderBy("user_id")
+    }),
+
+    // The OCC commit loop under REAL contention: two threads merge
+    // disjoint changelogs (even / odd customer keys) into the same
+    // table concurrently through commitWithRetry. Exactly one wins
+    // version 1; the loser's CME sends it back around the loop — it
+    // re-reads the winner's snapshot, re-applies ITS merge to that, and
+    // commits version 2. Both changelogs land regardless of arrival
+    // order because the merges commute (disjoint keys, and the update
+    // arm is addition), which is exactly why the final state is
+    // deterministic and the oracle can recompute it sequentially. The
+    // exposed n_versions pins that the loser retried rather than
+    // silently dropping (2 would mean a lost merge, 4 a double-apply).
+    // At scale this is Delta's conflict-retry protocol: the price of a
+    // lost race is one re-stage of the WRITER's delta, never a reader
+    // stall — readers keep snapshot isolation throughout.
+    "table_concurrent_merge" -> ((s, d) => {
+      val dir = s"target/tmp/gconcmerge_${new java.io.File(d).getName}"
+      val fs = GraftTable.fsOf(s, dir)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      GraftTable.commitNextIsolated(s, dir,
+        t(s, d, "customer")
+          .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal")),
+        "base")
+      def changelog(parity: Int): DataFrame =
+        t(s, d, "orders").filter(col("o_custkey") % 2 === parity)
+          .groupBy(col("o_custkey").as("ckey"))
+          .agg(sum(dec(col("o_totalprice"))).as("delta"))
+      def merge(chg: DataFrame)(cur: Option[DataFrame]): DataFrame =
+        cur.getOrElse(sys.error("base version must exist"))
+          .join(chg, col("key") === col("ckey"), "full")
+          .select(coalesce(col("key"), col("ckey")).as("key"),
+            (coalesce(col("bal"), lit(0).cast(DecimalType(12, 2))) +
+              coalesce(col("delta"), lit(0).cast(DecimalType(12, 2)))).as("bal"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val threads = Seq(0, 1).map { parity =>
+        new Thread(() => {
+          latch.await()
+          try GraftTable.commitWithRetry(s, dir, merge(changelog(parity)),
+            s"merge parity $parity")
+          catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); latch.countDown(); threads.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+      val nv = GraftTable.versions(fs, dir).size
+      GraftTable.read(s, dir)
+        .select(col("key"), money(col("bal")).as("bal"), lit(nv).as("n_versions"))
+        .orderBy("key")
+    }),
+
+    // 2-D band read over the z-ordered layout — served straight off the
+    // files, where parquet min/max footer stats now describe tight
+    // (ship-date × quantity) rectangles: most files' rectangles miss
+    // the query rectangle entirely and are skipped before a single row
+    // group decompresses. A 1-D sort would make ONE of the two
+    // predicates unselective at file level; Morton interleaving is what
+    // buys selectivity on both. Oracle = the same band off the
+    // unclustered original (layout must never change results);
+    // Round13Spec reads the per-file rectangles back and counts the
+    // overlap set.
+    "sink_zorder_clustered" -> ((s, d) => zorderBandScan(s, zorderLayout(s, d))),
+
+    // A LAYOUT change as a committed version: v0 holds the rows
+    // unpartitioned, v1 the SAME rows as a month-partitioned directory
+    // tree (one file per month — the partitioned-sink discipline).
+    // Readers of v0 and v1 use the same readVersion call — the commit's
+    // data= indirection is what lets directory SHAPE evolve per version
+    // with no reader-side branching, the metadata-only re-layout every
+    // table format promises. The oracle pins both versions serving
+    // identical aggregates; Round13Spec pins the mechanics (v0's files
+    // byte-untouched by the v1 commit; v1's month-band read listing
+    // only pruned partitions).
+    "table_partition_evolution" -> ((s, d) => {
+      val dir = s"target/tmp/gpartevo_${new java.io.File(d).getName}"
+      GraftTable.fsOf(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      GraftTable.commitNext(s, dir, o, "unpartitioned load")
+      GraftTable.commitNextIsolated(s, dir,
+        GraftTable.read(s, dir).repartition(col("ym")),
+        "relayout: partitioned by ym", partitionBy = Seq("ym"))
+      def snap(v: Int): DataFrame =
+        GraftTable.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("ym")).as("n_months"),
+            money(sum(col("price"))).as("sum_price"))
+          .select(lit(v).as("version"), col("n_rows"), col("n_months"),
+            col("sum_price"))
+      snap(0).unionByName(snap(1)).orderBy("version")
+    }),
+
+    // t2=N (rows-only): the documented 100 TB swap for
+    // agg_sliding_distinct_users — per-window HyperLogLog++ cardinality
+    // instead of the exact (window, user) dedup shuffle. The sketch
+    // merge is associative/commutative, so the shuffle carries one
+    // ~1.4 KB sketch per (window, partition) instead of every distinct
+    // (window, user) pair — at 100 TB that is the difference between
+    // shuffling |windows × users| rows and |windows × partitions|
+    // sketches. No SQL oracle: DuckDB's approx_count_distinct is a
+    // different sketch; Round13Spec bounds the relative error against
+    // the exact tier (≤5%, rsd 0.02) window by window.
+    "agg_sliding_distinct_hll" -> ((s, d) =>
+      graft.T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("users_approx"),
+          count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("users_approx"), col("n"))
+        .orderBy("ws"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Skipping must not change results: the band aggregate recomputed
+    // off the raw table.
+    "scan_stats_skipping" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("l_extendedprice")})")} AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-03-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-06-01'"),
+
+    // The stream fold's fixpoint = the one-shot latest-per-user batch
+    // recompute; 3 versions pins the replayed epoch as a no-op.
+    "stream_table_sink" ->
+      ("WITH r AS (SELECT user_id, ts, event_id, event_type, value, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) " +
+        "SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value, " +
+        "3 AS n_versions FROM r WHERE rn = 1 ORDER BY user_id"),
+
+    // Sequential replay of the two commuting merges; 3 versions pins
+    // that the race loser retried and landed instead of failing.
+    "table_concurrent_merge" ->
+      (s"WITH base AS (SELECT c_custkey AS key, ${oDec("c_acctbal")} AS bal FROM customer), " +
+        s"a AS (SELECT o_custkey AS ckey, SUM(${oDec("o_totalprice")}) AS delta " +
+        "FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1), " +
+        s"b AS (SELECT o_custkey AS ckey, SUM(${oDec("o_totalprice")}) AS delta " +
+        "FROM orders WHERE o_custkey % 2 = 1 GROUP BY 1), " +
+        "m1 AS (SELECT COALESCE(key, ckey) AS key, " +
+        "COALESCE(bal, 0) + COALESCE(delta, 0) AS bal " +
+        "FROM base FULL JOIN a ON key = ckey), " +
+        "m2 AS (SELECT COALESCE(key, ckey) AS key, " +
+        "COALESCE(bal, 0) + COALESCE(delta, 0) AS bal " +
+        "FROM m1 FULL JOIN b ON key = ckey) " +
+        s"SELECT key, ${oMoney("bal")} AS bal, 3 AS n_versions " +
+        "FROM m2 ORDER BY key"),
+
+    // The z-ordered layout must serve the same 2-D band aggregate as
+    // the unclustered original.
+    "sink_zorder_clustered" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("l_extendedprice")})")} AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01' " +
+        "AND l_shipdate < TIMESTAMP '1995-09-01' " +
+        "AND CAST(l_quantity AS BIGINT) >= 10 AND CAST(l_quantity AS BIGINT) <= 25"),
+
+    // Both layouts serve identical aggregates — re-layout is
+    // metadata-only from a reader's point of view.
+    "table_partition_evolution" -> {
+      val row = "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT) AS n_months, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS sum_price FROM orders"
+      s"SELECT 0 AS version, $row UNION ALL SELECT 1 AS version, $row ORDER BY version"
+    }
+  )
+}

@@ -468,9 +468,9 @@ object GraftTable {
     * the source checkpoint is the other half). The epoch scan reads
     * commit METADATA (O(versions), tiny strings), never data. Returns
     * the committed version, or None for a detected replay. */
-  def commitEpoch(spark: SparkSession, dir: String, df: DataFrame,
-      epochId: Long, retain: Int = Int.MaxValue,
-      prefix: String = "v"): Option[Int] = {
+  def commitEpoch(spark: SparkSession, dir: String, epochId: Long,
+      retain: Int = Int.MaxValue, prefix: String = "v")
+      (df: => DataFrame): Option[Int] = {
     val fs = fsOf(spark, dir)
     val tag = s"epoch=$epochId"
     if (versions(fs, dir).exists(v => meta(fs, dir, v) == tag)) None
@@ -480,18 +480,29 @@ object GraftTable {
   /** Streaming writer INTO the versioned store: every micro-batch of
     * `stream` becomes one atomically committed GraftTable version, with
     * `commitEpoch`'s replay detection making the version history immune
-    * to restarts. This closes the ingest half of the lakehouse loop —
-    * `cdcSubscribe` (the read half) can follow the same table the
-    * stream writes. The batch body runs on the driver like every
-    * foreachBatch sink; the WRITE inside it is a distributed parquet
-    * write plus an O(manifest) commit. */
-  def streamingSink(dir: String, checkpointDir: String,
-      stream: DataFrame, retain: Int = Int.MaxValue, prefix: String = "v")
+    * to restarts. `transform(currentSnapshot, batch)` decides what each
+    * version holds — the default commits the raw batch (a
+    * per-micro-batch version log); a MERGE-style sink passes a fold of
+    * snapshot × batch (see `stream_table_sink`'s latest-per-key state),
+    * and the by-name plumbing means a detected replay evaluates NOTHING:
+    * no snapshot read, no fold, no write. This closes the ingest half of
+    * the lakehouse loop — `cdcSubscribe` (the read half) can follow the
+    * same table the stream writes. The batch body runs on the driver
+    * like every foreachBatch sink; the WRITE inside it is a distributed
+    * parquet write plus an O(manifest) commit. */
+  def streamingSink(dir: String, checkpointDir: String, stream: DataFrame,
+      retain: Int = Int.MaxValue, prefix: String = "v",
+      transform: (Option[DataFrame], DataFrame) => DataFrame = (_, b) => b)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, epochId) => {
-        commitEpoch(batch.sparkSession, dir, batch, epochId,
-          retain, prefix); ()
+        val s = batch.sparkSession
+        commitEpoch(s, dir, epochId, retain, prefix) {
+          val fs = fsOf(s, dir)
+          transform(readManifest(fs, dir).map(_ => read(s, dir, prefix)),
+            batch.toDF())
+        }
+        ()
       }
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
