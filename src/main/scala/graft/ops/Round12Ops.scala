@@ -440,32 +440,25 @@ object Round12Ops {
       Multimodal.audioEnergyPipeline(s, d).orderBy("doc_id")),
 
     // SemDeDup-style semantic deduplication: the embedding-space analog
-    // of text_dedup_keep_best. Vectors are assigned to their nearest of
-    // 8 broadcast centroids (the clustering step — shared construction
-    // with vec_neardup_pairs, max_by argmax so no window shuffle), and
-    // WITHIN each cluster a vector is a duplicate iff a LOWER-ID
-    // neighbor sits at cosine >= 0.35 (chosen above the corpus's
-    // within-cluster similarity tail so the rule actually fires at
-    // every SF — ~0.5% of pairs qualify); the kept representative pointer is
-    // the minimum such neighbor (one-hop, as in SemDeDup — reps are the
-    // members with no lower near-neighbor). Pair comparison is
-    // cluster-scoped, never corpus-wide: at 100 TB the candidate join
-    // fans out only within buckets, the same restriction the IVF/LSH
-    // families use, and the per-bucket pair count is what the cluster
-    // count k tunes. One persist because the self-join reads the
-    // assignment twice.
+    // of text_dedup_keep_best. Vectors are assigned to their nearest
+    // TRAINED centroid — Round13Ops.semanticAssignTrained runs
+    // kmeansTrain's Lloyd loop in oracle-mirrorable exact-integer
+    // arithmetic, with the codebook size k = ceil(√n) scaling with the
+    // corpus (within-cluster pair cost Σ(n/k)² needs k growing with n;
+    // Round13Spec pins the realized max cluster size) — and WITHIN each
+    // cluster a vector is a duplicate iff a LOWER-ID neighbor sits at
+    // cosine >= 0.35 (Round13Spec pins every within-cluster pair's
+    // cosine ≥ 1e-6 away from the threshold, so the float boundary
+    // cannot flip a pair between engines); the kept representative
+    // pointer is the minimum such neighbor (one-hop, as in SemDeDup —
+    // reps are the members with no lower near-neighbor). Pair
+    // comparison is cluster-scoped, never corpus-wide: at 100 TB the
+    // candidate join fans out only within buckets, the same restriction
+    // the IVF/LSH families use. One persist because the self-join reads
+    // the assignment twice.
     "vec_semantic_dedup" -> ((s, d) => {
       graft.Graft.registerFunctions(s)
-      val e = t(s, d, "embeddings")
-      val cents = broadcast(e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
-      val assign = e.crossJoin(cents)
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          expr("graft_cosine(embedding, c_emb)").as("c_cos"))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"),
-            struct(col("c_cos"), (-col("cid")).as("nid"))).as("cid"),
-          first(col("embedding")).as("embedding"))
+      val assign = Round13Ops.semanticAssignTrained(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dups = assign.as("a").join(assign.as("b"),
           col("a.cid") === col("b.cid") &&
@@ -718,19 +711,18 @@ object Round12Ops {
 
     // Same clustering as vec_neardup_pairs' oracle; the drop rule is the
     // lower-id near-neighbor existence, the rep the min such neighbor.
+    // Replays the identical exact-integer Lloyd training
+    // (Round13Ops.semanticAssignOracleCtes) before the cluster-scoped
+    // pair rule — the hash check covers the trained codebook, the
+    // assignment AND the dedup decision.
     "vec_semantic_dedup" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        "cents AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 8), " +
-        "assign AS (SELECT vec_id, emb, cid FROM (" +
-        "SELECT e.vec_id, e.emb, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id " +
-        "ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC, c.cid ASC) AS rn " +
-        "FROM e, cents c) WHERE rn = 1), " +
-        "d AS (SELECT a.vec_id, MIN(b.vec_id) AS rep0 FROM assign a JOIN assign b " +
+      (s"WITH ${Round13Ops.semanticAssignOracleCtes}, " +
+        "d AS (SELECT a.vec_id, MIN(b.vec_id) AS rep0 FROM af a JOIN af b " +
         "ON a.cid = b.cid AND b.vec_id < a.vec_id " +
         "AND list_cosine_similarity(a.emb, b.emb) >= 0.35 GROUP BY 1) " +
         "SELECT a.vec_id AS vec_id, a.cid, d.rep0 IS NOT NULL AS is_dup, " +
         "COALESCE(d.rep0, a.vec_id) AS rep " +
-        "FROM assign a LEFT JOIN d ON a.vec_id = d.vec_id ORDER BY a.vec_id"),
+        "FROM af a LEFT JOIN d ON a.vec_id = d.vec_id ORDER BY a.vec_id"),
 
     "dq_expectation_suite" ->
       ("WITH b AS (SELECT COUNT(*) AS n, COUNT(o_orderkey) AS nk, " +

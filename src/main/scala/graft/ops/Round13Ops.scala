@@ -54,6 +54,109 @@ object Round13Ops {
     java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
       .toInstant.toEpochMilli * 1000L
 
+  /** Exact-integer L2² between a scaled-BIGINT vector column and a
+    * DOUBLE centroid column — the same sequential sequence-fold canon as
+    * Round9Ops.fullL2 (list_sum/list_transform mirror, bit-exact per the
+    * vec_ivf_pq_topk precedent). */
+  private def scaledL2(xs: String, cs: String): String = {
+    val diff = s"(CAST(element_at($xs, i) AS DOUBLE) - element_at($cs, i))"
+    s"aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) -> acc + $diff * $diff)"
+  }
+
+  /** Trained-codebook cluster assignment for `vec_semantic_dedup` —
+    * kmeansTrain's Lloyd loop re-expressed in an ORACLE-MIRRORABLE
+    * arithmetic: embeddings are quantized to scaled integers
+    * (floor(x·2²⁰) — float32→double is exact, ×2²⁰ is exact, floor is
+    * deterministic), so every per-cluster per-dimension SUM is exact
+    * integer arithmetic (order-independent ⇒ partition-invariant, the
+    * same property kmeansTrain buys with BigDecimal accumulators — but
+    * unlike BigDecimal-of-double, mirrorable in DuckDB, whose DECIMAL
+    * tops out at 38 digits). Centroid components are then
+    * CAST(sum AS DOUBLE)/CAST(count AS DOUBLE): both operands exact
+    * (< 2⁵³), so IEEE division yields bit-identical doubles in any
+    * engine, and the assignment argmin — a fixed-order 64-term double
+    * fold with (dist, cid) tie-break — is bit-identical too. k scales
+    * with the corpus as ceil(√n) (the SemDeDup posture: within-cluster
+    * pair cost is Σ(n/k)² ≈ n^1.5/k at balanced clusters, so k must
+    * grow with n; the driver-side artifact is only the k×64 codebook,
+    * exactly kmeansTrain's posture). `iters` fixed Lloyd rounds (assign
+    * → exact-mean update, empty clusters keep their centroid) make the
+    * training replayable as chained CTEs on the oracle side; the
+    * convergence-tolerance variant stays kmeansTrain's domain
+    * (vec_kmeans_train). Returns (vec_id, cid, embedding). */
+  private[graft] def semanticAssignTrained(s: SparkSession, d: String,
+      iters: Int = 2): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val v = e.select(col("vec_id"),
+      expr("transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1048576.0))")
+        .as("xs"))
+    // k = ceil(sqrt(n)): ONE driver-side count (the codebook-size
+    // parameter, same boundedness class as kmeansTrain's seed collect)
+    val k = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    def assign(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(scaledL2("xs", "cs")))
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
+          first(col("xs")).as("xs"))
+    def update(assigned: DataFrame, cents: DataFrame): DataFrame = {
+      val means = assigned
+        .select(col("cid"), posexplode(col("xs")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("cs2"))
+      // empty cluster keeps its previous centroid (Lloyd degeneracy
+      // handling, same as kmeansTrain)
+      cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cs2"), col("cs")).as("cs"))
+    }
+    val c0 = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"),
+        expr("transform(xs, x -> CAST(x AS DOUBLE))").as("cs"))
+    var cents = c0
+    for (_ <- 1 to iters) cents = update(assign(cents), cents)
+    assign(cents).select(col("vec_id"), col("cid"))
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+  }
+
+  /** The DuckDB mirror of `semanticAssignTrained`: the identical
+    * quantize → (assign, exact-mean update)×iters → final-assign chain
+    * as CTEs. Exposed so Round12Ops' vec_semantic_dedup oracle and any
+    * future codebook consumer replay the same training. */
+  private[graft] def semanticAssignOracleCtes: String = {
+    def a(v: String, c: String, out: String, keepXs: Boolean): String = {
+      val cols = if (keepXs) "vec_id, xs, cid" else "vec_id, cid"
+      s"d_$out AS (SELECT $v.vec_id, $v.xs, c.cid, " +
+        "list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> (CAST($v.xs[i] AS DOUBLE) - c.cs[i]) * " +
+        s"(CAST($v.xs[i] AS DOUBLE) - c.cs[i]))) AS dist FROM $v, $c c), " +
+        s"$out AS (SELECT $cols FROM (SELECT *, ROW_NUMBER() OVER " +
+        s"(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d_$out) WHERE rn = 1)"
+    }
+    def u(aT: String, cPrev: String, out: String): String =
+      s"u_$out AS (SELECT cid, i, CAST(SUM(xs[i]) AS DOUBLE) / " +
+        s"CAST(COUNT(*) AS DOUBLE) AS m FROM $aT, generate_series(1, 64) t(i) " +
+        "GROUP BY cid, i), " +
+        s"$out AS (SELECT $cPrev.cid, COALESCE(uu.cs, $cPrev.cs) AS cs " +
+        s"FROM $cPrev LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cs " +
+        s"FROM u_$out GROUP BY cid) uu USING (cid))"
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      "v AS (SELECT vec_id, list_transform(emb, " +
+      "x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS xs FROM e), " +
+      "kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM e), " +
+      "c0 AS (SELECT vec_id AS cid, list_transform(xs, x -> CAST(x AS DOUBLE)) AS cs " +
+      "FROM v WHERE vec_id < (SELECT k FROM kk)), " +
+      a("v", "c0", "a0", keepXs = true) + ", " +
+      u("a0", "c0", "c1") + ", " +
+      a("v", "c1", "a1", keepXs = true) + ", " +
+      u("a1", "c1", "c2") + ", " +
+      a("v", "c2", "a2", keepXs = false) + ", " +
+      "af AS (SELECT a2.vec_id, a2.cid, e.emb FROM a2 JOIN e USING (vec_id))"
+  }
+
   /** Commit the range-clustered lineitem layout as GraftTable version 0
     * WITH per-file l_shipdate statistics in the commit record; returns
     * the table dir. Factored out so Round13Spec can audit the stats and
