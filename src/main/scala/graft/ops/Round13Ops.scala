@@ -199,7 +199,15 @@ object Round13Ops {
       .withColumn("zx",
         datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
           .cast(LongType).bitwiseAND(lit(65535L)))
-      .withColumn("zy", col("l_quantity").bitwiseAND(lit(65535L)))
+      // dimension NORMALIZATION: ship-day spans ~2500 ordinals (12
+      // bits) but quantity only 50 (6 bits) — raw interleaving would
+      // leave all of z's high bits to the date and the curve degrades
+      // to a 1-D date sort (quantity rectangles full-width in every
+      // file). Scaling quantity ×64 puts both dimensions on ~12 bits,
+      // so the interleaved high bits alternate between them — the
+      // range-normalization every production z-order performs before
+      // interleaving.
+      .withColumn("zy", (col("l_quantity") * 64L).bitwiseAND(lit(65535L)))
       .withColumn("z", Round5Ops.morton16(col("zx"), col("zy")))
       .repartitionByRange(16, col("z"))
       .sortWithinPartitions("z")
@@ -384,16 +392,19 @@ object Round13Ops {
     // agg_sliding_distinct_users — per-window HyperLogLog++ cardinality
     // instead of the exact (window, user) dedup shuffle. The sketch
     // merge is associative/commutative, so the shuffle carries one
-    // ~1.4 KB sketch per (window, partition) instead of every distinct
+    // ~12 KB sketch per (window, partition) instead of every distinct
     // (window, user) pair — at 100 TB that is the difference between
     // shuffling |windows × users| rows and |windows × partitions|
-    // sketches. No SQL oracle: DuckDB's approx_count_distinct is a
-    // different sketch; Round13Spec bounds the relative error against
-    // the exact tier (≤5%, rsd 0.02) window by window.
+    // sketches. rsd 0.01 (2¹⁴ registers): at the fixture's per-window
+    // cardinalities HLL++'s linear-counting regime is exact, and at
+    // 100 TB cardinalities the error concentrates at ~1%. No SQL
+    // oracle: DuckDB's approx_count_distinct is a different sketch;
+    // Round13Spec bounds the error against the exact tier (≤5%)
+    // window by window.
     "agg_sliding_distinct_hll" -> ((s, d) =>
       graft.T.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("users_approx"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("users_approx"),
           count(lit(1)).as("n"))
         .select(col("w.start").as("ws"), col("users_approx"), col("n"))
         .orderBy("ws"))

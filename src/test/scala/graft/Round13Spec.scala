@@ -1,0 +1,341 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import graft.ops.{Round13Ops, StreamingOps}
+import graft.sources.GraftTable
+
+/** Round-13 mechanics the SQL oracles cannot see: the manifest-level
+  * stats skip ratio (opened files counted against the range-overlap
+  * set), streaming replay idempotence across a checkpoint-recovery
+  * restart, the OCC retry under a FORCED deterministic conflict, the
+  * z-order per-file rectangle audit, partition-evolution file
+  * immutability + pruning, the HLL error bound, the trained semantic
+  * codebook's cluster-size/threshold-margin pins, the vacuum grace
+  * window, and the manifest feed's one-row-per-version contract over
+  * header-bearing commit files. */
+class Round13Spec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def epochUs(date: String): Long =
+    java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli * 1000L
+
+  // ---- scan_stats_skipping --------------------------------------------------
+
+  test("scan_stats_skipping: the manifest selects fewer files than the version holds, and exactly the range-overlap set") {
+    val dir = Round13Ops.statsClusteredTable(spark, sf)
+    val lo = epochUs("1996-03-01")
+    val hi = epochUs("1996-06-01") - 1L
+    val (band, opened, total) = GraftTable.readStatsBand(
+      spark, dir, 0, "l_shipdate", lo, hi)
+    assert(total > 1, s"clustered layout should hold several files ($total)")
+    assert(opened.nonEmpty && opened.size < total,
+      s"log skipping must open a strict subset: ${opened.size} of $total")
+    // Independent recompute of the overlap set from the FILES themselves
+    // (footer truth): the manifest must name exactly the files whose
+    // actual [min,max] intersects the band — no false skips, no
+    // gratuitous opens.
+    val fs = GraftTable.fsOf(spark, dir)
+    val data = spark.read.parquet(
+      s"$dir/${GraftTable.dataDirOf(fs, dir, 0, "v")}")
+    val tsUs = unix_micros(col("l_shipdate").cast(TimestampType))
+    val actual = data
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("f"))
+      .agg(min(tsUs).as("lo"), max(tsUs).as("hi"))
+      .collect()
+      .filter(r => r.getAs[Long]("hi") >= lo && r.getAs[Long]("lo") <= hi)
+      .map(_.getAs[String]("f")).toSet
+    assert(opened.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet == actual,
+      s"manifest overlap set != footer overlap set")
+    // and skipping must not change results: band read + row-level filter
+    // equals the full-scan recompute
+    val bandRows = band
+      .filter(tsUs >= lo && tsUs <= hi).count()
+    val fullRows = data.filter(tsUs >= lo && tsUs <= hi).count()
+    assert(bandRows == fullRows, s"band read lost rows: $bandRows vs $fullRows")
+  }
+
+  // ---- stream_table_sink ----------------------------------------------------
+
+  test("stream_table_sink: checkpoint-recovery replay of the last batch mints no new version and leaves the fixpoint intact") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = "target/tmp/gsink_golden"
+    val ckpt = "target/tmp/gsink_golden_ckpt"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    fs.delete(new Path(ckpt), true)
+    val b1 = Seq(
+      UpEv(1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0),
+      UpEv(2L, ts("2024-01-01 10:01:00"), 101L, "view", 2.0))
+    val b2 = Seq(
+      UpEv(1L, ts("2024-01-01 11:00:00"), 102L, "purchase", 9.0),
+      UpEv(3L, ts("2024-01-01 11:02:00"), 103L, "signup", 3.0),
+      UpEv(2L, ts("2024-01-01 09:00:00"), 104L, "click", 7.0)) // older: loses
+    val mem = MemoryStream[UpEv]
+    def start() = GraftTable.streamingSink(dir, ckpt, mem.toDF(),
+      transform = (cur, b) => StreamingOps.latestPerUser(
+        cur.map(_.unionByName(b)).getOrElse(b)))
+    val q1 = start()
+    mem.addData(b1: _*); q1.processAllAvailable()
+    mem.addData(b2: _*); q1.processAllAvailable(); q1.stop()
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1))
+    def state() = GraftTable.read(spark, dir).orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSeq
+    val fixpoint = StreamingOps.latestPerUser((b1 ++ b2).toDF())
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSeq
+    assert(state() == fixpoint && fixpoint ==
+      Seq(1L -> 102L, 2L -> 101L, 3L -> 103L))
+    // Simulate the crash window foreachBatch replays: the sink ran for
+    // batch 1 but the engine died before recording it — drop the
+    // streaming commit log's last entry and restart from the same
+    // checkpoint. The engine re-delivers batch 1; commitEpoch sees
+    // `epoch=1` already committed and the replay must evaluate NOTHING.
+    fs.delete(new Path(s"$ckpt/commits/1"), false)
+    val q2 = start()
+    q2.processAllAvailable()
+    // post-restart ingest continues the SAME version history exactly once
+    mem.addData(UpEv(2L, ts("2024-01-01 12:00:00"), 105L, "refund", 1.5))
+    q2.processAllAvailable(); q2.stop()
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1, 2),
+      s"replayed batch minted a version: ${GraftTable.versions(fs, dir)}")
+    assert(GraftTable.meta(fs, dir, 2) == "epoch=2")
+    assert(state() == Seq(1L -> 102L, 2L -> 105L, 3L -> 103L))
+  }
+
+  // ---- table_concurrent_merge -----------------------------------------------
+
+  test("commitWithRetry: a FORCED commit conflict re-applies the loser's transform against the winner's snapshot — both merges land") {
+    import spark.implicits._
+    val dir = "target/tmp/gocc_forced"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    GraftTable.commitNext(spark, dir,
+      Seq((0L, 10L), (1L, 10L), (2L, 10L)).toDF("k", "v"), "base")
+    val aRead = new java.util.concurrent.CountDownLatch(1)
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val aSnapshots = new java.util.concurrent.atomic.AtomicInteger(0)
+    // A's transform: +1 on even keys — but it HOLDS after reading its
+    // snapshot until B has committed, so A's first commit MUST conflict.
+    def mergeA(cur: Option[org.apache.spark.sql.DataFrame]) = {
+      aSnapshots.incrementAndGet()
+      val base = cur.get
+      aRead.countDown()
+      bDone.await()
+      base.withColumn("v",
+        when(col("k") % 2 === 0, col("v") + 1).otherwise(col("v")))
+    }
+    var aVersion = -1
+    val tA = new Thread(() => {
+      aVersion = GraftTable.commitWithRetry(spark, dir, mergeA, "A: +1 even")
+    })
+    tA.start()
+    aRead.await() // A holds a stale snapshot of v0
+    // B: +100 on odd keys, commits v1 while A is paused
+    val bVersion = GraftTable.commitWithRetry(spark, dir,
+      cur => cur.get.withColumn("v",
+        when(col("k") % 2 === 1, col("v") + 100).otherwise(col("v"))),
+      "B: +100 odd")
+    bDone.countDown()
+    tA.join()
+    assert(bVersion == 1 && aVersion == 2,
+      s"expected B=1, A=2 after retry; got B=$bVersion A=$aVersion")
+    assert(aSnapshots.get() == 2,
+      "the loser must RE-READ and re-apply, not re-publish stale staging")
+    val got = GraftTable.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(0L -> 11L, 1L -> 110L, 2L -> 11L),
+      s"both merges must land: $got")
+  }
+
+  // ---- sink_zorder_clustered ------------------------------------------------
+
+  test("sink_zorder_clustered: per-file (shipdate × quantity) rectangles — few files overlap the query rectangle, skipped files provably disjoint") {
+    val dir = Round13Ops.zorderLayout(spark, sf)
+    val tsUs = unix_micros(col("l_shipdate").cast(TimestampType))
+    val rects = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(tsUs).as("xlo"), max(tsUs).as("xhi"),
+        min("l_quantity").as("ylo"), max("l_quantity").as("yhi"))
+      .collect()
+      .map(r => (r.getAs[String]("f"), r.getAs[Long]("xlo"),
+        r.getAs[Long]("xhi"), r.getAs[Long]("ylo"), r.getAs[Long]("yhi")))
+    val (qxlo, qxhi) = (epochUs("1995-06-01"), epochUs("1995-09-01") - 1L)
+    val (qylo, qyhi) = (10L, 25L)
+    val overlap = rects.filter { case (_, xlo, xhi, ylo, yhi) =>
+      xhi >= qxlo && xlo <= qxhi && yhi >= qylo && ylo <= qyhi
+    }
+    assert(rects.length >= 8,
+      s"z-order layout should hold several files (${rects.length})")
+    assert(overlap.nonEmpty && overlap.length * 2 <= rects.length,
+      s"2-D skipping must prune at least half the files: " +
+        s"${overlap.length} of ${rects.length} overlap")
+    // the skipped files are PROVABLY non-overlapping — and therefore
+    // contribute zero band rows: all band rows live in the overlap set
+    val overlapPaths = overlap.map(_._1).toSet
+    val bandRowsAll = spark.read.parquet(dir)
+      .filter(tsUs.between(qxlo, qxhi) &&
+        col("l_quantity").between(qylo, qyhi)).count()
+    val bandRowsOverlap = spark.read.parquet(overlapPaths.toSeq: _*)
+      .filter(tsUs.between(qxlo, qxhi) &&
+        col("l_quantity").between(qylo, qyhi)).count()
+    assert(bandRowsAll == bandRowsOverlap && bandRowsAll > 0,
+      s"band rows outside the overlap set: $bandRowsAll vs $bandRowsOverlap")
+    // Morton interleaving must buy selectivity in BOTH dimensions: a
+    // 1-D shipdate sort makes every file's quantity range full-width,
+    // so the quantity predicate alone would prune nothing
+    val qOnly = rects.count { case (_, _, _, ylo, yhi) =>
+      yhi >= qylo && ylo <= qyhi }
+    assert(qOnly < rects.length,
+      "quantity ranges are full-width in every file — no 2-D clustering")
+  }
+
+  // ---- table_partition_evolution --------------------------------------------
+
+  test("table_partition_evolution: v0's files stay byte-untouched by the re-layout, v1's month read is partition-pruned") {
+    import graft.T.{t, dec}
+    val dir = "target/tmp/gpartevo_spec"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    val o = t(spark, sf, "orders")
+      .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+    GraftTable.commitNext(spark, dir, o, "unpartitioned load")
+    def fileState(p: Path): Map[String, (Long, Long)] =
+      fs.listStatus(p).filter(_.isFile).map(st =>
+        st.getPath.getName ->
+          ((st.getLen, st.getModificationTime))).toMap
+    val v0Before = fileState(new Path(s"$dir/v0"))
+    assert(v0Before.nonEmpty)
+    GraftTable.commitNextIsolated(spark, dir,
+      GraftTable.read(spark, dir).repartition(col("ym")),
+      "relayout: partitioned by ym", partitionBy = Seq("ym"))
+    // v0 byte-untouched: same names, lengths, modification times
+    assert(fileState(new Path(s"$dir/v0")) == v0Before,
+      "the re-layout commit touched version 0's files")
+    // v1 is a real partitioned tree, and a month read prunes to one dir
+    val month = GraftTable.readVersion(spark, dir, 1)
+      .filter(col("ym") === "1995-03")
+    val plan = month.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.contains("PartitionFilters: []"), plan.take(1500))
+    val filesRead = month.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(filesRead.nonEmpty && filesRead.forall(_.contains("ym=1995-03")),
+      s"month read listed beyond its partition: ${filesRead.take(3).toSeq}")
+    // both layouts serve the same relation
+    assert(GraftTable.readVersion(spark, dir, 0).count() ==
+      GraftTable.readVersion(spark, dir, 1).count())
+  }
+
+  // ---- agg_sliding_distinct_hll ---------------------------------------------
+
+  test("agg_sliding_distinct_hll: per-window HLL cardinality within 5% of the exact rolling-uniques tier (sf0.01)") {
+    val d = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("agg_sliding_distinct_hll")(spark, d)
+      .select(col("ws"), col("users_approx"))
+    val exact = SparkEntry.queries("agg_sliding_distinct_users")(spark, d)
+      .select(col("ws"), col("users").as("users_exact"))
+    val joined = approx.join(exact, Seq("ws"), "full").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val a = r.getAs[Long]("users_approx")
+      val e = r.getAs[Long]("users_exact")
+      assert(math.abs(a - e) <= math.max(1L, (0.05 * e).toLong),
+        s"window ${r.get(0)}: approx $a vs exact $e breaches 5%")
+    }
+  }
+
+  // ---- vec_semantic_dedup (trained codebook) --------------------------------
+
+  test("vec_semantic_dedup: trained clusters are balanced (max size bounded) and no pair sits within 1e-6 of the 0.35 threshold") {
+    Graft.registerFunctions(spark)
+    val assign = Round13Ops.semanticAssignTrained(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = assign.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    val sizes = assign.groupBy("cid").count().collect().map(_.getLong(1))
+    assert(sizes.sum == n)
+    assert(sizes.length <= k, s"${sizes.length} clusters from a k=$k codebook")
+    // the within-cluster pair bound the key's scale story rests on:
+    // max cluster ≤ 4×(n/k) ⇒ per-cluster pair cost ≤ 16·(n/k)²
+    val bound = 4L * (n / k + 1)
+    assert(sizes.max <= bound,
+      s"max cluster ${sizes.max} exceeds 4×(n/k)=$bound — k must scale up")
+    // threshold-margin pin (round-12 advisory): the float boundary can
+    // never flip a pair between Spark and DuckDB cosine folds
+    val margin = assign.as("a").join(assign.as("b"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .select(abs(expr("graft_cosine(a.embedding, b.embedding)") - 0.35)
+        .as("m"))
+      .agg(min("m")).collect()(0).getDouble(0)
+    assert(margin > 1e-6,
+      f"a within-cluster pair sits $margin%.2e from the 0.35 threshold")
+    assign.unpersist()
+  }
+
+  // ---- vacuum grace window --------------------------------------------------
+
+  test("vacuum grace window: a just-orphaned staging dir survives until the grace passes") {
+    import spark.implicits._
+    val dir = "target/tmp/gvacuum_grace"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    GraftTable.commitNext(spark, dir, Seq(1L, 2L).toDF("k"), "v0")
+    // a slow writer stages for v1 …
+    Seq(3L).toDF("k").write.parquet(s"$dir/v1_slowwriter")
+    // … while a faster writer takes v1
+    GraftTable.commitNextIsolated(spark, dir, Seq(4L, 5L).toDF("k"), "fast v1")
+    // the orphan is young: a graced vacuum must leave it for the
+    // in-flight writer to fail its own commit on
+    assert(GraftTable.vacuum(fs, dir, graceMs = 3600L * 1000).isEmpty,
+      "vacuum reclaimed a staging dir younger than the grace window")
+    assert(fs.exists(new Path(s"$dir/v1_slowwriter")))
+    // grace expired (0 ms): the orphan is reclaimable garbage
+    assert(GraftTable.vacuum(fs, dir, graceMs = 0L) == Seq("v1_slowwriter"))
+    assert(!fs.exists(new Path(s"$dir/v1_slowwriter")))
+    // the committed table never noticed
+    assert(GraftTable.read(spark, dir).count() == 2)
+  }
+
+  // ---- manifest feed: one row per version over header-bearing commits -------
+
+  test("cdcSubscribe: isolated and empty-metadata commits each feed exactly one row, headers stripped") {
+    import spark.implicits._
+    val dir = "target/tmp/cdc_headers"
+    val ckpt = "target/tmp/cdc_headers_ckpt"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    fs.delete(new Path(ckpt), true)
+    val received = collection.mutable.ListBuffer[(Int, String, Long)]()
+    def onDelta(v: Int, m: String,
+        delta: org.apache.spark.sql.DataFrame): Unit = {
+      val n = delta.count()
+      received.synchronized { received += ((v, m, n)) }
+    }
+    // v0: convention commit with EMPTY metadata (zero-byte before the
+    // ts= header existed — the silently-dropped case of the advisory)
+    GraftTable.commitNext(spark, dir, Seq(1L, 2L).toDF("k"))
+    // v1: ISOLATED commit — its file carries data= and ts= headers (the
+    // double-emit case of the advisory)
+    GraftTable.commitNextIsolated(spark, dir, Seq(1L, 2L, 3L).toDF("k"), "iso v1")
+    val q = GraftTable.cdcSubscribe(spark, dir, ckpt, onDelta)
+    q.processAllAvailable()
+    // v2: isolated with stats headers too
+    GraftTable.commitNextIsolated(spark, dir, Seq(1L, 2L, 3L, 4L).toDF("k"),
+      "iso v2",
+      statsCols = Seq("k" -> ((c: org.apache.spark.sql.Column) => c)))
+    q.processAllAvailable()
+    q.stop()
+    assert(received.toList == List((0, "", 2L), (1, "iso v1", 1L),
+      (2, "iso v2", 1L)),
+      s"feed must be one row per version with headers stripped: " +
+        s"${received.toList}")
+  }
+}
