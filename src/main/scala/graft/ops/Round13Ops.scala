@@ -182,16 +182,10 @@ object Round13Ops {
     dir
   }
 
-  /** Write the z-ordered lineitem layout; returns its path. The Morton
-    * key interleaves ship-day (days since 1992-01-01) with quantity, so
-    * range-partitioning + sorting on it co-locates rows close in BOTH
-    * dimensions — per-file min/max rectangles on (l_shipdate,
-    * l_quantity) become tight, and a 2-D band read skips most files on
-    * footer stats alone. The key column itself is dropped before the
-    * write: z-order is a LAYOUT property, not data. Factored out so
-    * Round13Spec can audit the per-file rectangles. */
-  private[graft] def zorderLayout(s: SparkSession, d: String): String = {
-    val dir = s"target/tmp/zorderclust_${new java.io.File(d).getName}"
+  /** The z-ordered lineitem frame shared by the plain-parquet layout
+    * (sink_zorder_clustered) and the stats-committed table
+    * (scan_stats_skipping_2d). */
+  private def zorderFrame(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_shipdate"),
         col("l_quantity").cast(LongType).as("l_quantity"),
@@ -212,7 +206,34 @@ object Round13Ops {
       .repartitionByRange(16, col("z"))
       .sortWithinPartitions("z")
       .drop("zx", "zy", "z")
-      .write.mode("overwrite").parquet(dir)
+
+  /** Commit the z-ordered lineitem layout as GraftTable version 0 with
+    * per-file statistics on BOTH clustered dimensions — the 2-D stats
+    * index scan_stats_skipping_2d serves from. Factored out for
+    * Round13Spec's rectangle-set audit. */
+  private[graft] def zorderStatsTable(s: SparkSession, d: String): String = {
+    val dir = s"target/tmp/gzstats_${new java.io.File(d).getName}"
+    GraftTable.fsOf(s, dir)
+      .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+    GraftTable.commitNextIsolated(s, dir, zorderFrame(s, d),
+      "z-ordered on (l_shipdate, l_quantity)",
+      statsCols = Seq(
+        "l_shipdate" -> ((c: Column) => unix_micros(c.cast(TimestampType))),
+        "l_quantity" -> ((c: Column) => c)))
+    dir
+  }
+
+  /** Write the z-ordered lineitem layout; returns its path. The Morton
+    * key interleaves ship-day (days since 1992-01-01) with quantity, so
+    * range-partitioning + sorting on it co-locates rows close in BOTH
+    * dimensions — per-file min/max rectangles on (l_shipdate,
+    * l_quantity) become tight, and a 2-D band read skips most files on
+    * footer stats alone. The key column itself is dropped before the
+    * write: z-order is a LAYOUT property, not data. Factored out so
+    * Round13Spec can audit the per-file rectangles. */
+  private[graft] def zorderLayout(s: SparkSession, d: String): String = {
+    val dir = s"target/tmp/zorderclust_${new java.io.File(d).getName}"
+    zorderFrame(s, d).write.mode("overwrite").parquet(dir)
     dir
   }
 
@@ -345,6 +366,53 @@ object Round13Ops {
         .orderBy("key")
     }),
 
+    // 2-D LOG-BASED skipping: the z-ordered table's commit carries
+    // per-file stats on BOTH clustered dimensions, and the rectangle
+    // read resolves its file set from the manifest with a conjunctive
+    // hyper-rectangle test — no listing, no footers (the log-serve
+    // companion of sink_zorder_clustered's footer proof, and the 2-D
+    // multiplicative-pruning payoff of scan_stats_skipping's 1-D
+    // machinery). Band predicates re-applied row-level as always;
+    // Round13Spec pins opened == rectangle-overlap set.
+    "scan_stats_skipping_2d" -> ((s, d) => {
+      val dir = zorderStatsTable(s, d)
+      val (rect, _, _) = GraftTable.readStatsRect(s, dir, 0, Seq(
+        ("l_shipdate", epochUs("1997-03-01"), epochUs("1997-06-01") - 1L),
+        ("l_quantity", 30L, 45L)))
+      rect
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-03-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-06-01")) &&
+          col("l_quantity").between(30, 45))
+        .agg(count(lit(1)).as("n"), money(sum(col("price"))).as("revenue"))
+    }),
+
+    // TIMESTAMP AS OF time travel: resolve the snapshot a wall-clock
+    // instant saw from the ts= commit headers (writer-recorded ms, not
+    // FS mtime — the round-12 advisory), then read that version through
+    // the manifest. Three versions of a growing nation slice; the probe
+    // instant is v1's own commit time, so the read must serve EXACTLY
+    // v1's rows — a later version leaking in (or v0 serving) flips the
+    // oracle. The 2 ms spacers pin strict ts monotonicity at the
+    // header's ms granularity; at scale the resolution scan is
+    // O(versions) header reads, never data.
+    "table_time_travel_asof" -> ((s, d) => {
+      val dir = s"target/tmp/gasof_${new java.io.File(d).getName}"
+      val fs = GraftTable.fsOf(s, dir)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      GraftTable.commitNext(s, dir, n.filter(col("n_nationkey") < 10), "v0")
+      Thread.sleep(2)
+      GraftTable.commitNext(s, dir, n.filter(col("n_nationkey") < 20), "v1")
+      Thread.sleep(2)
+      GraftTable.commitNext(s, dir, n, "v2")
+      val asOf = GraftTable.versionAsOf(fs, dir,
+        GraftTable.commitTimeMs(fs, dir, 1)).get
+      GraftTable.readVersion(s, dir, asOf)
+        .select(col("n_nationkey"), col("n_name"),
+          lit(asOf).as("asof_version"))
+        .orderBy("n_nationkey")
+    }),
+
     // 2-D band read over the z-ordered layout — served straight off the
     // files, where parquet min/max footer stats now describe tight
     // (ship-date × quantity) rectangles: most files' rectangles miss
@@ -444,6 +512,19 @@ object Round13Ops {
         "FROM m1 FULL JOIN b ON key = ckey) " +
         s"SELECT key, ${oMoney("bal")} AS bal, 3 AS n_versions " +
         "FROM m2 ORDER BY key"),
+
+    // Log-resolved 2-D rectangle read ≡ the raw recompute.
+    "scan_stats_skipping_2d" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("l_extendedprice")})")} AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-03-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-06-01' " +
+        "AND CAST(l_quantity AS BIGINT) BETWEEN 30 AND 45"),
+
+    // The instant of v1's commit must see exactly v1's rows.
+    "table_time_travel_asof" ->
+      ("SELECT n_nationkey, n_name, 1 AS asof_version FROM nation " +
+        "WHERE n_nationkey < 20 ORDER BY n_nationkey"),
 
     // The z-ordered layout must serve the same 2-D band aggregate as
     // the unclustered original.

@@ -145,10 +145,24 @@ object GraftTable {
     /** Files whose [min,max] range on `col` intersects [lo,hi] — the
       * read set of a band predicate; everything else is skippable
       * WITHOUT being listed or opened. */
-    def overlapping(col: String, lo: Long, hi: Long): Seq[FileStats] = {
-      val i = cols.indexOf(col)
-      require(i >= 0, s"no stats recorded for column '$col' (have $cols)")
-      files.filter(f => f.maxs(i) >= lo && f.mins(i) <= hi)
+    def overlapping(col: String, lo: Long, hi: Long): Seq[FileStats] =
+      overlappingRect(Seq((col, lo, hi)))
+
+    /** Files whose per-column [min,max] HYPER-RECTANGLE intersects every
+      * band in `bands` — the multi-dimensional read set. Conjunctive by
+      * construction: a file survives only if it can hold a row matching
+      * ALL bands, which is exactly the guarantee a z-ordered layout
+      * makes tight (Round13Ops.zorderLayout) and a 1-D sort leaves
+      * full-width on every non-sort column. */
+    def overlappingRect(bands: Seq[(String, Long, Long)]): Seq[FileStats] = {
+      val idx = bands.map { case (c, lo, hi) =>
+        val i = cols.indexOf(c)
+        require(i >= 0, s"no stats recorded for column '$c' (have $cols)")
+        (i, lo, hi)
+      }
+      files.filter(f => idx.forall { case (i, lo, hi) =>
+        f.maxs(i) >= lo && f.mins(i) <= hi
+      })
     }
   }
 
@@ -210,12 +224,23 @@ object GraftTable {
     * granularity), same as partition pruning. An empty read set yields
     * an empty frame with the version's schema. */
   def readStatsBand(spark: SparkSession, dir: String, v: Int, col: String,
-      lo: Long, hi: Long, prefix: String = "v"): (DataFrame, Seq[String], Int) = {
+      lo: Long, hi: Long, prefix: String = "v"): (DataFrame, Seq[String], Int) =
+    readStatsRect(spark, dir, v, Seq((col, lo, hi)), prefix)
+
+  /** Multi-dimensional log skipping: resolve version `v`'s files whose
+    * stats hyper-rectangle intersects EVERY band, from the manifest
+    * alone (see `readStatsBand`). With a z-ordered layout the per-file
+    * rectangles are tight in all clustered dimensions, so a 2-D band
+    * read prunes multiplicatively — the log-based serve path of
+    * `sink_zorder_clustered`'s footer-based proof. */
+  def readStatsRect(spark: SparkSession, dir: String, v: Int,
+      bands: Seq[(String, Long, Long)], prefix: String = "v")
+      : (DataFrame, Seq[String], Int) = {
     val fs = fsOf(spark, dir)
     val st = statsOf(fs, dir, v).getOrElse(sys.error(
       s"version $v of $dir carries no file statistics in its commit"))
     val data = dataDirOf(fs, dir, v, prefix)
-    val hit = st.overlapping(col, lo, hi).map(f => s"$dir/$data/${f.file}")
+    val hit = st.overlappingRect(bands).map(f => s"$dir/$data/${f.file}")
     val df =
       if (hit.nonEmpty) spark.read.parquet(hit: _*)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

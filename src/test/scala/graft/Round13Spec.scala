@@ -196,6 +196,37 @@ class Round13Spec extends SparkSpec {
       "quantity ranges are full-width in every file — no 2-D clustering")
   }
 
+  test("scan_stats_skipping_2d: the manifest's 2-D rectangle test opens exactly the overlap set, pruning multiplicatively") {
+    val dir = Round13Ops.zorderStatsTable(spark, sf)
+    val bands = Seq(
+      ("l_shipdate", epochUs("1997-03-01"), epochUs("1997-06-01") - 1L),
+      ("l_quantity", 30L, 45L))
+    val (_, opened, total) = GraftTable.readStatsRect(spark, dir, 0, bands)
+    assert(total >= 8 && opened.nonEmpty && opened.size * 2 <= total,
+      s"2-D log skipping must prune at least half: ${opened.size} of $total")
+    // the manifest's read set must equal the footer-truth overlap set
+    val fs = GraftTable.fsOf(spark, dir)
+    val tsUs = unix_micros(col("l_shipdate").cast(TimestampType))
+    val actual = spark.read.parquet(
+        s"$dir/${GraftTable.dataDirOf(fs, dir, 0, "v")}")
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("f"))
+      .agg(min(tsUs).as("xlo"), max(tsUs).as("xhi"),
+        min("l_quantity").as("ylo"), max("l_quantity").as("yhi"))
+      .collect()
+      .filter { r =>
+        r.getAs[Long]("xhi") >= bands(0)._2 && r.getAs[Long]("xlo") <= bands(0)._3 &&
+        r.getAs[Long]("yhi") >= bands(1)._2 && r.getAs[Long]("ylo") <= bands(1)._3
+      }
+      .map(_.getAs[String]("f")).toSet
+    assert(opened.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet == actual)
+    // and each single band alone prunes LESS than the conjunction —
+    // the multiplicative payoff of clustering both dimensions
+    val oneD = bands.map(b =>
+      GraftTable.readStatsRect(spark, dir, 0, Seq(b))._2.size)
+    assert(oneD.forall(_ >= opened.size),
+      s"conjunction opened more than a single band: $oneD vs ${opened.size}")
+  }
+
   // ---- table_partition_evolution --------------------------------------------
 
   test("table_partition_evolution: v0's files stay byte-untouched by the re-layout, v1's month read is partition-pruned") {
