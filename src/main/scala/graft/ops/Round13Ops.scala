@@ -413,6 +413,53 @@ object Round13Ops {
         .orderBy("n_nationkey")
     }),
 
+    // Metadata-only COUNT(*): the answer comes from the manifest's
+    // per-file row counts (summed at commit time from the parquet
+    // footers of the just-written, still-hot files) — serving the count
+    // touches ZERO data files, the transaction-log capability every
+    // lakehouse format leans on for table-stat queries. Round13Spec
+    // proves the point physically: the count still serves with the
+    // version's data dir moved away. At 10⁵ files this turns a
+    // full-listing + footer sweep into one O(stats-line) read.
+    "agg_count_metadata_only" -> ((s, d) => {
+      val dir = statsClusteredTable(s, d)
+      val n = GraftTable.rowCountOf(GraftTable.fsOf(s, dir), dir, 0)
+        .getOrElse(sys.error(s"no stats in $dir v0"))
+      s.range(1).select(lit(n).as("n_rows"))
+    }),
+
+    // SHALLOW CLONE: version 0 of the clone is a metadata-only
+    // reference to the source's current data dir (the same data=
+    // indirection isolated commits use, pointed across sibling table
+    // dirs — no file copied, stats travel with the reference), after
+    // which the clone evolves INDEPENDENTLY: its v1 appends rows in its
+    // own directory and the source's version history stays length 1 —
+    // which the exposed n_src_versions pins inside the oracle. The
+    // zero-copy dev/test-fork idiom: at 100 TB a clone costs one commit
+    // file, not a table copy.
+    "table_clone_shallow" -> ((s, d) => {
+      val base = new java.io.File(d).getName
+      val src = s"target/tmp/gclsrc_$base"
+      val dst = s"target/tmp/gclone_$base"
+      val fs = GraftTable.fsOf(s, src)
+      fs.delete(new org.apache.hadoop.fs.Path(src), true) // pure-function reset
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      GraftTable.commitNextIsolated(s, src,
+        t(s, d, "nation").select(col("n_nationkey"), col("n_name")),
+        "source load")
+      GraftTable.cloneShallow(s, src, dst)
+      GraftTable.commitNextIsolated(s, dst,
+        GraftTable.read(s, dst).unionByName(
+          t(s, d, "region").select((col("r_regionkey") + 100).as("n_nationkey"),
+            col("r_name").as("n_name"))),
+        "clone evolution: +regions")
+      val nSrc = GraftTable.versions(fs, src).size
+      GraftTable.read(s, dst)
+        .select(col("n_nationkey"), col("n_name"),
+          lit(nSrc).as("n_src_versions"))
+        .orderBy("n_nationkey")
+    }),
+
     // 2-D band read over the z-ordered layout — served straight off the
     // files, where parquet min/max footer stats now describe tight
     // (ship-date × quantity) rectangles: most files' rectangles miss
@@ -512,6 +559,18 @@ object Round13Ops {
         "FROM m1 FULL JOIN b ON key = ckey) " +
         s"SELECT key, ${oMoney("bal")} AS bal, 3 AS n_versions " +
         "FROM m2 ORDER BY key"),
+
+    // The manifest's row-count sum must equal the real count.
+    "agg_count_metadata_only" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem",
+
+    // Clone v1 = source rows + the appended evolution; source history
+    // still length 1.
+    "table_clone_shallow" ->
+      ("SELECT n_nationkey, n_name, 1 AS n_src_versions FROM (" +
+        "SELECT n_nationkey, n_name FROM nation " +
+        "UNION ALL SELECT r_regionkey + 100 AS n_nationkey, r_name AS n_name " +
+        "FROM region) ORDER BY n_nationkey"),
 
     // Log-resolved 2-D rectangle read ≡ the raw recompute.
     "scan_stats_skipping_2d" ->

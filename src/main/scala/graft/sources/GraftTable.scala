@@ -248,6 +248,45 @@ object GraftTable {
     (df, hit, st.files.size)
   }
 
+  /** Total row count of version `v` answered FROM THE MANIFEST — the
+    * metadata-only COUNT(*) every transaction-log format serves without
+    * touching a data file (the stats line already sums the per-file
+    * parquet row counts at commit time). None when the commit carries
+    * no stats. O(one commit-file read); works even with the version's
+    * data offline. */
+  def rowCountOf(fs: FileSystem, dir: String, v: Int): Option[Long] =
+    statsOf(fs, dir, v).map(_.files.map(_.rows).sum)
+
+  /** SHALLOW CLONE: make `dstDir` a new table whose version 0 is a
+    * METADATA-ONLY reference to `srcDir`'s current data — no data file
+    * is copied or written; the clone's commit file simply NAMES the
+    * source's data dir through the same data= indirection every
+    * isolated commit uses (a relative path out of the clone's dir, the
+    * way Delta's shallow clone records the source's file paths in its
+    * own log). Stats travel with the reference, so log-based skipping
+    * and metadata-only counts serve on the clone immediately. The clone
+    * then evolves INDEPENDENTLY — its next versions commit into its own
+    * dir and the source never sees them. Standard shallow-clone hazard,
+    * inherited deliberately: vacuuming/retention-expiring the SOURCE
+    * can orphan the clone's v0 reference (the clone's own vacuum never
+    * reaches outside its dir — `dirVersion` ignores `../` names). */
+  def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
+      metadata: String = "shallow clone"): Unit = {
+    val fs = fsOf(spark, srcDir)
+    val (sv, _) = readManifest(fs, srcDir).getOrElse(
+      sys.error(s"nothing to clone: no committed version under $srcDir"))
+    require(readManifest(fs, dstDir).isEmpty,
+      s"clone target $dstDir already has a committed version")
+    require(fs.makeQualified(new Path(srcDir)).getParent ==
+      fs.makeQualified(new Path(dstDir)).getParent,
+      "shallow clone requires src and dst to be sibling table dirs " +
+        "(the clone records a ../<src> relative data reference)")
+    val srcName = new Path(srcDir).getName
+    val rel = s"../$srcName/${dataDirOf(fs, srcDir, sv)}"
+    commit(fs, dstDir, 0, metadata, dataDir = Some(rel),
+      stats = statsOf(fs, srcDir, sv))
+  }
+
   /** Stage `df` as the data of version `v` WITHOUT committing. Overwrite
     * semantics make a retry after a crash idempotent — but only for an
     * UNCOMMITTED version: a committed version's data is immutable (it

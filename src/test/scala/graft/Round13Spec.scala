@@ -227,6 +227,58 @@ class Round13Spec extends SparkSpec {
       s"conjunction opened more than a single band: $oneD vs ${opened.size}")
   }
 
+  test("agg_count_metadata_only: the count serves from the manifest even with the version's data offline") {
+    val dir = Round13Ops.statsClusteredTable(spark, sf)
+    val fs = GraftTable.fsOf(spark, dir)
+    val fromLog = GraftTable.rowCountOf(fs, dir, 0).get
+    val real = GraftTable.readVersion(spark, dir, 0).count()
+    assert(fromLog == real, s"manifest count $fromLog != data count $real")
+    // the proof the key's claim rests on: move the data away — the
+    // metadata count still answers, while a data read now fails loudly
+    val data = GraftTable.dataDirOf(fs, dir, 0, "v")
+    fs.rename(new Path(s"$dir/$data"), new Path(s"$dir/.offline_$data"))
+    assert(GraftTable.rowCountOf(fs, dir, 0).contains(real),
+      "metadata-only count touched the data path")
+    intercept[IllegalArgumentException] {
+      GraftTable.readVersion(spark, dir, 0)
+    }
+    fs.rename(new Path(s"$dir/.offline_$data"), new Path(s"$dir/$data"))
+  }
+
+  test("cloneShallow: zero data files written, reads serve the source's bytes, evolution stays private to the clone") {
+    import spark.implicits._
+    val src = "target/tmp/gclspec_src"
+    val dst = "target/tmp/gclspec_dst"
+    val fs = GraftTable.fsOf(spark, src)
+    fs.delete(new Path(src), true)
+    fs.delete(new Path(dst), true)
+    GraftTable.commitNextIsolated(spark, src,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), "src v0",
+      statsCols = Seq("k" -> ((c: org.apache.spark.sql.Column) => c)))
+    GraftTable.cloneShallow(spark, src, dst)
+    // metadata-only clone: the clone dir holds ONLY its manifest
+    assert(fs.listStatus(new Path(dst)).map(_.getPath.getName).toSeq ==
+      Seq("manifest"), "shallow clone wrote data files")
+    // reads resolve through the reference; stats traveled
+    assert(GraftTable.read(spark, dst).orderBy("k").collect().toSeq ==
+      GraftTable.read(spark, src).orderBy("k").collect().toSeq)
+    assert(GraftTable.rowCountOf(fs, dst, 0).contains(3L))
+    // clone evolution is invisible to the source
+    GraftTable.commitNextIsolated(spark, dst,
+      GraftTable.read(spark, dst).unionByName(Seq((4L, "d")).toDF("k", "s")),
+      "clone v1")
+    assert(GraftTable.versions(fs, src) == Seq(0))
+    assert(GraftTable.read(spark, src).count() == 3)
+    assert(GraftTable.read(spark, dst).count() == 4)
+    // the clone's vacuum never reaches across the reference
+    assert(GraftTable.vacuum(fs, dst, graceMs = 0L).isEmpty)
+    assert(GraftTable.read(spark, src).count() == 3)
+    // a second clone of the same target is refused
+    intercept[IllegalArgumentException] {
+      GraftTable.cloneShallow(spark, src, dst)
+    }
+  }
+
   // ---- table_partition_evolution --------------------------------------------
 
   test("table_partition_evolution: v0's files stay byte-untouched by the re-layout, v1's month read is partition-pruned") {
