@@ -503,6 +503,57 @@ object Round13Ops {
       snap(0).unionByName(snap(1)).orderBy("version")
     }),
 
+    // Gopher/MassiveText-style repetition filter: a document whose top
+    // bigram exceeds 5% of its bigrams is flagged repetitive (the
+    // boilerplate/spam signal the quality-rule packs use alongside
+    // length/stopword ratios). Tokenization is the established
+    // wordcount canon (single-space split ↔ string_split); the flag
+    // compares in EXACT integers (20·top > tot) so no float boundary
+    // exists, and the reported fraction goes through the dround canon.
+    // One explode + two aggregations, all keyed by doc_id — per-doc
+    // work is bounded by doc length, the same posture as the n-gram
+    // family; ~20% of fixture docs flag, so the rule demonstrably
+    // fires.
+    "text_repetition_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      docs.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top"), sum(col("c")).as("tot"))
+        .select(col("doc_id"), col("top"), col("tot"),
+          graft.T.dround(col("top").cast(DoubleType) /
+            col("tot").cast(DoubleType), 6).as("rep_frac"),
+          (col("top") * 20 > col("tot")).as("is_repetitive"))
+        .orderBy("doc_id")
+    }),
+
+    // Training sequence packing, concat-and-chunk semantics: documents
+    // are laid out in doc_id order and cut into fixed 2048-token packs
+    // (a doc belongs to the pack its first token lands in). pack_id is
+    // a pure function of the exclusive running token sum — exact
+    // integer window arithmetic, so the layout is deterministic and
+    // oracle-replayable. The global ordered window is the SEMANTICS of
+    // packing (an inherently sequential layout decision); at 100 TB the
+    // same two-line plan runs per shard — partitionBy(shard) makes the
+    // window shard-local and packs never cross shards, which is exactly
+    // how distributed tokenizer pipelines shard their packing.
+    "text_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("ntok"))
+        .withColumn("cum", sum("ntok").over(Window.orderBy("doc_id")))
+        .withColumn("pack_id", expr("(cum - ntok) div 2048"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        .orderBy("pack_id")
+    }),
+
     // t2=N (rows-only): the documented 100 TB swap for
     // agg_sliding_distinct_users — per-window HyperLogLog++ cardinality
     // instead of the exact (window, user) dedup shuffle. The sketch
@@ -559,6 +610,26 @@ object Round13Ops {
         "FROM m1 FULL JOIN b ON key = ckey) " +
         s"SELECT key, ${oMoney("bal")} AS bal, 3 AS n_versions " +
         "FROM m2 ORDER BY key"),
+
+    // Same bigram grain, integer flag, dround'd fraction.
+    "text_repetition_filter" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM d WHERE len(toks) >= 2), " +
+        "g AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2) " +
+        "SELECT doc_id, MAX(c) AS top, CAST(SUM(c) AS BIGINT) AS tot, " +
+        "CAST(ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS DOUBLE) AS rep_frac, " +
+        "(MAX(c) * 20 > SUM(c)) AS is_repetitive " +
+        "FROM g GROUP BY doc_id ORDER BY doc_id"),
+
+    // The same exclusive-cumsum chunking replayed as a window.
+    "text_pack_sequences" ->
+      ("WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, ntok, SUM(ntok) OVER (ORDER BY doc_id) AS cum FROM d) " +
+        "SELECT CAST((cum - ntok) // 2048 AS BIGINT) AS pack_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens " +
+        "FROM c GROUP BY 1 ORDER BY pack_id"),
 
     // The manifest's row-count sum must equal the real count.
     "agg_count_metadata_only" ->
