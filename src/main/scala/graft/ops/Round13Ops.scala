@@ -413,6 +413,41 @@ object Round13Ops {
         .orderBy("n_nationkey")
     }),
 
+    // MERGE-ON-READ delete via deletion vectors — the other half of the
+    // delete trade table_delete_rows (copy-on-write) demonstrates. v1
+    // and v2 delete WITHOUT rewriting a single data file: each commit
+    // shares v0's data dir and carries a cumulative tombstone-key dir
+    // applied as a broadcast anti-join at read (at 100 TB: deleting 10
+    // rows from a 1 TB file costs a key list + an O(manifest) commit,
+    // not a rewrite — and reads stay shuffle-free because the DV
+    // broadcasts). v3 is the PURGE (Delta's REORG): survivors
+    // materialized once, dv-free reads again. All four versions'
+    // aggregates oracled — time travel must see exactly each version's
+    // deletes; Round13Spec pins the physical claims (shared data dir,
+    // base files byte-identical, cumulative tombstone counts).
+    "table_delete_dv" -> ((s, d) => {
+      val dir = s"target/tmp/gdv_${new java.io.File(d).getName}"
+      GraftTable.fsOf(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      GraftTable.commitNextIsolated(s, dir,
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          dec(col("o_totalprice")).as("price")),
+        "base load")
+      GraftTable.commitDeleteVector(s, dir,
+        GraftTable.read(s, dir).filter(col("o_orderstatus") === "F"),
+        Seq("o_orderkey"), "MoR delete: status F")
+      GraftTable.commitDeleteVector(s, dir,
+        GraftTable.read(s, dir).filter(col("price") > 300000),
+        Seq("o_orderkey"), "MoR delete: price > 300k")
+      GraftTable.purgeDeleteVector(s, dir)
+      def snap(v: Int): DataFrame =
+        GraftTable.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), money(sum(col("price"))).as("rev"))
+          .select(lit(v).as("version"), col("n_rows"), col("rev"))
+      snap(0).unionByName(snap(1)).unionByName(snap(2)).unionByName(snap(3))
+        .orderBy("version")
+    }),
+
     // Metadata-only COUNT(*): the answer comes from the manifest's
     // per-file row counts (summed at commit time from the parquet
     // footers of the just-written, still-hot files) — serving the count
@@ -630,6 +665,21 @@ object Round13Ops {
         "SELECT CAST((cum - ntok) // 2048 AS BIGINT) AS pack_id, " +
         "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens " +
         "FROM c GROUP BY 1 ORDER BY pack_id"),
+
+    // Every version's view replayed: v1 minus F, v2 additionally minus
+    // the high-price band, v3 ≡ v2 after the purge rewrite.
+    "table_delete_dv" -> {
+      val o = s"SELECT o_orderkey, o_orderstatus, ${oDec("o_totalprice")} AS price FROM orders"
+      def snap(v: Int, where: String) =
+        s"SELECT $v AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          s"${oMoney("SUM(price)")} AS rev FROM ($o) $where"
+      snap(0, "") + " UNION ALL " +
+        snap(1, "WHERE o_orderstatus <> 'F'") + " UNION ALL " +
+        snap(2, "WHERE o_orderstatus <> 'F' AND NOT price > 300000") +
+        " UNION ALL " +
+        snap(3, "WHERE o_orderstatus <> 'F' AND NOT price > 300000") +
+        " ORDER BY version"
+    },
 
     // The manifest's row-count sum must equal the real count.
     "agg_count_metadata_only" ->

@@ -69,11 +69,15 @@ object GraftTable {
     *                    not from FS mtime, so time travel survives FS
     *                    migrations and coarse-mtime filesystems
     *   stats=<encoded>  per-file column statistics (see `TableStats`)
+    *   dv=<dir>;<keys>  deletion vector: a tombstone-key dir + the
+    *                    comma-separated key columns, applied as a
+    *                    broadcast anti-join at read (merge-on-read
+    *                    DELETE — see `commitDeleteVector`)
     *
     * Keeping headers line-oriented keeps old manifests readable: a
     * round-12 commit file with no ts= line still parses (mtime fallback
     * in `versionAsOf`). */
-  private val headerKeys = Seq("data=", "ts=", "stats=")
+  private val headerKeys = Seq("data=", "ts=", "stats=", "dv=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
@@ -332,7 +336,8 @@ object GraftTable {
     * failure leaves garbage, never corruption. */
   def commit(fs: FileSystem, dir: String, v: Int, metadata: String,
       retain: Int = Int.MaxValue, prefix: String = "v",
-      dataDir: Option[String] = None, stats: Option[TableStats] = None): Unit = {
+      dataDir: Option[String] = None, stats: Option[TableStats] = None,
+      dv: Option[String] = None): Unit = {
     // metadata is ONE line that must not masquerade as a header: an
     // embedded newline would split it across feed rows / future header
     // parses, and a leading reserved key=` prefix would be read back as
@@ -359,6 +364,7 @@ object GraftTable {
     val content = dataDir.map(n => s"data=$n\n").getOrElse("") +
       s"ts=${System.currentTimeMillis()}\n" +
       stats.map(st => s"stats=${st.encoded}\n").getOrElse("") +
+      dv.map(d => s"dv=$d\n").getOrElse("") +
       metadata
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -445,10 +451,25 @@ object GraftTable {
     val fs = fsOf(spark, dir)
     require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
       s"version $v was never committed under $dir")
-    val data = dataDirOf(fs, dir, v, prefix)
+    val hdrs = parseCommit(commitContent(fs, dir, v))._1
+    val data = hdrs.getOrElse("data", s"$prefix$v")
     require(fs.exists(new Path(s"$dir/$data")),
       s"version $v's data has been garbage-collected (retention)")
-    spark.read.parquet(s"$dir/$data")
+    val base = spark.read.parquet(s"$dir/$data")
+    // merge-on-read: a dv= header names the version's tombstone keys;
+    // the read subtracts them with a BROADCAST anti-join — the DV is
+    // small by construction (deleted keys only), so at 100 TB the base
+    // scan stays shuffle-free and no data file is rewritten
+    hdrs.get("dv") match {
+      case Some(spec) =>
+        val Array(dvDir, keys) = spec.split(";", 2)
+        val keyCols = keys.split(",").toSeq
+        base.join(
+          org.apache.spark.sql.functions.broadcast(
+            spark.read.parquet(s"$dir/$dvDir")),
+          keyCols, "left_anti")
+      case None => base
+    }
   }
 
   /** Stage + commit `df` as the next version with a WRITER-PRIVATE data
@@ -481,6 +502,60 @@ object GraftTable {
     commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data), stats = st)
     v
   }
+
+  /** MERGE-ON-READ delete: commit a new version that shares the current
+    * version's data dir UNCHANGED and carries a DELETION VECTOR — the
+    * distinct `keyCols` of `tombstones` written as a small parquet dir,
+    * applied by `readVersion` as a broadcast anti-join. This is the
+    * other half of the delete trade `table_delete_rows` (copy-on-write)
+    * demonstrates: CoW pays a full rewrite at delete time and nothing at
+    * read; MoR pays ~nothing at delete time (the tombstone keys + one
+    * O(manifest) commit — rewriting a 1 TB file to drop 10 rows is
+    * exactly what this avoids) and one broadcast anti-join per read.
+    * DVs are CUMULATIVE: deleting on a version that already carries a
+    * DV unions the old tombstones in, so each version's dv= header is
+    * self-contained and time travel to any version sees exactly its
+    * deletes. Stats do NOT carry over (a DV invalidates the row counts;
+    * min/max would stay sound but a half-true stats line is worse than
+    * none). `purgeDeleteVector` materializes the survivors as a plain
+    * copy-on-write version — Delta's REORG PURGE — returning the table
+    * to DV-free reads. */
+  def commitDeleteVector(spark: SparkSession, dir: String,
+      tombstones: DataFrame, keyCols: Seq[String], metadata: String = "",
+      prefix: String = "v"): Int = {
+    require(keyCols.nonEmpty, "deletion vector needs at least one key column")
+    require(keyCols.forall(c => !c.contains(",") && !c.contains(";")),
+      s"key column names must not contain the dv= header delimiters: $keyCols")
+    val fs = fsOf(spark, dir)
+    val (cur, _) = readManifest(fs, dir).getOrElse(
+      sys.error(s"no committed version under $dir to delete from"))
+    val hdrs = parseCommit(commitContent(fs, dir, cur))._1
+    val data = hdrs.getOrElse("data", s"$prefix$cur")
+    val v = cur + 1
+    val dvDir = s"dv${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+    import org.apache.spark.sql.functions.col
+    val fresh = tombstones.select(keyCols.map(col): _*).distinct()
+    val full = hdrs.get("dv") match {
+      case Some(spec) =>
+        val prev = spark.read.parquet(s"$dir/${spec.split(";", 2)(0)}")
+        prev.unionByName(fresh).distinct()
+      case None => fresh
+    }
+    full.write.mode("errorifexists").parquet(s"$dir/$dvDir")
+    commit(fs, dir, v, metadata, prefix = prefix, dataDir = Some(data),
+      dv = Some(s"$dvDir;${keyCols.mkString(",")}"))
+    v
+  }
+
+  /** Materialize the current version's DV into a plain rewrite (Delta's
+    * REORG … APPLY (PURGE)): survivors become a fresh isolated data dir,
+    * the new version carries no dv= header, and reads are anti-join-free
+    * again. The moment to pay the CoW cost — once, when DVs have
+    * accumulated — instead of at every delete. */
+  def purgeDeleteVector(spark: SparkSession, dir: String,
+      metadata: String = "purge deletion vector", prefix: String = "v"): Int =
+    commitNextIsolated(spark, dir, read(spark, dir, prefix), metadata,
+      prefix = prefix)
 
   /** The OCC commit LOOP the commit doc prescribes: read the current
     * snapshot, apply the caller's `transform` to it (None when the table

@@ -279,6 +279,52 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("commitDeleteVector: deletes rewrite NOTHING — shared data dir, byte-identical base files, cumulative tombstones, purge rewrites once") {
+    import spark.implicits._
+    val dir = "target/tmp/gdv_spec"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"), (5L, "a"))
+        .toDF("k", "tag"), "base")
+    def files(data: String) =
+      fs.listStatus(new Path(s"$dir/$data")).filter(_.isFile)
+        .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+        .sortBy(_._1).toSeq
+    val d0 = GraftTable.dataDirOf(fs, dir, 0)
+    val base0 = files(d0)
+    // v1: MoR-delete tag 'a' — data dir SHARED, files untouched
+    GraftTable.commitDeleteVector(spark, dir,
+      GraftTable.read(spark, dir).filter(col("tag") === "a"), Seq("k"),
+      "dv: tag a")
+    assert(GraftTable.dataDirOf(fs, dir, 1) == d0,
+      "a MoR delete must not mint a data dir")
+    assert(files(d0) == base0, "a MoR delete touched base files")
+    assert(GraftTable.read(spark, dir).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 4L))
+    // v0 time travel still serves everything
+    assert(GraftTable.readVersion(spark, dir, 0).count() == 5)
+    // v2: second delete stacks cumulatively (k=4), tombstones = 3+1
+    GraftTable.commitDeleteVector(spark, dir,
+      GraftTable.read(spark, dir).filter(col("k") === 4), Seq("k"), "dv: k=4")
+    val dv2dir = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("dv2_")).toSeq
+    assert(dv2dir.size == 1)
+    assert(spark.read.parquet(s"$dir/${dv2dir.head}").count() == 4,
+      "v2's DV must carry the cumulative tombstone set (3 + 1 keys)")
+    assert(GraftTable.read(spark, dir).collect().map(_.getLong(0)).toSeq ==
+      Seq(2L))
+    assert(GraftTable.readVersion(spark, dir, 1).count() == 2,
+      "v1's view must not see v2's delete")
+    // the purge materializes survivors in a FRESH dir; reads dv-free
+    GraftTable.purgeDeleteVector(spark, dir)
+    assert(GraftTable.dataDirOf(fs, dir, 3) != d0)
+    assert(GraftTable.read(spark, dir).collect().map(_.getLong(0)).toSeq ==
+      Seq(2L))
+    // base files STILL untouched — only the purge wrote new data
+    assert(files(d0) == base0)
+  }
+
   // ---- table_partition_evolution --------------------------------------------
 
   test("table_partition_evolution: v0's files stay byte-untouched by the re-layout, v1's month read is partition-pruned") {
