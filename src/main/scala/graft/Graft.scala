@@ -180,6 +180,8 @@ object Graft {
         versionTvf, "scala_udf")
       treg.createOrReplaceTempFunction("graft_changes",
         changesTvf, "scala_udf")
+      treg.createOrReplaceTempFunction("graft_history",
+        historyTvf, "scala_udf")
     }
   }
 
@@ -195,6 +197,16 @@ object Graft {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     tableFnPlan("graft_changes", exprs,
       (d, v) => sources.GraftTable.versionDelta(SparkSession.active, d, v))
+
+  /** `graft_history('<dir>')` — the DESCRIBE HISTORY audit TVF. */
+  private[graft] def historyTvf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1 && exprs.head.foldable,
+      "graft_history(dir) requires one literal argument")
+    sources.GraftTable.history(SparkSession.active, exprs.head.eval().toString)
+      .queryExecution.logical
+  }
 
   /** Table-valued-function builder for the versioned-store SQL surface:
     * `SELECT * FROM graft_version('<dir>', 0)` /

@@ -52,5 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_changes"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.Graft.changesTvf(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo(graft.sources.GraftTable.getClass.getName,
+        "graft_history"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.Graft.historyTvf(exprs)))
   }
 }

@@ -448,6 +448,32 @@ object Round13Ops {
         .orderBy("version")
     }),
 
+    // DESCRIBE HISTORY from plain SQL: graft_history('<dir>') — the
+    // audit TVF over the manifest (O(versions) commit-file reads, no
+    // data) — driven across every commit flavor this format has:
+    // convention (no headers beyond ts=), isolated+stats (n_rows
+    // surfaces from the stats line), deletion-vector (has_dv), purge.
+    // The nation fixture is SF-independent, so the history is a pure
+    // literal the oracle states outright. commit_ms is wall clock and
+    // stays out of the oracled projection (its monotonicity is
+    // spec-checked instead).
+    "table_describe_history" -> ((s, d) => {
+      graft.Graft.registerFunctions(s)
+      val dir = s"target/tmp/ghist_${new java.io.File(d).getName}"
+      GraftTable.fsOf(s, dir)
+        .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      GraftTable.commitNext(s, dir, n.filter(col("n_nationkey") < 10), "v0 load")
+      GraftTable.commitNextIsolated(s, dir, n, "full load",
+        statsCols = Seq("n_nationkey" -> ((c: Column) => c)))
+      GraftTable.commitDeleteVector(s, dir,
+        GraftTable.read(s, dir).filter(col("n_nationkey") < 5),
+        Seq("n_nationkey"), "dv delete")
+      GraftTable.purgeDeleteVector(s, dir)
+      s.sql("SELECT version, metadata, has_stats, has_dv, n_rows " +
+        s"FROM graft_history('$dir') ORDER BY version")
+    }),
+
     // Metadata-only COUNT(*): the answer comes from the manifest's
     // per-file row counts (summed at commit time from the parquet
     // footers of the just-written, still-hot files) — serving the count
@@ -538,57 +564,6 @@ object Round13Ops {
       snap(0).unionByName(snap(1)).orderBy("version")
     }),
 
-    // Gopher/MassiveText-style repetition filter: a document whose top
-    // bigram exceeds 5% of its bigrams is flagged repetitive (the
-    // boilerplate/spam signal the quality-rule packs use alongside
-    // length/stopword ratios). Tokenization is the established
-    // wordcount canon (single-space split ↔ string_split); the flag
-    // compares in EXACT integers (20·top > tot) so no float boundary
-    // exists, and the reported fraction goes through the dround canon.
-    // One explode + two aggregations, all keyed by doc_id — per-doc
-    // work is bounded by doc length, the same posture as the n-gram
-    // family; ~20% of fixture docs flag, so the rule demonstrably
-    // fires.
-    "text_repetition_filter" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 2)
-      docs.select(col("doc_id"),
-          explode(expr("transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-            .as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max(col("c")).as("top"), sum(col("c")).as("tot"))
-        .select(col("doc_id"), col("top"), col("tot"),
-          graft.T.dround(col("top").cast(DoubleType) /
-            col("tot").cast(DoubleType), 6).as("rep_frac"),
-          (col("top") * 20 > col("tot")).as("is_repetitive"))
-        .orderBy("doc_id")
-    }),
-
-    // Training sequence packing, concat-and-chunk semantics: documents
-    // are laid out in doc_id order and cut into fixed 2048-token packs
-    // (a doc belongs to the pack its first token lands in). pack_id is
-    // a pure function of the exclusive running token sum — exact
-    // integer window arithmetic, so the layout is deterministic and
-    // oracle-replayable. The global ordered window is the SEMANTICS of
-    // packing (an inherently sequential layout decision); at 100 TB the
-    // same two-line plan runs per shard — partitionBy(shard) makes the
-    // window shard-local and packs never cross shards, which is exactly
-    // how distributed tokenizer pipelines shard their packing.
-    "text_pack_sequences" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast(LongType).as("ntok"))
-        .withColumn("cum", sum("ntok").over(Window.orderBy("doc_id")))
-        .withColumn("pack_id", expr("(cum - ntok) div 2048"))
-        .groupBy("pack_id")
-        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
-        .orderBy("pack_id")
-    }),
-
     // t2=N (rows-only): the documented 100 TB swap for
     // agg_sliding_distinct_users — per-window HyperLogLog++ cardinality
     // instead of the exact (window, user) dedup shuffle. The sketch
@@ -646,26 +621,6 @@ object Round13Ops {
         s"SELECT key, ${oMoney("bal")} AS bal, 3 AS n_versions " +
         "FROM m2 ORDER BY key"),
 
-    // Same bigram grain, integer flag, dround'd fraction.
-    "text_repetition_filter" ->
-      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
-        "b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), " +
-        "i -> toks[i] || ' ' || toks[i + 1])) AS bg FROM d WHERE len(toks) >= 2), " +
-        "g AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2) " +
-        "SELECT doc_id, MAX(c) AS top, CAST(SUM(c) AS BIGINT) AS tot, " +
-        "CAST(ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS DOUBLE) AS rep_frac, " +
-        "(MAX(c) * 20 > SUM(c)) AS is_repetitive " +
-        "FROM g GROUP BY doc_id ORDER BY doc_id"),
-
-    // The same exclusive-cumsum chunking replayed as a window.
-    "text_pack_sequences" ->
-      ("WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok " +
-        "FROM documents), " +
-        "c AS (SELECT doc_id, ntok, SUM(ntok) OVER (ORDER BY doc_id) AS cum FROM d) " +
-        "SELECT CAST((cum - ntok) // 2048 AS BIGINT) AS pack_id, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens " +
-        "FROM c GROUP BY 1 ORDER BY pack_id"),
-
     // Every version's view replayed: v1 minus F, v2 additionally minus
     // the high-price band, v3 ≡ v2 after the purge rewrite.
     "table_delete_dv" -> {
@@ -680,6 +635,15 @@ object Round13Ops {
         snap(3, "WHERE o_orderstatus <> 'F' AND NOT price > 300000") +
         " ORDER BY version"
     },
+
+    // The history of a nation-sized table is a pure literal.
+    "table_describe_history" ->
+      ("SELECT * FROM (VALUES " +
+        "(0, 'v0 load', FALSE, FALSE, CAST(NULL AS BIGINT)), " +
+        "(1, 'full load', TRUE, FALSE, CAST(25 AS BIGINT)), " +
+        "(2, 'dv delete', FALSE, TRUE, CAST(NULL AS BIGINT)), " +
+        "(3, 'purge deletion vector', FALSE, FALSE, CAST(NULL AS BIGINT))" +
+        ") t(version, metadata, has_stats, has_dv, n_rows) ORDER BY version"),
 
     // The manifest's row-count sum must equal the real count.
     "agg_count_metadata_only" ->

@@ -201,9 +201,12 @@ object GraftTable {
       statsCols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)]): TableStats = {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(dataPath)
+    // the declared ordinal must land as a LONG whatever width the
+    // caller's expression returns (an int32 stat column would otherwise
+    // surface Integer rows here) — the cast is exact for any integral
     val aggs = statsCols.flatMap { case (name, ord) =>
-      Seq(min(ord(col(name))).as(s"__min_$name"),
-        max(ord(col(name))).as(s"__max_$name"))
+      val l = ord(col(name)).cast(org.apache.spark.sql.types.LongType)
+      Seq(min(l).as(s"__min_$name"), max(l).as(s"__max_$name"))
     }
     val rows = df
       .groupBy(element_at(split(input_file_name(), "/"), -1).as("__file"))
@@ -501,6 +504,23 @@ object GraftTable {
       else Some(computeStats(spark, s"$dir/$data", statsCols))
     commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data), stats = st)
     v
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version — (version,
+    * metadata, commit wall-clock ms, has_stats, has_dv, n_rows from the
+    * stats line when recorded). O(versions) commit-file reads, never
+    * data; the audit surface every table format exposes, also served to
+    * SQL as the `graft_history('<dir>')` TVF. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, dir)
+    versions(fs, dir).map { v =>
+      val (hdrs, md) = parseCommit(commitContent(fs, dir, v))
+      (v, md, commitTimeMs(fs, dir, v), hdrs.contains("stats"),
+        hdrs.contains("dv"),
+        hdrs.get("stats").map(TableStats.decode(_).files.map(_.rows).sum))
+    }.toDF("version", "metadata", "commit_ms", "has_stats", "has_dv",
+      "n_rows")
   }
 
   /** MERGE-ON-READ delete: commit a new version that shares the current

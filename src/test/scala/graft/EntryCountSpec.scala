@@ -10,8 +10,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * the claimed numbers live.
   */
 class EntryCountSpec extends AnyFunSuite {
-  val claimedQueries = 261
-  val claimedOracles = 238
+  val claimedQueries = 260
+  val claimedOracles = 237
+
+  test("no query or oracle key is defined in more than one ops module") {
+    def dups[V](parts: Seq[Map[String, V]]): Seq[String] =
+      parts.flatMap(_.keys).groupBy(identity).collect {
+        case (k, ks) if ks.size > 1 => k
+      }.toSeq.sorted
+    assert(dups(SparkEntry.queryParts).isEmpty,
+      s"query keys defined twice (the later ++ silently wins): " +
+        s"${dups(SparkEntry.queryParts)}")
+    assert(dups(SparkEntry.oracleParts).isEmpty,
+      s"oracle keys defined twice: ${dups(SparkEntry.oracleParts)}")
+  }
 
   test("queries.size matches the documented count") {
     assert(SparkEntry.queries.size == claimedQueries,

@@ -325,6 +325,32 @@ class Round13Spec extends SparkSpec {
     assert(files(d0) == base0)
   }
 
+  test("graft_history: commit timestamps are non-decreasing and every commit flavor surfaces its headers") {
+    import spark.implicits._
+    val dir = "target/tmp/ghist_spec"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    GraftTable.commitNext(spark, dir, Seq(1L, 2L).toDF("k"), "v0")
+    GraftTable.commitNextIsolated(spark, dir, Seq(1L, 2L, 3L).toDF("k"), "v1",
+      statsCols = Seq("k" -> ((c: org.apache.spark.sql.Column) => c)))
+    GraftTable.commitDeleteVector(spark, dir,
+      Seq(1L).toDF("k"), Seq("k"), "v2 dv")
+    val h = GraftTable.history(spark, dir).orderBy("version").collect()
+    assert(h.map(_.getAs[Int]("version")).toSeq == Seq(0, 1, 2))
+    val ms = h.map(_.getAs[Long]("commit_ms"))
+    assert(ms.sliding(2).forall(p => p(0) <= p(1)),
+      s"commit_ms must be non-decreasing: ${ms.toSeq}")
+    assert(h.map(_.getAs[Boolean]("has_stats")).toSeq ==
+      Seq(false, true, false))
+    assert(h.map(_.getAs[Boolean]("has_dv")).toSeq == Seq(false, false, true))
+    assert(h(1).getAs[Long]("n_rows") == 3L && h(0).isNullAt(
+      h(0).fieldIndex("n_rows")))
+    // the SQL surface serves the same rows
+    Graft.registerFunctions(spark)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_history('$dir')")
+      .collect()(0).getLong(0) == 3L)
+  }
+
   // ---- table_partition_evolution --------------------------------------------
 
   test("table_partition_evolution: v0's files stay byte-untouched by the re-layout, v1's month read is partition-pruned") {
