@@ -116,8 +116,18 @@ object Round13Ops {
     val c0 = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"),
         expr("transform(xs, x -> CAST(x AS DOUBLE))").as("cs"))
+    // Materialize the k×64 codebook to the driver after every round —
+    // kmeansTrain's posture. Chaining the rounds as raw DataFrame
+    // lineage would embed round i's crossJoin 2^(iters-i) times in the
+    // final plan (each round references its predecessor twice); the
+    // collect is exact (doubles round-trip bit-identically) so the
+    // oracle mirror is untouched, and each round executes once.
+    import s.implicits._
     var cents = c0
-    for (_ <- 1 to iters) cents = update(assign(cents), cents)
+    for (_ <- 1 to iters)
+      cents = update(assign(cents), cents)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+        .toDF("cid", "cs")
     assign(cents).select(col("vec_id"), col("cid"))
       .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
   }

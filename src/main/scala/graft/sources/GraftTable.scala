@@ -208,8 +208,16 @@ object GraftTable {
       val l = ord(col(name)).cast(org.apache.spark.sql.types.LongType)
       Seq(min(l).as(s"__min_$name"), max(l).as(s"__max_$name"))
     }
+    // key by the path RELATIVE to the data dir, not the basename: a
+    // partitionBy layout reuses one task's part-file name across every
+    // partition subdir, so basenames collide (merging distinct files
+    // into one bogus stats row) and lose the subdir a reader needs to
+    // rebuild the path. The relative path survives both.
+    val dataName = new Path(dataPath).getName
     val rows = df
-      .groupBy(element_at(split(input_file_name(), "/"), -1).as("__file"))
+      .groupBy(regexp_replace(input_file_name(),
+        "^.*?/" + java.util.regex.Pattern.quote(dataName) + "/", "")
+        .as("__file"))
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .orderBy("__file")
       .collect() // one small row per FILE — never data
@@ -289,9 +297,18 @@ object GraftTable {
       "shallow clone requires src and dst to be sibling table dirs " +
         "(the clone records a ../<src> relative data reference)")
     val srcName = new Path(srcDir).getName
-    val rel = s"../$srcName/${dataDirOf(fs, srcDir, sv)}"
+    val hdrs = parseCommit(commitContent(fs, srcDir, sv))._1
+    val rel = s"../$srcName/${hdrs.getOrElse("data", s"v$sv")}"
+    // a dv-bearing source snapshot clones WITH its deletion vector —
+    // the tombstone dir re-referenced through the same ../ indirection
+    // as the data (dropping it would silently resurrect deleted rows
+    // in the clone)
+    val dvRel = hdrs.get("dv").map { spec =>
+      val Array(dvDir, keys) = spec.split(";", 2)
+      s"../$srcName/$dvDir;$keys"
+    }
     commit(fs, dstDir, 0, metadata, dataDir = Some(rel),
-      stats = statsOf(fs, srcDir, sv))
+      stats = statsOf(fs, srcDir, sv), dv = dvRel)
   }
 
   /** Stage `df` as the data of version `v` WITHOUT committing. Overwrite
@@ -354,6 +371,14 @@ object GraftTable {
     require(!isHeaderLine(metadata),
       s"commit metadata must not start with a reserved header key " +
         s"(${headerKeys.mkString(", ")}): '${metadata.take(40)}'")
+    // stats describe the RAW files; under a deletion vector every
+    // stats-served read (readStatsBand/Rect, rowCountOf) would count
+    // tombstoned rows and disagree with readVersion. Refuse the
+    // combination rather than serve half-true statistics.
+    require(stats.isEmpty || dv.isEmpty,
+      "a commit cannot carry both stats= and dv=: file statistics " +
+        "describe raw files and would serve deleted rows — purge the " +
+        "deletion vector before committing statistics")
     val mdir = new Path(s"$dir/manifest")
     fs.mkdirs(mdir)
     // writer-PRIVATE temp name: two racing writers must not clobber each
@@ -384,14 +409,19 @@ object GraftTable {
         s"version $v was committed by a concurrent writer under $dir — " +
           "re-stage against the current version and retry")
     if (retain != Int.MaxValue) {
-      // GC by the version encoded in the dir NAME (covers both naming
-      // forms) — but never a dir a retained commit still references
-      val keep = versions(fs, dir).filter(_ >= v - retain)
-        .map(kv => dataDirOf(fs, dir, kv, prefix)).toSet
+      // GC by the version encoded in the dir NAME (covers data dirs in
+      // both naming forms AND dvN_ tombstone dirs) — but never a dir a
+      // retained commit still references
+      val keep = versions(fs, dir).filter(_ >= v - retain).flatMap { kv =>
+        val hdrs = parseCommit(commitContent(fs, dir, kv))._1
+        hdrs.getOrElse("data", s"$prefix$kv") ::
+          hdrs.get("dv").map(_.split(";", 2)(0)).toList
+      }.toSet
       fs.listStatus(new Path(dir)).foreach { st =>
         val n = st.getPath.getName
         if (!keep.contains(n) &&
-            dirVersion(n, prefix).exists(_ < v - retain))
+            (dirVersion(n, prefix).exists(_ < v - retain) ||
+              dirVersion(n, "dv").exists(_ < v - retain)))
           fs.delete(st.getPath, true)
       }
     }
@@ -516,8 +546,13 @@ object GraftTable {
     val fs = fsOf(spark, dir)
     versions(fs, dir).map { v =>
       val (hdrs, md) = parseCommit(commitContent(fs, dir, v))
-      (v, md, commitTimeMs(fs, dir, v), hdrs.contains("stats"),
-        hdrs.contains("dv"),
+      // ts resolved from the already-parsed headers (mtime fallback for
+      // pre-ts manifests) — a commitTimeMs call here would re-open and
+      // re-parse the same file, doubling the audit's manifest I/O
+      val ms = hdrs.get("ts").flatMap(_.toLongOption).getOrElse(
+        fs.getFileStatus(new Path(s"$dir/manifest/commit_$v"))
+          .getModificationTime)
+      (v, md, ms, hdrs.contains("stats"), hdrs.contains("dv"),
         hdrs.get("stats").map(TableStats.decode(_).files.map(_.rows).sum))
     }.toDF("version", "metadata", "commit_ms", "has_stats", "has_dv",
       "n_rows")
@@ -755,12 +790,22 @@ object GraftTable {
     if (committed.isEmpty) return Seq.empty
     val cur = committed.max
     val cutoff = System.currentTimeMillis() - graceMs
-    val referenced = committed.map(v => dataDirOf(fs, dir, v, prefix)).toSet
+    // referenced = every retained commit's data dir AND deletion-vector
+    // dir — a dv dir stays live as long as ANY commit names it (time
+    // travel to a dv-bearing version still applies its tombstones); an
+    // orphan dv dir (a race-losing commitDeleteVector's staging) is
+    // reclaimable garbage like any other unreferenced staging dir
+    val referenced = committed.flatMap { v =>
+      val hdrs = parseCommit(commitContent(fs, dir, v))._1
+      hdrs.getOrElse("data", s"$prefix$v") ::
+        hdrs.get("dv").map(_.split(";", 2)(0)).toList
+    }.toSet
     fs.listStatus(new Path(dir)).toSeq
       .filter { st =>
         val n = st.getPath.getName
         !referenced.contains(n) &&
-          dirVersion(n, prefix).exists(_ <= cur) &&
+          (dirVersion(n, prefix).exists(_ <= cur) ||
+            dirVersion(n, "dv").exists(_ <= cur)) &&
           st.getModificationTime <= cutoff
       }
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
@@ -816,8 +861,12 @@ object GraftTable {
       .select(
         regexp_extract(input_file_name(), "commit_(\\d+)", 1)
           .cast("int").as("version"),
+        // the strip pattern is DERIVED from headerKeys — a second
+        // hardcoded list here once lagged it (the dv= header leaked
+        // into subscribers' metadata when deletion vectors landed)
         trim(regexp_replace(col("value"),
-          "(?s)^((?:data|ts|stats)=[^\\n]*\\n)*", "")).as("metadata"))
+          s"(?s)^((?:${headerKeys.map(_.stripSuffix("=")).mkString("|")})" +
+            "=[^\\n]*\\n)*", "")).as("metadata"))
   }
 
   /** Subscribe to the table: a started streaming query that, for every

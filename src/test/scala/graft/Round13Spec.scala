@@ -487,10 +487,67 @@ class Round13Spec extends SparkSpec {
       "iso v2",
       statsCols = Seq("k" -> ((c: org.apache.spark.sql.Column) => c)))
     q.processAllAvailable()
+    // v3: a deletion-vector commit — its dv= header must strip too (the
+    // strip pattern is derived from headerKeys, so a new header can
+    // never leak into subscriber metadata again)
+    GraftTable.commitDeleteVector(spark, dir, Seq(4L).toDF("k"), Seq("k"),
+      "dv v3")
+    q.processAllAvailable()
     q.stop()
-    assert(received.toList == List((0, "", 2L), (1, "iso v1", 1L),
+    assert(received.toList.take(3) == List((0, "", 2L), (1, "iso v1", 1L),
       (2, "iso v2", 1L)),
       s"feed must be one row per version with headers stripped: " +
         s"${received.toList}")
+    val (v3, m3, _) = received.toList(3)
+    assert(v3 == 3 && m3 == "dv v3",
+      s"dv= header leaked into the feed metadata: '$m3'")
+  }
+
+  test("deletion vectors interoperate: clones keep tombstones, stats+dv refuse to mix, partitioned stats key by relative path, orphan dvs vacuum") {
+    import spark.implicits._
+    val src = "target/tmp/gdvx_src"
+    val dst = "target/tmp/gdvx_dst"
+    val fs = GraftTable.fsOf(spark, src)
+    fs.delete(new Path(src), true)
+    fs.delete(new Path(dst), true)
+    GraftTable.commitNextIsolated(spark, src,
+      Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("k", "tag"), "base")
+    GraftTable.commitDeleteVector(spark, src,
+      Seq(2L).toDF("k"), Seq("k"), "dv")
+    // clone of a dv-bearing snapshot must NOT resurrect deleted rows
+    GraftTable.cloneShallow(spark, src, dst)
+    assert(GraftTable.read(spark, dst).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      "shallow clone dropped the source's deletion vector")
+    // stats describing raw files under a dv would lie — refused loudly
+    intercept[IllegalArgumentException] {
+      GraftTable.commit(fs, src, 99, "bad",
+        dataDir = Some("v0"), dv = Some("dvX;k"),
+        stats = Some(GraftTable.TableStats(Seq("k"), Nil)))
+    }
+    // a partitioned layout CAN carry stats: relative-path keying keeps
+    // one stats row per physical file and readStatsBand reads through
+    // the partition subdirs
+    val pdir = "target/tmp/gdvx_part"
+    fs.delete(new Path(pdir), true)
+    GraftTable.commitNextIsolated(spark, pdir,
+      Seq((1L, "a"), (2L, "a"), (5L, "b"), (9L, "b")).toDF("k", "p"),
+      "partitioned+stats", partitionBy = Seq("p"),
+      statsCols = Seq("k" -> ((c: org.apache.spark.sql.Column) => c)))
+    val st = GraftTable.statsOf(fs, pdir, 0).get
+    assert(st.files.forall(_.file.contains("p=")),
+      s"stats must key by relative path: ${st.files.map(_.file)}")
+    val (band, opened, total) = GraftTable.readStatsBand(
+      spark, pdir, 0, "k", 5L, 9L)
+    assert(total == st.files.size && opened.size < total)
+    assert(band.filter(col("k").between(5, 9)).count() == 2)
+    // an orphan dv staging dir (race-losing delete) is vacuumable; the
+    // LIVE dv dir referenced by src's v1 commit is not
+    Seq(9L).toDF("k").write.parquet(s"$src/dv1_orphan99")
+    val reclaimed = GraftTable.vacuum(fs, src, graceMs = 0L)
+    assert(reclaimed == Seq("dv1_orphan99"), reclaimed)
+    assert(GraftTable.read(spark, src).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      "vacuum reclaimed the live deletion vector")
   }
 }
