@@ -116,18 +116,18 @@ object Round13Ops {
     val c0 = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"),
         expr("transform(xs, x -> CAST(x AS DOUBLE))").as("cs"))
-    // Materialize the k×64 codebook to the driver after every round —
-    // kmeansTrain's posture. Chaining the rounds as raw DataFrame
-    // lineage would embed round i's crossJoin 2^(iters-i) times in the
-    // final plan (each round references its predecessor twice); the
-    // collect is exact (doubles round-trip bit-identically) so the
-    // oracle mirror is untouched, and each round executes once.
-    import s.implicits._
+    // The rounds chain as ONE DataFrame lineage: round i's subtree is
+    // embedded 2^(iters-i) times in the final plan (each round
+    // references its predecessor twice), which is fine BECAUSE iters is
+    // pinned small — at iters=2 that is 4 evaluations of a bounded
+    // n×k crossJoin inside one job. The alternative (collect the k×64
+    // codebook per round, kmeansTrain's posture) was measured 30×
+    // SLOWER here (0.18 s → 5.3 s at sf0.1): each extra job pays
+    // planning + codegen that dwarfs the 90k-row compute. Growing iters
+    // is the one thing that flips this trade — the iterative tier is
+    // kmeansTrain, not this function.
     var cents = c0
-    for (_ <- 1 to iters)
-      cents = update(assign(cents), cents)
-        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
-        .toDF("cid", "cs")
+    for (_ <- 1 to iters) cents = update(assign(cents), cents)
     assign(cents).select(col("vec_id"), col("cid"))
       .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
   }
