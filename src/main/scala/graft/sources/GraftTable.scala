@@ -127,8 +127,11 @@ object GraftTable {
     * cast) so range overlap is a plain integer comparison — the testable
     * core of the typed min/max JSON the production formats store.
     * `mins(i)`/`maxs(i)` align with `cols(i)`; `file` is the data-file
-    * BASENAME (the data dir comes from the commit's data= header, so
-    * stats survive a data-dir rename only the manifest knows about). */
+    * path RELATIVE to the version's data dir — a bare name for a flat
+    * layout, `p=a/part-….parquet` under partitionBy (basenames collide
+    * across partition subdirs). The data dir itself comes from the
+    * commit's data= header, so stats survive a data-dir rename only the
+    * manifest knows about. */
   final case class FileStats(file: String, rows: Long,
       mins: Seq[Long], maxs: Seq[Long])
 
@@ -257,7 +260,13 @@ object GraftTable {
     val data = dataDirOf(fs, dir, v, prefix)
     val hit = st.overlappingRect(bands).map(f => s"$dir/$data/${f.file}")
     val df =
-      if (hit.nonEmpty) spark.read.parquet(hit: _*)
+      // basePath pins partition discovery to the DATA DIR: without it,
+      // leaf files under p=.../ would each anchor their own base and
+      // the partition columns would silently vanish from the schema
+      // (diverging from the empty-set branch, which serves
+      // readVersion's full schema)
+      if (hit.nonEmpty)
+        spark.read.option("basePath", s"$dir/$data").parquet(hit: _*)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         readVersion(spark, dir, v, prefix).schema)
     (df, hit, st.files.size)
@@ -308,7 +317,7 @@ object GraftTable {
       s"../$srcName/$dvDir;$keys"
     }
     commit(fs, dstDir, 0, metadata, dataDir = Some(rel),
-      stats = statsOf(fs, srcDir, sv), dv = dvRel)
+      stats = hdrs.get("stats").map(TableStats.decode), dv = dvRel)
   }
 
   /** Stage `df` as the data of version `v` WITHOUT committing. Overwrite
@@ -379,6 +388,14 @@ object GraftTable {
       "a commit cannot carry both stats= and dv=: file statistics " +
         "describe raw files and would serve deleted rows — purge the " +
         "deletion vector before committing statistics")
+    // validate the dv spec at the WRITE boundary (<dir>;<keys>) — a
+    // malformed header would otherwise surface as a MatchError in some
+    // later readVersion/cloneShallow, far from the faulty writer
+    dv.foreach { spec =>
+      val parts = spec.split(";", 2)
+      require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+        s"dv= header must be '<tombstoneDir>;<keyCol[,keyCol…]>': '$spec'")
+    }
     val mdir = new Path(s"$dir/manifest")
     fs.mkdirs(mdir)
     // writer-PRIVATE temp name: two racing writers must not clobber each
@@ -546,13 +563,8 @@ object GraftTable {
     val fs = fsOf(spark, dir)
     versions(fs, dir).map { v =>
       val (hdrs, md) = parseCommit(commitContent(fs, dir, v))
-      // ts resolved from the already-parsed headers (mtime fallback for
-      // pre-ts manifests) — a commitTimeMs call here would re-open and
-      // re-parse the same file, doubling the audit's manifest I/O
-      val ms = hdrs.get("ts").flatMap(_.toLongOption).getOrElse(
-        fs.getFileStatus(new Path(s"$dir/manifest/commit_$v"))
-          .getModificationTime)
-      (v, md, ms, hdrs.contains("stats"), hdrs.contains("dv"),
+      (v, md, commitTimeFrom(hdrs, fs, dir, v),
+        hdrs.contains("stats"), hdrs.contains("dv"),
         hdrs.get("stats").map(TableStats.decode(_).files.map(_.rows).sum))
     }.toDF("version", "metadata", "commit_ms", "has_stats", "has_dv",
       "n_rows")
@@ -719,8 +731,16 @@ object GraftTable {
   /** Wall-clock commit time of version `v`: the ts= header when present
     * (every commit since it was introduced writes one), else FS mtime. */
   def commitTimeMs(fs: FileSystem, dir: String, v: Int): Long =
-    parseCommit(commitContent(fs, dir, v))._1.get("ts")
-      .flatMap(_.toLongOption)
+    commitTimeFrom(parseCommit(commitContent(fs, dir, v))._1, fs, dir, v)
+
+  /** The ts-header-else-mtime rule over ALREADY-PARSED headers — the
+    * single implementation `commitTimeMs` and `history` share, so a
+    * caller that holds the headers (history reads every commit file
+    * once) never re-opens the file and the fallback rule cannot
+    * diverge between TIMESTAMP AS OF and DESCRIBE HISTORY. */
+  private def commitTimeFrom(hdrs: Map[String, String], fs: FileSystem,
+      dir: String, v: Int): Long =
+    hdrs.get("ts").flatMap(_.toLongOption)
       .getOrElse(fs.getFileStatus(new Path(s"$dir/manifest/commit_$v"))
         .getModificationTime)
 

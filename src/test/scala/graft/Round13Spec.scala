@@ -494,13 +494,15 @@ class Round13Spec extends SparkSpec {
       "dv v3")
     q.processAllAvailable()
     q.stop()
-    assert(received.toList.take(3) == List((0, "", 2L), (1, "iso v1", 1L),
-      (2, "iso v2", 1L)),
+    // FULL-list equality: pins exactly-once cardinality AND clean
+    // metadata for every commit flavor (a double-delivery or a leaked
+    // dv= header both fail here with the whole feed in the message).
+    // v3's delta is empty — a dv commit shares its predecessor's data,
+    // so exceptAll of the two snapshots removes rows, never adds.
+    assert(received.toList == List((0, "", 2L), (1, "iso v1", 1L),
+      (2, "iso v2", 1L), (3, "dv v3", 0L)),
       s"feed must be one row per version with headers stripped: " +
         s"${received.toList}")
-    val (v3, m3, _) = received.toList(3)
-    assert(v3 == 3 && m3 == "dv v3",
-      s"dv= header leaked into the feed metadata: '$m3'")
   }
 
   test("deletion vectors interoperate: clones keep tombstones, stats+dv refuse to mix, partitioned stats key by relative path, orphan dvs vacuum") {
@@ -540,7 +542,11 @@ class Round13Spec extends SparkSpec {
     val (band, opened, total) = GraftTable.readStatsBand(
       spark, pdir, 0, "k", 5L, 9L)
     assert(total == st.files.size && opened.size < total)
-    assert(band.filter(col("k").between(5, 9)).count() == 2)
+    // the partition COLUMN must survive the leaf-file read (basePath
+    // pins discovery to the data dir) — same schema as the empty branch
+    assert(band.columns.contains("p"), band.columns.toSeq.toString)
+    assert(band.filter(col("k").between(5, 9) && col("p") === "b")
+      .count() == 2)
     // an orphan dv staging dir (race-losing delete) is vacuumable; the
     // LIVE dv dir referenced by src's v1 commit is not
     Seq(9L).toDF("k").write.parquet(s"$src/dv1_orphan99")
