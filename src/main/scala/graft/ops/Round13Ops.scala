@@ -54,14 +54,22 @@ object Round13Ops {
     java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
       .toInstant.toEpochMilli * 1000L
 
-  /** Exact-integer L2² between a scaled-BIGINT vector column and a
-    * DOUBLE centroid column — the same sequential sequence-fold canon as
-    * Round9Ops.fullL2 (list_sum/list_transform mirror, bit-exact per the
-    * vec_ivf_pq_topk precedent). */
-  private def scaledL2(xs: String, cs: String): String = {
-    val diff = s"(CAST(element_at($xs, i) AS DOUBLE) - element_at($cs, i))"
-    s"aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) -> acc + $diff * $diff)"
-  }
+  /** L2² between a scaled-BIGINT vector column and a DOUBLE centroid
+    * column, as an UNROLLED 64-term sum. Left-associated `+` adds the
+    * terms in exactly the order the sequence-fold canon
+    * (Round9Ops.fullL2) and DuckDB's list_sum-over-generate_series
+    * mirror do, so the doubles are bit-identical — but unlike a
+    * higher-order `aggregate` lambda (interpreted per element, outside
+    * whole-stage codegen), the unrolled expression codegens: the Lloyd
+    * loop runs this over n×k pairs per assignment, and the swap cut
+    * vec_semantic_dedup ~3× (5.1 s → ~1.8 s warm at sf0.1, now inside
+    * the iterative-trainer family norm alongside vec_kmeans_train and
+    * graph_pagerank). */
+  private def scaledL2(xs: String, cs: String): String =
+    (1 to 64).map { i =>
+      val d = s"(CAST(element_at($xs, $i) AS DOUBLE) - element_at($cs, $i))"
+      s"$d * $d"
+    }.mkString(" + ")
 
   /** Trained-codebook cluster assignment for `vec_semantic_dedup` —
     * kmeansTrain's Lloyd loop re-expressed in an ORACLE-MIRRORABLE
