@@ -42,9 +42,50 @@ object GraftTable {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Latest committed (version, metadata), if any commit exists. */
-  def readManifest(fs: FileSystem, dir: String): Option[(Int, String)] = {
-    val vs = versions(fs, dir)
-    if (vs.isEmpty) None else Some((vs.max, meta(fs, dir, vs.max)))
+  def readManifest(fs: FileSystem, dir: String): Option[(Int, String)] =
+    currentVersion(fs, dir).map(v => (v, meta(fs, dir, v)))
+
+  /** CURRENT-version resolution in O(1 + commits-since-hint) existence
+    * probes — the manifest-checkpoint lever: at 10⁵ commits, listing
+    * the manifest dir on every snapshot read IS the read-path
+    * bottleneck on an object store. `_last` is a best-effort POINTER
+    * (Delta's `_last_checkpoint` idiom) each commit overwrites after
+    * publishing; it is a HINT, never truth — always ≤ the real current
+    * version (written post-publish; a crash between publish and hint
+    * just leaves it stale), so the reader verifies it and probes
+    * FORWARD until the first missing commit file. A missing, corrupt
+    * or torn hint falls back to the full listing. The underscore name
+    * keeps the file invisible to Spark's file sources (hidden-file
+    * rule), so `commitFeed`'s stream over the manifest dir never sees
+    * it. */
+  def currentVersion(fs: FileSystem, dir: String): Option[Int] = {
+    def probeFrom(v0: Int): Int = {
+      var v = v0
+      while (fs.exists(new Path(s"$dir/manifest/commit_${v + 1}"))) v += 1
+      v
+    }
+    val hint =
+      try {
+        val p = new Path(s"$dir/manifest/_last")
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val s = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+          s.toIntOption
+        }
+      } catch { case _: java.io.IOException => None }
+    hint match {
+      case Some(h) if h >= 0 &&
+          fs.exists(new Path(s"$dir/manifest/commit_$h")) =>
+        Some(probeFrom(h))
+      case _ =>
+        // no usable hint: one listing, then probe forward anyway (the
+        // listing and a concurrent commit can race — forward probing
+        // makes the result the same one the hint path would return)
+        versions(fs, dir).maxOption.map(probeFrom)
+    }
   }
 
   /** All committed version numbers, ascending (retention may have
@@ -425,6 +466,17 @@ object GraftTable {
       throw new java.util.ConcurrentModificationException(
         s"version $v was committed by a concurrent writer under $dir — " +
           "re-stage against the current version and retry")
+    // best-effort current-version hint for `currentVersion`'s
+    // probe-forward read path: written only AFTER the publish won, so
+    // it can lag but never lead the truth; last-writer-wins overwrite
+    // is fine (any committed version is a valid probe start), and a
+    // failed hint write degrades reads to the listing fallback
+    try {
+      val hint = fs.create(new Path(mdir, "_last"), true)
+      try hint.write(v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally hint.close()
+    } catch { case _: java.io.IOException => () }
     if (retain != Int.MaxValue) {
       // GC by the version encoded in the dir NAME (covers data dirs in
       // both naming forms AND dvN_ tombstone dirs) — but never a dir a

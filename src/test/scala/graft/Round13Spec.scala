@@ -435,6 +435,42 @@ class Round13Spec extends SparkSpec {
     assign.unpersist()
   }
 
+  test("currentVersion: the _last hint is written post-publish, heals when stale, and any corruption degrades to the listing") {
+    import spark.implicits._
+    val dir = "target/tmp/ghint"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    def hintPath = new Path(s"$dir/manifest/_last")
+    def writeHint(s: String): Unit = {
+      val o = fs.create(hintPath, true)
+      try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    (0 to 2).foreach(i =>
+      GraftTable.commitNext(spark, dir, Seq(i.toLong).toDF("k"), s"v$i"))
+    // hint tracks the publishes and resolution agrees with the listing
+    assert(fs.exists(hintPath))
+    assert(GraftTable.currentVersion(fs, dir).contains(2))
+    assert(GraftTable.versions(fs, dir).max == 2)
+    // STALE hint (crash between publish and hint write): probe-forward
+    // finds the newer commits the hint missed
+    writeHint("0")
+    assert(GraftTable.currentVersion(fs, dir).contains(2),
+      "a stale hint must heal by probing forward")
+    // hint AHEAD of truth (should be impossible — post-publish write —
+    // but a reader must never trust it): falls back to the listing
+    writeHint("99")
+    assert(GraftTable.currentVersion(fs, dir).contains(2))
+    // torn/corrupt hint: same fallback
+    writeHint("not-a-number")
+    assert(GraftTable.readManifest(fs, dir).map(_._1).contains(2))
+    // and the next commit repairs the hint
+    GraftTable.commitNext(spark, dir, Seq(9L).toDF("k"), "v3")
+    assert(GraftTable.currentVersion(fs, dir).contains(3))
+    // the underscore name keeps the hint invisible to the streaming
+    // feed — pinned end-to-end by the cdcSubscribe specs, which commit
+    // (and therefore write hints) while subscribed
+  }
+
   // ---- vacuum grace window --------------------------------------------------
 
   test("vacuum grace window: a just-orphaned staging dir survives until the grace passes") {
