@@ -68,15 +68,9 @@ object GraftTable {
       try {
         val p = new Path(s"$dir/manifest/_last")
         if (!fs.exists(p)) None
-        else {
-          val in = fs.open(p)
-          val s = try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim
-          finally in.close()
-          s.toIntOption
-        }
+        else readSmallFile(fs, p).trim.toIntOption
       } catch { case _: java.io.IOException => None }
-    hint match {
+    val resolved = hint match {
       case Some(h) if h >= 0 &&
           fs.exists(new Path(s"$dir/manifest/commit_$h")) =>
         Some(probeFrom(h))
@@ -86,6 +80,32 @@ object GraftTable {
         // makes the result the same one the hint path would return)
         versions(fs, dir).maxOption.map(probeFrom)
     }
+    // READER-side hint repair: if this resolution had to probe (or
+    // list) far past the hint — e.g. a writer whose hint writes keep
+    // failing — rewrite it best-effort so the cost does not recur on
+    // every read. Threshold keeps the common read pure.
+    resolved.foreach { v =>
+      if (v.toLong - hint.getOrElse(Int.MinValue).toLong > 4L)
+        writeHint(fs, dir, v)
+    }
+    resolved
+  }
+
+  /** Best-effort `_last` write — failure degrades reads to the listing
+    * fallback, never correctness. */
+  private def writeHint(fs: FileSystem, dir: String, v: Int): Unit =
+    try {
+      val out = fs.create(new Path(s"$dir/manifest/_last"), true)
+      try out.write(v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () }
+
+  /** Whole small file as UTF-8 (commit files, the `_last` hint). */
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   /** All committed version numbers, ascending (retention may have
@@ -123,12 +143,8 @@ object GraftTable {
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
   /** Raw content of version `v`'s commit file. */
-  private def commitContent(fs: FileSystem, dir: String, v: Int): String = {
-    val in = fs.open(new Path(s"$dir/manifest/commit_$v"))
-    try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
-  }
+  private def commitContent(fs: FileSystem, dir: String, v: Int): String =
+    readSmallFile(fs, new Path(s"$dir/manifest/commit_$v"))
 
   /** (headers, metadata) split of a commit file's content: leading
     * reserved `key=value` lines are headers, the remainder is the
@@ -338,9 +354,9 @@ object GraftTable {
   def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
       metadata: String = "shallow clone"): Unit = {
     val fs = fsOf(spark, srcDir)
-    val (sv, _) = readManifest(fs, srcDir).getOrElse(
+    val sv = currentVersion(fs, srcDir).getOrElse(
       sys.error(s"nothing to clone: no committed version under $srcDir"))
-    require(readManifest(fs, dstDir).isEmpty,
+    require(currentVersion(fs, dstDir).isEmpty,
       s"clone target $dstDir already has a committed version")
     require(fs.makeQualified(new Path(srcDir)).getParent ==
       fs.makeQualified(new Path(dstDir)).getParent,
@@ -437,6 +453,15 @@ object GraftTable {
       require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
         s"dv= header must be '<tombstoneDir>;<keyCol[,keyCol…]>': '$spec'")
     }
+    // version numbers are GAP-FREE by contract — `currentVersion`'s
+    // probe-forward resolution depends on it (a commit beyond cur+1
+    // would be invisible until the gap filled). v <= cur is allowed
+    // through: that is the racing-writers state, and the atomic publish
+    // below resolves it with a ConcurrentModificationException rather
+    // than a validation error (commitWithRetry relies on the CME).
+    require(v <= currentVersion(fs, dir).getOrElse(-1) + 1,
+      s"version $v would leave a gap in $dir's dense version sequence " +
+        "(commit the next version instead)")
     val mdir = new Path(s"$dir/manifest")
     fs.mkdirs(mdir)
     // writer-PRIVATE temp name: two racing writers must not clobber each
@@ -469,14 +494,9 @@ object GraftTable {
     // best-effort current-version hint for `currentVersion`'s
     // probe-forward read path: written only AFTER the publish won, so
     // it can lag but never lead the truth; last-writer-wins overwrite
-    // is fine (any committed version is a valid probe start), and a
-    // failed hint write degrades reads to the listing fallback
-    try {
-      val hint = fs.create(new Path(mdir, "_last"), true)
-      try hint.write(v.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally hint.close()
-    } catch { case _: java.io.IOException => () }
+    // is fine (versions are gap-free, so any committed version is a
+    // valid probe start)
+    writeHint(fs, dir, v)
     if (retain != Int.MaxValue) {
       // GC by the version encoded in the dir NAME (covers data dirs in
       // both naming forms AND dvN_ tombstone dirs) — but never a dir a
@@ -529,7 +549,7 @@ object GraftTable {
       metadata: String = "", retain: Int = Int.MaxValue,
       prefix: String = "v"): Int = {
     val fs = fsOf(spark, dir)
-    val v = readManifest(fs, dir).map(_._1 + 1).getOrElse(0)
+    val v = currentVersion(fs, dir).map(_ + 1).getOrElse(0)
     stage(df, dir, v, prefix)
     commit(fs, dir, v, metadata, retain, prefix)
     v
@@ -539,7 +559,7 @@ object GraftTable {
     * read; never point a reader at a data dir directly. */
   def read(spark: SparkSession, dir: String, prefix: String = "v"): DataFrame = {
     val fs = fsOf(spark, dir)
-    val (v, _) = readManifest(fs, dir)
+    val v = currentVersion(fs, dir)
       .getOrElse(sys.error(s"no committed version under $dir"))
     readVersion(spark, dir, v, prefix)
   }
@@ -593,7 +613,7 @@ object GraftTable {
       prefix: String = "v", partitionBy: Seq[String] = Nil,
       statsCols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Nil): Int = {
     val fs = fsOf(spark, dir)
-    val v = readManifest(fs, dir).map(_._1 + 1).getOrElse(0)
+    val v = currentVersion(fs, dir).map(_ + 1).getOrElse(0)
     val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     val w = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -646,7 +666,7 @@ object GraftTable {
     require(keyCols.forall(c => !c.contains(",") && !c.contains(";")),
       s"key column names must not contain the dv= header delimiters: $keyCols")
     val fs = fsOf(spark, dir)
-    val (cur, _) = readManifest(fs, dir).getOrElse(
+    val cur = currentVersion(fs, dir).getOrElse(
       sys.error(s"no committed version under $dir to delete from"))
     val hdrs = parseCommit(commitContent(fs, dir, cur))._1
     val data = hdrs.getOrElse("data", s"$prefix$cur")
@@ -697,7 +717,7 @@ object GraftTable {
     while (true) {
       attempt += 1
       val fs = fsOf(spark, dir)
-      val cur = readManifest(fs, dir).map(_._1)
+      val cur = currentVersion(fs, dir)
       val out = transform(cur.map(v => readVersion(spark, dir, v, prefix)))
       val v = cur.map(_ + 1).getOrElse(0)
       val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -757,7 +777,7 @@ object GraftTable {
         val s = batch.sparkSession
         commitEpoch(s, dir, epochId, retain, prefix) {
           val fs = fsOf(s, dir)
-          transform(readManifest(fs, dir).map(_ => read(s, dir, prefix)),
+          transform(currentVersion(fs, dir).map(_ => read(s, dir, prefix)),
             batch.toDF())
         }
         ()
