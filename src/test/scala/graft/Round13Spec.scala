@@ -471,6 +471,69 @@ class Round13Spec extends SparkSpec {
     // (and therefore write hints) while subscribed
   }
 
+  test("GraftTable op algebra (model-based): random commit/DV/purge/clone interleavings match an in-memory model at every step") {
+    import spark.implicits._
+    // The table's user-visible state is a pure fold of the op sequence;
+    // this drives random interleavings of every write-path flavor and
+    // checks the REAL table against an in-memory model after each op —
+    // snapshot correctness at every step, full history + version
+    // density + hint sanity at the end. The property that matters:
+    // nothing about WHICH op produced a version (convention, isolated,
+    // MoR delete, purge) is observable through the read path.
+    for (seed <- Seq(11, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = s"target/tmp/gmodel_$seed"
+      val fs = GraftTable.fsOf(spark, dir)
+      fs.delete(new Path(dir), true)
+      var model = Vector.empty[Set[Long]] // per-version expected keys
+      def cur = model.last
+      def df(ks: Set[Long]) = ks.toSeq.sorted.toDF("k")
+      def freshKeys() =
+        (0 until (3 + rnd.nextInt(6))).map(_ => rnd.nextInt(50).toLong).toSet
+      // v0: base load
+      val base = freshKeys() + 0L
+      GraftTable.commitNextIsolated(spark, dir, df(base), "base")
+      model = Vector(base)
+      (1 to 12).foreach { i =>
+        rnd.nextInt(4) match {
+          case 0 => // full-snapshot commit (convention path)
+            val ks = freshKeys()
+            GraftTable.commitNext(spark, dir, df(ks), s"load $i")
+            model :+= ks
+          case 1 => // isolated commit of a transformed snapshot
+            val ks = cur.map(_ + 100L)
+            GraftTable.commitNextIsolated(spark, dir, df(ks), s"shift $i")
+            model :+= ks
+          case 2 => // MoR delete of a random subset (may be empty)
+            val dead = cur.filter(_ => rnd.nextBoolean())
+            GraftTable.commitDeleteVector(spark, dir, df(dead), Seq("k"),
+              s"dv $i")
+            model :+= (cur -- dead)
+          case 3 => // purge: rewrite the current view
+            GraftTable.purgeDeleteVector(spark, dir, s"purge $i")
+            model :+= cur
+        }
+        assert(GraftTable.read(spark, dir).collect()
+          .map(_.getLong(0)).toSet == cur,
+          s"seed=$seed step=$i: table diverged from the model")
+      }
+      // full history replays exactly; versions dense; hint sane
+      model.indices.foreach { v =>
+        assert(GraftTable.readVersion(spark, dir, v).collect()
+          .map(_.getLong(0)).toSet == model(v),
+          s"seed=$seed: version $v diverged from the model")
+      }
+      assert(GraftTable.versions(fs, dir) == model.indices.toSeq)
+      assert(GraftTable.currentVersion(fs, dir).contains(model.size - 1))
+      // a clone taken NOW equals the final view (dv or not)
+      val cdir = s"target/tmp/gmodel_${seed}_clone"
+      fs.delete(new Path(cdir), true)
+      GraftTable.cloneShallow(spark, dir, cdir)
+      assert(GraftTable.read(spark, cdir).collect()
+        .map(_.getLong(0)).toSet == cur)
+    }
+  }
+
   // ---- vacuum grace window --------------------------------------------------
 
   test("vacuum grace window: a just-orphaned staging dir survives until the grace passes") {
