@@ -182,6 +182,8 @@ object Graft {
         changesTvf, "scala_udf")
       treg.createOrReplaceTempFunction("graft_history",
         historyTvf, "scala_udf")
+      treg.createOrReplaceTempFunction("graft_stats",
+        statsTvf, "scala_udf")
     }
   }
 
@@ -197,6 +199,13 @@ object Graft {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     tableFnPlan("graft_changes", exprs,
       (d, v) => sources.GraftTable.versionDelta(SparkSession.active, d, v))
+
+  /** `graft_stats('<dir>', v)` — the skipping index as a relation. */
+  private[graft] def statsTvf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    tableFnPlan("graft_stats", exprs,
+      (d, v) => sources.GraftTable.statsTable(SparkSession.active, d, v))
 
   /** `graft_history('<dir>')` — the DESCRIBE HISTORY audit TVF. */
   private[graft] def historyTvf(

@@ -58,5 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_history"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.Graft.historyTvf(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_stats"),
+      new ExpressionInfo(graft.sources.GraftTable.getClass.getName,
+        "graft_stats"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.Graft.statsTvf(exprs)))
   }
 }

@@ -642,6 +642,24 @@ object GraftTable {
       "n_rows")
   }
 
+  /** The skipping index as a RELATION: one row per (file, stat column)
+    * of version `v`'s recorded statistics — (file, rows, col, min,
+    * max), min/max in the committer's ordinal-long encoding. Served to
+    * SQL as `graft_stats('<dir>', v)`, so a planner-less consumer (an
+    * ops notebook, a data-layout audit) can compute overlap sets,
+    * clustering quality or row counts with plain SQL instead of the
+    * Scala API. O(one commit-file read), never data. */
+  def statsTable(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, dir)
+    val st = statsOf(fs, dir, v).getOrElse(sys.error(
+      s"version $v of $dir carries no file statistics in its commit"))
+    st.files.flatMap { f =>
+      st.cols.indices.map(i =>
+        (f.file, f.rows, st.cols(i), f.mins(i), f.maxs(i)))
+    }.toDF("file", "rows", "col", "min", "max")
+  }
+
   /** MERGE-ON-READ delete: commit a new version that shares the current
     * version's data dir UNCHANGED and carries a DELETION VECTOR — the
     * distinct `keyCols` of `tombstones` written as a small parquet dir,

@@ -351,6 +351,30 @@ class Round13Spec extends SparkSpec {
       .collect()(0).getLong(0) == 3L)
   }
 
+  test("graft_stats: the skipping index is queryable from SQL, and a SQL-computed overlap set equals the engine's read set") {
+    val dir = Round13Ops.statsClusteredTable(spark, sf)
+    Graft.registerFunctions(spark)
+    val lo = epochUs("1996-03-01")
+    val hi = epochUs("1996-06-01") - 1L
+    // the same overlap decision the engine makes, written as plain SQL
+    // over the stats relation — an ops notebook's layout audit
+    val sqlSet = spark.sql(
+      s"SELECT file FROM graft_stats('$dir', 0) " +
+        s"WHERE col = 'l_shipdate' AND max >= ${lo}L AND min <= ${hi}L")
+      .collect().map(_.getString(0)).toSet
+    val (_, opened, total) = GraftTable.readStatsBand(
+      spark, dir, 0, "l_shipdate", lo, hi)
+    assert(sqlSet == opened.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet)
+    assert(sqlSet.nonEmpty && sqlSet.size < total)
+    // row counts from the stats relation reconcile with the metadata
+    // count API
+    val sumRows = spark.sql(
+      s"SELECT CAST(SUM(rows) / COUNT(DISTINCT col) AS BIGINT) " +
+        s"FROM graft_stats('$dir', 0)").collect()(0).getLong(0)
+    assert(GraftTable.rowCountOf(GraftTable.fsOf(spark, dir), dir, 0)
+      .contains(sumRows))
+  }
+
   // ---- table_partition_evolution --------------------------------------------
 
   test("table_partition_evolution: v0's files stay byte-untouched by the re-layout, v1's month read is partition-pruned") {
