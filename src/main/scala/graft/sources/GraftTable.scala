@@ -765,12 +765,14 @@ object GraftTable {
     * commit METADATA (O(versions), tiny strings), never data. Returns
     * the committed version, or None for a detected replay. */
   def commitEpoch(spark: SparkSession, dir: String, epochId: Long,
-      retain: Int = Int.MaxValue, prefix: String = "v")
+      retain: Int = Int.MaxValue, prefix: String = "v",
+      statsCols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Nil)
       (df: => DataFrame): Option[Int] = {
     val fs = fsOf(spark, dir)
     val tag = s"epoch=$epochId"
     if (versions(fs, dir).exists(v => meta(fs, dir, v) == tag)) None
-    else Some(commitNextIsolated(spark, dir, df, tag, retain, prefix))
+    else Some(commitNextIsolated(spark, dir, df, tag, retain, prefix,
+      statsCols = statsCols))
   }
 
   /** Streaming writer INTO the versioned store: every micro-batch of
@@ -788,12 +790,13 @@ object GraftTable {
     * parquet write plus an O(manifest) commit. */
   def streamingSink(dir: String, checkpointDir: String, stream: DataFrame,
       retain: Int = Int.MaxValue, prefix: String = "v",
-      transform: (Option[DataFrame], DataFrame) => DataFrame = (_, b) => b)
+      transform: (Option[DataFrame], DataFrame) => DataFrame = (_, b) => b,
+      statsCols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, epochId) => {
         val s = batch.sparkSession
-        commitEpoch(s, dir, epochId, retain, prefix) {
+        commitEpoch(s, dir, epochId, retain, prefix, statsCols) {
           val fs = fsOf(s, dir)
           transform(currentVersion(fs, dir).map(_ => read(s, dir, prefix)),
             batch.toDF())

@@ -78,9 +78,13 @@ class Round13Spec extends SparkSpec {
       UpEv(3L, ts("2024-01-01 11:02:00"), 103L, "signup", 3.0),
       UpEv(2L, ts("2024-01-01 09:00:00"), 104L, "click", 7.0)) // older: loses
     val mem = MemoryStream[UpEv]
+    // statsCols on the sink: every streamed version carries the
+    // skipping index, so the ingest half of the lakehouse loop feeds
+    // log-skippable reads directly (asserted at the end)
     def start() = GraftTable.streamingSink(dir, ckpt, mem.toDF(),
       transform = (cur, b) => StreamingOps.latestPerUser(
-        cur.map(_.unionByName(b)).getOrElse(b)))
+        cur.map(_.unionByName(b)).getOrElse(b)),
+      statsCols = Seq("user_id" -> ((c: org.apache.spark.sql.Column) => c)))
     val q1 = start()
     mem.addData(b1: _*); q1.processAllAvailable()
     mem.addData(b2: _*); q1.processAllAvailable(); q1.stop()
@@ -107,6 +111,14 @@ class Round13Spec extends SparkSpec {
       s"replayed batch minted a version: ${GraftTable.versions(fs, dir)}")
     assert(GraftTable.meta(fs, dir, 2) == "epoch=2")
     assert(state() == Seq(1L -> 102L, 2L -> 105L, 3L -> 103L))
+    // the streamed versions are log-skippable: stats rode each epoch
+    // commit, the metadata count serves, and a user-band read resolves
+    // its files from the manifest
+    assert(GraftTable.rowCountOf(fs, dir, 2).contains(3L))
+    val (band, opened, _) = GraftTable.readStatsBand(
+      spark, dir, 2, "user_id", 2L, 3L)
+    assert(opened.nonEmpty &&
+      band.filter(col("user_id").between(2, 3)).count() == 2)
   }
 
   // ---- table_concurrent_merge -----------------------------------------------
