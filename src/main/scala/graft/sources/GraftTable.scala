@@ -41,6 +41,12 @@ object GraftTable {
   def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Declared stat columns: name → long-valued ordinal expression (see
+    * `computeStats`); one alias so the four write-path signatures that
+    * accept it cannot drift. */
+  type StatsCols =
+    Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)]
+
   /** Latest committed (version, metadata), if any commit exists. */
   def readManifest(fs: FileSystem, dir: String): Option[(Int, String)] =
     currentVersion(fs, dir).map(v => (v, meta(fs, dir, v)))
@@ -258,7 +264,7 @@ object GraftTable {
     * per-READ listing+footer pass with a once-per-commit cost, exactly
     * the trade the transaction-log formats make. */
   private def computeStats(spark: SparkSession, dataPath: String,
-      statsCols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)]): TableStats = {
+      statsCols: StatsCols): TableStats = {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(dataPath)
     // the declared ordinal must land as a LONG whatever width the
@@ -283,9 +289,20 @@ object GraftTable {
       .collect() // one small row per FILE — never data
     TableStats(statsCols.map(_._1),
       rows.toSeq.map { r =>
+        // a file whose stat column is entirely null has NO range: min/
+        // max aggregate to null, and a naive getAs would unbox that to
+        // a fabricated 0. Record the EMPTY range (min=MaxValue,
+        // max=MinValue) instead — it intersects no band, which is
+        // correct (null never matches a band predicate), and a
+        // graft_stats consumer sees an unmistakable sentinel rather
+        // than data that was never there.
+        def longOr(name: String, empty: Long): Long = {
+          val i = r.fieldIndex(name)
+          if (r.isNullAt(i)) empty else r.getLong(i)
+        }
         FileStats(r.getAs[String]("__file"), r.getAs[Long]("__rows"),
-          statsCols.map(c => r.getAs[Long](s"__min_${c._1}")),
-          statsCols.map(c => r.getAs[Long](s"__max_${c._1}")))
+          statsCols.map(c => longOr(s"__min_${c._1}", Long.MaxValue)),
+          statsCols.map(c => longOr(s"__max_${c._1}", Long.MinValue)))
       })
   }
 
@@ -308,12 +325,21 @@ object GraftTable {
     * rectangles are tight in all clustered dimensions, so a 2-D band
     * read prunes multiplicatively — the log-based serve path of
     * `sink_zorder_clustered`'s footer-based proof. */
+  /** Version `v`'s stats, with guarded failures a SQL user can act on:
+    * a clear error for a version that was never committed, and another
+    * for one whose commit recorded no statistics. */
+  private def statsOrFail(fs: FileSystem, dir: String, v: Int): TableStats = {
+    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
+      s"version $v was never committed under $dir")
+    statsOf(fs, dir, v).getOrElse(sys.error(
+      s"version $v of $dir carries no file statistics in its commit"))
+  }
+
   def readStatsRect(spark: SparkSession, dir: String, v: Int,
       bands: Seq[(String, Long, Long)], prefix: String = "v")
       : (DataFrame, Seq[String], Int) = {
     val fs = fsOf(spark, dir)
-    val st = statsOf(fs, dir, v).getOrElse(sys.error(
-      s"version $v of $dir carries no file statistics in its commit"))
+    val st = statsOrFail(fs, dir, v)
     val data = dataDirOf(fs, dir, v, prefix)
     val hit = st.overlappingRect(bands).map(f => s"$dir/$data/${f.file}")
     val df =
@@ -611,7 +637,7 @@ object GraftTable {
   def commitNextIsolated(spark: SparkSession, dir: String, df: DataFrame,
       metadata: String = "", retain: Int = Int.MaxValue,
       prefix: String = "v", partitionBy: Seq[String] = Nil,
-      statsCols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Nil): Int = {
+      statsCols: StatsCols = Nil): Int = {
     val fs = fsOf(spark, dir)
     val v = currentVersion(fs, dir).map(_ + 1).getOrElse(0)
     val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -652,8 +678,7 @@ object GraftTable {
   def statsTable(spark: SparkSession, dir: String, v: Int): DataFrame = {
     import spark.implicits._
     val fs = fsOf(spark, dir)
-    val st = statsOf(fs, dir, v).getOrElse(sys.error(
-      s"version $v of $dir carries no file statistics in its commit"))
+    val st = statsOrFail(fs, dir, v)
     st.files.flatMap { f =>
       st.cols.indices.map(i =>
         (f.file, f.rows, st.cols(i), f.mins(i), f.maxs(i)))
@@ -761,18 +786,34 @@ object GraftTable {
     * version already carries is a NO-OP — Structured Streaming replays
     * the last un-checkpointed batch after a restart, and replay must not
     * mint a duplicate version (the foreachBatch half of exactly-once;
-    * the source checkpoint is the other half). The epoch scan reads
-    * commit METADATA (O(versions), tiny strings), never data. Returns
-    * the committed version, or None for a detected replay. */
+    * the source checkpoint is the other half). Detection compares
+    * against the NEWEST epoch-tagged commit only (epochs arrive
+    * monotonically from the engine), so the per-batch manifest cost is
+    * O(non-epoch suffix), never a full history scan — and never data.
+    * Returns the committed version, or None for a detected replay. */
   def commitEpoch(spark: SparkSession, dir: String, epochId: Long,
       retain: Int = Int.MaxValue, prefix: String = "v",
-      statsCols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Nil)
+      statsCols: StatsCols = Nil)
       (df: => DataFrame): Option[Int] = {
     val fs = fsOf(spark, dir)
-    val tag = s"epoch=$epochId"
-    if (versions(fs, dir).exists(v => meta(fs, dir, v) == tag)) None
-    else Some(commitNextIsolated(spark, dir, df, tag, retain, prefix,
-      statsCols = statsCols))
+    // Replay detection in O(1) for the common case: walk versions
+    // NEWEST-first and compare against the most recent epoch-tagged
+    // commit. Structured Streaming delivers batch ids monotonically, so
+    // epochId <= the newest committed epoch ⇔ replay — without reading
+    // every historical commit file per micro-batch (each carries its
+    // full stats= line when statsCols is set; a forward scan would be
+    // O(versions × stats-bytes) per batch). Interleaved NON-epoch
+    // commits (manual maintenance on the same table) are walked past;
+    // out-of-order manual epoch use is outside the contract.
+    val newestEpoch = versions(fs, dir).sorted(Ordering[Int].reverse)
+      .iterator
+      .map(v => meta(fs, dir, v))
+      .filter(_.startsWith("epoch="))
+      .flatMap(_.stripPrefix("epoch=").toLongOption)
+      .nextOption()
+    if (newestEpoch.exists(epochId <= _)) None
+    else Some(commitNextIsolated(spark, dir, df, s"epoch=$epochId", retain,
+      prefix, statsCols = statsCols))
   }
 
   /** Streaming writer INTO the versioned store: every micro-batch of
@@ -791,7 +832,7 @@ object GraftTable {
   def streamingSink(dir: String, checkpointDir: String, stream: DataFrame,
       retain: Int = Int.MaxValue, prefix: String = "v",
       transform: (Option[DataFrame], DataFrame) => DataFrame = (_, b) => b,
-      statsCols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Nil)
+      statsCols: StatsCols = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, epochId) => {

@@ -376,7 +376,11 @@ class Round13Spec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     val (_, opened, total) = GraftTable.readStatsBand(
       spark, dir, 0, "l_shipdate", lo, hi)
-    assert(sqlSet == opened.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet)
+    // compare DATA-DIR-RELATIVE paths (the FileStats.file contract) —
+    // basename truncation would collide under a partitioned layout
+    val dataPrefix =
+      s"$dir/${GraftTable.dataDirOf(GraftTable.fsOf(spark, dir), dir, 0, "v")}/"
+    assert(sqlSet == opened.map(_.stripPrefix(dataPrefix)).toSet)
     assert(sqlSet.nonEmpty && sqlSet.size < total)
     // row counts from the stats relation reconcile with the metadata
     // count API
