@@ -129,10 +129,11 @@ object Round13Ops {
     // references its predecessor twice), which is fine BECAUSE iters is
     // pinned small — at iters=2 that is 4 evaluations of a bounded
     // n×k crossJoin inside one job. The alternative (collect the k×64
-    // codebook per round, kmeansTrain's posture) was measured 30×
-    // SLOWER here (0.18 s → 5.3 s at sf0.1): each extra job pays
-    // planning + codegen that dwarfs the 90k-row compute. Growing iters
-    // is the one thing that flips this trade — the iterative tier is
+    // codebook per round, kmeansTrain's posture) measured SLOWER here
+    // (5.3 s vs 5.1 s at sf0.1 pre-unroll): each extra job pays
+    // planning + codegen that dwarfs the 90k-row compute. The real
+    // lever was the codegen'd scaledL2 above (~3×). Growing iters is
+    // what flips the lineage trade — the iterative tier is
     // kmeansTrain, not this function.
     var cents = c0
     for (_ <- 1 to iters) cents = update(assign(cents), cents)
@@ -275,7 +276,10 @@ object Round13Ops {
       batch: DataFrame, epoch: Long): Option[Int] =
     GraftTable.commitEpoch(s, dir, epoch) {
       val fs = GraftTable.fsOf(s, dir)
-      val merged = GraftTable.readManifest(fs, dir) match {
+      // currentVersion, not readManifest: existence is all this needs,
+      // and readManifest would read (and discard) the newest commit's
+      // whole content every micro-batch
+      val merged = GraftTable.currentVersion(fs, dir) match {
         case Some(_) =>
           StreamingOps.latestPerUser(GraftTable.read(s, dir).unionByName(batch))
         case None => StreamingOps.latestPerUser(batch)

@@ -114,8 +114,7 @@ object Round9Ops {
     * unexercised).
     */
   private[graft] def kmeansTrain(e0: DataFrame, maxIters: Int = 25,
-      tol: Double = 1e-4, minIters: Int = 0, dim: Int = 64,
-      initK: Int = 8)
+      tol: Double = 1e-4, minIters: Int = 0, dim: Int = 64)
       : (Seq[(Int, Seq[Double], Long)], Seq[Double], Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s = e0.sparkSession
@@ -125,10 +124,10 @@ object Round9Ops {
       .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
       .as[(Long, Array[Float])]
       .persist(MEMORY_AND_DISK)
-    // fixture init: the first `initK` seed vectors (8 is the shared
-    // fixture every vec_* operator starts from; vec_semantic_dedup
-    // passes a data-scaled k — see its scale note)
-    var cents: Seq[(Int, Seq[Double])] = ds.filter(_._1 < initK).collect()
+    // fixture init: the 8 seed vectors every vec_* operator starts from
+    // (the data-scaled-k trainer is Round13Ops.semanticAssignTrained,
+    // which reimplements the loop in oracle-mirrorable arithmetic)
+    var cents: Seq[(Int, Seq[Double])] = ds.filter(_._1 < 8).collect()
       .map { case (id, v) => (id.toInt, v.map(_.toDouble).toSeq) }
       .sortBy(_._1).toSeq
     var members = Map.empty[Int, Long]

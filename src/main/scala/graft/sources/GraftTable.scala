@@ -90,9 +90,11 @@ object GraftTable {
     // list) far past the hint — e.g. a writer whose hint writes keep
     // failing — rewrite it best-effort so the cost does not recur on
     // every read. Threshold keeps the common read pure.
+    // repair only when a (stale) hint EXISTS: a hint-less table may be
+    // a read-only mount or a pre-hint manifest — plain reads must never
+    // attempt writes there; its first successful commit plants the hint
     resolved.foreach { v =>
-      if (v.toLong - hint.getOrElse(Int.MinValue).toLong > 4L)
-        writeHint(fs, dir, v)
+      hint.foreach(h => if (v.toLong - h.toLong > 4L) writeHint(fs, dir, v))
     }
     resolved
   }
@@ -319,28 +321,33 @@ object GraftTable {
       lo: Long, hi: Long, prefix: String = "v"): (DataFrame, Seq[String], Int) =
     readStatsRect(spark, dir, v, Seq((col, lo, hi)), prefix)
 
+  /** Version `v`'s parsed commit headers + stats, with guarded
+    * failures a SQL user can act on: a clear error for a version that
+    * was never committed, and another for one whose commit recorded no
+    * statistics. ONE commit-file read serves both the stats and the
+    * data-dir resolution of the caller. */
+  private def headersAndStats(fs: FileSystem, dir: String,
+      v: Int): (Map[String, String], TableStats) = {
+    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
+      s"version $v was never committed under $dir")
+    val hdrs = parseCommit(commitContent(fs, dir, v))._1
+    (hdrs, hdrs.get("stats").map(TableStats.decode).getOrElse(sys.error(
+      s"version $v of $dir carries no file statistics in its commit")))
+  }
+
   /** Multi-dimensional log skipping: resolve version `v`'s files whose
     * stats hyper-rectangle intersects EVERY band, from the manifest
     * alone (see `readStatsBand`). With a z-ordered layout the per-file
     * rectangles are tight in all clustered dimensions, so a 2-D band
     * read prunes multiplicatively — the log-based serve path of
-    * `sink_zorder_clustered`'s footer-based proof. */
-  /** Version `v`'s stats, with guarded failures a SQL user can act on:
-    * a clear error for a version that was never committed, and another
-    * for one whose commit recorded no statistics. */
-  private def statsOrFail(fs: FileSystem, dir: String, v: Int): TableStats = {
-    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
-      s"version $v was never committed under $dir")
-    statsOf(fs, dir, v).getOrElse(sys.error(
-      s"version $v of $dir carries no file statistics in its commit"))
-  }
-
+    * `sink_zorder_clustered`'s footer-based proof. One commit-file
+    * read resolves stats AND data dir. */
   def readStatsRect(spark: SparkSession, dir: String, v: Int,
       bands: Seq[(String, Long, Long)], prefix: String = "v")
       : (DataFrame, Seq[String], Int) = {
     val fs = fsOf(spark, dir)
-    val st = statsOrFail(fs, dir, v)
-    val data = dataDirOf(fs, dir, v, prefix)
+    val (hdrs, st) = headersAndStats(fs, dir, v)
+    val data = hdrs.getOrElse("data", s"$prefix$v")
     val hit = st.overlappingRect(bands).map(f => s"$dir/$data/${f.file}")
     val df =
       // basePath pins partition discovery to the DATA DIR: without it,
@@ -485,7 +492,7 @@ object GraftTable {
     // through: that is the racing-writers state, and the atomic publish
     // below resolves it with a ConcurrentModificationException rather
     // than a validation error (commitWithRetry relies on the CME).
-    require(v <= currentVersion(fs, dir).getOrElse(-1) + 1,
+    require(v == 0 || fs.exists(new Path(s"$dir/manifest/commit_${v - 1}")),
       s"version $v would leave a gap in $dir's dense version sequence " +
         "(commit the next version instead)")
     val mdir = new Path(s"$dir/manifest")
@@ -678,7 +685,7 @@ object GraftTable {
   def statsTable(spark: SparkSession, dir: String, v: Int): DataFrame = {
     import spark.implicits._
     val fs = fsOf(spark, dir)
-    val st = statsOrFail(fs, dir, v)
+    val st = headersAndStats(fs, dir, v)._2
     st.files.flatMap { f =>
       st.cols.indices.map(i =>
         (f.file, f.rows, st.cols(i), f.mins(i), f.maxs(i)))
