@@ -230,10 +230,12 @@ object Round12Ops {
       GraftTable.commitNext(s, dir,
         o.select(col("o_orderkey"), dec(col("o_totalprice")).as("price")),
         "initial 2-column schema")
+      // ADD COLUMN is exactly the change the round-14 write gate exists
+      // to catch when UNdeclared — this key declares it
       GraftTable.commitNextIsolated(s, dir,
         o.select(col("o_orderkey"), dec(col("o_totalprice")).as("price"),
           col("o_orderpriority")),
-        "add column o_orderpriority")
+        "add column o_orderpriority", allowEvolution = true)
       GraftTable.readVersion(s, dir, 0)
         .select(lit(0).as("version"), col("*"))
         .unionByName(
@@ -391,8 +393,12 @@ object Round12Ops {
       GraftTable.commitNextIsolated(s, dir,
         o.select(col("o_orderkey"), (col("price") * 2).as("price")),
         "bad load: doubled prices")
+      // a RESTORE is a declared schema rewind: v1's widened price
+      // (decimal(14,2) from the ×2) narrows back to v0's (12,2), which
+      // the round-14 write gate rightly refuses without the declaration
       GraftTable.commitNextIsolated(s, dir,
-        GraftTable.readVersion(s, dir, 0), "restore to version 0")
+        GraftTable.readVersion(s, dir, 0), "restore to version 0",
+        allowEvolution = true)
       def snap(v: Int): DataFrame =
         GraftTable.readVersion(s, dir, v)
           .agg(count(lit(1)).as("n_rows"), money(sum(col("price"))).as("sum_price"))

@@ -70,31 +70,36 @@ object GraftTable {
       while (fs.exists(new Path(s"$dir/manifest/commit_${v + 1}"))) v += 1
       v
     }
+    var hintExisted = false
     val hint =
       try {
         val p = new Path(s"$dir/manifest/_last")
         if (!fs.exists(p)) None
-        else readSmallFile(fs, p).trim.toIntOption
+        else { hintExisted = true; readSmallFile(fs, p).trim.toIntOption }
       } catch { case _: java.io.IOException => None }
-    val resolved = hint match {
-      case Some(h) if h >= 0 &&
-          fs.exists(new Path(s"$dir/manifest/commit_$h")) =>
-        Some(probeFrom(h))
-      case _ =>
+    val usable = hint.filter(h => h >= 0 &&
+      fs.exists(new Path(s"$dir/manifest/commit_$h")))
+    val resolved = usable match {
+      case Some(h) => Some(probeFrom(h))
+      case None =>
         // no usable hint: one listing, then probe forward anyway (the
         // listing and a concurrent commit can race — forward probing
         // makes the result the same one the hint path would return)
-        versions(fs, dir).maxOption.map(probeFrom)
+        listVersions(fs, dir).maxOption.map(probeFrom)
     }
-    // READER-side hint repair: if this resolution had to probe (or
-    // list) far past the hint — e.g. a writer whose hint writes keep
-    // failing — rewrite it best-effort so the cost does not recur on
-    // every read. Threshold keeps the common read pure.
-    // repair only when a (stale) hint EXISTS: a hint-less table may be
-    // a read-only mount or a pre-hint manifest — plain reads must never
+    // READER-side hint repair: if this resolution had to probe far past
+    // the hint (a writer whose hint writes keep failing), or the hint
+    // EXISTED but was unusable — corrupt bytes, or ahead of truth as in
+    // a restored/partially-copied table dir — rewrite it best-effort so
+    // the listing cost does not recur on every subsequent read (a
+    // leading hint never self-heals otherwise: no commit may ever
+    // overwrite it). The lag threshold keeps the common read pure.
+    // Repair only when a hint file EXISTS: a hint-less table may be a
+    // read-only mount or a pre-hint manifest — plain reads must never
     // attempt writes there; its first successful commit plants the hint
     resolved.foreach { v =>
-      hint.foreach(h => if (v.toLong - h.toLong > 4L) writeHint(fs, dir, v))
+      if (hintExisted && (usable.isEmpty || v.toLong - hint.get.toLong > 4L))
+        writeHint(fs, dir, v)
     }
     resolved
   }
@@ -116,16 +121,128 @@ object GraftTable {
     finally in.close()
   }
 
-  /** All committed version numbers, ascending (retention may have
-    * removed the DATA of old versions; their commit files remain as
-    * history — `readVersion` is what enforces data retention). */
-  def versions(fs: FileSystem, dir: String): Seq[Int] = {
+  /** All committed version numbers, ascending. Version numbers are
+    * DENSE by `commit`'s gap-free contract (v requires commit_{v-1},
+    * and commit files are never deleted — retention removes only DATA),
+    * so the committed set is exactly 0..currentVersion, resolved
+    * through the `_last` hint in O(1 + commits-since-hint) existence
+    * probes — no directory listing when the hint is fresh. This is what
+    * keeps `commitEpoch`'s per-micro-batch replay probe off the
+    * full-manifest listing a long-lived streaming table would otherwise
+    * pay every batch (the round-13 advisory). `readVersion` is what
+    * enforces data retention for old versions. */
+  def versions(fs: FileSystem, dir: String): Seq[Int] =
+    currentVersion(fs, dir).map(v => (0 to v): Seq[Int]).getOrElse(Seq.empty)
+
+  /** The full manifest-directory listing — `currentVersion`'s fallback
+    * when the `_last` hint is missing or unusable; every other reader
+    * goes through the dense-range resolution above. */
+  private def listVersions(fs: FileSystem, dir: String): Seq[Int] = {
     val mdir = new Path(s"$dir/manifest")
     if (!fs.exists(mdir)) Seq.empty
     else fs.listStatus(mdir).iterator.map(_.getPath.getName)
       .filter(_.startsWith("commit_"))
       .flatMap(_.stripPrefix("commit_").toIntOption).toSeq.sorted
   }
+
+  // ---- manifest checkpoint --------------------------------------------------
+
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+  private def urlDec(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** CHECKPOINT the manifest: consolidate every committed version's
+    * commit-file content (headers, stats lines, metadata — the whole
+    * file, URL-encoded per line) into ONE atomically-replaced file,
+    * `manifest/_checkpoint`. Delta's parquet checkpoint in its testable
+    * core: after 10⁵ commits, a full-history consumer — DESCRIBE
+    * HISTORY, TIMESTAMP AS OF — would otherwise pay one open per commit
+    * file on every call; with a checkpoint it pays ONE read plus the
+    * commits-since-checkpoint suffix (`allCommitContents`). The file is
+    * a HINT like `_last`, never truth: it is derived data rebuilt from
+    * the commit files it summarizes, a torn or stale copy is detected
+    * (head/terminator version match, dense line check) and degrades the
+    * reader to per-file resolution, and the underscore name hides it
+    * from Spark's file sources so `commitFeed` never sees it. Run it on
+    * demand or wire `checkpointEvery` into the streaming ingest path.
+    * Returns the checkpointed version. */
+  def checkpoint(fs: FileSystem, dir: String): Int = {
+    val cur = currentVersion(fs, dir).getOrElse(
+      sys.error(s"nothing to checkpoint: no committed version under $dir"))
+    val body = (s"v=$cur" +:
+      (0 to cur).map(v => s"$v\t${urlEnc(commitContent(fs, dir, v))}") :+
+      s"end=$cur").mkString("\n")
+    val mdir = new Path(s"$dir/manifest")
+    val tmp = new Path(mdir, s"._cptmp_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    replaceAtomic(fs, tmp, new Path(mdir, "_checkpoint"))
+    cur
+  }
+
+  /** Atomic REPLACE of `dest` with a fully-written `src` — the
+    * checkpoint publish. Unlike `publishNoOverwrite`, last-writer-wins
+    * is correct here: every checkpoint of the same table is equivalent
+    * derived data (a newer one merely covers a longer prefix). */
+  private def replaceAtomic(fs: FileSystem, src: Path, dest: Path): Unit =
+    fs match {
+      case _: LocalFileSystem | _: RawLocalFileSystem =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case _ =>
+        org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+          .rename(src, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+
+  /** (checkpointed version N, commit contents for 0..N) when a
+    * readable, untorn, self-consistent checkpoint exists; None degrades
+    * the consumer to per-file reads — same contract as `_last`. */
+  private[graft] def readCheckpoint(fs: FileSystem,
+      dir: String): Option[(Int, IndexedSeq[String])] =
+    try {
+      val p = new Path(s"$dir/manifest/_checkpoint")
+      if (!fs.exists(p)) None
+      else {
+        val lines = readSmallFile(fs, p).split("\n", -1)
+        val head = lines.headOption.filter(_.startsWith("v="))
+          .flatMap(_.stripPrefix("v=").toIntOption)
+        head match {
+          case Some(n) if lines.lastOption.contains(s"end=$n") &&
+              lines.length == n + 3 =>
+            val body = lines.slice(1, lines.length - 1)
+            val dense = body.zipWithIndex.forall { case (l, i) =>
+              val t = l.indexOf('\t'); t > 0 && l.take(t) == i.toString
+            }
+            if (dense)
+              Some((n, body.map(l => urlDec(l.drop(l.indexOf('\t') + 1)))
+                .toIndexedSeq))
+            else None
+          case _ => None // torn, corrupt, or foreign — fall back
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Commit contents of every version 0..current, ascending — resolved
+    * from the checkpoint for its prefix and from individual commit
+    * files only for the suffix: the O(1 + suffix) full-history scan
+    * `history` and `versionAsOf` run on. Without a checkpoint this is
+    * the plain O(versions) per-file walk it always was. */
+  private def allCommitContents(fs: FileSystem,
+      dir: String): Seq[(Int, String)] =
+    currentVersion(fs, dir) match {
+      case None => Seq.empty
+      case Some(cur) =>
+        val cp = readCheckpoint(fs, dir)
+        (0 to cur).map { v =>
+          v -> cp.collect { case (cv, cs) if v <= cv => cs(v) }
+            .getOrElse(commitContent(fs, dir, v))
+        }
+    }
 
   /** Reserved commit-file HEADER keys. A commit file is zero or more
     * leading `key=value` header lines drawn from this set, followed by
@@ -142,11 +259,22 @@ object GraftTable {
     *                    comma-separated key columns, applied as a
     *                    broadcast anti-join at read (merge-on-read
     *                    DELETE — see `commitDeleteVector`)
+    *   append=<dir>     marks an APPEND commit and names the one data
+    *                    dir this version added on top of its
+    *                    predecessor's (whose dirs the data= list
+    *                    repeats) — the marker `versionDelta`'s CDC fast
+    *                    path reads instead of diffing two snapshots
+    *   schema=<cols>    the committed DataFrame's schema (URL-encoded
+    *                    name:type list) — what the write-time schema
+    *                    compatibility gate validates the NEXT commit
+    *                    against (see `schemaGate`)
     *
     * Keeping headers line-oriented keeps old manifests readable: a
     * round-12 commit file with no ts= line still parses (mtime fallback
-    * in `versionAsOf`). */
-  private val headerKeys = Seq("data=", "ts=", "stats=", "dv=")
+    * in `versionAsOf`), and one with no schema= line simply skips the
+    * write gate for its successor. */
+  private val headerKeys =
+    Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
@@ -180,6 +308,109 @@ object GraftTable {
       prefix: String = "v"): String =
     parseCommit(commitContent(fs, dir, v))._1.getOrElse("data", s"$prefix$v")
 
+  /** Data dirs (≥1) version `v`'s commit references, in commit order:
+    * the data= header as a comma-separated list — APPEND commits
+    * reference every predecessor dir plus the one they added, so a
+    * version stays one self-contained file set — defaulting to the
+    * conventional `$prefix$v`. Dir names never contain a comma (they
+    * are this format's own `$prefix${n}[_uuid]` / `dvN_uuid` /
+    * `../sibling/...` forms). */
+  private def dataDirsFrom(hdrs: Map[String, String], v: Int,
+      prefix: String): Seq[String] =
+    hdrs.get("data").map(_.split(",").toSeq).getOrElse(Seq(s"$prefix$v"))
+
+  /** Public view of `dataDirsFrom` for version `v`. */
+  def dataDirsOf(fs: FileSystem, dir: String, v: Int,
+      prefix: String = "v"): Seq[String] =
+    dataDirsFrom(parseCommit(commitContent(fs, dir, v))._1, v, prefix)
+
+  // ---- write-time schema compatibility --------------------------------------
+
+  /** One-line schema encoding for the schema= commit header: URL-encoded
+    * `name:type` pairs, comma-joined (catalogString types, so nested
+    * types round-trip; encoding keeps `,`/`:` inside struct types from
+    * colliding with the delimiters). */
+  private[graft] def schemaEncode(
+      schema: org.apache.spark.sql.types.StructType): String =
+    schema.fields.map(f =>
+      s"${urlEnc(f.name)}:${urlEnc(f.dataType.catalogString)}").mkString(",")
+
+  private[graft] def schemaDecode(s: String): Seq[(String, String)] =
+    s.split(",", -1).toSeq.filter(_.nonEmpty).map { f =>
+      val i = f.indexOf(':'); (urlDec(f.take(i)), urlDec(f.drop(i + 1)))
+    }
+
+  /** WRITE-TIME schema compatibility gate: compare the next commit's
+    * schema against the current version's recorded schema= header BY
+    * NAME (column order and nullability are not schema identity here —
+    * a repartition or select reorder must not refuse) and throw BEFORE
+    * anything is staged when they differ — so a typo'd column name
+    * fails at the faulty writer naming the offending field, instead of
+    * committing fine and surfacing as a reader-side analysis error N
+    * versions later. Additions, drops and retypes are EVOLUTION: legal
+    * only when the caller declares intent with `allowEvolution = true`
+    * (the change is then recorded implicitly — the new version's own
+    * schema= header is the evolution record, diffable via `history`'s
+    * commit files). Append commits never evolve (their reader unions
+    * the predecessor's files by physical schema). A predecessor with no
+    * schema= header (pre-gate manifests, raw `commit()` callers) skips
+    * validation — the gate is best-effort over recorded schemas, never
+    * a reader. */
+  private[graft] def schemaGate(prevEncoded: Option[String],
+      next: org.apache.spark.sql.types.StructType, allowEvolution: Boolean,
+      context: String = "commit"): Unit =
+    prevEncoded.foreach { pe =>
+      val prev = schemaDecode(pe).toMap
+      val nxt = next.fields.map(f => f.name -> f.dataType.catalogString).toMap
+      val added = (nxt.keySet -- prev.keySet).toSeq.sorted
+      val dropped = (prev.keySet -- nxt.keySet).toSeq.sorted
+      // LOSSLESS decimal widening (same scale, precision grows) passes
+      // without a declaration: decimal arithmetic widens precision by
+      // construction (sum/add of decimal(12,2) is decimal(22,2)+), so a
+      // MERGE-style read-modify-write would otherwise need
+      // allowEvolution on every commit — the value domain only grows,
+      // which is the type-widening carve-out Delta makes too
+      val decRe = """decimal\((\d+),(\d+)\)""".r
+      def losslessWiden(from: String, to: String): Boolean =
+        (from, to) match {
+          case (decRe(p1, s1), decRe(p2, s2)) =>
+            s1 == s2 && p2.toInt >= p1.toInt
+          case _ => false
+        }
+      val retyped = prev.keySet.intersect(nxt.keySet).toSeq.sorted
+        .filter(k => prev(k) != nxt(k) && !losslessWiden(prev(k), nxt(k)))
+        .map(k => s"$k: ${prev(k)} -> ${nxt(k)}")
+      if (added.nonEmpty || dropped.nonEmpty || retyped.nonEmpty) {
+        val diff = Seq(
+          if (added.nonEmpty) Some(s"added=${added.mkString("[", ", ", "]")}")
+          else None,
+          if (dropped.nonEmpty)
+            Some(s"dropped=${dropped.mkString("[", ", ", "]")}")
+          else None,
+          if (retyped.nonEmpty)
+            Some(s"retyped=${retyped.mkString("[", ", ", "]")}")
+          else None).flatten.mkString(", ")
+        if (context == "append")
+          throw new IllegalArgumentException(
+            s"append refused — an append commit must match the current " +
+              s"version's schema exactly ($diff); commit a full version " +
+              "with allowEvolution = true to change the schema. " +
+              "NO version was created")
+        if (!allowEvolution)
+          throw new IllegalArgumentException(
+            s"schema change refused ($diff) — pass allowEvolution = true " +
+              "to commit a schema evolution. NO version was created")
+      }
+    }
+
+  /** The current version's recorded schema= header (None when no commit
+    * or no recorded schema), plus its headers — one commit-file read
+    * shared by the gate and the caller's data-dir resolution. */
+  private def currentHeaders(fs: FileSystem, dir: String)
+      : Option[(Int, Map[String, String])] =
+    currentVersion(fs, dir).map(v =>
+      (v, parseCommit(commitContent(fs, dir, v))._1))
+
   // ---- manifest-level file statistics ---------------------------------------
 
   /** Per-file column statistics of one committed version — the
@@ -198,18 +429,30 @@ object GraftTable {
     * commit's data= header, so stats survive a data-dir rename only the
     * manifest knows about. */
   final case class FileStats(file: String, rows: Long,
-      mins: Seq[Long], maxs: Seq[Long])
+      mins: Seq[Long], maxs: Seq[Long], nulls: Seq[Long] = Nil)
+
+  /** A per-file skipping predicate over the recorded statistics: either
+    * a [lo,hi] range on a stat column's ordinal encoding, or an
+    * IS NULL / IS NOT NULL nullability test against the recorded null
+    * counts. Bands conjoin — a file survives only if it can hold a row
+    * matching ALL of them. */
+  sealed trait Band
+  final case class RangeBand(col: String, lo: Long, hi: Long) extends Band
+  final case class NullBand(col: String, isNull: Boolean) extends Band
 
   final case class TableStats(cols: Seq[String], files: Seq[FileStats]) {
     /** One-line encoding for the stats= commit header:
-      * `c1,c2;f|rows|min1|max1|min2|max2;...` — file names are
-      * URL-encoded so the delimiters can never collide. */
+      * `c1,c2;f|rows|min1|max1|min2|max2|null1|null2;...` — file names
+      * are URL-encoded so the delimiters can never collide; per-column
+      * null counts ride at the end of each file entry so a pre-null
+      * stats line (2+2k fields instead of 2+3k) still decodes. */
     def encoded: String = {
       def enc(s: String) =
         java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
       cols.map(enc).mkString(",") + ";" + files.map { f =>
         (Seq(enc(f.file), f.rows.toString) ++
-          f.mins.zip(f.maxs).flatMap { case (a, b) => Seq(a.toString, b.toString) })
+          f.mins.zip(f.maxs).flatMap { case (a, b) => Seq(a.toString, b.toString) } ++
+          f.nulls.map(_.toString))
           .mkString("|")
       }.mkString(";")
     }
@@ -226,14 +469,31 @@ object GraftTable {
       * ALL bands, which is exactly the guarantee a z-ordered layout
       * makes tight (Round13Ops.zorderLayout) and a 1-D sort leaves
       * full-width on every non-sort column. */
-    def overlappingRect(bands: Seq[(String, Long, Long)]): Seq[FileStats] = {
-      val idx = bands.map { case (c, lo, hi) =>
+    def overlappingRect(bands: Seq[(String, Long, Long)]): Seq[FileStats] =
+      matching(bands.map { case (c, lo, hi) => RangeBand(c, lo, hi) })
+
+    /** The general conjunctive read set over range AND nullability
+      * bands. IS NULL skips a file whose recorded null count is 0;
+      * IS NOT NULL skips one whose nulls == rows (an all-null file has
+      * nothing non-null to serve). A file from a stats line recorded
+      * before null counts existed is conservatively KEPT by null bands
+      * — skipping is an optimization and must never drop a row. */
+    def matching(bands: Seq[Band]): Seq[FileStats] = {
+      def idx(c: String): Int = {
         val i = cols.indexOf(c)
         require(i >= 0, s"no stats recorded for column '$c' (have $cols)")
-        (i, lo, hi)
+        i
       }
-      files.filter(f => idx.forall { case (i, lo, hi) =>
-        f.maxs(i) >= lo && f.mins(i) <= hi
+      val resolved = bands.map {
+        case RangeBand(c, lo, hi) => (idx(c), Some((lo, hi)), false)
+        case NullBand(c, isNull) => (idx(c), None, isNull)
+      }
+      files.filter(f => resolved.forall {
+        case (i, Some((lo, hi)), _) => f.maxs(i) >= lo && f.mins(i) <= hi
+        case (i, None, isNull) =>
+          if (f.nulls.isEmpty) true // pre-null-count stats: keep
+          else if (isNull) f.nulls(i) > 0
+          else f.nulls(i) < f.rows
       })
     }
   }
@@ -244,12 +504,18 @@ object GraftTable {
         java.net.URLDecoder.decode(x, java.nio.charset.StandardCharsets.UTF_8)
       val parts = s.split(";", -1)
       val cols = parts.head.split(",").map(dec).toSeq
+      val k = cols.size
       val files = parts.tail.filter(_.nonEmpty).map { fe =>
         val xs = fe.split("\\|", -1)
         val vals = xs.drop(2).map(_.toLong)
+        // 2k values = min/max pairs only (pre-null encoding); 3k = the
+        // per-column null counts ride after the pairs
         FileStats(dec(xs(0)), xs(1).toLong,
-          vals.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }.toSeq,
-          vals.zipWithIndex.collect { case (v, i) if i % 2 == 1 => v }.toSeq)
+          (0 until k).map(i => vals(2 * i)),
+          (0 until k).map(i => vals(2 * i + 1)),
+          if (vals.length >= 3 * k && k > 0)
+            (0 until k).map(i => vals(2 * k + i))
+          else Nil)
       }.toSeq
       TableStats(cols, files)
     }
@@ -274,7 +540,12 @@ object GraftTable {
     // surface Integer rows here) — the cast is exact for any integral
     val aggs = statsCols.flatMap { case (name, ord) =>
       val l = ord(col(name)).cast(org.apache.spark.sql.types.LongType)
-      Seq(min(l).as(s"__min_$name"), max(l).as(s"__max_$name"))
+      // null count = rows − non-null count OF THE ORDINAL — the value
+      // the band predicates actually test (an ordinal expression maps
+      // null to null, so this matches the column for every declared
+      // encoding in the suite)
+      Seq(min(l).as(s"__min_$name"), max(l).as(s"__max_$name"),
+        count(l).as(s"__cnt_$name"))
     }
     // key by the path RELATIVE to the data dir, not the basename: a
     // partitionBy layout reuses one task's part-file name across every
@@ -302,9 +573,11 @@ object GraftTable {
           val i = r.fieldIndex(name)
           if (r.isNullAt(i)) empty else r.getLong(i)
         }
-        FileStats(r.getAs[String]("__file"), r.getAs[Long]("__rows"),
+        val rows = r.getAs[Long]("__rows")
+        FileStats(r.getAs[String]("__file"), rows,
           statsCols.map(c => longOr(s"__min_${c._1}", Long.MaxValue)),
-          statsCols.map(c => longOr(s"__max_${c._1}", Long.MinValue)))
+          statsCols.map(c => longOr(s"__max_${c._1}", Long.MinValue)),
+          statsCols.map(c => rows - r.getAs[Long](s"__cnt_${c._1}")))
       })
   }
 
@@ -344,11 +617,37 @@ object GraftTable {
     * read resolves stats AND data dir. */
   def readStatsRect(spark: SparkSession, dir: String, v: Int,
       bands: Seq[(String, Long, Long)], prefix: String = "v")
+      : (DataFrame, Seq[String], Int) =
+    readStatsBands(spark, dir, v,
+      bands.map { case (c, lo, hi) => RangeBand(c, lo, hi) }, prefix)
+
+  /** The general log-skipping read: range bands AND nullability bands
+    * (`IS NULL` / `IS NOT NULL` resolved from the recorded per-file
+    * null counts — a file with zero nulls in the column is skippable
+    * for IS NULL, one that is all-null for IS NOT NULL), conjunctive,
+    * resolved entirely from the manifest. File paths come from the
+    * version's data= header: one dir for plain versions (stats paths
+    * relative to it), the full dir list for APPEND versions (whose
+    * stats paths are table-relative — see `commitAppend`). As with
+    * every file-granularity skip, the caller re-applies the predicate
+    * row-level. */
+  def readStatsBands(spark: SparkSession, dir: String, v: Int,
+      bands: Seq[Band], prefix: String = "v")
       : (DataFrame, Seq[String], Int) = {
     val fs = fsOf(spark, dir)
     val (hdrs, st) = headersAndStats(fs, dir, v)
-    val data = hdrs.getOrElse("data", s"$prefix$v")
-    val hit = st.overlappingRect(bands).map(f => s"$dir/$data/${f.file}")
+    val dataDirs = dataDirsFrom(hdrs, v, prefix)
+    // plain commits key stats by path RELATIVE to their one data dir;
+    // append commits key by path relative to the TABLE dir, since one
+    // stats line spans files from several data dirs (the marker header
+    // decides — a v0 append is single-dir but already table-relative)
+    val (base, toPath) =
+      if (hdrs.contains("append"))
+        (s"$dir", (f: FileStats) => s"$dir/${f.file}")
+      else
+        (s"$dir/${dataDirs.head}",
+          (f: FileStats) => s"$dir/${dataDirs.head}/${f.file}")
+    val hit = st.matching(bands).map(toPath)
     val df =
       // basePath pins partition discovery to the DATA DIR: without it,
       // leaf files under p=.../ would each anchor their own base and
@@ -356,7 +655,7 @@ object GraftTable {
       // (diverging from the empty-set branch, which serves
       // readVersion's full schema)
       if (hit.nonEmpty)
-        spark.read.option("basePath", s"$dir/$data").parquet(hit: _*)
+        spark.read.option("basePath", base).parquet(hit: _*)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         readVersion(spark, dir, v, prefix).schema)
     (df, hit, st.files.size)
@@ -397,7 +696,10 @@ object GraftTable {
         "(the clone records a ../<src> relative data reference)")
     val srcName = new Path(srcDir).getName
     val hdrs = parseCommit(commitContent(fs, srcDir, sv))._1
-    val rel = s"../$srcName/${hdrs.getOrElse("data", s"v$sv")}"
+    // every data dir the source's current version references (an append
+    // version references its whole chain), each re-pointed through ../
+    val rel = dataDirsFrom(hdrs, sv, "v")
+      .map(d => s"../$srcName/$d").mkString(",")
     // a dv-bearing source snapshot clones WITH its deletion vector —
     // the tombstone dir re-referenced through the same ../ indirection
     // as the data (dropping it would silently resurrect deleted rows
@@ -406,8 +708,16 @@ object GraftTable {
       val Array(dvDir, keys) = spec.split(";", 2)
       s"../$srcName/$dvDir;$keys"
     }
+    // stats travel with a single-dir reference (paths stay relative to
+    // that dir). An APPEND source's stats are keyed relative to the
+    // SOURCE table dir — unrepresentable from the clone without an
+    // out-of-table base — so the clone drops them (re-derivable by a
+    // stats-bearing rewrite; skipping is an optimization, never truth)
+    val st =
+      if (hdrs.contains("append")) None
+      else hdrs.get("stats").map(TableStats.decode)
     commit(fs, dstDir, 0, metadata, dataDir = Some(rel),
-      stats = hdrs.get("stats").map(TableStats.decode), dv = dvRel)
+      stats = st, dv = dvRel, schema = hdrs.get("schema"))
   }
 
   /** Stage `df` as the data of version `v` WITHOUT committing. Overwrite
@@ -456,7 +766,9 @@ object GraftTable {
   def commit(fs: FileSystem, dir: String, v: Int, metadata: String,
       retain: Int = Int.MaxValue, prefix: String = "v",
       dataDir: Option[String] = None, stats: Option[TableStats] = None,
-      dv: Option[String] = None): Unit = {
+      dv: Option[String] = None, appendDir: Option[String] = None,
+      schema: Option[String] = None, tsMs: Option[Long] = None,
+      retainMs: Long = Long.MaxValue): Unit = {
     // metadata is ONE line that must not masquerade as a header: an
     // embedded newline would split it across feed rows / future header
     // parses, and a leading reserved key=` prefix would be read back as
@@ -486,6 +798,17 @@ object GraftTable {
       require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
         s"dv= header must be '<tombstoneDir>;<keyCol[,keyCol…]>': '$spec'")
     }
+    // an append marker must name one of the version's own data dirs —
+    // versionDelta's fast path reads exactly that dir as the delta —
+    // and an append version never carries a deletion vector (tombstones
+    // would silently subtract rows from the marker dir's "added" set)
+    appendDir.foreach { a =>
+      require(dataDir.exists(_.split(",").contains(a)),
+        s"append= dir '$a' is not among the commit's data dirs " +
+          s"(${dataDir.getOrElse("<none>")})")
+      require(dv.isEmpty,
+        "an append commit cannot carry a deletion vector — purge first")
+    }
     // version numbers are GAP-FREE by contract — `currentVersion`'s
     // probe-forward resolution depends on it (a commit beyond cur+1
     // would be invisible until the gap filled). v <= cur is allowed
@@ -504,9 +827,27 @@ object GraftTable {
     // ts= is always recorded (versionAsOf prefers it over FS mtime) and
     // incidentally guarantees a commit file is never zero-byte, so the
     // streaming manifest feed can never silently skip an empty-metadata
-    // version.
+    // version. The written instant is CLAMPED to the predecessor's
+    // ts + 1: under multi-writer clock skew or an NTP step-back a raw
+    // wall clock can decrease with version, and then versionAsOf (max
+    // version with ts <= asOf) resolves a snapshot that was never
+    // current at the queried instant — Delta's in-commit timestamps
+    // clamp to parent+1 for exactly this reason. One extra header read
+    // per commit buys TIMESTAMP AS OF monotonicity. An explicit `tsMs`
+    // (history imports, retention tests) is written verbatim — the
+    // monotonicity guarantee is the clock path's.
+    val ts = tsMs.getOrElse {
+      val prevTs =
+        if (v == 0) Long.MinValue
+        else parseCommit(commitContent(fs, dir, v - 1))._1
+          .get("ts").flatMap(_.toLongOption).getOrElse(Long.MinValue)
+      math.max(System.currentTimeMillis(),
+        if (prevTs == Long.MinValue) Long.MinValue else prevTs + 1)
+    }
     val content = dataDir.map(n => s"data=$n\n").getOrElse("") +
-      s"ts=${System.currentTimeMillis()}\n" +
+      appendDir.map(n => s"append=$n\n").getOrElse("") +
+      s"ts=$ts\n" +
+      schema.map(sc => s"schema=$sc\n").getOrElse("") +
       stats.map(st => s"stats=${st.encoded}\n").getOrElse("") +
       dv.map(d => s"dv=$d\n").getOrElse("") +
       metadata
@@ -533,10 +874,11 @@ object GraftTable {
     if (retain != Int.MaxValue) {
       // GC by the version encoded in the dir NAME (covers data dirs in
       // both naming forms AND dvN_ tombstone dirs) — but never a dir a
-      // retained commit still references
+      // retained commit still references (an append CHAIN keeps its
+      // predecessors' dirs referenced by every live successor)
       val keep = versions(fs, dir).filter(_ >= v - retain).flatMap { kv =>
         val hdrs = parseCommit(commitContent(fs, dir, kv))._1
-        hdrs.getOrElse("data", s"$prefix$kv") ::
+        dataDirsFrom(hdrs, kv, prefix) ++
           hdrs.get("dv").map(_.split(";", 2)(0)).toList
       }.toSet
       fs.listStatus(new Path(dir)).foreach { st =>
@@ -547,6 +889,11 @@ object GraftTable {
           fs.delete(st.getPath, true)
       }
     }
+    // time-based retention composes with (or replaces) the count-based
+    // window: reclaim the data of versions whose commit instant has
+    // aged out, never the just-committed current version's
+    if (retainMs != Long.MaxValue)
+      expireVersions(fs, dir, retainMs, prefix = prefix)
   }
 
   /** Version encoded in a data-dir name: `$prefix$N` (convention) or
@@ -577,14 +924,19 @@ object GraftTable {
           .rename(src, dest, org.apache.hadoop.fs.Options.Rename.NONE)
     }
 
-  /** Stage + commit `df` as the next version; returns its number. */
+  /** Stage + commit `df` as the next version; returns its number. The
+    * schema gate runs BEFORE staging (see `schemaGate`) — a refused
+    * write creates neither a version nor an orphan dir. */
   def commitNext(spark: SparkSession, dir: String, df: DataFrame,
       metadata: String = "", retain: Int = Int.MaxValue,
-      prefix: String = "v"): Int = {
+      prefix: String = "v", allowEvolution: Boolean = false): Int = {
     val fs = fsOf(spark, dir)
-    val v = currentVersion(fs, dir).map(_ + 1).getOrElse(0)
+    val cur = currentHeaders(fs, dir)
+    schemaGate(cur.flatMap(_._2.get("schema")), df.schema, allowEvolution)
+    val v = cur.map(_._1 + 1).getOrElse(0)
     stage(df, dir, v, prefix)
-    commit(fs, dir, v, metadata, retain, prefix)
+    commit(fs, dir, v, metadata, retain, prefix,
+      schema = Some(schemaEncode(df.schema)))
     v
   }
 
@@ -607,10 +959,13 @@ object GraftTable {
     require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
       s"version $v was never committed under $dir")
     val hdrs = parseCommit(commitContent(fs, dir, v))._1
-    val data = hdrs.getOrElse("data", s"$prefix$v")
-    require(fs.exists(new Path(s"$dir/$data")),
-      s"version $v's data has been garbage-collected (retention)")
-    val base = spark.read.parquet(s"$dir/$data")
+    // one dir for plain versions; an append version's full dir list —
+    // every dir must still exist for the version to be readable
+    val dataDirs = dataDirsFrom(hdrs, v, prefix)
+    dataDirs.foreach(data =>
+      require(fs.exists(new Path(s"$dir/$data")),
+        s"version $v's data has been garbage-collected (retention)"))
+    val base = spark.read.parquet(dataDirs.map(d => s"$dir/$d"): _*)
     // merge-on-read: a dv= header names the version's tombstone keys;
     // the read subtracts them with a BROADCAST anti-join — the DV is
     // small by construction (deleted keys only), so at 100 TB the base
@@ -644,9 +999,13 @@ object GraftTable {
   def commitNextIsolated(spark: SparkSession, dir: String, df: DataFrame,
       metadata: String = "", retain: Int = Int.MaxValue,
       prefix: String = "v", partitionBy: Seq[String] = Nil,
-      statsCols: StatsCols = Nil): Int = {
+      statsCols: StatsCols = Nil, allowEvolution: Boolean = false): Int = {
     val fs = fsOf(spark, dir)
-    val v = currentVersion(fs, dir).map(_ + 1).getOrElse(0)
+    val cur = currentHeaders(fs, dir)
+    // gate BEFORE the write: a refused schema creates no version and no
+    // orphan staging dir
+    schemaGate(cur.flatMap(_._2.get("schema")), df.schema, allowEvolution)
+    val v = cur.map(_._1 + 1).getOrElse(0)
     val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     val w = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -654,7 +1013,8 @@ object GraftTable {
     val st =
       if (statsCols.isEmpty) None
       else Some(computeStats(spark, s"$dir/$data", statsCols))
-    commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data), stats = st)
+    commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data),
+      stats = st, schema = Some(schemaEncode(df.schema)))
     v
   }
 
@@ -665,15 +1025,23 @@ object GraftTable {
     * SQL as the `graft_history('<dir>')` TVF. */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fs = fsOf(spark, dir)
-    versions(fs, dir).map { v =>
-      val (hdrs, md) = parseCommit(commitContent(fs, dir, v))
+    historyRows(fsOf(spark, dir), dir)
+      .toDF("version", "metadata", "commit_ms", "has_stats", "has_dv",
+        "n_rows")
+  }
+
+  /** `history`'s row set against an explicit FileSystem — resolved
+    * through the manifest checkpoint when one exists (one checkpoint
+    * read + the post-checkpoint suffix of commit files, instead of one
+    * open per version; the probe-counting spec drives this split). */
+  private[graft] def historyRows(fs: FileSystem, dir: String)
+      : Seq[(Int, String, Long, Boolean, Boolean, Option[Long])] =
+    allCommitContents(fs, dir).map { case (v, c) =>
+      val (hdrs, md) = parseCommit(c)
       (v, md, commitTimeFrom(hdrs, fs, dir, v),
         hdrs.contains("stats"), hdrs.contains("dv"),
         hdrs.get("stats").map(TableStats.decode(_).files.map(_.rows).sum))
-    }.toDF("version", "metadata", "commit_ms", "has_stats", "has_dv",
-      "n_rows")
-  }
+    }
 
   /** The skipping index as a RELATION: one row per (file, stat column)
     * of version `v`'s recorded statistics — (file, rows, col, min,
@@ -731,8 +1099,11 @@ object GraftTable {
       case None => fresh
     }
     full.write.mode("errorifexists").parquet(s"$dir/$dvDir")
+    // the data is untouched, so the predecessor's recorded schema rides
+    // along — without it the NEXT full commit would skip the gate
     commit(fs, dir, v, metadata, prefix = prefix, dataDir = Some(data),
-      dv = Some(s"$dvDir;${keyCols.mkString(",")}"))
+      dv = Some(s"$dvDir;${keyCols.mkString(",")}"),
+      schema = hdrs.get("schema"))
     v
   }
 
@@ -762,18 +1133,24 @@ object GraftTable {
   def commitWithRetry(spark: SparkSession, dir: String,
       transform: Option[DataFrame] => DataFrame, metadata: String = "",
       maxAttempts: Int = 10, retain: Int = Int.MaxValue,
-      prefix: String = "v"): Int = {
+      prefix: String = "v", allowEvolution: Boolean = false): Int = {
     var attempt = 0
     while (true) {
       attempt += 1
       val fs = fsOf(spark, dir)
-      val cur = currentVersion(fs, dir)
-      val out = transform(cur.map(v => readVersion(spark, dir, v, prefix)))
-      val v = cur.map(_ + 1).getOrElse(0)
+      val cur = currentHeaders(fs, dir)
+      val out = transform(cur.map { case (v, _) =>
+        readVersion(spark, dir, v, prefix)
+      })
+      // gate against the snapshot this attempt read — before the write,
+      // so a refused schema stages nothing
+      schemaGate(cur.flatMap(_._2.get("schema")), out.schema, allowEvolution)
+      val v = cur.map(_._1 + 1).getOrElse(0)
       val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
       out.write.mode("errorifexists").parquet(s"$dir/$data")
       try {
-        commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data))
+        commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data),
+          schema = Some(schemaEncode(out.schema)))
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -784,6 +1161,113 @@ object GraftTable {
     }
     -1 // unreachable
   }
+
+  /** APPEND-ONLY OCC commit: write `df`'s rows ONCE to a writer-private
+    * dir, then commit a version whose data= list is the current
+    * version's dirs PLUS the new one, retrying ONLY the (cheap,
+    * O(manifest)) commit step on a lost race — an append reads no
+    * snapshot, so unlike `commitWithRetry` there is nothing to
+    * re-execute and the already-staged files are re-referenced verbatim
+    * under the next version number (Delta's conflict checker lets blind
+    * appends land for the same reason; here the loser pays one more
+    * commit-file publish, never a second write of the data). The
+    * staged dir is named at first resolution and REUSED across
+    * attempts, so a lost race leaves no orphan for `vacuum`.
+    *
+    * Contracts: the appended schema must match the current version's
+    * exactly (the reader unions the dir list — see `schemaGate`'s
+    * append context, re-checked per attempt against the fresh winner);
+    * the current version must not carry a deletion vector (tombstones
+    * would subtract from the marker dir's "added" set — purge first);
+    * `statsCols` extends the table's skipping index incrementally —
+    * stats are computed over the NEW files only (they are the hot ones)
+    * and merged with the predecessor's line, re-keyed table-relative,
+    * which requires the predecessor to carry stats on the same columns.
+    * `versionDelta` serves this version's delta from the marker dir
+    * alone — the append-only CDC fast path. Returns the version. */
+  def commitAppendWithRetry(spark: SparkSession, dir: String, df: DataFrame,
+      metadata: String = "", maxAttempts: Int = 10,
+      retain: Int = Int.MaxValue, prefix: String = "v",
+      statsCols: StatsCols = Nil): Int = {
+    val fs = fsOf(spark, dir)
+    // pre-flight gate against the CURRENT version so a refused schema
+    // writes nothing; re-checked per attempt in case the winner evolved
+    def gate(cur: Option[(Int, Map[String, String])]): Unit =
+      cur.foreach { case (_, h) =>
+        require(!h.contains("dv"),
+          "cannot append onto a version carrying a deletion vector — " +
+            "purgeDeleteVector first")
+        require(statsCols.isEmpty || h.contains("stats"),
+          "append with statsCols requires the current version to carry " +
+            "stats on the same columns (partial statistics would " +
+            "under-count every stats-served read)")
+        schemaGate(h.get("schema"), df.schema, allowEvolution = false,
+          context = "append")
+      }
+    val cur0 = currentHeaders(fs, dir)
+    gate(cur0)
+    // stage ONCE: the dir name carries the version seen at stage time;
+    // on a lost race the same dir is re-referenced under the winner's
+    // successor number (dirVersion still parses it for vacuum/GC — and
+    // the name can never collide with the live chain, which only grows)
+    val added = s"$prefix${cur0.map(_._1 + 1).getOrElse(0)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode("errorifexists").parquet(s"$dir/$added")
+    val newStats =
+      if (statsCols.isEmpty) None
+      else Some(computeStats(spark, s"$dir/$added", statsCols))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = if (attempt == 1) cur0 else currentHeaders(fs, dir)
+      if (attempt > 1) gate(cur)
+      val prevDirs = cur.map { case (c, h) => dataDirsFrom(h, c, prefix) }
+        .getOrElse(Seq.empty)
+      val v = cur.map(_._1 + 1).getOrElse(0)
+      // merged stats line, table-relative keys: the new files prefixed
+      // with their dir; the predecessor's entries re-keyed by ITS dir
+      // unless it was an append version (already table-relative)
+      val mergedStats = newStats.map { ns =>
+        val mine = ns.files.map(f => f.copy(file = s"$added/${f.file}"))
+        cur match {
+          case Some((c, h)) =>
+            val prev = TableStats.decode(h.getOrElse("stats", sys.error(
+              "append statsCols require predecessor stats")))
+            require(prev.cols == ns.cols,
+              s"append statsCols ${ns.cols} must match the table's " +
+                s"recorded stat columns ${prev.cols}")
+            val prevRel =
+              if (h.contains("append")) prev.files
+              else {
+                val pd = dataDirsFrom(h, c, prefix).head
+                prev.files.map(f => f.copy(file = s"$pd/${f.file}"))
+              }
+            TableStats(ns.cols, prevRel ++ mine)
+          case None => TableStats(ns.cols, mine)
+        }
+      }
+      try {
+        commit(fs, dir, v, metadata, retain, prefix,
+          dataDir = Some((prevDirs :+ added).mkString(",")),
+          stats = mergedStats, appendDir = Some(added),
+          schema = Some(schemaEncode(df.schema)))
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Single-attempt `commitAppendWithRetry` — the plain append commit
+    * (a lost race surfaces as ConcurrentModificationException for the
+    * caller's own loop). */
+  def commitAppend(spark: SparkSession, dir: String, df: DataFrame,
+      metadata: String = "", retain: Int = Int.MaxValue,
+      prefix: String = "v", statsCols: StatsCols = Nil): Int =
+    commitAppendWithRetry(spark, dir, df, metadata, maxAttempts = 1,
+      retain, prefix, statsCols)
 
   // ---- exactly-once streaming ingest ----------------------------------------
 
@@ -800,7 +1284,7 @@ object GraftTable {
     * Returns the committed version, or None for a detected replay. */
   def commitEpoch(spark: SparkSession, dir: String, epochId: Long,
       retain: Int = Int.MaxValue, prefix: String = "v",
-      statsCols: StatsCols = Nil)
+      statsCols: StatsCols = Nil, checkpointEvery: Int = 0)
       (df: => DataFrame): Option[Int] = {
     val fs = fsOf(spark, dir)
     // Replay detection in O(1) for the common case: walk versions
@@ -819,8 +1303,19 @@ object GraftTable {
       .flatMap(_.stripPrefix("epoch=").toLongOption)
       .nextOption()
     if (newestEpoch.exists(epochId <= _)) None
-    else Some(commitNextIsolated(spark, dir, df, s"epoch=$epochId", retain,
-      prefix, statsCols = statsCols))
+    else {
+      val v = commitNextIsolated(spark, dir, df, s"epoch=$epochId", retain,
+        prefix, statsCols = statsCols)
+      // periodic manifest checkpoint (Delta's every-N-commits cadence):
+      // keeps the long-lived streaming table's full-history consumers —
+      // history(), versionAsOf — at O(1 + suffix) commit-file reads.
+      // Best-effort like the _last hint: a failed checkpoint write
+      // degrades readers to per-file resolution, never correctness.
+      if (checkpointEvery > 0 && v > 0 && v % checkpointEvery == 0)
+        try checkpoint(fs, dir)
+        catch { case _: java.io.IOException => () }
+      Some(v)
+    }
   }
 
   /** Streaming writer INTO the versioned store: every micro-batch of
@@ -839,12 +1334,13 @@ object GraftTable {
   def streamingSink(dir: String, checkpointDir: String, stream: DataFrame,
       retain: Int = Int.MaxValue, prefix: String = "v",
       transform: (Option[DataFrame], DataFrame) => DataFrame = (_, b) => b,
-      statsCols: StatsCols = Nil)
+      statsCols: StatsCols = Nil, checkpointEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, epochId) => {
         val s = batch.sparkSession
-        commitEpoch(s, dir, epochId, retain, prefix, statsCols) {
+        commitEpoch(s, dir, epochId, retain, prefix, statsCols,
+          checkpointEvery) {
           val fs = fsOf(s, dir)
           transform(currentVersion(fs, dir).map(_ => read(s, dir, prefix)),
             batch.toDF())
@@ -865,9 +1361,12 @@ object GraftTable {
     * the header existed fall back to the commit file's FS modification
     * time. None when no commit existed yet at `asOfMs`. */
   def versionAsOf(fs: FileSystem, dir: String, asOfMs: Long): Option[Int] =
-    versions(fs, dir).filter { v =>
-      commitTimeMs(fs, dir, v) <= asOfMs
-    }.maxOption
+    // full-history scan through the checkpoint when one exists (one
+    // read + suffix), else per-file — ts headers are clamped monotone
+    // by `commit`, so the max-version filter is a prefix test
+    allCommitContents(fs, dir).filter { case (v, c) =>
+      commitTimeFrom(parseCommit(c)._1, fs, dir, v) <= asOfMs
+    }.map(_._1).maxOption
 
   /** Wall-clock commit time of version `v`: the ts= header when present
     * (every commit since it was introduced writes one), else FS mtime. */
@@ -911,7 +1410,7 @@ object GraftTable {
   def checkedCommit(spark: SparkSession, dir: String, df: DataFrame,
       rules: Seq[(String, org.apache.spark.sql.Column)],
       metadata: String = "", retain: Int = Int.MaxValue,
-      prefix: String = "v"): Int = {
+      prefix: String = "v", allowEvolution: Boolean = false): Int = {
     require(rules.nonEmpty, "checkedCommit without rules is commitNextIsolated")
     import org.apache.spark.sql.functions.{count, lit, sum, when}
     val aggs = rules.map { case (name, pred) =>
@@ -923,7 +1422,8 @@ object GraftTable {
     if (bad.nonEmpty)
       throw new IllegalStateException("commit refused — expectation " +
         "violations: " + bad.map { case (n, c) => s"$n=$c" }.mkString(", "))
-    commitNextIsolated(spark, dir, df, metadata, retain, prefix)
+    commitNextIsolated(spark, dir, df, metadata, retain, prefix,
+      allowEvolution = allowEvolution)
   }
 
   /** Reclaim ORPHANED data dirs: dirs carrying a version number at or
@@ -951,14 +1451,14 @@ object GraftTable {
     if (committed.isEmpty) return Seq.empty
     val cur = committed.max
     val cutoff = System.currentTimeMillis() - graceMs
-    // referenced = every retained commit's data dir AND deletion-vector
+    // referenced = every retained commit's data dirs AND deletion-vector
     // dir — a dv dir stays live as long as ANY commit names it (time
     // travel to a dv-bearing version still applies its tombstones); an
     // orphan dv dir (a race-losing commitDeleteVector's staging) is
     // reclaimable garbage like any other unreferenced staging dir
     val referenced = committed.flatMap { v =>
       val hdrs = parseCommit(commitContent(fs, dir, v))._1
-      hdrs.getOrElse("data", s"$prefix$v") ::
+      dataDirsFrom(hdrs, v, prefix) ++
         hdrs.get("dv").map(_.split(";", 2)(0)).toList
     }.toSet
     fs.listStatus(new Path(dir)).toSeq
@@ -967,26 +1467,101 @@ object GraftTable {
         !referenced.contains(n) &&
           (dirVersion(n, prefix).exists(_ <= cur) ||
             dirVersion(n, "dv").exists(_ <= cur)) &&
-          st.getModificationTime <= cutoff
+          // the grace age is the NEWEST mtime inside the dir, not the
+          // dir's own: on object stores directory mtimes are synthetic
+          // or zero, so a just-staged in-flight writer's dir could look
+          // ancient and be yanked despite the grace window. An empty or
+          // unreadable dir falls back to the dir entry's own mtime.
+          (graceMs == 0L || {
+            val newest =
+              try fs.listStatus(st.getPath)
+                .map(_.getModificationTime).maxOption
+                .getOrElse(st.getModificationTime)
+              catch { case _: java.io.IOException => st.getModificationTime }
+            newest <= cutoff
+          })
       }
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
   }
+
+  /** TIME-BASED retention — the wall-clock companion of `commit`'s
+    * count-based `retain`: reclaim the data (and dv) dirs of every
+    * version whose commit instant (the ts= header, clamped monotone at
+    * write) is older than `nowMs - retainMs` — EXCEPT the current
+    * version, and except dirs a live (non-expired) version still
+    * references: an append chain's early dirs stay as long as any live
+    * successor lists them, exactly like count-based GC. Commit files
+    * always remain (history is forever); `readVersion`/`readAsOf` on an
+    * expired version keep failing loudly with the retention message.
+    * `nowMs` is a parameter so retention horizons are testable against
+    * back-dated histories. Returns the versions whose data was actually
+    * reclaimed (an expired version fully shadowed by live references
+    * stays readable and is not reported). */
+  def expireVersions(fs: FileSystem, dir: String, retainMs: Long,
+      nowMs: Long = System.currentTimeMillis(),
+      prefix: String = "v"): Seq[Int] =
+    currentVersion(fs, dir) match {
+      case None => Seq.empty
+      case Some(cur) =>
+        val cutoff = nowMs - retainMs
+        val all = (0 to cur).map { v =>
+          val hdrs = parseCommit(commitContent(fs, dir, v))._1
+          (v, hdrs, commitTimeFrom(hdrs, fs, dir, v))
+        }
+        def refs(v: Int, hdrs: Map[String, String]): Seq[String] =
+          dataDirsFrom(hdrs, v, prefix) ++
+            hdrs.get("dv").map(_.split(";", 2)(0)).toList
+        val expired = all.filter { case (v, _, ts) => v != cur && ts < cutoff }
+        val expiredSet = expired.map(_._1).toSet
+        val keep = all.collect {
+          case (v, h, _) if !expiredSet.contains(v) => refs(v, h)
+        }.flatten.toSet
+        // only dirs still PRESENT count — a re-run over an already
+        // expired history is a no-op, not a re-report (idempotent
+        // maintenance, like vacuum)
+        val doomed = expired.flatMap { case (v, h, _) => refs(v, h) }
+          .distinct.filterNot(keep)
+          .filter(d => fs.exists(new Path(s"$dir/$d")))
+        doomed.foreach(d => fs.delete(new Path(s"$dir/$d"), true))
+        val doomedSet = doomed.toSet
+        expired.collect {
+          case (v, h, _) if refs(v, h).exists(doomedSet) => v
+        }
+    }
 
   // ---- change-data feed ---------------------------------------------------
 
   /** CDC delta of committed version `v`: the rows `v` ADDED relative to
     * `v - 1` (multiset semantics via exceptAll, so duplicate rows that
     * gained a copy are reported once per gained copy). Version 0's delta
-    * is its full content. This is the change-query primitive over a
-    * grow-by-append table history — both versions must still be within
-    * retention. At scale the exceptAll is one hash-partitioned shuffle of
-    * the two snapshots; an append-ONLY writer can skip it entirely by
-    * reading just the files version v added, which `cdcSubscribe`'s
-    * per-version batch handler is free to do instead. */
+    * is its full content.
+    *
+    * APPEND fast path: a version committed through `commitAppend*`
+    * carries an append= marker naming the one dir it added, and its
+    * delta is exactly that dir's contents — a plain scan of the NEW
+    * files, no exchange, no read of the previous snapshot (the multiset
+    * identity is structural: v's file set = v-1's ⊎ the marker dir, and
+    * append versions never carry a dv, so cur.exceptAll(prev) ≡ the
+    * marker dir row-for-row). Every other version pays the general
+    * path: one hash-partitioned shuffle of the two snapshots. At 10⁵
+    * append commits this is what turns a `cdcSubscribe` consumer from
+    * O(2 × snapshot) per version into O(files added). */
   def versionDelta(spark: SparkSession, dir: String, v: Int,
       prefix: String = "v"): DataFrame = {
-    val cur = readVersion(spark, dir, v, prefix)
-    if (v == 0) cur else cur.exceptAll(readVersion(spark, dir, v - 1, prefix))
+    val fs = fsOf(spark, dir)
+    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
+      s"version $v was never committed under $dir")
+    val hdrs = parseCommit(commitContent(fs, dir, v))._1
+    hdrs.get("append").filter(_ => v > 0) match {
+      case Some(added) =>
+        require(fs.exists(new Path(s"$dir/$added")),
+          s"version $v's data has been garbage-collected (retention)")
+        spark.read.parquet(s"$dir/$added")
+      case None =>
+        val cur = readVersion(spark, dir, v, prefix)
+        if (v == 0) cur
+        else cur.exceptAll(readVersion(spark, dir, v - 1, prefix))
+    }
   }
 
   /** Streaming CDC feed of the table's COMMITS: one row
