@@ -170,8 +170,13 @@ object GraftTable {
   def checkpoint(fs: FileSystem, dir: String): Int = {
     val cur = currentVersion(fs, dir).getOrElse(
       sys.error(s"nothing to checkpoint: no committed version under $dir"))
+    // resolve the prefix through the PREVIOUS checkpoint (same path the
+    // readers use): periodic checkpointing stays O(suffix) per call —
+    // re-reading all commit files each time would make a streaming
+    // table's total checkpoint I/O quadratic in its version count
+    val contents = allCommitContents(fs, dir)
     val body = (s"v=$cur" +:
-      (0 to cur).map(v => s"$v\t${urlEnc(commitContent(fs, dir, v))}") :+
+      contents.map { case (v, c) => s"$v\t${urlEnc(c)}" } :+
       s"end=$cur").mkString("\n")
     val mdir = new Path(s"$dir/manifest")
     val tmp = new Path(mdir, s"._cptmp_${java.util.UUID.randomUUID()}")
@@ -188,12 +193,22 @@ object GraftTable {
     * derived data (a newer one merely covers a longer prefix). */
   private def replaceAtomic(fs: FileSystem, src: Path, dest: Path): Unit =
     fs match {
-      case _: LocalFileSystem | _: RawLocalFileSystem =>
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath),
-          java.nio.file.Paths.get(fs.makeQualified(dest).toUri.getPath),
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem =>
+        def local(p: Path) =
+          java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+        java.nio.file.Files.move(local(src), local(dest),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // the raw NIO move bypasses the checksum layer: relocate the
+        // sidecar .crc alongside (identical bytes → checksum stays
+        // valid for the new name) so repeated checkpoints don't litter
+        // the manifest dir with one orphaned crc per call
+        try {
+          val (sc, dc) = (cfs.getChecksumFile(src), cfs.getChecksumFile(dest))
+          if (java.nio.file.Files.exists(local(sc)))
+            java.nio.file.Files.move(local(sc), local(dc),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } catch { case _: java.io.IOException => () }
       case _ =>
         org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
           .rename(src, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -268,13 +283,18 @@ object GraftTable {
     *                    name:type list) — what the write-time schema
     *                    compatibility gate validates the NEXT commit
     *                    against (see `schemaGate`)
+    *   partby=<cols>    the version's data dir is a partitionBy layout
+    *                    on these columns — what `commitAppend*` refuses
+    *                    to append onto (a flat appended dir beside a
+    *                    partitioned one makes the union unreadable:
+    *                    Spark rejects conflicting directory structures)
     *
     * Keeping headers line-oriented keeps old manifests readable: a
     * round-12 commit file with no ts= line still parses (mtime fallback
     * in `versionAsOf`), and one with no schema= line simply skips the
     * write gate for its successor. */
   private val headerKeys =
-    Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=")
+    Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=", "partby=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
@@ -305,8 +325,16 @@ object GraftTable {
     * recorded in its commit file; convention-path commits default to
     * `$prefix$v`). */
   def dataDirOf(fs: FileSystem, dir: String, v: Int,
-      prefix: String = "v"): String =
-    parseCommit(commitContent(fs, dir, v))._1.getOrElse("data", s"$prefix$v")
+      prefix: String = "v"): String = {
+    val dirs = dataDirsOf(fs, dir, v, prefix)
+    // an append version references a dir LIST; returning the raw
+    // comma-joined header here would hand callers a nonexistent path
+    // that fails far from the cause — refuse loudly instead
+    require(dirs.size == 1,
+      s"version $v references ${dirs.size} data dirs (append chain) — " +
+        "use dataDirsOf")
+    dirs.head
+  }
 
   /** Data dirs (≥1) version `v`'s commit references, in commit order:
     * the data= header as a comma-separated list — APPEND commits
@@ -369,14 +397,19 @@ object GraftTable {
       // construction (sum/add of decimal(12,2) is decimal(22,2)+), so a
       // MERGE-style read-modify-write would otherwise need
       // allowEvolution on every commit — the value domain only grows,
-      // which is the type-widening carve-out Delta makes too
+      // which is the type-widening carve-out Delta makes too. The
+      // carve-out does NOT extend to appends: an append version's
+      // reader unions PHYSICAL parquet schemas across dirs, and a
+      // widened decimal can change the physical encoding (INT64 →
+      // FIXED_LEN_BYTE_ARRAY), making the committed version unreadable
+      // — appends are exact, full stop.
       val decRe = """decimal\((\d+),(\d+)\)""".r
       def losslessWiden(from: String, to: String): Boolean =
-        (from, to) match {
+        context != "append" && ((from, to) match {
           case (decRe(p1, s1), decRe(p2, s2)) =>
             s1 == s2 && p2.toInt >= p1.toInt
           case _ => false
-        }
+        })
       val retyped = prev.keySet.intersect(nxt.keySet).toSeq.sorted
         .filter(k => prev(k) != nxt(k) && !losslessWiden(prev(k), nxt(k)))
         .map(k => s"$k: ${prev(k)} -> ${nxt(k)}")
@@ -717,7 +750,8 @@ object GraftTable {
       if (hdrs.contains("append")) None
       else hdrs.get("stats").map(TableStats.decode)
     commit(fs, dstDir, 0, metadata, dataDir = Some(rel),
-      stats = st, dv = dvRel, schema = hdrs.get("schema"))
+      stats = st, dv = dvRel, schema = hdrs.get("schema"),
+      partBy = hdrs.get("partby"))
   }
 
   /** Stage `df` as the data of version `v` WITHOUT committing. Overwrite
@@ -768,7 +802,8 @@ object GraftTable {
       dataDir: Option[String] = None, stats: Option[TableStats] = None,
       dv: Option[String] = None, appendDir: Option[String] = None,
       schema: Option[String] = None, tsMs: Option[Long] = None,
-      retainMs: Long = Long.MaxValue): Unit = {
+      retainMs: Long = Long.MaxValue, partBy: Option[String] = None,
+      prevTs: Option[Long] = None): Unit = {
     // metadata is ONE line that must not masquerade as a header: an
     // embedded newline would split it across feed rows / future header
     // parses, and a leading reserved key=` prefix would be read back as
@@ -835,19 +870,23 @@ object GraftTable {
     // clamp to parent+1 for exactly this reason. One extra header read
     // per commit buys TIMESTAMP AS OF monotonicity. An explicit `tsMs`
     // (history imports, retention tests) is written verbatim — the
-    // monotonicity guarantee is the clock path's.
+    // monotonicity guarantee is the clock path's. A caller that already
+    // holds the predecessor's headers passes `prevTs` so the clamp
+    // costs no second commit-file read on the hot write path.
     val ts = tsMs.getOrElse {
-      val prevTs =
+      val pts = prevTs.getOrElse {
         if (v == 0) Long.MinValue
         else parseCommit(commitContent(fs, dir, v - 1))._1
           .get("ts").flatMap(_.toLongOption).getOrElse(Long.MinValue)
+      }
       math.max(System.currentTimeMillis(),
-        if (prevTs == Long.MinValue) Long.MinValue else prevTs + 1)
+        if (pts == Long.MinValue) Long.MinValue else pts + 1)
     }
     val content = dataDir.map(n => s"data=$n\n").getOrElse("") +
       appendDir.map(n => s"append=$n\n").getOrElse("") +
       s"ts=$ts\n" +
       schema.map(sc => s"schema=$sc\n").getOrElse("") +
+      partBy.map(p => s"partby=$p\n").getOrElse("") +
       stats.map(st => s"stats=${st.encoded}\n").getOrElse("") +
       dv.map(d => s"dv=$d\n").getOrElse("") +
       metadata
@@ -936,9 +975,16 @@ object GraftTable {
     val v = cur.map(_._1 + 1).getOrElse(0)
     stage(df, dir, v, prefix)
     commit(fs, dir, v, metadata, retain, prefix,
-      schema = Some(schemaEncode(df.schema)))
+      schema = Some(schemaEncode(df.schema)), prevTs = prevTsOf(cur))
     v
   }
+
+  /** The predecessor's ts= from ALREADY-PARSED current headers — what
+    * the write paths hand to `commit`'s clamp so it never re-opens the
+    * commit file they just read (MinValue = "known absent", still no
+    * re-read). */
+  private def prevTsOf(cur: Option[(Int, Map[String, String])]): Option[Long] =
+    cur.map(_._2.get("ts").flatMap(_.toLongOption).getOrElse(Long.MinValue))
 
   /** The manifest-resolved CURRENT snapshot — the only sanctioned latest
     * read; never point a reader at a data dir directly. */
@@ -1014,7 +1060,10 @@ object GraftTable {
       if (statsCols.isEmpty) None
       else Some(computeStats(spark, s"$dir/$data", statsCols))
     commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data),
-      stats = st, schema = Some(schemaEncode(df.schema)))
+      stats = st, schema = Some(schemaEncode(df.schema)),
+      partBy =
+        if (partitionBy.nonEmpty) Some(partitionBy.mkString(",")) else None,
+      prevTs = prevTsOf(cur))
     v
   }
 
@@ -1099,11 +1148,13 @@ object GraftTable {
       case None => fresh
     }
     full.write.mode("errorifexists").parquet(s"$dir/$dvDir")
-    // the data is untouched, so the predecessor's recorded schema rides
-    // along — without it the NEXT full commit would skip the gate
+    // the data is untouched, so the predecessor's recorded schema (and
+    // layout marker) ride along — without them the NEXT commit would
+    // skip the gate / a later append would miss the partition refusal
     commit(fs, dir, v, metadata, prefix = prefix, dataDir = Some(data),
       dv = Some(s"$dvDir;${keyCols.mkString(",")}"),
-      schema = hdrs.get("schema"))
+      schema = hdrs.get("schema"), partBy = hdrs.get("partby"),
+      prevTs = prevTsOf(Some((cur, hdrs))))
     v
   }
 
@@ -1150,7 +1201,7 @@ object GraftTable {
       out.write.mode("errorifexists").parquet(s"$dir/$data")
       try {
         commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data),
-          schema = Some(schemaEncode(out.schema)))
+          schema = Some(schemaEncode(out.schema)), prevTs = prevTsOf(cur))
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1184,23 +1235,60 @@ object GraftTable {
     * and merged with the predecessor's line, re-keyed table-relative,
     * which requires the predecessor to carry stats on the same columns.
     * `versionDelta` serves this version's delta from the marker dir
-    * alone — the append-only CDC fast path. Returns the version. */
+    * alone — the append-only CDC fast path.
+    *
+    * Metadata posture, deliberately Iceberg-shaped: every commit file
+    * is a SELF-CONTAINED snapshot (the full dir list + the full merged
+    * stats line), so resolving any version costs ONE commit-file read —
+    * no log replay, ever (Delta's opposite trade: O(1) commit files,
+    * O(log) replay bounded by checkpoints). The cost is that an append
+    * commit's size grows with the chain (O(dirs) + O(files) stats),
+    * exactly like an Iceberg snapshot's manifest list — so long append
+    * chains are expected to be COMPACTED periodically into one statted
+    * dir (`commitNextIsolated(read(dir), statsCols = …)`, the
+    * table_compact_version OPTIMIZE pattern), which resets the chain
+    * and the commit-file size in one atomic version. At a
+    * compact-every-100-appends cadence the commit file stays KB-scale
+    * while appends stay O(new data). Returns the version. */
   def commitAppendWithRetry(spark: SparkSession, dir: String, df: DataFrame,
       metadata: String = "", maxAttempts: Int = 10,
       retain: Int = Int.MaxValue, prefix: String = "v",
       statsCols: StatsCols = Nil): Int = {
     val fs = fsOf(spark, dir)
-    // pre-flight gate against the CURRENT version so a refused schema
-    // writes nothing; re-checked per attempt in case the winner evolved
+    // pre-flight gate against the CURRENT version so a refused append
+    // writes NOTHING — every contract violation below fails before the
+    // distributed write, like schemaGate everywhere else; re-checked
+    // per attempt in case the winner evolved
     def gate(cur: Option[(Int, Map[String, String])]): Unit =
       cur.foreach { case (_, h) =>
         require(!h.contains("dv"),
           "cannot append onto a version carrying a deletion vector — " +
             "purgeDeleteVector first")
-        require(statsCols.isEmpty || h.contains("stats"),
-          "append with statsCols requires the current version to carry " +
-            "stats on the same columns (partial statistics would " +
-            "under-count every stats-served read)")
+        require(!h.contains("partby"),
+          s"cannot append onto a partitionBy layout (${h("partby")}): a " +
+            "flat appended dir beside a partitioned one makes the union " +
+            "unreadable — commit a full version instead")
+        val prevStatCols = h.get("stats")
+          .map(_.split(";", 2)(0).split(",").toSeq.map(urlDec))
+        (prevStatCols, statsCols.map(_._1)) match {
+          case (None, mine) if mine.nonEmpty =>
+            throw new IllegalArgumentException(
+              "append with statsCols requires the current version to " +
+                "carry stats (partial statistics would under-count " +
+                "every stats-served read)")
+          case (Some(theirs), mine) if mine.isEmpty =>
+            throw new IllegalArgumentException(
+              s"appending WITHOUT statsCols onto a stats-bearing table " +
+                s"would silently drop the skipping index for the whole " +
+                s"chain — pass statsCols on $theirs to extend it (or " +
+                "rewrite via commitNextIsolated to drop stats " +
+                "deliberately)")
+          case (Some(theirs), mine) if mine.nonEmpty && theirs != mine =>
+            throw new IllegalArgumentException(
+              s"append statsCols $mine must match the table's recorded " +
+                s"stat columns $theirs")
+          case _ => ()
+        }
         schemaGate(h.get("schema"), df.schema, allowEvolution = false,
           context = "append")
       }
@@ -1250,7 +1338,7 @@ object GraftTable {
         commit(fs, dir, v, metadata, retain, prefix,
           dataDir = Some((prevDirs :+ added).mkString(",")),
           stats = mergedStats, appendDir = Some(added),
-          schema = Some(schemaEncode(df.schema)))
+          schema = Some(schemaEncode(df.schema)), prevTs = prevTsOf(cur))
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1467,17 +1555,21 @@ object GraftTable {
         !referenced.contains(n) &&
           (dirVersion(n, prefix).exists(_ <= cur) ||
             dirVersion(n, "dv").exists(_ <= cur)) &&
-          // the grace age is the NEWEST mtime inside the dir, not the
-          // dir's own: on object stores directory mtimes are synthetic
-          // or zero, so a just-staged in-flight writer's dir could look
-          // ancient and be yanked despite the grace window. An empty or
-          // unreadable dir falls back to the dir entry's own mtime.
+          // the grace age is the NEWEST FILE mtime anywhere under the
+          // dir (recursive — a partitionBy staging dir nests its files
+          // two levels down), not the dir's own: on object stores
+          // directory mtimes are synthetic or zero, so a just-staged
+          // in-flight writer's dir could look ancient and be yanked
+          // despite the grace window. A file-less or unreadable dir
+          // falls back to the dir entry's own mtime.
           (graceMs == 0L || {
             val newest =
-              try fs.listStatus(st.getPath)
-                .map(_.getModificationTime).maxOption
-                .getOrElse(st.getModificationTime)
-              catch { case _: java.io.IOException => st.getModificationTime }
+              try {
+                val it = fs.listFiles(st.getPath, true)
+                var m = Long.MinValue
+                while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+                if (m == Long.MinValue) st.getModificationTime else m
+              } catch { case _: java.io.IOException => st.getModificationTime }
             newest <= cutoff
           })
       }

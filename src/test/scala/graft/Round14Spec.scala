@@ -248,6 +248,100 @@ class Round14Spec extends SparkSpec {
     assert(GraftTable.read(spark, dir).count() == 2)
   }
 
+  test("append refusals close every unreadable-version hole: partitioned predecessor, widened decimal, stats drop/mismatch — all refused BEFORE staging") {
+    import spark.implicits._
+    // partitioned predecessor: a flat append would make the union
+    // unreadable (conflicting directory structures) — refused up front
+    val (dirP, fsP) = fresh("g14_appendpart")
+    GraftTable.commitNextIsolated(spark, dirP,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "price"),
+      "partitioned base", partitionBy = Seq("p"))
+    val beforeP = fsP.listStatus(new Path(dirP)).map(_.getPath.getName).toSet
+    val eP = intercept[IllegalArgumentException] {
+      GraftTable.commitAppend(spark, dirP,
+        Seq((3L, "c", 30.0)).toDF("k", "p", "price"), "flat append")
+    }
+    assert(eP.getMessage.contains("partitionBy"), eP.getMessage)
+    assert(fsP.listStatus(new Path(dirP)).map(_.getPath.getName).toSet
+      == beforeP, "refused append must stage nothing")
+    // ...and the partby marker survives a MoR delete, so the refusal
+    // still fires N versions later
+    GraftTable.commitDeleteVector(spark, dirP,
+      Seq(Tuple1(1L)).toDF("k"), Seq("k"), "dv")
+    intercept[IllegalArgumentException] {
+      GraftTable.commitAppend(spark, dirP,
+        Seq((3L, "c", 30.0)).toDF("k", "p", "price"), "still flat")
+    }
+    // widened decimal: lossless for full commits, but an append reader
+    // unions PHYSICAL parquet schemas — exactness is the contract
+    val (dirW, _) = fresh("g14_appendwiden")
+    GraftTable.commitNextIsolated(spark, dirW,
+      Seq((1L, BigDecimal("10.50"))).toDF("k", "price")
+        .select(col("k"), col("price").cast("decimal(12,2)").as("price")),
+      "narrow base")
+    val eW = intercept[IllegalArgumentException] {
+      GraftTable.commitAppend(spark, dirW,
+        Seq((2L, BigDecimal("20.50"))).toDF("k", "price")
+          .select(col("k"), col("price").cast("decimal(22,2)").as("price")),
+        "widened append")
+    }
+    assert(eW.getMessage.contains("append"), eW.getMessage)
+    // stats discipline: silent index drop and column mismatch both
+    // refused before the write
+    val (dirS, fsS) = fresh("g14_appendstatsgate")
+    GraftTable.commitNextIsolated(spark, dirS,
+      Seq((1L, 5L)).toDF("k", "m"), "statted base",
+      statsCols = Seq("k" -> identity))
+    val beforeS = fsS.listStatus(new Path(dirS)).map(_.getPath.getName).toSet
+    val eS1 = intercept[IllegalArgumentException] {
+      GraftTable.commitAppend(spark, dirS, Seq((2L, 6L)).toDF("k", "m"),
+        "statless append")
+    }
+    assert(eS1.getMessage.contains("skipping index"), eS1.getMessage)
+    val eS2 = intercept[IllegalArgumentException] {
+      GraftTable.commitAppend(spark, dirS, Seq((2L, 6L)).toDF("k", "m"),
+        "wrong stat col", statsCols = Seq("m" -> identity))
+    }
+    assert(eS2.getMessage.contains("stat columns"), eS2.getMessage)
+    assert(fsS.listStatus(new Path(dirS)).map(_.getPath.getName).toSet
+      == beforeS, "stats refusals must stage nothing")
+    // the aligned append still works
+    GraftTable.commitAppend(spark, dirS, Seq((2L, 6L)).toDF("k", "m"),
+      "aligned", statsCols = Seq("k" -> identity))
+    assert(GraftTable.rowCountOf(fsS, dirS, 1).contains(2L))
+    // and dataDirOf refuses the multi-dir version instead of handing
+    // back a nonexistent comma-joined path
+    val eD = intercept[IllegalArgumentException] {
+      GraftTable.dataDirOf(fsS, dirS, 1)
+    }
+    assert(eD.getMessage.contains("dataDirsOf"), eD.getMessage)
+  }
+
+  test("re-checkpointing is O(suffix) and leaves no tmp/crc litter in the manifest dir") {
+    val (dir, fs) = fresh("g14_cp_incr")
+    (0 until 20).foreach(i => GraftTable.commitNext(spark, dir, tinyDf(i),
+      s"load $i"))
+    GraftTable.checkpoint(fs, dir)
+    (20 until 25).foreach(i => GraftTable.commitNext(spark, dir, tinyDf(i),
+      s"load $i"))
+    val counting = new CountingFs(fs)
+    GraftTable.checkpoint(counting, dir)
+    assert(counting.opens.get() <= 9,
+      s"a re-checkpoint must resolve its prefix from the previous " +
+        s"checkpoint, not re-read every commit file " +
+        s"(${counting.opens.get()} opens for 25 commits)")
+    // the refreshed checkpoint covers everything and the manifest dir
+    // holds no leftover tmp or orphaned crc sidecars
+    assert(GraftTable.readCheckpoint(fs, dir).map(_._1).contains(24))
+    val names = fs.listStatus(new Path(s"$dir/manifest"))
+      .map(_.getPath.getName).toSeq
+    assert(!names.exists(_.contains("_cptmp_")),
+      s"checkpoint tmp litter: $names")
+    val raw = new java.io.File(s"$dir/manifest").list().toSeq
+    assert(!raw.exists(_.contains("_cptmp_")),
+      s"orphaned checkpoint tmp/crc sidecars on disk: $raw")
+  }
+
   // ---- time-based retention -------------------------------------------------
 
   test("expireVersions: back-dated versions lose their data (never the current, never a dir a live version references); expired reads fail loudly; history survives") {
