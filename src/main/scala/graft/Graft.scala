@@ -184,6 +184,8 @@ object Graft {
         historyTvf, "scala_udf")
       treg.createOrReplaceTempFunction("graft_stats",
         statsTvf, "scala_udf")
+      treg.createOrReplaceTempFunction("graft_typed_changes",
+        typedChangesTvf, "scala_udf")
     }
   }
 
@@ -206,6 +208,24 @@ object Graft {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     tableFnPlan("graft_stats", exprs,
       (d, v) => sources.GraftTable.statsTable(SparkSession.active, d, v))
+
+  /** `graft_typed_changes('<dir>', v, '<key[,key…]>')` — the typed
+    * CHANGE DATA FEED as a relation: table columns + change_type ∈
+    * insert / delete / update_preimage / update_postimage, the SQL
+    * twin of `GraftTable.changeFeed` (Delta's `table_changes(...)`
+    * surface). Three literal arguments; the key list names the CDF
+    * identity columns the full-outer diff joins on. */
+  private[graft] def typedChangesTvf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3 && exprs.forall(_.foldable),
+      "graft_typed_changes(dir, version, keyCols) requires three " +
+        "literal arguments")
+    sources.GraftTable.changeFeed(SparkSession.active,
+      exprs(0).eval().toString, exprs(1).eval().toString.toInt,
+      exprs(2).eval().toString.split(",").toSeq.map(_.trim))
+      .queryExecution.logical
+  }
 
   /** `graft_history('<dir>')` — the DESCRIBE HISTORY audit TVF. */
   private[graft] def historyTvf(

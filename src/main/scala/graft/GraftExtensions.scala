@@ -64,5 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_stats"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.Graft.statsTvf(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_typed_changes"),
+      new ExpressionInfo(graft.sources.GraftTable.getClass.getName,
+        "graft_typed_changes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.Graft.typedChangesTvf(exprs)))
   }
 }

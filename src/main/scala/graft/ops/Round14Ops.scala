@@ -423,6 +423,205 @@ object Round14Ops {
       }.reduce(_ unionByName _)
         .withColumn("n_after_restart", lit(afterRestart.toLong))
         .orderBy("version", "o_orderkey")
+    }),
+
+    // OPTIMIZE: base + append leave a 2-dir chain; compactChain folds
+    // it back to ONE dir (a coalesce rewrite — narrow, no shuffle) as
+    // v2, and the chain keeps growing on top (v3 appends the last
+    // slice). The final snapshot tiles orders exactly; the dir counts
+    // and the v1≡v2 row/revenue identity (compaction rewrites bytes,
+    // never rows) sit inside the oracle hash. This is the other half of
+    // the append trade: appends keep writes O(new data), compaction
+    // keeps reads O(bounded dirs) — a 10⁵-append chain without it pays
+    // per-dir listing forever.
+    "table_compact_chain" -> ((s, d) => {
+      val dir = freshDir(s, d, "compact")
+      val o = ordersKP(s, d)
+      GraftTable.commitNextIsolated(s, dir,
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 0), "base load")
+      GraftTable.commitAppend(s, dir,
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 1), "append slice 1")
+      val fs = GraftTable.fsOf(s, dir)
+      val dirsBefore = GraftTable.dataDirsOf(fs, dir, 1).size
+      def snapAgg(v: Int): (Long, java.math.BigDecimal) = {
+        // exact DECIMAL sum — associative, so the identity check cannot
+        // flake on the compaction's different partitioning
+        val r = GraftTable.readVersion(s, dir, v)
+          .agg(count(lit(1)),
+            sum(col("price").cast(DecimalType(18, 4)))).collect()(0) // 1 row
+        (r.getLong(0), r.getDecimal(1))
+      }
+      val before = snapAgg(1)
+      val cv = GraftTable.compactChain(s, dir, targetFiles = 2, "optimize")
+      val after = snapAgg(cv)
+      val dirsCompacted = GraftTable.dataDirsOf(fs, dir, cv).size
+      GraftTable.commitAppend(s, dir,
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 2), "append slice 2")
+      val dirsFinal = GraftTable.dataDirsOf(fs, dir, cv + 1).size
+      GraftTable.read(s, dir)
+        .withColumn("n_dirs_before", lit(dirsBefore.toLong))
+        .withColumn("n_dirs_compacted", lit(dirsCompacted.toLong))
+        .withColumn("n_dirs_final", lit(dirsFinal.toLong))
+        .withColumn("compact_preserves",
+          lit(before._1 == after._1 && before._2.compareTo(after._2) == 0))
+        .orderBy("o_orderkey")
+    }),
+
+    // Point-lookup file skipping through the per-file Bloom sidecar:
+    // orders clustered by ORDERKEY, so every file's [min,max] custkey
+    // range spans the whole domain and the stats line could prune
+    // NOTHING for `o_custkey = ?` — the Bloom index is what turns the
+    // equality probe into a bounded file set (and the absent-key probe
+    // into ~zero opens; Round14bSpec counts both read sets against
+    // per-file ground truth). Results never depend on the index: the
+    // row-level equality re-applies after the file-level skip, which is
+    // exactly what the oracle recomputes from the raw table.
+    "scan_bloom_skipping" -> ((s, d) => {
+      val dir = freshDir(s, d, "bloomskip")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          money(dec(col("o_totalprice"))).as("price"))
+        .repartitionByRange(8, col("o_orderkey"))
+      GraftTable.commitNextIsolated(s, dir, o, "bloom on o_custkey",
+        bloomCol = Some("o_custkey"))
+      // deterministic probes at every SF: the smallest customer in
+      // orders (present), and one far past the domain (absent)
+      val probe = t(s, d, "orders")
+        .agg(min(col("o_custkey"))).collect()(0).getLong(0) // 1 row
+      val (hitDf, _, _) = GraftTable.readBloomEq(s, dir, 0, "o_custkey", probe)
+      val (absDf, _, _) =
+        GraftTable.readBloomEq(s, dir, 0, "o_custkey", probe + 100000000L)
+      val hits = hitDf.filter(col("o_custkey") === probe)
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("price"))).as("rev")) // exact decimal re-sum
+      val absent = absDf.filter(col("o_custkey") === probe + 100000000L)
+        .agg(count(lit(1)).as("n_absent"))
+      hits.crossJoin(absent) // two 1-row aggregates
+        .select(lit(probe).as("probe_custkey"), col("n_orders"),
+          money(col("rev")).as("rev"), col("n_absent"))
+    }),
+
+    // Typed CHANGE DATA FEED over the three-arm merge: v0 = customer
+    // balances, v1 = the U/I/D merge; changeFeed derives insert /
+    // delete / update_preimage / update_postimage rows from ONE
+    // full-outer key join of the two snapshots — and the untouched arm
+    // (customers with no orders) emits NOTHING, which the oracle's
+    // recompute pins (an extra feed row for an unchanged key
+    // hash-mismatches). The append tier of the same API serves inserts
+    // with no join at all (Round14bSpec pins that plan).
+    "table_cdc_typed" -> ((s, d) => {
+      val dir = freshDir(s, d, "cdctyped")
+      val base = t(s, d, "customer")
+        .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal"))
+      GraftTable.commitNextIsolated(s, dir, base, "base")
+      val chg = t(s, d, "orders").groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("delta"))
+        .select(
+          when(col("o_custkey") % 10 === 0, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")).as("ckey"),
+          when(col("o_custkey") % 10 === 3, lit("D"))
+            .when(col("o_custkey") % 10 === 0, lit("I"))
+            .otherwise(lit("U")).as("op"),
+          col("delta"))
+      val merged = GraftTable.read(s, dir)
+        .join(chg, col("key") === col("ckey"), "full")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(coalesce(col("key"), col("ckey")).as("key"),
+          (coalesce(col("bal"), lit(0).cast(DecimalType(12, 2))) +
+            coalesce(col("delta"), lit(0).cast(DecimalType(12, 2)))).as("bal"))
+      GraftTable.commitNextIsolated(s, dir, merged, "merge U/I/D")
+      GraftTable.changeFeed(s, dir, 1, Seq("key"))
+        .select(col("key"), money(col("bal")).as("bal"), col("change_type"))
+        .orderBy("key", "change_type")
+    }),
+
+    // The Bloom index survives the chain: the base commit AND the
+    // append each carry their own self-described `_bloom` sidecar (the
+    // append gate refuses a bloom-less append onto an indexed table),
+    // and a point lookup probes dir by dir — the probed customer's
+    // orders span both slices, so a chain walk that missed either dir
+    // would under-count inside the oracle hash. n_dirs = 2 pins that
+    // the probe really served from a two-dir chain.
+    "table_append_bloom" -> ((s, d) => {
+      val dir = freshDir(s, d, "appendbloom")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          money(dec(col("o_totalprice"))).as("price"))
+      GraftTable.commitNextIsolated(s, dir,
+        o.filter(col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+          .repartitionByRange(4, col("o_orderkey")),
+        "base: pre-1996", bloomCol = Some("o_custkey"))
+      GraftTable.commitAppend(s, dir,
+        o.filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")))
+          .repartitionByRange(4, col("o_orderkey")),
+        "append: 1996+", bloomCol = Some("o_custkey"))
+      val nDirs =
+        GraftTable.dataDirsOf(GraftTable.fsOf(s, dir), dir, 1).size
+      val probe = t(s, d, "orders")
+        .agg(min(col("o_custkey"))).collect()(0).getLong(0) // 1 row
+      val (bdf, _, _) = GraftTable.readBloomEq(s, dir, 1, "o_custkey", probe)
+      bdf.filter(col("o_custkey") === probe)
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("price"))).as("rev0")) // exact decimal re-sum
+        .select(lit(probe).as("probe_custkey"), col("n_orders"),
+          money(col("rev0")).as("rev"), lit(nDirs.toLong).as("n_dirs"))
+    }),
+
+    // Incremental materialized-view maintenance from the TYPED feed —
+    // the classic CDF consumer: a per-bucket (count, sum) aggregate is
+    // folded forward with feed deltas only (insert adds, delete
+    // subtracts, update applies post − pre), never re-reading the new
+    // snapshot's aggregate. The oracle recomputes the merged snapshot's
+    // aggregate directly, so any classification error, missed arm, or
+    // double-applied image breaks the hash. At 100 TB this is the
+    // difference between O(changes) and O(table) per refresh; in
+    // production the feed rows arrive from cdcSubscribeTyped (append
+    // versions join-free) instead of being derived locally.
+    "table_mv_typed_maintain" -> ((s, d) => {
+      val dir = freshDir(s, d, "mvtyped")
+      val base = t(s, d, "customer")
+        .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal"))
+      GraftTable.commitNextIsolated(s, dir, base, "base")
+      val chg = t(s, d, "orders").groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("delta"))
+        .select(
+          when(col("o_custkey") % 10 === 0, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")).as("ckey"),
+          when(col("o_custkey") % 10 === 3, lit("D"))
+            .when(col("o_custkey") % 10 === 0, lit("I"))
+            .otherwise(lit("U")).as("op"),
+          col("delta"))
+      val merged = GraftTable.read(s, dir)
+        .join(chg, col("key") === col("ckey"), "full")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(coalesce(col("key"), col("ckey")).as("key"),
+          (coalesce(col("bal"), lit(0).cast(DecimalType(12, 2))) +
+            coalesce(col("delta"), lit(0).cast(DecimalType(12, 2)))).as("bal"))
+      GraftTable.commitNextIsolated(s, dir, merged, "merge U/I/D")
+      val mv0 = GraftTable.readVersion(s, dir, 0)
+        .groupBy(pmod(col("key"), lit(10)).as("bucket"))
+        .agg(count(lit(1)).as("n0"), sum(col("bal")).as("t0"))
+      val ct = col("change_type")
+      val adj = GraftTable.changeFeed(s, dir, 1, Seq("key"))
+        .groupBy(pmod(col("key"), lit(10)).as("bucket"))
+        .agg(
+          sum(when(ct.isin("insert", "update_postimage"), col("bal"))
+            .when(ct.isin("delete", "update_preimage"), -col("bal")))
+            .as("dt"),
+          sum(when(ct === "insert", 1L)
+            .when(ct === "delete", -1L).otherwise(0L)).as("dn"))
+      mv0.join(adj, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n"),
+          money(coalesce(col("t0"), lit(0).cast(DecimalType(12, 2))) +
+            coalesce(col("dt"), lit(0).cast(DecimalType(12, 2))))
+            .as("total"))
+        // a group whose members were ALL deleted folds to n = 0; a
+        // direct recompute serves no row for it — drop empty groups,
+        // the MV convention that keeps fold ≡ recompute
+        .filter(col("n") > 0)
+        .orderBy("bucket")
     })
   )
 
@@ -512,6 +711,82 @@ object Round14Ops {
     "table_stream_rows" ->
       (s"SELECT version, o_orderkey, price, CAST(1 AS BIGINT) " +
         s"AS n_after_restart FROM ($oSliceTile) " +
-        "ORDER BY version, o_orderkey")
+        "ORDER BY version, o_orderkey"),
+
+    // The compacted chain still tiles orders exactly; 2 dirs fold to 1
+    // and grow back to 2 on the next append; compaction preserved the
+    // v1 snapshot bit-for-bit (count + exact decimal revenue).
+    "table_compact_chain" ->
+      (s"SELECT o_orderkey, ${oMoney(oDec("o_totalprice"))} AS price, " +
+        "CAST(2 AS BIGINT) AS n_dirs_before, " +
+        "CAST(1 AS BIGINT) AS n_dirs_compacted, " +
+        "CAST(2 AS BIGINT) AS n_dirs_final, " +
+        "TRUE AS compact_preserves " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    // The Bloom-served probe must agree with the raw recompute (file
+    // skipping admits false positives, never false negatives — the
+    // row-level filter decides), and the absent key serves zero rows.
+    "scan_bloom_skipping" ->
+      ("WITH p AS (SELECT MIN(o_custkey) AS ck FROM orders) " +
+        "SELECT p.ck AS probe_custkey, " +
+        "CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS rev, " +
+        "CAST(0 AS BIGINT) AS n_absent " +
+        "FROM p LEFT JOIN orders o ON o.o_custkey = p.ck GROUP BY p.ck"),
+
+    // Replay of the typed diff: full-outer key join of the two
+    // snapshots, one row per insert/delete, two per update, NONE for
+    // the untouched arm.
+    "table_cdc_typed" ->
+      (s"WITH base AS (SELECT c_custkey AS key, ${oDec("c_acctbal")} AS bal " +
+        "FROM customer), " +
+        s"chg AS (SELECT CASE WHEN o_custkey % 10 = 0 " +
+        "THEN o_custkey + 10000000 ELSE o_custkey END AS ckey, " +
+        "CASE WHEN o_custkey % 10 = 3 THEN 'D' " +
+        "WHEN o_custkey % 10 = 0 THEN 'I' ELSE 'U' END AS op, " +
+        s"SUM(${oDec("o_totalprice")}) AS delta FROM orders GROUP BY 1, 2), " +
+        "m AS (SELECT COALESCE(key, ckey) AS key, " +
+        "COALESCE(bal, 0) + COALESCE(delta, 0) AS bal " +
+        "FROM base FULL JOIN chg ON key = ckey " +
+        "WHERE op IS NULL OR op <> 'D'), " +
+        "f AS (SELECT b.key AS bk, b.bal AS bbal, m.key AS mk, m.bal AS mbal " +
+        "FROM base b FULL JOIN m ON b.key = m.key) " +
+        s"SELECT mk AS key, ${oMoney("mbal")} AS bal, " +
+        "'insert' AS change_type FROM f WHERE bk IS NULL " +
+        s"UNION ALL SELECT bk, ${oMoney("bbal")}, 'delete' " +
+        "FROM f WHERE mk IS NULL " +
+        s"UNION ALL SELECT bk, ${oMoney("bbal")}, 'update_preimage' " +
+        "FROM f WHERE bk IS NOT NULL AND mk IS NOT NULL AND bbal <> mbal " +
+        s"UNION ALL SELECT mk, ${oMoney("mbal")}, 'update_postimage' " +
+        "FROM f WHERE bk IS NOT NULL AND mk IS NOT NULL AND bbal <> mbal " +
+        "ORDER BY key, change_type"),
+
+    // The chain-probed point lookup must agree with the raw recompute
+    // (both dirs served); the chain is exactly two dirs.
+    "table_append_bloom" ->
+      ("WITH p AS (SELECT MIN(o_custkey) AS ck FROM orders) " +
+        "SELECT p.ck AS probe_custkey, " +
+        "CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS rev, " +
+        "CAST(2 AS BIGINT) AS n_dirs " +
+        "FROM p LEFT JOIN orders o ON o.o_custkey = p.ck GROUP BY p.ck"),
+
+    // The incrementally folded MV must equal the merged snapshot's
+    // direct aggregate, bucket by bucket.
+    "table_mv_typed_maintain" ->
+      (s"WITH base AS (SELECT c_custkey AS key, ${oDec("c_acctbal")} AS bal " +
+        "FROM customer), " +
+        s"chg AS (SELECT CASE WHEN o_custkey % 10 = 0 " +
+        "THEN o_custkey + 10000000 ELSE o_custkey END AS ckey, " +
+        "CASE WHEN o_custkey % 10 = 3 THEN 'D' " +
+        "WHEN o_custkey % 10 = 0 THEN 'I' ELSE 'U' END AS op, " +
+        s"SUM(${oDec("o_totalprice")}) AS delta FROM orders GROUP BY 1, 2), " +
+        "m AS (SELECT COALESCE(key, ckey) AS key, " +
+        "COALESCE(bal, 0) + COALESCE(delta, 0) AS bal " +
+        "FROM base FULL JOIN chg ON key = ckey " +
+        "WHERE op IS NULL OR op <> 'D') " +
+        "SELECT key % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney("SUM(bal)")} AS total FROM m GROUP BY 1 ORDER BY bucket")
   )
 }

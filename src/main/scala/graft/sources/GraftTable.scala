@@ -288,13 +288,21 @@ object GraftTable {
     *                    to append onto (a flat appended dir beside a
     *                    partitioned one makes the union unreadable:
     *                    Spark rejects conflicting directory structures)
+    *   bloom=<col>|m|k  the version's data dir carries a per-file Bloom
+    *                    filter sidecar (`_bloom`, invisible to scans —
+    *                    Spark ignores underscore-prefixed files) on the
+    *                    URL-encoded column, m bits per file, k probes —
+    *                    the point-lookup skipping index `readBloomEq`
+    *                    serves (min/max bands can't prune an equality
+    *                    probe on an unclustered high-cardinality key)
     *
     * Keeping headers line-oriented keeps old manifests readable: a
     * round-12 commit file with no ts= line still parses (mtime fallback
     * in `versionAsOf`), and one with no schema= line simply skips the
     * write gate for its successor. */
   private val headerKeys =
-    Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=", "partby=")
+    Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=", "partby=",
+      "bloom=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
@@ -803,7 +811,7 @@ object GraftTable {
       dv: Option[String] = None, appendDir: Option[String] = None,
       schema: Option[String] = None, tsMs: Option[Long] = None,
       retainMs: Long = Long.MaxValue, partBy: Option[String] = None,
-      prevTs: Option[Long] = None): Unit = {
+      prevTs: Option[Long] = None, bloom: Option[String] = None): Unit = {
     // metadata is ONE line that must not masquerade as a header: an
     // embedded newline would split it across feed rows / future header
     // parses, and a leading reserved key=` prefix would be read back as
@@ -825,6 +833,13 @@ object GraftTable {
       "a commit cannot carry both stats= and dv=: file statistics " +
         "describe raw files and would serve deleted rows — purge the " +
         "deletion vector before committing statistics")
+    // same exclusion for the Bloom index: it describes RAW files, and a
+    // bloom-served point lookup under a deletion vector would surface
+    // tombstoned rows
+    require(bloom.isEmpty || dv.isEmpty,
+      "a commit cannot carry both bloom= and dv=: the Bloom index " +
+        "describes raw files and would serve deleted rows — purge the " +
+        "deletion vector before committing a Bloom index")
     // validate the dv spec at the WRITE boundary (<dir>;<keys>) — a
     // malformed header would otherwise surface as a MatchError in some
     // later readVersion/cloneShallow, far from the faulty writer
@@ -889,6 +904,7 @@ object GraftTable {
       partBy.map(p => s"partby=$p\n").getOrElse("") +
       stats.map(st => s"stats=${st.encoded}\n").getOrElse("") +
       dv.map(d => s"dv=$d\n").getOrElse("") +
+      bloom.map(b => s"bloom=$b\n").getOrElse("") +
       metadata
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -1045,7 +1061,8 @@ object GraftTable {
   def commitNextIsolated(spark: SparkSession, dir: String, df: DataFrame,
       metadata: String = "", retain: Int = Int.MaxValue,
       prefix: String = "v", partitionBy: Seq[String] = Nil,
-      statsCols: StatsCols = Nil, allowEvolution: Boolean = false): Int = {
+      statsCols: StatsCols = Nil, allowEvolution: Boolean = false,
+      bloomCol: Option[String] = None): Int = {
     val fs = fsOf(spark, dir)
     val cur = currentHeaders(fs, dir)
     // gate BEFORE the write: a refused schema creates no version and no
@@ -1059,11 +1076,19 @@ object GraftTable {
     val st =
       if (statsCols.isEmpty) None
       else Some(computeStats(spark, s"$dir/$data", statsCols))
+    // the Bloom sidecar is written INTO the data dir (underscore prefix
+    // keeps it invisible to every parquet scan) so it travels with the
+    // files it describes — through clones, retention, and data= renames
+    val bl = bloomCol.map { c =>
+      val tb = computeBloom(spark, s"$dir/$data", c)
+      writeBloomSidecar(fs, new Path(s"$dir/$data/$bloomSidecarName"), tb)
+      s"${urlEnc(c)}|${tb.m}|${tb.k}"
+    }
     commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data),
       stats = st, schema = Some(schemaEncode(df.schema)),
       partBy =
         if (partitionBy.nonEmpty) Some(partitionBy.mkString(",")) else None,
-      prevTs = prevTsOf(cur))
+      prevTs = prevTsOf(cur), bloom = bl)
     v
   }
 
@@ -1253,7 +1278,7 @@ object GraftTable {
   def commitAppendWithRetry(spark: SparkSession, dir: String, df: DataFrame,
       metadata: String = "", maxAttempts: Int = 10,
       retain: Int = Int.MaxValue, prefix: String = "v",
-      statsCols: StatsCols = Nil): Int = {
+      statsCols: StatsCols = Nil, bloomCol: Option[String] = None): Int = {
     val fs = fsOf(spark, dir)
     // pre-flight gate against the CURRENT version so a refused append
     // writes NOTHING — every contract violation below fails before the
@@ -1289,6 +1314,27 @@ object GraftTable {
                 s"stat columns $theirs")
           case _ => ()
         }
+        // same contract for the Bloom index: a chain is probed dir by
+        // dir, so every dir must carry a sidecar on the SAME column —
+        // a bloom-less append would silently blind the point lookups
+        (h.get("bloom").map(b => urlDec(b.split('|')(0))), bloomCol) match {
+          case (None, Some(_)) =>
+            throw new IllegalArgumentException(
+              "append with bloomCol requires the current version to " +
+                "carry a Bloom index (a partially indexed chain would " +
+                "under-serve every point lookup)")
+          case (Some(theirs), None) =>
+            throw new IllegalArgumentException(
+              s"appending WITHOUT bloomCol onto a Bloom-indexed table " +
+                s"would silently drop the point-lookup index for the " +
+                s"whole chain — pass bloomCol = Some(\"$theirs\") to " +
+                "extend it (or rewrite via commitNextIsolated)")
+          case (Some(theirs), Some(mine)) if theirs != mine =>
+            throw new IllegalArgumentException(
+              s"append bloomCol '$mine' must match the table's indexed " +
+                s"column '$theirs'")
+          case _ => ()
+        }
         schemaGate(h.get("schema"), df.schema, allowEvolution = false,
           context = "append")
       }
@@ -1304,6 +1350,14 @@ object GraftTable {
     val newStats =
       if (statsCols.isEmpty) None
       else Some(computeStats(spark, s"$dir/$added", statsCols))
+    // the appended dir gets its OWN sidecar (sized to its own files —
+    // each sidecar self-describes m/k in its header line, so chain dirs
+    // may differ); staged once, reused verbatim on a lost race
+    val newBloom = bloomCol.map { c =>
+      val tb = computeBloom(spark, s"$dir/$added", c)
+      writeBloomSidecar(fs, new Path(s"$dir/$added/$bloomSidecarName"), tb)
+      s"${urlEnc(c)}|${tb.m}|${tb.k}"
+    }
     var attempt = 0
     while (true) {
       attempt += 1
@@ -1338,7 +1392,8 @@ object GraftTable {
         commit(fs, dir, v, metadata, retain, prefix,
           dataDir = Some((prevDirs :+ added).mkString(",")),
           stats = mergedStats, appendDir = Some(added),
-          schema = Some(schemaEncode(df.schema)), prevTs = prevTsOf(cur))
+          schema = Some(schemaEncode(df.schema)), prevTs = prevTsOf(cur),
+          bloom = newBloom)
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1353,9 +1408,10 @@ object GraftTable {
     * caller's own loop). */
   def commitAppend(spark: SparkSession, dir: String, df: DataFrame,
       metadata: String = "", retain: Int = Int.MaxValue,
-      prefix: String = "v", statsCols: StatsCols = Nil): Int =
+      prefix: String = "v", statsCols: StatsCols = Nil,
+      bloomCol: Option[String] = None): Int =
     commitAppendWithRetry(spark, dir, df, metadata, maxAttempts = 1,
-      retain, prefix, statsCols)
+      retain, prefix, statsCols, bloomCol)
 
   // ---- exactly-once streaming ingest ----------------------------------------
 
@@ -1716,6 +1772,304 @@ object GraftTable {
           val v = r.getAs[Int]("version")
           onDelta(v, r.getAs[String]("metadata"),
             versionDelta(spark, dir, v, prefix))
+        }
+      }
+    commitFeed(spark, dir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(fn)
+      .start()
+  }
+
+  // ---- per-file Bloom index (point-lookup skipping) -------------------------
+
+  /** Sidecar file name inside a data dir. The underscore prefix is
+    * load-bearing: Spark's file sources skip `_`/`.`-prefixed files, so
+    * the sidecar is invisible to every parquet scan of the dir. */
+  private[graft] val bloomSidecarName = "_bloom"
+
+  /** A version's per-file Bloom index on one column: `m` bits and `k`
+    * probe positions per file, bits packed into longs. Min/max bands
+    * prune RANGES; on an unclustered high-cardinality key an equality
+    * probe overlaps every file's [min,max] and the stats line prunes
+    * nothing — the Bloom index is the point-lookup lever: a file whose
+    * k probed bits are not all set provably does not contain the value
+    * and is skipped without being listed or opened. False positives
+    * only ever OPEN an extra file; the row-level predicate still
+    * decides membership, so results never depend on the index. */
+  final case class TableBloom(col: String, m: Int, k: Int,
+      files: Seq[(String, Array[Long])]) {
+    /** Files that MIGHT contain a value probing at `positions` — the
+      * equality read set. A file missing any probed bit is skipped. */
+    def mightContain(positions: Seq[Int]): Seq[String] =
+      files.collect {
+        case (f, bits) if positions.forall(p => (bits(p >> 6) >>> (p & 63) & 1L) == 1L) => f
+      }
+    def encoded: String =
+      s"${urlEnc(col)}|$m|$k\n" + files.map { case (f, bits) =>
+        s"${urlEnc(f)}|${bits.map(l => f"$l%016x").mkString}"
+      }.mkString("\n")
+  }
+
+  private[graft] object TableBloom {
+    def decode(s: String): TableBloom = {
+      val lines = s.split("\n", -1).filter(_.nonEmpty)
+      val Array(c, mS, kS) = lines.head.split('|')
+      val files = lines.tail.toSeq.map { l =>
+        val Array(f, hex) = l.split('|')
+        (urlDec(f), hex.grouped(16)
+          .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray)
+      }
+      TableBloom(urlDec(c), mS.toInt, kS.toInt, files)
+    }
+  }
+
+  /** The k probe positions of `value` in an m-bit filter — evaluated
+    * with the SAME hash the distributed build uses (Catalyst's XxHash64
+    * over (value, seed_ordinal) at Spark's fixed seed), so a driver-side
+    * probe and an executor-side build can never disagree. `value` must
+    * be the Spark-runtime type of the indexed column (Long for a bigint
+    * column, String for a string one): xxhash64 hashes type-tagged
+    * bytes, and an Int probe of a bigint column would hash differently
+    * and miss. */
+  private def bloomPositions(value: Any, m: Int, k: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    (1 to k).map { s =>
+      val h = XxHash64(Seq(Literal(value), Literal(s)), 42L)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long]
+      (((h % m) + m) % m).toInt // pmod, matching the build expression
+    }
+  }
+
+  /** Distributed Bloom build: ONE pass over the just-written files —
+    * per row, k probe positions from `xxhash64(col, seed)`; per
+    * (file, word) a `bit_or` of the shifted bits; the driver collects
+    * file × (m/64) WORDS (metadata scale — never data, same contract as
+    * `computeStats`'s per-file rows). `m` is sized from the observed
+    * rows-per-file at ~12 bits/key (k=4 → ~0.6% false-positive rate),
+    * so the index stays accurate at any SF instead of saturating when
+    * files grow. Nulls probe nothing: SQL equality never matches NULL,
+    * so a null row needs no bits — and an all-null file gets an empty
+    * filter that every probe correctly skips. */
+  private def computeBloom(spark: SparkSession, dataPath: String,
+      bloomCol: String, bitsPerKey: Int = 12, k: Int = 4): TableBloom = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(dataPath)
+    val nFiles = math.max(1, df.inputFiles.length)
+    val rowsPerFile = math.max(1L, df.count() / nFiles)
+    val m = math.min(1L << 24,
+      math.max(1024L, ((rowsPerFile * bitsPerKey + 63) / 64) * 64)).toInt
+    val dataName = new Path(dataPath).getName
+    val relFile = regexp_replace(input_file_name(),
+      "^.*?/" + java.util.regex.Pattern.quote(dataName) + "/", "")
+    val words = df
+      .select(relFile.as("__file"), col(bloomCol).as("__x"))
+      .where(col("__x").isNotNull)
+      .select(col("__file"), explode(array((1 to k).map(s =>
+        pmod(xxhash64(col("__x"), lit(s)), lit(m.toLong))): _*)).as("__p"))
+      .groupBy(col("__file"), (col("__p") / 64).cast("int").as("__w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(__p % 64 as int)))").as("__bits"))
+      .collect() // file × word rows — bounded metadata, never data
+      .groupBy(_.getAs[String]("__file"))
+    // every file gets an entry, even one with no non-null value (its
+    // empty filter is exactly right: no probe can match)
+    val allFiles = spark.read.parquet(dataPath).select(relFile.as("__file"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val files = allFiles.toSeq.map { f =>
+      val bits = new Array[Long](m / 64)
+      words.getOrElse(f, Array.empty).foreach { r =>
+        bits(r.getAs[Int]("__w")) = r.getAs[Long]("__bits")
+      }
+      (f, bits)
+    }
+    TableBloom(bloomCol, m, k, files)
+  }
+
+  private def writeBloomSidecar(fs: FileSystem, p: Path,
+      tb: TableBloom): Unit = {
+    val out = fs.create(p, true)
+    try out.write(tb.encoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Point-lookup read through the Bloom index: resolve version `v`'s
+    * files that might contain `col = value` from the sidecars and read
+    * exactly those — skipped files are never listed or opened. An
+    * APPEND chain is probed dir by dir (every chain dir carries its own
+    * self-described sidecar — the append gate guarantees it — so the
+    * per-dir filters stay sized to their own files and an old dir's
+    * index is never rebuilt by a new append). Returns (DataFrame over
+    * candidate files, paths read, total files) like `readStatsBands`;
+    * the caller re-applies the equality row-level (file granularity
+    * admits false positives, never false negatives). An empty candidate
+    * set — the common case probing for an absent key, and the whole
+    * point at 10⁵ files — reads NOTHING. */
+  def readBloomEq(spark: SparkSession, dir: String, v: Int, col: String,
+      value: Any, prefix: String = "v"): (DataFrame, Seq[String], Int) = {
+    val fs = fsOf(spark, dir)
+    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
+      s"version $v was never committed under $dir")
+    val hdrs = parseCommit(commitContent(fs, dir, v))._1
+    val spec = hdrs.getOrElse("bloom", sys.error(
+      s"version $v of $dir carries no Bloom index in its commit"))
+    require(urlDec(spec.split('|')(0)) == col,
+      s"version $v's Bloom index is on column " +
+        s"'${urlDec(spec.split('|')(0))}', not '$col'")
+    val dataDirs = dataDirsFrom(hdrs, v, prefix)
+    val perDir = dataDirs.map { dd =>
+      val tb = TableBloom.decode(
+        readSmallFile(fs, new Path(s"$dir/$dd/$bloomSidecarName")))
+      require(tb.col == col,
+        s"chain dir $dd carries a Bloom index on '${tb.col}', not '$col'")
+      (dd, tb)
+    }
+    val hit = perDir.flatMap { case (dd, tb) =>
+      tb.mightContain(bloomPositions(value, tb.m, tb.k))
+        .map(f => s"$dir/$dd/$f")
+    }
+    val total = perDir.map(_._2.files.size).sum
+    // one dir → anchor partition discovery to it (partitionBy layouts);
+    // a chain → anchor to the table dir so the per-dir paths coexist
+    val base = if (dataDirs.size == 1) s"$dir/${dataDirs.head}" else dir
+    val df =
+      if (hit.nonEmpty)
+        spark.read.option("basePath", base).parquet(hit: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        readVersion(spark, dir, v, prefix).schema)
+    (df, hit, total)
+  }
+
+  // ---- chain compaction (OPTIMIZE) ------------------------------------------
+
+  /** Compact the CURRENT version into a single fresh data dir of at
+    * most `targetFiles` files, committed as the next version — the
+    * OPTIMIZE half of the append trade: `commitAppend` keeps the write
+    * path O(new data) but each append adds a dir, and a 10⁵-append
+    * chain pays per-dir listing + per-small-file open on every read.
+    * Compaction folds the chain back to one dir; the rewrite is
+    * `coalesce` (a NARROW dependency — no shuffle: files merge within
+    * partitions, the right plan when the goal is fewer files, not a new
+    * distribution). Predecessor versions keep serving unchanged (their
+    * dirs are untouched), so time travel works across the compaction
+    * boundary, and once retention ages them out the old chain dirs are
+    * reclaimable. A deletion vector on the predecessor is APPLIED by
+    * the rewrite — compaction doubles as the purge, and the compacted
+    * commit carries no dv. The skipping indexes are NOT silently
+    * dropped: compacting a stats-bearing (or Bloom-indexed) version
+    * requires re-declaring `statsCols` (`bloomCol`) — same contract as
+    * the append gate — because index ordinals are code, not headers,
+    * and a fresh layout needs freshly computed file ranges anyway.
+    * A partitionBy layout compacts per-partition (the writer re-splits
+    * by the same columns; `targetFiles` then bounds files per written
+    * task, not the total). */
+  def compactChain(spark: SparkSession, dir: String, targetFiles: Int = 1,
+      metadata: String = "compact", prefix: String = "v",
+      statsCols: StatsCols = Nil, bloomCol: Option[String] = None): Int = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1 (got $targetFiles)")
+    val fs = fsOf(spark, dir)
+    val (c, h) = currentHeaders(fs, dir).getOrElse(sys.error(
+      s"nothing to compact: no version committed under $dir"))
+    if (h.contains("stats") && statsCols.isEmpty)
+      throw new IllegalArgumentException(
+        "compacting a stats-bearing table without statsCols would " +
+          "silently drop the skipping index for the rewritten layout — " +
+          "re-declare the stat columns (or rewrite via " +
+          "commitNextIsolated to drop stats deliberately)")
+    if (h.contains("bloom") && bloomCol.isEmpty)
+      throw new IllegalArgumentException(
+        "compacting a Bloom-indexed table without bloomCol would " +
+          "silently drop the point-lookup index — re-declare the " +
+          "indexed column (or rewrite via commitNextIsolated)")
+    val partBy = h.get("partby").map(_.split(",").toSeq).getOrElse(Nil)
+    val snap = readVersion(spark, dir, c, prefix)
+    val compacted = if (partBy.isEmpty) snap.coalesce(targetFiles) else snap
+    commitNextIsolated(spark, dir, compacted, metadata, prefix = prefix,
+      partitionBy = partBy, statsCols = statsCols, bloomCol = bloomCol)
+  }
+
+  // ---- typed change-data feed -----------------------------------------------
+
+  /** CHANGE DATA FEED between versions v-1 and v, typed the way Delta's
+    * CDF types it: every emitted row is a table row plus a
+    * `change_type` ∈ insert / delete / update_preimage /
+    * update_postimage. Two cost tiers, resolved from the commit header:
+    *
+    *  - an APPEND version (and v=0) emits its added rows as inserts via
+    *    the CDC fast path — a plain scan of the marker dir, no join, no
+    *    read of the previous snapshot;
+    *  - any other version (merge rewrites, MoR deletes, …) derives the
+    *    typed diff from ONE full-outer join of the two snapshots on
+    *    `keyCols`: key only in v → insert, only in v-1 → delete, in
+    *    both with ANY column changed (null-safely compared) → pre+post
+    *    image pair, unchanged → nothing.
+    *
+    * Contract: `keyCols` must be NON-NULL and uniquely key both
+    * snapshots (the CDF notion of identity — a null key never joins and
+    * would misread as delete+insert; duplicate keys would
+    * cross-multiply), and both versions must share a schema (diff an
+    * evolved version by rewrite instead). The general tier costs one hash
+    * shuffle of both snapshots — exactly `versionDelta`'s exceptAll
+    * cost but with TYPED output; the append tier costs O(files added),
+    * which is why high-churn ingest should append. */
+  def changeFeed(spark: SparkSession, dir: String, v: Int,
+      keyCols: Seq[String], prefix: String = "v"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "changeFeed needs at least one key column")
+    val fs = fsOf(spark, dir)
+    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
+      s"version $v was never committed under $dir")
+    val hdrs = parseCommit(commitContent(fs, dir, v))._1
+    if (v == 0 || hdrs.contains("append"))
+      versionDelta(spark, dir, v, prefix)
+        .withColumn("change_type", lit("insert"))
+    else {
+      val prev0 = readVersion(spark, dir, v - 1, prefix)
+      val cur = readVersion(spark, dir, v, prefix)
+      val cols = cur.columns.toSeq
+      require(prev0.columns.toSeq == cols,
+        s"changeFeed requires both versions to share a schema " +
+          s"(v${v - 1}: ${prev0.columns.toSeq}, v$v: $cols)")
+      // align the preimage side to v's column TYPES: the schema gate
+      // admits lossless widening undeclared (a merge's decimal
+      // arithmetic widens by construction), and the struct comparison
+      // below needs one common type — preimages surface at v's widths
+      val prev = prev0.select(cols.map(c =>
+        prev0(c).cast(cur.schema(c).dataType).as(c)): _*)
+      def pack(df: DataFrame, tag: String) =
+        df.select(keyCols.map(df(_)) :+ struct(cols.map(df(_)): _*).as(tag): _*)
+      val j = pack(prev, "pr").join(pack(cur, "cu"), keyCols, "full_outer")
+      val e = col("e")
+      j.select(explode(
+        when(col("pr").isNull,
+          array(struct(col("cu").as("r"), lit("insert").as("t"))))
+        .when(col("cu").isNull,
+          array(struct(col("pr").as("r"), lit("delete").as("t"))))
+        .when(!(col("pr") <=> col("cu")), array(
+          struct(col("pr").as("r"), lit("update_preimage").as("t")),
+          struct(col("cu").as("r"), lit("update_postimage").as("t"))))
+        // unchanged key: a null array explodes to NOTHING — the
+        // untouched arm emits no feed row
+        .otherwise(lit(null))).as("e"))
+        .select(cols.map(c => e.getField("r").getField(c).as(c)) :+
+          e.getField("t").as("change_type"): _*)
+    }
+  }
+
+  /** `cdcSubscribe` at TYPED-ROW granularity: for every newly committed
+    * version the subscriber receives `changeFeed(v)` — inserts ride the
+    * append fast path, rewrites arrive as typed diffs — exactly once
+    * across restarts (the commit-feed checkpoint dedupes versions). */
+  def cdcSubscribeTyped(spark: SparkSession, dir: String,
+      checkpointDir: String, keyCols: Seq[String],
+      onChanges: (Int, String, DataFrame) => Unit,
+      prefix: String = "v"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        batch.collect().sortBy(_.getAs[Int]("version")).foreach { r =>
+          val v = r.getAs[Int]("version")
+          onChanges(v, r.getAs[String]("metadata"),
+            changeFeed(spark, dir, v, keyCols, prefix))
         }
       }
     commitFeed(spark, dir).writeStream
