@@ -757,9 +757,13 @@ object GraftTable {
     val st =
       if (hdrs.contains("append")) None
       else hdrs.get("stats").map(TableStats.decode)
+    // the Bloom index travels with EVERY clone flavor: its sidecars are
+    // self-contained per data dir (file names relative to their own
+    // dir, m/k self-described), so the clone's re-pointed dir list
+    // resolves them unchanged — append chains included
     commit(fs, dstDir, 0, metadata, dataDir = Some(rel),
       stats = st, dv = dvRel, schema = hdrs.get("schema"),
-      partBy = hdrs.get("partby"))
+      partBy = hdrs.get("partby"), bloom = hdrs.get("bloom"))
   }
 
   /** Stage `df` as the data of version `v` WITHOUT committing. Overwrite
@@ -1928,15 +1932,24 @@ object GraftTable {
         .map(f => s"$dir/$dd/$f")
     }
     val total = perDir.map(_._2.files.size).sum
-    // one dir → anchor partition discovery to it (partitionBy layouts);
-    // a chain → anchor to the table dir so the per-dir paths coexist
-    val base = if (dataDirs.size == 1) s"$dir/${dataDirs.head}" else dir
     val df =
-      if (hit.nonEmpty)
-        spark.read.option("basePath", base).parquet(hit: _*)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        readVersion(spark, dir, v, prefix).schema)
+      if (hit.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          readVersion(spark, dir, v, prefix).schema)
+      else if (dataDirs.size == 1)
+        // anchor partition discovery to the one dir (partitionBy
+        // layouts need the ancestor basePath to keep their partition
+        // columns); works for `../src/…` clone references too — the
+        // anchor shares the files' own prefix
+        spark.read.option("basePath", s"$dir/${dataDirs.head}")
+          .parquet(hit: _*)
+      else
+        // append chains are FLAT by construction (the append gate
+        // refuses partitionBy predecessors), so no basePath is needed —
+        // and none would be an ancestor of a cloned chain's re-pointed
+        // `../src/…` dirs
+        spark.read.parquet(hit: _*)
     (df, hit, total)
   }
 

@@ -272,6 +272,36 @@ class Round14bSpec extends SparkSpec {
       "base-resident values still serve through the chain probe")
   }
 
+  test("shallow clones carry the Bloom index — single dir and append chain (self-contained sidecars resolve through the ../ reference)") {
+    import spark.implicits._
+    val (parent, _) = fresh("g14b_bloomclone")
+    val src = s"$parent/src"
+    val dst = s"$parent/dst"
+    val srcChain = s"$parent/srcchain"
+    val dstChain = s"$parent/dstchain"
+    val fs = GraftTable.fsOf(spark, src)
+    val df = (0L until 100L).map(i => (i, i / 50L)).toDF("k", "c")
+      .repartitionByRange(2, col("k"))
+    GraftTable.commitNextIsolated(spark, src, df, "base",
+      bloomCol = Some("c"))
+    GraftTable.cloneShallow(spark, src, dst)
+    val (cdf, chit, _) = GraftTable.readBloomEq(spark, dst, 0, "c", 1L)
+    assert(chit.nonEmpty && cdf.filter(col("c") === 1L).count() == 50,
+      "single-dir clone must serve point lookups through the reference")
+    GraftTable.commitNextIsolated(spark, srcChain, df, "base",
+      bloomCol = Some("c"))
+    GraftTable.commitAppend(spark, srcChain,
+      (100L until 120L).map(i => (i, 7L)).toDF("k", "c").coalesce(1),
+      "append", bloomCol = Some("c"))
+    GraftTable.cloneShallow(spark, srcChain, dstChain)
+    val (kdf, khit, ktotal) =
+      GraftTable.readBloomEq(spark, dstChain, 0, "c", 7L)
+    assert(ktotal == 3 && khit.size == 1 &&
+      kdf.filter(col("c") === 7L).count() == 20,
+      "chain clone must probe every referenced dir's own sidecar")
+    val _ = fs
+  }
+
   test("graft_typed_changes TVF: the typed feed from plain SQL") {
     val (dir, _) = fresh("g14b_cdftvf")
     GraftTable.commitNextIsolated(spark, dir,
