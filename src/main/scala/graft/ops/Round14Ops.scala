@@ -135,6 +135,43 @@ object Round14Ops {
     dir
   }
 
+  /** The three-arm merge fixture `table_merge_full` /
+    * `table_cdc_typed` / `table_mv_typed_maintain` share: v0 = customer
+    * balances (key, bal); v1 = the U/I/D merge — changelog rows derived
+    * deterministically from orders (op='D' tombstones custkey % 10 = 3,
+    * op='I' arrives under fresh keys custkey + 10M for % 10 = 0 — never
+    * in base — the rest are op='U' balance deltas; customers with no
+    * orders are the untouched arm), resolved in ONE full-outer
+    * key-partitioned join: a matched D drops the key, U updates, I
+    * inserts. Returns the committed table dir. Its oracle twin is
+    * `oMergeCtes`. */
+  private[graft] def mergeFixture(s: SparkSession, d: String,
+      tag: String): String = {
+    val dir = freshDir(s, d, tag)
+    val base = t(s, d, "customer")
+      .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal"))
+    GraftTable.commitNextIsolated(s, dir, base, "base")
+    val chg = t(s, d, "orders").groupBy("o_custkey")
+      .agg(sum(dec(col("o_totalprice"))).as("delta"))
+      .select(
+        when(col("o_custkey") % 10 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("ckey"),
+        when(col("o_custkey") % 10 === 3, lit("D"))
+          .when(col("o_custkey") % 10 === 0, lit("I"))
+          .otherwise(lit("U")).as("op"),
+        col("delta"))
+    val merged = GraftTable.read(s, dir)
+      .join(chg, col("key") === col("ckey"), "full")
+      // WHEN MATCHED AND op='D' THEN DELETE; a not-matched D is a
+      // no-op (nothing to delete)
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(coalesce(col("key"), col("ckey")).as("key"),
+        (coalesce(col("bal"), lit(0).cast(DecimalType(12, 2))) +
+          coalesce(col("delta"), lit(0).cast(DecimalType(12, 2)))).as("bal"))
+    GraftTable.commitNextIsolated(s, dir, merged, "merge U/I/D")
+    dir
+  }
+
   /** Base + two appends: orders sliced by o_orderkey % 3 committed as
     * v0 (isolated) then v1, v2 (append commits) — the fixture the CDC,
     * OCC and streaming keys share. */
@@ -169,39 +206,13 @@ object Round14Ops {
         .orderBy("version", "o_orderkey")
     }),
 
-    // MERGE with the full three-arm semantics. The changelog derives
-    // every arm from orders deterministically: op='D' tombstones
-    // customers with custkey % 10 = 3, op='I' rows arrive under fresh
-    // keys (custkey + 10M for % 10 = 0 — never in base), the rest are
-    // op='U' balance deltas; base customers with no changelog row are
-    // the untouched arm. One full-outer key-partitioned join resolves
-    // all arms in a single pass — a matched D drops the key, and both
-    // versions read back so the oracle pins that v0 STILL SERVES the
-    // deleted keys (snapshot isolation; a merge that mutated v0 in
-    // place hash-mismatches on the version-0 rows).
+    // MERGE with the full three-arm semantics (fixture + arm derivation
+    // in `mergeFixture`). Both versions read back so the oracle pins
+    // that v0 STILL SERVES the deleted keys (snapshot isolation; a
+    // merge that mutated v0 in place hash-mismatches on the version-0
+    // rows).
     "table_merge_full" -> ((s, d) => {
-      val dir = freshDir(s, d, "mergefull")
-      val base = t(s, d, "customer")
-        .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal"))
-      GraftTable.commitNextIsolated(s, dir, base, "base")
-      val chg = t(s, d, "orders").groupBy("o_custkey")
-        .agg(sum(dec(col("o_totalprice"))).as("delta"))
-        .select(
-          when(col("o_custkey") % 10 === 0, col("o_custkey") + 10000000L)
-            .otherwise(col("o_custkey")).as("ckey"),
-          when(col("o_custkey") % 10 === 3, lit("D"))
-            .when(col("o_custkey") % 10 === 0, lit("I"))
-            .otherwise(lit("U")).as("op"),
-          col("delta"))
-      val merged = GraftTable.read(s, dir)
-        .join(chg, col("key") === col("ckey"), "full")
-        // WHEN MATCHED AND op='D' THEN DELETE; a not-matched D is a
-        // no-op (nothing to delete)
-        .filter(col("op").isNull || col("op") =!= "D")
-        .select(coalesce(col("key"), col("ckey")).as("key"),
-          (coalesce(col("bal"), lit(0).cast(DecimalType(12, 2))) +
-            coalesce(col("delta"), lit(0).cast(DecimalType(12, 2)))).as("bal"))
-      GraftTable.commitNextIsolated(s, dir, merged, "merge U/I/D")
+      val dir = mergeFixture(s, d, "mergefull")
       def snap(v: Int): DataFrame =
         GraftTable.readVersion(s, dir, v)
           .select(lit(v).as("version"), col("key"), money(col("bal")).as("bal"))
@@ -510,26 +521,7 @@ object Round14Ops {
     // hash-mismatches). The append tier of the same API serves inserts
     // with no join at all (Round14bSpec pins that plan).
     "table_cdc_typed" -> ((s, d) => {
-      val dir = freshDir(s, d, "cdctyped")
-      val base = t(s, d, "customer")
-        .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal"))
-      GraftTable.commitNextIsolated(s, dir, base, "base")
-      val chg = t(s, d, "orders").groupBy("o_custkey")
-        .agg(sum(dec(col("o_totalprice"))).as("delta"))
-        .select(
-          when(col("o_custkey") % 10 === 0, col("o_custkey") + 10000000L)
-            .otherwise(col("o_custkey")).as("ckey"),
-          when(col("o_custkey") % 10 === 3, lit("D"))
-            .when(col("o_custkey") % 10 === 0, lit("I"))
-            .otherwise(lit("U")).as("op"),
-          col("delta"))
-      val merged = GraftTable.read(s, dir)
-        .join(chg, col("key") === col("ckey"), "full")
-        .filter(col("op").isNull || col("op") =!= "D")
-        .select(coalesce(col("key"), col("ckey")).as("key"),
-          (coalesce(col("bal"), lit(0).cast(DecimalType(12, 2))) +
-            coalesce(col("delta"), lit(0).cast(DecimalType(12, 2)))).as("bal"))
-      GraftTable.commitNextIsolated(s, dir, merged, "merge U/I/D")
+      val dir = mergeFixture(s, d, "cdctyped")
       GraftTable.changeFeed(s, dir, 1, Seq("key"))
         .select(col("key"), money(col("bal")).as("bal"), col("change_type"))
         .orderBy("key", "change_type")
@@ -578,26 +570,7 @@ object Round14Ops {
     // production the feed rows arrive from cdcSubscribeTyped (append
     // versions join-free) instead of being derived locally.
     "table_mv_typed_maintain" -> ((s, d) => {
-      val dir = freshDir(s, d, "mvtyped")
-      val base = t(s, d, "customer")
-        .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal"))
-      GraftTable.commitNextIsolated(s, dir, base, "base")
-      val chg = t(s, d, "orders").groupBy("o_custkey")
-        .agg(sum(dec(col("o_totalprice"))).as("delta"))
-        .select(
-          when(col("o_custkey") % 10 === 0, col("o_custkey") + 10000000L)
-            .otherwise(col("o_custkey")).as("ckey"),
-          when(col("o_custkey") % 10 === 3, lit("D"))
-            .when(col("o_custkey") % 10 === 0, lit("I"))
-            .otherwise(lit("U")).as("op"),
-          col("delta"))
-      val merged = GraftTable.read(s, dir)
-        .join(chg, col("key") === col("ckey"), "full")
-        .filter(col("op").isNull || col("op") =!= "D")
-        .select(coalesce(col("key"), col("ckey")).as("key"),
-          (coalesce(col("bal"), lit(0).cast(DecimalType(12, 2))) +
-            coalesce(col("delta"), lit(0).cast(DecimalType(12, 2)))).as("bal"))
-      GraftTable.commitNextIsolated(s, dir, merged, "merge U/I/D")
+      val dir = mergeFixture(s, d, "mvtyped")
       val mv0 = GraftTable.readVersion(s, dir, 0)
         .groupBy(pmod(col("key"), lit(10)).as("bucket"))
         .agg(count(lit(1)).as("n0"), sum(col("bal")).as("t0"))
@@ -629,6 +602,21 @@ object Round14Ops {
     s"SELECT CAST(o_orderkey % 3 AS INT) AS version, o_orderkey, " +
       s"${oMoney(oDec("o_totalprice"))} AS price FROM orders"
 
+  /** Oracle twin of `mergeFixture`: the base / chg / m CTE chain the
+    * three merge-derived oracles share (base = v0, m = v1). */
+  private val oMergeCtes =
+    s"base AS (SELECT c_custkey AS key, ${oDec("c_acctbal")} AS bal " +
+      "FROM customer), " +
+      s"chg AS (SELECT CASE WHEN o_custkey % 10 = 0 " +
+      "THEN o_custkey + 10000000 ELSE o_custkey END AS ckey, " +
+      "CASE WHEN o_custkey % 10 = 3 THEN 'D' " +
+      "WHEN o_custkey % 10 = 0 THEN 'I' ELSE 'U' END AS op, " +
+      s"SUM(${oDec("o_totalprice")}) AS delta FROM orders GROUP BY 1, 2), " +
+      "m AS (SELECT COALESCE(key, ckey) AS key, " +
+      "COALESCE(bal, 0) + COALESCE(delta, 0) AS bal " +
+      "FROM base FULL JOIN chg ON key = ckey " +
+      "WHERE op IS NULL OR op <> 'D')"
+
   val oracleSql: Map[String, String] = Map(
     // The three version deltas tile orders exactly: delta(v) ≡ the
     // slice o_orderkey % 3 = v.
@@ -637,17 +625,7 @@ object Round14Ops {
 
     // Replay of the three merge arms; v0 must still serve every key.
     "table_merge_full" ->
-      (s"WITH base AS (SELECT c_custkey AS key, ${oDec("c_acctbal")} AS bal " +
-        "FROM customer), " +
-        s"chg AS (SELECT CASE WHEN o_custkey % 10 = 0 " +
-        "THEN o_custkey + 10000000 ELSE o_custkey END AS ckey, " +
-        "CASE WHEN o_custkey % 10 = 3 THEN 'D' " +
-        "WHEN o_custkey % 10 = 0 THEN 'I' ELSE 'U' END AS op, " +
-        s"SUM(${oDec("o_totalprice")}) AS delta FROM orders GROUP BY 1, 2), " +
-        "m AS (SELECT COALESCE(key, ckey) AS key, " +
-        "COALESCE(bal, 0) + COALESCE(delta, 0) AS bal " +
-        "FROM base FULL JOIN chg ON key = ckey " +
-        "WHERE op IS NULL OR op <> 'D') " +
+      (s"WITH $oMergeCtes " +
         s"SELECT 0 AS version, key, ${oMoney("bal")} AS bal FROM base " +
         s"UNION ALL SELECT 1 AS version, key, ${oMoney("bal")} AS bal FROM m " +
         "ORDER BY version, key"),
@@ -739,17 +717,7 @@ object Round14Ops {
     // snapshots, one row per insert/delete, two per update, NONE for
     // the untouched arm.
     "table_cdc_typed" ->
-      (s"WITH base AS (SELECT c_custkey AS key, ${oDec("c_acctbal")} AS bal " +
-        "FROM customer), " +
-        s"chg AS (SELECT CASE WHEN o_custkey % 10 = 0 " +
-        "THEN o_custkey + 10000000 ELSE o_custkey END AS ckey, " +
-        "CASE WHEN o_custkey % 10 = 3 THEN 'D' " +
-        "WHEN o_custkey % 10 = 0 THEN 'I' ELSE 'U' END AS op, " +
-        s"SUM(${oDec("o_totalprice")}) AS delta FROM orders GROUP BY 1, 2), " +
-        "m AS (SELECT COALESCE(key, ckey) AS key, " +
-        "COALESCE(bal, 0) + COALESCE(delta, 0) AS bal " +
-        "FROM base FULL JOIN chg ON key = ckey " +
-        "WHERE op IS NULL OR op <> 'D'), " +
+      (s"WITH $oMergeCtes, " +
         "f AS (SELECT b.key AS bk, b.bal AS bbal, m.key AS mk, m.bal AS mbal " +
         "FROM base b FULL JOIN m ON b.key = m.key) " +
         s"SELECT mk AS key, ${oMoney("mbal")} AS bal, " +
@@ -775,17 +743,7 @@ object Round14Ops {
     // The incrementally folded MV must equal the merged snapshot's
     // direct aggregate, bucket by bucket.
     "table_mv_typed_maintain" ->
-      (s"WITH base AS (SELECT c_custkey AS key, ${oDec("c_acctbal")} AS bal " +
-        "FROM customer), " +
-        s"chg AS (SELECT CASE WHEN o_custkey % 10 = 0 " +
-        "THEN o_custkey + 10000000 ELSE o_custkey END AS ckey, " +
-        "CASE WHEN o_custkey % 10 = 3 THEN 'D' " +
-        "WHEN o_custkey % 10 = 0 THEN 'I' ELSE 'U' END AS op, " +
-        s"SUM(${oDec("o_totalprice")}) AS delta FROM orders GROUP BY 1, 2), " +
-        "m AS (SELECT COALESCE(key, ckey) AS key, " +
-        "COALESCE(bal, 0) + COALESCE(delta, 0) AS bal " +
-        "FROM base FULL JOIN chg ON key = ckey " +
-        "WHERE op IS NULL OR op <> 'D') " +
+      (s"WITH $oMergeCtes " +
         "SELECT key % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
         s"${oMoney("SUM(bal)")} AS total FROM m GROUP BY 1 ORDER BY bucket")
   )

@@ -173,8 +173,11 @@ object GraftTable {
     // resolve the prefix through the PREVIOUS checkpoint (same path the
     // readers use): periodic checkpointing stays O(suffix) per call —
     // re-reading all commit files each time would make a streaming
-    // table's total checkpoint I/O quadratic in its version count
-    val contents = allCommitContents(fs, dir)
+    // table's total checkpoint I/O quadratic in its version count.
+    // Pinned to the ONE `cur` read above: a commit racing in between
+    // would otherwise add body lines the v=/end= head doesn't claim,
+    // and readCheckpoint would reject the file as torn
+    val contents = commitContentsUpTo(fs, dir, cur)
     val body = (s"v=$cur" +:
       contents.map { case (v, c) => s"$v\t${urlEnc(c)}" } :+
       s"end=$cur").mkString("\n")
@@ -251,13 +254,23 @@ object GraftTable {
       dir: String): Seq[(Int, String)] =
     currentVersion(fs, dir) match {
       case None => Seq.empty
-      case Some(cur) =>
-        val cp = readCheckpoint(fs, dir)
-        (0 to cur).map { v =>
-          v -> cp.collect { case (cv, cs) if v <= cv => cs(v) }
-            .getOrElse(commitContent(fs, dir, v))
-        }
+      case Some(cur) => commitContentsUpTo(fs, dir, cur)
     }
+
+  /** Contents of commits 0..`cur` — checkpoint-resolved prefix plus
+    * per-file suffix. Taking `cur` from the caller (instead of
+    * re-resolving) lets `checkpoint()` pin one consistent snapshot: a
+    * commit racing between two currentVersion reads would otherwise
+    * yield a body longer than its v=/end= head claims — a checkpoint
+    * every reader rejects as torn. */
+  private def commitContentsUpTo(fs: FileSystem, dir: String,
+      cur: Int): Seq[(Int, String)] = {
+    val cp = readCheckpoint(fs, dir)
+    (0 to cur).map { v =>
+      v -> cp.collect { case (cv, cs) if v <= cv => cs(v) }
+        .getOrElse(commitContent(fs, dir, v))
+    }
+  }
 
   /** Reserved commit-file HEADER keys. A commit file is zero or more
     * leading `key=value` header lines drawn from this set, followed by
@@ -1656,8 +1669,12 @@ object GraftTable {
       case None => Seq.empty
       case Some(cur) =>
         val cutoff = nowMs - retainMs
-        val all = (0 to cur).map { v =>
-          val hdrs = parseCommit(commitContent(fs, dir, v))._1
+        // checkpoint-resolved walk: commit(retainMs=) runs this after
+        // EVERY commit, so on a long checkpointed history the headers
+        // must come from one checkpoint read + the suffix, not
+        // O(versions) per-file opens
+        val all = commitContentsUpTo(fs, dir, cur).map { case (v, c) =>
+          val hdrs = parseCommit(c)._1
           (v, hdrs, commitTimeFrom(hdrs, fs, dir, v))
         }
         def refs(v: Int, hdrs: Map[String, String]): Seq[String] =
@@ -1876,10 +1893,14 @@ object GraftTable {
       .collect() // file × word rows — bounded metadata, never data
       .groupBy(_.getAs[String]("__file"))
     // every file gets an entry, even one with no non-null value (its
-    // empty filter is exactly right: no probe can match)
-    val allFiles = spark.read.parquet(dataPath).select(relFile.as("__file"))
-      .distinct().collect().map(_.getString(0)).sorted
-    val files = allFiles.toSeq.map { f =>
+    // empty filter is exactly right: no probe can match). The complete
+    // list comes from the already-enumerated inputFiles — driver-side,
+    // no extra scan — relativized with the same pattern relFile uses.
+    val relPattern = ("^.*?/" +
+      java.util.regex.Pattern.quote(dataName) + "/").r
+    val allFiles = df.inputFiles.toSeq
+      .map(u => relPattern.replaceFirstIn(u, "")).sorted
+    val files = allFiles.map { f =>
       val bits = new Array[Long](m / 64)
       words.getOrElse(f, Array.empty).foreach { r =>
         bits(r.getAs[Int]("__w")) = r.getAs[Long]("__bits")
@@ -1973,9 +1994,11 @@ object GraftTable {
     * requires re-declaring `statsCols` (`bloomCol`) — same contract as
     * the append gate — because index ordinals are code, not headers,
     * and a fresh layout needs freshly computed file ranges anyway.
-    * A partitionBy layout compacts per-partition (the writer re-splits
-    * by the same columns; `targetFiles` then bounds files per written
-    * task, not the total). */
+    * A partitionBy layout compacts to ONE file per partition value —
+    * the snapshot is hash-repartitioned on the partition columns so
+    * each value's rows land in a single task (the per-partition
+    * bin-pack OPTIMIZE does); `targetFiles` is the flat-layout knob
+    * and is not consulted under partitionBy. */
   def compactChain(spark: SparkSession, dir: String, targetFiles: Int = 1,
       metadata: String = "compact", prefix: String = "v",
       statsCols: StatsCols = Nil, bloomCol: Option[String] = None): Int = {
@@ -1996,7 +2019,13 @@ object GraftTable {
           "indexed column (or rewrite via commitNextIsolated)")
     val partBy = h.get("partby").map(_.split(",").toSeq).getOrElse(Nil)
     val snap = readVersion(spark, dir, c, prefix)
-    val compacted = if (partBy.isEmpty) snap.coalesce(targetFiles) else snap
+    val compacted =
+      if (partBy.isEmpty) snap.coalesce(targetFiles)
+      // hash-repartition on the partition columns: every partition
+      // value's rows reach one task, so each partition dir gets exactly
+      // one file — without this the rewrite would fan each value across
+      // every read task and could WIDEN the layout it claims to compact
+      else snap.repartition(partBy.map(org.apache.spark.sql.functions.col): _*)
     commitNextIsolated(spark, dir, compacted, metadata, prefix = prefix,
       partitionBy = partBy, statsCols = statsCols, bloomCol = bloomCol)
   }
@@ -2040,7 +2069,10 @@ object GraftTable {
       val prev0 = readVersion(spark, dir, v - 1, prefix)
       val cur = readVersion(spark, dir, v, prefix)
       val cols = cur.columns.toSeq
-      require(prev0.columns.toSeq == cols,
+      // by NAME, order-blind — the same identity the schema gate draws
+      // (an undeclared reorder commits fine and must diff fine); the
+      // aligning select below puts the preimage side in v's order
+      require(prev0.columns.toSet == cols.toSet,
         s"changeFeed requires both versions to share a schema " +
           s"(v${v - 1}: ${prev0.columns.toSeq}, v$v: $cols)")
       // align the preimage side to v's column TYPES: the schema gate

@@ -380,6 +380,22 @@ class Round14bSpec extends SparkSpec {
       s"a MoR delete's typed feed is its tombstones: $feed")
   }
 
+  test("changeFeed diffs across an undeclared column REORDER (the same identity the schema gate draws)") {
+    val (dir, _) = fresh("g14b_cdfreorder")
+    import spark.implicits._
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), "v0 (k, s)")
+    // reordered SELECT commits undeclared — by-name identity
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq(("b", 2L), ("x", 3L)).toDF("s", "k").select("s", "k"),
+      "v1 (s, k) reordered")
+    val feed = GraftTable.changeFeed(spark, dir, 1, Seq("k"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+        r.getAs[String]("change_type"))).toSet
+    assert(feed == Set((1L, "a", "delete"), (3L, "x", "insert")),
+      s"got $feed")
+  }
+
   test("changeFeed refuses mismatched columns between the versions") {
     val (dir, _) = fresh("g14b_cdfschema")
     import spark.implicits._
