@@ -595,6 +595,55 @@ object Round14Ops {
         // the MV convention that keeps fold ≡ recompute
         .filter(col("n") > 0)
         .orderBy("bucket")
+    }),
+
+    // DECLARED table constraints (Delta's CHECK/NOT NULL model plus an
+    // opt-in UNIQUE): declared once at v0, enforced on EVERY subsequent
+    // write BEFORE staging and carried through appends and deletes.
+    // Three violation flavors each refuse without minting a version —
+    // a negative-price rewrite (check), an append re-using live keys
+    // (unique, validated against the current snapshot), a null-custkey
+    // rewrite (notnull, enforced through the header a DV commit carried
+    // forward) — while the conforming fresh-key append and the MoR
+    // delete land. n_refused=3 / n_versions=3 sit inside the oracle:
+    // a gate that let any violation through (or that blocked a valid
+    // write, or that dropped the header at the dv hop) flips them.
+    "table_constraints_enforce" -> ((s, d) => {
+      val dir = freshDir(s, d, "constraints")
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        money(dec(col("o_totalprice"))).as("price"))
+      GraftTable.commitNextIsolated(s, dir, o, "base + constraints",
+        constraints = Seq("notnull:o_custkey", "check:price >= 0",
+          "unique:o_orderkey"))
+      def refused(body: => Unit): Long =
+        try { body; 0L } catch { case _: IllegalStateException => 1L }
+      val rCheck = refused {
+        GraftTable.commitNextIsolated(s, dir,
+          o.withColumn("price", -col("price")), "negative prices")
+      }
+      val rUnique = refused {
+        GraftTable.commitAppend(s, dir, o, "duplicate keys")
+      }
+      GraftTable.commitAppend(s, dir,
+        o.withColumn("o_orderkey", col("o_orderkey") + 100000000L),
+        "fresh keys") // conforming: unique checked vs the snapshot
+      GraftTable.commitDeleteVector(s, dir,
+        GraftTable.read(s, dir)
+          .filter(col("o_custkey") % 10 === 7).select("o_custkey").distinct(),
+        Seq("o_custkey"), "delete bucket 7")
+      val rNull = refused {
+        GraftTable.commitNextIsolated(s, dir,
+          o.withColumn("o_custkey", lit(null).cast("bigint")),
+          "null custkeys") // notnull header survived the dv hop
+      }
+      val nv = GraftTable.versions(GraftTable.fsOf(s, dir), dir).size
+      GraftTable.read(s, dir)
+        .groupBy((col("o_custkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("price"))).as("rev0"))
+        .select(col("bucket"), col("n"), money(col("rev0")).as("rev"),
+          lit(rCheck + rUnique + rNull).as("n_refused"),
+          lit(nv.toLong).as("n_versions"))
+        .orderBy("bucket")
     })
   )
 
@@ -745,6 +794,18 @@ object Round14Ops {
     "table_mv_typed_maintain" ->
       (s"WITH $oMergeCtes " +
         "SELECT key % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
-        s"${oMoney("SUM(bal)")} AS total FROM m GROUP BY 1 ORDER BY bucket")
+        s"${oMoney("SUM(bal)")} AS total FROM m GROUP BY 1 ORDER BY bucket"),
+
+    // Two tilings of orders (base + fresh-key append) minus the deleted
+    // custkey bucket; exactly three writes were refused and three
+    // versions exist (base, append, delete — no refusal minted one).
+    "table_constraints_enforce" ->
+      (s"WITH t AS (SELECT o_custkey, ${oDec("o_totalprice")} AS p " +
+        "FROM orders UNION ALL " +
+        s"SELECT o_custkey, ${oDec("o_totalprice")} AS p FROM orders) " +
+        "SELECT o_custkey % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney("SUM(p)")} AS rev, " +
+        "CAST(3 AS BIGINT) AS n_refused, CAST(3 AS BIGINT) AS n_versions " +
+        "FROM t WHERE o_custkey % 10 <> 7 GROUP BY 1 ORDER BY bucket")
   )
 }

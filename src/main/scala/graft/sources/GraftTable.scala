@@ -308,6 +308,12 @@ object GraftTable {
     *                    the point-lookup skipping index `readBloomEq`
     *                    serves (min/max bands can't prune an equality
     *                    probe on an unclustered high-cardinality key)
+    *   constraints=<s>  comma-separated URL-encoded constraint specs
+    *                    (`notnull:<col>` / `check:<sql>` /
+    *                    `unique:<col[+col…]>`) the table DECLARED —
+    *                    every subsequent write re-enforces them before
+    *                    staging and carries the header forward (see
+    *                    `enforceConstraints`)
     *
     * Keeping headers line-oriented keeps old manifests readable: a
     * round-12 commit file with no ts= line still parses (mtime fallback
@@ -315,7 +321,7 @@ object GraftTable {
     * write gate for its successor. */
   private val headerKeys =
     Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=", "partby=",
-      "bloom=")
+      "bloom=", "constraints=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
@@ -405,6 +411,112 @@ object GraftTable {
     * schema= header (pre-gate manifests, raw `commit()` callers) skips
     * validation — the gate is best-effort over recorded schemas, never
     * a reader. */
+  // ---- declared table constraints -------------------------------------------
+
+  /** Split a `constraints=` header back into specs. */
+  private[graft] def constraintsDecode(s: String): Seq[String] =
+    s.split(",").toSeq.filter(_.nonEmpty).map(urlDec)
+
+  private[graft] def constraintsEncode(specs: Seq[String]): String =
+    specs.map(urlEnc).mkString(",")
+
+  /** Syntax-validate a constraint spec at DECLARATION time — a typo'd
+    * kind or an unparseable CHECK expression must fail the declaring
+    * commit, not some later writer's enforcement pass. */
+  private def validateConstraintSpec(spark: SparkSession, spec: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val (kind, arg) = spec.span(_ != ':') match {
+      case (k, a) if a.startsWith(":") && a.length > 1 => (k, a.tail)
+      case _ => throw new IllegalArgumentException(
+        s"malformed constraint '$spec' — expected kind:arg with kind in " +
+          "{notnull, check, unique}")
+    }
+    kind match {
+      case "notnull" =>
+        require(schema.fieldNames.contains(arg),
+          s"notnull constraint names unknown column '$arg' " +
+            s"(have ${schema.fieldNames.toSeq})")
+      case "unique" =>
+        val cols = arg.split('+').toSeq
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"unique constraint names unknown column '$c' " +
+            s"(have ${schema.fieldNames.toSeq})"))
+      case "check" =>
+        // parse now (throws on bad SQL); resolution against the schema
+        // happens at enforcement
+        org.apache.spark.sql.functions.expr(arg)
+        ()
+      case other => throw new IllegalArgumentException(
+        s"unknown constraint kind '$other' in '$spec' — expected " +
+          "notnull, check or unique")
+    }
+  }
+
+  /** Enforce declared constraints on rows about to be committed —
+    * BEFORE anything stages, so a violation creates no version and no
+    * orphan dir. Semantics follow SQL/Delta:
+    *
+    *  - `notnull:c` — no row may hold NULL in c;
+    *  - `check:<sql>` — no row may evaluate the predicate to FALSE
+    *    (NULL passes, the ANSI unknown-is-not-a-violation rule — use
+    *    notnull to forbid the null itself);
+    *  - `unique:c1+c2` — no two rows share a key. For an APPEND,
+    *    `existing` carries the current snapshot's keys and the new rows
+    *    are checked against themselves AND against it — the honest
+    *    O(snapshot keys) price of uniqueness without a global key
+    *    index, which is why Delta supports only NOT NULL and CHECK;
+    *    here it is opt-in.
+    *
+    * notnull + check fold into ONE aggregation pass over `df`; each
+    * unique spec costs one more (a groupBy on its key). */
+  private def enforceConstraints(spark: SparkSession, df: DataFrame,
+      specs: Seq[String], context: String,
+      existing: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    if (specs.isEmpty) return
+    val rowRules = specs.flatMap { spec =>
+      val Array(kind, arg) = spec.split(":", 2)
+      kind match {
+        case "notnull" =>
+          Some(spec -> sum(when(col(arg).isNull, 1L).otherwise(0L)))
+        case "check" =>
+          val p = expr(arg)
+          Some(spec -> sum(when(p.isNull || p, 0L).otherwise(1L)))
+        case _ => None
+      }
+    }
+    if (rowRules.nonEmpty) {
+      val row = df.agg(rowRules.head._2.as("c0"),
+        rowRules.tail.zipWithIndex.map { case ((_, a), i) =>
+          a.as(s"c${i + 1}") }: _*).collect()(0) // one row — never data
+      val bad = rowRules.zipWithIndex.collect {
+        case ((spec, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+          s"$spec (${row.getLong(i)} rows)"
+      }
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"$context refused — constraint violations: ${bad.mkString("; ")}")
+    }
+    specs.filter(_.startsWith("unique:")).foreach { spec =>
+      val keys = spec.stripPrefix("unique:").split('+').toSeq
+      val dups = df.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      if (dups > 0)
+        throw new IllegalStateException(
+          s"$context refused — constraint violation: $spec " +
+            "(duplicate keys in the written rows)")
+      existing.foreach { ex =>
+        val clash = df.select(keys.map(col): _*)
+          .join(ex.select(keys.map(col): _*), keys, "left_semi")
+          .limit(1).count()
+        if (clash > 0)
+          throw new IllegalStateException(
+            s"$context refused — constraint violation: $spec " +
+              "(appended keys already exist in the table)")
+      }
+    }
+  }
+
   private[graft] def schemaGate(prevEncoded: Option[String],
       next: org.apache.spark.sql.types.StructType, allowEvolution: Boolean,
       context: String = "commit"): Unit =
@@ -776,7 +888,10 @@ object GraftTable {
     // resolves them unchanged — append chains included
     commit(fs, dstDir, 0, metadata, dataDir = Some(rel),
       stats = st, dv = dvRel, schema = hdrs.get("schema"),
-      partBy = hdrs.get("partby"), bloom = hdrs.get("bloom"))
+      partBy = hdrs.get("partby"), bloom = hdrs.get("bloom"),
+      // the clone inherits the source's declared constraints — its
+      // future commits enforce them independently
+      constraintsHdr = hdrs.get("constraints"))
   }
 
   /** Stage `df` as the data of version `v` WITHOUT committing. Overwrite
@@ -828,7 +943,8 @@ object GraftTable {
       dv: Option[String] = None, appendDir: Option[String] = None,
       schema: Option[String] = None, tsMs: Option[Long] = None,
       retainMs: Long = Long.MaxValue, partBy: Option[String] = None,
-      prevTs: Option[Long] = None, bloom: Option[String] = None): Unit = {
+      prevTs: Option[Long] = None, bloom: Option[String] = None,
+      constraintsHdr: Option[String] = None): Unit = {
     // metadata is ONE line that must not masquerade as a header: an
     // embedded newline would split it across feed rows / future header
     // parses, and a leading reserved key=` prefix would be read back as
@@ -922,6 +1038,7 @@ object GraftTable {
       stats.map(st => s"stats=${st.encoded}\n").getOrElse("") +
       dv.map(d => s"dv=$d\n").getOrElse("") +
       bloom.map(b => s"bloom=$b\n").getOrElse("") +
+      constraintsHdr.map(c => s"constraints=$c\n").getOrElse("") +
       metadata
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -1079,12 +1196,23 @@ object GraftTable {
       metadata: String = "", retain: Int = Int.MaxValue,
       prefix: String = "v", partitionBy: Seq[String] = Nil,
       statsCols: StatsCols = Nil, allowEvolution: Boolean = false,
-      bloomCol: Option[String] = None): Int = {
+      bloomCol: Option[String] = None, constraints: Seq[String] = Nil,
+      dropConstraints: Boolean = false): Int = {
     val fs = fsOf(spark, dir)
     val cur = currentHeaders(fs, dir)
     // gate BEFORE the write: a refused schema creates no version and no
     // orphan staging dir
     schemaGate(cur.flatMap(_._2.get("schema")), df.schema, allowEvolution)
+    // declared constraints: the predecessor's carry forward (unless the
+    // caller DECLARES the drop) and new ones add; the combined set is
+    // enforced on the full rows being committed — still before staging
+    constraints.foreach(validateConstraintSpec(spark, _, df.schema))
+    val carried =
+      if (dropConstraints) Nil
+      else cur.flatMap(_._2.get("constraints")).map(constraintsDecode)
+        .getOrElse(Nil)
+    val allConstraints = (carried ++ constraints).distinct
+    enforceConstraints(spark, df, allConstraints, "commit")
     val v = cur.map(_._1 + 1).getOrElse(0)
     val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     val w = df.write.mode("errorifexists")
@@ -1105,7 +1233,10 @@ object GraftTable {
       stats = st, schema = Some(schemaEncode(df.schema)),
       partBy =
         if (partitionBy.nonEmpty) Some(partitionBy.mkString(",")) else None,
-      prevTs = prevTsOf(cur), bloom = bl)
+      prevTs = prevTsOf(cur), bloom = bl,
+      constraintsHdr =
+        if (allConstraints.isEmpty) None
+        else Some(constraintsEncode(allConstraints)))
     v
   }
 
@@ -1196,7 +1327,10 @@ object GraftTable {
     commit(fs, dir, v, metadata, prefix = prefix, dataDir = Some(data),
       dv = Some(s"$dvDir;${keyCols.mkString(",")}"),
       schema = hdrs.get("schema"), partBy = hdrs.get("partby"),
-      prevTs = prevTsOf(Some((cur, hdrs))))
+      prevTs = prevTsOf(Some((cur, hdrs))),
+      // a delete only SHRINKS the row set, and every declared
+      // constraint is subset-closed — carry, don't re-validate
+      constraintsHdr = hdrs.get("constraints"))
     v
   }
 
@@ -1355,8 +1489,25 @@ object GraftTable {
         schemaGate(h.get("schema"), df.schema, allowEvolution = false,
           context = "append")
       }
+    // declared constraints enforce on the NEW rows (the chain's old
+    // rows were validated by their own commits); `unique:` additionally
+    // checks the new keys against the CURRENT snapshot — re-run per OCC
+    // attempt, since a racing append may have landed clashing keys
+    def enforceOn(cur: Option[(Int, Map[String, String])]): Seq[String] =
+      cur.flatMap(_._2.get("constraints")).map(constraintsDecode)
+        .getOrElse(Nil) match {
+        case Nil => Nil
+        case specs =>
+          enforceConstraints(spark, df, specs, "append",
+            existing =
+              if (specs.exists(_.startsWith("unique:")))
+                cur.map { case (c, _) => readVersion(spark, dir, c, prefix) }
+              else None)
+          specs
+      }
     val cur0 = currentHeaders(fs, dir)
     gate(cur0)
+    var constraintsCarried = enforceOn(cur0)
     // stage ONCE: the dir name carries the version seen at stage time;
     // on a lost race the same dir is re-referenced under the winner's
     // successor number (dirVersion still parses it for vacuum/GC — and
@@ -1379,7 +1530,7 @@ object GraftTable {
     while (true) {
       attempt += 1
       val cur = if (attempt == 1) cur0 else currentHeaders(fs, dir)
-      if (attempt > 1) gate(cur)
+      if (attempt > 1) { gate(cur); constraintsCarried = enforceOn(cur) }
       val prevDirs = cur.map { case (c, h) => dataDirsFrom(h, c, prefix) }
         .getOrElse(Seq.empty)
       val v = cur.map(_._1 + 1).getOrElse(0)
@@ -1410,7 +1561,10 @@ object GraftTable {
           dataDir = Some((prevDirs :+ added).mkString(",")),
           stats = mergedStats, appendDir = Some(added),
           schema = Some(schemaEncode(df.schema)), prevTs = prevTsOf(cur),
-          bloom = newBloom)
+          bloom = newBloom,
+          constraintsHdr =
+            if (constraintsCarried.isEmpty) None
+            else Some(constraintsEncode(constraintsCarried)))
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1998,7 +2152,9 @@ object GraftTable {
     * the snapshot is hash-repartitioned on the partition columns so
     * each value's rows land in a single task (the per-partition
     * bin-pack OPTIMIZE does); `targetFiles` is the flat-layout knob
-    * and is not consulted under partitionBy. */
+    * and is not consulted under partitionBy. Declared constraints carry
+    * through (the rewrite re-enforces them — one extra pass; a rewrite
+    * of already-valid rows always passes). */
   def compactChain(spark: SparkSession, dir: String, targetFiles: Int = 1,
       metadata: String = "compact", prefix: String = "v",
       statsCols: StatsCols = Nil, bloomCol: Option[String] = None): Int = {

@@ -409,6 +409,97 @@ class Round14bSpec extends SparkSpec {
     assert(e.getMessage.contains("share a schema"), e.getMessage)
   }
 
+  // ---- declared constraints -------------------------------------------------
+
+  test("constraint declarations: syntax and unknown columns refuse at declaration; NULL passes CHECK (ANSI); dropConstraints is the declared escape") {
+    val (dir, fs) = fresh("g14b_constraints")
+    import spark.implicits._
+    val df = Seq((1L, Some(5L)), (2L, None)).toDF("k", "x")
+    intercept[IllegalArgumentException] {
+      GraftTable.commitNextIsolated(spark, dir, df, "bad kind",
+        constraints = Seq("primary:k"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.commitNextIsolated(spark, dir, df, "bad col",
+        constraints = Seq("notnull:nope"))
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      GraftTable.commitNextIsolated(spark, dir, df, "bad sql",
+        constraints = Seq("check:k >>> 1"))
+    }
+    assert(GraftTable.versions(fs, dir).isEmpty,
+      "refused declarations create no version")
+    // NULL x passes `check:x > 0` — the ANSI unknown-is-not-a-violation
+    // rule; a declared notnull is what forbids the null itself
+    GraftTable.commitNextIsolated(spark, dir, df, "declared",
+      constraints = Seq("check:x > 0", "unique:k"))
+    assert(GraftTable.versions(fs, dir) == Seq(0))
+    // carried forward automatically and enforced on the next commit
+    val e = intercept[IllegalStateException] {
+      GraftTable.commitNextIsolated(spark, dir,
+        Seq((1L, Some(-1L))).toDF("k", "x"), "violates carried check")
+    }
+    assert(e.getMessage.contains("check:x > 0"), e.getMessage)
+    // the declared drop stops the carry; the same rows then commit
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, Some(-1L))).toDF("k", "x"), "dropped",
+      dropConstraints = true)
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1),
+      "dropConstraints must let the write through")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, Some(-2L)), (1L, Some(-3L))).toDF("k", "x"), "no gate left")
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1, 2),
+      "after the drop nothing re-enforces")
+  }
+
+  test("constraints survive the append/dv/clone/compact hops and enforce at each") {
+    val (parent, fs) = fresh("g14b_chops")
+    import spark.implicits._
+    val src = s"$parent/src"
+    GraftTable.commitNextIsolated(spark, src,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "x"), "base",
+      constraints = Seq("notnull:x", "unique:k"))
+    // append: within-batch dup refused, snapshot clash refused,
+    // fresh keys land
+    intercept[IllegalStateException] {
+      GraftTable.commitAppend(spark, src,
+        Seq((3L, 30L), (3L, 31L)).toDF("k", "x"), "dup in batch")
+    }
+    intercept[IllegalStateException] {
+      GraftTable.commitAppend(spark, src,
+        Seq((2L, 99L)).toDF("k", "x"), "clashes with snapshot")
+    }
+    GraftTable.commitAppend(spark, src,
+      Seq((3L, 30L)).toDF("k", "x"), "fresh key")
+    // dv hop carries the header; the next write still enforces
+    GraftTable.commitDeleteVector(spark, src,
+      Seq(Tuple1(1L)).toDF("k"), Seq("k"), "delete 1")
+    intercept[IllegalStateException] {
+      GraftTable.commitNextIsolated(spark, src,
+        Seq((9L, Option.empty[java.lang.Long])).toDF("k", "x").selectExpr(
+          "k", "CAST(x AS BIGINT) AS x"), "null x after dv")
+    }
+    // compaction re-enforces the carried set and keeps carrying it
+    val cv = GraftTable.compactChain(spark, src)
+    val hdrOk = GraftTable.statsOf(fs, src, cv) // no stats involved
+    intercept[IllegalStateException] {
+      GraftTable.commitAppend(spark, src,
+        Seq((3L, 40L)).toDF("k", "x"), "clash after compact")
+    }
+    // the clone inherits and enforces independently
+    val dst = s"$parent/dst"
+    GraftTable.cloneShallow(spark, src, dst)
+    intercept[IllegalStateException] {
+      GraftTable.commitAppend(spark, dst,
+        Seq((3L, 50L)).toDF("k", "x"), "clash in the clone")
+    }
+    GraftTable.commitAppend(spark, dst,
+      Seq((7L, 70L)).toDF("k", "x"), "fresh key in the clone")
+    assert(GraftTable.read(spark, dst).count() == 3,
+      "clone: {2,3} after the delete, +7 appended")
+    val _ = hdrOk
+  }
+
   test("cdcSubscribeTyped delivers each version's typed feed exactly once") {
     val (dir, _) = fresh("g14b_cdftyped")
     val (cp, _) = fresh("g14b_cdftypedcp")
