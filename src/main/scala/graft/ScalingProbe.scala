@@ -209,6 +209,54 @@ object ScalingProbe {
       o.exceptAll(o.filter(col("o_orderdate") <
         to_timestamp(lit("1997-01-01")))).count()
 
+    // round-14 shape: the typed CDF general tier (changeFeed minus the
+    // store IO): ONE full-outer key join of two snapshots, a null-safe
+    // struct compare, and an explode emitting 0/1/2 rows per key. The
+    // claim under test: linear in keys — the diff never pairs beyond
+    // the key join, and the explode is map-side.
+    def typedCdf(c: DataFrame, o: DataFrame): Long = {
+      val prev = c.select(col("c_custkey").as("key"),
+        T.dec(col("c_acctbal")).as("bal"))
+      val curr = prev.join(o.groupBy("o_custkey")
+          .agg(sum(T.dec(col("o_totalprice"))).as("d")),
+          col("key") === col("o_custkey"), "left")
+        .select(col("key"),
+          (col("bal") + coalesce(col("d"), lit(0))).as("bal"))
+      def pack(df: DataFrame, tag: String) =
+        // cast-align both images to the widened decimal, as changeFeed
+        // aligns the preimage side to the new version's types
+        df.select(col("key"), struct(col("key"),
+          col("bal").cast(org.apache.spark.sql.types.DecimalType(23, 2))
+            .as("bal")).as(tag))
+      pack(prev, "pr").join(pack(curr, "cu"), Seq("key"), "full_outer")
+        .select(explode(
+          when(col("pr").isNull,
+            array(struct(col("cu").as("r"), lit("insert").as("t"))))
+          .when(col("cu").isNull,
+            array(struct(col("pr").as("r"), lit("delete").as("t"))))
+          .when(!(col("pr") <=> col("cu")), array(
+            struct(col("pr").as("r"), lit("update_preimage").as("t")),
+            struct(col("cu").as("r"), lit("update_postimage").as("t"))))
+          .otherwise(lit(null))).as("e")).count()
+    }
+
+    // round-14 shape: the Bloom index build (computeBloom's aggregation
+    // with partition id standing in for the file name — the probe
+    // writes nothing). The claim under test: k hash positions per row
+    // then a per-(file, word) bit_or — the shuffle carries
+    // |files × m/64| words, never rows, so 10× rows ⇒ ≈10× map work
+    // over an unchanged reduce.
+    def bloomBuild(o: DataFrame): Long = {
+      val m = 65536L
+      o.select(spark_partition_id().as("f"), col("o_custkey").as("x"))
+        .where(col("x").isNotNull)
+        .select(col("f"), explode(array((1 to 4).map(s =>
+          pmod(xxhash64(col("x"), lit(s)), lit(m))): _*)).as("p"))
+        .groupBy(col("f"), (col("p") / 64).cast("int").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("b"))
+        .count()
+    }
+
     // round-9 shape: pointer-jumping list rank. Amplifying BOTH keys
     // keeps every chain's length (and therefore the round count —
     // ceil(log2(maxChain)) — ) identical while each round processes 10×
@@ -223,7 +271,8 @@ object ScalingProbe {
     // the triangle edge-build, so their 1× rows are not cold-read IO)
     q1(li); joinAgg(ord, li); winLatest(ev); gridJoin(cust); triEdges(li)
     topkSpill(li); kmeans(emb); listRank(ord); lshSig(emb); corpus(docs)
-    mergeShape(cust12, ord); cdcDelta(ord); ()
+    mergeShape(cust12, ord); cdcDelta(ord); typedCdf(cust12, ord)
+    bloomBuild(ord); ()
 
     val results = Seq(
       ("agg_q1_shape", time(q1(li)), time(q1(amp(li, Seq("l_orderkey"))))),
@@ -255,7 +304,12 @@ object ScalingProbe {
         time(mergeShape(amp(cust12, Seq("c_custkey")),
           amp(ord, Seq("o_custkey"))))),
       ("cdc_delta_exceptall", time(cdcDelta(ord)),
-        time(cdcDelta(amp(ord, Seq("o_orderkey")))))
+        time(cdcDelta(amp(ord, Seq("o_orderkey"))))),
+      ("typed_cdf_shape", time(typedCdf(cust12, ord)),
+        time(typedCdf(amp(cust12, Seq("c_custkey")),
+          amp(ord, Seq("o_custkey"))))),
+      ("bloom_index_build", time(bloomBuild(ord)),
+        time(bloomBuild(amp(ord, Seq("o_orderkey")))))
     )
     def r(v: Double): Double = math.rint(v * 1000) / 1000
     val json = results.map { case (k, t1, t10) =>
