@@ -644,6 +644,52 @@ object Round14Ops {
           lit(rCheck + rUnique + rNull).as("n_refused"),
           lit(nv.toLong).as("n_versions"))
         .orderBy("bucket")
+    }),
+
+    // OPTIMIZE ZORDER BY: v0 commits lineitem in ARRIVAL order
+    // (hash-scattered on orderkey) with 2-D stats — every file's
+    // (shipdate, quantity) rectangle is full-width, so the manifest
+    // band read opens ALL files (full_scan_before pins it). One
+    // clustered compaction later — range-normalized Morton interleave
+    // of the same two ordinals, ONE deliberate shuffle — the identical
+    // band read opens a strict subset (pruned_after), and the band
+    // aggregate still matches the raw recompute inside the oracle
+    // hash. This is the OPTIMIZE-ZORDER maintenance loop a real table
+    // runs: append in arrival order all day, re-cluster once, and the
+    // skipping index becomes tight again without touching readers.
+    "table_optimize_zorder" -> ((s, d) => {
+      val dir = freshDir(s, d, "optzorder")
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"),
+          col("l_quantity").cast(LongType).as("l_quantity"),
+          money(dec(col("l_extendedprice"))).as("price"))
+      val dims: GraftTable.StatsCols = Seq(
+        "l_shipdate" -> ((c: Column) => unix_micros(c.cast(TimestampType))),
+        "l_quantity" -> ((c: Column) => c))
+      GraftTable.commitNextIsolated(s, dir,
+        li.repartition(8, col("l_orderkey")), "arrival order",
+        statsCols = dims)
+      def epochUs(date: String): Long =
+        java.time.LocalDate.parse(date)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+      val bands = Seq(
+        GraftTable.RangeBand("l_shipdate",
+          epochUs("1995-06-01"), epochUs("1995-09-01") - 1L),
+        GraftTable.RangeBand("l_quantity", 10L, 25L))
+      val (_, hit0, total0) = GraftTable.readStatsBands(s, dir, 0, bands)
+      val cv = GraftTable.compactChain(s, dir, targetFiles = 16,
+        "optimize zorder (l_shipdate, l_quantity)",
+        statsCols = dims, clusterBy = dims)
+      val (bandDf, hit1, total1) = GraftTable.readStatsBands(s, dir, cv, bands)
+      bandDf
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-06-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-09-01")) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 25)
+        .agg(count(lit(1)).as("n"), money(sum(dec(col("price"))))
+          .as("revenue"))
+        .select(col("n"), col("revenue"),
+          lit(hit0.size.toLong == total0.toLong).as("full_scan_before"),
+          lit(hit1.size.toLong < total1.toLong).as("pruned_after"))
     })
   )
 
@@ -806,6 +852,17 @@ object Round14Ops {
         "SELECT o_custkey % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n, " +
         s"${oMoney("SUM(p)")} AS rev, " +
         "CAST(3 AS BIGINT) AS n_refused, CAST(3 AS BIGINT) AS n_versions " +
-        "FROM t WHERE o_custkey % 10 <> 7 GROUP BY 1 ORDER BY bucket")
+        "FROM t WHERE o_custkey % 10 <> 7 GROUP BY 1 ORDER BY bucket"),
+
+    // The re-clustered band aggregate matches the raw recompute; the
+    // arrival-order layout opened every file, the z-ordered one pruned.
+    "table_optimize_zorder" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("l_extendedprice")})")} AS revenue, " +
+        "TRUE AS full_scan_before, TRUE AS pruned_after " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01' " +
+        "AND l_shipdate < TIMESTAMP '1995-09-01' " +
+        "AND CAST(l_quantity AS BIGINT) >= 10 " +
+        "AND CAST(l_quantity AS BIGINT) <= 25")
   )
 }

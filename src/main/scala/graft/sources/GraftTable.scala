@@ -2157,7 +2157,8 @@ object GraftTable {
     * of already-valid rows always passes). */
   def compactChain(spark: SparkSession, dir: String, targetFiles: Int = 1,
       metadata: String = "compact", prefix: String = "v",
-      statsCols: StatsCols = Nil, bloomCol: Option[String] = None): Int = {
+      statsCols: StatsCols = Nil, bloomCol: Option[String] = None,
+      clusterBy: StatsCols = Nil): Int = {
     require(targetFiles >= 1, s"targetFiles must be >= 1 (got $targetFiles)")
     val fs = fsOf(spark, dir)
     val (c, h) = currentHeaders(fs, dir).getOrElse(sys.error(
@@ -2176,7 +2177,13 @@ object GraftTable {
     val partBy = h.get("partby").map(_.split(",").toSeq).getOrElse(Nil)
     val snap = readVersion(spark, dir, c, prefix)
     val compacted =
-      if (partBy.isEmpty) snap.coalesce(targetFiles)
+      if (clusterBy.nonEmpty) {
+        require(partBy.isEmpty, "clustered compaction applies to flat " +
+          "layouts — a partitionBy table is already dir-clustered on " +
+          "its partition columns")
+        clusteredLayout(spark, snap, clusterBy, targetFiles)
+      }
+      else if (partBy.isEmpty) snap.coalesce(targetFiles)
       // hash-repartition on the partition columns: every partition
       // value's rows reach one task, so each partition dir gets exactly
       // one file — without this the rewrite would fan each value across
@@ -2184,6 +2191,51 @@ object GraftTable {
       else snap.repartition(partBy.map(org.apache.spark.sql.functions.col): _*)
     commitNextIsolated(spark, dir, compacted, metadata, prefix = prefix,
       partitionBy = partBy, statsCols = statsCols, bloomCol = bloomCol)
+  }
+
+  /** OPTIMIZE ZORDER BY — the clustering rewrite `compactChain` applies
+    * when `clusterBy` names 1 or 2 long-ordinal dimensions (the same
+    * `StatsCols` encoding the skipping index declares, so the clustered
+    * dimensions and the statted ones compose naturally). Each ordinal
+    * is range-normalized to 16 bits from its OBSERVED min/max (one
+    * 1-row aggregate — production z-order's range normalization, which
+    * keeps a wide dimension from monopolizing the interleave's high
+    * bits); two dimensions Morton-interleave bit by bit. The rewrite
+    * then range-partitions into `targetFiles` z-runs and sorts within
+    * each — ONE shuffle, paid deliberately: an append chain's
+    * arrival-order files have full-width min/max rectangles that skip
+    * nothing, and re-clustering is what makes the manifest's per-file
+    * stats tight again. Nulls order first (ordinal 0). The bucket-width
+    * division (never a multiply) cannot overflow epoch-micro ordinals. */
+  private def clusteredLayout(spark: SparkSession, snap: DataFrame,
+      clusterBy: StatsCols, targetFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(clusterBy.size <= 2,
+      s"clusterBy supports 1 or 2 dimensions (got ${clusterBy.size}) — " +
+        "a Morton interleave beyond 2 needs wider keys than the 16-bit " +
+        "normalization provides")
+    val ords = clusterBy.map { case (n, f) =>
+      f(col(n)).cast(org.apache.spark.sql.types.LongType) }
+    val aggs = ords.zipWithIndex.flatMap { case (o, i) =>
+      Seq(min(o).as(s"__lo$i"), max(o).as(s"__hi$i")) }
+    val r = snap.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row
+    val scaled = ords.zipWithIndex.map { case (o, i) =>
+      val lo = if (r.isNullAt(2 * i)) 0L else r.getLong(2 * i)
+      val hi = if (r.isNullAt(2 * i + 1)) lo else r.getLong(2 * i + 1)
+      val bucket = math.max(1L, (hi - lo) / 65536L + 1L)
+      coalesce((o - lit(lo)) / lit(bucket), lit(0L))
+        .cast(org.apache.spark.sql.types.LongType)
+    }
+    val z =
+      if (scaled.size == 1) scaled.head
+      else (0 until 16).map { i =>
+        shiftleft(shiftright(scaled(0), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(scaled(1), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+    snap.withColumn("__graft_z", z)
+      .repartitionByRange(targetFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
   }
 
   // ---- typed change-data feed -----------------------------------------------

@@ -148,6 +148,68 @@ class Round14bSpec extends SparkSpec {
       snap.filter(col("p") === "p1").count() == 10)
   }
 
+  test("clustered compaction (OPTIMIZE ZORDER): the re-clustered band read set equals footer truth and prunes; 1-D clustering sorts; misuse refuses") {
+    val (dir, fs) = fresh("g14b_optz")
+    import spark.implicits._
+    // 1024 rows over a 32×32 grid, hash-scattered at commit: every
+    // file's (x, y) rectangle is full-width
+    val df = (0L until 1024L).map(i => (i, i % 32L, i / 32L)).toDF("k", "x", "y")
+    val dims: GraftTable.StatsCols = Seq("x" -> (c => c), "y" -> (c => c))
+    GraftTable.commitNextIsolated(spark, dir,
+      df.repartition(8, col("k")), "arrival", statsCols = dims)
+    val bands = Seq(GraftTable.RangeBand("x", 4L, 11L),
+      GraftTable.RangeBand("y", 4L, 11L)) // an 8×8 of the 32×32 grid
+    val (_, hit0, total0) = GraftTable.readStatsBands(spark, dir, 0, bands)
+    assert(hit0.size == total0, "arrival-order rectangles skip nothing")
+    val cv = GraftTable.compactChain(spark, dir, targetFiles = 16,
+      "optimize", statsCols = dims, clusterBy = dims)
+    val (bdf, hit1, total1) = GraftTable.readStatsBands(spark, dir, cv, bands)
+    assert(total1 == 16 && hit1.size * 2 <= total1,
+      s"z-ordered 2-D band must prune at least half (${hit1.size}/$total1)")
+    // the manifest's read set must equal per-file FOOTER truth: open
+    // every file of the compacted dir and recompute its overlap
+    val dataDir = GraftTable.dataDirOf(fs, dir, cv)
+    val truth = GraftTable.readVersion(spark, dir, cv)
+      .filter(col("x").between(4, 11) && col("y").between(4, 11))
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    // compare dir-relative names: hit paths are table-relative, the
+    // row-derived truth absolute file:// URIs
+    def rel(p: String) =
+      p.substring(p.indexOf(s"/$dataDir/") + dataDir.length + 2)
+    assert(truth.map(rel).subsetOf(hit1.map(rel).toSet),
+      "every file truly holding band rows is in the read set")
+    assert(bdf.filter(col("x").between(4, 11) && col("y").between(4, 11))
+      .count() == 64, "the band serves exactly the 8×8 grid cells")
+    // 1-D clusterBy = range-sort compaction: the band localizes to a
+    // file subset too
+    val (dir1, _) = fresh("g14b_optz1d")
+    GraftTable.commitNextIsolated(spark, dir1,
+      df.repartition(8, col("k")), "arrival",
+      statsCols = Seq("k" -> (c => c)))
+    val c1 = GraftTable.compactChain(spark, dir1, targetFiles = 8,
+      "sort by k", statsCols = Seq("k" -> (c => c)),
+      clusterBy = Seq("k" -> (c => c)))
+    val (_, h1d, t1d) = GraftTable.readStatsBands(spark, dir1, c1,
+      Seq(GraftTable.RangeBand("k", 0L, 127L)))
+    assert(h1d.size == 1 && t1d == 8,
+      s"a sorted eighth must resolve to ONE file (${h1d.size}/$t1d)")
+    // misuse refuses before anything stages
+    intercept[IllegalArgumentException] {
+      GraftTable.compactChain(spark, dir1, 4,
+        statsCols = Seq("k" -> (c => c)),
+        clusterBy = Seq("k" -> (c => c), "x" -> (c => c), "y" -> (c => c)))
+    }
+    val (dirP, _) = fresh("g14b_optzpart")
+    GraftTable.commitNextIsolated(spark, dirP,
+      (0L until 30L).map(i => (i, s"p${i % 3}")).toDF("k", "p"),
+      "partitioned", partitionBy = Seq("p"))
+    intercept[IllegalArgumentException] {
+      GraftTable.compactChain(spark, dirP, 4,
+        clusterBy = Seq("k" -> (c => c)))
+    }
+  }
+
   // ---- Bloom index ----------------------------------------------------------
 
   test("readBloomEq read sets: superset of per-file truth, genuinely pruning, near-zero opens for absent keys; results identical to the full scan") {
