@@ -141,4 +141,21 @@ object T {
   def oRate(e: String): String = s"CAST($e AS DECIMAL(4,2))"
   def oMoney(e: String): String = s"CAST(ROUND($e, 4) AS DOUBLE)"
   def oTsSec(e: String): String = s"date_trunc('second', $e)"
+
+  /** 16-bit Morton interleave of two long ordinals — the z-order key
+    * the clustered layouts share (Round5Ops' spatial joins,
+    * GraftTable.compactChain's OPTIMIZE ZORDER). One definition so the
+    * bit-width can never drift between them. */
+  def morton16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Midnight-UTC epoch MICROS of an ISO date — the literal twin of the
+    * `unix_micros(col cast TimestampType)` stats ordinal (UTC session),
+    * shared by every band-bound builder. */
+  def epochUs(date: String): Long =
+    java.time.LocalDate.parse(date)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
 }

@@ -50,9 +50,7 @@ import graft.sources.GraftTable
   */
 object Round13Ops {
 
-  private def epochUs(date: String): Long =
-    java.time.LocalDate.parse(date).atStartOfDay(java.time.ZoneOffset.UTC)
-      .toInstant.toEpochMilli * 1000L
+  private def epochUs(date: String): Long = graft.T.epochUs(date)
 
   /** L2² between a scaled-BIGINT vector column and a DOUBLE centroid
     * column, as an UNROLLED 64-term sum. Left-associated `+` adds the

@@ -380,14 +380,11 @@ object Round14Ops {
     "table_append_stats" -> ((s, d) => {
       val dir = appendStatsTable(s, d)
       val fs = GraftTable.fsOf(s, dir)
-      def epochUs(date: String): Long =
-        java.time.LocalDate.parse(date)
-          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
       val nMeta = GraftTable.rowCountOf(fs, dir, 1)
         .getOrElse(sys.error(s"no merged stats in $dir v1"))
       val (bandDf, _, _) = GraftTable.readStatsBands(s, dir, 1,
         Seq(GraftTable.RangeBand("o_orderdate",
-          epochUs("1997-03-01"), epochUs("1997-09-01") - 1L)))
+          graft.T.epochUs("1997-03-01"), graft.T.epochUs("1997-09-01") - 1L)))
       bandDf
         .filter(col("o_orderdate") >= to_timestamp(lit("1997-03-01")) &&
           col("o_orderdate") < to_timestamp(lit("1997-09-01")))
@@ -669,12 +666,9 @@ object Round14Ops {
       GraftTable.commitNextIsolated(s, dir,
         li.repartition(8, col("l_orderkey")), "arrival order",
         statsCols = dims)
-      def epochUs(date: String): Long =
-        java.time.LocalDate.parse(date)
-          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
       val bands = Seq(
         GraftTable.RangeBand("l_shipdate",
-          epochUs("1995-06-01"), epochUs("1995-09-01") - 1L),
+          graft.T.epochUs("1995-06-01"), graft.T.epochUs("1995-09-01") - 1L),
         GraftTable.RangeBand("l_quantity", 10L, 25L))
       val (_, hit0, total0) = GraftTable.readStatsBands(s, dir, 0, bands)
       val cv = GraftTable.compactChain(s, dir, targetFiles = 16,

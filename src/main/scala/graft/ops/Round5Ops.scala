@@ -32,10 +32,7 @@ object Round5Ops {
     * dimensions, so min/max column statistics prune on either predicate.
     * Built as a plain codegen-friendly bit expression (no UDF). */
   private[graft] def morton16(x: Column, y: Column): Column =
-    (0 until 16).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    graft.T.morton16(x, y)
 
   /** DuckDB mirror of morton16. */
   private def oMorton(x: String, y: String): String =

@@ -420,10 +420,18 @@ object GraftTable {
   private[graft] def constraintsEncode(specs: Seq[String]): String =
     specs.map(urlEnc).mkString(",")
 
+  /** The predecessor's declared constraints, decoded from
+    * already-parsed current headers — what every write path enforces
+    * and carries. */
+  private def carriedConstraints(
+      cur: Option[(Int, Map[String, String])]): Seq[String] =
+    cur.flatMap(_._2.get("constraints")).map(constraintsDecode)
+      .getOrElse(Nil)
+
   /** Syntax-validate a constraint spec at DECLARATION time — a typo'd
     * kind or an unparseable CHECK expression must fail the declaring
     * commit, not some later writer's enforcement pass. */
-  private def validateConstraintSpec(spark: SparkSession, spec: String,
+  private def validateConstraintSpec(spec: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     val (kind, arg) = spec.span(_ != ':') match {
       case (k, a) if a.startsWith(":") && a.length > 1 => (k, a.tail)
@@ -469,7 +477,7 @@ object GraftTable {
     *
     * notnull + check fold into ONE aggregation pass over `df`; each
     * unique spec costs one more (a groupBy on its key). */
-  private def enforceConstraints(spark: SparkSession, df: DataFrame,
+  private def enforceConstraints(df: DataFrame,
       specs: Seq[String], context: String,
       existing: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.functions._
@@ -1122,10 +1130,17 @@ object GraftTable {
     val fs = fsOf(spark, dir)
     val cur = currentHeaders(fs, dir)
     schemaGate(cur.flatMap(_._2.get("schema")), df.schema, allowEvolution)
+    // carried constraints enforce on EVERY write path, convention-dir
+    // commits included — a path that skipped them would both let
+    // violations through and strip the header for all future writers
+    val carried = carriedConstraints(cur)
+    enforceConstraints(df, carried, "commit")
     val v = cur.map(_._1 + 1).getOrElse(0)
     stage(df, dir, v, prefix)
     commit(fs, dir, v, metadata, retain, prefix,
-      schema = Some(schemaEncode(df.schema)), prevTs = prevTsOf(cur))
+      schema = Some(schemaEncode(df.schema)), prevTs = prevTsOf(cur),
+      constraintsHdr =
+        if (carried.isEmpty) None else Some(constraintsEncode(carried)))
     v
   }
 
@@ -1206,13 +1221,10 @@ object GraftTable {
     // declared constraints: the predecessor's carry forward (unless the
     // caller DECLARES the drop) and new ones add; the combined set is
     // enforced on the full rows being committed — still before staging
-    constraints.foreach(validateConstraintSpec(spark, _, df.schema))
-    val carried =
-      if (dropConstraints) Nil
-      else cur.flatMap(_._2.get("constraints")).map(constraintsDecode)
-        .getOrElse(Nil)
+    constraints.foreach(validateConstraintSpec(_, df.schema))
+    val carried = if (dropConstraints) Nil else carriedConstraints(cur)
     val allConstraints = (carried ++ constraints).distinct
-    enforceConstraints(spark, df, allConstraints, "commit")
+    enforceConstraints(df, allConstraints, "commit")
     val v = cur.map(_._1 + 1).getOrElse(0)
     val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     val w = df.write.mode("errorifexists")
@@ -1370,14 +1382,20 @@ object GraftTable {
         readVersion(spark, dir, v, prefix)
       })
       // gate against the snapshot this attempt read — before the write,
-      // so a refused schema stages nothing
+      // so a refused schema stages nothing; declared constraints
+      // likewise (re-read per attempt: the race winner may have
+      // declared or dropped them)
       schemaGate(cur.flatMap(_._2.get("schema")), out.schema, allowEvolution)
+      val carried = carriedConstraints(cur)
+      enforceConstraints(out, carried, "commit")
       val v = cur.map(_._1 + 1).getOrElse(0)
       val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
       out.write.mode("errorifexists").parquet(s"$dir/$data")
       try {
         commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data),
-          schema = Some(schemaEncode(out.schema)), prevTs = prevTsOf(cur))
+          schema = Some(schemaEncode(out.schema)), prevTs = prevTsOf(cur),
+          constraintsHdr =
+            if (carried.isEmpty) None else Some(constraintsEncode(carried)))
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1494,11 +1512,10 @@ object GraftTable {
     // checks the new keys against the CURRENT snapshot — re-run per OCC
     // attempt, since a racing append may have landed clashing keys
     def enforceOn(cur: Option[(Int, Map[String, String])]): Seq[String] =
-      cur.flatMap(_._2.get("constraints")).map(constraintsDecode)
-        .getOrElse(Nil) match {
+      carriedConstraints(cur) match {
         case Nil => Nil
         case specs =>
-          enforceConstraints(spark, df, specs, "append",
+          enforceConstraints(df, specs, "append",
             existing =
               if (specs.exists(_.startsWith("unique:")))
                 cur.map { case (c, _) => readVersion(spark, dir, c, prefix) }
@@ -2228,10 +2245,7 @@ object GraftTable {
     }
     val z =
       if (scaled.size == 1) scaled.head
-      else (0 until 16).map { i =>
-        shiftleft(shiftright(scaled(0), i).bitwiseAND(lit(1L)), 2 * i) +
-          shiftleft(shiftright(scaled(1), i).bitwiseAND(lit(1L)), 2 * i + 1)
-      }.reduce(_ + _)
+      else graft.T.morton16(scaled(0), scaled(1))
     snap.withColumn("__graft_z", z)
       .repartitionByRange(targetFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")

@@ -543,7 +543,8 @@ class Round14bSpec extends SparkSpec {
     }
     // compaction re-enforces the carried set and keeps carrying it
     val cv = GraftTable.compactChain(spark, src)
-    val hdrOk = GraftTable.statsOf(fs, src, cv) // no stats involved
+    assert(GraftTable.statsOf(fs, src, cv).isEmpty,
+      "a stats-less table's compaction must not mint a stats header")
     intercept[IllegalStateException] {
       GraftTable.commitAppend(spark, src,
         Seq((3L, 40L)).toDF("k", "x"), "clash after compact")
@@ -559,7 +560,34 @@ class Round14bSpec extends SparkSpec {
       Seq((7L, 70L)).toDF("k", "x"), "fresh key in the clone")
     assert(GraftTable.read(spark, dst).count() == 3,
       "clone: {2,3} after the delete, +7 appended")
-    val _ = hdrOk
+  }
+
+  test("constraints enforce and carry on EVERY write path: commitNext and commitWithRetry included") {
+    val (dir, fs) = fresh("g14b_callpaths")
+    import spark.implicits._
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, 10L)).toDF("k", "x"), "declared",
+      constraints = Seq("check:x > 0"))
+    // convention-path commit: violation refused, no version minted
+    intercept[IllegalStateException] {
+      GraftTable.commitNext(spark, dir,
+        Seq((2L, -5L)).toDF("k", "x"), "bad via commitNext")
+    }
+    // OCC transform commit: violation refused BEFORE staging
+    intercept[IllegalStateException] {
+      GraftTable.commitWithRetry(spark, dir,
+        _ => Seq((2L, -5L)).toDF("k", "x"), "bad via retry loop")
+    }
+    assert(GraftTable.versions(fs, dir) == Seq(0))
+    // a conforming commitWithRetry lands AND carries the header, so the
+    // NEXT write still enforces
+    GraftTable.commitWithRetry(spark, dir,
+      _ => Seq((2L, 20L)).toDF("k", "x"), "good via retry loop")
+    intercept[IllegalStateException] {
+      GraftTable.commitNextIsolated(spark, dir,
+        Seq((3L, -1L)).toDF("k", "x"), "header must have carried")
+    }
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1))
   }
 
   test("cdcSubscribeTyped delivers each version's typed feed exactly once") {
