@@ -186,6 +186,8 @@ object Graft {
         statsTvf, "scala_udf")
       treg.createOrReplaceTempFunction("graft_typed_changes",
         typedChangesTvf, "scala_udf")
+      treg.createOrReplaceTempFunction("graft_bloom",
+        bloomTvf, "scala_udf")
     }
   }
 
@@ -226,6 +228,15 @@ object Graft {
       exprs(2).eval().toString.split(",").toSeq.map(_.trim))
       .queryExecution.logical
   }
+
+  /** `graft_bloom('<dir>', v)` — the Bloom index as a relation (one row
+    * per indexed file with its bit saturation — the "does this index
+    * still prune" audit `graft_stats` gives the min/max side). */
+  private[graft] def bloomTvf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    tableFnPlan("graft_bloom", exprs,
+      (d, v) => sources.GraftTable.bloomTable(SparkSession.active, d, v))
 
   /** `graft_history('<dir>')` — the DESCRIBE HISTORY audit TVF. */
   private[graft] def historyTvf(

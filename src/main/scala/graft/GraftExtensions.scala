@@ -70,5 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_typed_changes"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.Graft.typedChangesTvf(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(graft.sources.GraftTable.getClass.getName,
+        "graft_bloom"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.Graft.bloomTvf(exprs)))
   }
 }

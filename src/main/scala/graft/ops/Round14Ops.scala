@@ -684,6 +684,29 @@ object Round14Ops {
         .select(col("n"), col("revenue"),
           lit(hit0.size.toLong == total0.toLong).as("full_scan_before"),
           lit(hit1.size.toLong < total1.toLong).as("pruned_after"))
+    }),
+
+    // The one-call maintenance pass (the nightly job): a 3-dir append
+    // chain folds to ONE dir (maxChainDirs=2 tripped), the manifest
+    // checkpoints through the compacted version, zero-horizon retention
+    // reclaims all three now-unreferenced chain dirs (n_expired=3 — the
+    // compact-THEN-expire ordering is what frees them), and the served
+    // snapshot still tiles orders exactly. History survives: 4 versions
+    // in the manifest, checkpoint covering the newest.
+    "table_maintenance_pass" -> ((s, d) => {
+      val dir = appendChain(s, d, "maint")
+      val rep = GraftTable.maintain(s, dir, maxChainDirs = 2,
+        targetFiles = 2, retainMs = 0L, vacuumGraceMs = 0L)
+      val fs = GraftTable.fsOf(s, dir)
+      val nv = GraftTable.versions(fs, dir).size
+      val nDirs = GraftTable.dataDirsOf(fs, dir,
+        rep.compacted.getOrElse(sys.error("chain must have compacted"))).size
+      GraftTable.read(s, dir)
+        .withColumn("n_versions", lit(nv.toLong))
+        .withColumn("n_dirs", lit(nDirs.toLong))
+        .withColumn("n_expired", lit(rep.expired.size.toLong))
+        .withColumn("checkpointed_to", lit(rep.checkpointedTo.toLong))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -857,6 +880,15 @@ object Round14Ops {
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-06-01' " +
         "AND l_shipdate < TIMESTAMP '1995-09-01' " +
         "AND CAST(l_quantity AS BIGINT) >= 10 " +
-        "AND CAST(l_quantity AS BIGINT) <= 25")
+        "AND CAST(l_quantity AS BIGINT) <= 25"),
+
+    // Maintenance preserved every row; the chain folded to one dir, all
+    // three old dirs expired, history and checkpoint reach version 3.
+    "table_maintenance_pass" ->
+      (s"SELECT o_orderkey, ${oMoney(oDec("o_totalprice"))} AS price, " +
+        "CAST(4 AS BIGINT) AS n_versions, CAST(1 AS BIGINT) AS n_dirs, " +
+        "CAST(3 AS BIGINT) AS n_expired, " +
+        "CAST(3 AS BIGINT) AS checkpointed_to " +
+        "FROM orders ORDER BY o_orderkey")
   )
 }

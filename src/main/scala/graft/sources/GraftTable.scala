@@ -2145,6 +2145,35 @@ object GraftTable {
     (df, hit, total)
   }
 
+  /** The Bloom index as a RELATION — one row per indexed file (chain
+    * dirs included): (dir_name, file, m, k, bits_set, saturation).
+    * The observability surface `graft_stats` gives the min/max index:
+    * saturation approaching 1.0 means the filter has degraded toward
+    * opening everything and the table wants a re-indexing compaction.
+    * Resolved from the manifest + sidecars alone — no data file is
+    * listed or opened. Served to SQL as `graft_bloom('<dir>', v)`. */
+  def bloomTable(spark: SparkSession, dir: String, v: Int,
+      prefix: String = "v"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsOf(spark, dir)
+    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
+      s"version $v was never committed under $dir")
+    val hdrs = parseCommit(commitContent(fs, dir, v))._1
+    require(hdrs.contains("bloom"),
+      s"version $v of $dir carries no Bloom index in its commit")
+    val rows = dataDirsFrom(hdrs, v, prefix).flatMap { dd =>
+      val tb = TableBloom.decode(
+        readSmallFile(fs, new Path(s"$dir/$dd/$bloomSidecarName")))
+      tb.files.map { case (f, bits) =>
+        val set = bits.map(java.lang.Long.bitCount).sum
+        (dd, f, tb.col, tb.m, tb.k, set, set.toDouble / tb.m)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("dir_name", "file", "col", "m", "k", "bits_set", "saturation")
+      .orderBy(col("dir_name"), col("file"))
+  }
+
   // ---- chain compaction (OPTIMIZE) ------------------------------------------
 
   /** Compact the CURRENT version into a single fresh data dir of at
@@ -2250,6 +2279,53 @@ object GraftTable {
       .repartitionByRange(targetFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
+  }
+
+  /** What one `maintain` pass did: the compacted version it minted (if
+    * the chain was long enough to fold), the version the manifest
+    * checkpoint now covers, the versions whose data retention expired,
+    * and the orphan dirs vacuum reclaimed. */
+  final case class MaintenanceReport(compacted: Option[Int],
+      checkpointedTo: Int, expired: Seq[Int], vacuumed: Seq[String])
+
+  /** One-call table maintenance — the nightly OPTIMIZE job every
+    * lakehouse schedules, composed from the audited primitives in the
+    * order an operator wants them: (1) fold the append chain back to
+    * one dir when it exceeds `maxChainDirs` (re-declaring the skipping
+    * indexes via `statsCols`/`bloomCol`, optionally re-clustering via
+    * `clusterBy`); (2) checkpoint the manifest so every full-history
+    * read stays O(1 + suffix); (3) expire data older than `retainMs`
+    * (compaction FIRST means the just-unreferenced chain dirs age out
+    * as soon as their horizon passes); (4) vacuum crash orphans older
+    * than `vacuumGraceMs`. Each step is independently idempotent, so a
+    * maintenance job that dies mid-pass just runs again. Readers are
+    * never blocked: compaction is one more OCC commit, the checkpoint
+    * is an atomic replace, and retention/vacuum only ever touch
+    * unreferenced dirs. */
+  def maintain(spark: SparkSession, dir: String, maxChainDirs: Int = 4,
+      targetFiles: Int = 1, statsCols: StatsCols = Nil,
+      bloomCol: Option[String] = None, clusterBy: StatsCols = Nil,
+      retainMs: Long = Long.MaxValue, vacuumGraceMs: Long = 3600000L,
+      prefix: String = "v"): MaintenanceReport = {
+    val fs = fsOf(spark, dir)
+    val (c, h) = currentHeaders(fs, dir).getOrElse(sys.error(
+      s"nothing to maintain: no version committed under $dir"))
+    // compact when the chain outgrew the bound, or whenever the caller
+    // asked for re-clustering (OPTIMIZE ZORDER re-runs by request, like
+    // Delta's — arrival-order churn since the last pass is exactly what
+    // it exists to fold back in)
+    val compacted =
+      if (dataDirsFrom(h, c, prefix).size > maxChainDirs ||
+          clusterBy.nonEmpty)
+        Some(compactChain(spark, dir, targetFiles, "maintenance compact",
+          prefix, statsCols, bloomCol, clusterBy))
+      else None
+    val cpTo = checkpoint(fs, dir)
+    val expired =
+      if (retainMs == Long.MaxValue) Seq.empty
+      else expireVersions(fs, dir, retainMs, prefix = prefix)
+    val vacuumed = vacuum(fs, dir, prefix, graceMs = vacuumGraceMs)
+    MaintenanceReport(compacted, cpTo, expired, vacuumed)
   }
 
   // ---- typed change-data feed -----------------------------------------------

@@ -364,6 +364,56 @@ class Round14bSpec extends SparkSpec {
     val _ = fs
   }
 
+  test("maintain: below-threshold chains are left alone; a second pass is a no-op; expired history still audits") {
+    val (dir, fs) = fresh("g14b_maintain")
+    import spark.implicits._
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, "a")).toDF("k", "s"), "base")
+    GraftTable.commitAppend(spark, dir, Seq((2L, "b")).toDF("k", "s"), "a1")
+    // 2 dirs <= maxChainDirs: no compaction, but checkpoint + vacuum run
+    val r0 = GraftTable.maintain(spark, dir, maxChainDirs = 4)
+    assert(r0.compacted.isEmpty && r0.checkpointedTo == 1 &&
+      r0.expired.isEmpty)
+    GraftTable.commitAppend(spark, dir, Seq((3L, "c")).toDF("k", "s"), "a2")
+    GraftTable.commitAppend(spark, dir, Seq((4L, "d")).toDF("k", "s"), "a3")
+    val r1 = GraftTable.maintain(spark, dir, maxChainDirs = 2,
+      retainMs = 0L, vacuumGraceMs = 0L)
+    assert(r1.compacted.contains(4) && r1.checkpointedTo == 4 &&
+      r1.expired == Seq(0, 1, 2, 3), s"$r1")
+    assert(GraftTable.read(spark, dir).count() == 4)
+    // second pass: nothing left to fold or reclaim (idempotent)
+    val r2 = GraftTable.maintain(spark, dir, maxChainDirs = 2,
+      retainMs = 0L, vacuumGraceMs = 0L)
+    assert(r2.compacted.isEmpty && r2.expired.isEmpty &&
+      r2.vacuumed.isEmpty, s"$r2")
+    // history survives the expiry: all 5 versions audit, expired data
+    // fails loudly
+    assert(GraftTable.history(spark, dir).count() == 5)
+    intercept[Exception] { GraftTable.readVersion(spark, dir, 1).count() }
+  }
+
+  test("graft_bloom TVF: per-file saturation from plain SQL, chain dirs included") {
+    val (dir, _) = fresh("g14b_bloomtvf")
+    import spark.implicits._
+    GraftTable.commitNextIsolated(spark, dir,
+      (0L until 100L).map(i => (i, i % 5L)).toDF("k", "c").coalesce(2),
+      "base", bloomCol = Some("c"))
+    GraftTable.commitAppend(spark, dir,
+      (100L until 120L).map(i => (i, 9L)).toDF("k", "c").coalesce(1),
+      "append", bloomCol = Some("c"))
+    Graft.registerFunctions(spark)
+    val rows = spark.sql(
+      s"SELECT file, m, k, bits_set, saturation " +
+        s"FROM graft_bloom('$dir', 1) ORDER BY dir_name, file").collect()
+    assert(rows.length == 3, s"2 base files + 1 appended (${rows.length})")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("m") >= 1024 && r.getAs[Int]("k") == 4)
+      val sat = r.getAs[Double]("saturation")
+      assert(r.getAs[Int]("bits_set") > 0 && sat > 0 && sat < 0.5,
+        s"a 1-5 distinct-value file's filter must be sparse ($sat)")
+    }
+  }
+
   test("graft_typed_changes TVF: the typed feed from plain SQL") {
     val (dir, _) = fresh("g14b_cdftvf")
     GraftTable.commitNextIsolated(spark, dir,
