@@ -2103,21 +2103,10 @@ object GraftTable {
   def readBloomEq(spark: SparkSession, dir: String, v: Int, col: String,
       value: Any, prefix: String = "v"): (DataFrame, Seq[String], Int) = {
     val fs = fsOf(spark, dir)
-    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
-      s"version $v was never committed under $dir")
-    val hdrs = parseCommit(commitContent(fs, dir, v))._1
-    val spec = hdrs.getOrElse("bloom", sys.error(
-      s"version $v of $dir carries no Bloom index in its commit"))
-    require(urlDec(spec.split('|')(0)) == col,
-      s"version $v's Bloom index is on column " +
-        s"'${urlDec(spec.split('|')(0))}', not '$col'")
-    val dataDirs = dataDirsFrom(hdrs, v, prefix)
-    val perDir = dataDirs.map { dd =>
-      val tb = TableBloom.decode(
-        readSmallFile(fs, new Path(s"$dir/$dd/$bloomSidecarName")))
+    val (perDir, dataDirs) = perDirBlooms(fs, dir, v, prefix)
+    perDir.foreach { case (dd, tb) =>
       require(tb.col == col,
         s"chain dir $dd carries a Bloom index on '${tb.col}', not '$col'")
-      (dd, tb)
     }
     val hit = perDir.flatMap { case (dd, tb) =>
       tb.mightContain(bloomPositions(value, tb.m, tb.k))
@@ -2145,8 +2134,32 @@ object GraftTable {
     (df, hit, total)
   }
 
+  /** Version `v`'s Bloom sidecars, one per chain dir, resolved through
+    * the manifest with the same loud failures every reader gives: a
+    * never-committed version, an unindexed commit, and a
+    * retention-expired chain dir each name their cause (a raw sidecar
+    * FileNotFoundException would point at a path, not at retention).
+    * Shared by the probe (`readBloomEq`) and the audit (`bloomTable`)
+    * so their resolution can never diverge. */
+  private def perDirBlooms(fs: FileSystem, dir: String, v: Int,
+      prefix: String): (Seq[(String, TableBloom)], Seq[String]) = {
+    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
+      s"version $v was never committed under $dir")
+    val hdrs = parseCommit(commitContent(fs, dir, v))._1
+    require(hdrs.contains("bloom"),
+      s"version $v of $dir carries no Bloom index in its commit")
+    val dataDirs = dataDirsFrom(hdrs, v, prefix)
+    val perDir = dataDirs.map { dd =>
+      require(fs.exists(new Path(s"$dir/$dd")),
+        s"version $v's data dir $dd has been garbage-collected (retention)")
+      (dd, TableBloom.decode(
+        readSmallFile(fs, new Path(s"$dir/$dd/$bloomSidecarName"))))
+    }
+    (perDir, dataDirs)
+  }
+
   /** The Bloom index as a RELATION — one row per indexed file (chain
-    * dirs included): (dir_name, file, m, k, bits_set, saturation).
+    * dirs included): (dir_name, file, col, m, k, bits_set, saturation).
     * The observability surface `graft_stats` gives the min/max index:
     * saturation approaching 1.0 means the filter has degraded toward
     * opening everything and the table wants a re-indexing compaction.
@@ -2156,14 +2169,7 @@ object GraftTable {
       prefix: String = "v"): DataFrame = {
     import org.apache.spark.sql.functions.col
     val fs = fsOf(spark, dir)
-    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
-      s"version $v was never committed under $dir")
-    val hdrs = parseCommit(commitContent(fs, dir, v))._1
-    require(hdrs.contains("bloom"),
-      s"version $v of $dir carries no Bloom index in its commit")
-    val rows = dataDirsFrom(hdrs, v, prefix).flatMap { dd =>
-      val tb = TableBloom.decode(
-        readSmallFile(fs, new Path(s"$dir/$dd/$bloomSidecarName")))
+    val rows = perDirBlooms(fs, dir, v, prefix)._1.flatMap { case (dd, tb) =>
       tb.files.map { case (f, bits) =>
         val set = bits.map(java.lang.Long.bitCount).sum
         (dd, f, tb.col, tb.m, tb.k, set, set.toDouble / tb.m)
@@ -2284,9 +2290,12 @@ object GraftTable {
   /** What one `maintain` pass did: the compacted version it minted (if
     * the chain was long enough to fold), the version the manifest
     * checkpoint now covers, the versions whose data retention expired,
-    * and the orphan dirs vacuum reclaimed. */
+    * the orphan dirs vacuum reclaimed — and, when the compaction step
+    * was REFUSED by an index-redeclaration gate, the refusal message
+    * (the pass continues; see `maintain`). */
   final case class MaintenanceReport(compacted: Option[Int],
-      checkpointedTo: Int, expired: Seq[Int], vacuumed: Seq[String])
+      checkpointedTo: Int, expired: Seq[Int], vacuumed: Seq[String],
+      compactionRefused: Option[String] = None)
 
   /** One-call table maintenance — the nightly OPTIMIZE job every
     * lakehouse schedules, composed from the audited primitives in the
@@ -2301,7 +2310,15 @@ object GraftTable {
     * maintenance job that dies mid-pass just runs again. Readers are
     * never blocked: compaction is one more OCC commit, the checkpoint
     * is an atomic replace, and retention/vacuum only ever touch
-    * unreferenced dirs. */
+    * unreferenced dirs.
+    *
+    * A compaction REFUSED by the index-redeclaration gates (a stats- or
+    * Bloom-bearing table whose caller forgot `statsCols`/`bloomCol`)
+    * does NOT abort the pass: checkpoint, retention and vacuum are
+    * independent steps a nightly job must keep running, so the refusal
+    * is carried in the report (`compactionRefused`) for the operator
+    * instead of silently stopping retention fleet-wide the night the
+    * chain first trips the threshold. */
   def maintain(spark: SparkSession, dir: String, maxChainDirs: Int = 4,
       targetFiles: Int = 1, statsCols: StatsCols = Nil,
       bloomCol: Option[String] = None, clusterBy: StatsCols = Nil,
@@ -2313,19 +2330,27 @@ object GraftTable {
     // compact when the chain outgrew the bound, or whenever the caller
     // asked for re-clustering (OPTIMIZE ZORDER re-runs by request, like
     // Delta's — arrival-order churn since the last pass is exactly what
-    // it exists to fold back in)
-    val compacted =
+    // it exists to fold back in). One extra commit-file read vs
+    // threading headers into compactChain — negligible next to the
+    // rewrite itself.
+    val (compacted, refused) =
       if (dataDirsFrom(h, c, prefix).size > maxChainDirs ||
           clusterBy.nonEmpty)
-        Some(compactChain(spark, dir, targetFiles, "maintenance compact",
-          prefix, statsCols, bloomCol, clusterBy))
-      else None
+        try (Some(compactChain(spark, dir, targetFiles,
+          "maintenance compact", prefix, statsCols, bloomCol, clusterBy)),
+          None)
+        catch {
+          // an index-redeclaration refusal must not stop the rest of
+          // the nightly pass — report it, keep maintaining
+          case e: IllegalArgumentException => (None, Some(e.getMessage))
+        }
+      else (None, None)
     val cpTo = checkpoint(fs, dir)
     val expired =
       if (retainMs == Long.MaxValue) Seq.empty
       else expireVersions(fs, dir, retainMs, prefix = prefix)
     val vacuumed = vacuum(fs, dir, prefix, graceMs = vacuumGraceMs)
-    MaintenanceReport(compacted, cpTo, expired, vacuumed)
+    MaintenanceReport(compacted, cpTo, expired, vacuumed, refused)
   }
 
   // ---- typed change-data feed -----------------------------------------------
