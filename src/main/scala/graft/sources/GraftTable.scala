@@ -525,6 +525,17 @@ object GraftTable {
     }
   }
 
+  /** Same-scale precision growth — the one retype whose value domain
+    * only grows (shared by the schema gate's undeclared-widen carve-out
+    * and `changeFeed`'s preimage cast guard). */
+  private def losslessDecimalWiden(from: String, to: String): Boolean = {
+    val decRe = """decimal\((\d+),(\d+)\)""".r
+    (from, to) match {
+      case (decRe(p1, s1), decRe(p2, s2)) => s1 == s2 && p2.toInt >= p1.toInt
+      case _ => false
+    }
+  }
+
   private[graft] def schemaGate(prevEncoded: Option[String],
       next: org.apache.spark.sql.types.StructType, allowEvolution: Boolean,
       context: String = "commit"): Unit =
@@ -544,13 +555,8 @@ object GraftTable {
       // widened decimal can change the physical encoding (INT64 →
       // FIXED_LEN_BYTE_ARRAY), making the committed version unreadable
       // — appends are exact, full stop.
-      val decRe = """decimal\((\d+),(\d+)\)""".r
       def losslessWiden(from: String, to: String): Boolean =
-        context != "append" && ((from, to) match {
-          case (decRe(p1, s1), decRe(p2, s2)) =>
-            s1 == s2 && p2.toInt >= p1.toInt
-          case _ => false
-        })
+        context != "append" && losslessDecimalWiden(from, to)
       val retyped = prev.keySet.intersect(nxt.keySet).toSeq.sorted
         .filter(k => prev(k) != nxt(k) && !losslessWiden(prev(k), nxt(k)))
         .map(k => s"$k: ${prev(k)} -> ${nxt(k)}")
@@ -621,10 +627,8 @@ object GraftTable {
       * null counts ride at the end of each file entry so a pre-null
       * stats line (2+2k fields instead of 2+3k) still decodes. */
     def encoded: String = {
-      def enc(s: String) =
-        java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
-      cols.map(enc).mkString(",") + ";" + files.map { f =>
-        (Seq(enc(f.file), f.rows.toString) ++
+      cols.map(urlEnc).mkString(",") + ";" + files.map { f =>
+        (Seq(urlEnc(f.file), f.rows.toString) ++
           f.mins.zip(f.maxs).flatMap { case (a, b) => Seq(a.toString, b.toString) } ++
           f.nulls.map(_.toString))
           .mkString("|")
@@ -674,17 +678,15 @@ object GraftTable {
 
   object TableStats {
     def decode(s: String): TableStats = {
-      def dec(x: String) =
-        java.net.URLDecoder.decode(x, java.nio.charset.StandardCharsets.UTF_8)
       val parts = s.split(";", -1)
-      val cols = parts.head.split(",").map(dec).toSeq
+      val cols = parts.head.split(",").map(urlDec).toSeq
       val k = cols.size
       val files = parts.tail.filter(_.nonEmpty).map { fe =>
         val xs = fe.split("\\|", -1)
         val vals = xs.drop(2).map(_.toLong)
         // 2k values = min/max pairs only (pre-null encoding); 3k = the
         // per-column null counts ride after the pairs
-        FileStats(dec(xs(0)), xs(1).toLong,
+        FileStats(urlDec(xs(0)), xs(1).toLong,
           (0 until k).map(i => vals(2 * i)),
           (0 until k).map(i => vals(2 * i + 1)),
           if (vals.length >= 3 * k && k > 0)
@@ -815,23 +817,29 @@ object GraftTable {
     // append commits key by path relative to the TABLE dir, since one
     // stats line spans files from several data dirs (the marker header
     // decides — a v0 append is single-dir but already table-relative)
-    val (base, toPath) =
-      if (hdrs.contains("append"))
-        (s"$dir", (f: FileStats) => s"$dir/${f.file}")
-      else
-        (s"$dir/${dataDirs.head}",
-          (f: FileStats) => s"$dir/${dataDirs.head}/${f.file}")
+    val toPath =
+      if (hdrs.contains("append")) (f: FileStats) => s"$dir/${f.file}"
+      else (f: FileStats) => s"$dir/${dataDirs.head}/${f.file}"
     val hit = st.matching(bands).map(toPath)
     val df =
-      // basePath pins partition discovery to the DATA DIR: without it,
-      // leaf files under p=.../ would each anchor their own base and
-      // the partition columns would silently vanish from the schema
-      // (diverging from the empty-set branch, which serves
-      // readVersion's full schema)
-      if (hit.nonEmpty)
-        spark.read.option("basePath", base).parquet(hit: _*)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        readVersion(spark, dir, v, prefix).schema)
+      if (hit.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          readVersion(spark, dir, v, prefix).schema)
+      else if (hdrs.contains("append"))
+        // append chains are FLAT by construction (the gate refuses
+        // partitionBy predecessors), so no basePath is needed — and the
+        // table dir would not even be an ancestor when the chain starts
+        // from a shallow clone's ../src reference
+        spark.read.parquet(hit: _*)
+      else
+        // basePath pins partition discovery to the DATA DIR: without
+        // it, leaf files under p=.../ would each anchor their own base
+        // and the partition columns would silently vanish from the
+        // schema (diverging from the empty-set branch, which serves
+        // readVersion's full schema)
+        spark.read.option("basePath", s"$dir/${dataDirs.head}")
+          .parquet(hit: _*)
     (df, hit, st.files.size)
   }
 
@@ -1088,7 +1096,11 @@ object GraftTable {
     }
     // time-based retention composes with (or replaces) the count-based
     // window: reclaim the data of versions whose commit instant has
-    // aged out, never the just-committed current version's
+    // aged out, never the just-committed current version's. The expiry
+    // walk resolves headers through the manifest checkpoint when one
+    // exists — a long-lived table committing with retainMs should also
+    // checkpoint periodically (commitEpoch's checkpointEvery, or
+    // maintain()) or this per-commit walk degrades to O(versions) opens
     if (retainMs != Long.MaxValue)
       expireVersions(fs, dir, retainMs, prefix = prefix)
   }
@@ -1290,8 +1302,12 @@ object GraftTable {
     val st = headersAndStats(fs, dir, v)._2
     st.files.flatMap { f =>
       st.cols.indices.map(i =>
-        (f.file, f.rows, st.cols(i), f.mins(i), f.maxs(i)))
-    }.toDF("file", "rows", "col", "min", "max")
+        (f.file, f.rows, st.cols(i), f.mins(i), f.maxs(i),
+          // NULL for a pre-null-count stats line — a SQL auditor can
+          // tell "conservatively kept by null bands" (no counts
+          // recorded) from "null-free file" (nulls = 0)
+          if (f.nulls.isEmpty) Option.empty[Long] else Some(f.nulls(i))))
+    }.toDF("file", "rows", "col", "min", "max", "nulls")
   }
 
   /** MERGE-ON-READ delete: commit a new version that shares the current
@@ -2047,13 +2063,20 @@ object GraftTable {
       bloomCol: String, bitsPerKey: Int = 12, k: Int = 4): TableBloom = {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(dataPath)
-    val nFiles = math.max(1, df.inputFiles.length)
-    val rowsPerFile = math.max(1L, df.count() / nFiles)
-    val m = math.min(1L << 24,
-      math.max(1024L, ((rowsPerFile * bitsPerKey + 63) / 64) * 64)).toInt
     val dataName = new Path(dataPath).getName
     val relFile = regexp_replace(input_file_name(),
       "^.*?/" + java.util.regex.Pattern.quote(dataName) + "/", "")
+    // size m from the LARGEST file, not the mean: one skewed file
+    // holding 10× the average rows would otherwise get ~1 bit/key and
+    // saturate toward opening everything — the exact degradation
+    // bloomTable's saturation column exists to catch, built in at
+    // write time. One cheap counting pass (column-pruned) replaces the
+    // former df.count(); the hash/bit_or build is the second pass.
+    val rowsPerFile = math.max(1L,
+      df.groupBy(relFile.as("__f")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)) // 1 row
+    val m = math.min(1L << 24,
+      math.max(1024L, ((rowsPerFile * bitsPerKey + 63) / 64) * 64)).toInt
     val words = df
       .select(relFile.as("__file"), col(bloomCol).as("__x"))
       .where(col("__x").isNotNull)
@@ -2216,13 +2239,13 @@ object GraftTable {
     val (c, h) = currentHeaders(fs, dir).getOrElse(sys.error(
       s"nothing to compact: no version committed under $dir"))
     if (h.contains("stats") && statsCols.isEmpty)
-      throw new IllegalArgumentException(
+      throw new IndexRedeclarationRequired(
         "compacting a stats-bearing table without statsCols would " +
           "silently drop the skipping index for the rewritten layout — " +
           "re-declare the stat columns (or rewrite via " +
           "commitNextIsolated to drop stats deliberately)")
     if (h.contains("bloom") && bloomCol.isEmpty)
-      throw new IllegalArgumentException(
+      throw new IndexRedeclarationRequired(
         "compacting a Bloom-indexed table without bloomCol would " +
           "silently drop the point-lookup index — re-declare the " +
           "indexed column (or rewrite via commitNextIsolated)")
@@ -2287,6 +2310,16 @@ object GraftTable {
       .drop("__graft_z")
   }
 
+  /** `compactChain`'s refusal when a declared skipping index would be
+    * silently dropped (statsCols/bloomCol not re-declared). A SUBTYPE
+    * of IllegalArgumentException so callers matching the general type
+    * keep working — and so `maintain` can swallow exactly this refusal
+    * (an operator-fixable misdeclaration) while genuine programmer
+    * errors (clusterBy on a partitionBy layout, >2 dims, targetFiles<1)
+    * still propagate out of the nightly pass. */
+  final class IndexRedeclarationRequired(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** What one `maintain` pass did: the compacted version it minted (if
     * the chain was long enough to fold), the version the manifest
     * checkpoint now covers, the versions whose data retention expired,
@@ -2340,9 +2373,11 @@ object GraftTable {
           "maintenance compact", prefix, statsCols, bloomCol, clusterBy)),
           None)
         catch {
-          // an index-redeclaration refusal must not stop the rest of
-          // the nightly pass — report it, keep maintaining
-          case e: IllegalArgumentException => (None, Some(e.getMessage))
+          // ONLY an index-redeclaration refusal is survivable config
+          // the pass must out-live (report it, keep maintaining);
+          // genuine misuse — clusterBy on partitionBy, >2 dims —
+          // propagates like any programmer error
+          case e: IndexRedeclarationRequired => (None, Some(e.getMessage))
         }
       else (None, None)
     val cpTo = checkpoint(fs, dir)
@@ -2398,10 +2433,24 @@ object GraftTable {
       require(prev0.columns.toSet == cols.toSet,
         s"changeFeed requires both versions to share a schema " +
           s"(v${v - 1}: ${prev0.columns.toSeq}, v$v: $cols)")
-      // align the preimage side to v's column TYPES: the schema gate
-      // admits lossless widening undeclared (a merge's decimal
-      // arithmetic widens by construction), and the struct comparison
-      // below needs one common type — preimages surface at v's widths
+      // types may differ ONLY by lossless decimal widening (what the
+      // gate admits undeclared — a merge's arithmetic widens by
+      // construction). Anything else — a DECLARED retype/narrowing —
+      // refuses loudly: blindly casting the preimage would turn an
+      // overflowing value into NULL and fabricate update rows, silently
+      // wrong CDF output. Diff an evolved version by rewrite instead.
+      val retyped = cols.filter { c =>
+        val from = prev0.schema(c).dataType.catalogString
+        val to = cur.schema(c).dataType.catalogString
+        from != to && !losslessDecimalWiden(from, to)
+      }
+      require(retyped.isEmpty,
+        s"changeFeed cannot diff across a retype of ${retyped.sorted} " +
+          s"(v${v - 1} vs v$v) — only lossless decimal widening aligns; " +
+          "compute an evolved version's changes by rewrite")
+      // align the preimage side to v's (equal-or-wider) column types:
+      // the struct comparison below needs one common type — preimages
+      // surface at v's widths
       val prev = prev0.select(cols.map(c =>
         prev0(c).cast(cur.schema(c).dataType).as(c)): _*)
       def pack(df: DataFrame, tag: String) =

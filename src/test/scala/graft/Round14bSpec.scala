@@ -364,6 +364,68 @@ class Round14bSpec extends SparkSpec {
     val _ = fs
   }
 
+  test("band reads serve an append chain rooted in a shallow clone (no basePath over the ../src reference)") {
+    import spark.implicits._
+    val (parent, _) = fresh("g14b_clonestats")
+    val src = s"$parent/src"
+    val dst = s"$parent/dst"
+    val statsCols: GraftTable.StatsCols = Seq("k" -> (c => c))
+    GraftTable.commitNextIsolated(spark, src,
+      (0L until 80L).map(i => (i, i % 4L)).toDF("k", "c")
+        .repartitionByRange(4, col("k")),
+      "statted base", statsCols = statsCols)
+    GraftTable.cloneShallow(spark, src, dst)
+    GraftTable.commitAppend(spark, dst,
+      (80L until 100L).map(i => (i, 9L)).toDF("k", "c").coalesce(1),
+      "append onto the clone", statsCols = statsCols)
+    val (bdf, hit, total) = GraftTable.readStatsBands(spark, dst, 1,
+      Seq(GraftTable.RangeBand("k", 85L, 99L)))
+    assert(total == 5 && hit.size == 1 &&
+      bdf.filter(col("k") >= 85L).count() == 15,
+      s"the clone-rooted chain's band must serve (${hit.size}/$total)")
+  }
+
+  test("changeFeed refuses a DECLARED retype (only lossless widening aligns)") {
+    val (dir, _) = fresh("g14b_cdfretype")
+    import spark.implicits._
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, "9999999999.99")).toDF("k", "b")
+        .select(col("k"), col("b").cast("decimal(23,2)").as("b")), "wide")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, "5.00")).toDF("k", "b")
+        .select(col("k"), col("b").cast("decimal(12,2)").as("b")),
+      "declared narrowing", allowEvolution = true)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.changeFeed(spark, dir, 1, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("retype"), e.getMessage)
+  }
+
+  test("maintain swallows ONLY index-redeclaration refusals — genuine misuse propagates") {
+    val (dir, _) = fresh("g14b_maintmisuse")
+    import spark.implicits._
+    GraftTable.commitNextIsolated(spark, dir,
+      (0L until 30L).map(i => (i, s"p${i % 3}")).toDF("k", "p"),
+      "partitioned", partitionBy = Seq("p"))
+    // clusterBy on a partitionBy layout is programmer error, not a
+    // survivable misdeclaration
+    intercept[IllegalArgumentException] {
+      GraftTable.maintain(spark, dir, clusterBy = Seq("k" -> (c => c)))
+    }
+    // whereas a forgotten index redeclaration is reported and survived
+    val (dir2, _) = fresh("g14b_maintrefused")
+    GraftTable.commitNextIsolated(spark, dir2,
+      (0L until 30L).map(i => (i, i % 3L)).toDF("k", "c"),
+      "bloomed", bloomCol = Some("c"))
+    GraftTable.commitAppend(spark, dir2,
+      Seq((30L, 1L)).toDF("k", "c"), "a1", bloomCol = Some("c"))
+    val rep = GraftTable.maintain(spark, dir2, maxChainDirs = 1)
+    assert(rep.compacted.isEmpty &&
+      rep.compactionRefused.exists(_.contains("bloomCol")) &&
+      rep.checkpointedTo == 1,
+      s"the pass must survive and report the refusal: $rep")
+  }
+
   test("maintain: below-threshold chains are left alone; a second pass is a no-op; expired history still audits") {
     val (dir, fs) = fresh("g14b_maintain")
     import spark.implicits._
