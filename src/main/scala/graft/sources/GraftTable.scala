@@ -170,6 +170,17 @@ object GraftTable {
   def checkpoint(fs: FileSystem, dir: String): Int = {
     val cur = currentVersion(fs, dir).getOrElse(
       sys.error(s"nothing to checkpoint: no committed version under $dir"))
+    // never REGRESS the published checkpoint: a slow concurrent
+    // checkpoint() that resolved an older cur must not replace a newer
+    // file with one covering a shorter prefix — readers would silently
+    // degrade to more per-file suffix reads until the next pass. The
+    // guard is best-effort (two writers can still interleave between
+    // this read and the rename below) but closes the slow-loser case;
+    // an interleaved regression remains self-healing derived data.
+    readCheckpoint(fs, dir).map(_._1).filter(_ >= cur) match {
+      case Some(covered) => return covered
+      case None => ()
+    }
     // resolve the prefix through the PREVIOUS checkpoint (same path the
     // readers use): periodic checkpointing stays O(suffix) per call —
     // re-reading all commit files each time would make a streaming
@@ -1337,7 +1348,10 @@ object GraftTable {
     val cur = currentVersion(fs, dir).getOrElse(
       sys.error(s"no committed version under $dir to delete from"))
     val hdrs = parseCommit(commitContent(fs, dir, cur))._1
-    val data = hdrs.getOrElse("data", s"$prefix$cur")
+    // resolve through the ONE sanctioned multi-dir accessor (not a raw
+    // header read): round-trips byte-identically today, and keeps this
+    // path correct if the data= encoding ever changes
+    val data = dataDirsFrom(hdrs, cur, prefix).mkString(",")
     val v = cur + 1
     val dvDir = s"dv${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     import org.apache.spark.sql.functions.col
@@ -1809,7 +1823,7 @@ object GraftTable {
       dataDirsFrom(hdrs, v, prefix) ++
         hdrs.get("dv").map(_.split(";", 2)(0)).toList
     }.toSet
-    fs.listStatus(new Path(dir)).toSeq
+    val reclaimed = fs.listStatus(new Path(dir)).toSeq
       .filter { st =>
         val n = st.getPath.getName
         !referenced.contains(n) &&
@@ -1834,6 +1848,22 @@ object GraftTable {
           })
       }
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+    // manifest-dir litter: a checkpoint() crash between fs.create of the
+    // ._cptmp_<uuid> temp and its atomic rename leaks the temp (and its
+    // .crc sidecar) forever — the version-named walk above never reaches
+    // inside manifest/. Reclaim stale temps here, with the grace floored
+    // at 10 minutes so an IN-FLIGHT checkpoint's temp (created seconds
+    // ago) is never yanked between create and rename even under an
+    // aggressive graceMs=0 vacuum.
+    val tmpCutoff = System.currentTimeMillis() - math.max(graceMs, 600000L)
+    val litter =
+      try fs.listStatus(new Path(s"$dir/manifest")).toSeq
+        .filter(st => st.getPath.getName.startsWith("._cptmp_") &&
+          st.getModificationTime <= tmpCutoff)
+        .map { st => fs.delete(st.getPath, false)
+          s"manifest/${st.getPath.getName}" }
+      catch { case _: java.io.IOException => Seq.empty }
+    reclaimed ++ litter
   }
 
   /** TIME-BASED retention — the wall-clock companion of `commit`'s
@@ -2294,12 +2324,38 @@ object GraftTable {
     val aggs = ords.zipWithIndex.flatMap { case (o, i) =>
       Seq(min(o).as(s"__lo$i"), max(o).as(s"__hi$i")) }
     val r = snap.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row
+    // INTEGER bucket math end-to-end: Column `/` is double division,
+    // which above ~2^53 mis-normalizes the z-key and can round the top
+    // boundary to 65536 (a bit morton16 drops). IntegralDivide keeps the
+    // whole computation in the long domain; the bucket width is computed
+    // in BigInt so hi-lo can never overflow (the result always fits: it
+    // is at most 2^64/65536 + 1).
+    def idiv(a: org.apache.spark.sql.Column,
+        b: Long): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.graft.GraftSqlBridge
+      GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          GraftSqlBridge.expression(a), GraftSqlBridge.expression(lit(b))))
+    }
     val scaled = ords.zipWithIndex.map { case (o, i) =>
       val lo = if (r.isNullAt(2 * i)) 0L else r.getLong(2 * i)
       val hi = if (r.isNullAt(2 * i + 1)) lo else r.getLong(2 * i + 1)
-      val bucket = math.max(1L, (hi - lo) / 65536L + 1L)
-      coalesce((o - lit(lo)) / lit(bucket), lit(0L))
-        .cast(org.apache.spark.sql.types.LongType)
+      val span = BigInt(hi) - BigInt(lo)
+      val bucket = ((span / 65536) + 1).max(1).toLong
+      val z =
+        if (span <= BigInt(Long.MaxValue))
+          // o - lo fits a long (o ∈ [lo, hi]); integer division then
+          // guarantees the result lands in [0, 65535] exactly
+          coalesce(idiv(o - lit(lo), bucket), lit(0L))
+        else
+          // the observed span itself overflows a long: shift AFTER the
+          // divide — each term fits, truncating division is monotone so
+          // ordering is preserved, and the index is off by at most one
+          // bucket (clamped below 65536; layout quality is the only
+          // stake — query results never depend on the z-key)
+          least(coalesce(idiv(o, bucket) - lit(lo / bucket), lit(0L)),
+            lit(65535L))
+      z.cast(org.apache.spark.sql.types.LongType)
     }
     val z =
       if (scaled.size == 1) scaled.head
@@ -2328,7 +2384,8 @@ object GraftTable {
     * (the pass continues; see `maintain`). */
   final case class MaintenanceReport(compacted: Option[Int],
       checkpointedTo: Int, expired: Seq[Int], vacuumed: Seq[String],
-      compactionRefused: Option[String] = None)
+      compactionRefused: Option[String] = None,
+      checkpointFailed: Option[String] = None)
 
   /** One-call table maintenance — the nightly OPTIMIZE job every
     * lakehouse schedules, composed from the audited primitives in the
@@ -2380,12 +2437,21 @@ object GraftTable {
           case e: IndexRedeclarationRequired => (None, Some(e.getMessage))
         }
       else (None, None)
-    val cpTo = checkpoint(fs, dir)
+    // the checkpoint is best-effort DERIVED data, and the scaladoc sells
+    // the steps as independent: one transient IOException on its write
+    // must not abort the retention and vacuum steps of the nightly pass
+    // (commitEpoch wraps its checkpointEvery call the same way). The
+    // failure is carried in the report like compactionRefused;
+    // checkpointedTo = -1 marks "no coverage claimed this pass".
+    val (cpTo, cpFailed) =
+      try (checkpoint(fs, dir), Option.empty[String])
+      catch { case e: java.io.IOException =>
+        (-1, Some(Option(e.getMessage).getOrElse(e.getClass.getName))) }
     val expired =
       if (retainMs == Long.MaxValue) Seq.empty
       else expireVersions(fs, dir, retainMs, prefix = prefix)
     val vacuumed = vacuum(fs, dir, prefix, graceMs = vacuumGraceMs)
-    MaintenanceReport(compacted, cpTo, expired, vacuumed, refused)
+    MaintenanceReport(compacted, cpTo, expired, vacuumed, refused, cpFailed)
   }
 
   // ---- typed change-data feed -----------------------------------------------
