@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin for the versioned store — registers GraftTable dirs
+  * into Spark's multi-catalog namespace so plain SQL addresses them:
+  *
+  *   spark.conf.set("spark.sql.catalog.gt",
+  *                  "graft.sources.GraftCatalog")
+  *   [optional] spark.conf.set("spark.sql.catalog.gt.warehouse", root)
+  *
+  *   SELECT * FROM gt.`/abs/table/dir`          -- path-addressed
+  *   SELECT * FROM gt.mytable                   -- warehouse-resolved
+  *   SELECT * FROM gt.mytable VERSION AS OF 2   -- SQL time travel
+  *   SELECT * FROM gt.mytable TIMESTAMP AS OF … -- via ts= headers
+  *   CREATE TABLE gt.mytable (…) USING graft / DROP TABLE
+  *
+  * Path addressing follows the transaction-log formats' convention
+  * (`delta.`/path``): an identifier containing a `/` IS the table dir.
+  * Register the catalog under a name OTHER than the format's short name
+  * "graft" — Spark's SQL-on-file rule claims `graft.`…`` for the
+  * direct-query-on-files syntax before catalog resolution sees it.
+  * Catalogs resolve lazily from runtime conf, so registration needs no
+  * session rebuild. Reads serve the same manifest-resolved DSv2 table
+  * `spark.read.format("graft")` builds — one read path, two doors. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+  private var warehouse: Option[String] = None
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Identifier → table dir: a path-shaped name is the dir itself;
+    * otherwise namespace segments resolve under the warehouse root. */
+  private def dirOf(ident: Identifier): String =
+    if (ident.name.contains("/")) ident.name
+    else warehouse match {
+      case Some(w) => ((w +: ident.namespace()) :+ ident.name).mkString("/")
+      case None => throw new NoSuchTableException(Seq(
+        s"$catalogName catalog has no warehouse configured " +
+          s"(spark.sql.catalog.$catalogName.warehouse) and " +
+          s"'${ident.name}' is not a path — address tables as " +
+          s"$catalogName.`/table/dir` or set the warehouse"))
+    }
+
+  private def load(ident: Identifier, version: Option[Int]): Table = {
+    val dir = dirOf(ident)
+    val fs = GraftTable.fsOf(spark, dir)
+    val cur = GraftTable.currentVersion(fs, dir).getOrElse(
+      throw new NoSuchTableException(ident))
+    new GraftSparkTable(spark, dir, version.getOrElse(cur), "v")
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** SQL `VERSION AS OF <n>`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toIntOption.getOrElse(
+      sys.error(s"graft versions are integers: '$version'"))))
+
+  /** SQL `TIMESTAMP AS OF …` — Spark hands epoch MICROseconds; the
+    * manifest's ts= headers are milliseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    val fs = GraftTable.fsOf(spark, dir)
+    val v = GraftTable.versionAsOf(fs, dir, timestampMicros / 1000L)
+      .getOrElse(sys.error(
+        s"no version of $dir committed at or before " +
+          s"${timestampMicros / 1000L} ms"))
+    load(ident, Some(v))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val fs = GraftTable.fsOf(spark, dirOf(ident))
+    GraftTable.currentVersion(fs, dirOf(ident)).isDefined
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    warehouse match {
+      case None => Array.empty
+      case Some(w) =>
+        val root = new Path((w +: namespace).mkString("/"))
+        val fs = GraftTable.fsOf(spark, root.toString)
+        if (!fs.exists(root)) Array.empty
+        else fs.listStatus(root).collect {
+          case st if st.isDirectory &&
+              GraftTable.currentVersion(fs,
+                st.getPath.toString).isDefined =>
+            Identifier.of(namespace, st.getPath.getName)
+        }
+    }
+
+  /** CREATE TABLE: mint version 0 — an empty snapshot carrying the
+    * declared schema in its schema= header, so the write-time gate
+    * binds from the first real commit on. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : Table = {
+    val dir = dirOf(ident)
+    val fs = GraftTable.fsOf(spark, dir)
+    if (GraftTable.currentVersion(fs, dir).isDefined)
+      throw new TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name).toSeq)
+    require(partitions.isEmpty,
+      "CREATE TABLE … PARTITIONED BY is not supported yet — commit a " +
+        "partitionBy layout through the GraftTable API instead")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    GraftTable.commitNextIsolated(spark, dir, empty, "create table")
+    load(ident, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on a graft table: evolve the schema by committing " +
+        "with allowEvolution (the write-time gate is the contract)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    val fs = GraftTable.fsOf(spark, dir)
+    val existed = GraftTable.currentVersion(fs, dir).isDefined
+    if (existed) fs.delete(new Path(dir), true)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME on a graft table is not supported (a table IS its dir)")
+}

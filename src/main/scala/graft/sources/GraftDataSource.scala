@@ -1,0 +1,447 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.internal.connector.{SupportsMetadata, SupportsPushDownCatalystFilters}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 front door for the versioned store: makes a GraftTable
+  * directory a REAL Spark table —
+  *
+  *   spark.read.format("graft").load(dir)                  // current snapshot
+  *   spark.read.format("graft").option("version", 3) …     // time travel
+  *   spark.read.format("graft").option("timestampAsOf", ms)// TIMESTAMP AS OF
+  *
+  * The scan is Spark's own vectorized parquet scan (`ParquetScan`) over a
+  * manifest-resolved file index, so column pruning, parquet filter
+  * pushdown and whole-stage codegen all apply unchanged. What the format
+  * ADDS happens at `ScanBuilder.build()` from the pushed filters alone:
+  *
+  *  - per-file [min,max] band pruning from the commit's stats= line, for
+  *    columns whose ordinal encoding is REGISTRY-declared (statenc=) so
+  *    the scan can re-encode query literals soundly (`StatsEnc`);
+  *  - Bloom-sidecar pruning for equality/IN probes on the bloom= column
+  *    (`readBloomEq`'s resolution, now reachable from a plain filter);
+  *  - deletion-vector application for MoR versions: tombstoned keys are
+  *    subtracted INSIDE the partition readers (the DV is small by
+  *    construction), so `spark.table`-style consumers see exactly what
+  *    `GraftTable.readVersion` serves.
+  *
+  * The Scan also reports MANIFEST-truth statistics (row counts from the
+  * stats= line, bytes from the pruned file set) through
+  * `SupportsReportStatistics`, so join planning — broadcast in
+  * particular — decides from the transaction log instead of raw file
+  * sizes, before AQE ever runs. Skipped files are never opened; a
+  * filter that prunes everything plans an empty scan. */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  // schema comes from the manifest, never from the caller
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def tableOf(options: CaseInsensitiveStringMap): GraftSparkTable = {
+    val spark = SparkSession.active
+    val dir = Option(options.get("path")).getOrElse(sys.error(
+      "graft reads need a table dir: spark.read.format(\"graft\").load(dir)"))
+    val prefix = Option(options.get("prefix")).getOrElse("v")
+    val fs = GraftTable.fsOf(spark, dir)
+    val v = (Option(options.get("version")),
+        Option(options.get("timestampAsOf"))) match {
+      case (Some(_), Some(_)) => sys.error(
+        "pass either version or timestampAsOf, not both")
+      case (Some(vs), None) => vs.toIntOption.getOrElse(
+        sys.error(s"version must be an integer (got '$vs')"))
+      case (None, Some(ts)) =>
+        val asOfMs = ts.toLongOption.getOrElse(sys.error(
+          s"timestampAsOf must be epoch milliseconds (got '$ts')"))
+        GraftTable.versionAsOf(fs, dir, asOfMs).getOrElse(sys.error(
+          s"no version of $dir was committed at or before $asOfMs"))
+      case (None, None) =>
+        GraftTable.currentVersion(fs, dir).getOrElse(sys.error(
+          s"no committed version under $dir"))
+    }
+    new GraftSparkTable(spark, dir, v, prefix)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    tableOf(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    tableOf(new CaseInsensitiveStringMap(properties))
+}
+
+/** One committed version of a GraftTable dir as a DSv2 `Table`. All
+  * manifest resolution happens ONCE here (one commit-file read); the
+  * scan builder below reuses the parsed headers, the shared file index
+  * and the lazily loaded deletion vector. */
+private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
+    val snapshotVersion: Int, prefix: String) extends Table with SupportsRead {
+
+  private val fs = GraftTable.fsOf(spark, dir)
+  private[graft] val headers = GraftTable.headersOf(fs, dir, snapshotVersion)
+  private[graft] val dataDirs =
+    GraftTable.dataDirsOfHeaders(headers, snapshotVersion, prefix)
+  dataDirs.foreach(d => require(fs.exists(new Path(s"$dir/$d")),
+    s"version $snapshotVersion's data dir $d has been garbage-collected (retention)"))
+  private val partCols: Seq[String] =
+    headers.get("partby").map(_.split(",").toSeq).getOrElse(Nil)
+
+  /** Committed schema from the manifest (schema= header), split into
+    * data columns and partition columns the way every file-based table
+    * serves them (partition columns LAST — matching the API read path's
+    * `spark.read.parquet` output for partitionBy layouts). Falls back
+    * to parquet inference for a pre-schema-header manifest. */
+  private val (dataSchema: StructType, fullSchema: StructType) = {
+    val fromHeader = headers.get("schema").map { enc =>
+      StructType(GraftTable.schemaDecode(enc).map { case (n, t) =>
+        StructField(n, DataType.fromDDL(t))
+      })
+    }.getOrElse {
+      val opts = if (partCols.isEmpty) spark.read
+        else spark.read.option("basePath", s"$dir/${dataDirs.head}")
+      opts.parquet(dataDirs.map(d => s"$dir/$d"): _*).schema
+    }
+    val data = StructType(fromHeader.filterNot(f => partCols.contains(f.name)))
+    val parts = partCols.map(c => fromHeader(fromHeader.fieldIndex(c)))
+    (data, StructType(data.fields ++ parts))
+  }
+
+  /** The shared, prunable file index over the version's data dirs. One
+    * listing per table instance; the scan builder installs a keep-set
+    * before `build()` so skipped files never reach planning. */
+  private[graft] val index: GraftFileIndex = {
+    val params: Map[String, String] =
+      if (partCols.isEmpty) Map.empty
+      else Map("basePath" -> s"$dir/${dataDirs.head}")
+    new GraftFileIndex(spark, dataDirs.map(d => new Path(s"$dir/$d")),
+      params, Some(fullSchema))
+  }
+
+  /** Canonical absolute path of a manifest-relative file reference —
+    * the join key between manifest file names and index FileStatus
+    * paths (clone references travel through `../`, hence normalize). */
+  private[graft] def canonPath(rel: String): String =
+    fs.makeQualified(new Path(s"$dir/$rel")).toUri.normalize().getPath
+
+  /** The version's deletion vector, loaded once: (key columns, key
+    * tuples in CATALYST form — what executor-side InternalRow getters
+    * yield, so probe and row can never disagree on representation). */
+  private[graft] lazy val dv: Option[(Seq[String], Set[Seq[Any]])] =
+    headers.get("dv").map { spec =>
+      val parts = spec.split(";")
+      val (dvDir, keyCols) = (parts(0), parts(1).split(",").toSeq)
+      val dvDf = spark.read.parquet(s"$dir/$dvDir")
+      val convs = keyCols.map(c => CatalystTypeConverters
+        .createToCatalystConverter(dvDf.schema(c).dataType))
+      val keys = dvDf.select(keyCols.head, keyCols.tail: _*).collect()
+        .map(r => keyCols.indices.map(i => convs(i)(r.get(i))): Seq[Any])
+        .toSet
+      (keyCols, keys)
+    }
+
+  /** Row count answered from the stats= line for the KEPT file set —
+    * what `estimateStatistics` serves. None without stats (or under a
+    * DV, whose tombstones make raw file counts half-true). */
+  private[graft] def manifestRows(keep: Option[String => Boolean])
+      : Option[Long] =
+    if (headers.contains("dv")) None
+    else headers.get("stats").map(GraftTable.TableStats.decode).map { st =>
+      st.files.filter(f => keep.forall(_(canonPath(statPath(f.file)))))
+        .map(_.rows).sum
+    }
+
+  /** Stats file keys are dir-relative for plain commits and
+    * table-relative for append commits — same split `readStatsBands`
+    * resolves. */
+  private[graft] def statPath(statFile: String): String =
+    if (headers.contains("append")) statFile
+    else s"${dataDirs.head}/$statFile"
+
+  override def name(): String = s"graft.`$dir`@v$snapshotVersion"
+  override def schema(): StructType = fullSchema
+  override def partitioning(): Array[Transform] =
+    partCols.map(Expressions.identity).toArray
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, this, dataSchema, fullSchema, options)
+}
+
+/** Scan builder: DELEGATES filter/column pushdown to Spark's own
+  * `ParquetScanBuilder` (so parquet row-group pushdown, nested pruning
+  * and partition filtering stay exactly stock), then at `build()` turns
+  * the pushed V1 filters into manifest verdicts — stats bands + Bloom
+  * probes — and installs the resulting keep-set on the shared index
+  * BEFORE planning, so pruned files are never split into partitions,
+  * never opened, never footer-read. */
+private[graft] class GraftScanBuilder(spark: SparkSession,
+    table: GraftSparkTable, dataSchema: StructType, fullSchema: StructType,
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns {
+
+  private val inner =
+    ParquetScanBuilder(spark, table.index, fullSchema, dataSchema, options)
+  private var requestedNames: Seq[String] = fullSchema.fieldNames.toSeq
+  // every conjunct Spark pushed, as V1 filters — the manifest verdict's
+  // input (the inner builder's own pushedDataFilters is protected)
+  private var pushedV1: Array[sources.Filter] = Array.empty
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushedV1 = filters.flatMap(e =>
+      org.apache.spark.sql.graft.GraftSqlBridge.translateFilter(e)).toArray
+    inner.pushFilters(filters)
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    requestedNames = requiredSchema.fieldNames.toSeq
+    // a deletion vector filters rows BY KEY inside the readers, so the
+    // key columns must be read even when the query didn't ask for them;
+    // the GraftScan projects them back out before rows leave the scan
+    val forced = table.dv.map(_._1).getOrElse(Nil)
+      .filterNot(requiredSchema.fieldNames.contains)
+    inner.pruneColumns(StructType(requiredSchema.fields ++
+      forced.map(c => fullSchema(fullSchema.fieldIndex(c)))))
+  }
+
+  override def build(): Scan = {
+    val keep = manifestKeep(pushedV1)
+    table.index.keep = keep
+    val ps = inner.build()
+    val out = StructType(
+      ps.readSchema().fields.filter(f => requestedNames.contains(f.name)))
+    new GraftScan(ps, out, table, keep)
+  }
+
+  /** Conjunctive manifest verdict from the pushed V1 filters: the
+    * canonical-path keep-set, or None when no index applies (full
+    * scan). File-granularity and CONSERVATIVE throughout — false
+    * positives only ever open an extra file (the row-level predicate
+    * still runs above the scan); a predicate the manifest cannot decide
+    * soundly contributes nothing. */
+  private def manifestKeep(pushed: Array[sources.Filter])
+      : Option[String => Boolean] = {
+    // flatten the implicit conjunction (the array) plus nested Ands
+    def conjuncts(f: sources.Filter): Seq[sources.Filter] = f match {
+      case sources.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val preds = pushed.toSeq.flatMap(conjuncts)
+
+    // ---- stats bands (statenc-declared columns only) ----
+    val encs: Map[String, String] =
+      table.headers.get("statenc").map(GraftTable.StatsEnc.decode(_).toMap)
+        .getOrElse(Map.empty)
+    def ord(c: String, v: Any): Option[Long] =
+      encs.get(c).flatMap(e => GraftTable.StatsEnc.literalOrdinal(e, v))
+    val statCols: Set[String] = table.headers.get("stats")
+      .map(s => GraftTable.TableStats.decode(s).cols.toSet)
+      .getOrElse(Set.empty)
+    val bands: Seq[GraftTable.Band] = preds.flatMap {
+      case sources.EqualTo(c, v) =>
+        ord(c, v).map(o => GraftTable.RangeBand(c, o, o))
+      case sources.GreaterThan(c, v) =>
+        ord(c, v).map(o => GraftTable.RangeBand(c, o, Long.MaxValue))
+      case sources.GreaterThanOrEqual(c, v) =>
+        ord(c, v).map(o => GraftTable.RangeBand(c, o, Long.MaxValue))
+      case sources.LessThan(c, v) =>
+        ord(c, v).map(o => GraftTable.RangeBand(c, Long.MinValue, o))
+      case sources.LessThanOrEqual(c, v) =>
+        ord(c, v).map(o => GraftTable.RangeBand(c, Long.MinValue, o))
+      case sources.In(c, vs) if vs.nonEmpty =>
+        val os = vs.toSeq.map(ord(c, _))
+        if (os.forall(_.isDefined))
+          Some(GraftTable.RangeBand(c, os.flatten.min, os.flatten.max))
+        else None
+      case sources.IsNull(c) if statCols.contains(c) =>
+        Some(GraftTable.NullBand(c, isNull = true))
+      case sources.IsNotNull(c) if statCols.contains(c) =>
+        Some(GraftTable.NullBand(c, isNull = false))
+      case _ => None
+    }
+    val bandKeep: Option[Set[String]] =
+      if (bands.isEmpty) None
+      else table.headers.get("stats").map { s =>
+        GraftTable.TableStats.decode(s).matching(bands)
+          .map(f => table.canonPath(table.statPath(f.file))).toSet
+      }
+
+    // ---- Bloom probes (equality / IN on the indexed column) ----
+    val bloomKeep: Option[Set[String]] =
+      table.headers.get("bloom").flatMap { b =>
+        val col = b.split(';').head.split('|')(0)
+        val dec = java.net.URLDecoder.decode(col,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val probeVals: Seq[Seq[Any]] = preds.collect {
+          case sources.EqualTo(c, v) if c == dec => Seq(v)
+          case sources.In(c, vs) if c == dec && vs.nonEmpty => vs.toSeq
+        }
+        if (probeVals.isEmpty) None
+        else scala.util.Try {
+          val fs = GraftTable.fsOf(spark, table.dir)
+          val perDir =
+            GraftTable.perDirBlooms(fs, table.dir, table.snapshotVersion, "v")._1
+          // IN = union over the probed values; conjuncts intersect below
+          probeVals.map { vs =>
+            perDir.flatMap { case (dd, tb) =>
+              vs.flatMap(v => tb.mightContain(
+                GraftTable.bloomPositions(v, tb.m, tb.k)))
+                .map(f => table.canonPath(s"$dd/$f"))
+            }.toSet
+          }.reduce(_ intersect _)
+        }.toOption // an unprobeable literal type ⇒ no pruning, never a guess
+      }
+
+    (bandKeep, bloomKeep) match {
+      case (None, None) => None
+      case (a, b) =>
+        val s = (a.toSeq ++ b.toSeq).reduce(_ intersect _)
+        Some(s.contains)
+    }
+  }
+}
+
+/** The served scan: Spark's `ParquetScan` over the pruned index, plus
+  * (a) manifest-truth `SupportsReportStatistics` and (b) deletion-vector
+  * row filtering in the reader factory when the version is
+  * merge-on-read. Without a DV the inner factory is served UNCHANGED —
+  * vectorized, columnar, whole-stage-codegen-friendly. */
+private[graft] class GraftScan(inner: ParquetScan, out: StructType,
+    table: GraftSparkTable, keep: Option[String => Boolean])
+    extends Scan with Batch with SupportsReportStatistics with SupportsMetadata {
+
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.toBatch.planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    table.dv match {
+      case None => inner.toBatch.createReaderFactory()
+      case Some((keyCols, keys)) =>
+        new DvFilteringReaderFactory(inner.toBatch.createReaderFactory(),
+          inner.readSchema(), out, keyCols, keys)
+    }
+
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    if (table.dv.isEmpty) inner.columnarSupportMode()
+    else Scan.ColumnarSupportMode.UNSUPPORTED
+
+  /** Manifest-truth planning statistics: bytes from the PRUNED file set
+    * (so a band/Bloom hit below the broadcast threshold flips the join
+    * plan before AQE), row count from the stats= line when the version
+    * carries one. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(table.index.keptBytes)
+    override def numRows(): OptionalLong =
+      table.manifestRows(keep)
+        .map(OptionalLong.of).getOrElse(OptionalLong.empty())
+  }
+
+  override def description(): String =
+    s"GraftScan ${table.name()} " + inner.description()
+
+  override def getMetaData(): Map[String, String] =
+    inner.getMetaData() ++ Map(
+      "GraftVersion" -> table.snapshotVersion.toString,
+      "GraftDV" -> table.dv.isDefined.toString,
+      "GraftManifestPruned" -> keep.isDefined.toString)
+}
+
+/** Reader factory that subtracts deletion-vector keys row by row: each
+  * wrapped reader drops rows whose key tuple is tombstoned, then
+  * projects away any key column the query didn't request. The DV is
+  * small by construction (deleted keys only), shipped once per task via
+  * the factory's closure. */
+private[graft] class DvFilteringReaderFactory(
+    inner: PartitionReaderFactory, innerSchema: StructType,
+    out: StructType, keyCols: Seq[String], tombstones: Set[Seq[Any]])
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    val keyOrds = keyCols.map(innerSchema.fieldIndex)
+    val keyTypes = keyOrds.map(innerSchema(_).dataType)
+    val proj = UnsafeProjection.create(out.fields.map { f =>
+      val i = innerSchema.fieldIndex(f.name)
+      BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)
+        : Expression
+    })
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val row = r.get()
+          val key: Seq[Any] = keyOrds.indices
+            .map(i => row.get(keyOrds(i), keyTypes(i)))
+          if (!tombstones.contains(key)) { cur = proj(row); return true }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = r.close()
+    }
+  }
+}
+
+/** `InMemoryFileIndex` with a manifest KEEP-SET hook: `listFiles` (what
+  * `FileScan.partitions` plans from) serves only kept files, so pruned
+  * files never become input partitions. One listing at construction;
+  * the keep predicate is installed by the scan builder before build. */
+private[graft] class GraftFileIndex(spark: SparkSession, roots: Seq[Path],
+    parameters: Map[String, String], schemaOpt: Option[StructType])
+    extends InMemoryFileIndex(spark, roots, parameters, schemaOpt) {
+
+  @volatile private[graft] var keep: Option[String => Boolean] = None
+
+  private def canon(p: Path): String = p.toUri.normalize().getPath
+
+  override def listFiles(
+      partitionFilters: Seq[Expression], dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    keep match {
+      case None => base
+      case Some(k) => base
+        .map(pd => pd.copy(files =
+          pd.files.filter(f => k(canon(f.fileStatus.getPath)))))
+        .filter(_.files.nonEmpty)
+    }
+  }
+
+  /** Total bytes of the KEPT files — the pruned planning size. */
+  private[graft] def keptBytes: Long = {
+    val files = allFiles()
+    keep match {
+      case None => files.map(_.getLen).sum
+      case Some(k) =>
+        files.filter(f => k(canon(f.getPath))).map(_.getLen).sum
+    }
+  }
+}

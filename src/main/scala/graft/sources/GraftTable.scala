@@ -47,6 +47,89 @@ object GraftTable {
   type StatsCols =
     Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)]
 
+  /** REGISTERED stat-column ordinal encodings — the statenc= header's
+    * vocabulary. A plain `statsCols` lambda is opaque code: only the
+    * writer that declared it can build sound band bounds, so the
+    * manifest's skipping index is invisible to a generic reader. A
+    * column declared through this registry instead records its encoding
+    * NAME in the commit (`statenc=`), and any reader — the DSv2 scan's
+    * pushed-filter pruning in particular — can re-encode a query
+    * literal driver-side with `literalOrdinal` and prune files against
+    * the recorded [min,max] bands soundly. Both sides of each encoding
+    * are defined HERE, together, so they can never drift:
+    *
+    *   id   — integral column, ordinal = the value itself
+    *   us   — timestamp/date column, ordinal = epoch MICROS (UTC
+    *          session — the suite-wide canon `T.epochUs` mirrors)
+    *   days — date column, ordinal = epoch DAYS
+    */
+  object StatsEnc {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{unix_date, unix_micros}
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
+
+    val names: Set[String] = Set("id", "us", "days")
+
+    /** The write-side ordinal expression of a registered encoding. */
+    def ordinal(enc: String): Column => Column = enc match {
+      case "id"   => c => c.cast(LongType)
+      case "us"   => c => unix_micros(c.cast(TimestampType))
+      case "days" => c => unix_date(c.cast(DateType))
+      case other  => sys.error(
+        s"unknown stats encoding '$other' (registered: $names)")
+    }
+
+    /** Driver-side ordinal of a pushed-filter LITERAL under a registered
+      * encoding — the exact long the write-side expression would produce
+      * for the same value (UTC session canon for the temporal ones).
+      * None for a literal type the encoding does not cover: the caller
+      * must then skip pruning on that predicate (never guess). */
+    def literalOrdinal(enc: String, v: Any): Option[Long] = {
+      val utc = java.time.ZoneOffset.UTC
+      def dateOf(x: Any): Option[java.time.LocalDate] = x match {
+        case d: java.sql.Date      => Some(d.toLocalDate)
+        case d: java.time.LocalDate => Some(d)
+        case _                     => None
+      }
+      def micros(x: Any): Option[Long] = x match {
+        case t: java.sql.Timestamp =>
+          Some(math.multiplyExact(t.getTime / 1000L, 1000000L) +
+            t.getNanos / 1000L)
+        case i: java.time.Instant =>
+          Some(math.addExact(
+            math.multiplyExact(i.getEpochSecond, 1000000L),
+            i.getNano / 1000L))
+        // TIMESTAMP_NTZ literals surface as LocalDateTime; the write
+        // side's ntz→timestamp cast binds the UTC session zone, so the
+        // literal twin does the same
+        case l: java.time.LocalDateTime => micros(l.toInstant(utc))
+        case other =>
+          dateOf(other).map(d =>
+            math.multiplyExact(d.atStartOfDay(utc).toEpochSecond, 1000000L))
+      }
+      enc match {
+        case "id" => v match {
+          case l: java.lang.Long    => Some(l)
+          case i: java.lang.Integer => Some(i.longValue)
+          case s: java.lang.Short   => Some(s.longValue)
+          case b: java.lang.Byte    => Some(b.longValue)
+          case _                    => None
+        }
+        case "us"   => micros(v)
+        case "days" => dateOf(v).map(_.toEpochDay)
+        case _      => None
+      }
+    }
+
+    private[graft] def encode(specs: Seq[(String, String)]): String =
+      specs.map { case (c, e) => s"${urlEnc(c)}:$e" }.mkString(",")
+
+    private[graft] def decode(s: String): Seq[(String, String)] =
+      s.split(",", -1).toSeq.filter(_.nonEmpty).map { p =>
+        val i = p.lastIndexOf(':'); (urlDec(p.take(i)), p.drop(i + 1))
+      }
+  }
+
   /** Latest committed (version, metadata), if any commit exists. */
   def readManifest(fs: FileSystem, dir: String): Option[(Int, String)] =
     currentVersion(fs, dir).map(v => (v, meta(fs, dir, v)))
@@ -325,6 +408,16 @@ object GraftTable {
     *                    every subsequent write re-enforces them before
     *                    staging and carries the header forward (see
     *                    `enforceConstraints`)
+    *   statenc=<s>      comma-separated `<urlEnc col>:<encName>` pairs
+    *                    naming the REGISTERED ordinal encoding
+    *                    (`StatsEnc`) the stats line used for each listed
+    *                    column. A lambda-declared `statsCols` ordinal is
+    *                    code the manifest cannot describe; a statenc
+    *                    column's ordinal comes from the registry, so a
+    *                    GENERIC reader — the DSv2 scan's filter-pushdown
+    *                    pruning — can re-encode a query literal
+    *                    driver-side and prune files soundly. Only
+    *                    registry-declared columns are scan-prunable.
     *
     * Keeping headers line-oriented keeps old manifests readable: a
     * round-12 commit file with no ts= line still parses (mtime fallback
@@ -332,13 +425,27 @@ object GraftTable {
     * write gate for its successor. */
   private val headerKeys =
     Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=", "partby=",
-      "bloom=", "constraints=")
+      "bloom=", "constraints=", "statenc=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
   /** Raw content of version `v`'s commit file. */
   private def commitContent(fs: FileSystem, dir: String, v: Int): String =
     readSmallFile(fs, new Path(s"$dir/manifest/commit_$v"))
+
+  /** Parsed headers of version `v`'s commit, with the standard loud
+    * failure for a never-committed version — the resolution step every
+    * out-of-object reader (the DSv2 table) starts from. */
+  private[graft] def headersOf(fs: FileSystem, dir: String,
+      v: Int): Map[String, String] = {
+    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
+      s"version $v was never committed under $dir")
+    parseCommit(commitContent(fs, dir, v))._1
+  }
+
+  /** `dataDirsFrom` against parsed headers, for out-of-object readers. */
+  private[graft] def dataDirsOfHeaders(hdrs: Map[String, String], v: Int,
+      prefix: String = "v"): Seq[String] = dataDirsFrom(hdrs, v, prefix)
 
   /** (headers, metadata) split of a commit file's content: leading
     * reserved `key=value` lines are headers, the remainder is the
@@ -918,7 +1025,10 @@ object GraftTable {
       partBy = hdrs.get("partby"), bloom = hdrs.get("bloom"),
       // the clone inherits the source's declared constraints — its
       // future commits enforce them independently
-      constraintsHdr = hdrs.get("constraints"))
+      constraintsHdr = hdrs.get("constraints"),
+      // the encoding names travel with the stats line they describe
+      // (and are dropped with it when an append source's stats are)
+      statenc = st.flatMap(_ => hdrs.get("statenc")))
   }
 
   /** Stage `df` as the data of version `v` WITHOUT committing. Overwrite
@@ -971,7 +1081,13 @@ object GraftTable {
       schema: Option[String] = None, tsMs: Option[Long] = None,
       retainMs: Long = Long.MaxValue, partBy: Option[String] = None,
       prevTs: Option[Long] = None, bloom: Option[String] = None,
-      constraintsHdr: Option[String] = None): Unit = {
+      constraintsHdr: Option[String] = None,
+      statenc: Option[String] = None): Unit = {
+    // statenc DESCRIBES the stats line — one never travels without the
+    // other (a dangling encoding header would promise prunability the
+    // manifest cannot honor)
+    require(statenc.isEmpty || stats.nonEmpty,
+      "statenc= describes the stats= line and cannot be committed alone")
     // metadata is ONE line that must not masquerade as a header: an
     // embedded newline would split it across feed rows / future header
     // parses, and a leading reserved key=` prefix would be read back as
@@ -1066,6 +1182,7 @@ object GraftTable {
       dv.map(d => s"dv=$d\n").getOrElse("") +
       bloom.map(b => s"bloom=$b\n").getOrElse("") +
       constraintsHdr.map(c => s"constraints=$c\n").getOrElse("") +
+      statenc.map(e => s"statenc=$e\n").getOrElse("") +
       metadata
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -1235,9 +1352,23 @@ object GraftTable {
       prefix: String = "v", partitionBy: Seq[String] = Nil,
       statsCols: StatsCols = Nil, allowEvolution: Boolean = false,
       bloomCol: Option[String] = None, constraints: Seq[String] = Nil,
-      dropConstraints: Boolean = false): Int = {
+      dropConstraints: Boolean = false,
+      statsEnc: Seq[(String, String)] = Nil): Int = {
     val fs = fsOf(spark, dir)
     val cur = currentHeaders(fs, dir)
+    // registry-declared stat columns: the ordinal comes FROM the
+    // registry (never a caller lambda), so the recorded statenc= name
+    // and the computed bands can never disagree
+    statsEnc.foreach { case (c, e) =>
+      require(StatsEnc.names.contains(e),
+        s"unknown stats encoding '$e' for column '$c' " +
+          s"(registered: ${StatsEnc.names})")
+      require(!statsCols.exists(_._1 == c),
+        s"column '$c' is declared in both statsCols and statsEnc — " +
+          "pick one declaration")
+    }
+    val effStatsCols: StatsCols =
+      statsCols ++ statsEnc.map { case (c, e) => (c, StatsEnc.ordinal(e)) }
     // gate BEFORE the write: a refused schema creates no version and no
     // orphan staging dir
     schemaGate(cur.flatMap(_._2.get("schema")), df.schema, allowEvolution)
@@ -1254,8 +1385,8 @@ object GraftTable {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$dir/$data")
     val st =
-      if (statsCols.isEmpty) None
-      else Some(computeStats(spark, s"$dir/$data", statsCols))
+      if (effStatsCols.isEmpty) None
+      else Some(computeStats(spark, s"$dir/$data", effStatsCols))
     // the Bloom sidecar is written INTO the data dir (underscore prefix
     // keeps it invisible to every parquet scan) so it travels with the
     // files it describes — through clones, retention, and data= renames
@@ -1271,7 +1402,9 @@ object GraftTable {
       prevTs = prevTsOf(cur), bloom = bl,
       constraintsHdr =
         if (allConstraints.isEmpty) None
-        else Some(constraintsEncode(allConstraints)))
+        else Some(constraintsEncode(allConstraints)),
+      statenc =
+        if (statsEnc.isEmpty) None else Some(StatsEnc.encode(statsEnc)))
     v
   }
 
@@ -2069,7 +2202,7 @@ object GraftTable {
     * column, String for a string one): xxhash64 hashes type-tagged
     * bytes, and an Int probe of a bigint column would hash differently
     * and miss. */
-  private def bloomPositions(value: Any, m: Int, k: Int): Seq[Int] = {
+  private[graft] def bloomPositions(value: Any, m: Int, k: Int): Seq[Int] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     (1 to k).map { s =>
       val h = XxHash64(Seq(Literal(value), Literal(s)), 42L)
@@ -2194,7 +2327,7 @@ object GraftTable {
     * FileNotFoundException would point at a path, not at retention).
     * Shared by the probe (`readBloomEq`) and the audit (`bloomTable`)
     * so their resolution can never diverge. */
-  private def perDirBlooms(fs: FileSystem, dir: String, v: Int,
+  private[graft] def perDirBlooms(fs: FileSystem, dir: String, v: Int,
       prefix: String): (Seq[(String, TableBloom)], Seq[String]) = {
     require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
       s"version $v was never committed under $dir")
@@ -2263,12 +2396,13 @@ object GraftTable {
   def compactChain(spark: SparkSession, dir: String, targetFiles: Int = 1,
       metadata: String = "compact", prefix: String = "v",
       statsCols: StatsCols = Nil, bloomCol: Option[String] = None,
-      clusterBy: StatsCols = Nil): Int = {
+      clusterBy: StatsCols = Nil,
+      statsEnc: Seq[(String, String)] = Nil): Int = {
     require(targetFiles >= 1, s"targetFiles must be >= 1 (got $targetFiles)")
     val fs = fsOf(spark, dir)
     val (c, h) = currentHeaders(fs, dir).getOrElse(sys.error(
       s"nothing to compact: no version committed under $dir"))
-    if (h.contains("stats") && statsCols.isEmpty)
+    if (h.contains("stats") && statsCols.isEmpty && statsEnc.isEmpty)
       throw new IndexRedeclarationRequired(
         "compacting a stats-bearing table without statsCols would " +
           "silently drop the skipping index for the rewritten layout — " +
@@ -2295,7 +2429,8 @@ object GraftTable {
       // every read task and could WIDEN the layout it claims to compact
       else snap.repartition(partBy.map(org.apache.spark.sql.functions.col): _*)
     commitNextIsolated(spark, dir, compacted, metadata, prefix = prefix,
-      partitionBy = partBy, statsCols = statsCols, bloomCol = bloomCol)
+      partitionBy = partBy, statsCols = statsCols, bloomCol = bloomCol,
+      statsEnc = statsEnc)
   }
 
   /** OPTIMIZE ZORDER BY — the clustering rewrite `compactChain` applies

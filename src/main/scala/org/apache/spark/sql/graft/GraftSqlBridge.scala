@@ -61,6 +61,15 @@ object GraftSqlBridge {
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 
+  /** Catalyst predicate → V1 `sources.Filter` translation (the
+    * `protected[sql]` helper every file source uses) — lets the graft
+    * DSv2 scan builder turn its pushed expressions into the manifest
+    * verdict's vocabulary without re-implementing the translation. */
+  def translateFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** Memory-manager page size for external sorters — what SortExec
     * passes to UnsafeExternalRowSorter; `private[spark]`, hence
     * bridged. */
