@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entry per implemented operator; each t2=Y key has a DuckDB oracle in
   * `oracleSql` (SURVEY §0, [B:2]).
   *
-  * 277 query keys (254 DuckDB-oracled; counts pinned by
+  * 280 query keys (257 DuckDB-oracled; counts pinned by
   * EntryCountSpec so the doc cannot drift from the code) across: Relational
   * (scans/filters/joins/sorts/sets),
   * Aggregates (grouping/windows/UDAF/HLL sketches), Scalars (function
@@ -38,7 +38,8 @@ object SparkEntry {
       ops.Round3Ops.queries, ops.Round4Ops.queries, ops.Round5Ops.queries,
       ops.Round6Ops.queries, ops.Round9Ops.queries, ops.Round9bOps.queries,
       ops.Round9cOps.queries, ops.Round10Ops.queries, ops.Round11Ops.queries,
-      ops.Round12Ops.queries, ops.Round13Ops.queries, ops.Round14Ops.queries)
+      ops.Round12Ops.queries, ops.Round13Ops.queries, ops.Round14Ops.queries,
+      ops.Round15Ops.queries)
 
   private[graft] def oracleParts: Seq[Map[String, String]] =
     Seq(ops.Relational.oracles, ops.Aggregates.oracles,
@@ -49,7 +50,7 @@ object SparkEntry {
       ops.Round6Ops.oracleSql, ops.Round9Ops.oracleSql, ops.Round9bOps.oracleSql,
       ops.Round9cOps.oracleSql, ops.Round10Ops.oracleSql, ops.Round11Ops.oracleSql,
       ops.Round12Ops.oracleSql, ops.Round13Ops.oracleSql,
-      ops.Round14Ops.oracleSql)
+      ops.Round14Ops.oracleSql, ops.Round15Ops.oracleSql)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

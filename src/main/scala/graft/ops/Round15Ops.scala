@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.T.{t, dec, money, oDec, oMoney}
+import graft.sources.GraftTable
+
+/** Round-15 additions — the versioned store becomes a REAL Spark table
+  * (DataSource V2) and its remaining DML/operational gaps close:
+  *
+  *  - `table_dsv2_read` — `spark.read.format("graft")` serves the
+  *    manifest-resolved snapshot, and `option("version", n)` time
+  *    travel serves an older one, both byte-identical to the API read
+  *    path (Round15Spec additionally audits the catalog door: SQL
+  *    `VERSION AS OF` / `TIMESTAMP AS OF` / CREATE / DROP).
+  *
+  *  - `table_dsv2_prune` — a pushed date band on a statenc-declared
+  *    column prunes files INSIDE the DSv2 scan (planned-file audit in
+  *    Round15Spec); this key pins that the pruned read is row-exact —
+  *    skipping must never change results.
+  *
+  *  - `table_dsv2_stats_join` — the scan reports manifest-truth
+  *    statistics (SupportsReportStatistics): joining the pruned slice
+  *    against lineitem broadcasts the slice at initial planning time
+  *    (plan audit in Round15Spec); this key pins the join's rows.
+  */
+object Round15Ops {
+
+  private def freshDir(s: SparkSession, d: String, tag: String): String = {
+    val dir = s"target/tmp/g${tag}_${new java.io.File(d).getName}"
+    GraftTable.fsOf(s, dir)
+      .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+    dir
+  }
+
+  /** Two-version nation fixture the DSv2 read key serves: v0 = the
+    * sub-10 slice, v1 = all nations. */
+  private def dsv2ReadFixture(s: SparkSession, d: String): String = {
+    val dir = freshDir(s, d, "dsv2read")
+    val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+    GraftTable.commitNextIsolated(s, dir,
+      n.where(col("n_nationkey") < 10), "v0: sub-10 slice")
+    GraftTable.commitNextIsolated(s, dir, n, "v1: all nations")
+    dir
+  }
+
+  /** Date-clustered orders fixture with a REGISTRY-declared stats
+    * encoding (statenc=us), so the DSv2 scan can re-encode pushed date
+    * literals and band-prune files from the manifest. 4 tight ranges —
+    * the June 1995 band below keeps ~1 of 4 files. */
+  private[graft] def dsv2BandFixture(s: SparkSession, d: String): String = {
+    val dir = freshDir(s, d, "dsv2band")
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        money(dec(col("o_totalprice"))).as("price"))
+      .repartitionByRange(4, col("o_orderdate"), col("o_orderkey"))
+      .sortWithinPartitions("o_orderdate")
+    GraftTable.commitNextIsolated(s, dir, o, "date-clustered",
+      statsEnc = Seq("o_orderdate" -> "us"))
+    dir
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DataSource V2 read + time travel: the same two snapshots
+    // table_time_travel pins through the API, served through
+    // spark.read.format("graft") — current resolves v1, option
+    // version=0 resolves the slice. A DSv2 table that mixed up the
+    // manifest resolution (or dropped the version option) changes the
+    // version-0 rows and hash-mismatches.
+    "table_dsv2_read" -> ((s, d) => {
+      val dir = dsv2ReadFixture(s, d)
+      def snap(v: Option[Int]): DataFrame = {
+        val r = s.read.format("graft")
+        val df = v.fold(r)(n => r.option("version", n)).load(dir)
+        df.select(lit(v.getOrElse(1)).as("version"),
+          col("n_nationkey"), col("n_name"))
+      }
+      snap(Some(0)).unionByName(snap(None))
+        .orderBy("version", "n_nationkey")
+    }),
+
+    // Manifest-pruned DSv2 scan: the June-1995 band plans a strict
+    // subset of the files (Round15Spec's planned-file audit) and must
+    // still return EXACTLY the band's rows — file skipping is an
+    // optimization, never semantics.
+    "table_dsv2_prune" -> ((s, d) => {
+      val dir = dsv2BandFixture(s, d)
+      s.read.format("graft").load(dir)
+        .where(col("o_orderdate") >= lit("1995-06-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1995-07-01").cast("timestamp_ntz"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), money(sum(dec(col("price")))).as("rev"))
+        .orderBy("o_custkey")
+    }),
+
+    // Manifest statistics drive the join: the pruned slice reports its
+    // true (small) size, so it broadcasts against lineitem at initial
+    // planning time; the joined revenue must match a plain SQL join.
+    "table_dsv2_stats_join" -> ((s, d) => {
+      val dir = dsv2BandFixture(s, d)
+      val slice = s.read.format("graft").load(dir)
+        .where(col("o_orderdate") >= lit("1995-06-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1995-07-01").cast("timestamp_ntz"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), dec(col("l_extendedprice")).as("xp"))
+      li.join(slice, li("l_orderkey") === slice("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          money(sum(col("xp"))).as("line_rev"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    })
+  )
+
+  private val oJuneBand =
+    "o_orderdate >= TIMESTAMP '1995-06-01' AND " +
+      "o_orderdate < TIMESTAMP '1995-07-01'"
+
+  val oracleSql: Map[String, String] = Map(
+    "table_dsv2_read" ->
+      ("SELECT 0 AS version, n_nationkey, n_name FROM nation " +
+        "WHERE n_nationkey < 10 " +
+        "UNION ALL SELECT 1 AS version, n_nationkey, n_name FROM nation " +
+        "ORDER BY version, n_nationkey"),
+
+    "table_dsv2_prune" ->
+      ("SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        s"${oMoney(s"SUM(${oDec(oMoney(oDec("o_totalprice")))})")} AS rev " +
+        s"FROM orders WHERE $oJuneBand GROUP BY o_custkey ORDER BY o_custkey"),
+
+    "table_dsv2_stats_join" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        s"${oMoney(s"SUM(${oDec("l_extendedprice")})")} AS line_rev, " +
+        "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders " +
+        s"FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        s"WHERE $oJuneBand")
+  )
+}
