@@ -10,6 +10,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // production parity: the cluster extensions (incl. the MERGE
+      // INTO rewrite, which binds only at session build)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // The interleaved protocol runs ~190 other queries between two
       // samples of the same query; the default 100-entry codegen class

@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Graft.topKPerKey also injects this per-session via
     // experimental.extraStrategies for sessions built without extensions
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // SQL MERGE INTO over graft DSv2 targets: rewrite the resolved
+    // MergeIntoTable into the snapshot-commit command before Spark's
+    // row-level-operation rewrite refuses the non-row-level table
+    ext.injectResolutionRule(session =>
+      graft.plans.MergeIntoGraftRule(session))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -716,7 +716,7 @@ object Round14Ops {
 
   /** Oracle twin of `mergeFixture`: the base / chg / m CTE chain the
     * three merge-derived oracles share (base = v0, m = v1). */
-  private val oMergeCtes =
+  private[ops] val oMergeCtes =
     s"base AS (SELECT c_custkey AS key, ${oDec("c_acctbal")} AS bal " +
       "FROM customer), " +
       s"chg AS (SELECT CASE WHEN o_custkey % 10 = 0 " +

@@ -61,7 +61,51 @@ object Round15Ops {
     dir
   }
 
+  /** The U/I/D changelog `table_merge_sql` merges — the SAME derivation
+    * `Round14Ops.mergeFixture` resolves through the API, so the two
+    * merge doors share `oMergeCtes` as their oracle twin. */
+  private def mergeSource(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").groupBy("o_custkey")
+      .agg(sum(dec(col("o_totalprice"))).as("delta"))
+      .select(
+        when(col("o_custkey") % 10 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("ckey"),
+        when(col("o_custkey") % 10 === 3, lit("D"))
+          .when(col("o_custkey") % 10 === 0, lit("I"))
+          .otherwise(lit("U")).as("op"),
+        col("delta"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SQL MERGE INTO through the DSv2 door: the exact three-arm
+    // changelog `table_merge_full` resolves through the API, driven
+    // from MERGE TEXT — matched-D deletes, matched-U adds the delta,
+    // unmatched-I inserts under fresh keys, and the guard keeps
+    // unmatched D rows out. One full-outer resolve (plan-audited in
+    // Round15Spec), committed as the next version; v0 must still serve
+    // every pre-merge key (snapshot isolation inside the hash).
+    "table_merge_sql" -> ((s, d) => {
+      val dir = freshDir(s, d, "mergesql")
+      val base = t(s, d, "customer")
+        .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal"))
+      GraftTable.commitNextIsolated(s, dir, base, "base")
+      s.conf.set("spark.sql.catalog.gt15",
+        classOf[graft.sources.GraftCatalog].getName)
+      mergeSource(s, d).createOrReplaceTempView("r15_merge_src")
+      val abs = new java.io.File(dir).getAbsolutePath
+      s.sql(
+        s"""MERGE INTO gt15.`$abs` t USING r15_merge_src s ON t.key = s.ckey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.delta
+           |WHEN NOT MATCHED AND s.op <> 'D' THEN
+           |  INSERT (key, bal) VALUES (s.ckey, s.delta)
+           |""".stripMargin)
+      def snap(v: Int): DataFrame =
+        GraftTable.readVersion(s, dir, v)
+          .select(lit(v).as("version"), col("key"),
+            money(col("bal")).as("bal"))
+      snap(0).unionByName(snap(1)).orderBy("version", "key")
+    }),
 
     // DataSource V2 read + time travel: the same two snapshots
     // table_time_travel pins through the API, served through
@@ -95,6 +139,29 @@ object Round15Ops {
         .orderBy("o_custkey")
     }),
 
+    // MERGE-ON-READ UPDATE: one atomic commit = dir-scoped tombstones
+    // for the matched rows + a replacement dir — no base file rewritten
+    // (byte-identity pinned in Round15Spec, which also pins compose,
+    // delete-after-update, the DSv2 read and the join-free typed CDF).
+    // Both snapshots inside the hash: v0 must still serve the
+    // pre-update balances (an update that mutated v0 in place — or a
+    // tombstone that killed the replacement row too — flips rows here).
+    "table_update_dv" -> ((s, d) => {
+      val dir = freshDir(s, d, "updatedv")
+      val base = t(s, d, "customer")
+        .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal"))
+        .repartition(3)
+      GraftTable.commitNextIsolated(s, dir, base, "base")
+      GraftTable.commitUpdate(s, dir, Seq("key"),
+        col("key") % 5 === 0, Seq("bal" -> (col("bal") * 2)),
+        "double the fives")
+      def snap(v: Int): DataFrame =
+        GraftTable.readVersion(s, dir, v)
+          .select(lit(v).as("version"), col("key"),
+            money(col("bal")).as("bal"))
+      snap(0).unionByName(snap(1)).orderBy("version", "key")
+    }),
+
     // Manifest statistics drive the join: the pruned slice reports its
     // true (small) size, so it broadcasts against lineitem at initial
     // planning time; the joined revenue must match a plain SQL join.
@@ -117,6 +184,25 @@ object Round15Ops {
       "o_orderdate < TIMESTAMP '1995-07-01'"
 
   val oracleSql: Map[String, String] = Map(
+    // the SQL-merge door must land exactly where the API merge does:
+    // same CTE chain as table_merge_full (base = v0, m = v1)
+    "table_merge_sql" ->
+      (s"WITH ${Round14Ops.oMergeCtes} " +
+        s"SELECT 0 AS version, key, ${oMoney("bal")} AS bal FROM base " +
+        s"UNION ALL SELECT 1 AS version, key, ${oMoney("bal")} AS bal FROM m " +
+        "ORDER BY version, key"),
+
+    // base twice: untouched at v0, CASE-doubled at v1 (decimal(12,2)
+    // arithmetic is exact; money() finalizes both engines identically)
+    "table_update_dv" ->
+      (s"WITH base AS (SELECT c_custkey AS key, ${oDec("c_acctbal")} AS bal " +
+        "FROM customer) " +
+        s"SELECT 0 AS version, key, ${oMoney("bal")} AS bal FROM base " +
+        "UNION ALL SELECT 1 AS version, key, " +
+        s"${oMoney(s"CAST(CASE WHEN key % 5 = 0 THEN bal * 2 ELSE bal END " +
+          "AS DECIMAL(12,2))")} AS bal FROM base " +
+        "ORDER BY version, key"),
+
     "table_dsv2_read" ->
       ("SELECT 0 AS version, n_nationkey, n_name FROM nation " +
         "WHERE n_nationkey < 10 " +

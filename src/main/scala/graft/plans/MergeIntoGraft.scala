@@ -1,0 +1,167 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.FullOuter
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, Join, JoinHint, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, struct, when}
+import org.apache.spark.sql.graft.GraftSqlBridge
+
+import graft.sources.{GraftSparkTable, GraftTable}
+
+/** SQL `MERGE INTO` for graft tables, as an analyzer rewrite: a RESOLVED
+  * `MergeIntoTable` whose target is a graft DSv2 relation becomes a
+  * runnable command BEFORE Spark's row-level-operation rewrite would
+  * refuse it (graft versions are immutable snapshots, so the natural
+  * MERGE execution is "resolve the new snapshot, commit it as the next
+  * version" — not an in-place row-level write). Injected via
+  * `GraftExtensions`; the catalog door (`gt.<table>` / `gt.`/dir``)
+  * supplies the target relation.
+  *
+  * Supported surface: any mix of WHEN MATCHED [AND cond] THEN UPDATE
+  * SET …/DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT, WHEN NOT
+  * MATCHED BY SOURCE THEN UPDATE/DELETE, including `UPDATE SET *` /
+  * `INSERT *`. Actions apply FIRST-MATCH-WINS in declaration order,
+  * per the SQL standard. Not supported: schema evolution
+  * (`WITH SCHEMA EVOLUTION`) — the write-time gate is the contract. */
+case class MergeIntoGraftRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def graftTarget(plan: LogicalPlan): Option[(LogicalPlan, String)] =
+    plan match {
+      case SubqueryAlias(_, child) => graftTarget(child)
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftSparkTable => Some((plan, g.dir))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case m: MergeIntoTable if m.resolved && m.childrenResolved &&
+          graftTarget(m.targetTable).isDefined =>
+        require(!m.withSchemaEvolution,
+          "MERGE … WITH SCHEMA EVOLUTION is not supported on graft " +
+            "tables — evolve by committing with allowEvolution")
+        GraftMergeCommand(m, graftTarget(m.targetTable).get._2)
+    }
+}
+
+/** The MERGE execution: ONE full-outer join of target and source on the
+  * merge condition classifies every row — matched / target-only /
+  * source-only — and a first-match-wins CASE chain per arm produces the
+  * row's fate (updated values, kept values, inserted values, or dropped
+  * for DELETE / un-inserted source rows). The resulting snapshot
+  * commits as the next version through the standard isolated-commit
+  * path, so the schema gate and any declared constraints apply to the
+  * merged rows exactly like every other write. Snapshot isolation
+  * holds: readers of the current version never see a half-applied
+  * merge (the commit is one atomic manifest publish).
+  *
+  * Cardinality note: a target row matched by several source rows
+  * yields one output per match (the full-outer join's native shape);
+  * like the API-level merge fixtures, callers wanting the standard's
+  * cardinality error should enforce source-key uniqueness upstream. */
+case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val target = merge.targetTable
+    val source = merge.sourceTable
+    val tOut: Seq[Attribute] = target.output
+    val sOut: Seq[Attribute] = source.output
+
+    // existence markers that survive the outer join (TRUE or NULL) —
+    // the projections keep the original attributes, so the resolved
+    // merge condition and action expressions bind unchanged
+    val tMark = Alias(Literal(true), "__t_exists")()
+    val sMark = Alias(Literal(true), "__s_exists")()
+    val joined = Join(
+      Project(tOut :+ tMark, target),
+      Project(sOut :+ sMark, source),
+      FullOuter, Some(merge.mergeCondition), JoinHint.NONE)
+    val jdf = GraftSqlBridge.ofRows(spark, joined)
+
+    def c(e: Expression): Column = GraftSqlBridge.column(e)
+    def nullOf(dt: org.apache.spark.sql.types.DataType): Column =
+      c(Literal.create(null, dt))
+    val keepStruct = struct(tOut.map(a => c(a).as(a.name)): _*)
+    val dropStruct = nullOf(org.apache.spark.sql.types.StructType(
+      tOut.map(a => org.apache.spark.sql.types.StructField(
+        a.name, a.dataType, nullable = true))))
+
+    // one output struct per action: assigned columns take the (cast)
+    // assignment value, unassigned ones keep the target value (UPDATE)
+    // or NULL (INSERT)
+    def assignedStruct(assignments: Seq[Assignment],
+        defaults: Attribute => Column): Column = {
+      val byId = assignments.map { as =>
+        val key = as.key match {
+          case a: AttributeReference => a.exprId
+          case other => sys.error(
+            s"MERGE assignment key must be a plain column (got $other) — " +
+              "nested-field assignment is not supported on graft tables")
+        }
+        key -> as.value
+      }.toMap
+      struct(tOut.map { a =>
+        byId.get(a.exprId).map(v => c(v).cast(a.dataType))
+          .getOrElse(defaults(a)).as(a.name)
+      }: _*)
+    }
+
+    /** star expansion: every target column takes the same-named source
+      * column (resolution leaves star actions intact for non-row-level
+      * targets, so expand here; a missing name fails loudly). */
+    def starStruct(): Column = struct(tOut.map { a =>
+      val s = sOut.find(x => spark.sessionState.conf.resolver(x.name, a.name))
+        .getOrElse(sys.error(
+          s"MERGE … SET */INSERT *: source has no column '${a.name}'"))
+      c(s).cast(a.dataType).as(a.name)
+    }: _*)
+
+    def chain(actions: Seq[MergeAction], default: Column): Column =
+      actions.foldRight(default) { (a, rest) =>
+        val (cond, out) = a match {
+          case UpdateAction(condOpt, as, _) =>
+            (condOpt, assignedStruct(as, att => c(att)))
+          case UpdateStarAction(condOpt) => (condOpt, starStruct())
+          case DeleteAction(condOpt) => (condOpt, dropStruct)
+          case InsertAction(condOpt, as) =>
+            (condOpt, assignedStruct(as, att => nullOf(att.dataType)))
+          case InsertStarAction(condOpt) => (condOpt, starStruct())
+          case other => sys.error(s"unsupported MERGE action: $other")
+        }
+        when(cond.map(c).getOrElse(org.apache.spark.sql.functions.lit(true)),
+          out).otherwise(rest)
+      }
+
+    val tEx = col("__t_exists"); val sEx = col("__s_exists")
+    val fate =
+      when(tEx.isNotNull && sEx.isNotNull,
+        chain(merge.matchedActions, keepStruct))
+      .when(tEx.isNotNull && sEx.isNull,
+        chain(merge.notMatchedBySourceActions, keepStruct))
+      .otherwise(chain(merge.notMatchedActions, dropStruct))
+
+    val next = jdf.select(fate.as("__fate"))
+      .where(col("__fate").isNotNull)
+      .select(tOut.map(a => col("__fate").getField(a.name).as(a.name)): _*)
+
+    GraftMergeCommand.lastResolve = Some(next.queryExecution)
+    GraftTable.commitNextIsolated(spark, dir, next,
+      "MERGE INTO (SQL)")
+    Seq.empty
+  }
+}
+
+object GraftMergeCommand {
+  /** Observability hook: the snapshot-resolve QueryExecution of the
+    * most recent merge — what the plan-audit spec inspects (the command
+    * executes eagerly, so the resolve plan is otherwise invisible). */
+  @volatile private[graft] var lastResolve
+      : Option[org.apache.spark.sql.execution.QueryExecution] = None
+}

@@ -140,20 +140,35 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
   private[graft] def canonPath(rel: String): String =
     fs.makeQualified(new Path(s"$dir/$rel")).toUri.normalize().getPath
 
-  /** The version's deletion vector, loaded once: (key columns, key
+  /** The version's deletion vector, loaded once: key columns plus key
     * tuples in CATALYST form — what executor-side InternalRow getters
-    * yield, so probe and row can never disagree on representation). */
-  private[graft] lazy val dv: Option[(Seq[String], Set[Seq[Any]])] =
+    * yield, so probe and row can never disagree on representation. A
+    * SCOPED dv (MoR update) resolves to one key set per chain-dir
+    * basename; the scan then repacks partitions per dir so each reader
+    * subtracts exactly its dir's tombstones (the replacement dir has
+    * none and passes through untouched). */
+  private[graft] lazy val dv: Option[GraftDvInfo] =
     headers.get("dv").map { spec =>
-      val parts = spec.split(";")
+      val parts = spec.split(";", -1)
       val (dvDir, keyCols) = (parts(0), parts(1).split(",").toSeq)
       val dvDf = spark.read.parquet(s"$dir/$dvDir")
       val convs = keyCols.map(c => CatalystTypeConverters
         .createToCatalystConverter(dvDf.schema(c).dataType))
-      val keys = dvDf.select(keyCols.head, keyCols.tail: _*).collect()
-        .map(r => keyCols.indices.map(i => convs(i)(r.get(i))): Seq[Any])
-        .toSet
-      (keyCols, keys)
+      def key(r: org.apache.spark.sql.Row): Seq[Any] =
+        keyCols.indices.map(i => convs(i)(r.get(i)))
+      if (parts.length == 3) {
+        val rows = dvDf
+          .select((keyCols :+ "__dir").map(org.apache.spark.sql.functions.col): _*)
+          .collect()
+        GraftDvInfo(keyCols, perDir = Some(
+          rows.groupBy(_.getAs[String]("__dir"))
+            .map { case (d, rs) => d -> rs.map(key(_): Seq[Any]).toSet }),
+          global = Set.empty)
+      } else {
+        val keys = dvDf.select(keyCols.head, keyCols.tail: _*).collect()
+          .map(key(_): Seq[Any]).toSet
+        GraftDvInfo(keyCols, perDir = None, global = keys)
+      }
     }
 
   /** Row count answered from the stats= line for the KEPT file set —
@@ -219,8 +234,8 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
     // a deletion vector filters rows BY KEY inside the readers, so the
     // key columns must be read even when the query didn't ask for them;
     // the GraftScan projects them back out before rows leave the scan
-    val forced = table.dv.map(_._1).getOrElse(Nil)
-      .filterNot(requiredSchema.fieldNames.contains)
+    val forced = table.dv.map(_.keyCols).getOrElse(Nil)
+      .filterNot(k => requiredSchema.fieldNames.contains(k))
     inner.pruneColumns(StructType(requiredSchema.fields ++
       forced.map(c => fullSchema(fullSchema.fieldIndex(c)))))
   }
@@ -334,15 +349,32 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    inner.toBatch.planInputPartitions()
+  override def planInputPartitions(): Array[InputPartition] = {
+    val base = inner.toBatch.planInputPartitions()
+    table.dv match {
+      case Some(d) if d.perDir.isDefined =>
+        // scoped tombstones bind per chain dir: repack so every file
+        // partition holds files of ONE dir, so its reader subtracts
+        // exactly that dir's key set
+        base.flatMap {
+          case fp: FilePartition =>
+            fp.files.groupBy(f => GraftDvInfo.dirOf(f)).values
+              .map(fs => FilePartition(0, fs): InputPartition)
+          case other => Seq(other)
+        }.zipWithIndex.map {
+          case (fp: FilePartition, i) => FilePartition(i, fp.files)
+          case (other, _) => other
+        }
+      case _ => base
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     table.dv match {
       case None => inner.toBatch.createReaderFactory()
-      case Some((keyCols, keys)) =>
+      case Some(d) =>
         new DvFilteringReaderFactory(inner.toBatch.createReaderFactory(),
-          inner.readSchema(), out, keyCols, keys)
+          inner.readSchema(), out, d)
     }
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
@@ -371,6 +403,29 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
       "GraftManifestPruned" -> keep.isDefined.toString)
 }
 
+/** A version's loaded deletion vector: unscoped tombstones kill their
+  * key everywhere (`global`); scoped ones (MoR update) kill per
+  * chain-dir basename (`perDir`). */
+private[graft] case class GraftDvInfo(keyCols: Seq[String],
+    perDir: Option[Map[String, Set[Seq[Any]]]], global: Set[Seq[Any]]) {
+  def forPartition(p: InputPartition): Set[Seq[Any]] = perDir match {
+    case None => global
+    case Some(m) => p match {
+      case fp: FilePartition if fp.files.nonEmpty =>
+        m.getOrElse(GraftDvInfo.dirOf(fp.files.head), Set.empty)
+      case _ => Set.empty
+    }
+  }
+}
+
+private[graft] object GraftDvInfo {
+  /** Chain-dir basename of a planned file = its parent dir's name
+    * (scoped-dv layouts are flat by construction — `commitUpdate`
+    * refuses partitionBy). */
+  def dirOf(f: org.apache.spark.sql.execution.datasources.PartitionedFile)
+      : String = f.toPath.getParent.getName
+}
+
 /** Reader factory that subtracts deletion-vector keys row by row: each
   * wrapped reader drops rows whose key tuple is tombstoned, then
   * projects away any key column the query didn't request. The DV is
@@ -378,13 +433,16 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
   * the factory's closure. */
 private[graft] class DvFilteringReaderFactory(
     inner: PartitionReaderFactory, innerSchema: StructType,
-    out: StructType, keyCols: Seq[String], tombstones: Set[Seq[Any]])
+    out: StructType, dv: GraftDvInfo)
     extends PartitionReaderFactory {
+
+  private def keyCols = dv.keyCols
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
+    val tombstones = dv.forPartition(p)
     val r = inner.createReader(p)
     val keyOrds = keyCols.map(innerSchema.fieldIndex)
     val keyTypes = keyOrds.map(innerSchema(_).dataType)

@@ -380,7 +380,18 @@ object GraftTable {
     *   dv=<dir>;<keys>  deletion vector: a tombstone-key dir + the
     *                    comma-separated key columns, applied as a
     *                    broadcast anti-join at read (merge-on-read
-    *                    DELETE — see `commitDeleteVector`)
+    *                    DELETE — see `commitDeleteVector`). A THIRD
+    *                    field `;scoped` marks DIR-SCOPED tombstones:
+    *                    the dv dir then carries a `__dir` column (chain
+    *                    dir BASENAME) and each pair kills its key only
+    *                    in that dir — what merge-on-read UPDATE needs,
+    *                    where the same key's replacement lives in a
+    *                    LATER dir that must survive (`commitUpdate`)
+    *   update=<dir>     marks a MoR UPDATE commit and names the dir
+    *                    carrying the replacement rows — the typed-CDF
+    *                    fast path reads post-images from it and
+    *                    pre-images from the newly-tombstoned rows,
+    *                    never a full-outer diff
     *   append=<dir>     marks an APPEND commit and names the one data
     *                    dir this version added on top of its
     *                    predecessor's (whose dirs the data= list
@@ -425,7 +436,7 @@ object GraftTable {
     * write gate for its successor. */
   private val headerKeys =
     Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=", "partby=",
-      "bloom=", "constraints=", "statenc=")
+      "bloom=", "constraints=", "statenc=", "update=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
@@ -1082,7 +1093,8 @@ object GraftTable {
       retainMs: Long = Long.MaxValue, partBy: Option[String] = None,
       prevTs: Option[Long] = None, bloom: Option[String] = None,
       constraintsHdr: Option[String] = None,
-      statenc: Option[String] = None): Unit = {
+      statenc: Option[String] = None,
+      updateDir: Option[String] = None): Unit = {
     // statenc DESCRIBES the stats line — one never travels without the
     // other (a dangling encoding header would promise prunability the
     // manifest cannot honor)
@@ -1120,9 +1132,23 @@ object GraftTable {
     // malformed header would otherwise surface as a MatchError in some
     // later readVersion/cloneShallow, far from the faulty writer
     dv.foreach { spec =>
-      val parts = spec.split(";", 2)
-      require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
-        s"dv= header must be '<tombstoneDir>;<keyCol[,keyCol…]>': '$spec'")
+      val parts = spec.split(";", -1)
+      require((parts.length == 2 ||
+          (parts.length == 3 && parts(2) == "scoped")) &&
+          parts(0).nonEmpty && parts(1).nonEmpty,
+        s"dv= header must be '<tombstoneDir>;<keyCol[,keyCol…]>[;scoped]': " +
+          s"'$spec'")
+    }
+    // an update marker needs its replacement dir in the data list and a
+    // SCOPED dv (plain tombstones would kill the replacements too)
+    updateDir.foreach { u =>
+      require(dataDir.exists(_.split(",").contains(u)),
+        s"update= dir '$u' is not among the commit's data dirs " +
+          s"(${dataDir.getOrElse("<none>")})")
+      require(dv.exists(_.endsWith(";scoped")),
+        "an update commit requires dir-scoped tombstones (dv=…;scoped)")
+      require(appendDir.isEmpty,
+        "a commit cannot be both an append and an update")
     }
     // an append marker must name one of the version's own data dirs —
     // versionDelta's fast path reads exactly that dir as the delta —
@@ -1175,6 +1201,7 @@ object GraftTable {
     }
     val content = dataDir.map(n => s"data=$n\n").getOrElse("") +
       appendDir.map(n => s"append=$n\n").getOrElse("") +
+      updateDir.map(n => s"update=$n\n").getOrElse("") +
       s"ts=$ts\n" +
       schema.map(sc => s"schema=$sc\n").getOrElse("") +
       partBy.map(p => s"partby=$p\n").getOrElse("") +
@@ -1316,22 +1343,48 @@ object GraftTable {
     dataDirs.foreach(data =>
       require(fs.exists(new Path(s"$dir/$data")),
         s"version $v's data has been garbage-collected (retention)"))
-    val base = spark.read.parquet(dataDirs.map(d => s"$dir/$d"): _*)
     // merge-on-read: a dv= header names the version's tombstone keys;
     // the read subtracts them with a BROADCAST anti-join — the DV is
     // small by construction (deleted keys only), so at 100 TB the base
     // scan stays shuffle-free and no data file is rewritten
     hdrs.get("dv") match {
+      case Some(spec) if spec.endsWith(";scoped") =>
+        // DIR-SCOPED tombstones (MoR UPDATE): each (key, __dir) pair
+        // kills its key only in that chain dir, so a later dir's
+        // replacement row survives. Attribution = one literal column
+        // per dir scan (dir BASENAME, so shallow clones' ../src
+        // references keep matching); the union is per-dir but the
+        // anti-join is still ONE broadcast
+        import org.apache.spark.sql.functions.{broadcast, col, lit}
+        val parts = spec.split(";", 3)
+        val (dvDir, keyCols) = (parts(0), parts(1).split(",").toSeq)
+        val withDir = dataDirs.map { dd =>
+          spark.read.parquet(s"$dir/$dd")
+            .withColumn("__gdir", lit(dirBasename(dd)))
+        }.reduce(_ unionByName _)
+        withDir.join(
+          broadcast(spark.read.parquet(s"$dir/$dvDir")
+            .withColumnRenamed("__dir", "__gdir")),
+          keyCols :+ "__gdir", "left_anti")
+          .drop("__gdir")
       case Some(spec) =>
         val Array(dvDir, keys) = spec.split(";", 2)
         val keyCols = keys.split(",").toSeq
-        base.join(
+        spark.read.parquet(dataDirs.map(d => s"$dir/$d"): _*).join(
           org.apache.spark.sql.functions.broadcast(
             spark.read.parquet(s"$dir/$dvDir")),
           keyCols, "left_anti")
-      case None => base
+      case None =>
+        spark.read.parquet(dataDirs.map(d => s"$dir/$d"): _*)
     }
   }
+
+  /** Chain-dir BASENAME — the dir identity scoped tombstones record.
+    * A shallow clone re-points entries through `../src/<dir>`, so the
+    * basename (uuid-suffixed, unique within a chain) is the only name
+    * that survives the re-pointing. */
+  private def dirBasename(entry: String): String =
+    entry.substring(entry.lastIndexOf('/') + 1)
 
   /** Stage + commit `df` as the next version with a WRITER-PRIVATE data
     * dir — the multi-writer-safe commit path. The convention-path
@@ -1489,22 +1542,138 @@ object GraftTable {
     val dvDir = s"dv${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     import org.apache.spark.sql.functions.col
     val fresh = tombstones.select(keyCols.map(col): _*).distinct()
-    val full = hdrs.get("dv") match {
+    val (full, scoped) = hdrs.get("dv") match {
+      case Some(spec) if spec.endsWith(";scoped") =>
+        // continuing a MoR-update chain: a DELETE kills its keys
+        // EVERYWHERE, so the fresh keys expand across every current
+        // dir basename and union into the scoped pair set
+        import spark.implicits._
+        val basenamesDf = dataDirsFrom(hdrs, cur, prefix)
+          .map(dirBasename).toDF("__dir")
+        val prev = spark.read.parquet(s"$dir/${spec.split(";", 3)(0)}")
+        (prev.unionByName(fresh.crossJoin(basenamesDf)).distinct(), true)
       case Some(spec) =>
         val prev = spark.read.parquet(s"$dir/${spec.split(";", 2)(0)}")
-        prev.unionByName(fresh).distinct()
-      case None => fresh
+        (prev.unionByName(fresh).distinct(), false)
+      case None => (fresh, false)
     }
     full.write.mode("errorifexists").parquet(s"$dir/$dvDir")
     // the data is untouched, so the predecessor's recorded schema (and
     // layout marker) ride along — without them the NEXT commit would
     // skip the gate / a later append would miss the partition refusal
     commit(fs, dir, v, metadata, prefix = prefix, dataDir = Some(data),
-      dv = Some(s"$dvDir;${keyCols.mkString(",")}"),
+      dv = Some(s"$dvDir;${keyCols.mkString(",")}" +
+        (if (scoped) ";scoped" else "")),
       schema = hdrs.get("schema"), partBy = hdrs.get("partby"),
       prevTs = prevTsOf(Some((cur, hdrs))),
       // a delete only SHRINKS the row set, and every declared
       // constraint is subset-closed — carry, don't re-validate
+      constraintsHdr = hdrs.get("constraints"))
+    v
+  }
+
+  /** MERGE-ON-READ UPDATE: one atomic commit = dir-scoped tombstones
+    * for the matched rows' old versions PLUS a replacement dir carrying
+    * the updated rows — no base file is rewritten (the CoW/MoR trade of
+    * `commitDeleteVector`, extended to UPDATE). The commit's headers:
+    * data= lists every predecessor dir plus the replacement dir;
+    * dv=…;scoped carries (key, __dir) pairs that kill each old row only
+    * in ITS chain dir, so the replacement rows — same keys, later dir —
+    * survive the read's one broadcast anti-join; update= names the
+    * replacement dir, which is what the typed change feed serves
+    * post-images from without a full-outer diff.
+    *
+    * Contracts: `keyCols` must uniquely key the snapshot (the tombstone
+    * kills every row sharing the matched row's key within its dir);
+    * `sets` must not assign a key column (identity is what scoping
+    * stands on — rewrite via `commitWithRetry` to re-key); partitionBy
+    * layouts refuse (a flat replacement dir beside a partitioned one
+    * breaks the union — same contract as appends); consecutive updates
+    * compose (each round's tombstones union in, old replacement dirs
+    * tombstone like any other dir), and an UNSCOPED predecessor DV is
+    * absorbed by expanding its keys across every current dir. Declared
+    * constraints re-enforce on the REPLACEMENT rows (updates can mint
+    * fresh values; `unique:` checks them against the untouched
+    * survivors). Set values cast to the column's committed type, so
+    * the schema is stable across the update. Returns the version. */
+  def commitUpdate(spark: SparkSession, dir: String, keyCols: Seq[String],
+      cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      metadata: String = "", prefix: String = "v"): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(keyCols.nonEmpty, "commitUpdate needs at least one key column")
+    require(keyCols.forall(c => !c.contains(",") && !c.contains(";")),
+      s"key column names must not contain the dv= header delimiters: $keyCols")
+    require(sets.nonEmpty, "commitUpdate needs at least one SET column")
+    sets.foreach { case (c, _) => require(!keyCols.contains(c),
+      s"cannot SET key column '$c' — keys are the update's identity; " +
+        "re-key via a rewrite commit instead") }
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(fs, dir).getOrElse(
+      sys.error(s"no committed version under $dir to update"))
+    val hdrs = parseCommit(commitContent(fs, dir, cur))._1
+    require(!hdrs.contains("partby"),
+      s"cannot update a partitionBy layout (${hdrs.getOrElse("partby", "")})" +
+        ": a flat replacement dir beside a partitioned one makes the " +
+        "union unreadable — rewrite via commitWithRetry instead")
+    val dataDirs = dataDirsFrom(hdrs, cur, prefix)
+    import spark.implicits._
+    val basenamesDf = dataDirs.map(dirBasename).toDF("__dir")
+
+    // the live snapshot WITH dir attribution (existing tombstones
+    // applied first — a dead row must neither re-match nor resurrect
+    // through a fresh replacement)
+    val withDir = dataDirs.map { dd =>
+      spark.read.parquet(s"$dir/$dd")
+        .withColumn("__gdir", lit(dirBasename(dd)))
+    }.reduce(_ unionByName _)
+    val prevTombs: Option[DataFrame] = hdrs.get("dv").map { spec =>
+      val parts = spec.split(";", -1)
+      val dvd = spark.read.parquet(s"$dir/${parts(0)}")
+      if (parts.length == 3) dvd
+      // an unscoped DV kills its keys everywhere — the scoped
+      // equivalent is the key set crossed with every current dir
+      else dvd.crossJoin(basenamesDf)
+    }
+    val live = prevTombs.fold(withDir)(tb =>
+      withDir.join(broadcast(tb.withColumnRenamed("__dir", "__gdir")),
+        keyCols :+ "__gdir", "left_anti"))
+
+    val outCols = withDir.columns.filterNot(_ == "__gdir").toSeq
+    val matched = live.filter(cond)
+    val replacements = sets.foldLeft(matched) { case (df, (c, v)) =>
+      df.withColumn(c, v.cast(df.schema(c).dataType))
+    }.select(outCols.map(col): _*)
+
+    val carried = carriedConstraints(Some((cur, hdrs)))
+    if (carried.nonEmpty) {
+      val newTombKeys = matched.select(keyCols.map(col): _*).distinct()
+      enforceConstraints(replacements, carried, "update",
+        existing =
+          if (carried.exists(_.startsWith("unique:")))
+            Some(live.join(broadcast(newTombKeys), keyCols, "left_anti")
+              .select(outCols.map(col): _*))
+          else None)
+    }
+
+    val v = cur + 1
+    val newTombs = matched
+      .select((keyCols.map(col) :+ col("__gdir").as("__dir")): _*).distinct()
+    val fullTombs = prevTombs.fold(newTombs)(p =>
+      p.select((keyCols :+ "__dir").map(col): _*)
+        .unionByName(newTombs).distinct())
+    val dvDir = s"dv${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+    fullTombs.write.mode("errorifexists").parquet(s"$dir/$dvDir")
+    val upd = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+    replacements.write.mode("errorifexists").parquet(s"$dir/$upd")
+
+    commit(fs, dir, v, metadata, prefix = prefix,
+      dataDir = Some((dataDirs :+ upd).mkString(",")),
+      dv = Some(s"$dvDir;${keyCols.mkString(",")};scoped"),
+      updateDir = Some(upd),
+      schema = hdrs.get("schema")
+        .orElse(Some(schemaEncode(replacements.schema))),
+      prevTs = prevTsOf(Some((cur, hdrs))),
       constraintsHdr = hdrs.get("constraints"))
     v
   }
@@ -2624,6 +2793,48 @@ object GraftTable {
     if (v == 0 || hdrs.contains("append"))
       versionDelta(spark, dir, v, prefix)
         .withColumn("change_type", lit("insert"))
+    else if (hdrs.contains("update")) {
+      // MoR-UPDATE fast path: post-images are a plain scan of the
+      // replacement dir; pre-images are the rows THIS commit's new
+      // tombstones killed — one broadcast semi-join against the small
+      // (key, dir) delta, never a full-outer snapshot diff. keyCols
+      // must match the commit's recorded dv keys (the identity the
+      // update was keyed on).
+      val dvParts = hdrs("dv").split(";", 3)
+      val dvKeys = dvParts(1).split(",").toSeq
+      require(dvKeys == keyCols,
+        s"version $v was updated keyed on $dvKeys — changeFeed must use " +
+          s"the same keys (got $keyCols)")
+      val upd = hdrs("update")
+      require(fs.exists(new Path(s"$dir/$upd")),
+        s"version $v's data has been garbage-collected (retention)")
+      val curTombs = spark.read.parquet(s"$dir/${dvParts(0)}")
+      val prevHdrs = parseCommit(commitContent(fs, dir, v - 1))._1
+      val prevDirs = dataDirsFrom(prevHdrs, v - 1, prefix)
+      import spark.implicits._
+      val prevTombs = prevHdrs.get("dv").map { spec =>
+        val parts = spec.split(";", -1)
+        val dvd = spark.read.parquet(s"$dir/${parts(0)}")
+        if (parts.length == 3) dvd
+        else dvd.crossJoin(prevDirs.map(dirBasename).toDF("__dir"))
+      }
+      val newTombs = prevTombs.fold(curTombs)(p =>
+        curTombs.exceptAll(p.select(curTombs.columns.map(col): _*)))
+      val preSrc = prevDirs.map { dd =>
+        spark.read.parquet(s"$dir/$dd")
+          .withColumn("__gdir", lit(dirBasename(dd)))
+      }.reduce(_ unionByName _)
+      val cols = preSrc.columns.filterNot(_ == "__gdir").toSeq
+      val pre = preSrc.join(
+        broadcast(newTombs.withColumnRenamed("__dir", "__gdir")),
+        keyCols :+ "__gdir", "left_semi")
+        .select(cols.map(col): _*)
+        .withColumn("change_type", lit("update_preimage"))
+      val post = spark.read.parquet(s"$dir/$upd")
+        .select(cols.map(col): _*)
+        .withColumn("change_type", lit("update_postimage"))
+      pre.unionByName(post)
+    }
     else {
       val prev0 = readVersion(spark, dir, v - 1, prefix)
       val cur = readVersion(spark, dir, v, prefix)

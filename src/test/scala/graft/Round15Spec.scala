@@ -228,6 +228,189 @@ class Round15Spec extends SparkSpec {
     assert(!new java.io.File("target/tmp/r15_wh/t15").exists())
   }
 
+  test("merge sql: all five arm shapes, snapshot isolation, single resolve") {
+    spark.conf.set("spark.sql.catalog.gt",
+      classOf[graft.sources.GraftCatalog].getName)
+    val dir = freshDir("mergesql")
+    GraftTable.commitNextIsolated(spark, dir, spark.range(6)
+      .selectExpr("id AS k", "CAST(id * 10 AS BIGINT) AS v"), "base")
+    val abs = new java.io.File(dir).getAbsolutePath
+    spark.range(5).selectExpr("id + 2 AS k", "CAST(id + 100 AS BIGINT) AS v")
+      .createOrReplaceTempView("r15src")
+
+    // matched+cond update / matched delete / not-matched+cond insert /
+    // not-matched-by-source update — first-match-wins within each arm
+    spark.sql(
+      s"""MERGE INTO gt.`$abs` t USING r15src s ON t.k = s.k
+         |WHEN MATCHED AND s.v % 2 = 0 THEN UPDATE SET v = s.v
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED AND s.k < 6 THEN INSERT (k, v) VALUES (s.k, s.v)
+         |WHEN NOT MATCHED BY SOURCE AND t.k = 0 THEN UPDATE SET v = -1
+         |""".stripMargin)
+    // base k=0..5 (v=10k), src k=2..6 (v=100..104):
+    //   k=0: not matched by source, cond true  -> v = -1
+    //   k=1: not matched by source, cond false -> kept v=10
+    //   k=2: matched, s.v=100 even  -> v=100
+    //   k=3: matched, s.v=101 odd   -> DELETE
+    //   k=4: matched, s.v=102 even  -> v=102
+    //   k=5: matched, s.v=103 odd   -> DELETE
+    //   k=6: not matched, cond false (k<6 fails) -> NOT inserted
+    val got = GraftTable.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, -1L), (1L, 10L), (2L, 100L), (4L, 102L)))
+    // snapshot isolation: v0 still serves the pre-merge rows
+    assert(GraftTable.readVersion(spark, dir, 0).count() == 6)
+
+    // plan audit: the merge resolves the snapshot in ONE join and it is
+    // FULL OUTER — no second resolve, no accidental cartesian (the
+    // command executes eagerly, so the resolve QE is exposed through
+    // the observability hook)
+    val qe = graft.plans.GraftMergeCommand.lastResolve
+      .getOrElse(fail("merge resolve plan not captured"))
+    val plan = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.joinType.toString
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.joinType.toString
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType.toString
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j.joinType.toString
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        "Cross"
+    }
+    assert(joins == Seq("FullOuter"),
+      s"merge must resolve in exactly one FULL OUTER join:\n$plan")
+
+    // UPDATE SET * / INSERT * expansion
+    spark.sql(
+      s"""MERGE INTO gt.`$abs` t USING r15src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val got2 = GraftTable.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((0L, -1L), (1L, 10L), (2L, 100L), (3L, 101L),
+      (4L, 102L), (5L, 103L), (6L, 104L)))
+  }
+
+  test("mor update: base files untouched, reads exact, updates compose") {
+    val dir = freshDir("morupd")
+    val fs = GraftTable.fsOf(spark, dir)
+    val c = T.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        T.dec(col("c_acctbal")).as("bal")).repartition(3)
+    GraftTable.commitNextIsolated(spark, dir, c, "base")
+    val baseDir = GraftTable.dataDirsOf(fs, dir, 0).head
+    def fileState(): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$baseDir"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(st => st.getPath.getName ->
+          (st.getLen, st.getModificationTime)).toMap
+    val before = fileState()
+
+    // v1: double the balance of custkeys % 5 == 0
+    val v1 = GraftTable.commitUpdate(spark, dir, Seq("c_custkey"),
+      col("c_custkey") % 5 === 0,
+      Seq("bal" -> (col("bal") * 2)), "double the fives")
+    assert(v1 == 1)
+    assert(fileState() == before, "base files must stay byte-untouched")
+
+    val expect1 = c.withColumn("bal",
+      when(col("c_custkey") % 5 === 0, (col("bal") * 2).cast(
+        org.apache.spark.sql.types.DecimalType(12, 2)))
+        .otherwise(col("bal")))
+    val got1 = GraftTable.read(spark, dir)
+    assert(got1.count() == c.count())
+    assert(got1.exceptAll(expect1).isEmpty && expect1.exceptAll(got1).isEmpty)
+
+    // v2: second update overlapping the first (the % 10 == 0 keys were
+    // already doubled — their CURRENT value must be the input)
+    GraftTable.commitUpdate(spark, dir, Seq("c_custkey"),
+      col("c_custkey") % 10 === 0,
+      Seq("bal" -> (col("bal") + 100)), "bump the tens")
+    val expect2 = expect1.withColumn("bal",
+      when(col("c_custkey") % 10 === 0, (col("bal") + 100).cast(
+        org.apache.spark.sql.types.DecimalType(12, 2)))
+        .otherwise(col("bal")))
+    val got2 = GraftTable.read(spark, dir)
+    assert(got2.exceptAll(expect2).isEmpty && expect2.exceptAll(got2).isEmpty)
+    assert(fileState() == before)
+
+    // time travel: every version still serves its own state
+    assert(GraftTable.readVersion(spark, dir, 0).exceptAll(c).isEmpty)
+    assert(GraftTable.readVersion(spark, dir, 1).exceptAll(expect1).isEmpty)
+
+    // DSv2 reads the scoped-DV version identically (per-dir repack)
+    val dsv2 = spark.read.format("graft").load(dir)
+    assert(dsv2.exceptAll(got2).isEmpty && got2.exceptAll(dsv2).isEmpty)
+    // ... and with the key column projected away
+    assert(dsv2.select("bal").count() == c.count())
+
+    // delete-after-update composes (scoped continuation)
+    GraftTable.commitDeleteVector(spark, dir,
+      spark.range(1).selectExpr("CAST(5 AS BIGINT) AS c_custkey"),
+      Seq("c_custkey"))
+    val got3 = GraftTable.read(spark, dir)
+    assert(got3.where(col("c_custkey") === 5).count() == 0)
+    assert(got3.count() == c.count() - 1)
+    // purge returns the table to DV-free reads with identical rows
+    GraftTable.purgeDeleteVector(spark, dir)
+    val hdrs4 = GraftTable.headersOf(fs, dir, 4)
+    assert(!hdrs4.contains("dv") && !hdrs4.contains("update"))
+    assert(GraftTable.read(spark, dir).exceptAll(got3).isEmpty)
+  }
+
+  test("mor update: typed change feed classifies pre/post images join-free") {
+    val dir = freshDir("morcdf")
+    val n = T.t(spark, sf, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    GraftTable.commitNextIsolated(spark, dir, n, "base")
+    GraftTable.commitUpdate(spark, dir, Seq("n_nationkey"),
+      col("n_nationkey") < 3,
+      Seq("n_name" -> upper(col("n_name"))), "shout the low keys")
+
+    val feed = GraftTable.changeFeed(spark, dir, 1, Seq("n_nationkey"))
+    val rows = feed.orderBy("change_type", "n_nationkey").collect()
+      .map(r => (r.getAs[String]("change_type"),
+        r.getAs[Number]("n_nationkey").longValue, r.getAs[String]("n_name")))
+      .toSeq
+    val lows = n.where(col("n_nationkey") < 3)
+      .orderBy("n_nationkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1))).toSeq
+    assert(rows ==
+      lows.map { case (k, nm) => ("update_postimage", k, nm.toUpperCase) } ++
+      lows.map { case (k, nm) => ("update_preimage", k, nm) })
+
+    // join-free: the feed's plan carries NO join exec (pre-images ride
+    // one broadcast semi-join — allowed; full-outer diff is not)
+    val plan = feed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val fullOuter = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType.toString == "FullOuter" => j
+    }
+    assert(fullOuter.isEmpty,
+      s"update CDF must not pay the full-outer diff:\n$plan")
+
+    // a second update's feed carries only ITS OWN delta (tombstone
+    // exceptAll — not the cumulative set)
+    GraftTable.commitUpdate(spark, dir, Seq("n_nationkey"),
+      col("n_nationkey") === 7,
+      Seq("n_name" -> lower(col("n_name"))), "whisper seven")
+    val feed2 = GraftTable.changeFeed(spark, dir, 2, Seq("n_nationkey"))
+    assert(feed2.count() == 2)
+    assert(feed2.where(col("n_nationkey") =!= 7).count() == 0)
+  }
+
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }

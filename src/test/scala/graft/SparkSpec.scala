@@ -17,6 +17,10 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      // the cluster-deployment extensions are ON in tests so the suite
+      // exercises exactly what a production session gets (incl. the
+      // MERGE INTO rewrite, which only binds at session build)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
