@@ -139,6 +139,46 @@ object Round15Ops {
         .orderBy("o_custkey")
     }),
 
+    // DISJOINT-WRITE OCC (WriteSerializable): two latched writers
+    // rewrite disjoint partition sets of a partition-mapped table; the
+    // race loser re-commits its ALREADY-STAGED result (n_evals = 2 —
+    // exactly one transform evaluation per writer, pinned inside the
+    // hash; a blind full-snapshot re-publish would drop the winner's
+    // bump and flip the rows; a commitWithRetry-style re-execution
+    // would make n_evals 3). Final state is arrival-order-independent.
+    // Round15Spec additionally pins the overlapping case re-executing
+    // and the untouched partition keeping its original entry dir.
+    "table_occ_partitions" -> ((s, d) => {
+      val dir = freshDir(s, d, "occparts")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), money(dec(col("o_totalprice"))).as("price"))
+        .withColumn("p", pmod(col("o_orderkey"), lit(4)).cast("string"))
+      GraftTable.replacePartitionsWithRetry(s, dir, "p", _ => o, "base")
+      val evals = new java.util.concurrent.atomic.AtomicInteger(0)
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer(parts: Seq[String], bump: Int): Thread = new Thread(() => {
+        try {
+          latch.await()
+          GraftTable.replacePartitionsWithRetry(s, dir, "p", { snap =>
+            evals.incrementAndGet()
+            snap.get.filter(col("p").isin(parts: _*))
+              .withColumn("price", col("price") + bump)
+          }, s"bump $parts")
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      val (ta, tb) = (writer(Seq("0", "1"), 1000), writer(Seq("2"), 2000))
+      ta.start(); tb.start(); latch.countDown(); ta.join(); tb.join()
+      if (!errs.isEmpty) throw errs.peek()
+      val nv = GraftTable.versions(GraftTable.fsOf(s, dir), dir).size
+      GraftTable.read(s, dir)
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"), money(sum(dec(col("price")))).as("rev"))
+        .withColumn("n_versions", lit(nv.toLong))
+        .withColumn("n_evals", lit(evals.get().toLong))
+        .orderBy("p")
+    }),
+
     // MERGE-ON-READ UPDATE: one atomic commit = dir-scoped tombstones
     // for the matched rows + a replacement dir — no base file rewritten
     // (byte-identity pinned in Round15Spec, which also pins compose,
@@ -191,6 +231,18 @@ object Round15Ops {
         s"SELECT 0 AS version, key, ${oMoney("bal")} AS bal FROM base " +
         s"UNION ALL SELECT 1 AS version, key, ${oMoney("bal")} AS bal FROM m " +
         "ORDER BY version, key"),
+
+    // sequential recompute of the commuting partition rewrites; 3
+    // versions and 2 evaluations pin WriteSerializable (2 versions =
+    // a lost write, 4+ = phantom commits, 3 evals = re-execution)
+    "table_occ_partitions" ->
+      ("SELECT CAST(o_orderkey % 4 AS VARCHAR) AS p, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec(oMoney(oDec("o_totalprice")))} + " +
+          "CASE WHEN o_orderkey % 4 IN (0, 1) THEN 1000 " +
+          "WHEN o_orderkey % 4 = 2 THEN 2000 ELSE 0 END)")} AS rev, " +
+        "CAST(3 AS BIGINT) AS n_versions, CAST(2 AS BIGINT) AS n_evals " +
+        "FROM orders GROUP BY 1 ORDER BY p"),
 
     // base twice: untouched at v0, CASE-doubled at v1 (decimal(12,2)
     // arithmetic is exact; money() finalizes both engines identically)

@@ -392,6 +392,18 @@ object GraftTable {
     *                    fast path reads post-images from it and
     *                    pre-images from the newly-tombstoned rows,
     *                    never a full-outer diff
+    *   pmap=<col>|<v>:<e>,…  PARTITION-MAPPED table: the snapshot is
+    *                    the union of one entry dir per partition VALUE
+    *                    of <col> (entries are `<stagedRoot>/__p=<v>`
+    *                    subdir paths inside data=). The map is what
+    *                    `replacePartitionsWithRetry` recomputes on a
+    *                    lost race — untouched values keep the winner's
+    *                    entries, replaced ones point at the loser's
+    *                    already-staged dirs
+    *   wset=<v>,…       the partition values THIS commit replaced —
+    *                    the conflict vocabulary: a race loser whose
+    *                    wset is disjoint from every winner's re-commits
+    *                    its staged result WITHOUT re-executing
     *   append=<dir>     marks an APPEND commit and names the one data
     *                    dir this version added on top of its
     *                    predecessor's (whose dirs the data= list
@@ -436,7 +448,7 @@ object GraftTable {
     * write gate for its successor. */
   private val headerKeys =
     Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=", "partby=",
-      "bloom=", "constraints=", "statenc=", "update=")
+      "bloom=", "constraints=", "statenc=", "update=", "pmap=", "wset=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
@@ -1094,7 +1106,11 @@ object GraftTable {
       prevTs: Option[Long] = None, bloom: Option[String] = None,
       constraintsHdr: Option[String] = None,
       statenc: Option[String] = None,
-      updateDir: Option[String] = None): Unit = {
+      updateDir: Option[String] = None,
+      pmap: Option[String] = None, wset: Option[String] = None): Unit = {
+    require(wset.isEmpty || pmap.nonEmpty,
+      "wset= is the partition-mapped conflict vocabulary and cannot be " +
+        "committed without pmap=")
     // statenc DESCRIBES the stats line — one never travels without the
     // other (a dangling encoding header would promise prunability the
     // manifest cannot honor)
@@ -1210,6 +1226,8 @@ object GraftTable {
       bloom.map(b => s"bloom=$b\n").getOrElse("") +
       constraintsHdr.map(c => s"constraints=$c\n").getOrElse("") +
       statenc.map(e => s"statenc=$e\n").getOrElse("") +
+      pmap.map(p => s"pmap=$p\n").getOrElse("") +
+      wset.map(ws => s"wset=$ws\n").getOrElse("") +
       metadata
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -1236,10 +1254,14 @@ object GraftTable {
       // both naming forms AND dvN_ tombstone dirs) — but never a dir a
       // retained commit still references (an append CHAIN keeps its
       // predecessors' dirs referenced by every live successor)
+      // keep at TOP-LEVEL granularity: a partition-mapped commit's
+      // entries are `<root>/__p=<v>` subdir paths, and GC walks the
+      // table root — one referenced subdir must protect its whole root
       val keep = versions(fs, dir).filter(_ >= v - retain).flatMap { kv =>
         val hdrs = parseCommit(commitContent(fs, dir, kv))._1
-        dataDirsFrom(hdrs, kv, prefix) ++
-          hdrs.get("dv").map(_.split(";", 2)(0)).toList
+        (dataDirsFrom(hdrs, kv, prefix) ++
+          hdrs.get("dv").map(_.split(";", 2)(0)).toList)
+          .map(_.split('/').head)
       }.toSet
       fs.listStatus(new Path(dir)).foreach { st =>
         val n = st.getPath.getName
@@ -1933,6 +1955,155 @@ object GraftTable {
     commitAppendWithRetry(spark, dir, df, metadata, maxAttempts = 1,
       retain, prefix, statsCols, bloomCol)
 
+  /** Parsed pmap= header: (partition column, value → entry dir). */
+  private[graft] def pmapDecode(s: String): (String, Map[String, String]) = {
+    val i = s.indexOf('|')
+    (urlDec(s.take(i)),
+      s.drop(i + 1).split(",").filter(_.nonEmpty).map { kv =>
+        val j = kv.indexOf(':')
+        (urlDec(kv.take(j)), urlDec(kv.drop(j + 1)))
+      }.toMap)
+  }
+
+  private def pmapEncode(partCol: String, m: Map[String, String]): String =
+    s"${urlEnc(partCol)}|" + m.toSeq.sortBy(_._1)
+      .map { case (v, e) => s"${urlEnc(v)}:${urlEnc(e)}" }.mkString(",")
+
+  /** DISJOINT-WRITE OCC — WriteSerializable for partition-scoped
+    * rewrites. The table is PARTITION-MAPPED (pmap= header: one entry
+    * dir per value of `partCol`; the snapshot is their union, served by
+    * the ordinary data= list). `transform` receives the current
+    * snapshot and returns the REPLACEMENT rows for the partitions it
+    * rewrites (new values insert, omitted values stay untouched); the
+    * result is staged ONCE as one `partitionBy`-shaped root — one spark
+    * job however many partitions — and the commit maps each written
+    * value to its staged subdir.
+    *
+    * The WriteSerializable part: on a lost race, the loser compares its
+    * WRITE SET (the partition values it replaced, recorded by every
+    * pmap commit in its wset= header) against every interleaved
+    * winner's. All-disjoint → the loser's already-staged result is
+    * re-mapped over the winner's pmap and re-committed under the next
+    * version WITHOUT re-executing the transform (generalizing
+    * `commitAppendWithRetry`'s no-re-execution posture from "blind
+    * appends commute" to "disjoint partition rewrites commute"); any
+    * overlap — or any interleaved non-pmap commit, whose effect the
+    * loser cannot reason about — re-executes against the fresh
+    * snapshot, exactly like `commitWithRetry`. A declared `unique:`
+    * constraint also forces re-execution on conflict (uniqueness spans
+    * partitions, so commuting is no longer provable).
+    *
+    * Contracts: partition values must be non-null and filesystem-plain
+    * (`[A-Za-z0-9_.-]`, the values' OWN string forms name the staged
+    * subdirs); the table must be pmap-born (first commit through this
+    * API) — a plain table's rows aren't value-mapped, so partial
+    * replacement would be undefined. Returns the committed version. */
+  def replacePartitionsWithRetry(spark: SparkSession, dir: String,
+      partCol: String, transform: Option[DataFrame] => DataFrame,
+      metadata: String = "", maxAttempts: Int = 10,
+      prefix: String = "v"): Int = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsOf(spark, dir)
+    val safe = "[A-Za-z0-9_.-]+".r
+
+    def pmapOf(cur: Option[(Int, Map[String, String])])
+        : Map[String, String] = cur match {
+      case None => Map.empty
+      case Some((v, h)) => h.get("pmap") match {
+        case Some(enc) =>
+          val (pc, m) = pmapDecode(enc)
+          require(pc == partCol,
+            s"table is partition-mapped on '$pc', not '$partCol'")
+          m
+        case None => sys.error(
+          s"version $v of $dir is not partition-mapped — " +
+            "replacePartitionsWithRetry manages tables born through it")
+      }
+    }
+
+    /** Evaluate + stage once: (written values, staged root, schema). */
+    def stageOnce(cur: Option[(Int, Map[String, String])])
+        : (Seq[String], String, org.apache.spark.sql.types.StructType) = {
+      val snap = cur.map { case (v, _) => readVersion(spark, dir, v, prefix) }
+      val df = transform(snap)
+      require(df.columns.contains(partCol),
+        s"replacement rows must carry the partition column '$partCol'")
+      schemaGate(cur.flatMap(_._2.get("schema")), df.schema,
+        allowEvolution = false)
+      val carried = carriedConstraints(cur)
+      val w = df.select(col(partCol)).distinct().collect().map { r =>
+        require(!r.isNullAt(0),
+          s"partition column '$partCol' must be non-null")
+        String.valueOf(r.get(0))
+      }.toSeq.sorted
+      require(w.nonEmpty, "transform produced no partitions to replace")
+      w.foreach(v => require(safe.pattern.matcher(v).matches(),
+        s"partition value '$v' is not filesystem-plain ([A-Za-z0-9_.-])"))
+      if (carried.nonEmpty) {
+        // unique: checks the new rows against the UNTOUCHED partitions
+        val existing =
+          if (carried.exists(_.startsWith("unique:")) && snap.isDefined)
+            Some(snap.get.filter(
+              !col(partCol).cast("string").isin(w: _*)))
+          else None
+        enforceConstraints(df, carried, "replacePartitions", existing)
+      }
+      val v0 = cur.map(_._1 + 1).getOrElse(0)
+      val root = s"$prefix${v0}_${java.util.UUID.randomUUID().toString.take(8)}"
+      // ONE job whatever the partition count: the duplicate __p column
+      // drives the subdir layout and is excluded from the files, so
+      // every entry dir reads back with the original schema intact
+      df.withColumn("__p", col(partCol).cast("string"))
+        .write.partitionBy("__p").mode("errorifexists")
+        .parquet(s"$dir/$root")
+      (w, root, df.schema)
+    }
+
+    var cur = currentHeaders(fs, dir)
+    var (w, root, schema) = stageOnce(cur)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val prevMap = pmapOf(cur)
+      val newMap = (prevMap -- w) ++ w.map(v => v -> s"$root/__p=$v")
+      val entries = newMap.toSeq.sortBy(_._1).map(_._2)
+      val v = cur.map(_._1 + 1).getOrElse(0)
+      try {
+        commit(fs, dir, v, metadata, prefix = prefix,
+          dataDir = Some(entries.mkString(",")),
+          schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
+          constraintsHdr = cur.flatMap(_._2.get("constraints")),
+          pmap = Some(pmapEncode(partCol, newMap)),
+          wset = Some(w.map(urlEnc).mkString(",")))
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          val base = cur.map(_._1).getOrElse(-1)
+          val newCur = currentHeaders(fs, dir)
+          val carried = carriedConstraints(newCur)
+          // every interleaved commit must be pmap-shaped AND disjoint
+          // from our write set for the staged result to commute past it
+          val commutes = !carried.exists(_.startsWith("unique:")) &&
+            ((base + 1) to newCur.map(_._1).getOrElse(-1)).forall { vv =>
+              val h = parseCommit(commitContent(fs, dir, vv))._1
+              h.contains("pmap") && h.get("wset").exists(ws =>
+                ws.split(",").filter(_.nonEmpty).map(urlDec)
+                  .toSet.intersect(w.toSet).isEmpty)
+            }
+          cur = newCur
+          if (!commutes) {
+            // overlap (or an opaque interleaved commit): re-execute
+            // against the fresh snapshot; the abandoned staging root is
+            // a vacuum-reclaimable orphan
+            val s2 = stageOnce(cur)
+            w = s2._1; root = s2._2; schema = s2._3
+          }
+      }
+    }
+    -1 // unreachable
+  }
+
   // ---- exactly-once streaming ingest ----------------------------------------
 
   /** Commit one micro-batch as a table version, idempotently keyed by
@@ -2120,10 +2291,13 @@ object GraftTable {
     // travel to a dv-bearing version still applies its tombstones); an
     // orphan dv dir (a race-losing commitDeleteVector's staging) is
     // reclaimable garbage like any other unreferenced staging dir
+    // TOP-LEVEL granularity: a partition-mapped entry `<root>/__p=<v>`
+    // must protect its root from the whole-dir delete below
     val referenced = committed.flatMap { v =>
       val hdrs = parseCommit(commitContent(fs, dir, v))._1
-      dataDirsFrom(hdrs, v, prefix) ++
-        hdrs.get("dv").map(_.split(";", 2)(0)).toList
+      (dataDirsFrom(hdrs, v, prefix) ++
+        hdrs.get("dv").map(_.split(";", 2)(0)).toList)
+        .map(_.split('/').head)
     }.toSet
     val reclaimed = fs.listStatus(new Path(dir)).toSeq
       .filter { st =>

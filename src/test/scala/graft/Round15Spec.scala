@@ -411,6 +411,83 @@ class Round15Spec extends SparkSpec {
     assert(feed2.where(col("n_nationkey") =!= 7).count() == 0)
   }
 
+  test("occ partitions: disjoint writers commit without re-execution") {
+    val dir = freshDir("occparts")
+    val o = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), T.money(T.dec(col("o_totalprice"))).as("price"))
+      .withColumn("p", pmod(col("o_orderkey"), lit(4)).cast("string"))
+    // born partition-mapped: v0 covers all four partitions
+    GraftTable.replacePartitionsWithRetry(spark, dir, "p",
+      _ => o, "base load")
+    val fs = GraftTable.fsOf(spark, dir)
+    assert(GraftTable.dataDirsOf(fs, dir, 0).size == 4)
+
+    // two latched writers on DISJOINT partition sets: each transform
+    // must evaluate exactly ONCE — the race loser re-commits its
+    // already-staged result (no second stage, no orphan)
+    val evals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(parts: Seq[Int], bump: Int): Thread = new Thread(() => {
+      try {
+        latch.await()
+        GraftTable.replacePartitionsWithRetry(spark, dir, "p", { snap =>
+          evals.incrementAndGet()
+          snap.get.filter(col("p").isin(parts.map(_.toString): _*))
+            .withColumn("price", col("price") + bump)
+        }, s"bump $parts")
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val (ta, tb) = (writer(Seq(0, 1), 1000), writer(Seq(2), 2000))
+    ta.start(); tb.start(); latch.countDown(); ta.join(); tb.join()
+    assert(errs.isEmpty, s"writers failed: ${errs.toArray.toSeq}")
+    assert(evals.get() == 2,
+      s"disjoint writers must each evaluate once (got ${evals.get()})")
+    assert(GraftTable.versions(fs, dir).size == 3)
+
+    // final state is order-independent: both bumps landed, p=3 untouched
+    val got = GraftTable.read(spark, dir)
+    val expect = o.withColumn("price",
+      when(col("p").isin("0", "1"), col("p").cast("int") * 0 + col("price") + 1000)
+        .when(col("p") === "2", col("price") + 2000)
+        .otherwise(col("price")))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    // the untouched partition's entry is the ORIGINAL staged subdir
+    val (_, m0) = GraftTable.pmapDecode(
+      GraftTable.headersOf(fs, dir, 0)("pmap"))
+    val (_, m2) = GraftTable.pmapDecode(
+      GraftTable.headersOf(fs, dir, 2)("pmap"))
+    assert(m2("3") == m0("3"), "untouched partition must keep its entry")
+
+    // OVERLAPPING writers: the loser must RE-EXECUTE (3 evals total)
+    val evals2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val latch2 = new java.util.concurrent.CountDownLatch(1)
+    def clasher(bump: Int): Thread = new Thread(() => {
+      try {
+        latch2.await()
+        GraftTable.replacePartitionsWithRetry(spark, dir, "p", { snap =>
+          evals2.incrementAndGet()
+          snap.get.filter(col("p") === "0")
+            .withColumn("price", col("price") + bump)
+        }, s"clash $bump")
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val (tc, td) = (clasher(1), clasher(10))
+    tc.start(); td.start(); latch2.countDown(); tc.join(); td.join()
+    assert(errs.isEmpty, s"clashers failed: ${errs.toArray.toSeq}")
+    assert(evals2.get() == 3,
+      s"overlapping loser must re-execute (got ${evals2.get()} evals)")
+    // serial semantics: both bumps apply (re-execution read the
+    // winner's rows), whatever the interleaving
+    val p0 = GraftTable.read(spark, dir).where(col("p") === "0")
+    val base0 = expect.where(col("p") === "0")
+    assert(p0.count() == base0.count())
+    val diff = p0.join(base0.withColumnRenamed("price", "bp"),
+      Seq("o_orderkey", "p"))
+      .where(col("price") =!= col("bp") + 11)
+    assert(diff.isEmpty, "both overlapping bumps must apply serially")
+  }
+
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
