@@ -202,6 +202,57 @@ object Round15Ops {
       snap(0).unionByName(snap(1)).orderBy("version", "key")
     }),
 
+    // INCREMENTAL re-clustering (the liquid tier of OPTIMIZE): fold and
+    // z-order only the arrival-order append tail; the clustered head
+    // dir stays byte-identical (pinned in Round15Spec together with the
+    // band-read file-count improvement). Inside the hash: the table's
+    // rows across the operation (identity), the 2-dir layout, and the
+    // improved flag — a tail fold that lost rows, touched the head, or
+    // failed to tighten the tail's rectangles flips a column here.
+    "table_recluster_tail" -> ((s, d) => {
+      val dir = freshDir(s, d, "tailrecl")
+      val us = GraftTable.StatsEnc.ordinal("us")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          money(dec(col("o_totalprice"))).as("price"))
+      val cut = lit("1995-01-01").cast("timestamp_ntz")
+      GraftTable.commitNextIsolated(s, dir,
+        o.where(col("o_orderdate") < cut)
+          .repartitionByRange(4, col("o_orderdate"), col("o_orderkey"))
+          .sortWithinPartitions("o_orderdate"),
+        "clustered head", statsEnc = Seq("o_orderdate" -> "us"))
+      val late = o.where(col("o_orderdate") >= cut)
+      GraftTable.commitAppend(s, dir,
+        late.where(col("o_orderkey") % 2 === 0).repartition(4, col("o_orderkey")),
+        "arrival A", statsCols = Seq("o_orderdate" -> us))
+      GraftTable.commitAppend(s, dir,
+        late.where(col("o_orderkey") % 2 === 1).repartition(4, col("o_orderkey")),
+        "arrival B", statsCols = Seq("o_orderdate" -> us))
+      val (loUs, hiUs) =
+        (graft.T.epochUs("1996-03-01"), graft.T.epochUs("1996-03-31"))
+      val hitBefore =
+        GraftTable.readStatsBand(s, dir, 2, "o_orderdate", loUs, hiUs)._2.size
+      GraftTable.compactChainTail(s, dir, targetFiles = 8,
+        clusterBy = Seq("o_orderdate" -> us),
+        statsEnc = Seq("o_orderdate" -> "us"))
+      val fs = GraftTable.fsOf(s, dir)
+      val nDirs = GraftTable.dataDirsOf(fs, dir, 3).size
+      val (bandDf, hitPaths, _) =
+        GraftTable.readStatsBand(s, dir, 3, "o_orderdate", loUs, hiUs)
+      val bandLo = lit("1996-03-01").cast("timestamp_ntz")
+      val bandHi = lit("1996-03-31").cast("timestamp_ntz")
+      bandDf
+        .where(col("o_orderdate") >= bandLo && col("o_orderdate") <= bandHi)
+        .agg(count(lit(1)).as("n_band"),
+          money(sum(dec(col("price")))).as("band_rev"))
+      .crossJoin(
+        GraftTable.read(s, dir)
+          .agg(count(lit(1)).as("n_total"),
+            money(sum(dec(col("price")))).as("total_rev")))
+        .withColumn("n_dirs", lit(nDirs.toLong))
+        .withColumn("improved", lit(hitPaths.size < hitBefore))
+    }),
+
     // Manifest statistics drive the join: the pruned slice reports its
     // true (small) size, so it broadcasts against lineitem at initial
     // planning time; the joined revenue must match a plain SQL join.
@@ -243,6 +294,22 @@ object Round15Ops {
           "WHEN o_orderkey % 4 = 2 THEN 2000 ELSE 0 END)")} AS rev, " +
         "CAST(3 AS BIGINT) AS n_versions, CAST(2 AS BIGINT) AS n_evals " +
         "FROM orders GROUP BY 1 ORDER BY p"),
+
+    // the band slice and the whole table, recomputed raw; n_dirs = 2
+    // (head + folded tail) and improved = TRUE pin the incremental
+    // layout effect
+    "table_recluster_tail" ->
+      ("SELECT " +
+        "CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate >= " +
+        "TIMESTAMP '1996-03-01' AND o_orderdate <= TIMESTAMP '1996-03-31') " +
+        "AS BIGINT) AS n_band, " +
+        s"(SELECT ${oMoney(s"SUM(${oDec(oMoney(oDec("o_totalprice")))})")} " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-03-01' AND " +
+        "o_orderdate <= TIMESTAMP '1996-03-31') AS band_rev, " +
+        "CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total, " +
+        s"(SELECT ${oMoney(s"SUM(${oDec(oMoney(oDec("o_totalprice")))})")} " +
+        "FROM orders) AS total_rev, " +
+        "CAST(2 AS BIGINT) AS n_dirs, TRUE AS improved"),
 
     // base twice: untouched at v0, CASE-doubled at v1 (decimal(12,2)
     // arithmetic is exact; money() finalizes both engines identically)

@@ -404,6 +404,10 @@ object GraftTable {
     *                    the conflict vocabulary: a race loser whose
     *                    wset is disjoint from every winner's re-commits
     *                    its staged result WITHOUT re-executing
+    *   statrel=1        the stats= line's file keys are TABLE-relative
+    *                    (the tail-compaction commit shape: multiple
+    *                    data dirs, one spanning stats line, no append
+    *                    marker — `compactChainTail`)
     *   append=<dir>     marks an APPEND commit and names the one data
     *                    dir this version added on top of its
     *                    predecessor's (whose dirs the data= list
@@ -448,7 +452,8 @@ object GraftTable {
     * write gate for its successor. */
   private val headerKeys =
     Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=", "partby=",
-      "bloom=", "constraints=", "statenc=", "update=", "pmap=", "wset=")
+      "bloom=", "constraints=", "statenc=", "update=", "pmap=", "wset=",
+      "statrel=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
@@ -958,8 +963,12 @@ object GraftTable {
     // append commits key by path relative to the TABLE dir, since one
     // stats line spans files from several data dirs (the marker header
     // decides — a v0 append is single-dir but already table-relative)
+    // table-relative keys: append commits AND tail-compaction commits
+    // (statrel= — multi-dir by construction, one stats line spanning
+    // both dirs); plain commits key relative to their one data dir
     val toPath =
-      if (hdrs.contains("append")) (f: FileStats) => s"$dir/${f.file}"
+      if (hdrs.contains("append") || hdrs.contains("statrel"))
+        (f: FileStats) => s"$dir/${f.file}"
       else (f: FileStats) => s"$dir/${dataDirs.head}/${f.file}"
     val hit = st.matching(bands).map(toPath)
     val df =
@@ -967,7 +976,7 @@ object GraftTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           readVersion(spark, dir, v, prefix).schema)
-      else if (hdrs.contains("append"))
+      else if (hdrs.contains("append") || hdrs.contains("statrel"))
         // append chains are FLAT by construction (the gate refuses
         // partitionBy predecessors), so no basePath is needed — and the
         // table dir would not even be an ancestor when the chain starts
@@ -1037,7 +1046,7 @@ object GraftTable {
     // out-of-table base — so the clone drops them (re-derivable by a
     // stats-bearing rewrite; skipping is an optimization, never truth)
     val st =
-      if (hdrs.contains("append")) None
+      if (hdrs.contains("append") || hdrs.contains("statrel")) None
       else hdrs.get("stats").map(TableStats.decode)
     // the Bloom index travels with EVERY clone flavor: its sidecars are
     // self-contained per data dir (file names relative to their own
@@ -1107,7 +1116,10 @@ object GraftTable {
       constraintsHdr: Option[String] = None,
       statenc: Option[String] = None,
       updateDir: Option[String] = None,
-      pmap: Option[String] = None, wset: Option[String] = None): Unit = {
+      pmap: Option[String] = None, wset: Option[String] = None,
+      statrel: Boolean = false): Unit = {
+    require(!statrel || stats.nonEmpty,
+      "statrel= qualifies the stats= line and cannot be committed alone")
     require(wset.isEmpty || pmap.nonEmpty,
       "wset= is the partition-mapped conflict vocabulary and cannot be " +
         "committed without pmap=")
@@ -1228,6 +1240,7 @@ object GraftTable {
       statenc.map(e => s"statenc=$e\n").getOrElse("") +
       pmap.map(p => s"pmap=$p\n").getOrElse("") +
       wset.map(ws => s"wset=$ws\n").getOrElse("") +
+      (if (statrel) "statrel=1\n" else "") +
       metadata
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -1918,7 +1931,7 @@ object GraftTable {
               s"append statsCols ${ns.cols} must match the table's " +
                 s"recorded stat columns ${prev.cols}")
             val prevRel =
-              if (h.contains("append")) prev.files
+              if (h.contains("append") || h.contains("statrel")) prev.files
               else {
                 val pd = dataDirsFrom(h, c, prefix).head
                 prev.files.map(f => f.copy(file = s"$pd/${f.file}"))
@@ -2842,6 +2855,111 @@ object GraftTable {
       .repartitionByRange(targetFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
+  }
+
+  /** INCREMENTAL re-clustering — the liquid tier of OPTIMIZE: fold (and
+    * optionally z-order) ONLY the chain's arrival-order TAIL, leaving
+    * the clustered head dir byte-identical. A full `compactChain` costs
+    * O(table) however little arrived since the last pass; this costs
+    * O(new data): the head — typically the last full OPTIMIZE's output,
+    * already tight in the clustered dimensions — is re-referenced
+    * verbatim (its stats entries and Bloom sidecar ride along
+    * untouched), while the tail dirs' arrival-order files, whose
+    * full-width rectangles skip nothing, are rewritten into
+    * `targetFiles` clustered files with freshly computed stats.
+    *
+    * The commit shape is new: multiple data dirs with ONE spanning
+    * table-relative stats line and NO append marker (CDC must not
+    * re-emit rewritten rows as inserts) — flagged statrel=1 for the
+    * stats-serving readers. Index redeclaration contracts match
+    * `compactChain` (stats/Bloom must be re-declared, not silently
+    * dropped); the head keeps serving its own sidecar, the folded tail
+    * gets a fresh one. Declared constraints carry WITHOUT re-running:
+    * the fold is row-preserving, and notnull/check/unique are all
+    * invariant under a row-preserving rewrite. Predecessor versions
+    * keep serving (their dirs are untouched); once retention ages them
+    * out, the old tail dirs are reclaimable. Returns the version. */
+  def compactChainTail(spark: SparkSession, dir: String,
+      targetFiles: Int = 1, metadata: String = "compact tail",
+      prefix: String = "v", statsCols: StatsCols = Nil,
+      bloomCol: Option[String] = None, clusterBy: StatsCols = Nil,
+      statsEnc: Seq[(String, String)] = Nil): Int = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1 (got $targetFiles)")
+    val fs = fsOf(spark, dir)
+    val (c, h) = currentHeaders(fs, dir).getOrElse(sys.error(
+      s"nothing to compact: no version committed under $dir"))
+    require(!h.contains("dv"),
+      "cannot tail-compact a version carrying a deletion vector — the " +
+        "tombstones span the whole chain; purge first (or compactChain, " +
+        "which applies them)")
+    require(!h.contains("partby"),
+      "tail compaction applies to flat chains — a partitionBy layout " +
+        "is already dir-clustered")
+    val dirs = dataDirsFrom(h, c, prefix)
+    require(dirs.size >= 2,
+      s"version $c has no tail to fold (${dirs.size} data dir)")
+    val (head, tail) = (dirs.head, dirs.tail)
+    if (h.contains("stats") && statsCols.isEmpty && statsEnc.isEmpty)
+      throw new IndexRedeclarationRequired(
+        "tail-compacting a stats-bearing table without statsCols/" +
+          "statsEnc would silently drop the folded files' skipping " +
+          "index — re-declare the stat columns")
+    if (h.contains("bloom") && bloomCol.isEmpty)
+      throw new IndexRedeclarationRequired(
+        "tail-compacting a Bloom-indexed table without bloomCol would " +
+          "leave the folded dir unprobeable — re-declare the indexed " +
+          "column")
+    require(bloomCol.isEmpty || h.contains("bloom"),
+      "bloomCol on a chain whose head carries no sidecar would leave " +
+        "the head unprobeable — index via compactChain instead")
+    statsEnc.foreach { case (col, e) =>
+      require(StatsEnc.names.contains(e),
+        s"unknown stats encoding '$e' for column '$col'")
+      require(!statsCols.exists(_._1 == col),
+        s"column '$col' is declared in both statsCols and statsEnc")
+    }
+    val effStats: StatsCols =
+      statsCols ++ statsEnc.map { case (col, e) => (col, StatsEnc.ordinal(e)) }
+
+    val tailDf = spark.read.parquet(tail.map(d => s"$dir/$d"): _*)
+    val folded =
+      if (clusterBy.nonEmpty) clusteredLayout(spark, tailDf, clusterBy,
+        targetFiles)
+      else tailDf.coalesce(targetFiles)
+    val v = c + 1
+    val tDir = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+    folded.write.mode("errorifexists").parquet(s"$dir/$tDir")
+
+    // spanning stats: the head's entries carry over UNREAD (their files
+    // are untouched — that is the whole point); the folded dir's are
+    // computed fresh and re-keyed table-relative
+    val mergedStats = if (effStats.isEmpty) None else {
+      val fresh = computeStats(spark, s"$dir/$tDir", effStats)
+      val mine = fresh.files.map(f => f.copy(file = s"$tDir/${f.file}"))
+      val prev = TableStats.decode(h.getOrElse("stats", sys.error(
+        "tail compaction with statsCols requires predecessor stats — " +
+          "the head's entries carry over unread")))
+      require(prev.cols == fresh.cols,
+        s"statsCols ${fresh.cols} must match the table's recorded " +
+          s"stat columns ${prev.cols}")
+      // predecessor keys are table-relative (append chains and statrel
+      // commits both are — the only shapes with a tail to fold)
+      val headEntries = prev.files.filter(_.file.startsWith(s"$head/"))
+      Some(TableStats(fresh.cols, headEntries ++ mine))
+    }
+    val bl = bloomCol.map { col =>
+      val tb = computeBloom(spark, s"$dir/$tDir", col)
+      writeBloomSidecar(fs, new Path(s"$dir/$tDir/$bloomSidecarName"), tb)
+      s"${urlEnc(col)}|${tb.m}|${tb.k}"
+    }
+    commit(fs, dir, v, metadata, prefix = prefix,
+      dataDir = Some(s"$head,$tDir"), stats = mergedStats,
+      schema = h.get("schema"), prevTs = prevTsOf(Some((c, h))),
+      bloom = bl, constraintsHdr = h.get("constraints"),
+      statenc =
+        if (statsEnc.isEmpty) None else Some(StatsEnc.encode(statsEnc)),
+      statrel = mergedStats.nonEmpty)
+    v
   }
 
   /** `compactChain`'s refusal when a declared skipping index would be

@@ -488,6 +488,78 @@ class Round15Spec extends SparkSpec {
     assert(diff.isEmpty, "both overlapping bumps must apply serially")
   }
 
+  test("tail compaction: head untouched, band reads tighten, rows identical") {
+    val dir = freshDir("tailcomp")
+    val fs = GraftTable.fsOf(spark, dir)
+    val us = GraftTable.StatsEnc.ordinal("us")
+    val o = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        T.money(T.dec(col("o_totalprice"))).as("price"))
+    // head: clustered pre-1995 slice; tail: two ARRIVAL-ORDER appends
+    // (hashed by key, so their per-file date rectangles are full-width)
+    val head = o.where(col("o_orderdate") < lit("1995-01-01").cast("timestamp_ntz"))
+      .repartitionByRange(4, col("o_orderdate"), col("o_orderkey"))
+      .sortWithinPartitions("o_orderdate")
+    val late = o.where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz"))
+    GraftTable.commitNextIsolated(spark, dir, head, "clustered head",
+      statsEnc = Seq("o_orderdate" -> "us"))
+    GraftTable.commitAppend(spark, dir,
+      late.where(col("o_orderkey") % 2 === 0).repartition(4, col("o_orderkey")),
+      "arrival slice A", statsCols = Seq("o_orderdate" -> us))
+    GraftTable.commitAppend(spark, dir,
+      late.where(col("o_orderkey") % 2 === 1).repartition(4, col("o_orderkey")),
+      "arrival slice B", statsCols = Seq("o_orderdate" -> us))
+
+    val headDir = GraftTable.dataDirsOf(fs, dir, 0).head
+    def headState(): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$headDir"))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(st => st.getPath.getName ->
+          (st.getLen, st.getModificationTime)).toMap
+    val headBefore = headState()
+    val before = GraftTable.read(spark, dir)
+    val (loUs, hiUs) = (T.epochUs("1996-03-01"), T.epochUs("1996-03-31"))
+    val (_, hitBefore, totalBefore) =
+      GraftTable.readStatsBand(spark, dir, 2, "o_orderdate", loUs, hiUs)
+
+    // fold ONLY the tail, re-clustered on the date ordinal
+    val v = GraftTable.compactChainTail(spark, dir, targetFiles = 8,
+      clusterBy = Seq("o_orderdate" -> us),
+      statsEnc = Seq("o_orderdate" -> "us"))
+    assert(v == 3)
+    assert(headState() == headBefore, "head files must stay byte-untouched")
+    assert(GraftTable.dataDirsOf(fs, dir, 3) ==
+      Seq(headDir, GraftTable.dataDirsOf(fs, dir, 3)(1)))
+
+    // row identity across the operation
+    val after = GraftTable.read(spark, dir)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+
+    // the band read now opens FEWER files for the same slice (the tail
+    // was arrival-ordered — every tail file overlapped every band)
+    val (bandDf, hitAfter, totalAfter) =
+      GraftTable.readStatsBand(spark, dir, 3, "o_orderdate", loUs, hiUs)
+    assert(hitAfter.size < hitBefore.size,
+      s"tail clustering must tighten the band read: " +
+        s"${hitAfter.size}/${totalAfter} vs ${hitBefore.size}/$totalBefore")
+    // ... and still serves the band's exact rows (path resolution across
+    // the statrel commit shape)
+    val exact = bandDf.where(
+      col("o_orderdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
+      col("o_orderdate") <= lit("1996-03-31").cast("timestamp_ntz")).count()
+    val truth = before.where(
+      col("o_orderdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
+      col("o_orderdate") <= lit("1996-03-31").cast("timestamp_ntz")).count()
+    assert(exact == truth && truth > 0)
+
+    // a further append extends the spanning stats line (statrel re-key)
+    GraftTable.commitAppend(spark, dir,
+      late.limit(0), "empty tick", statsCols = Seq("o_orderdate" -> us))
+    val (_, hit4, _) =
+      GraftTable.readStatsBand(spark, dir, 4, "o_orderdate", loUs, hiUs)
+    assert(hit4.toSet == hitAfter.toSet)
+  }
+
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
