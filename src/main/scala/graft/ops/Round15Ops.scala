@@ -179,6 +179,34 @@ object Round15Ops {
         .orderBy("p")
     }),
 
+    // Multi-column Bloom index, built and written EXECUTOR-side (the
+    // driver never materializes a filter word — the 10⁴-file seam):
+    // one sidecar section per column, probed independently. Both
+    // probes' row sets ride the hash; a false NEGATIVE in either
+    // section drops rows here (false positives only open extra files —
+    // the row predicate is re-applied). absent_empty pins the
+    // point-lookup payoff: a key the table never held reads NOTHING.
+    "table_bloom_multicol" -> ((s, d) => {
+      val dir = freshDir(s, d, "mcbloom")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .repartition(6)
+      GraftTable.commitNextIsolated(s, dir, o, "2-key index",
+        bloomCols = Seq("o_custkey", "o_orderpriority"))
+      val ck = o.agg(min(col("o_custkey"))).head().getLong(0)
+      val ckDf = GraftTable.readBloomEq(s, dir, 0, "o_custkey", ck)._1
+        .where(col("o_custkey") === ck)
+      val prDf = GraftTable
+        .readBloomEq(s, dir, 0, "o_orderpriority", "1-URGENT")._1
+        .where(col("o_orderpriority") === "1-URGENT")
+      val absentEmpty = GraftTable.readBloomEq(s, dir, 0, "o_custkey",
+        java.lang.Long.valueOf(-977L))._2.isEmpty
+      ckDf.agg(count(lit(1)).as("n_ck"), sum(col("o_orderkey")).as("sum_ck"))
+        .crossJoin(prDf.agg(count(lit(1)).as("n_pri"),
+          sum(col("o_orderkey")).as("sum_pri")))
+        .withColumn("absent_empty", lit(absentEmpty))
+    }),
+
     // MERGE-ON-READ UPDATE: one atomic commit = dir-scoped tombstones
     // for the matched rows + a replacement dir — no base file rewritten
     // (byte-identity pinned in Round15Spec, which also pins compose,
@@ -294,6 +322,18 @@ object Round15Ops {
           "WHEN o_orderkey % 4 = 2 THEN 2000 ELSE 0 END)")} AS rev, " +
         "CAST(3 AS BIGINT) AS n_versions, CAST(2 AS BIGINT) AS n_evals " +
         "FROM orders GROUP BY 1 ORDER BY p"),
+
+    // both point lookups recomputed raw; absent_empty is structurally
+    // TRUE (the fixture holds no negative custkey)
+    "table_bloom_multicol" ->
+      ("SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_custkey = " +
+        "(SELECT MIN(o_custkey) FROM orders)) AS BIGINT) AS n_ck, " +
+        "(SELECT SUM(o_orderkey) FROM orders WHERE o_custkey = " +
+        "(SELECT MIN(o_custkey) FROM orders)) AS sum_ck, " +
+        "CAST((SELECT COUNT(*) FROM orders WHERE o_orderpriority = " +
+        "'1-URGENT') AS BIGINT) AS n_pri, " +
+        "(SELECT SUM(o_orderkey) FROM orders WHERE o_orderpriority = " +
+        "'1-URGENT') AS sum_pri, TRUE AS absent_empty"),
 
     // the band slice and the whole table, recomputed raw; n_dirs = 2
     // (head + folded tail) and improved = TRUE pin the incremental

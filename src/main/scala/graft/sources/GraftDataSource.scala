@@ -302,24 +302,25 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
           .map(f => table.canonPath(table.statPath(f.file))).toSet
       }
 
-    // ---- Bloom probes (equality / IN on the indexed column) ----
+    // ---- Bloom probes (equality / IN on any indexed column) ----
     val bloomKeep: Option[Set[String]] =
       table.headers.get("bloom").flatMap { b =>
-        val col = b.split(';').head.split('|')(0)
-        val dec = java.net.URLDecoder.decode(col,
-          java.nio.charset.StandardCharsets.UTF_8)
-        val probeVals: Seq[Seq[Any]] = preds.collect {
-          case sources.EqualTo(c, v) if c == dec => Seq(v)
-          case sources.In(c, vs) if c == dec && vs.nonEmpty => vs.toSeq
+        val cols = GraftTable.bloomColsOf(b).toSet
+        val probes: Seq[(String, Seq[Any])] = preds.collect {
+          case sources.EqualTo(c, v) if cols(c) => (c, Seq(v))
+          case sources.In(c, vs) if cols(c) && vs.nonEmpty => (c, vs.toSeq)
         }
-        if (probeVals.isEmpty) None
+        if (probes.isEmpty) None
         else scala.util.Try {
           val fs = GraftTable.fsOf(spark, table.dir)
           val perDir =
             GraftTable.perDirBlooms(fs, table.dir, table.snapshotVersion, "v")._1
-          // IN = union over the probed values; conjuncts intersect below
-          probeVals.map { vs =>
-            perDir.flatMap { case (dd, tb) =>
+          // IN = union over the probed values; conjuncts (and distinct
+          // probed columns) intersect below
+          probes.map { case (c, vs) =>
+            perDir.flatMap { case (dd, tbs) =>
+              val tb = tbs.find(_.col == c).getOrElse(sys.error(
+                s"chain dir $dd has no Bloom section on '$c'"))
               vs.flatMap(v => tb.mightContain(
                 GraftTable.bloomPositions(v, tb.m, tb.k)))
                 .map(f => table.canonPath(s"$dd/$f"))

@@ -1441,7 +1441,8 @@ object GraftTable {
       statsCols: StatsCols = Nil, allowEvolution: Boolean = false,
       bloomCol: Option[String] = None, constraints: Seq[String] = Nil,
       dropConstraints: Boolean = false,
-      statsEnc: Seq[(String, String)] = Nil): Int = {
+      statsEnc: Seq[(String, String)] = Nil,
+      bloomCols: Seq[String] = Nil): Int = {
     val fs = fsOf(spark, dir)
     val cur = currentHeaders(fs, dir)
     // registry-declared stat columns: the ordinal comes FROM the
@@ -1477,12 +1478,13 @@ object GraftTable {
       else Some(computeStats(spark, s"$dir/$data", effStatsCols))
     // the Bloom sidecar is written INTO the data dir (underscore prefix
     // keeps it invisible to every parquet scan) so it travels with the
-    // files it describes — through clones, retention, and data= renames
-    val bl = bloomCol.map { c =>
-      val tb = computeBloom(spark, s"$dir/$data", c)
-      writeBloomSidecar(fs, new Path(s"$dir/$data/$bloomSidecarName"), tb)
-      s"${urlEnc(c)}|${tb.m}|${tb.k}"
-    }
+    // files it describes — through clones, retention, and data= renames;
+    // built and written EXECUTOR-side (buildBloomSidecar), one section
+    // per indexed column
+    val effBloom = (bloomCol.toSeq ++ bloomCols).distinct
+    val bl =
+      if (effBloom.isEmpty) None
+      else Some(bloomHeader(buildBloomSidecar(spark, s"$dir/$data", effBloom)))
     commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data),
       stats = st, schema = Some(schemaEncode(df.schema)),
       partBy =
@@ -1814,7 +1816,9 @@ object GraftTable {
   def commitAppendWithRetry(spark: SparkSession, dir: String, df: DataFrame,
       metadata: String = "", maxAttempts: Int = 10,
       retain: Int = Int.MaxValue, prefix: String = "v",
-      statsCols: StatsCols = Nil, bloomCol: Option[String] = None): Int = {
+      statsCols: StatsCols = Nil, bloomCol: Option[String] = None,
+      bloomCols: Seq[String] = Nil): Int = {
+    val effBloom = (bloomCol.toSeq ++ bloomCols).distinct
     val fs = fsOf(spark, dir)
     // pre-flight gate against the CURRENT version so a refused append
     // writes NOTHING — every contract violation below fails before the
@@ -1851,24 +1855,26 @@ object GraftTable {
           case _ => ()
         }
         // same contract for the Bloom index: a chain is probed dir by
-        // dir, so every dir must carry a sidecar on the SAME column —
-        // a bloom-less append would silently blind the point lookups
-        (h.get("bloom").map(b => urlDec(b.split('|')(0))), bloomCol) match {
-          case (None, Some(_)) =>
+        // dir, so every dir must carry sidecar sections on the SAME
+        // column SET — a bloom-less append would silently blind the
+        // point lookups
+        (h.get("bloom").map(b => bloomColsOf(b).toSet),
+            effBloom.toSet) match {
+          case (None, mine) if mine.nonEmpty =>
             throw new IllegalArgumentException(
               "append with bloomCol requires the current version to " +
                 "carry a Bloom index (a partially indexed chain would " +
                 "under-serve every point lookup)")
-          case (Some(theirs), None) =>
+          case (Some(theirs), mine) if mine.isEmpty =>
             throw new IllegalArgumentException(
               s"appending WITHOUT bloomCol onto a Bloom-indexed table " +
                 s"would silently drop the point-lookup index for the " +
-                s"whole chain — pass bloomCol = Some(\"$theirs\") to " +
-                "extend it (or rewrite via commitNextIsolated)")
-          case (Some(theirs), Some(mine)) if theirs != mine =>
+                s"whole chain — pass bloomCol on $theirs to extend it " +
+                "(or rewrite via commitNextIsolated)")
+          case (Some(theirs), mine) if mine.nonEmpty && theirs != mine =>
             throw new IllegalArgumentException(
-              s"append bloomCol '$mine' must match the table's indexed " +
-                s"column '$theirs'")
+              s"append bloomCol $mine must match the table's indexed " +
+                s"columns $theirs")
           case _ => ()
         }
         schemaGate(h.get("schema"), df.schema, allowEvolution = false,
@@ -1903,13 +1909,12 @@ object GraftTable {
       if (statsCols.isEmpty) None
       else Some(computeStats(spark, s"$dir/$added", statsCols))
     // the appended dir gets its OWN sidecar (sized to its own files —
-    // each sidecar self-describes m/k in its header line, so chain dirs
-    // may differ); staged once, reused verbatim on a lost race
-    val newBloom = bloomCol.map { c =>
-      val tb = computeBloom(spark, s"$dir/$added", c)
-      writeBloomSidecar(fs, new Path(s"$dir/$added/$bloomSidecarName"), tb)
-      s"${urlEnc(c)}|${tb.m}|${tb.k}"
-    }
+    // each sidecar self-describes m/k per section, so chain dirs may
+    // differ); staged once, reused verbatim on a lost race
+    val newBloom =
+      if (effBloom.isEmpty) None
+      else Some(bloomHeader(
+        buildBloomSidecar(spark, s"$dir/$added", effBloom)))
     var attempt = 0
     while (true) {
       attempt += 1
@@ -2538,16 +2543,30 @@ object GraftTable {
   }
 
   private[graft] object TableBloom {
-    def decode(s: String): TableBloom = {
+    /** Parse a sidecar: one SECTION per indexed column (a header line
+      * `col|m|k` followed by its file lines `file|hex`). The
+      * single-section form is the round-13 format unchanged, so old
+      * sidecars read back as a one-element result. */
+    def decodeAll(s: String): Seq[TableBloom] = {
       val lines = s.split("\n", -1).filter(_.nonEmpty)
-      val Array(c, mS, kS) = lines.head.split('|')
-      val files = lines.tail.toSeq.map { l =>
-        val Array(f, hex) = l.split('|')
-        (urlDec(f), hex.grouped(16)
-          .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray)
+      val sections = collection.mutable.ArrayBuffer.empty[TableBloom]
+      var i = 0
+      while (i < lines.length) {
+        val Array(c, mS, kS) = lines(i).split('|')
+        i += 1
+        val files = collection.mutable.ArrayBuffer.empty[(String, Array[Long])]
+        while (i < lines.length && lines(i).split('|').length == 2) {
+          val Array(f, hex) = lines(i).split('|')
+          files += ((urlDec(f), hex.grouped(16)
+            .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray))
+          i += 1
+        }
+        sections += TableBloom(urlDec(c), mS.toInt, kS.toInt, files.toSeq)
       }
-      TableBloom(urlDec(c), mS.toInt, kS.toInt, files)
+      sections.toSeq
     }
+
+    def decode(s: String): TableBloom = decodeAll(s).head
   }
 
   /** The k probe positions of `value` in an m-bit filter — evaluated
@@ -2568,67 +2587,126 @@ object GraftTable {
     }
   }
 
-  /** Distributed Bloom build: ONE pass over the just-written files —
-    * per row, k probe positions from `xxhash64(col, seed)`; per
-    * (file, word) a `bit_or` of the shifted bits; the driver collects
-    * file × (m/64) WORDS (metadata scale — never data, same contract as
-    * `computeStats`'s per-file rows). `m` is sized from the observed
-    * rows-per-file at ~12 bits/key (k=4 → ~0.6% false-positive rate),
-    * so the index stays accurate at any SF instead of saturating when
-    * files grow. Nulls probe nothing: SQL equality never matches NULL,
-    * so a null row needs no bits — and an all-null file gets an empty
-    * filter that every probe correctly skips. */
-  private def computeBloom(spark: SparkSession, dataPath: String,
-      bloomCol: String, bitsPerKey: Int = 12, k: Int = 4): TableBloom = {
+  /** Hadoop Configuration that survives a task closure — the standard
+    * write-the-props pattern (Configuration itself is not
+    * serializable). */
+  private class SerializableHadoopConf(
+      @transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Distributed Bloom build with an EXECUTOR-SIDE sidecar write: ONE
+    * pass over the just-written files per indexed column — per row, k
+    * probe positions from `xxhash64(col, seed)`; per (file, word) a
+    * `bit_or` of the shifted bits; per file a sorted sparse word list —
+    * and the sidecar streams out of the final single task directly.
+    * The DRIVER never materializes a word row: at 10⁴ files × m=2²⁴
+    * the former collect() held gigabytes of filter words in driver
+    * memory for the initial load; here the driver handles only the
+    * file-NAME list (for the all-null-file entries) and the returned
+    * per-column (col, m, k) metadata that goes into the bloom= header.
+    *
+    * Multi-column: one pass and one sidecar SECTION per column (see
+    * `TableBloom.decodeAll`), so a table can serve point lookups on
+    * several keys. `m` is sized per column from the LARGEST file's row
+    * count at ~12 bits/key (k=4 → ~0.6% false positives) — one skewed
+    * file would otherwise saturate toward opening everything. Nulls
+    * probe nothing; an all-null file gets an empty filter every probe
+    * correctly skips. */
+  private def buildBloomSidecar(spark: SparkSession, dataPath: String,
+      bloomCols: Seq[String], bitsPerKey: Int = 12, k: Int = 4)
+      : Seq[(String, Int, Int)] = {
     import org.apache.spark.sql.functions._
+    require(bloomCols.nonEmpty)
     val df = spark.read.parquet(dataPath)
     val dataName = new Path(dataPath).getName
     val relFile = regexp_replace(input_file_name(),
       "^.*?/" + java.util.regex.Pattern.quote(dataName) + "/", "")
-    // size m from the LARGEST file, not the mean: one skewed file
-    // holding 10× the average rows would otherwise get ~1 bit/key and
-    // saturate toward opening everything — the exact degradation
-    // bloomTable's saturation column exists to catch, built in at
-    // write time. One cheap counting pass (column-pruned) replaces the
-    // former df.count(); the hash/bit_or build is the second pass.
+    // one cheap column-pruned counting pass, shared by every column
     val rowsPerFile = math.max(1L,
       df.groupBy(relFile.as("__f")).count()
         .agg(max(col("count"))).collect()(0).getLong(0)) // 1 row
     val m = math.min(1L << 24,
       math.max(1024L, ((rowsPerFile * bitsPerKey + 63) / 64) * 64)).toInt
-    val words = df
-      .select(relFile.as("__file"), col(bloomCol).as("__x"))
-      .where(col("__x").isNotNull)
-      .select(col("__file"), explode(array((1 to k).map(s =>
-        pmod(xxhash64(col("__x"), lit(s)), lit(m.toLong))): _*)).as("__p"))
-      .groupBy(col("__file"), (col("__p") / 64).cast("int").as("__w"))
-      .agg(expr("bit_or(shiftleft(1L, cast(__p % 64 as int)))").as("__bits"))
-      .collect() // file × word rows — bounded metadata, never data
-      .groupBy(_.getAs[String]("__file"))
-    // every file gets an entry, even one with no non-null value (its
-    // empty filter is exactly right: no probe can match). The complete
-    // list comes from the already-enumerated inputFiles — driver-side,
-    // no extra scan — relativized with the same pattern relFile uses.
+    // complete file list — NAMES only (a file with no non-null value
+    // still gets its correctly-empty entry), never filter words
     val relPattern = ("^.*?/" +
       java.util.regex.Pattern.quote(dataName) + "/").r
     val allFiles = df.inputFiles.toSeq
       .map(u => relPattern.replaceFirstIn(u, "")).sorted
-    val files = allFiles.map { f =>
-      val bits = new Array[Long](m / 64)
-      words.getOrElse(f, Array.empty).foreach { r =>
-        bits(r.getAs[Int]("__w")) = r.getAs[Long]("__bits")
+    import spark.implicits._
+    val filesDf = allFiles.toDF("__file")
+    // per (column, file): the sorted sparse (word, bits) list — built
+    // distributed, UNIONED across columns, never collected
+    val perCol = bloomCols.zipWithIndex.map { case (c, ci) =>
+      val words = df.select(relFile.as("__file"), col(c).as("__x"))
+        .where(col("__x").isNotNull)
+        .select(col("__file"), explode(array((1 to k).map(s =>
+          pmod(xxhash64(col("__x"), lit(s)), lit(m.toLong))): _*)).as("__p"))
+        .groupBy(col("__file"), (col("__p") / 64).cast("int").as("__w"))
+        .agg(expr("bit_or(shiftleft(1L, cast(__p % 64 as int)))").as("__bits"))
+        .groupBy(col("__file"))
+        .agg(sort_array(collect_list(struct(col("__w"), col("__bits"))))
+          .as("__ws"))
+      filesDf.join(words, Seq("__file"), "left")
+        .select(lit(ci).as("__ci"), col("__file"), col("__ws"))
+    }.reduce(_ unionByName _)
+    // qualify the target on the DRIVER (the task needs no default-FS
+    // context), ship the conf the standard serializable way
+    val sidecar = new Path(s"$dataPath/$bloomSidecarName")
+    val target = sidecar
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(sidecar)
+    val confSer =
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val colsEnc = bloomCols.map(urlEnc)
+    val (mL, kL) = (m, k)
+    // ONE writing task, rows streaming through in section order — the
+    // sidecar is written where the words live, not where the driver is
+    perCol.repartition(1).sortWithinPartitions(col("__ci"), col("__file"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val fs = target.getFileSystem(confSer.conf)
+        val out = fs.create(target, true)
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          out, java.nio.charset.StandardCharsets.UTF_8), 1 << 20)
+        try {
+          var curCi = -1
+          it.foreach { r =>
+            val ci = r.getAs[Int]("__ci")
+            if (ci != curCi) {
+              w.write(s"${colsEnc(ci)}|$mL|$kL\n"); curCi = ci
+            }
+            val bits = new Array[Long](mL / 64)
+            val ws = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("__ws")
+            if (ws != null) ws.foreach { wr =>
+              bits(wr.getAs[Int](0)) = wr.getAs[Long](1)
+            }
+            w.write(urlEnc(r.getAs[String]("__file")))
+            w.write('|')
+            bits.foreach(l => w.write(f"$l%016x"))
+            w.write('\n')
+          }
+        } finally w.close()
       }
-      (f, bits)
-    }
-    TableBloom(bloomCol, m, k, files)
+    bloomCols.map(c => (c, m, k))
   }
 
-  private def writeBloomSidecar(fs: FileSystem, p: Path,
-      tb: TableBloom): Unit = {
-    val out = fs.create(p, true)
-    try out.write(tb.encoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  /** The bloom= header value for just-built sidecar sections. */
+  private def bloomHeader(metas: Seq[(String, Int, Int)]): String =
+    metas.map { case (c, m, k) => s"${urlEnc(c)}|$m|$k" }.mkString(";")
+
+  /** Indexed column names recorded in a bloom= header (one `col|m|k`
+    * section per column, ;-joined). */
+  private[graft] def bloomColsOf(header: String): Seq[String] =
+    header.split(";").toSeq.map(sec => urlDec(sec.split('|')(0)))
 
   /** Point-lookup read through the Bloom index: resolve version `v`'s
     * files that might contain `col = value` from the sidecars and read
@@ -2646,15 +2724,16 @@ object GraftTable {
       value: Any, prefix: String = "v"): (DataFrame, Seq[String], Int) = {
     val fs = fsOf(spark, dir)
     val (perDir, dataDirs) = perDirBlooms(fs, dir, v, prefix)
-    perDir.foreach { case (dd, tb) =>
-      require(tb.col == col,
-        s"chain dir $dd carries a Bloom index on '${tb.col}', not '$col'")
+    val sections = perDir.map { case (dd, tbs) =>
+      (dd, tbs.find(_.col == col).getOrElse(sys.error(
+        s"chain dir $dd carries Bloom sections on " +
+          s"${tbs.map(_.col)}, not '$col'")))
     }
-    val hit = perDir.flatMap { case (dd, tb) =>
+    val hit = sections.flatMap { case (dd, tb) =>
       tb.mightContain(bloomPositions(value, tb.m, tb.k))
         .map(f => s"$dir/$dd/$f")
     }
-    val total = perDir.map(_._2.files.size).sum
+    val total = sections.map(_._2.files.size).sum
     val df =
       if (hit.isEmpty)
         spark.createDataFrame(
@@ -2684,7 +2763,7 @@ object GraftTable {
     * Shared by the probe (`readBloomEq`) and the audit (`bloomTable`)
     * so their resolution can never diverge. */
   private[graft] def perDirBlooms(fs: FileSystem, dir: String, v: Int,
-      prefix: String): (Seq[(String, TableBloom)], Seq[String]) = {
+      prefix: String): (Seq[(String, Seq[TableBloom])], Seq[String]) = {
     require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
       s"version $v was never committed under $dir")
     val hdrs = parseCommit(commitContent(fs, dir, v))._1
@@ -2694,7 +2773,7 @@ object GraftTable {
     val perDir = dataDirs.map { dd =>
       require(fs.exists(new Path(s"$dir/$dd")),
         s"version $v's data dir $dd has been garbage-collected (retention)")
-      (dd, TableBloom.decode(
+      (dd, TableBloom.decodeAll(
         readSmallFile(fs, new Path(s"$dir/$dd/$bloomSidecarName"))))
     }
     (perDir, dataDirs)
@@ -2711,15 +2790,17 @@ object GraftTable {
       prefix: String = "v"): DataFrame = {
     import org.apache.spark.sql.functions.col
     val fs = fsOf(spark, dir)
-    val rows = perDirBlooms(fs, dir, v, prefix)._1.flatMap { case (dd, tb) =>
-      tb.files.map { case (f, bits) =>
-        val set = bits.map(java.lang.Long.bitCount).sum
-        (dd, f, tb.col, tb.m, tb.k, set, set.toDouble / tb.m)
+    val rows = perDirBlooms(fs, dir, v, prefix)._1.flatMap {
+      case (dd, tbs) => tbs.flatMap { tb =>
+        tb.files.map { case (f, bits) =>
+          val set = bits.map(java.lang.Long.bitCount).sum
+          (dd, f, tb.col, tb.m, tb.k, set, set.toDouble / tb.m)
+        }
       }
     }
     import spark.implicits._
     rows.toDF("dir_name", "file", "col", "m", "k", "bits_set", "saturation")
-      .orderBy(col("dir_name"), col("file"))
+      .orderBy(col("dir_name"), col("file"), col("col"))
   }
 
   // ---- chain compaction (OPTIMIZE) ------------------------------------------
@@ -2947,11 +3028,8 @@ object GraftTable {
       val headEntries = prev.files.filter(_.file.startsWith(s"$head/"))
       Some(TableStats(fresh.cols, headEntries ++ mine))
     }
-    val bl = bloomCol.map { col =>
-      val tb = computeBloom(spark, s"$dir/$tDir", col)
-      writeBloomSidecar(fs, new Path(s"$dir/$tDir/$bloomSidecarName"), tb)
-      s"${urlEnc(col)}|${tb.m}|${tb.k}"
-    }
+    val bl = bloomCol.map(c =>
+      bloomHeader(buildBloomSidecar(spark, s"$dir/$tDir", Seq(c))))
     commit(fs, dir, v, metadata, prefix = prefix,
       dataDir = Some(s"$head,$tDir"), stats = mergedStats,
       schema = h.get("schema"), prevTs = prevTsOf(Some((c, h))),

@@ -264,7 +264,7 @@ class Round14bSpec extends SparkSpec {
     val e2 = intercept[RuntimeException] {
       GraftTable.readBloomEq(spark, dir2, 0, "s", "x")
     }
-    assert(e2.getMessage.contains("on 'k', not 's'"), e2.getMessage)
+    assert(e2.getMessage.contains("List(k), not 's'"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException] {
       GraftTable.commit(fs, dir, 1, "both", dataDir = Some("v0"),
         dv = Some("dvdir;k"), bloom = Some("k|1024|4"))

@@ -560,6 +560,65 @@ class Round15Spec extends SparkSpec {
     assert(hit4.toSet == hitAfter.toSet)
   }
 
+  test("bloom: executor-built multi-column sidecar serves both keys") {
+    val dir = freshDir("mcbloom")
+    val o = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .repartition(6)
+    // buildBloomSidecar returns only (col, m, k) metadata — the word
+    // rows never reach the driver (signature-level guarantee; the
+    // sidecar is written by the final task where the words live)
+    GraftTable.commitNextIsolated(spark, dir, o, "two keys",
+      bloomCols = Seq("o_custkey", "o_orderpriority"))
+    val fs = GraftTable.fsOf(spark, dir)
+    assert(GraftTable.headersOf(fs, dir, 0)("bloom").split(";").length == 2)
+
+    // the audit relation lists one row per (file, column)
+    val bt = GraftTable.bloomTable(spark, dir, 0).collect()
+    assert(bt.map(_.getAs[String]("col")).distinct.sorted.toSeq ==
+      Seq("o_custkey", "o_orderpriority"))
+    assert(bt.length == 12)
+
+    // NO FALSE NEGATIVES, per column: every (value → file) truth pair
+    // must be in the probe's candidate set
+    for (c <- Seq("o_custkey", "o_orderpriority")) {
+      val truth = GraftTable.read(spark, dir)
+        .select(col(c), input_file_name().as("f")).distinct().collect()
+        .map(r => (r.get(0), new java.net.URI(r.getString(1)).getPath))
+      val byVal = truth.groupBy(_._1)
+      byVal.take(20).foreach { case (v, pairs) =>
+        val (_, hit, total) = GraftTable.readBloomEq(spark, dir, 0, c, v)
+        assert(total == 6)
+        val hitCanon = hit.map(p => fs.makeQualified(
+          new org.apache.hadoop.fs.Path(p)).toUri.normalize().getPath).toSet
+        assert(pairs.map(_._2).toSet.subsetOf(hitCanon),
+          s"false negative probing $c = $v")
+      }
+    }
+
+    // an absent key reads nothing; a string probe works (the priority
+    // column) — type-tagged hashing both sides
+    assert(GraftTable.readBloomEq(spark, dir, 0, "o_custkey",
+      java.lang.Long.valueOf(-977L))._2.isEmpty)
+    assert(GraftTable.readBloomEq(spark, dir, 0, "o_orderpriority",
+      "9-NO_SUCH")._2.isEmpty)
+
+    // DSv2: conjunct probes on BOTH columns intersect their candidates
+    val t = spark.read.format("graft").load(dir)
+    val row = o.where(col("o_custkey").isNotNull).head()
+    val (ck, pr) = (row.getLong(1), row.getString(2))
+    val both = t.where(col("o_custkey") === ck &&
+      col("o_orderpriority") === pr)
+    val pBoth = plannedFiles(both).toSet
+    val pCk = plannedFiles(t.where(col("o_custkey") === ck)).toSet
+    val pPr = plannedFiles(t.where(col("o_orderpriority") === pr)).toSet
+    assert(pBoth == pCk.intersect(pPr),
+      "conjunct probes must intersect per-column candidate sets")
+    assert(both.count() ==
+      GraftTable.read(spark, dir).where(col("o_custkey") === ck &&
+        col("o_orderpriority") === pr).count())
+  }
+
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
