@@ -2466,12 +2466,21 @@ object GraftTable {
     * `meta()` uses, so the feed carries exactly the caller's metadata;
     * and because every commit writes a ts= header, a commit file is
     * never zero-byte, so no committed version can vanish from the feed. */
-  def commitFeed(spark: SparkSession, dir: String): DataFrame = {
+  def commitFeed(spark: SparkSession, dir: String,
+      maxVersionsPerTrigger: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions._
+    require(maxVersionsPerTrigger >= 1,
+      s"maxVersionsPerTrigger must be >= 1 (got $maxVersionsPerTrigger)")
     spark.readStream
-      .option("maxFilesPerTrigger", 1) // one commit per micro-batch: a
-      // subscriber's foreachBatch sees version boundaries, not a coalesced
-      // blob of several commits
+      // RATE CONTROL: at most this many commits per micro-batch (one
+      // commit = one manifest file, so the file-source limit IS the
+      // version limit). The default keeps the one-version-per-batch
+      // contract subscribers see boundaries by; a BACKLOGGED consumer
+      // raises it to catch up in bounded batches instead of one
+      // version at a time — Delta's maxFilesPerTrigger surface. The
+      // checkpointed processed-files log keeps delivery exactly-once
+      // across restarts at ANY setting, mid-backlog included.
+      .option("maxFilesPerTrigger", maxVersionsPerTrigger)
       .option("wholetext", true)
       .text(s"$dir/manifest")
       .select(
@@ -2494,7 +2503,8 @@ object GraftTable {
     * table without polling or re-reading history. */
   def cdcSubscribe(spark: SparkSession, dir: String, checkpointDir: String,
       onDelta: (Int, String, DataFrame) => Unit,
-      prefix: String = "v"): org.apache.spark.sql.streaming.StreamingQuery = {
+      prefix: String = "v", maxVersionsPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => {
         // commit files are tiny; the per-batch row set is bounded by
@@ -2506,7 +2516,7 @@ object GraftTable {
             versionDelta(spark, dir, v, prefix))
         }
       }
-    commitFeed(spark, dir).writeStream
+    commitFeed(spark, dir, maxVersionsPerTrigger).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(fn)
       .start()
@@ -3262,7 +3272,8 @@ object GraftTable {
   def cdcSubscribeTyped(spark: SparkSession, dir: String,
       checkpointDir: String, keyCols: Seq[String],
       onChanges: (Int, String, DataFrame) => Unit,
-      prefix: String = "v"): org.apache.spark.sql.streaming.StreamingQuery = {
+      prefix: String = "v", maxVersionsPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => {
         batch.collect().sortBy(_.getAs[Int]("version")).foreach { r =>
@@ -3271,7 +3282,7 @@ object GraftTable {
             changeFeed(spark, dir, v, keyCols, prefix))
         }
       }
-    commitFeed(spark, dir).writeStream
+    commitFeed(spark, dir, maxVersionsPerTrigger).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(fn)
       .start()

@@ -619,6 +619,43 @@ class Round15Spec extends SparkSpec {
         col("o_orderpriority") === pr).count())
   }
 
+  test("cdc rate control: bounded batches, exactly-once across a restart mid-backlog") {
+    val dir = freshDir("cdcrate")
+    val cp = freshDir("cdcrate_cp")
+    def commitSlice(i: Int): Unit =
+      GraftTable.commitNextIsolated(spark,
+        dir, spark.range(i * 10, i * 10 + 10).toDF("id"), s"tick $i")
+    (0 until 5).foreach(commitSlice) // 5-version backlog
+
+    val batches = collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    def drain(max: Int): Unit = {
+      val q = GraftTable.commitFeed(spark, dir, maxVersionsPerTrigger = max)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val vs = b.collect().map(_.getAs[Int]("version")).sorted.toSeq
+            if (vs.nonEmpty) batches.synchronized { batches += vs }
+            ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // the backlog drains in ceil(5/2) bounded batches, version order
+    drain(max = 2)
+    assert(batches.toSeq == Seq(Seq(0, 1), Seq(2, 3), Seq(4)),
+      s"got $batches")
+
+    // restart MID-BACKLOG: 3 more versions, same checkpoint — resumes
+    // at the first unseen commit, replays nothing, still bounded
+    (5 until 8).foreach(commitSlice)
+    batches.clear()
+    drain(max = 2)
+    assert(batches.toSeq == Seq(Seq(5, 6), Seq(7)), s"got $batches")
+  }
+
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
