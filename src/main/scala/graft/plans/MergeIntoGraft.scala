@@ -151,9 +151,23 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
       .where(col("__fate").isNotNull)
       .select(tOut.map(a => col("__fate").getField(a.name).as(a.name)): _*)
 
+    // index/layout posture matches every other rewriting door: a
+    // partitionBy layout is PRESERVED; a stats/Bloom skipping index
+    // cannot be silently dropped by SQL text (its ordinals are code the
+    // command cannot re-declare) — refuse, like compactChain does
+    val fs = GraftTable.fsOf(spark, dir)
+    val hdrs = GraftTable.currentVersion(fs, dir)
+      .map(v => GraftTable.headersOf(fs, dir, v)).getOrElse(Map.empty)
+    if (hdrs.contains("stats") || hdrs.contains("bloom"))
+      throw new GraftTable.IndexRedeclarationRequired(
+        "MERGE INTO would silently drop the table's skipping index " +
+          "(stats=/bloom= ordinals are code SQL text cannot re-declare)" +
+          " — merge through the API (commitWithRetry + statsCols), or " +
+          "drop the index deliberately first and re-OPTIMIZE after")
     GraftMergeCommand.lastResolve = Some(next.queryExecution)
-    GraftTable.commitNextIsolated(spark, dir, next,
-      "MERGE INTO (SQL)")
+    GraftTable.commitNextIsolated(spark, dir, next, "MERGE INTO (SQL)",
+      partitionBy =
+        hdrs.get("partby").map(_.split(",").toSeq).getOrElse(Nil))
     Seq.empty
   }
 }

@@ -79,12 +79,30 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     new GraftSparkTable(spark, dir, v, prefix)
   }
 
+  // inferSchema and getTable arrive back to back with the same options;
+  // cache the resolved table so one read pays ONE manifest read and ONE
+  // file listing, not two of each
+  @transient private var cached: Option[(Map[String, String],
+    GraftSparkTable)] = None
+
+  private def cachedTableOf(options: CaseInsensitiveStringMap)
+      : GraftSparkTable = synchronized {
+    val key = options.asCaseSensitiveMap().asScala.toMap
+    cached match {
+      case Some((k, t)) if k == key => t
+      case _ =>
+        val t = tableOf(options)
+        cached = Some((key, t))
+        t
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    tableOf(options).schema()
+    cachedTableOf(options).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    tableOf(new CaseInsensitiveStringMap(properties))
+    cachedTableOf(new CaseInsensitiveStringMap(properties))
 }
 
 /** One committed version of a GraftTable dir as a DSv2 `Table`. All
@@ -186,7 +204,7 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
     * table-relative for append commits — same split `readStatsBands`
     * resolves. */
   private[graft] def statPath(statFile: String): String =
-    if (headers.contains("append")) statFile
+    if (headers.contains("append") || headers.contains("statrel")) statFile
     else s"${dataDirs.head}/$statFile"
 
   override def name(): String = s"graft.`$dir`@v$snapshotVersion"
@@ -241,12 +259,14 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
   }
 
   override def build(): Scan = {
-    val keep = manifestKeep(pushedV1)
-    table.index.keep = keep
+    // the keep-set is SCAN-LOCAL state: it rides into the GraftScan and
+    // filters planned partitions there — never installed on the shared
+    // file index, where two scans of the same loaded table (a self-join,
+    // a union of two filters) would clobber each other's pruning
     val ps = inner.build()
     val out = StructType(
       ps.readSchema().fields.filter(f => requestedNames.contains(f.name)))
-    new GraftScan(ps, out, table, keep)
+    new GraftScan(ps, out, table, manifestKeep(pushedV1))
   }
 
   /** Conjunctive manifest verdict from the pushed V1 filters: the
@@ -351,7 +371,25 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val base = inner.toBatch.planInputPartitions()
+    // manifest pruning applies HERE, scan-locally: drop skipped files
+    // from the planned partitions (they are never opened — the readers
+    // only ever see what the partitions name), then repack per dir when
+    // a scoped DV binds tombstones to chain dirs
+    val all = inner.toBatch.planInputPartitions()
+    val base = keep match {
+      case None => all
+      case Some(k) => all.flatMap {
+        case fp: FilePartition =>
+          val kept = fp.files.filter(f =>
+            k(f.toPath.toUri.normalize().getPath))
+          if (kept.isEmpty) None else Some(FilePartition(0, kept))
+        case other => Some(other)
+      }.zipWithIndex.map {
+        case (fp: FilePartition, i) => FilePartition(i, fp.files)
+          : InputPartition
+        case (other, _) => other
+      }
+    }
     table.dv match {
       case Some(d) if d.perDir.isDefined =>
         // scoped tombstones bind per chain dir: repack so every file
@@ -388,7 +426,7 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
     * carries one. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(table.index.keptBytes)
+      OptionalLong.of(table.index.bytesWhere(keep))
     override def numRows(): OptionalLong =
       table.manifestRows(keep)
         .map(OptionalLong.of).getOrElse(OptionalLong.empty())
@@ -469,38 +507,23 @@ private[graft] class DvFilteringReaderFactory(
   }
 }
 
-/** `InMemoryFileIndex` with a manifest KEEP-SET hook: `listFiles` (what
-  * `FileScan.partitions` plans from) serves only kept files, so pruned
-  * files never become input partitions. One listing at construction;
-  * the keep predicate is installed by the scan builder before build. */
+/** The table's shared, IMMUTABLE file listing (one listing per loaded
+  * table). Pruning never mutates it — each scan filters its own planned
+  * partitions (`GraftScan.planInputPartitions`), so concurrent scans of
+  * one table instance can never clobber each other's keep-sets. */
 private[graft] class GraftFileIndex(spark: SparkSession, roots: Seq[Path],
     parameters: Map[String, String], schemaOpt: Option[StructType])
     extends InMemoryFileIndex(spark, roots, parameters, schemaOpt) {
 
-  @volatile private[graft] var keep: Option[String => Boolean] = None
-
-  private def canon(p: Path): String = p.toUri.normalize().getPath
-
-  override def listFiles(
-      partitionFilters: Seq[Expression], dataFilters: Seq[Expression])
-      : Seq[PartitionDirectory] = {
-    val base = super.listFiles(partitionFilters, dataFilters)
-    keep match {
-      case None => base
-      case Some(k) => base
-        .map(pd => pd.copy(files =
-          pd.files.filter(f => k(canon(f.fileStatus.getPath)))))
-        .filter(_.files.nonEmpty)
-    }
-  }
-
-  /** Total bytes of the KEPT files — the pruned planning size. */
-  private[graft] def keptBytes: Long = {
+  /** Total bytes of the files a keep-set retains — the pruned planning
+    * size a scan reports. */
+  private[graft] def bytesWhere(keep: Option[String => Boolean]): Long = {
     val files = allFiles()
     keep match {
       case None => files.map(_.getLen).sum
-      case Some(k) =>
-        files.filter(f => k(canon(f.getPath))).map(_.getLen).sum
+      case Some(k) => files
+        .filter(f => k(f.getPath.toUri.normalize().getPath))
+        .map(_.getLen).sum
     }
   }
 }

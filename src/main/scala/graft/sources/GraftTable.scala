@@ -93,7 +93,11 @@ object GraftTable {
       }
       def micros(x: Any): Option[Long] = x match {
         case t: java.sql.Timestamp =>
-          Some(math.multiplyExact(t.getTime / 1000L, 1000000L) +
+          // floorDiv, not truncation: a PRE-EPOCH sub-second instant
+          // (getTime < 0) truncates toward zero one second too high,
+          // which would shift a band bound by a full second
+          Some(math.multiplyExact(
+            Math.floorDiv(t.getTime, 1000L), 1000000L) +
             t.getNanos / 1000L)
         case i: java.time.Instant =>
           Some(math.addExact(
@@ -120,6 +124,23 @@ object GraftTable {
         case _      => None
       }
     }
+
+    /** The temporal encodings bind the writer's session zone through
+      * the ntz/date → timestamp cast, while `literalOrdinal` re-encodes
+      * at UTC — the registry's whole promise is that the two sides can
+      * never disagree, so a non-UTC writer session is REFUSED at
+      * declaration time rather than silently recording bands a generic
+      * reader would mis-prune against. */
+    private[graft] def requireUtcSession(spark: SparkSession,
+        statsEnc: Seq[(String, String)]): Unit =
+      if (statsEnc.exists(e => e._2 == "us" || e._2 == "days")) {
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+          s"statsEnc temporal encodings are defined at UTC, but the " +
+            s"writer session zone is '$tz' — set " +
+            "spark.sql.session.timeZone=UTC (the suite-wide canon) or " +
+            "declare a lambda statsCols ordinal instead")
+      }
 
     private[graft] def encode(specs: Seq[(String, String)]): String =
       specs.map { case (c, e) => s"${urlEnc(c)}:$e" }.mkString(",")
@@ -1456,6 +1477,7 @@ object GraftTable {
         s"column '$c' is declared in both statsCols and statsEnc — " +
           "pick one declaration")
     }
+    StatsEnc.requireUtcSession(spark, statsEnc)
     val effStatsCols: StatsCols =
       statsCols ++ statsEnc.map { case (c, e) => (c, StatsEnc.ordinal(e)) }
     // gate BEFORE the write: a refused schema creates no version and no
@@ -1653,6 +1675,15 @@ object GraftTable {
       s"cannot update a partitionBy layout (${hdrs.getOrElse("partby", "")})" +
         ": a flat replacement dir beside a partitioned one makes the " +
         "union unreadable — rewrite via commitWithRetry instead")
+    // same posture as every other index-dropping path: REFUSE rather
+    // than silently strip the skipping indexes (stats/bloom cannot
+    // coexist with the dv this commit mints — see commit()'s exclusion)
+    if (hdrs.contains("stats") || hdrs.contains("bloom"))
+      throw new IndexRedeclarationRequired(
+        "merge-on-read UPDATE cannot carry the table's skipping index " +
+          "(file statistics/Bloom describe raw files and would serve " +
+          "pre-update rows) — drop the index deliberately via " +
+          "commitNextIsolated, update, then re-index with compactChain")
     val dataDirs = dataDirsFrom(hdrs, cur, prefix)
     import spark.implicits._
     val basenamesDf = dataDirs.map(dirBasename).toDF("__dir")
@@ -2109,11 +2140,22 @@ object GraftTable {
                 ws.split(",").filter(_.nonEmpty).map(urlDec)
                   .toSet.intersect(w.toSet).isEmpty)
             }
+          // a NON-pmap interleaved commit rewrote the table's shape out
+          // from under this API (pmapOf would refuse it anyway) — fail
+          // loudly BEFORE wasting a re-execution on a doomed retry
+          ((base + 1) to newCur.map(_._1).getOrElse(-1)).foreach { vv =>
+            if (!parseCommit(commitContent(fs, dir, vv))._1.contains("pmap"))
+              throw new IllegalStateException(
+                s"version $vv of $dir was committed outside the " +
+                  "partition-mapped protocol mid-retry — the table is " +
+                  "no longer value-mapped; rebuild it through " +
+                  "replacePartitionsWithRetry")
+          }
           cur = newCur
           if (!commutes) {
-            // overlap (or an opaque interleaved commit): re-execute
-            // against the fresh snapshot; the abandoned staging root is
-            // a vacuum-reclaimable orphan
+            // overlapping write set (or a declared unique: constraint):
+            // re-execute against the fresh snapshot; the abandoned
+            // staging root is a vacuum-reclaimable orphan
             val s2 = stageOnce(cur)
             w = s2._1; root = s2._2; schema = s2._3
           }
@@ -3009,6 +3051,7 @@ object GraftTable {
       require(!statsCols.exists(_._1 == col),
         s"column '$col' is declared in both statsCols and statsEnc")
     }
+    StatsEnc.requireUtcSession(spark, statsEnc)
     val effStats: StatsCols =
       statsCols ++ statsEnc.map { case (col, e) => (col, StatsEnc.ordinal(e)) }
 

@@ -656,6 +656,66 @@ class Round15Spec extends SparkSpec {
     assert(batches.toSeq == Seq(Seq(5, 6), Seq(7)), s"got $batches")
   }
 
+  test("dsv2: keep-sets are scan-local — a union of two filters on ONE loaded table prunes independently") {
+    val dir = freshDir("dsv2iso")
+    val o = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+    GraftTable.commitNextIsolated(spark, dir, o, "banded",
+      statsEnc = Seq("o_orderdate" -> "us"))
+    val t = spark.read.format("graft").load(dir) // ONE table instance
+    def band(from: String, to: String) =
+      t.where(col("o_orderdate") >= lit(from).cast("timestamp_ntz") &&
+        col("o_orderdate") < lit(to).cast("timestamp_ntz"))
+    // two disjoint bands through the SAME table: each must see its own
+    // rows (a shared mutable keep-set would serve one band's files to
+    // both branches and drop rows)
+    val u = band("1993-02-01", "1993-03-01")
+      .unionByName(band("1997-06-01", "1997-07-01"))
+    val truth = o.where(
+      (col("o_orderdate") >= lit("1993-02-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1993-03-01").cast("timestamp_ntz")) ||
+      (col("o_orderdate") >= lit("1997-06-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp_ntz"))).count()
+    assert(u.count() == truth && truth > 0)
+    // ... and the band after a full-table read of the same instance
+    assert(t.count() == o.count())
+  }
+
+  test("dsv2: band pruning stays sound across a tail-compaction (statrel) commit") {
+    val dir = freshDir("dsv2statrel")
+    val us = GraftTable.StatsEnc.ordinal("us")
+    val o = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val cut = lit("1995-01-01").cast("timestamp_ntz")
+    GraftTable.commitNextIsolated(spark, dir,
+      o.where(col("o_orderdate") < cut)
+        .repartitionByRange(3, col("o_orderdate"), col("o_orderkey"))
+        .sortWithinPartitions("o_orderdate"),
+      "head", statsEnc = Seq("o_orderdate" -> "us"))
+    GraftTable.commitAppend(spark, dir,
+      o.where(col("o_orderdate") >= cut).repartition(3, col("o_orderkey")),
+      "tail", statsCols = Seq("o_orderdate" -> us))
+    GraftTable.compactChainTail(spark, dir, targetFiles = 4,
+      clusterBy = Seq("o_orderdate" -> us),
+      statsEnc = Seq("o_orderdate" -> "us"))
+
+    val t = spark.read.format("graft").load(dir)
+    val sliced = t.where(
+      col("o_orderdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
+      col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+    val truth = GraftTable.read(spark, dir).where(
+      col("o_orderdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
+      col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz")).count()
+    // sound (exact rows) AND effective (fewer files than the table's 7)
+    assert(sliced.count() == truth && truth > 0)
+    val planned = plannedFiles(sliced)
+    val all = plannedFiles(t.select(col("o_orderkey")))
+    assert(planned.nonEmpty && planned.size < all.size,
+      s"statrel band must prune: ${planned.size} of ${all.size}")
+  }
+
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
