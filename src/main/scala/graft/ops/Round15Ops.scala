@@ -139,6 +139,30 @@ object Round15Ops {
         .orderBy("o_custkey")
     }),
 
+    // DSv2 WRITE door: save() to an empty dir mints v0, mode("append")
+    // commits an append version (marker pinned in Round15Spec, plus
+    // schema-gate/constraint refusals and INSERT INTO), overwrite
+    // replaces. All three snapshots inside the hash — a write that
+    // missed the manifest (or an append that rewrote the base) flips
+    // version rows here.
+    "table_dsv2_write" -> ((s, d) => {
+      val dir = freshDir(s, d, "dsv2write")
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      // Spark's catalog-less V2 save supports Append/Overwrite only —
+      // the first append to an empty dir IS the create (mints v0)
+      n.where(col("n_nationkey") < 10).write.format("graft")
+        .mode("append").save(dir)
+      n.where(col("n_nationkey") >= 10).write.format("graft")
+        .mode("append").save(dir)
+      n.where(col("n_nationkey") < 5).write.format("graft")
+        .mode("overwrite").save(dir)
+      def snap(v: Int): DataFrame =
+        GraftTable.readVersion(s, dir, v)
+          .select(lit(v).as("version"), col("n_nationkey"), col("n_name"))
+      snap(0).unionByName(snap(1)).unionByName(snap(2))
+        .orderBy("version", "n_nationkey")
+    }),
+
     // DISJOINT-WRITE OCC (WriteSerializable): two latched writers
     // rewrite disjoint partition sets of a partition-mapped table; the
     // race loser re-commits its ALREADY-STAGED result (n_evals = 2 —
@@ -310,6 +334,14 @@ object Round15Ops {
         s"SELECT 0 AS version, key, ${oMoney("bal")} AS bal FROM base " +
         s"UNION ALL SELECT 1 AS version, key, ${oMoney("bal")} AS bal FROM m " +
         "ORDER BY version, key"),
+
+    // the three write-door snapshots recomputed raw
+    "table_dsv2_write" ->
+      ("SELECT 0 AS version, n_nationkey, n_name FROM nation " +
+        "WHERE n_nationkey < 10 " +
+        "UNION ALL SELECT 1 AS version, n_nationkey, n_name FROM nation " +
+        "UNION ALL SELECT 2 AS version, n_nationkey, n_name FROM nation " +
+        "WHERE n_nationkey < 5 ORDER BY version, n_nationkey"),
 
     // sequential recompute of the commuting partition rewrites; 3
     // versions and 2 evaluations pin WriteSerializable (2 versions =

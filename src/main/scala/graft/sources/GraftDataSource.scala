@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex, PartitionDirectory}
@@ -52,10 +52,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
-  // schema comes from the manifest, never from the caller
-  override def supportsExternalMetadata(): Boolean = false
+  // reads take the manifest's schema; the external-metadata door exists
+  // for the FIRST write to an empty dir, where the DataFrame's schema
+  // is the only schema there is (the minted v0 then records it)
+  override def supportsExternalMetadata(): Boolean = true
 
-  private def tableOf(options: CaseInsensitiveStringMap): GraftSparkTable = {
+  private def tableOf(options: CaseInsensitiveStringMap,
+      external: Option[StructType]): GraftSparkTable = {
     val spark = SparkSession.active
     val dir = Option(options.get("path")).getOrElse(sys.error(
       "graft reads need a table dir: spark.read.format(\"graft\").load(dir)"))
@@ -73,10 +76,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         GraftTable.versionAsOf(fs, dir, asOfMs).getOrElse(sys.error(
           s"no version of $dir was committed at or before $asOfMs"))
       case (None, None) =>
-        GraftTable.currentVersion(fs, dir).getOrElse(sys.error(
-          s"no committed version under $dir"))
+        GraftTable.currentVersion(fs, dir).getOrElse {
+          external match {
+            // the first write's EMBRYONIC table: no version yet, the
+            // caller's schema stands in until v0 records it
+            case Some(_) => -1
+            case None => sys.error(s"no committed version under $dir")
+          }
+        }
     }
-    new GraftSparkTable(spark, dir, v, prefix)
+    new GraftSparkTable(spark, dir, v, prefix, external)
   }
 
   // inferSchema and getTable arrive back to back with the same options;
@@ -85,24 +94,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   @transient private var cached: Option[(Map[String, String],
     GraftSparkTable)] = None
 
-  private def cachedTableOf(options: CaseInsensitiveStringMap)
-      : GraftSparkTable = synchronized {
+  private def cachedTableOf(options: CaseInsensitiveStringMap,
+      external: Option[StructType]): GraftSparkTable = synchronized {
     val key = options.asCaseSensitiveMap().asScala.toMap
     cached match {
-      case Some((k, t)) if k == key => t
+      case Some((k, t)) if k == key && t.snapshotVersion >= 0 => t
       case _ =>
-        val t = tableOf(options)
+        val t = tableOf(options, external)
         cached = Some((key, t))
         t
     }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    cachedTableOf(options).schema()
+    cachedTableOf(options, None).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    cachedTableOf(new CaseInsensitiveStringMap(properties))
+    cachedTableOf(new CaseInsensitiveStringMap(properties),
+      Option(schema).filter(_.nonEmpty))
 }
 
 /** One committed version of a GraftTable dir as a DSv2 `Table`. All
@@ -110,12 +120,20 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   * scan builder below reuses the parsed headers, the shared file index
   * and the lazily loaded deletion vector. */
 private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
-    val snapshotVersion: Int, prefix: String) extends Table with SupportsRead {
+    val snapshotVersion: Int, prefix: String,
+    externalSchema: Option[StructType] = None)
+    extends Table with SupportsRead with SupportsWrite {
 
+  /** snapshotVersion == -1 is the EMBRYONIC state: no version exists
+    * yet, the table is write-only, and the first write mints v0. */
+  private def exists: Boolean = snapshotVersion >= 0
   private val fs = GraftTable.fsOf(spark, dir)
-  private[graft] val headers = GraftTable.headersOf(fs, dir, snapshotVersion)
-  private[graft] val dataDirs =
-    GraftTable.dataDirsOfHeaders(headers, snapshotVersion, prefix)
+  private[graft] val headers: Map[String, String] =
+    if (exists) GraftTable.headersOf(fs, dir, snapshotVersion)
+    else Map.empty
+  private[graft] val dataDirs: Seq[String] =
+    if (exists) GraftTable.dataDirsOfHeaders(headers, snapshotVersion, prefix)
+    else Nil
   dataDirs.foreach(d => require(fs.exists(new Path(s"$dir/$d")),
     s"version $snapshotVersion's data dir $d has been garbage-collected (retention)"))
   private val partCols: Seq[String] =
@@ -131,7 +149,7 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
       StructType(GraftTable.schemaDecode(enc).map { case (n, t) =>
         StructField(n, DataType.fromDDL(t))
       })
-    }.getOrElse {
+    }.orElse(externalSchema).getOrElse {
       val opts = if (partCols.isEmpty) spark.read
         else spark.read.option("basePath", s"$dir/${dataDirs.head}")
       opts.parquet(dataDirs.map(d => s"$dir/$d"): _*).schema
@@ -212,10 +230,20 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
   override def partitioning(): Array[Transform] =
     partCols.map(Expressions.identity).toArray
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(exists,
+      s"no committed version under $dir — the table exists only as a " +
+        "write target until its first commit")
     new GraftScanBuilder(spark, this, dataSchema, fullSchema, options)
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(spark, this, info)
 }
 
 /** Scan builder: DELEGATES filter/column pushdown to Spark's own
@@ -524,6 +552,87 @@ private[graft] class GraftFileIndex(spark: SparkSession, roots: Seq[Path],
       case Some(k) => files
         .filter(f => k(f.getPath.toUri.normalize().getPath))
         .map(_.getLen).sum
+    }
+  }
+}
+
+/** DSv2 WRITE path: `df.write.format("graft").mode(...).save(dir)`,
+  * `INSERT INTO gt.<table>`, and `df.writeTo(...)`. The rows are
+  * written by Spark's OWN parquet write (an inner `ParquetTable` write
+  * builder pointed at a writer-private staging dir — distributed,
+  * committer-backed, never through the driver); what graft adds is the
+  * MANIFEST half, after the file job commits:
+  *
+  *  - append mode  → an append commit: data= re-references the current
+  *    chain plus the staged dir, append= marks it (CDC fast path,
+  *    versionDelta, OCC retry all apply — a lost race re-publishes the
+  *    already-staged dir under the next version, never re-writes);
+  *  - overwrite    → the staged dir commits as the next FULL version
+  *    (truncate-and-replace, the DataFrameWriter Overwrite contract).
+  *
+  * The write-time gates run BEFORE the manifest publish, exactly like
+  * the API paths: schema compatibility against the current version and
+  * declared-constraint enforcement over the staged rows (one read of
+  * the just-written files — they are hot); a refused write deletes the
+  * staging dir and mints nothing, so the failed job is invisible to
+  * readers. Appends onto stats=/bloom=-indexed chains refuse (the DSv2
+  * door cannot re-declare index ordinals — extend those chains through
+  * `commitAppend` with statsCols/bloomCol). */
+private[graft] class GraftWriteBuilder(spark: SparkSession,
+    table: GraftSparkTable,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val fs = GraftTable.fsOf(spark, table.dir)
+    val cur = GraftTable.currentVersion(fs, table.dir)
+    // fail BEFORE the distributed job, like every API write path
+    GraftTable.dsv2WriteGate(spark, table.dir, info.schema(),
+      append = !overwrite)
+    val staged = s"v${cur.map(_ + 1).getOrElse(0)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val stagingPath = s"${table.dir}/$staged"
+    val innerTable = org.apache.spark.sql.execution.datasources.v2.parquet
+      .ParquetTable(s"graft-stage:$stagingPath", spark, info.options(),
+        Seq(stagingPath), Some(info.schema()),
+        classOf[org.apache.spark.sql.execution.datasources
+          .parquet.ParquetFileFormat])
+    val innerWrite = innerTable.newWriteBuilder(info).build()
+    val doOverwrite = overwrite
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite = {
+        val inner = innerWrite.toBatch
+        new org.apache.spark.sql.connector.write.BatchWrite {
+          override def createBatchWriterFactory(
+              p: org.apache.spark.sql.connector.write.PhysicalWriteInfo) =
+            inner.createBatchWriterFactory(p)
+          override def useCommitCoordinator: Boolean =
+            inner.useCommitCoordinator
+          override def commit(
+              msgs: Array[org.apache.spark.sql.connector.write
+                .WriterCommitMessage]): Unit = {
+            inner.commit(msgs) // files land; now the manifest half
+            GraftTable.commitStagedDsv2(spark, table.dir, staged,
+              info.schema(), append = !doOverwrite)
+          }
+          override def abort(
+              msgs: Array[org.apache.spark.sql.connector.write
+                .WriterCommitMessage]): Unit = {
+            inner.abort(msgs)
+            GraftTable.fsOf(spark, table.dir)
+              .delete(new Path(stagingPath), true)
+          }
+        }
+      }
     }
   }
 }

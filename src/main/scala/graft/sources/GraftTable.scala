@@ -2004,6 +2004,99 @@ object GraftTable {
     commitAppendWithRetry(spark, dir, df, metadata, maxAttempts = 1,
       retain, prefix, statsCols, bloomCol)
 
+  /** The DSv2 write door's PRE-JOB gate (see `GraftWriteBuilder`):
+    * everything that can refuse must refuse before the distributed
+    * write runs. Appends demand the same chain invariants as
+    * `commitAppendWithRetry` — plus index-bearing chains refuse
+    * outright, because SQL/DataFrame writers cannot re-declare the
+    * stats/Bloom ordinals (code, not headers). */
+  private[graft] def dsv2WriteGate(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      append: Boolean): Unit = {
+    val fs = fsOf(spark, dir)
+    currentHeaders(fs, dir).foreach { case (_, h) =>
+      schemaGate(h.get("schema"), schema, allowEvolution = false,
+        context = if (append) "append" else "commit")
+      require(!h.contains("pmap"),
+        "this table is partition-mapped — write through " +
+          "replacePartitionsWithRetry (a plain DSv2 write would drop " +
+          "the value→dir map)")
+      if (append) {
+        require(!h.contains("dv"),
+          "cannot append onto a version carrying a deletion vector — " +
+            "purgeDeleteVector first")
+        require(!h.contains("partby"),
+          "cannot append onto a partitionBy layout through the DSv2 " +
+            "door — commit a full version instead")
+        if (h.contains("stats") || h.contains("bloom"))
+          throw new IndexRedeclarationRequired(
+            "a DSv2 append cannot extend the chain's skipping index " +
+              "(stats/Bloom ordinals are code a DataFrame writer " +
+              "cannot re-declare) — append through commitAppend with " +
+              "statsCols/bloomCol instead")
+      }
+    }
+  }
+
+  /** The DSv2 write door's MANIFEST half: after the inner parquet job
+    * committed its files into `$dir/$staged`, enforce the declared
+    * constraints over the staged rows and publish the version — an
+    * append commit (chain re-reference + append= marker; a lost OCC
+    * race re-publishes the SAME staged dir under the next number,
+    * never re-writes) or a full overwrite. A refusal deletes the
+    * staging dir: the failed write is invisible to readers. */
+  private[graft] def commitStagedDsv2(spark: SparkSession, dir: String,
+      staged: String, schema: org.apache.spark.sql.types.StructType,
+      append: Boolean, maxAttempts: Int = 10): Unit = {
+    val fs = fsOf(spark, dir)
+    try {
+      val stagedDf = spark.read.parquet(s"$dir/$staged")
+      var attempt = 0
+      var done = false
+      while (!done) {
+        attempt += 1
+        val cur = currentHeaders(fs, dir)
+        // re-gate per attempt: the race winner may have evolved the
+        // schema, declared constraints, or attached an index
+        dsv2WriteGate(spark, dir, schema, append)
+        val carried = carriedConstraints(cur)
+        if (carried.nonEmpty)
+          enforceConstraints(stagedDf, carried,
+            if (append) "append" else "commit",
+            existing =
+              if (append && carried.exists(_.startsWith("unique:")))
+                cur.map { case (v, _) => readVersion(spark, dir, v) }
+              else None)
+        val v = cur.map(_._1 + 1).getOrElse(0)
+        val prevDirs = cur.map { case (c, h) => dataDirsFrom(h, c, "v") }
+          .getOrElse(Seq.empty)
+        try {
+          commit(fs, dir, v, if (append) "dsv2 append" else "dsv2 overwrite",
+            prefix = "v",
+            dataDir = Some(
+              (if (append) prevDirs :+ staged else Seq(staged))
+                .mkString(",")),
+            appendDir = if (append && cur.isDefined) Some(staged) else None,
+            schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
+            constraintsHdr =
+              if (carried.isEmpty) None else Some(constraintsEncode(carried)))
+          done = true
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            if (attempt >= maxAttempts) throw e
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        // a refused or exhausted write must not leave the staged files
+        // where a reader could mistake them for data (they are outside
+        // every manifest, but vacuum hygiene beats waiting for it)
+        try fs.delete(new Path(s"$dir/$staged"), true)
+        catch { case _: java.io.IOException => () }
+        throw e
+    }
+  }
+
   /** Parsed pmap= header: (partition column, value → entry dir). */
   private[graft] def pmapDecode(s: String): (String, Map[String, String]) = {
     val i = s.indexOf('|')

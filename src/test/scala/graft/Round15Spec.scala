@@ -716,6 +716,75 @@ class Round15Spec extends SparkSpec {
       s"statrel band must prune: ${planned.size} of ${all.size}")
   }
 
+  test("dsv2 write: save/append/overwrite mint versions through the manifest") {
+    val dir = freshDir("dsv2write")
+    val n = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
+
+    // first write to an EMPTY dir mints v0 (embryonic table; Spark's
+    // catalog-less V2 save allows Append/Overwrite modes only)
+    n.where(col("n_nationkey") < 10).write.format("graft")
+      .mode("append").save(dir)
+    val fs = GraftTable.fsOf(spark, dir)
+    assert(GraftTable.currentVersion(fs, dir).contains(0))
+    assert(GraftTable.read(spark, dir).count() == 10)
+
+    // append mode = an append commit (marker present, CDC fast path)
+    n.where(col("n_nationkey") >= 10).write.format("graft")
+      .mode("append").save(dir)
+    assert(GraftTable.headersOf(fs, dir, 1).contains("append"))
+    assert(GraftTable.read(spark, dir).count() == n.count())
+    assert(GraftTable.versionDelta(spark, dir, 1).count() ==
+      n.where(col("n_nationkey") >= 10).count())
+
+    // overwrite = truncate-and-replace as the next full version
+    n.where(col("n_nationkey") < 5).write.format("graft")
+      .mode("overwrite").save(dir)
+    assert(GraftTable.read(spark, dir).count() == 5)
+    assert(GraftTable.readVersion(spark, dir, 1).count() == n.count())
+
+    // the write-time schema gate guards the DSv2 door too — and the
+    // refused write leaves no version and no staged orphan
+    val before = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).length
+    intercept[Exception] {
+      n.selectExpr("n_nationkey", "n_name AS wrong_name")
+        .write.format("graft").mode("append").save(dir)
+    }
+    assert(GraftTable.currentVersion(fs, dir).contains(2))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir)).length == before)
+
+    // declared constraints enforce on DSv2-written rows
+    val cdir = freshDir("dsv2wc")
+    GraftTable.commitNextIsolated(spark, cdir,
+      spark.range(3).selectExpr("id AS k"), "base",
+      constraints = Seq("check:k >= 0"))
+    intercept[Exception] {
+      spark.range(-2, 1).selectExpr("id AS k")
+        .write.format("graft").mode("append").save(cdir)
+    }
+    assert(GraftTable.currentVersion(GraftTable.fsOf(spark, cdir), cdir)
+      .contains(0))
+    spark.range(3, 5).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(cdir)
+    assert(GraftTable.read(spark, cdir).count() == 5)
+
+    // SQL INSERT INTO through the catalog door
+    spark.conf.set("spark.sql.catalog.gt",
+      classOf[graft.sources.GraftCatalog].getName)
+    val abs = new java.io.File(cdir).getAbsolutePath
+    spark.sql(s"INSERT INTO gt.`$abs` VALUES (7), (8)")
+    assert(GraftTable.read(spark, cdir).count() == 7)
+    // indexed chains refuse the ordinal-less DSv2 append
+    val idir = freshDir("dsv2wi")
+    GraftTable.commitNextIsolated(spark, idir,
+      spark.range(4).selectExpr("id AS k"), "indexed",
+      statsEnc = Seq("k" -> "id"))
+    val e = intercept[Exception] {
+      spark.range(9, 11).selectExpr("id AS k")
+        .write.format("graft").mode("append").save(idir)
+    }
+    assert(e.getMessage.contains("statsCols"), e.getMessage)
+  }
+
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
