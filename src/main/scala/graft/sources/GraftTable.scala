@@ -3233,7 +3233,8 @@ object GraftTable {
       targetFiles: Int = 1, statsCols: StatsCols = Nil,
       bloomCol: Option[String] = None, clusterBy: StatsCols = Nil,
       retainMs: Long = Long.MaxValue, vacuumGraceMs: Long = 3600000L,
-      prefix: String = "v"): MaintenanceReport = {
+      prefix: String = "v", statsEnc: Seq[(String, String)] = Nil,
+      incremental: Boolean = false): MaintenanceReport = {
     val fs = fsOf(spark, dir)
     val (c, h) = currentHeaders(fs, dir).getOrElse(sys.error(
       s"nothing to maintain: no version committed under $dir"))
@@ -3245,9 +3246,20 @@ object GraftTable {
     // rewrite itself.
     val (compacted, refused) =
       if (dataDirsFrom(h, c, prefix).size > maxChainDirs ||
-          clusterBy.nonEmpty)
-        try (Some(compactChain(spark, dir, targetFiles,
-          "maintenance compact", prefix, statsCols, bloomCol, clusterBy)),
+          (clusterBy.nonEmpty && !incremental))
+        try (Some(
+          // incremental = the LIQUID tier: fold only the arrival-order
+          // tail (head stays byte-identical, cost ∝ new data) — the
+          // nightly cadence for a table whose head was fully clustered
+          // once; a full re-cluster stays available by leaving
+          // incremental off
+          if (incremental && dataDirsFrom(h, c, prefix).size >= 2)
+            compactChainTail(spark, dir, targetFiles,
+              "maintenance compact (tail)", prefix, statsCols, bloomCol,
+              clusterBy, statsEnc)
+          else compactChain(spark, dir, targetFiles,
+            "maintenance compact", prefix, statsCols, bloomCol, clusterBy,
+            statsEnc)),
           None)
         catch {
           // ONLY an index-redeclaration refusal is survivable config

@@ -785,6 +785,38 @@ class Round15Spec extends SparkSpec {
     assert(e.getMessage.contains("statsCols"), e.getMessage)
   }
 
+  test("maintain incremental: the nightly pass folds only the tail") {
+    val dir = freshDir("maintinc")
+    val us = GraftTable.StatsEnc.ordinal("us")
+    val o = T.t(spark, sf, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val cut = lit("1995-01-01").cast("timestamp_ntz")
+    GraftTable.commitNextIsolated(spark, dir,
+      o.where(col("o_orderdate") < cut)
+        .repartitionByRange(3, col("o_orderdate"), col("o_orderkey"))
+        .sortWithinPartitions("o_orderdate"),
+      "head", statsEnc = Seq("o_orderdate" -> "us"))
+    val late = o.where(col("o_orderdate") >= cut)
+    (0 until 3).foreach(i => GraftTable.commitAppend(spark, dir,
+      late.where(col("o_orderkey") % 3 === i), s"tick $i",
+      statsCols = Seq("o_orderdate" -> us)))
+    val fs = GraftTable.fsOf(spark, dir)
+    val headDir = GraftTable.dataDirsOf(fs, dir, 0).head
+    val headMtimes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$headDir"))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val before = GraftTable.read(spark, dir)
+    val rep = GraftTable.maintain(spark, dir, maxChainDirs = 2,
+      targetFiles = 4, clusterBy = Seq("o_orderdate" -> us),
+      statsEnc = Seq("o_orderdate" -> "us"), incremental = true)
+    assert(rep.compacted.contains(4) && rep.compactionRefused.isEmpty)
+    assert(GraftTable.dataDirsOf(fs, dir, 4).size == 2)
+    assert(GraftTable.dataDirsOf(fs, dir, 4).head == headDir)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$headDir"))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap ==
+      headMtimes, "the head must survive the nightly pass untouched")
+    val after = GraftTable.read(spark, dir)
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+  }
+
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
