@@ -276,10 +276,10 @@ object Round15Ops {
       val late = o.where(col("o_orderdate") >= cut)
       GraftTable.commitAppend(s, dir,
         late.where(col("o_orderkey") % 2 === 0).repartition(4, col("o_orderkey")),
-        "arrival A", statsCols = Seq("o_orderdate" -> us))
+        "arrival A", statsEnc = Seq("o_orderdate" -> "us"))
       GraftTable.commitAppend(s, dir,
         late.where(col("o_orderkey") % 2 === 1).repartition(4, col("o_orderkey")),
-        "arrival B", statsCols = Seq("o_orderdate" -> us))
+        "arrival B", statsEnc = Seq("o_orderdate" -> "us"))
       val (loUs, hiUs) =
         (graft.T.epochUs("1996-03-01"), graft.T.epochUs("1996-03-31"))
       val hitBefore =

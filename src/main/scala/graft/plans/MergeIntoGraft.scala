@@ -158,6 +158,10 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
     val fs = GraftTable.fsOf(spark, dir)
     val hdrs = GraftTable.currentVersion(fs, dir)
       .map(v => GraftTable.headersOf(fs, dir, v)).getOrElse(Map.empty)
+    require(!hdrs.contains("pmap"),
+      "this table is partition-mapped — merge by replacing its " +
+        "partitions through replacePartitionsWithRetry (a MERGE commit " +
+        "would drop the value→dir map)")
     if (hdrs.contains("stats") || hdrs.contains("bloom"))
       throw new GraftTable.IndexRedeclarationRequired(
         "MERGE INTO would silently drop the table's skipping index " +

@@ -118,8 +118,12 @@ class GraftCatalog extends TableCatalog {
     require(partitions.isEmpty,
       "CREATE TABLE … PARTITIONED BY is not supported yet — commit a " +
         "partitionBy layout through the GraftTable API instead")
+    // repartition(1): a 0-partition empty frame writes NO parquet file
+    // (only _SUCCESS), and every API-path read of v0 would then fail
+    // schema inference — one empty file carries the schema instead
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1)
     GraftTable.commitNextIsolated(spark, dir, empty, "create table")
     load(ident, None)
   }

@@ -191,7 +191,7 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
       val convs = keyCols.map(c => CatalystTypeConverters
         .createToCatalystConverter(dvDf.schema(c).dataType))
       def key(r: org.apache.spark.sql.Row): Seq[Any] =
-        keyCols.indices.map(i => convs(i)(r.get(i)))
+        keyCols.indices.map(i => GraftDvInfo.normKey(convs(i)(r.get(i))))
       if (parts.length == 3) {
         val rows = dvDf
           .select((keyCols :+ "__dir").map(org.apache.spark.sql.functions.col): _*)
@@ -440,8 +440,13 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
     table.dv match {
       case None => inner.toBatch.createReaderFactory()
       case Some(d) =>
+        // BROADCAST the tombstones (the API read path's posture): one
+        // transfer per executor instead of a full key-set copy in
+        // every task's closure
         new DvFilteringReaderFactory(inner.toBatch.createReaderFactory(),
-          inner.readSchema(), out, d)
+          inner.readSchema(), out,
+          org.apache.spark.sql.SparkSession.active
+            .sparkContext.broadcast(d))
     }
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
@@ -491,6 +496,16 @@ private[graft] object GraftDvInfo {
     * refuses partitionBy). */
   def dirOf(f: org.apache.spark.sql.execution.datasources.PartitionedFile)
       : String = f.toPath.getParent.getName
+
+  /** Key values normalized for SET equality: catalyst binary is
+    * Array[Byte], whose == is reference identity — wrap as Seq[Byte] so
+    * a BINARY key column matches between the driver-loaded tombstones
+    * and executor-side rows (every other catalyst type has value
+    * equality). */
+  def normKey(v: Any): Any = v match {
+    case a: Array[Byte] => a.toSeq
+    case other => other
+  }
 }
 
 /** Reader factory that subtracts deletion-vector keys row by row: each
@@ -500,16 +515,17 @@ private[graft] object GraftDvInfo {
   * the factory's closure. */
 private[graft] class DvFilteringReaderFactory(
     inner: PartitionReaderFactory, innerSchema: StructType,
-    out: StructType, dv: GraftDvInfo)
+    out: StructType,
+    dvBc: org.apache.spark.broadcast.Broadcast[GraftDvInfo])
     extends PartitionReaderFactory {
 
-  private def keyCols = dv.keyCols
+  private def keyCols = dvBc.value.keyCols
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
-    val tombstones = dv.forPartition(p)
+    val tombstones = dvBc.value.forPartition(p)
     val r = inner.createReader(p)
     val keyOrds = keyCols.map(innerSchema.fieldIndex)
     val keyTypes = keyOrds.map(innerSchema(_).dataType)
@@ -524,7 +540,7 @@ private[graft] class DvFilteringReaderFactory(
         while (r.next()) {
           val row = r.get()
           val key: Seq[Any] = keyOrds.indices
-            .map(i => row.get(keyOrds(i), keyTypes(i)))
+            .map(i => GraftDvInfo.normKey(row.get(keyOrds(i), keyTypes(i))))
           if (!tombstones.contains(key)) { cur = proj(row); return true }
         }
         false

@@ -1593,6 +1593,10 @@ object GraftTable {
     val cur = currentVersion(fs, dir).getOrElse(
       sys.error(s"no committed version under $dir to delete from"))
     val hdrs = parseCommit(commitContent(fs, dir, cur))._1
+    require(!hdrs.contains("pmap"),
+      "this table is partition-mapped — delete by replacing its " +
+        "partitions through replacePartitionsWithRetry (a MoR delete " +
+        "would drop the value→dir map)")
     // resolve through the ONE sanctioned multi-dir accessor (not a raw
     // header read): round-trips byte-identically today, and keeps this
     // path correct if the data= encoding ever changes
@@ -1675,6 +1679,10 @@ object GraftTable {
       s"cannot update a partitionBy layout (${hdrs.getOrElse("partby", "")})" +
         ": a flat replacement dir beside a partitioned one makes the " +
         "union unreadable — rewrite via commitWithRetry instead")
+    require(!hdrs.contains("pmap"),
+      "this table is partition-mapped — update by replacing its " +
+        "partitions through replacePartitionsWithRetry (a MoR update " +
+        "would drop the value→dir map)")
     // same posture as every other index-dropping path: REFUSE rather
     // than silently strip the skipping indexes (stats/bloom cannot
     // coexist with the dv this commit mints — see commit()'s exclusion)
@@ -1848,8 +1856,18 @@ object GraftTable {
       metadata: String = "", maxAttempts: Int = 10,
       retain: Int = Int.MaxValue, prefix: String = "v",
       statsCols: StatsCols = Nil, bloomCol: Option[String] = None,
-      bloomCols: Seq[String] = Nil): Int = {
+      bloomCols: Seq[String] = Nil,
+      statsEnc: Seq[(String, String)] = Nil): Int = {
     val effBloom = (bloomCol.toSeq ++ bloomCols).distinct
+    statsEnc.foreach { case (c, e) =>
+      require(StatsEnc.names.contains(e),
+        s"unknown stats encoding '$e' for column '$c'")
+      require(!statsCols.exists(_._1 == c),
+        s"column '$c' is declared in both statsCols and statsEnc")
+    }
+    StatsEnc.requireUtcSession(spark, statsEnc)
+    val effStats: StatsCols =
+      statsCols ++ statsEnc.map { case (c, e) => (c, StatsEnc.ordinal(e)) }
     val fs = fsOf(spark, dir)
     // pre-flight gate against the CURRENT version so a refused append
     // writes NOTHING — every contract violation below fails before the
@@ -1866,7 +1884,7 @@ object GraftTable {
             "unreadable — commit a full version instead")
         val prevStatCols = h.get("stats")
           .map(_.split(";", 2)(0).split(",").toSeq.map(urlDec))
-        (prevStatCols, statsCols.map(_._1)) match {
+        (prevStatCols, effStats.map(_._1)) match {
           case (None, mine) if mine.nonEmpty =>
             throw new IllegalArgumentException(
               "append with statsCols requires the current version to " +
@@ -1884,6 +1902,23 @@ object GraftTable {
               s"append statsCols $mine must match the table's recorded " +
                 s"stat columns $theirs")
           case _ => ()
+        }
+        // ENCODING continuity: the chain's one stats line must stay one
+        // ordinal domain end-to-end — a registry-declared (statenc)
+        // column must be re-declared with the SAME encoding, and a
+        // column the predecessor recorded WITHOUT an encoding name
+        // cannot gain one (its existing entries' encoding is
+        // unverifiable; a mixed line would mis-prune DSv2 band reads)
+        val prevEnc = h.get("statenc").map(StatsEnc.decode(_).toMap)
+          .getOrElse(Map.empty[String, String])
+        val mineEnc = statsEnc.toMap
+        (prevEnc.keySet ++ mineEnc.keySet).foreach { c =>
+          if (h.contains("stats"))
+            require(prevEnc.get(c) == mineEnc.get(c),
+              s"append stats encoding for '$c' must match the chain's " +
+                s"recorded statenc (${prevEnc.get(c)} vs " +
+                s"${mineEnc.get(c)}) — one stats line, one ordinal " +
+                "domain; rewrite via compactChain to re-encode")
         }
         // same contract for the Bloom index: a chain is probed dir by
         // dir, so every dir must carry sidecar sections on the SAME
@@ -1937,8 +1972,8 @@ object GraftTable {
       java.util.UUID.randomUUID().toString.take(8)
     df.write.mode("errorifexists").parquet(s"$dir/$added")
     val newStats =
-      if (statsCols.isEmpty) None
-      else Some(computeStats(spark, s"$dir/$added", statsCols))
+      if (effStats.isEmpty) None
+      else Some(computeStats(spark, s"$dir/$added", effStats))
     // the appended dir gets its OWN sidecar (sized to its own files —
     // each sidecar self-describes m/k per section, so chain dirs may
     // differ); staged once, reused verbatim on a lost race
@@ -1984,7 +2019,10 @@ object GraftTable {
           bloom = newBloom,
           constraintsHdr =
             if (constraintsCarried.isEmpty) None
-            else Some(constraintsEncode(constraintsCarried)))
+            else Some(constraintsEncode(constraintsCarried)),
+          statenc =
+            if (statsEnc.isEmpty || mergedStats.isEmpty) None
+            else Some(StatsEnc.encode(statsEnc)))
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -2000,9 +2038,10 @@ object GraftTable {
   def commitAppend(spark: SparkSession, dir: String, df: DataFrame,
       metadata: String = "", retain: Int = Int.MaxValue,
       prefix: String = "v", statsCols: StatsCols = Nil,
-      bloomCol: Option[String] = None): Int =
+      bloomCol: Option[String] = None, bloomCols: Seq[String] = Nil,
+      statsEnc: Seq[(String, String)] = Nil): Int =
     commitAppendWithRetry(spark, dir, df, metadata, maxAttempts = 1,
-      retain, prefix, statsCols, bloomCol)
+      retain, prefix, statsCols, bloomCol, bloomCols, statsEnc)
 
   /** The DSv2 write door's PRE-JOB gate (see `GraftWriteBuilder`):
     * everything that can refuse must refuse before the distributed
@@ -3109,7 +3148,8 @@ object GraftTable {
       targetFiles: Int = 1, metadata: String = "compact tail",
       prefix: String = "v", statsCols: StatsCols = Nil,
       bloomCol: Option[String] = None, clusterBy: StatsCols = Nil,
-      statsEnc: Seq[(String, String)] = Nil): Int = {
+      statsEnc: Seq[(String, String)] = Nil,
+      bloomCols: Seq[String] = Nil): Int = {
     require(targetFiles >= 1, s"targetFiles must be >= 1 (got $targetFiles)")
     val fs = fsOf(spark, dir)
     val (c, h) = currentHeaders(fs, dir).getOrElse(sys.error(
@@ -3130,14 +3170,36 @@ object GraftTable {
         "tail-compacting a stats-bearing table without statsCols/" +
           "statsEnc would silently drop the folded files' skipping " +
           "index — re-declare the stat columns")
-    if (h.contains("bloom") && bloomCol.isEmpty)
+    val effBloom = (bloomCol.toSeq ++ bloomCols).distinct
+    if (h.contains("bloom") && effBloom.isEmpty)
       throw new IndexRedeclarationRequired(
         "tail-compacting a Bloom-indexed table without bloomCol would " +
           "leave the folded dir unprobeable — re-declare the indexed " +
-          "column")
-    require(bloomCol.isEmpty || h.contains("bloom"),
+          "columns")
+    require(effBloom.isEmpty || h.contains("bloom"),
       "bloomCol on a chain whose head carries no sidecar would leave " +
         "the head unprobeable — index via compactChain instead")
+    // the folded dir must carry sections on the SAME column set as the
+    // untouched head — a shrunken set would silently blind point
+    // lookups on the dropped column (the append gate's invariant)
+    h.get("bloom").map(b => bloomColsOf(b).toSet).foreach { theirs =>
+      require(theirs == effBloom.toSet,
+        s"tail compaction bloom columns ${effBloom.toSet} must match " +
+          s"the chain's indexed set $theirs — every chain dir is " +
+          "probed on every section")
+    }
+    // ENCODING continuity for the carried head entries: they were
+    // computed under the predecessor's statenc — the declaration here
+    // must be IDENTICAL for the spanning line to stay one ordinal
+    // domain (and a lambda-statted chain cannot gain a statenc claim:
+    // its head entries' encoding is unverifiable — re-encode through
+    // compactChain, which recomputes every file)
+    val prevEnc = h.get("statenc").map(StatsEnc.decode(_).toMap)
+      .getOrElse(Map.empty[String, String])
+    require(prevEnc == statsEnc.toMap,
+      s"tail compaction statsEnc ${statsEnc.toMap} must match the " +
+        s"chain's recorded statenc $prevEnc — the head's carried " +
+        "entries keep their ordinal domain; re-encode via compactChain")
     statsEnc.foreach { case (col, e) =>
       require(StatsEnc.names.contains(e),
         s"unknown stats encoding '$e' for column '$col'")
@@ -3174,8 +3236,10 @@ object GraftTable {
       val headEntries = prev.files.filter(_.file.startsWith(s"$head/"))
       Some(TableStats(fresh.cols, headEntries ++ mine))
     }
-    val bl = bloomCol.map(c =>
-      bloomHeader(buildBloomSidecar(spark, s"$dir/$tDir", Seq(c))))
+    val bl =
+      if (effBloom.isEmpty) None
+      else Some(bloomHeader(buildBloomSidecar(spark, s"$dir/$tDir",
+        effBloom)))
     commit(fs, dir, v, metadata, prefix = prefix,
       dataDir = Some(s"$head,$tDir"), stats = mergedStats,
       schema = h.get("schema"), prevTs = prevTsOf(Some((c, h))),

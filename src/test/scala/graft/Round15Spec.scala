@@ -505,10 +505,10 @@ class Round15Spec extends SparkSpec {
       statsEnc = Seq("o_orderdate" -> "us"))
     GraftTable.commitAppend(spark, dir,
       late.where(col("o_orderkey") % 2 === 0).repartition(4, col("o_orderkey")),
-      "arrival slice A", statsCols = Seq("o_orderdate" -> us))
+      "arrival slice A", statsEnc = Seq("o_orderdate" -> "us"))
     GraftTable.commitAppend(spark, dir,
       late.where(col("o_orderkey") % 2 === 1).repartition(4, col("o_orderkey")),
-      "arrival slice B", statsCols = Seq("o_orderdate" -> us))
+      "arrival slice B", statsEnc = Seq("o_orderdate" -> "us"))
 
     val headDir = GraftTable.dataDirsOf(fs, dir, 0).head
     def headState(): Map[String, (Long, Long)] =
@@ -554,7 +554,7 @@ class Round15Spec extends SparkSpec {
 
     // a further append extends the spanning stats line (statrel re-key)
     GraftTable.commitAppend(spark, dir,
-      late.limit(0), "empty tick", statsCols = Seq("o_orderdate" -> us))
+      late.limit(0), "empty tick", statsEnc = Seq("o_orderdate" -> "us"))
     val (_, hit4, _) =
       GraftTable.readStatsBand(spark, dir, 4, "o_orderdate", loUs, hiUs)
     assert(hit4.toSet == hitAfter.toSet)
@@ -696,7 +696,7 @@ class Round15Spec extends SparkSpec {
       "head", statsEnc = Seq("o_orderdate" -> "us"))
     GraftTable.commitAppend(spark, dir,
       o.where(col("o_orderdate") >= cut).repartition(3, col("o_orderkey")),
-      "tail", statsCols = Seq("o_orderdate" -> us))
+      "tail", statsEnc = Seq("o_orderdate" -> "us"))
     GraftTable.compactChainTail(spark, dir, targetFiles = 4,
       clusterBy = Seq("o_orderdate" -> us),
       statsEnc = Seq("o_orderdate" -> "us"))
@@ -798,7 +798,7 @@ class Round15Spec extends SparkSpec {
     val late = o.where(col("o_orderdate") >= cut)
     (0 until 3).foreach(i => GraftTable.commitAppend(spark, dir,
       late.where(col("o_orderkey") % 3 === i), s"tick $i",
-      statsCols = Seq("o_orderdate" -> us)))
+      statsEnc = Seq("o_orderdate" -> "us")))
     val fs = GraftTable.fsOf(spark, dir)
     val headDir = GraftTable.dataDirsOf(fs, dir, 0).head
     val headMtimes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$headDir"))
@@ -815,6 +815,22 @@ class Round15Spec extends SparkSpec {
       headMtimes, "the head must survive the nightly pass untouched")
     val after = GraftTable.read(spark, dir)
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+  }
+
+  test("dsv2: deletion vectors on a BINARY key column match both doors") {
+    val dir = freshDir("dsv2binkey")
+    val d = spark.range(20).selectExpr(
+      "sha2(CAST(id AS STRING), 256) AS h", "unhex(md5(CAST(id AS STRING))) AS bin_key", "id AS v")
+    GraftTable.commitNextIsolated(spark, dir, d, "binary-keyed")
+    GraftTable.commitDeleteVector(spark, dir,
+      d.where(col("v") % 4 === 0).select("bin_key"), Seq("bin_key"))
+    val api = GraftTable.read(spark, dir)
+    val dsv2 = spark.read.format("graft").load(dir)
+    assert(api.count() == 15)
+    assert(dsv2.count() == 15,
+      "binary tombstone keys must match in the DSv2 reader (Array[Byte] " +
+        "equality is reference identity — keys are normalized)")
+    assert(dsv2.select("v").exceptAll(api.select("v")).isEmpty)
   }
 
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
