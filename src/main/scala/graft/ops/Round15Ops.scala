@@ -163,6 +163,51 @@ object Round15Ops {
         .orderBy("version", "n_nationkey")
     }),
 
+    // STREAMING DSv2 door: readStream.format("graft") follows the
+    // manifest — v0's snapshot plus each append's marker dir, in
+    // bounded admission-controlled batches (2 versions/trigger here:
+    // 3 versions drain in exactly 2 batches, pinned inside the hash;
+    // Round15Spec adds restart-exactly-once and the rewrite refusal).
+    // Every streamed row rides the hash: a dropped or double-emitted
+    // version flips the sums.
+    "table_dsv2_stream" -> ((s, d) => {
+      val dir = freshDir(s, d, "dsv2stream")
+      val cp = freshDir(s, d, "dsv2streamcp")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), money(dec(col("o_totalprice"))).as("price"))
+      GraftTable.commitNextIsolated(s, dir,
+        o.where(pmod(col("o_orderkey"), lit(3)) === 0), "v0")
+      GraftTable.commitAppend(s, dir,
+        o.where(pmod(col("o_orderkey"), lit(3)) === 1), "tick 1")
+      GraftTable.commitAppend(s, dir,
+        o.where(pmod(col("o_orderkey"), lit(3)) === 2), "tick 2")
+      val batches =
+        new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.format("graft")
+        .option("maxVersionsPerTrigger", 2).load(dir)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val rows = b.collect()
+            if (rows.nonEmpty) {
+              nBatches.incrementAndGet()
+              batches.add(s.createDataFrame(
+                java.util.Arrays.asList(rows: _*), b.schema))
+            }
+            ()
+        }.start()
+      q.awaitTermination()
+      batches.toArray(Array.empty[DataFrame]).reduce(_ unionByName _)
+        .groupBy(pmod(col("o_orderkey"), lit(3)).cast("int").as("slice"))
+        .agg(count(lit(1)).as("n"), money(sum(dec(col("price")))).as("rev"))
+        .withColumn("n_batches", lit(nBatches.get().toLong))
+        .orderBy("slice")
+    }),
+
     // DISJOINT-WRITE OCC (WriteSerializable): two latched writers
     // rewrite disjoint partition sets of a partition-mapped table; the
     // race loser re-commits its ALREADY-STAGED result (n_evals = 2 —
@@ -342,6 +387,15 @@ object Round15Ops {
         "UNION ALL SELECT 1 AS version, n_nationkey, n_name FROM nation " +
         "UNION ALL SELECT 2 AS version, n_nationkey, n_name FROM nation " +
         "WHERE n_nationkey < 5 ORDER BY version, n_nationkey"),
+
+    // the streamed union tiles orders exactly; 2 batches pins the
+    // admission control (1 = the limit ignored, 3+ = over-splitting)
+    "table_dsv2_stream" ->
+      ("SELECT CAST(o_orderkey % 3 AS INT) AS slice, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec(oMoney(oDec("o_totalprice")))})")} AS rev, " +
+        "CAST(2 AS BIGINT) AS n_batches FROM orders GROUP BY 1 " +
+        "ORDER BY slice"),
 
     // sequential recompute of the commuting partition rewrites; 3
     // versions and 2 evaluations pin WriteSerializable (2 versions =

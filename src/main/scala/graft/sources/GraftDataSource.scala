@@ -231,7 +231,8 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
     partCols.map(Expressions.identity).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(exists,
@@ -294,7 +295,7 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
     val ps = inner.build()
     val out = StructType(
       ps.readSchema().fields.filter(f => requestedNames.contains(f.name)))
-    new GraftScan(ps, out, table, manifestKeep(pushedV1))
+    new GraftScan(ps, out, table, manifestKeep(pushedV1), options)
   }
 
   /** Conjunctive manifest verdict from the pushed V1 filters: the
@@ -392,7 +393,9 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
   * merge-on-read. Without a DV the inner factory is served UNCHANGED —
   * vectorized, columnar, whole-stage-codegen-friendly. */
 private[graft] class GraftScan(inner: ParquetScan, out: StructType,
-    table: GraftSparkTable, keep: Option[String => Boolean])
+    table: GraftSparkTable, keep: Option[String => Boolean],
+    scanOptions: CaseInsensitiveStringMap =
+      CaseInsensitiveStringMap.empty())
     extends Scan with Batch with SupportsReportStatistics with SupportsMetadata {
 
   override def readSchema(): StructType = out
@@ -463,6 +466,16 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
     override def numRows(): OptionalLong =
       table.manifestRows(keep)
         .map(OptionalLong.of).getOrElse(OptionalLong.empty())
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(table.dv.isEmpty,
+      "streaming reads require an append-only history — the current " +
+        "version carries a deletion vector (cdcSubscribeTyped serves " +
+        "typed diffs)")
+    new GraftMicroBatchStream(
+      org.apache.spark.sql.SparkSession.active, table, inner, scanOptions)
   }
 
   override def description(): String =
@@ -651,4 +664,124 @@ private[graft] class GraftWriteBuilder(spark: SparkSession,
       }
     }
   }
+}
+
+/** Version-number stream offset: the manifest IS the log, so a
+  * committed version number is a complete, replayable position. */
+private[graft] case class GraftStreamOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** STREAMING reads: `spark.readStream.format("graft").load(dir)` turns
+  * the manifest into a micro-batch source — each batch serves the rows
+  * the versions in (start, end] ADDED, exactly once across restarts
+  * (the offset is the version number; the sink checkpoint persists
+  * it). Version 0 contributes its full snapshot; append commits
+  * contribute exactly their marker dir (the CDC fast path — no
+  * snapshot diff, no join); any OTHER version shape (rewrites, MoR
+  * deletes/updates, compactions) refuses loudly, the Delta
+  * no-ignoreChanges posture — a rewrite's delta is not expressible as
+  * added files, so consumers needing typed diffs subscribe through
+  * `cdcSubscribeTyped` instead.
+  *
+  * Options: `startingVersion` (default 0 — replay the whole
+  * append-only history; set to the current version + 1 to consume only
+  * new commits), `maxVersionsPerTrigger` (admission control: a
+  * backlogged stream catches up in bounded batches). */
+private[graft] class GraftMicroBatchStream(spark: SparkSession,
+    table: GraftSparkTable, inner: ParquetScan,
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
+
+  private val fs = GraftTable.fsOf(spark, table.dir)
+  // Trigger.AvailableNow: the target is PINNED at query start, then the
+  // admission-controlled batches walk up to it and the query stops
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(GraftTable.currentVersion(fs, table.dir).getOrElse(-1))
+  private val startingVersion: Int =
+    Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
+  private val maxVersions: Int =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
+      .getOrElse(Int.MaxValue)
+  require(maxVersions >= 1, "maxVersionsPerTrigger must be >= 1")
+  require(!table.headers.contains("partby"),
+    "streaming reads require a flat layout (append-only history)")
+
+  override def initialOffset(): SOffset =
+    GraftStreamOffset(startingVersion - 1)
+
+  override def deserializeOffset(json: String): SOffset =
+    GraftStreamOffset(json.toInt)
+
+  override def latestOffset(): SOffset = GraftStreamOffset(
+    GraftTable.currentVersion(fs, table.dir).getOrElse(-1))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control: advance at most `maxVersionsPerTrigger`
+    * versions per batch, whatever the backlog. */
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val cur = availableNowTarget.getOrElse(
+      GraftTable.currentVersion(fs, table.dir).getOrElse(-1))
+    val from = start.asInstanceOf[GraftStreamOffset].version
+    GraftStreamOffset(math.min(cur, from + maxVersions))
+  }
+
+  override def planInputPartitions(start: SOffset,
+      end: SOffset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GraftStreamOffset].version
+    val hi = end.asInstanceOf[GraftStreamOffset].version
+    val files = ((lo + 1) to hi).flatMap { v =>
+      val hdrs = GraftTable.headersOf(fs, table.dir, v)
+      require(!hdrs.contains("dv"),
+        s"version $v carries a deletion vector — a streaming read " +
+          "cannot express row removal as added files; consume typed " +
+          "changes via cdcSubscribeTyped, or restart the stream from " +
+          s"startingVersion=${v + 1}")
+      val dirs =
+        if (v == 0) GraftTable.dataDirsOfHeaders(hdrs, 0, "v")
+        else hdrs.get("append").map(Seq(_)).getOrElse(sys.error(
+          s"version $v of ${table.dir} is not an append commit — a " +
+            "streaming read serves added files only (the Delta " +
+            "no-ignoreChanges posture); rewrites need " +
+            "cdcSubscribeTyped, or restart from " +
+            s"startingVersion=${v + 1}"))
+      dirs.flatMap { dd =>
+        fs.listStatus(new Path(s"${table.dir}/$dd")).toSeq
+          .filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map { st =>
+            new org.apache.spark.sql.execution.datasources.PartitionedFile(
+              org.apache.spark.sql.catalyst.InternalRow.empty,
+              org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+              0L, st.getLen, Array.empty[String],
+              st.getModificationTime, st.getLen, Map.empty)
+          }
+      }
+    }
+    FilePartition.getFilePartitions(spark, files,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+      .toArray[InputPartition]
+  }
+
+  /** The inner ParquetScan's vectorized factory (column pruning from
+    * the stream's scan applies; append chains are flat, so partition
+    * values are empty for every planned file). */
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -833,6 +833,62 @@ class Round15Spec extends SparkSpec {
     assert(dsv2.select("v").exceptAll(api.select("v")).isEmpty)
   }
 
+  test("dsv2 streaming: the manifest as a micro-batch source, exactly once") {
+    val dir = freshDir("dsv2stream")
+    val cp = freshDir("dsv2stream_cp")
+    def tick(i: Int): Unit =
+      if (i == 0)
+        GraftTable.commitNextIsolated(spark, dir,
+          spark.range(0, 10).toDF("id"), "v0")
+      else GraftTable.commitAppend(spark, dir,
+        spark.range(i * 10, i * 10 + 10).toDF("id"), s"tick $i")
+    (0 until 3).foreach(tick) // v0 snapshot + 2 appends
+
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", 2)
+        .load(dir)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val ids = b.collect().map(_.getLong(0))
+            ids.foreach(rows.add)
+            if (ids.nonEmpty) batchSizes.add(ids.length)
+            ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(rows.toArray.map(_.asInstanceOf[Long]).sorted.toSeq ==
+      (0L until 30L), s"got ${rows.size} rows")
+    // admission control shaped the catch-up: (v0+v1) then v2
+    assert(batchSizes.toArray.toSeq == Seq(20, 10), s"got $batchSizes")
+
+    // restart with the same checkpoint: only NEW versions replay
+    (3 until 5).foreach(tick)
+    rows.clear(); batchSizes.clear()
+    drain()
+    assert(rows.toArray.map(_.asInstanceOf[Long]).sorted.toSeq ==
+      (30L until 50L),
+      s"restart must resume at the first unseen version (${rows.size})")
+
+    // a rewrite version refuses loudly (added-files-only posture)
+    GraftTable.commitNextIsolated(spark, dir,
+      spark.range(0, 7).toDF("id"), "rewrite")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(e.getMessage.contains("not an append commit") ||
+      Option(e.getCause).exists(_.getMessage.contains("not an append commit")),
+      s"rewrites must refuse: ${e.getMessage.take(300)}")
+  }
+
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
