@@ -120,7 +120,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   * scan builder below reuses the parsed headers, the shared file index
   * and the lazily loaded deletion vector. */
 private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
-    val snapshotVersion: Int, prefix: String,
+    val snapshotVersion: Int, private[graft] val prefixV: String,
     externalSchema: Option[StructType] = None)
     extends Table with SupportsRead with SupportsWrite {
 
@@ -132,7 +132,8 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
     if (exists) GraftTable.headersOf(fs, dir, snapshotVersion)
     else Map.empty
   private[graft] val dataDirs: Seq[String] =
-    if (exists) GraftTable.dataDirsOfHeaders(headers, snapshotVersion, prefix)
+    if (exists)
+      GraftTable.dataDirsOfHeaders(headers, snapshotVersion, prefixV)
     else Nil
   dataDirs.foreach(d => require(fs.exists(new Path(s"$dir/$d")),
     s"version $snapshotVersion's data dir $d has been garbage-collected (retention)"))
@@ -439,17 +440,21 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
     }
   }
 
+  // BROADCAST the tombstones ONCE per scan (the API read path's
+  // posture): one transfer per executor instead of a full key-set copy
+  // in every task's closure — and one broadcast however many times a
+  // cached plan re-executes this scan
+  private lazy val dvBroadcast
+      : Option[org.apache.spark.broadcast.Broadcast[GraftDvInfo]] =
+    table.dv.map(d => org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(d))
+
   override def createReaderFactory(): PartitionReaderFactory =
-    table.dv match {
+    dvBroadcast match {
       case None => inner.toBatch.createReaderFactory()
-      case Some(d) =>
-        // BROADCAST the tombstones (the API read path's posture): one
-        // transfer per executor instead of a full key-set copy in
-        // every task's closure
+      case Some(bc) =>
         new DvFilteringReaderFactory(inner.toBatch.createReaderFactory(),
-          inner.readSchema(), out,
-          org.apache.spark.sql.SparkSession.active
-            .sparkContext.broadcast(d))
+          inner.readSchema(), out, bc)
     }
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
@@ -734,7 +739,11 @@ private[graft] class GraftMicroBatchStream(spark: SparkSession,
     val cur = availableNowTarget.getOrElse(
       GraftTable.currentVersion(fs, table.dir).getOrElse(-1))
     val from = start.asInstanceOf[GraftStreamOffset].version
-    GraftStreamOffset(math.min(cur, from + maxVersions))
+    // clamp at `from`: an offset must never regress — a startingVersion
+    // ahead of the table's head simply waits at its position until the
+    // history catches up (replaying skipped versions would violate the
+    // user's pin; some engines abort on a backward offset outright)
+    GraftStreamOffset(math.max(from, math.min(cur, from + maxVersions)))
   }
 
   override def planInputPartitions(start: SOffset,
@@ -748,8 +757,15 @@ private[graft] class GraftMicroBatchStream(spark: SparkSession,
           "cannot express row removal as added files; consume typed " +
           "changes via cdcSubscribeTyped, or restart the stream from " +
           s"startingVersion=${v + 1}")
+      // a partitionBy version nests its files under value subdirs this
+      // flat walk would silently MISS — refuse like the dv case rather
+      // than commit an empty batch for a version that has rows
+      require(!hdrs.contains("partby"),
+        s"version $v is a partitionBy layout — streaming reads serve " +
+          "flat append histories; restart from " +
+          s"startingVersion=${v + 1} past the partitioned prefix")
       val dirs =
-        if (v == 0) GraftTable.dataDirsOfHeaders(hdrs, 0, "v")
+        if (v == 0) GraftTable.dataDirsOfHeaders(hdrs, 0, table.prefixV)
         else hdrs.get("append").map(Seq(_)).getOrElse(sys.error(
           s"version $v of ${table.dir} is not an append commit — a " +
             "streaming read serves added files only (the Delta " +

@@ -142,6 +142,25 @@ object GraftTable {
             "declare a lambda statsCols ordinal instead")
       }
 
+    /** The one statsEnc declaration gate every committer shares:
+      * registered names only, no statsCols overlap, UTC session for
+      * temporal encodings — returning the effective StatsCols (caller
+      * lambdas plus registry ordinals). */
+    private[graft] def validateAndMerge(spark: SparkSession,
+        statsCols: StatsCols,
+        statsEnc: Seq[(String, String)]): StatsCols = {
+      statsEnc.foreach { case (c, e) =>
+        require(names.contains(e),
+          s"unknown stats encoding '$e' for column '$c' " +
+            s"(registered: $names)")
+        require(!statsCols.exists(_._1 == c),
+          s"column '$c' is declared in both statsCols and statsEnc — " +
+            "pick one declaration")
+      }
+      requireUtcSession(spark, statsEnc)
+      statsCols ++ statsEnc.map { case (c, e) => (c, ordinal(e)) }
+    }
+
     private[graft] def encode(specs: Seq[(String, String)]): String =
       specs.map { case (c, e) => s"${urlEnc(c)}:$e" }.mkString(",")
 
@@ -1469,17 +1488,8 @@ object GraftTable {
     // registry-declared stat columns: the ordinal comes FROM the
     // registry (never a caller lambda), so the recorded statenc= name
     // and the computed bands can never disagree
-    statsEnc.foreach { case (c, e) =>
-      require(StatsEnc.names.contains(e),
-        s"unknown stats encoding '$e' for column '$c' " +
-          s"(registered: ${StatsEnc.names})")
-      require(!statsCols.exists(_._1 == c),
-        s"column '$c' is declared in both statsCols and statsEnc — " +
-          "pick one declaration")
-    }
-    StatsEnc.requireUtcSession(spark, statsEnc)
     val effStatsCols: StatsCols =
-      statsCols ++ statsEnc.map { case (c, e) => (c, StatsEnc.ordinal(e)) }
+      StatsEnc.validateAndMerge(spark, statsCols, statsEnc)
     // gate BEFORE the write: a refused schema creates no version and no
     // orphan staging dir
     schemaGate(cur.flatMap(_._2.get("schema")), df.schema, allowEvolution)
@@ -1859,15 +1869,8 @@ object GraftTable {
       bloomCols: Seq[String] = Nil,
       statsEnc: Seq[(String, String)] = Nil): Int = {
     val effBloom = (bloomCol.toSeq ++ bloomCols).distinct
-    statsEnc.foreach { case (c, e) =>
-      require(StatsEnc.names.contains(e),
-        s"unknown stats encoding '$e' for column '$c'")
-      require(!statsCols.exists(_._1 == c),
-        s"column '$c' is declared in both statsCols and statsEnc")
-    }
-    StatsEnc.requireUtcSession(spark, statsEnc)
     val effStats: StatsCols =
-      statsCols ++ statsEnc.map { case (c, e) => (c, StatsEnc.ordinal(e)) }
+      StatsEnc.validateAndMerge(spark, statsCols, statsEnc)
     val fs = fsOf(spark, dir)
     // pre-flight gate against the CURRENT version so a refused append
     // writes NOTHING — every contract violation below fails before the
@@ -1882,6 +1885,10 @@ object GraftTable {
           s"cannot append onto a partitionBy layout (${h("partby")}): a " +
             "flat appended dir beside a partitioned one makes the union " +
             "unreadable — commit a full version instead")
+        require(!h.contains("pmap"),
+          "this table is partition-mapped — append by replacing (or " +
+            "adding) partitions through replacePartitionsWithRetry (a " +
+            "plain append would drop the value→dir map)")
         val prevStatCols = h.get("stats")
           .map(_.split(";", 2)(0).split(",").toSeq.map(urlDec))
         (prevStatCols, effStats.map(_._1)) match {
@@ -3161,6 +3168,10 @@ object GraftTable {
     require(!h.contains("partby"),
       "tail compaction applies to flat chains — a partitionBy layout " +
         "is already dir-clustered")
+    require(!h.contains("pmap"),
+      "this table is partition-mapped — its entry dirs ARE the layout " +
+        "(folding them would drop the value→dir map); re-cluster a " +
+        "partition by replacing it through replacePartitionsWithRetry")
     val dirs = dataDirsFrom(h, c, prefix)
     require(dirs.size >= 2,
       s"version $c has no tail to fold (${dirs.size} data dir)")
@@ -3200,15 +3211,8 @@ object GraftTable {
       s"tail compaction statsEnc ${statsEnc.toMap} must match the " +
         s"chain's recorded statenc $prevEnc — the head's carried " +
         "entries keep their ordinal domain; re-encode via compactChain")
-    statsEnc.foreach { case (col, e) =>
-      require(StatsEnc.names.contains(e),
-        s"unknown stats encoding '$e' for column '$col'")
-      require(!statsCols.exists(_._1 == col),
-        s"column '$col' is declared in both statsCols and statsEnc")
-    }
-    StatsEnc.requireUtcSession(spark, statsEnc)
     val effStats: StatsCols =
-      statsCols ++ statsEnc.map { case (col, e) => (col, StatsEnc.ordinal(e)) }
+      StatsEnc.validateAndMerge(spark, statsCols, statsEnc)
 
     val tailDf = spark.read.parquet(tail.map(d => s"$dir/$d"): _*)
     val folded =
