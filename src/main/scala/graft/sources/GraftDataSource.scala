@@ -226,6 +226,102 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
     if (headers.contains("append") || headers.contains("statrel")) statFile
     else s"${dataDirs.head}/$statFile"
 
+  /** Columns the MANIFEST can act on for this version — the statenc
+    * band dimensions and the Bloom-indexed keys. The scan advertises
+    * them as runtime-filter attributes too. */
+  private[graft] def prunableCols: Seq[String] =
+    (headers.get("statenc").map(GraftTable.StatsEnc.decode(_).map(_._1))
+      .getOrElse(Nil) ++
+      headers.get("bloom").map(GraftTable.bloomColsOf).getOrElse(Nil))
+      .distinct
+
+  /** Conjunctive manifest verdict from V1 filters (pushed at planning
+    * or injected at RUNTIME): the canonical-path keep-set, or None when
+    * no index applies (full scan). File-granularity and CONSERVATIVE
+    * throughout — false positives only ever open an extra file (the
+    * row-level predicate still runs above the scan); a predicate the
+    * manifest cannot decide soundly contributes nothing. */
+  private[graft] def manifestVerdict(pushed: Array[sources.Filter])
+      : Option[String => Boolean] = {
+    // flatten the implicit conjunction (the array) plus nested Ands
+    def conjuncts(f: sources.Filter): Seq[sources.Filter] = f match {
+      case sources.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val preds = pushed.toSeq.flatMap(conjuncts)
+
+    // ---- stats bands (statenc-declared columns only) ----
+    val encs: Map[String, String] =
+      headers.get("statenc").map(GraftTable.StatsEnc.decode(_).toMap)
+        .getOrElse(Map.empty)
+    def ord(c: String, v: Any): Option[Long] =
+      encs.get(c).flatMap(e => GraftTable.StatsEnc.literalOrdinal(e, v))
+    val statCols: Set[String] = headers.get("stats")
+      .map(s => GraftTable.TableStats.decode(s).cols.toSet)
+      .getOrElse(Set.empty)
+    val bands: Seq[GraftTable.Band] = preds.flatMap {
+      case sources.EqualTo(c, v) =>
+        ord(c, v).map(o => GraftTable.RangeBand(c, o, o))
+      case sources.GreaterThan(c, v) =>
+        ord(c, v).map(o => GraftTable.RangeBand(c, o, Long.MaxValue))
+      case sources.GreaterThanOrEqual(c, v) =>
+        ord(c, v).map(o => GraftTable.RangeBand(c, o, Long.MaxValue))
+      case sources.LessThan(c, v) =>
+        ord(c, v).map(o => GraftTable.RangeBand(c, Long.MinValue, o))
+      case sources.LessThanOrEqual(c, v) =>
+        ord(c, v).map(o => GraftTable.RangeBand(c, Long.MinValue, o))
+      case sources.In(c, vs) if vs.nonEmpty =>
+        val os = vs.toSeq.map(ord(c, _))
+        if (os.forall(_.isDefined))
+          Some(GraftTable.RangeBand(c, os.flatten.min, os.flatten.max))
+        else None
+      case sources.IsNull(c) if statCols.contains(c) =>
+        Some(GraftTable.NullBand(c, isNull = true))
+      case sources.IsNotNull(c) if statCols.contains(c) =>
+        Some(GraftTable.NullBand(c, isNull = false))
+      case _ => None
+    }
+    val bandKeep: Option[Set[String]] =
+      if (bands.isEmpty) None
+      else headers.get("stats").map { s =>
+        GraftTable.TableStats.decode(s).matching(bands)
+          .map(f => canonPath(statPath(f.file))).toSet
+      }
+
+    // ---- Bloom probes (equality / IN on any indexed column) ----
+    val bloomKeep: Option[Set[String]] =
+      headers.get("bloom").flatMap { b =>
+        val cols = GraftTable.bloomColsOf(b).toSet
+        val probes: Seq[(String, Seq[Any])] = preds.collect {
+          case sources.EqualTo(c, v) if cols(c) => (c, Seq(v))
+          case sources.In(c, vs) if cols(c) && vs.nonEmpty => (c, vs.toSeq)
+        }
+        if (probes.isEmpty) None
+        else scala.util.Try {
+          val perDir =
+            GraftTable.perDirBlooms(fs, dir, snapshotVersion, prefixV)._1
+          // IN = union over the probed values; conjuncts (and distinct
+          // probed columns) intersect below
+          probes.map { case (c, vs) =>
+            perDir.flatMap { case (dd, tbs) =>
+              val tb = tbs.find(_.col == c).getOrElse(sys.error(
+                s"chain dir $dd has no Bloom section on '$c'"))
+              vs.flatMap(v => tb.mightContain(
+                GraftTable.bloomPositions(v, tb.m, tb.k)))
+                .map(f => canonPath(s"$dd/$f"))
+            }.toSet
+          }.reduce(_ intersect _)
+        }.toOption // an unprobeable literal type ⇒ no pruning, never a guess
+      }
+
+    (bandKeep, bloomKeep) match {
+      case (None, None) => None
+      case (a, b) =>
+        val s = (a.toSeq ++ b.toSeq).reduce(_ intersect _)
+        Some(s.contains)
+    }
+  }
+
   override def name(): String = s"graft.`$dir`@v$snapshotVersion"
   override def schema(): StructType = fullSchema
   override def partitioning(): Array[Transform] =
@@ -296,95 +392,7 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
     val ps = inner.build()
     val out = StructType(
       ps.readSchema().fields.filter(f => requestedNames.contains(f.name)))
-    new GraftScan(ps, out, table, manifestKeep(pushedV1), options)
-  }
-
-  /** Conjunctive manifest verdict from the pushed V1 filters: the
-    * canonical-path keep-set, or None when no index applies (full
-    * scan). File-granularity and CONSERVATIVE throughout — false
-    * positives only ever open an extra file (the row-level predicate
-    * still runs above the scan); a predicate the manifest cannot decide
-    * soundly contributes nothing. */
-  private def manifestKeep(pushed: Array[sources.Filter])
-      : Option[String => Boolean] = {
-    // flatten the implicit conjunction (the array) plus nested Ands
-    def conjuncts(f: sources.Filter): Seq[sources.Filter] = f match {
-      case sources.And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val preds = pushed.toSeq.flatMap(conjuncts)
-
-    // ---- stats bands (statenc-declared columns only) ----
-    val encs: Map[String, String] =
-      table.headers.get("statenc").map(GraftTable.StatsEnc.decode(_).toMap)
-        .getOrElse(Map.empty)
-    def ord(c: String, v: Any): Option[Long] =
-      encs.get(c).flatMap(e => GraftTable.StatsEnc.literalOrdinal(e, v))
-    val statCols: Set[String] = table.headers.get("stats")
-      .map(s => GraftTable.TableStats.decode(s).cols.toSet)
-      .getOrElse(Set.empty)
-    val bands: Seq[GraftTable.Band] = preds.flatMap {
-      case sources.EqualTo(c, v) =>
-        ord(c, v).map(o => GraftTable.RangeBand(c, o, o))
-      case sources.GreaterThan(c, v) =>
-        ord(c, v).map(o => GraftTable.RangeBand(c, o, Long.MaxValue))
-      case sources.GreaterThanOrEqual(c, v) =>
-        ord(c, v).map(o => GraftTable.RangeBand(c, o, Long.MaxValue))
-      case sources.LessThan(c, v) =>
-        ord(c, v).map(o => GraftTable.RangeBand(c, Long.MinValue, o))
-      case sources.LessThanOrEqual(c, v) =>
-        ord(c, v).map(o => GraftTable.RangeBand(c, Long.MinValue, o))
-      case sources.In(c, vs) if vs.nonEmpty =>
-        val os = vs.toSeq.map(ord(c, _))
-        if (os.forall(_.isDefined))
-          Some(GraftTable.RangeBand(c, os.flatten.min, os.flatten.max))
-        else None
-      case sources.IsNull(c) if statCols.contains(c) =>
-        Some(GraftTable.NullBand(c, isNull = true))
-      case sources.IsNotNull(c) if statCols.contains(c) =>
-        Some(GraftTable.NullBand(c, isNull = false))
-      case _ => None
-    }
-    val bandKeep: Option[Set[String]] =
-      if (bands.isEmpty) None
-      else table.headers.get("stats").map { s =>
-        GraftTable.TableStats.decode(s).matching(bands)
-          .map(f => table.canonPath(table.statPath(f.file))).toSet
-      }
-
-    // ---- Bloom probes (equality / IN on any indexed column) ----
-    val bloomKeep: Option[Set[String]] =
-      table.headers.get("bloom").flatMap { b =>
-        val cols = GraftTable.bloomColsOf(b).toSet
-        val probes: Seq[(String, Seq[Any])] = preds.collect {
-          case sources.EqualTo(c, v) if cols(c) => (c, Seq(v))
-          case sources.In(c, vs) if cols(c) && vs.nonEmpty => (c, vs.toSeq)
-        }
-        if (probes.isEmpty) None
-        else scala.util.Try {
-          val fs = GraftTable.fsOf(spark, table.dir)
-          val perDir =
-            GraftTable.perDirBlooms(fs, table.dir, table.snapshotVersion, "v")._1
-          // IN = union over the probed values; conjuncts (and distinct
-          // probed columns) intersect below
-          probes.map { case (c, vs) =>
-            perDir.flatMap { case (dd, tbs) =>
-              val tb = tbs.find(_.col == c).getOrElse(sys.error(
-                s"chain dir $dd has no Bloom section on '$c'"))
-              vs.flatMap(v => tb.mightContain(
-                GraftTable.bloomPositions(v, tb.m, tb.k)))
-                .map(f => table.canonPath(s"$dd/$f"))
-            }.toSet
-          }.reduce(_ intersect _)
-        }.toOption // an unprobeable literal type ⇒ no pruning, never a guess
-      }
-
-    (bandKeep, bloomKeep) match {
-      case (None, None) => None
-      case (a, b) =>
-        val s = (a.toSeq ++ b.toSeq).reduce(_ intersect _)
-        Some(s.contains)
-    }
+    new GraftScan(ps, out, table, table.manifestVerdict(pushedV1), options)
   }
 }
 
@@ -397,10 +405,38 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
     table: GraftSparkTable, keep: Option[String => Boolean],
     scanOptions: CaseInsensitiveStringMap =
       CaseInsensitiveStringMap.empty())
-    extends Scan with Batch with SupportsReportStatistics with SupportsMetadata {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsMetadata
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
+
+  // ---- RUNTIME file skipping (the DSv2 dynamic-pruning protocol):
+  // joining this scan against a selective build side hands the build
+  // side's key values here as IN filters BEFORE partitions plan, and
+  // the same manifest verdict — Bloom probes, statenc bands — prunes
+  // files per VALUE SET at runtime, not just per literal at compile
+  // time. The 100 TB star-join lever: a fact scan opens only the files
+  // that can hold the dimension slice's keys.
+  @volatile private var runtimeKeep: Option[String => Boolean] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    table.prunableCols.map(Expressions.column).toArray
+
+  override def filter(filters: Array[sources.Filter]): Unit =
+    runtimeKeep = table.manifestVerdict(filters)
+
+  /** Observability hook for the runtime-pruning spec. */
+  private[graft] def runtimePruned: Boolean = runtimeKeep.isDefined
+
+  private def effectiveKeep: Option[String => Boolean] =
+    (keep, runtimeKeep) match {
+      case (None, None) => None
+      case (a, b) =>
+        Some(p => a.forall(_(p)) && b.forall(_(p)))
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // manifest pruning applies HERE, scan-locally: drop skipped files
@@ -408,7 +444,7 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
     // only ever see what the partitions name), then repack per dir when
     // a scoped DV binds tombstones to chain dirs
     val all = inner.toBatch.planInputPartitions()
-    val base = keep match {
+    val base = effectiveKeep match {
       case None => all
       case Some(k) => all.flatMap {
         case fp: FilePartition =>

@@ -889,6 +889,52 @@ class Round15Spec extends SparkSpec {
       s"rewrites must refuse: ${e.getMessage.take(300)}")
   }
 
+  test("dsv2 runtime filtering: a broadcast join's keys prune files at execution") {
+    val dir = freshDir("dsv2rf")
+    val o = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).repartition(6)
+    GraftTable.commitNextIsolated(spark, dir, o, "bloomed",
+      bloomCol = Some("o_custkey"))
+    // the dim's selective predicate is on a NON-key column (a filter
+    // on the join key itself constant-folds into a static pushed
+    // filter — nothing left to prune dynamically)
+    val key = o.agg(min(col("o_custkey"))).head().getLong(0)
+    val nameOf = T.t(spark, sf, "customer")
+      .where(col("c_custkey") === key).select("c_name").head().getString(0)
+    val dim = T.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .where(col("c_name") === nameOf)
+
+    val t = spark.read.format("graft").load(dir)
+    val j = t.join(dim, t("o_custkey") === dim("c_custkey"))
+    val n = j.collect().length.toLong
+    assert(n == o.where(col("o_custkey") === key).count() && n > 0)
+
+    // the executed plan carried runtime filters into the scan, and the
+    // scan's manifest verdict fired on the build side's key values
+    val plan = j.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case other => other.collect {
+        case b: BatchScanExec => Seq(b)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case r: org.apache.spark.sql.execution.ReusedSubqueryExec => Nil
+      }.flatten
+    }
+    val graftScans = scans(plan)
+      .filter(_.scan.isInstanceOf[graft.sources.GraftScan])
+    assert(graftScans.nonEmpty, s"no graft scan in: $plan")
+    assert(graftScans.exists(_.runtimeFilters.nonEmpty),
+      s"the join must inject runtime filters into the graft scan: $plan")
+    assert(graftScans.exists(
+      _.scan.asInstanceOf[graft.sources.GraftScan].runtimePruned),
+      "the scan's manifest verdict must have fired at runtime")
+  }
+
   private def withConf[A](kvs: (String, String)*)(f: => A): A = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
