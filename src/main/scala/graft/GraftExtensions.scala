@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // row-level-operation rewrite refuses the non-row-level table
     ext.injectResolutionRule(session =>
       graft.plans.MergeIntoGraftRule(session))
+    // SQL UPDATE / DELETE over graft DSv2 targets — same recipe,
+    // routed through the merge-on-read engines (no base-file rewrite)
+    ext.injectResolutionRule(session =>
+      graft.plans.UpdateDeleteGraftRule(session))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, MonotonicallyIncreasingID}
 import org.apache.spark.sql.catalyst.plans.FullOuter
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, Join, JoinHint, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -79,11 +79,44 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
     // merge condition and action expressions bind unchanged
     val tMark = Alias(Literal(true), "__t_exists")()
     val sMark = Alias(Literal(true), "__s_exists")()
+    // a per-target-row identity for the cardinality check below —
+    // partition-id + offset, stable within one execution, never output
+    val tId = Alias(MonotonicallyIncreasingID(), "__t_id")()
     val joined = Join(
-      Project(tOut :+ tMark, target),
+      Project(tOut :+ tMark :+ tId, target),
       Project(sOut :+ sMark, source),
       FullOuter, Some(merge.mergeCondition), JoinHint.NONE)
     val jdf = GraftSqlBridge.ofRows(spark, joined)
+
+    // SQL-standard CARDINALITY check: a target row matched by several
+    // source rows would be silently duplicated (or multiply-updated) in
+    // the committed snapshot — raise instead, like the standard and
+    // every lake engine. The one sound carve-out (the Delta rule): a
+    // sole unconditional WHEN MATCHED THEN DELETE, where every match
+    // drops the row and multiplicity cannot corrupt. The check is one
+    // bounded aggregation over the matched slice of the SAME join;
+    // callers that have proven source-key uniqueness upstream can skip
+    // it explicitly with spark.graft.merge.allowMultipleMatches=true.
+    val allowMulti = spark.conf
+      .getOption("spark.graft.merge.allowMultipleMatches")
+      .exists(_.toBoolean)
+    val deleteOnly = merge.matchedActions match {
+      case Seq(DeleteAction(None)) => true
+      case _ => false
+    }
+    if (!allowMulti && !deleteOnly) {
+      val dup = jdf
+        .where(col("__t_exists").isNotNull && col("__s_exists").isNotNull)
+        .groupBy(col("__t_id")).count()
+        .where(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        "MERGE INTO cardinality violation: a target row matches more " +
+          "than one source row, so the merge result is ambiguous " +
+          "(the same row would be updated/kept once per match). " +
+          "Deduplicate the source on the merge keys, or set " +
+          "spark.graft.merge.allowMultipleMatches=true to accept " +
+          "one-output-per-match semantics deliberately")
+    }
 
     def c(e: Expression): Column = GraftSqlBridge.column(e)
     def nullOf(dt: org.apache.spark.sql.types.DataType): Column =

@@ -71,8 +71,31 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       case (Some(vs), None) => vs.toIntOption.getOrElse(
         sys.error(s"version must be an integer (got '$vs')"))
       case (None, Some(ts)) =>
-        val asOfMs = ts.toLongOption.getOrElse(sys.error(
-          s"timestampAsOf must be epoch milliseconds (got '$ts')"))
+        // accept epoch millis OR a timestamp string (session zone) —
+        // and refuse implausibly large longs that look like epoch
+        // MICROseconds (the catalog's SQL door takes micros, so a user
+        // porting reader code would otherwise silently resolve a
+        // far-future version instead of the one they asked for)
+        val asOfMs = ts.toLongOption match {
+          case Some(ms) =>
+            require(ms < 100000000000000L,
+              s"timestampAsOf=$ts is implausibly large for epoch " +
+                "MILLIseconds (year 5138+) — that looks like epoch " +
+                "microseconds; divide by 1000, or pass a timestamp " +
+                "string like '2026-08-15 12:00:00'")
+            ms
+          case None =>
+            val zone = java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone)
+            val s0 = ts.trim.replace(' ', 'T')
+            scala.util.Try(java.time.LocalDateTime.parse(s0))
+              .orElse(scala.util.Try(
+                java.time.LocalDate.parse(ts.trim).atStartOfDay))
+              .map(_.atZone(zone).toInstant.toEpochMilli)
+              .getOrElse(sys.error(
+                s"timestampAsOf must be epoch milliseconds or a " +
+                  s"timestamp 'yyyy-MM-dd[ HH:mm:ss[.SSS]]' (got '$ts')"))
+        }
         GraftTable.versionAsOf(fs, dir, asOfMs).getOrElse(sys.error(
           s"no version of $dir was committed at or before $asOfMs"))
       case (None, None) =>

@@ -1611,6 +1611,16 @@ object GraftTable {
     // header read): round-trips byte-identically today, and keeps this
     // path correct if the data= encoding ever changes
     val data = dataDirsFrom(hdrs, cur, prefix).mkString(",")
+    // a predecessor DV must share this delete's key identity (the
+    // tombstone sets union) — refuse pointedly instead of surfacing a
+    // union schema error from deep inside the write
+    hdrs.get("dv").foreach { spec =>
+      val prevKeys = spec.split(";", -1)(1).split(",").toSeq
+      require(prevKeys == keyCols,
+        s"the current version's deletion vector is keyed by $prevKeys " +
+          s"but this delete keys by $keyCols — purgeDeleteVector first, " +
+          "or delete through the door whose keys match the recorded ones")
+    }
     val v = cur + 1
     val dvDir = s"dv${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     import org.apache.spark.sql.functions.col
@@ -1673,14 +1683,29 @@ object GraftTable {
       cond: org.apache.spark.sql.Column,
       sets: Seq[(String, org.apache.spark.sql.Column)],
       metadata: String = "", prefix: String = "v"): Int = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
     require(keyCols.nonEmpty, "commitUpdate needs at least one key column")
-    require(keyCols.forall(c => !c.contains(",") && !c.contains(";")),
-      s"key column names must not contain the dv= header delimiters: $keyCols")
     require(sets.nonEmpty, "commitUpdate needs at least one SET column")
     sets.foreach { case (c, _) => require(!keyCols.contains(c),
       s"cannot SET key column '$c' — keys are the update's identity; " +
         "re-key via a rewrite commit instead") }
+    commitUpdateImpl(spark, dir, Some(keyCols), cond, sets, metadata, prefix)
+  }
+
+  /** The MoR-update engine behind both doors. `keyColsOpt = None` is
+    * the SQL `UPDATE` door's FULL-ROW identity: every column keys the
+    * tombstone, so the matched OLD rows die by exact value within their
+    * dir and the replacement rows (whose SET columns differ) survive in
+    * theirs — semantically exact with NO uniqueness contract (identical
+    * duplicate rows all match the same deterministic condition, and
+    * each contributes its own replacement). The trade: a full-row DV
+    * forces the scan to read every column until the DV is purged, so
+    * declared-key updates (the API door) stay the narrow-probe path. */
+  private[graft] def commitUpdateImpl(spark: SparkSession, dir: String,
+      keyColsOpt: Option[Seq[String]],
+      cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      metadata: String = "", prefix: String = "v"): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val fs = fsOf(spark, dir)
     val cur = currentVersion(fs, dir).getOrElse(
       sys.error(s"no committed version under $dir to update"))
@@ -1713,6 +1738,20 @@ object GraftTable {
       spark.read.parquet(s"$dir/$dd")
         .withColumn("__gdir", lit(dirBasename(dd)))
     }.reduce(_ unionByName _)
+    val outCols = withDir.columns.filterNot(_ == "__gdir").toSeq
+    val keyCols = keyColsOpt.getOrElse(outCols)
+    require(keyCols.forall(c => !c.contains(",") && !c.contains(";")),
+      s"key column names must not contain the dv= header delimiters: $keyCols")
+    // a predecessor DV must share this update's key identity (tombstone
+    // sets UNION across versions) — a mismatch would otherwise surface
+    // as a schema error deep inside the union; refuse pointedly instead
+    hdrs.get("dv").foreach { spec =>
+      val prevKeys = spec.split(";", -1)(1).split(",").toSeq
+      require(prevKeys == keyCols,
+        s"the current version's deletion vector is keyed by $prevKeys " +
+          s"but this update keys by $keyCols — purgeDeleteVector first, " +
+          "or update through the door whose keys match the recorded ones")
+    }
     val prevTombs: Option[DataFrame] = hdrs.get("dv").map { spec =>
       val parts = spec.split(";", -1)
       val dvd = spark.read.parquet(s"$dir/${parts(0)}")
@@ -1725,7 +1764,6 @@ object GraftTable {
       withDir.join(broadcast(tb.withColumnRenamed("__dir", "__gdir")),
         keyCols :+ "__gdir", "left_anti"))
 
-    val outCols = withDir.columns.filterNot(_ == "__gdir").toSeq
     val matched = live.filter(cond)
     val replacements = sets.foldLeft(matched) { case (df, (c, v)) =>
       df.withColumn(c, v.cast(df.schema(c).dataType))
@@ -2067,6 +2105,16 @@ object GraftTable {
         "this table is partition-mapped — write through " +
           "replacePartitionsWithRetry (a plain DSv2 write would drop " +
           "the value→dir map)")
+      // overwrite refuses too (not just append): the staged dir is
+      // FLAT, so committing it over a partitionBy version would
+      // silently drop the table's partition layout — the same loud
+      // posture as the pmap refusal above; re-layout deliberately
+      // through commitNextIsolated(partitionBy = …)
+      require(!h.contains("partby") || append,
+        "this table carries a partitionBy layout — a DSv2 overwrite " +
+          "would silently flatten it; overwrite through " +
+          "commitNextIsolated(partitionBy = …) to keep (or knowingly " +
+          "change) the layout")
       if (append) {
         require(!h.contains("dv"),
           "cannot append onto a version carrying a deletion vector — " +
@@ -2538,7 +2586,24 @@ object GraftTable {
         .map { st => fs.delete(st.getPath, false)
           s"manifest/${st.getPath.getName}" }
       catch { case _: java.io.IOException => Seq.empty }
-    reclaimed ++ litter
+    // Bloom-temp litter: a buildBloomSidecar attempt that crashed
+    // between its temp create and the atomic rename (or a speculative
+    // loser) leaks `._bloomtmp_<uuid>` inside a LIVE data dir —
+    // invisible to scans (dot prefix) but garbage nonetheless, and the
+    // version-named walk above never looks inside referenced dirs. Same
+    // 10-minute floor as the checkpoint temps, so an in-flight build is
+    // never yanked mid-publish.
+    val bloomLitter =
+      try referenced.toSeq.sorted.flatMap { dd =>
+        val p = new Path(s"$dir/$dd")
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq
+          .filter(st => st.getPath.getName.startsWith("._bloomtmp_") &&
+            st.getModificationTime <= tmpCutoff)
+          .map { st => fs.delete(st.getPath, false)
+            s"$dd/${st.getPath.getName}" }
+      } catch { case _: java.io.IOException => Seq.empty }
+    reclaimed ++ litter ++ bloomLitter
   }
 
   /** TIME-BASED retention — the wall-clock companion of `commit`'s
@@ -2865,7 +2930,19 @@ object GraftTable {
     perCol.repartition(1).sortWithinPartitions(col("__ci"), col("__file"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val fs = target.getFileSystem(confSer.conf)
-        val out = fs.create(target, true)
+        // ATOMIC publish: stream into an attempt-unique temp, then
+        // rename into place. The former `fs.create(target, true)` wrote
+        // the landing path directly, so a task retry or speculative
+        // duplicate racing the winner — or any reader arriving inside
+        // the write window — could observe a TRUNCATED sidecar, whose
+        // missing file lines decode as Bloom false negatives that
+        // silently drop rows from pruned reads. With temp + rename,
+        // attempts never interleave (each owns its temp), the rename is
+        // all-or-nothing, and last-complete-writer-wins is correct
+        // because every attempt writes identical bytes.
+        val tmp = new Path(target.getParent,
+          s"._bloomtmp_${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, true)
         val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
           out, java.nio.charset.StandardCharsets.UTF_8), 1 << 20)
         try {
@@ -2886,8 +2963,48 @@ object GraftTable {
             w.write('\n')
           }
         } finally w.close()
+        replaceAtomic(fs, tmp, target)
       }
+    // POST-BUILD READ-BACK GATE: decode the published sidecar and
+    // require exactly the expected shape — one section per indexed
+    // column in declaration order, every data file present in every
+    // section, full-width bit arrays — BEFORE the caller mints a
+    // version whose bloom= header would vouch for it. An incomplete or
+    // torn sidecar is the one defect the probe path cannot detect (a
+    // missing file line reads as "provably absent" = a silent false
+    // negative), so it must be impossible to commit one.
+    auditBloomSidecar(
+      target.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      target, bloomCols, m, k, allFiles.toSet)
     bloomCols.map(c => (c, m, k))
+  }
+
+  /** The read-back audit itself: decode the published sidecar and
+    * require exactly the expected shape, throwing (so no version mints)
+    * on any deviation. Factored out of `buildBloomSidecar` so the
+    * torn-file refusals are directly testable. */
+  private[graft] def auditBloomSidecar(fs: FileSystem, target: Path,
+      bloomCols: Seq[String], m: Int, k: Int,
+      expectFiles: Set[String]): Unit = {
+    val decoded = TableBloom.decodeAll(readSmallFile(fs, target))
+    require(decoded.map(_.col) == bloomCols,
+      s"bloom sidecar read-back: decoded sections ${decoded.map(_.col)} " +
+        s"!= declared columns $bloomCols — refusing to publish a " +
+        "version over an incomplete sidecar")
+    decoded.foreach { tb =>
+      require(tb.m == m && tb.k == k,
+        s"bloom sidecar read-back: section '${tb.col}' decoded " +
+          s"(m=${tb.m}, k=${tb.k}), expected (m=$m, k=$k)")
+      val got = tb.files.map(_._1)
+      require(got.size == expectFiles.size && got.toSet == expectFiles,
+        s"bloom sidecar read-back: section '${tb.col}' covers " +
+          s"${got.size} of ${expectFiles.size} data files " +
+          s"(missing: ${(expectFiles -- got.toSet).take(3).mkString(", ")}…)" +
+          " — a missing line would be a silent false negative")
+      require(tb.files.forall(_._2.length == m / 64),
+        s"bloom sidecar read-back: section '${tb.col}' has a " +
+          "short-width bit array (truncated hex line)")
+    }
   }
 
   /** The bloom= header value for just-built sidecar sections. */

@@ -1,0 +1,265 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+
+/** Round-16 surface: atomic Bloom sidecar publish + read-back gate,
+  * SQL UPDATE/DELETE, the streaming write door, index-preserving DSv2
+  * writes, catalog ALTER TABLE, SQL maintenance, DV binary-key probes. */
+class Round16Spec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val dir = s"target/tmp/r16_${tag}"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  // ---- 1. atomic sidecar publish + read-back gate ----------------------
+
+  test("bloom: build→probe stress loop stays false-negative-free") {
+    // the driver's one-off table_bloom_multicol red was a suspected
+    // torn sidecar publish; this loop rebuilds the index from scratch
+    // repeatedly and audits completeness + probe truth each round
+    val o = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .repartition(6)
+    for (round <- 1 to 6) {
+      val dir = freshDir(s"bloomstress$round")
+      GraftTable.commitNextIsolated(spark, dir, o, s"round $round",
+        bloomCols = Seq("o_custkey", "o_orderpriority"))
+      val fs = GraftTable.fsOf(spark, dir)
+      val hdr = GraftTable.headersOf(fs, dir, 0)("bloom")
+      assert(hdr.split(";").length == 2)
+      // the published sidecar is COMPLETE: every data file in every
+      // section (the read-back gate's own invariant, re-checked cold)
+      val bt = GraftTable.bloomTable(spark, dir, 0).collect()
+      assert(bt.length == 12, s"round $round: expected 6 files × 2 cols")
+      // truth check on a sample of keys: no false negative anywhere
+      val truth = GraftTable.read(spark, dir)
+        .select(col("o_custkey"), input_file_name().as("f"))
+        .distinct().limit(40).collect()
+        .map(r => (r.get(0), new java.net.URI(r.getString(1)).getPath))
+      truth.groupBy(_._1).take(8).foreach { case (v, pairs) =>
+        val (_, hit, total) = GraftTable.readBloomEq(
+          spark, dir, 0, "o_custkey", v)
+        assert(total == 6)
+        val hitCanon = hit.map(p => fs.makeQualified(new Path(p))
+          .toUri.normalize().getPath).toSet
+        assert(pairs.map(_._2).toSet.subsetOf(hitCanon),
+          s"round $round: false negative probing o_custkey = $v")
+      }
+    }
+  }
+
+  test("bloom: the read-back gate refuses torn or incomplete sidecars") {
+    val dir = freshDir("bloomgate")
+    val o = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).repartition(4)
+    GraftTable.commitNextIsolated(spark, dir, o, "bloomed",
+      bloomCol = Some("o_custkey"))
+    val fs = GraftTable.fsOf(spark, dir)
+    val hdrs = GraftTable.headersOf(fs, dir, 0)
+    val Array(_, mS, kS) = hdrs("bloom").split(";")(0).split('|')
+    val (m, k) = (mS.toInt, kS.toInt)
+    val dataDir = hdrs("data")
+    val sidecar = new Path(s"$dir/$dataDir/_bloom")
+    val in = fs.open(sidecar)
+    val full =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val files = full.split("\n").filter(_.split('|').length == 2)
+      .map(l => java.net.URLDecoder.decode(l.split('|')(0), "UTF-8")).toSet
+    assert(files.size == 4)
+
+    // intact sidecar passes the audit
+    GraftTable.auditBloomSidecar(fs, sidecar, Seq("o_custkey"), m, k, files)
+
+    def overwrite(content: String): Unit = {
+      val out = fs.create(sidecar, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // (a) a missing file line — the silent-false-negative shape
+    overwrite(full.linesIterator.toSeq.dropRight(1).mkString("\n"))
+    val eA = intercept[IllegalArgumentException] {
+      GraftTable.auditBloomSidecar(fs, sidecar, Seq("o_custkey"), m, k, files)
+    }
+    assert(eA.getMessage.contains("covers"))
+    // (b) a truncated hex line (torn mid-write)
+    overwrite(full.trim.dropRight(32))
+    val eB = intercept[IllegalArgumentException] {
+      GraftTable.auditBloomSidecar(fs, sidecar, Seq("o_custkey"), m, k, files)
+    }
+    assert(eB.getMessage.contains("short-width") ||
+      eB.getMessage.contains("covers"))
+    // (c) a wrong/missing section
+    overwrite(full)
+    val eC = intercept[IllegalArgumentException] {
+      GraftTable.auditBloomSidecar(fs, sidecar,
+        Seq("o_custkey", "o_orderkey"), m, k, files)
+    }
+    assert(eC.getMessage.contains("sections"))
+  }
+
+  test("bloom: a stale ._bloomtmp_ temp is vacuumed, a fresh one kept") {
+    val dir = freshDir("bloomlitter")
+    val o = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
+    GraftTable.commitNextIsolated(spark, dir, o, "bloomed",
+      bloomCol = Some("n_nationkey"))
+    val fs = GraftTable.fsOf(spark, dir)
+    val dataDir = GraftTable.headersOf(fs, dir, 0)("data")
+    // a crashed attempt's leftover temp, backdated past the 10-min floor
+    val stale = new Path(s"$dir/$dataDir/._bloomtmp_deadbeef")
+    fs.create(stale, true).close()
+    val old = System.currentTimeMillis() - 11 * 60 * 1000L
+    fs.setTimes(stale, old, old)
+    // an in-flight attempt's fresh temp must survive
+    val freshTmp = new Path(s"$dir/$dataDir/._bloomtmp_cafebabe")
+    fs.create(freshTmp, true).close()
+
+    val reclaimed = GraftTable.vacuum(fs, dir, graceMs = 0L)
+    assert(reclaimed.exists(_.endsWith("._bloomtmp_deadbeef")),
+      s"stale bloom temp not reclaimed: $reclaimed")
+    assert(!fs.exists(stale))
+    assert(fs.exists(freshTmp), "fresh in-flight temp must not be yanked")
+    assert(fs.exists(new Path(s"$dir/$dataDir/_bloom")),
+      "the published sidecar itself must never be reclaimed")
+    // probes still serve after the vacuum
+    // int32 column → Int probe (xxhash64 hashes type-tagged bytes)
+    val (df, _, _) = GraftTable.readBloomEq(spark, dir, 0, "n_nationkey", 7)
+    assert(df.where(col("n_nationkey") === 7).count() == 1)
+  }
+
+  // ---- 2. SQL UPDATE / DELETE --------------------------------------------
+
+  private def withCatalog(name: String): Unit =
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.GraftCatalog].getName)
+
+  /** (name, length, mtime) of every data file under `$dir/$dd` — the
+    * byte-identity witness for MoR fast-path claims. */
+  private def fileSigs(dir: String, dd: String): Seq[(String, Long, Long)] = {
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.listStatus(new Path(s"$dir/$dd")).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1)
+  }
+
+  test("sql: UPDATE takes the MoR fast path — dv + replacement, base intact") {
+    val dir = freshDir("sqlupdate")
+    val base = T.t(spark, sf, "customer")
+      .select(col("c_custkey").as("key"), T.dec(col("c_acctbal")).as("bal"))
+      .repartition(3)
+    GraftTable.commitNextIsolated(spark, dir, base, "base")
+    val fs = GraftTable.fsOf(spark, dir)
+    val baseDir = GraftTable.headersOf(fs, dir, 0)("data")
+    val before = fileSigs(dir, baseDir)
+
+    withCatalog("gt16")
+    val abs = new java.io.File(dir).getAbsolutePath
+    spark.sql(s"UPDATE gt16.`$abs` SET bal = bal * 2 WHERE key % 5 = 0")
+
+    // MoR shape: the new version re-references the base dir UNCHANGED,
+    // adds a replacement dir, and carries a scoped full-row dv
+    val h1 = GraftTable.headersOf(fs, dir, 1)
+    assert(h1("data").split(",").head == baseDir)
+    assert(h1.contains("update"), "UPDATE must mint a replacement dir")
+    assert(h1("dv").endsWith(";scoped"))
+    assert(h1("dv").split(";")(1).split(",").toSeq ==
+      Seq("key", "bal"), "SQL UPDATE keys the tombstone by FULL ROW")
+    assert(fileSigs(dir, baseDir) == before,
+      "base files must be byte-identical (no rewrite)")
+
+    // row truth, both snapshots
+    val expect1 = base
+      .withColumn("bal", when(col("key") % 5 === 0, col("bal") * 2)
+        .otherwise(col("bal")).cast(base.schema("bal").dataType))
+    val got1 = GraftTable.read(spark, dir)
+    assert(got1.count() == base.count())
+    assert(got1.exceptAll(expect1).isEmpty && expect1.exceptAll(got1).isEmpty)
+    val got0 = GraftTable.readVersion(spark, dir, 0)
+    assert(got0.exceptAll(base).isEmpty && base.exceptAll(got0).isEmpty)
+  }
+
+  test("sql: DELETE takes the MoR fast path and composes after UPDATE") {
+    val dir = freshDir("sqldelete")
+    val base = T.t(spark, sf, "orders")
+      .select(col("o_orderkey").as("key"), col("o_orderstatus").as("st"),
+        T.dec(col("o_totalprice")).as("price"))
+    GraftTable.commitNextIsolated(spark, dir, base, "base")
+    val fs = GraftTable.fsOf(spark, dir)
+    val baseDir = GraftTable.headersOf(fs, dir, 0)("data")
+    val before = fileSigs(dir, baseDir)
+
+    withCatalog("gt16")
+    val abs = new java.io.File(dir).getAbsolutePath
+    spark.sql(s"DELETE FROM gt16.`$abs` WHERE st = 'F'")
+    val h1 = GraftTable.headersOf(fs, dir, 1)
+    assert(h1.contains("dv") && !h1.contains("update"))
+    assert(fileSigs(dir, baseDir) == before)
+    val live1 = GraftTable.read(spark, dir)
+    assert(live1.count() == base.where(col("st") =!= "F").count())
+
+    // UPDATE after DELETE: full-row identities agree, the chains compose
+    spark.sql(s"UPDATE gt16.`$abs` SET price = price + 1 WHERE key % 7 = 0")
+    val live2 = GraftTable.read(spark, dir)
+    val expect2 = base.where(col("st") =!= "F")
+      .withColumn("price", when(col("key") % 7 === 0, col("price") + 1)
+        .otherwise(col("price")).cast(base.schema("price").dataType))
+    assert(live2.exceptAll(expect2).isEmpty && expect2.exceptAll(live2).isEmpty)
+
+    // a second DELETE composes too, and a deleted row stays dead
+    spark.sql(s"DELETE FROM gt16.`$abs` WHERE key % 3 = 0")
+    val live3 = GraftTable.read(spark, dir)
+    val expect3 = expect2.where(col("key") % 3 =!= 0)
+    assert(live3.exceptAll(expect3).isEmpty && expect3.exceptAll(live3).isEmpty)
+  }
+
+  test("sql: UPDATE handles duplicate rows and set-column conditions exactly") {
+    val dir = freshDir("sqldup")
+    import spark.implicits._
+    // duplicates by full row AND rows differing only in the SET column:
+    // the shapes that break key-based identity are exact under full-row
+    val rows = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, -5L), (2L, -5L),
+      (3L, 7L)).toDF("k", "v").repartition(2)
+    GraftTable.commitNextIsolated(spark, dir, rows, "base")
+    withCatalog("gt16")
+    val abs = new java.io.File(dir).getAbsolutePath
+    // condition ON the set column — unsound for non-unique narrow keys,
+    // exact here
+    spark.sql(s"UPDATE gt16.`$abs` SET v = 0 WHERE v < 0")
+    val got = GraftTable.read(spark, dir).as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 0L),
+      (2L, 0L), (3L, 7L)), s"got ${got.toSeq}")
+
+    spark.sql(s"DELETE FROM gt16.`$abs` WHERE k = 1 AND v = 10")
+    val got2 = GraftTable.read(spark, dir).as[(Long, Long)].collect().sorted
+    assert(got2.toSeq == Seq((1L, 20L), (2L, 0L), (2L, 0L), (3L, 7L)))
+  }
+
+  test("sql: UPDATE/DELETE refusals are loud") {
+    val dir = freshDir("sqldmlrefuse")
+    val n = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
+    GraftTable.commitNextIsolated(spark, dir, n, "bloomed",
+      bloomCol = Some("n_nationkey"))
+    withCatalog("gt16")
+    val abs = new java.io.File(dir).getAbsolutePath
+    // an indexed target refuses UPDATE (stats/bloom cannot ride a dv)
+    val e1 = intercept[Exception] {
+      spark.sql(s"UPDATE gt16.`$abs` SET n_name = 'X' WHERE n_nationkey = 1")
+    }
+    assert(e1.getMessage.contains("skipping index"), e1.getMessage)
+    // non-deterministic conditions refuse (full-row identity contract)
+    val dir2 = freshDir("sqldmlrand")
+    GraftTable.commitNextIsolated(spark, dir2, n, "plain")
+    val abs2 = new java.io.File(dir2).getAbsolutePath
+    val e2 = intercept[Exception] {
+      spark.sql(s"DELETE FROM gt16.`$abs2` WHERE rand() < 0.5")
+    }
+    assert(e2.getMessage.contains("deterministic"), e2.getMessage)
+  }
+}
