@@ -53,6 +53,43 @@ object Round16Ops {
       snap(0).unionByName(snap(1)).orderBy("version", "key")
     }),
 
+    // The STREAMING write door closing the lakehouse loop table to
+    // table: a 3-version append history streams OUT of one graft table
+    // (maxVersionsPerTrigger=1 → one epoch per source version) and INTO
+    // another via writeStream.format("graft") under Trigger.AvailableNow
+    // — each epoch an atomic append commit keyed by epoch=<id>. The
+    // batch fixpoint (every source row, exactly once) and the version
+    // count both sit inside the hash: a dropped/duplicated epoch flips
+    // rows, a replay minting a version (or AvailableNow degrading to
+    // one mega-batch) flips n_versions.
+    "table_stream_write" -> ((s, d) => {
+      val src = freshDir(s, d, "swsrc")
+      val sink = freshDir(s, d, "swsink")
+      val ckpt = freshDir(s, d, "swckpt")
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        money(dec(col("o_totalprice"))).as("price"))
+      GraftTable.commitNextIsolated(s, src,
+        o.where(pmod(col("o_orderkey"), lit(3)) === 0), "chunk 0")
+      GraftTable.commitAppend(s, src,
+        o.where(pmod(col("o_orderkey"), lit(3)) === 1), "chunk 1")
+      GraftTable.commitAppend(s, src,
+        o.where(pmod(col("o_orderkey"), lit(3)) === 2), "chunk 2")
+      val q = s.readStream.format("graft")
+        .option("maxVersionsPerTrigger", 1)
+        .load(new java.io.File(src).getAbsolutePath)
+        .writeStream.format("graft")
+        .option("path", new java.io.File(sink).getAbsolutePath)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nv = GraftTable.versions(GraftTable.fsOf(s, sink), sink).size
+      GraftTable.read(s, sink)
+        .select(col("o_orderkey"), col("o_custkey"), col("price"),
+          lit(nv).as("n_versions"))
+        .orderBy("o_orderkey")
+    }),
+
     // SQL DELETE, twice-composed: status-F rows die at v1, the
     // high-price band additionally at v2 — each version a MoR commit
     // whose full-row tombstones must kill exactly the matched rows
@@ -88,6 +125,12 @@ object Round16Ops {
         s"${oMoney(s"CAST(CASE WHEN key % 5 = 0 THEN bal * 2 ELSE bal END " +
           "AS DECIMAL(12,2))")} AS bal FROM base " +
         "ORDER BY version, key"),
+
+    // every order exactly once, three epochs = three sink versions
+    "table_stream_write" ->
+      (s"SELECT o_orderkey, o_custkey, " +
+        s"${oMoney(oDec("o_totalprice"))} AS price, 3 AS n_versions " +
+        "FROM orders ORDER BY o_orderkey"),
 
     // table_delete_dv's replay (sans purge), driven from SQL
     "table_delete_sql" -> {

@@ -352,7 +352,7 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(exists,
@@ -685,25 +685,26 @@ private[graft] class GraftWriteBuilder(spark: SparkSession,
   }
 
   override def build(): org.apache.spark.sql.connector.write.Write = {
-    val fs = GraftTable.fsOf(spark, table.dir)
-    val cur = GraftTable.currentVersion(fs, table.dir)
-    // fail BEFORE the distributed job, like every API write path
+    // fail BEFORE any distributed job, like every API write path
+    // (streaming epochs additionally re-gate per commit — the chain's
+    // headers can change between epochs)
     GraftTable.dsv2WriteGate(spark, table.dir, info.schema(),
       append = !overwrite)
-    val staged = s"v${cur.map(_ + 1).getOrElse(0)}_" +
-      java.util.UUID.randomUUID().toString.take(8)
-    val stagingPath = s"${table.dir}/$staged"
-    val innerTable = org.apache.spark.sql.execution.datasources.v2.parquet
-      .ParquetTable(s"graft-stage:$stagingPath", spark, info.options(),
-        Seq(stagingPath), Some(info.schema()),
-        classOf[org.apache.spark.sql.execution.datasources
-          .parquet.ParquetFileFormat])
-    val innerWrite = innerTable.newWriteBuilder(info).build()
     val doOverwrite = overwrite
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite = {
-        val inner = innerWrite.toBatch
+        val fs = GraftTable.fsOf(spark, table.dir)
+        val cur = GraftTable.currentVersion(fs, table.dir)
+        val staged = s"v${cur.map(_ + 1).getOrElse(0)}_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val stagingPath = s"${table.dir}/$staged"
+        val innerTable = org.apache.spark.sql.execution.datasources.v2.parquet
+          .ParquetTable(s"graft-stage:$stagingPath", spark, info.options(),
+            Seq(stagingPath), Some(info.schema()),
+            classOf[org.apache.spark.sql.execution.datasources
+              .parquet.ParquetFileFormat])
+        val inner = innerTable.newWriteBuilder(info).build().toBatch
         new org.apache.spark.sql.connector.write.BatchWrite {
           override def createBatchWriterFactory(
               p: org.apache.spark.sql.connector.write.PhysicalWriteInfo) =
@@ -726,9 +727,134 @@ private[graft] class GraftWriteBuilder(spark: SparkSession,
           }
         }
       }
+
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite = {
+        require(!doOverwrite,
+          "graft streaming writes support OutputMode.Append only — " +
+            "Complete/Update modes would rewrite the snapshot per " +
+            "epoch; fold state through GraftTable.streamingSink instead")
+        new GraftStreamingWrite(spark, table.dir, info.schema())
+      }
     }
   }
 }
+
+/** The STREAMING write door:
+  * `df.writeStream.format("graft").option("path", dir)` — every
+  * micro-batch epoch becomes one atomically-published APPEND version,
+  * exactly once across restarts.
+  *
+  * The rows are written EXECUTOR-SIDE by Spark's own parquet
+  * `OutputWriter` (the factory `ParquetFileFormat.prepareWrite`
+  * returns — codec, schema conversion and committer conf identical to
+  * every batch write) into a run-unique per-epoch staging dir; each
+  * task streams its partition straight to a temp file and publishes it
+  * by rename when the commit coordinator elects that attempt, so a
+  * speculative or zombie duplicate can never land a second copy of a
+  * partition. The engine's epoch-level `commit` then runs the manifest
+  * half (`commitEpochStaged`): replay-detecting (`epoch=<id>` commit
+  * metadata — a restarted query re-delivering its last batch publishes
+  * NOTHING and the duplicate staged dir is deleted), append-committing
+  * the staged dir onto the current chain. The sink table is itself a
+  * valid streaming SOURCE (append-only history), closing the
+  * table-to-table pipeline loop. */
+private[graft] class GraftStreamingWrite(spark: SparkSession, dir: String,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  // run-unique: a restarted query stages under fresh names, so a crash
+  // window can never interleave two runs' files in one dir (orphans of
+  // the dead run are vacuum-reclaimable `ep…` dirs)
+  private val uid = java.util.UUID.randomUUID().toString.take(8)
+  private def stagedName(epochId: Long) = s"ep${epochId}_$uid"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val factory = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    val fs = GraftTable.fsOf(spark, dir)
+    val dirAbs = fs.makeQualified(new Path(dir)).toString
+    new GraftEpochWriterFactory(factory, schema,
+      new GraftTable.SerializableHadoopConf(job.getConfiguration),
+      dirAbs, uid)
+  }
+
+  override def useCommitCoordinator: Boolean = true
+
+  override def commit(epochId: Long,
+      msgs: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    GraftTable.commitEpochStaged(spark, dir, epochId,
+      stagedName(epochId), schema)
+    ()
+  }
+
+  override def abort(epochId: Long,
+      msgs: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    GraftTable.fsOf(spark, dir)
+      .delete(new Path(s"$dir/${stagedName(epochId)}"), true)
+    ()
+  }
+}
+
+/** Per-task epoch writer: partition rows → one parquet file in the
+  * epoch's staging dir. Write to an attempt-unique dot-temp, rename to
+  * the attempt-INDEPENDENT final name on coordinator-approved commit —
+  * at most one file per (epoch, partition) can ever be visible, and a
+  * zombie attempt's temp stays invisible to every reader (dot prefix)
+  * until vacuum reclaims the dir. An empty partition publishes no file
+  * at all. */
+private[graft] class GraftEpochWriterFactory(
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    schema: StructType, conf: GraftTable.SerializableHadoopConf,
+    dirAbs: String, uid: String)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+    val hc = new org.apache.hadoop.conf.Configuration(conf.conf)
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID(uid, (epochId % Int.MaxValue).toInt),
+        TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    val ctx = new TaskAttemptContextImpl(hc, attempt)
+    val staged = s"$dirAbs/ep${epochId}_$uid"
+    val ext = factory.getFileExtension(ctx)
+    val tmp = new Path(s"$staged/.eptmp-$partitionId-$taskId$ext")
+    val fin = new Path(s"$staged/part-$partitionId-$epochId$ext")
+    val fs = tmp.getFileSystem(hc)
+    fs.mkdirs(new Path(staged))
+    val w = factory.newInstance(tmp.toString, schema, ctx)
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private var rows = 0L
+      override def write(r: InternalRow): Unit = { w.write(r); rows += 1 }
+      override def commit(): org.apache.spark.sql.connector.write
+          .WriterCommitMessage = {
+        w.close()
+        if (rows == 0L) { fs.delete(tmp, false); GraftEpochMsg(None) }
+        else { fs.rename(tmp, fin); GraftEpochMsg(Some(fin.toString)) }
+      }
+      override def abort(): Unit = {
+        try w.close() catch { case _: Throwable => () }
+        fs.delete(tmp, false)
+        ()
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[graft] case class GraftEpochMsg(path: Option[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 /** Version-number stream offset: the manifest IS the log, so a
   * committed version number is a complete, replayable position. */

@@ -2400,6 +2400,85 @@ object GraftTable {
     }
   }
 
+  /** The STREAMING write door's manifest half: publish an
+    * already-staged epoch dir as the next version, idempotently keyed
+    * by `epochId` — `commitEpoch`'s replay detection applied to the
+    * DSv2 path, where the distributed parquet write has ALREADY
+    * happened (executor-side, through the epoch writer factory) by the
+    * time the engine calls the sink's commit. A detected replay deletes
+    * the freshly-staged duplicate dir and mints nothing (the previous
+    * run's version already holds these rows); an empty epoch (no data
+    * files staged) likewise publishes nothing — an empty dir in the
+    * data= union would break every reader. Append semantics: the new
+    * version re-references the current chain plus the staged dir (CDC
+    * fast path, streaming READS of the sink table, versionDelta all
+    * apply), v0 is the create. Same per-attempt re-gating as
+    * `commitStagedDsv2` under OCC races. */
+  private[graft] def commitEpochStaged(spark: SparkSession, dir: String,
+      epochId: Long, staged: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxAttempts: Int = 10): Option[Int] = {
+    val fs = fsOf(spark, dir)
+    val stagedPath = new Path(s"$dir/$staged")
+    def newestEpoch: Option[Long] =
+      versions(fs, dir).sorted(Ordering[Int].reverse).iterator
+        .map(v => meta(fs, dir, v))
+        .filter(_.startsWith("epoch="))
+        .flatMap(_.stripPrefix("epoch=").toLongOption)
+        .nextOption()
+    def dropStaged(): Unit =
+      try fs.delete(stagedPath, true)
+      catch { case _: java.io.IOException => () }
+    if (newestEpoch.exists(epochId <= _)) { dropStaged(); return None }
+    val hasData = fs.exists(stagedPath) && fs.listStatus(stagedPath)
+      .exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (!hasData) { dropStaged(); return None }
+    try {
+      val stagedDf = spark.read.parquet(s"$dir/$staged")
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val cur = currentHeaders(fs, dir)
+        dsv2WriteGate(spark, dir, schema, append = true)
+        val carried = carriedConstraints(cur)
+        if (carried.nonEmpty)
+          enforceConstraints(stagedDf, carried, "append",
+            existing =
+              if (carried.exists(_.startsWith("unique:")))
+                cur.map { case (v, _) => readVersion(spark, dir, v) }
+              else None)
+        val v = cur.map(_._1 + 1).getOrElse(0)
+        val prevDirs = cur.map { case (c, h) => dataDirsFrom(h, c, "v") }
+          .getOrElse(Seq.empty)
+        try {
+          commit(fs, dir, v, s"epoch=$epochId", prefix = "v",
+            dataDir = Some((prevDirs :+ staged).mkString(",")),
+            appendDir = if (cur.isDefined) Some(staged) else None,
+            schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
+            constraintsHdr =
+              if (carried.isEmpty) None else Some(constraintsEncode(carried)))
+          return Some(v)
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            if (attempt >= maxAttempts) throw e
+            // the race winner could be this very epoch's twin from a
+            // concurrently-restarted run — re-probe before re-gating
+            if (newestEpoch.exists(epochId <= _)) { dropStaged(); return None }
+        }
+      }
+      None // unreachable
+    } catch {
+      case e: Throwable =>
+        // a refused or exhausted publish must not leave staged files
+        // where a reader could mistake them for data
+        dropStaged()
+        throw e
+    }
+  }
+
   /** Streaming writer INTO the versioned store: every micro-batch of
     * `stream` becomes one atomically committed GraftTable version, with
     * `commitEpoch`'s replay detection making the version history immune
@@ -2593,6 +2672,19 @@ object GraftTable {
     // version-named walk above never looks inside referenced dirs. Same
     // 10-minute floor as the checkpoint temps, so an in-flight build is
     // never yanked mid-publish.
+    // streaming-epoch staging orphans: a crashed (or replay-discarded)
+    // DSv2 streaming epoch leaves its `ep<id>_<uid>` dir unreferenced;
+    // the version-numbered walk above never matches the `ep` prefix.
+    // 10-minute floor again — an IN-FLIGHT epoch stages its files
+    // seconds before its commit publishes.
+    val epOrphans = fs.listStatus(new Path(dir)).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && !referenced.contains(n) &&
+          dirVersion(n, "ep").isDefined &&
+          st.getModificationTime <= tmpCutoff
+      }
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
     val bloomLitter =
       try referenced.toSeq.sorted.flatMap { dd =>
         val p = new Path(s"$dir/$dd")
@@ -2603,7 +2695,7 @@ object GraftTable {
           .map { st => fs.delete(st.getPath, false)
             s"$dd/${st.getPath.getName}" }
       } catch { case _: java.io.IOException => Seq.empty }
-    reclaimed ++ litter ++ bloomLitter
+    reclaimed ++ litter ++ epOrphans ++ bloomLitter
   }
 
   /** TIME-BASED retention — the wall-clock companion of `commit`'s
@@ -2846,7 +2938,7 @@ object GraftTable {
   /** Hadoop Configuration that survives a task closure — the standard
     * write-the-props pattern (Configuration itself is not
     * serializable). */
-  private class SerializableHadoopConf(
+  private[graft] class SerializableHadoopConf(
       @transient var conf: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {

@@ -241,6 +241,121 @@ class Round16Spec extends SparkSpec {
     assert(got2.toSeq == Seq((1L, 20L), (2L, 0L), (2L, 0L), (3L, 7L)))
   }
 
+  // ---- 3. streaming WRITE door -------------------------------------------
+
+  test("stream write: each epoch appends one version, exactly once across a crash-window restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = freshDir("streamwrite")
+    val ckpt = freshDir("streamwrite_ckpt")
+    val fs = GraftTable.fsOf(spark, dir)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def start() = mem.toDF().toDF("id", "tag").writeStream
+      .format("graft")
+      .option("path", new java.io.File(dir).getAbsolutePath)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    mem.addData((1L, "a"), (2L, "b")); q1.processAllAvailable()
+    mem.addData((3L, "c")); q1.processAllAvailable(); q1.stop()
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1))
+    assert(GraftTable.meta(fs, dir, 0) == "epoch=0" &&
+      GraftTable.meta(fs, dir, 1) == "epoch=1")
+    // v1 is an APPEND commit re-referencing v0's dir — the CDC/stream
+    // read fast path holds for the sink table
+    val h1 = GraftTable.headersOf(fs, dir, 1)
+    assert(h1.contains("append") && h1("data").split(",").length == 2)
+    def rows() = GraftTable.read(spark, dir).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(rows() == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // CRASH WINDOW: the sink committed epoch 1 but the engine died
+    // before recording it — drop the streaming commit log's last entry
+    // and restart. The engine re-delivers batch 1; the epoch probe must
+    // mint nothing and delete the duplicate staged dir.
+    fs.delete(new Path(s"$ckpt/commits/1"), false)
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1),
+      "a replayed epoch must not mint a version")
+    assert(rows() == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // no stray staging dir either (the replay's twin is gone; the ep
+    // dirs that remain are exactly the committed versions' data dirs)
+    val referencedEp = GraftTable.versions(fs, dir)
+      .flatMap(v => GraftTable.headersOf(fs, dir, v)("data").split(","))
+      .toSet
+    val strays = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(n => n.startsWith("ep") && !referencedEp.contains(n)).toSeq
+    assert(strays.isEmpty, s"replay left staged dirs: $strays")
+
+    // post-restart ingest continues the SAME history exactly once
+    mem.addData((4L, "d")); q2.processAllAvailable(); q2.stop()
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1, 2))
+    assert(GraftTable.meta(fs, dir, 2) == "epoch=2")
+    assert(rows() == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // the sink table is itself a valid streaming SOURCE: replay the
+    // append history through the read door and reach the same rows
+    val outCkpt = freshDir("streamwrite_outckpt")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q3 = spark.readStream.format("graft")
+      .load(new java.io.File(dir).getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", outCkpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got.synchronized {
+          got ++= b.collect().map(r => (r.getLong(0), r.getString(1)))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination(60000)
+    assert(got.sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("stream write: OutputMode refusal, empty epochs, vacuum of dead-run staging") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = freshDir("streamwrite2")
+    val fs = GraftTable.fsOf(spark, dir)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // Complete mode refuses loudly at query start
+    val e = intercept[Exception] {
+      val q = mem.toDF().toDF("id", "tag")
+        .groupBy("tag").count()
+        .writeStream.format("graft")
+        .outputMode("complete")
+        .option("path", new java.io.File(dir).getAbsolutePath)
+        .option("checkpointLocation", freshDir("streamwrite2_ckpt"))
+        .start()
+      mem.addData((1L, "a")); q.processAllAvailable(); q.stop()
+      q.exception.foreach(throw _)
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("Append only") ||
+        e.getMessage.toLowerCase.contains("truncate") ||
+        Option(e.getCause).exists(_.getMessage.contains("Append only"))),
+      s"unexpected refusal: ${e.getMessage}")
+
+    // a dead run's orphaned ep staging dir is vacuum-reclaimable
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, "a")).toDF("id", "tag"), "base")
+    val orphan = new Path(s"$dir/ep7_deadrun0")
+    fs.mkdirs(orphan)
+    fs.create(new Path(orphan, "part-0-7.parquet"), true).close()
+    val old = System.currentTimeMillis() - 11 * 60 * 1000L
+    fs.setTimes(new Path(orphan, "part-0-7.parquet"), old, old)
+    fs.setTimes(orphan, old, old)
+    val reclaimed = GraftTable.vacuum(fs, dir, graceMs = 0L)
+    assert(reclaimed.contains("ep7_deadrun0"), s"got $reclaimed")
+    assert(!fs.exists(orphan))
+  }
+
   test("sql: UPDATE/DELETE refusals are loud") {
     val dir = freshDir("sqldmlrefuse")
     val n = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
