@@ -29,6 +29,20 @@ object Round16Ops {
     s.conf.set(s"spark.sql.catalog.$name",
       classOf[graft.sources.GraftCatalog].getName)
 
+  /** The U/I/D changelog every merge key resolves — the same
+    * derivation `Round14Ops.mergeFixture` and `Round15Ops` use, so all
+    * merge doors share `Round14Ops.oMergeCtes` as their oracle twin. */
+  private def mergeSource(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").groupBy("o_custkey")
+      .agg(sum(dec(col("o_totalprice"))).as("delta"))
+      .select(
+        when(col("o_custkey") % 10 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("ckey"),
+        when(col("o_custkey") % 10 === 3, lit("D"))
+          .when(col("o_custkey") % 10 === 0, lit("I"))
+          .otherwise(lit("U")).as("op"),
+        col("delta"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SQL UPDATE through the catalog door: the exact update
@@ -90,6 +104,83 @@ object Round16Ops {
         .orderBy("o_orderkey")
     }),
 
+    // INDEX-PRESERVING DSv2 append: a statenc+bloom chain extended
+    // through df.write.format("graft").mode("append") — the staged dir
+    // gets its own stats entries (registry-derived ordinals) and Bloom
+    // sidecar, so band and point-lookup skipping stay live across the
+    // whole chain. All three probes ride the hash THROUGH the skipping
+    // machinery (band read resolves files from the manifest; the Bloom
+    // read opens only candidates): a dropped index, a stats line that
+    // missed the appended files, or a false negative flips a value.
+    "table_dsv2_write_indexed" -> ((s, d) => {
+      val dir = freshDir(s, d, "idxwrite")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          money(dec(col("o_totalprice"))).as("price"))
+      val cut = lit("1997-01-01").cast("timestamp_ntz")
+      GraftTable.commitNextIsolated(s, dir,
+        o.where(col("o_orderdate") < cut)
+          .repartitionByRange(4, col("o_orderdate"), col("o_orderkey"))
+          .sortWithinPartitions("o_orderdate"),
+        "indexed head", statsEnc = Seq("o_orderdate" -> "us"),
+        bloomCols = Seq("o_custkey"))
+      o.where(col("o_orderdate") >= cut).repartition(3)
+        .write.format("graft").mode("append")
+        .save(new java.io.File(dir).getAbsolutePath)
+      val (band, _, _) = GraftTable.readStatsBand(s, dir, 1, "o_orderdate",
+        graft.T.epochUs("1996-03-01"), graft.T.epochUs("1996-06-01") - 1L)
+      val ck = o.agg(min(col("o_custkey"))).head().getLong(0)
+      val ckDf = GraftTable.readBloomEq(s, dir, 1, "o_custkey", ck)._1
+        .where(col("o_custkey") === ck)
+      band.where(
+        col("o_orderdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1996-06-01").cast("timestamp_ntz"))
+        .agg(count(lit(1)).as("n_band"), money(sum(col("price"))).as("band_rev"))
+        .crossJoin(ckDf.agg(count(lit(1)).as("n_ck"),
+          sum(col("o_orderkey")).as("sum_ck")))
+        .crossJoin(GraftTable.read(s, dir)
+          .agg(count(lit(1)).as("n_total")))
+    }),
+
+    // SQL MERGE onto an indexed target RE-INDEXES the merged snapshot
+    // (round 15 refused this): the statenc/bloom declarations are
+    // manifest-described, so the commit recomputes both. The post-merge
+    // Bloom probe for the merge-minted key and the band aggregate both
+    // resolve THROUGH the new index — a merge that dropped the index
+    // errors (readBloomEq refuses), one that mis-indexed flips rows.
+    "table_merge_reindex" -> ((s, d) => {
+      val dir = freshDir(s, d, "idxmergekey")
+      val base = t(s, d, "customer")
+        .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal"))
+        .repartition(4, col("key"))
+      GraftTable.commitNextIsolated(s, dir, base, "indexed base",
+        statsEnc = Seq("key" -> "id"), bloomCols = Seq("key"))
+      s.conf.set("spark.sql.catalog.gt16",
+        classOf[graft.sources.GraftCatalog].getName)
+      mergeSource(s, d).createOrReplaceTempView("r16_reindex_src")
+      val abs = new java.io.File(dir).getAbsolutePath
+      s.sql(
+        s"""MERGE INTO gt16.`$abs` t USING r16_reindex_src s ON t.key = s.ckey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.delta
+           |WHEN NOT MATCHED AND s.op <> 'D' THEN
+           |  INSERT (key, bal) VALUES (s.ckey, s.delta)
+           |""".stripMargin)
+      // an insert-minted key (custkey%10==0 shifted by 10M) probed
+      // through the REBUILT Bloom index
+      val probeKey = base.agg(min(when(col("key") % 10 === 0, col("key"))))
+        .head().getLong(0) + 10000000L
+      val pDf = GraftTable.readBloomEq(s, dir, 1, "key", probeKey)._1
+        .where(col("key") === probeKey)
+      // and a band over the re-derived stats line
+      val (band, _, _) = GraftTable.readStatsBand(s, dir, 1, "key",
+        1L, 100L)
+      pDf.agg(count(lit(1)).as("n_probe"), money(sum(col("bal"))).as("probe_bal"))
+        .crossJoin(band.where(col("key").between(1, 100))
+          .agg(count(lit(1)).as("n_band"), money(sum(col("bal"))).as("band_bal")))
+        .crossJoin(GraftTable.read(s, dir).agg(count(lit(1)).as("n_total")))
+    }),
+
     // SQL DELETE, twice-composed: status-F rows die at v1, the
     // high-price band additionally at v2 — each version a MoR commit
     // whose full-row tombstones must kill exactly the matched rows
@@ -131,6 +222,39 @@ object Round16Ops {
       (s"SELECT o_orderkey, o_custkey, " +
         s"${oMoney(oDec("o_totalprice"))} AS price, 3 AS n_versions " +
         "FROM orders ORDER BY o_orderkey"),
+
+    // band + point-lookup + identity recomputed raw — skipping through
+    // the extended chain index must not change results
+    "table_dsv2_write_indexed" ->
+      ("SELECT " +
+        "CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate >= " +
+        "TIMESTAMP '1996-03-01' AND o_orderdate < TIMESTAMP '1996-06-01')" +
+        " AS BIGINT) AS n_band, " +
+        s"(SELECT ${oMoney(s"SUM(${oDec(oMoney(oDec("o_totalprice")))})")} " +
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-03-01' AND " +
+        "o_orderdate < TIMESTAMP '1996-06-01') AS band_rev, " +
+        "CAST((SELECT COUNT(*) FROM orders WHERE o_custkey = " +
+        "(SELECT MIN(o_custkey) FROM orders)) AS BIGINT) AS n_ck, " +
+        "(SELECT SUM(o_orderkey) FROM orders WHERE o_custkey = " +
+        "(SELECT MIN(o_custkey) FROM orders)) AS sum_ck, " +
+        "CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total"),
+
+    // the merged state replayed through the shared merge CTEs; the
+    // probe key is the smallest insert-minted key
+    "table_merge_reindex" ->
+      (s"WITH ${Round14Ops.oMergeCtes}, " +
+        "pk AS (SELECT MIN(key) + 10000000 AS k FROM base " +
+        "WHERE key % 10 = 0) " +
+        "SELECT " +
+        "CAST((SELECT COUNT(*) FROM m WHERE key = (SELECT k FROM pk)) " +
+        "AS BIGINT) AS n_probe, " +
+        s"(SELECT ${oMoney("SUM(bal)")} FROM m " +
+        "WHERE key = (SELECT k FROM pk)) AS probe_bal, " +
+        "CAST((SELECT COUNT(*) FROM m WHERE key BETWEEN 1 AND 100) " +
+        "AS BIGINT) AS n_band, " +
+        s"(SELECT ${oMoney("SUM(bal)")} FROM m " +
+        "WHERE key BETWEEN 1 AND 100) AS band_bal, " +
+        "CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_total"),
 
     // table_delete_dv's replay (sans purge), driven from SQL
     "table_delete_sql" -> {

@@ -184,10 +184,14 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
       .where(col("__fate").isNotNull)
       .select(tOut.map(a => col("__fate").getField(a.name).as(a.name)): _*)
 
-    // index/layout posture matches every other rewriting door: a
-    // partitionBy layout is PRESERVED; a stats/Bloom skipping index
-    // cannot be silently dropped by SQL text (its ordinals are code the
-    // command cannot re-declare) — refuse, like compactChain does
+    // layout/index posture: a partitionBy layout is PRESERVED, and an
+    // indexed target RE-INDEXES its merged snapshot on commit — a
+    // statenc-declared stats line and a bloom= line are self-described
+    // by the manifest (registry encoding names / indexed column set),
+    // so SQL text needs no ordinal re-declaration. Only a stats line
+    // with code-declared (lambda) ordinals still refuses: the command
+    // cannot re-derive caller code, and silently dropping the index
+    // would betray the loud-refusal contract.
     val fs = GraftTable.fsOf(spark, dir)
     val hdrs = GraftTable.currentVersion(fs, dir)
       .map(v => GraftTable.headersOf(fs, dir, v)).getOrElse(Map.empty)
@@ -195,16 +199,25 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
       "this table is partition-mapped — merge by replacing its " +
         "partitions through replacePartitionsWithRetry (a MERGE commit " +
         "would drop the value→dir map)")
-    if (hdrs.contains("stats") || hdrs.contains("bloom"))
-      throw new GraftTable.IndexRedeclarationRequired(
-        "MERGE INTO would silently drop the table's skipping index " +
-          "(stats=/bloom= ordinals are code SQL text cannot re-declare)" +
-          " — merge through the API (commitWithRetry + statsCols), or " +
-          "drop the index deliberately first and re-OPTIMIZE after")
+    val statsEncDecl = hdrs.get("statenc")
+      .map(GraftTable.StatsEnc.decode).getOrElse(Nil)
+    hdrs.get("stats").foreach { st =>
+      val cols = GraftTable.TableStats.decode(st).cols
+      if (cols != statsEncDecl.map(_._1))
+        throw new GraftTable.IndexRedeclarationRequired(
+          s"MERGE INTO cannot re-derive this table's stats index: its " +
+            s"stat columns $cols are not fully registry-declared " +
+            s"(statenc covers ${statsEncDecl.map(_._1)}) — merge " +
+            "through the API (commitWithRetry + statsCols), or " +
+            "re-commit the table with statsEnc registry encodings")
+    }
     GraftMergeCommand.lastResolve = Some(next.queryExecution)
     GraftTable.commitNextIsolated(spark, dir, next, "MERGE INTO (SQL)",
       partitionBy =
-        hdrs.get("partby").map(_.split(",").toSeq).getOrElse(Nil))
+        hdrs.get("partby").map(_.split(",").toSeq).getOrElse(Nil),
+      statsEnc = if (hdrs.contains("stats")) statsEncDecl else Nil,
+      bloomCols = hdrs.get("bloom")
+        .map(GraftTable.bloomColsOf).getOrElse(Nil))
     Seq.empty
   }
 }

@@ -446,7 +446,12 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    table.prunableCols.map(Expressions.column).toArray
+    // only columns the scan still OUTPUTS: Spark's dynamic-pruning rules
+    // resolve these against the relation's (column-pruned) output and
+    // throw on a miss — a query that pruned an indexed column away
+    // cannot feed it runtime filters through a join anyway
+    table.prunableCols.filter(out.fieldNames.contains)
+      .map(Expressions.column).toArray
 
   override def filter(filters: Array[sources.Filter]): Unit =
     runtimeKeep = table.manifestVerdict(filters)

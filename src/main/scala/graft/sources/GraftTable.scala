@@ -2034,28 +2034,7 @@ object GraftTable {
       val prevDirs = cur.map { case (c, h) => dataDirsFrom(h, c, prefix) }
         .getOrElse(Seq.empty)
       val v = cur.map(_._1 + 1).getOrElse(0)
-      // merged stats line, table-relative keys: the new files prefixed
-      // with their dir; the predecessor's entries re-keyed by ITS dir
-      // unless it was an append version (already table-relative)
-      val mergedStats = newStats.map { ns =>
-        val mine = ns.files.map(f => f.copy(file = s"$added/${f.file}"))
-        cur match {
-          case Some((c, h)) =>
-            val prev = TableStats.decode(h.getOrElse("stats", sys.error(
-              "append statsCols require predecessor stats")))
-            require(prev.cols == ns.cols,
-              s"append statsCols ${ns.cols} must match the table's " +
-                s"recorded stat columns ${prev.cols}")
-            val prevRel =
-              if (h.contains("append") || h.contains("statrel")) prev.files
-              else {
-                val pd = dataDirsFrom(h, c, prefix).head
-                prev.files.map(f => f.copy(file = s"$pd/${f.file}"))
-              }
-            TableStats(ns.cols, prevRel ++ mine)
-          case None => TableStats(ns.cols, mine)
-        }
-      }
+      val mergedStats = newStats.map(mergeAppendStats(_, added, cur, prefix))
       try {
         commit(fs, dir, v, metadata, retain, prefix,
           dataDir = Some((prevDirs :+ added).mkString(",")),
@@ -2075,6 +2054,33 @@ object GraftTable {
       }
     }
     -1 // unreachable
+  }
+
+  /** Merged stats line for an append commit, table-relative keys: the
+    * new dir's files prefixed with their dir; the predecessor's entries
+    * re-keyed by ITS dir unless it was an append version (already
+    * table-relative). Shared by the API append and the DSv2 staged
+    * append so the re-keying rule cannot diverge. */
+  private def mergeAppendStats(ns: TableStats, added: String,
+      cur: Option[(Int, Map[String, String])], prefix: String)
+      : TableStats = {
+    val mine = ns.files.map(f => f.copy(file = s"$added/${f.file}"))
+    cur match {
+      case Some((c, h)) =>
+        val prev = TableStats.decode(h.getOrElse("stats", sys.error(
+          "append statsCols require predecessor stats")))
+        require(prev.cols == ns.cols,
+          s"append statsCols ${ns.cols} must match the table's " +
+            s"recorded stat columns ${prev.cols}")
+        val prevRel =
+          if (h.contains("append") || h.contains("statrel")) prev.files
+          else {
+            val pd = dataDirsFrom(h, c, prefix).head
+            prev.files.map(f => f.copy(file = s"$pd/${f.file}"))
+          }
+        TableStats(ns.cols, prevRel ++ mine)
+      case None => TableStats(ns.cols, mine)
+    }
   }
 
   /** Single-attempt `commitAppendWithRetry` — the plain append commit
@@ -2122,12 +2128,26 @@ object GraftTable {
         require(!h.contains("partby"),
           "cannot append onto a partitionBy layout through the DSv2 " +
             "door — commit a full version instead")
-        if (h.contains("stats") || h.contains("bloom"))
-          throw new IndexRedeclarationRequired(
-            "a DSv2 append cannot extend the chain's skipping index " +
-              "(stats/Bloom ordinals are code a DataFrame writer " +
-              "cannot re-declare) — append through commitAppend with " +
-              "statsCols/bloomCol instead")
+        // a statenc-declared stats line and a bloom= line are
+        // SELF-DESCRIBED by the manifest (registry encoding names /
+        // col|m|k sections), so the DSv2 door extends them
+        // automatically (`commitStagedDsv2`) — INSERT INTO an indexed
+        // chain keeps band and Bloom pruning live. Only a stats line
+        // whose columns are not fully registry-declared still refuses:
+        // its lambda ordinals are code a DataFrame writer cannot
+        // re-derive, and a mixed line would mis-prune band reads.
+        h.get("stats").foreach { st =>
+          val cols = TableStats.decode(st).cols
+          val enc = h.get("statenc").map(StatsEnc.decode(_).map(_._1))
+            .getOrElse(Nil)
+          if (cols != enc)
+            throw new IndexRedeclarationRequired(
+              s"a DSv2 append cannot extend this chain's stats index: " +
+                s"its stat columns $cols are not fully registry-declared" +
+                s" (statenc covers $enc) — append through commitAppend " +
+                "with the original statsCols, or re-commit the chain " +
+                "with statsEnc registry encodings")
+        }
       }
     }
   }
@@ -2145,6 +2165,9 @@ object GraftTable {
     val fs = fsOf(spark, dir)
     try {
       val stagedDf = spark.read.parquet(s"$dir/$staged")
+      val (newStats, statsEncDecl, newBloom) =
+        if (append) dsv2IndexExtension(spark, fs, dir, staged)
+        else (None, Nil, None)
       var attempt = 0
       var done = false
       while (!done) {
@@ -2172,6 +2195,11 @@ object GraftTable {
                 .mkString(",")),
             appendDir = if (append && cur.isDefined) Some(staged) else None,
             schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
+            stats = newStats.map(mergeAppendStats(_, staged, cur, "v")),
+            bloom = newBloom,
+            statenc =
+              if (statsEncDecl.isEmpty || newStats.isEmpty) None
+              else Some(StatsEnc.encode(statsEncDecl)),
             constraintsHdr =
               if (carried.isEmpty) None else Some(constraintsEncode(carried)))
           done = true
@@ -2190,6 +2218,34 @@ object GraftTable {
         throw e
     }
   }
+
+  /** SELF-DESCRIBED index extension for a staged DSv2/streaming append:
+    * a chain whose stats line is fully statenc-declared re-derives its
+    * ordinals from the REGISTRY (manifest names, not caller code) and
+    * the staged dir gets its own stats entries; a bloom= chain gets a
+    * fresh sidecar built on the staged dir for the same column set.
+    * Computed ONCE per staged dir — the staged files are immutable; a
+    * mid-race index change by an OCC winner surfaces loudly in the
+    * per-attempt gate/merge. Returns (new dir's stats, statenc
+    * declaration to carry, new dir's bloom header). */
+  private def dsv2IndexExtension(spark: SparkSession, fs: FileSystem,
+      dir: String, staged: String)
+      : (Option[TableStats], Seq[(String, String)], Option[String]) =
+    currentHeaders(fs, dir).map(_._2) match {
+      case Some(h) =>
+        val encDecl = h.get("statenc").map(StatsEnc.decode).getOrElse(Nil)
+        val effStats: StatsCols =
+          if (!h.contains("stats")) Nil
+          else StatsEnc.validateAndMerge(spark, Nil, encDecl)
+        val effBloom = h.get("bloom").map(bloomColsOf).getOrElse(Nil)
+        (if (effStats.isEmpty) None
+         else Some(computeStats(spark, s"$dir/$staged", effStats)),
+          if (effStats.isEmpty) Nil else encDecl,
+          if (effBloom.isEmpty) None
+          else Some(bloomHeader(
+            buildBloomSidecar(spark, s"$dir/$staged", effBloom))))
+      case None => (None, Nil, None)
+    }
 
   /** Parsed pmap= header: (partition column, value → entry dir). */
   private[graft] def pmapDecode(s: String): (String, Map[String, String]) = {
@@ -2438,6 +2494,11 @@ object GraftTable {
     if (!hasData) { dropStaged(); return None }
     try {
       val stagedDf = spark.read.parquet(s"$dir/$staged")
+      // a statenc/bloom-indexed sink chain extends per epoch — the
+      // streamed versions stay band/Bloom-skippable (same self-described
+      // derivation as the batch DSv2 door)
+      val (newStats, statsEncDecl, newBloom) =
+        dsv2IndexExtension(spark, fs, dir, staged)
       var attempt = 0
       while (true) {
         attempt += 1
@@ -2458,6 +2519,11 @@ object GraftTable {
             dataDir = Some((prevDirs :+ staged).mkString(",")),
             appendDir = if (cur.isDefined) Some(staged) else None,
             schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
+            stats = newStats.map(mergeAppendStats(_, staged, cur, "v")),
+            bloom = newBloom,
+            statenc =
+              if (statsEncDecl.isEmpty || newStats.isEmpty) None
+              else Some(StatsEnc.encode(statsEncDecl)),
             constraintsHdr =
               if (carried.isEmpty) None else Some(constraintsEncode(carried)))
           return Some(v)

@@ -773,16 +773,20 @@ class Round15Spec extends SparkSpec {
     val abs = new java.io.File(cdir).getAbsolutePath
     spark.sql(s"INSERT INTO gt.`$abs` VALUES (7), (8)")
     assert(GraftTable.read(spark, cdir).count() == 7)
-    // indexed chains refuse the ordinal-less DSv2 append
+    // a REGISTRY-declared (statenc) chain auto-extends its index on a
+    // DSv2 append (round 16; lambda-ordinal chains still refuse —
+    // Round16Spec pins that half)
     val idir = freshDir("dsv2wi")
     GraftTable.commitNextIsolated(spark, idir,
       spark.range(4).selectExpr("id AS k"), "indexed",
       statsEnc = Seq("k" -> "id"))
-    val e = intercept[Exception] {
-      spark.range(9, 11).selectExpr("id AS k")
-        .write.format("graft").mode("append").save(idir)
-    }
-    assert(e.getMessage.contains("statsCols"), e.getMessage)
+    spark.range(9, 11).selectExpr("id AS k")
+      .write.format("graft").mode("append").save(idir)
+    val ih = GraftTable.headersOf(GraftTable.fsOf(spark, idir), idir, 1)
+    assert(ih.contains("stats") && ih.contains("statenc"))
+    val (_, iOpened, iTotal) = GraftTable.readStatsBand(
+      spark, idir, 1, "k", 9L, 10L)
+    assert(iOpened.nonEmpty && iOpened.size < iTotal)
   }
 
   test("maintain incremental: the nightly pass folds only the tail") {

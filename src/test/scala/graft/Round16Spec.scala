@@ -356,6 +356,173 @@ class Round16Spec extends SparkSpec {
     assert(!fs.exists(orphan))
   }
 
+  // ---- 4. index-preserving DSv2/SQL writes -------------------------------
+
+  /** Files the physical scan actually plans (read-set truth). */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val scans = plan.collectLeaves().collect { case b: BatchScanExec => b }
+    assert(scans.size == 1, s"expected one BatchScanExec, got $plan")
+    scans.head.inputPartitions.flatMap {
+      case fp: FilePartition => fp.files.map(_.toPath.toUri.getPath).toSeq
+      case _ => Seq.empty
+    }
+  }
+
+  private def indexedOrdersFixture(tag: String): (String, String) = {
+    val dir = freshDir(tag)
+    val o = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val cut = lit("1997-01-01").cast("timestamp_ntz")
+    GraftTable.commitNextIsolated(spark, dir,
+      o.where(col("o_orderdate") < cut)
+        .repartitionByRange(4, col("o_orderdate"), col("o_orderkey"))
+        .sortWithinPartitions("o_orderdate"),
+      "indexed head", statsEnc = Seq("o_orderdate" -> "us"),
+      bloomCols = Seq("o_custkey"))
+    (dir, new java.io.File(dir).getAbsolutePath)
+  }
+
+  test("dsv2: a write appended to a statenc+bloom chain keeps pruning live") {
+    val (dir, abs) = indexedOrdersFixture("idxappend")
+    val o = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val cut = lit("1997-01-01").cast("timestamp_ntz")
+    val tail = o.where(col("o_orderdate") >= cut).repartition(3)
+    tail.write.format("graft").mode("append").save(abs)
+
+    val fs = GraftTable.fsOf(spark, dir)
+    val h1 = GraftTable.headersOf(fs, dir, 1)
+    assert(h1.contains("append") && h1.contains("stats") &&
+      h1.contains("bloom") && h1("statenc").contains("o_orderdate"))
+    // the merged stats line covers BOTH dirs' files, table-relative
+    val st = GraftTable.TableStats.decode(h1("stats"))
+    val dirs = h1("data").split(",").toSeq
+    assert(dirs.length == 2 &&
+      dirs.forall(dd => st.files.exists(_.file.startsWith(s"$dd/"))),
+      s"stats must span the chain: ${st.files.map(_.file).take(3)}")
+
+    // row identity: skipping machinery must not change results
+    val all = spark.read.format("graft").load(abs)
+    assert(all.count() == o.count())
+    assert(all.exceptAll(o).isEmpty && o.exceptAll(all).isEmpty)
+
+    // band pruning still fires on the DSv2 scan (strict file subset)
+    val band = all.where(
+      col("o_orderdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1996-06-01").cast("timestamp_ntz"))
+    val planned = plannedFiles(band)
+    val total = st.files.size
+    assert(planned.nonEmpty && planned.size < total,
+      s"band should prune: planned ${planned.size} of $total")
+
+    // the Bloom index extended: a tail-only key probes false-negative-
+    // free across the chain, per dir
+    val tailKey = tail.select(col("o_custkey")).head().getLong(0)
+    val (pdf, hit, totalB) = GraftTable.readBloomEq(
+      spark, dir, 1, "o_custkey", tailKey)
+    assert(totalB == total)
+    assert(pdf.where(col("o_custkey") === tailKey).count() ==
+      o.where(col("o_custkey") === tailKey).count())
+    assert(hit.nonEmpty && hit.size < totalB)
+
+    // SQL INSERT INTO drives the same door
+    withCatalog("gt16")
+    spark.sql(s"INSERT INTO gt16.`$abs` " +
+      "SELECT CAST(9999991 AS BIGINT), CAST(424242 AS BIGINT), " +
+      "TIMESTAMP_NTZ '1999-01-01 00:00:00'")
+    val h2 = GraftTable.headersOf(fs, dir, 2)
+    assert(h2.contains("stats") && h2.contains("bloom"))
+    val (pdf2, hit2, _) = GraftTable.readBloomEq(
+      spark, dir, 2, "o_custkey", 424242L)
+    assert(hit2.size == 1 &&
+      pdf2.where(col("o_custkey") === 424242L).count() == 1)
+  }
+
+  test("sql: MERGE on an indexed target re-indexes the merged snapshot") {
+    val (dir, abs) = indexedOrdersFixture("idxmerge")
+    withCatalog("gt16")
+    import spark.implicits._
+    val src = Seq((1L, 7777777L), (2L, 7777777L)).toDF("okey", "ckey")
+    src.createOrReplaceTempView("r16_merge_src")
+    spark.sql(
+      s"""MERGE INTO gt16.`$abs` t USING r16_merge_src s
+         |ON t.o_orderkey = s.okey
+         |WHEN MATCHED THEN UPDATE SET o_custkey = s.ckey
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderdate)
+         |  VALUES (s.okey, s.ckey, TIMESTAMP_NTZ '1996-06-15 00:00:00')
+         |""".stripMargin)
+    val fs = GraftTable.fsOf(spark, dir)
+    val h1 = GraftTable.headersOf(fs, dir, 1)
+    assert(h1.contains("stats") && h1.contains("bloom") &&
+      h1.contains("statenc"), s"MERGE must re-index, got ${h1.keySet}")
+    // the recomputed Bloom index serves the merged keys
+    val (pdf, hit, _) = GraftTable.readBloomEq(spark, dir, 1,
+      "o_custkey", 7777777L)
+    assert(hit.nonEmpty &&
+      pdf.where(col("o_custkey") === 7777777L).count() == 2)
+    // and the recomputed band index stays row-exact
+    val lo = graft.T.epochUs("1996-06-01"); val hi = graft.T.epochUs("1996-07-01") - 1
+    // (the merged snapshot may land as a single file, so prune
+    // TIGHTNESS is not asserted here — recomputed-band row-exactness is)
+    val (band, opened, totalF) = GraftTable.readStatsBand(
+      spark, dir, 1, "o_orderdate", lo, hi)
+    assert(opened.nonEmpty && opened.size <= totalF)
+    val expected = GraftTable.read(spark, dir).where(
+      col("o_orderdate") >= lit("1996-06-01").cast("timestamp_ntz") &&
+        col("o_orderdate") <= lit("1996-06-30").cast("timestamp_ntz"))
+    assert(band.where(
+      col("o_orderdate") >= lit("1996-06-01").cast("timestamp_ntz") &&
+        col("o_orderdate") <= lit("1996-06-30").cast("timestamp_ntz"))
+      .count() == expected.count())
+  }
+
+  test("dsv2: a lambda-ordinal stats chain still refuses the append") {
+    val dir = freshDir("idxrefuse")
+    val o = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
+    GraftTable.commitNextIsolated(spark, dir, o, "lambda stats",
+      statsCols = Seq("n_nationkey" -> ((c: org.apache.spark.sql.Column) => c)))
+    val e = intercept[Exception] {
+      o.limit(1).write.format("graft").mode("append")
+        .save(new java.io.File(dir).getAbsolutePath)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("registry-declared")), msgs(e).toString)
+  }
+
+  test("stream write: epochs onto an indexed sink chain extend the index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = freshDir("idxstream")
+    val fs = GraftTable.fsOf(spark, dir)
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, 100L)).toDF("k", "v"), "indexed base",
+      statsEnc = Seq("k" -> "id"), bloomCols = Seq("k"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("k", "v").writeStream.format("graft")
+      .option("path", new java.io.File(dir).getAbsolutePath)
+      .option("checkpointLocation", freshDir("idxstream_ckpt"))
+      .start()
+    mem.addData((2L, 200L)); q.processAllAvailable()
+    mem.addData((3L, 300L)); q.processAllAvailable(); q.stop()
+    val h2 = GraftTable.headersOf(fs, dir, 2)
+    assert(h2.contains("stats") && h2.contains("bloom") &&
+      h2.contains("statenc"), s"streamed epochs must extend: ${h2.keySet}")
+    val (pdf, hit, total) = GraftTable.readBloomEq(spark, dir, 2, "k", 3L)
+    assert(total == 3 && hit.size == 1 &&
+      pdf.where(col("k") === 3L).count() == 1)
+    val (_, opened, _) = GraftTable.readStatsBand(spark, dir, 2, "k", 2L, 2L)
+    assert(opened.size == 1)
+  }
+
   test("sql: UPDATE/DELETE refusals are loud") {
     val dir = freshDir("sqldmlrefuse")
     val n = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
