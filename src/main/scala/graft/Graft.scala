@@ -188,7 +188,138 @@ object Graft {
         typedChangesTvf, "scala_udf")
       treg.createOrReplaceTempFunction("graft_bloom",
         bloomTvf, "scala_udf")
+      treg.createOrReplaceTempFunction("graft_optimize",
+        optimizeTvf, "scala_udf")
+      treg.createOrReplaceTempFunction("graft_vacuum",
+        vacuumTvf, "scala_udf")
+      treg.createOrReplaceTempFunction("graft_expire",
+        expireTvf, "scala_udf")
+      treg.createOrReplaceTempFunction("graft_maintain",
+        maintainTvf, "scala_udf")
     }
+  }
+
+  // ---- ACTION TVFs: the OPTIMIZE / VACUUM / retention surface ------------
+  //
+  // Delta ships these as statements; graft serves them as action-TVFs
+  // beside graft_history — `SELECT * FROM graft_optimize('<dir>')` runs
+  // the maintenance primitive and returns its report as the relation.
+  // Like every graft TVF the work happens when the plan is built
+  // (arguments must be literals); the returned rows are a LOCAL report,
+  // never data. Index posture matches the DSv2 write door: a
+  // statenc-declared stats line and the bloom= column set re-derive
+  // from the manifest automatically, so SQL OPTIMIZE keeps the skipping
+  // index live; a lambda-ordinal stats line refuses loudly through
+  // compactChain's own gate.
+
+  /** Self-described index re-declaration from the current version's
+    * headers — (statsEnc, first bloom col, remaining bloom cols). */
+  private def sqlIdxDecl(spark: SparkSession, dir: String)
+      : (Seq[(String, String)], Option[String], Seq[String]) = {
+    val fs = sources.GraftTable.fsOf(spark, dir)
+    sources.GraftTable.currentVersion(fs, dir)
+      .map(v => sources.GraftTable.headersOf(fs, dir, v)) match {
+      case Some(h) =>
+        val enc = h.get("statenc")
+          .map(sources.GraftTable.StatsEnc.decode).getOrElse(Nil)
+        // pass statsEnc only when it FULLY covers the stats line — a
+        // partial decl would mint a narrower index silently; the bare
+        // Nil lets compactChain's redeclaration gate refuse loudly
+        val covers = h.get("stats").forall(st =>
+          sources.GraftTable.TableStats.decode(st).cols == enc.map(_._1))
+        val blooms = h.get("bloom")
+          .map(sources.GraftTable.bloomColsOf).getOrElse(Nil)
+        (if (covers) enc else Nil, blooms.headOption, blooms.drop(1))
+      case None => (Nil, None, Nil)
+    }
+  }
+
+  private def litArgs(name: String, usage: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      min: Int, max: Int): Seq[Any] = {
+    require(exprs.length >= min && exprs.length <= max &&
+      exprs.forall(_.foldable), s"$name$usage requires literal arguments")
+    exprs.map(_.eval())
+  }
+
+  /** `graft_optimize('<dir>'[, targetFiles])` — compact the current
+    * chain into one dir (OPTIMIZE), index re-derived from the manifest.
+    * Returns (version, n_dirs, n_files). */
+  private[graft] def optimizeTvf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val args = litArgs("graft_optimize", "(dir[, targetFiles])", exprs, 1, 2)
+    val spark = SparkSession.active
+    val dir = args(0).toString
+    val target = if (args.length > 1) args(1).toString.toInt else 1
+    val (enc, b1, bs) = sqlIdxDecl(spark, dir)
+    val v = sources.GraftTable.compactChain(spark, dir, target,
+      metadata = "OPTIMIZE (SQL)", statsEnc = enc, bloomCol = b1,
+      bloomCols = bs)
+    val fs = sources.GraftTable.fsOf(spark, dir)
+    val dirs = sources.GraftTable.dataDirsOf(fs, dir, v)
+    val nFiles = dirs.map(dd => fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/$dd")).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }).sum
+    import spark.implicits._
+    Seq((v, dirs.size.toLong, nFiles.toLong))
+      .toDF("version", "n_dirs", "n_files").queryExecution.logical
+  }
+
+  /** `graft_vacuum('<dir>'[, graceMs])` — reclaim orphaned staging;
+    * one row per reclaimed name. */
+  private[graft] def vacuumTvf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val args = litArgs("graft_vacuum", "(dir[, graceMs])", exprs, 1, 2)
+    val spark = SparkSession.active
+    val dir = args(0).toString
+    val grace = if (args.length > 1) args(1).toString.toLong else 3600000L
+    val fs = sources.GraftTable.fsOf(spark, dir)
+    import spark.implicits._
+    sources.GraftTable.vacuum(fs, dir, graceMs = grace)
+      .toDF("reclaimed").queryExecution.logical
+  }
+
+  /** `graft_expire('<dir>', retainMs)` — time-based retention; one row
+    * per version whose data was reclaimed. */
+  private[graft] def expireTvf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val args = litArgs("graft_expire", "(dir, retainMs)", exprs, 2, 2)
+    val spark = SparkSession.active
+    val dir = args(0).toString
+    val fs = sources.GraftTable.fsOf(spark, dir)
+    import spark.implicits._
+    sources.GraftTable.expireVersions(fs, dir, args(1).toString.toLong)
+      .toDF("expired_version").queryExecution.logical
+  }
+
+  /** `graft_maintain('<dir>'[, maxChainDirs, targetFiles])` — the
+    * one-call nightly pass (compact-if-needed → checkpoint → vacuum),
+    * reported as one row. */
+  private[graft] def maintainTvf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val args = litArgs("graft_maintain",
+      "(dir[, maxChainDirs, targetFiles])", exprs, 1, 3)
+    val spark = SparkSession.active
+    val dir = args(0).toString
+    val maxDirs = if (args.length > 1) args(1).toString.toInt else 4
+    val target = if (args.length > 2) args(2).toString.toInt else 1
+    val (enc, b1, bs) = sqlIdxDecl(spark, dir)
+    val rep = sources.GraftTable.maintain(spark, dir,
+      maxChainDirs = maxDirs, targetFiles = target, statsEnc = enc,
+      bloomCol = b1, bloomCols = bs)
+    import spark.implicits._
+    Seq((rep.compacted, rep.checkpointedTo, rep.expired.size.toLong,
+      rep.vacuumed.size.toLong, rep.compactionRefused,
+      rep.checkpointFailed))
+      .toDF("compacted", "checkpointed_to", "n_expired", "n_vacuumed",
+        "compaction_refused", "checkpoint_failed")
+      .queryExecution.logical
   }
 
   /** TVF builders shared with GraftExtensions' cluster-wide injection. */

@@ -85,5 +85,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bloom"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.Graft.bloomTvf(exprs)))
+    // ACTION TVFs — the OPTIMIZE / VACUUM / retention SQL surface
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_optimize"),
+      new ExpressionInfo(graft.sources.GraftTable.getClass.getName,
+        "graft_optimize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.Graft.optimizeTvf(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_vacuum"),
+      new ExpressionInfo(graft.sources.GraftTable.getClass.getName,
+        "graft_vacuum"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.Graft.vacuumTvf(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_expire"),
+      new ExpressionInfo(graft.sources.GraftTable.getClass.getName,
+        "graft_expire"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.Graft.expireTvf(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_maintain"),
+      new ExpressionInfo(graft.sources.GraftTable.getClass.getName,
+        "graft_maintain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.Graft.maintainTvf(exprs)))
   }
 }

@@ -181,6 +181,75 @@ object Round16Ops {
         .crossJoin(GraftTable.read(s, dir).agg(count(lit(1)).as("n_total")))
     }),
 
+    // The nightly maintenance pass driven from SQL TEXT: a 4-dir
+    // statenc append chain + one orphaned staging dir, folded by
+    // `SELECT * FROM graft_maintain(dir, 2, 1)` — compaction re-derives
+    // the registry-declared index, the manifest checkpoints, the orphan
+    // vacuums. The REPORT row is the hash surface (compacted version,
+    // checkpoint coverage, vacuum count — a pass that skipped a step or
+    // double-compacted flips a field), crossed with the table's
+    // row/revenue identity and the folded n_dirs.
+    "table_maintain_sql" -> ((s, d) => {
+      val dir = freshDir(s, d, "maintsql")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          money(dec(col("o_totalprice"))).as("price"))
+      def slice(i: Int) = o.where(pmod(col("o_orderkey"), lit(4)) === i)
+      GraftTable.commitNextIsolated(s, dir,
+        slice(0).repartitionByRange(2, col("o_orderdate"), col("o_orderkey")),
+        "head", statsEnc = Seq("o_orderdate" -> "us"))
+      (1 to 3).foreach(i => GraftTable.commitAppend(s, dir, slice(i),
+        s"arrival $i", statsEnc = Seq("o_orderdate" -> "us")))
+      // a crashed writer's orphan, old enough for the default grace
+      val fs = GraftTable.fsOf(s, dir)
+      val orphan = new org.apache.hadoop.fs.Path(s"$dir/v1_orphan00")
+      fs.mkdirs(orphan)
+      fs.create(new org.apache.hadoop.fs.Path(orphan, "part-0.parquet"),
+        true).close()
+      fs.setTimes(new org.apache.hadoop.fs.Path(orphan, "part-0.parquet"),
+        1000L, 1000L)
+      fs.setTimes(orphan, 1000L, 1000L)
+      val rep = s.sql(s"SELECT * FROM graft_maintain('$dir', 2, 1)")
+      val nDirs = GraftTable.dataDirsOf(fs, dir, 4).size
+      rep.crossJoin(GraftTable.read(s, dir)
+          .agg(count(lit(1)).as("n_rows"),
+            money(sum(col("price"))).as("rev")))
+        .withColumn("n_dirs", lit(nDirs.toLong))
+    }),
+
+    // SQL ALTER TABLE ADD COLUMNS (metadata-only; Round16Spec pins the
+    // files byte-identical) composed with a SQL UPDATE that fills the
+    // new column: v0 = the pre-alter table, v1 = NULL backfill (n_tier
+    // must be 0 — a backfill that invented values flips it), v2 = the
+    // filled tiers. The whole history hashes; bal_sum constant across
+    // versions pins that neither the alter nor the tier fill touched
+    // the data column.
+    "table_alter_sql" -> ((s, d) => {
+      val dir = freshDir(s, d, "altersql")
+      val base = t(s, d, "customer")
+        .select(col("c_custkey").as("key"), dec(col("c_acctbal")).as("bal"))
+        .repartition(3)
+      GraftTable.commitNextIsolated(s, dir, base, "base")
+      withCatalog(s, "gt16")
+      val abs = new java.io.File(dir).getAbsolutePath
+      s.sql(s"ALTER TABLE gt16.`$abs` ADD COLUMNS (tier STRING)")
+      s.sql(s"UPDATE gt16.`$abs` SET tier = " +
+        "CASE WHEN bal < 0 THEN 'neg' ELSE 'pos' END")
+      def snap(v: Int): DataFrame = {
+        val r = GraftTable.readVersion(s, dir, v)
+        val tierCol =
+          if (r.columns.contains("tier")) col("tier")
+          else lit(null).cast("string")
+        r.agg(count(lit(1)).as("n_rows"),
+          count(tierCol).as("n_tier"),
+          count(when(tierCol === "neg", lit(1))).as("n_neg"),
+          money(sum(col("bal"))).as("bal_sum"))
+          .select(lit(v).as("version"), col("n_rows"), col("n_tier"),
+            col("n_neg"), col("bal_sum"))
+      }
+      snap(0).unionByName(snap(1)).unionByName(snap(2)).orderBy("version")
+    }),
+
     // SQL DELETE, twice-composed: status-F rows die at v1, the
     // high-price band additionally at v2 — each version a MoR commit
     // whose full-row tombstones must kill exactly the matched rows
@@ -255,6 +324,34 @@ object Round16Ops {
         s"(SELECT ${oMoney("SUM(bal)")} FROM m " +
         "WHERE key BETWEEN 1 AND 100) AS band_bal, " +
         "CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_total"),
+
+    // the report is structurally determined: 4-dir chain > 2 compacts
+    // into version 4, the checkpoint covers it, exactly the one planted
+    // orphan vacuums, nothing expires
+    "table_maintain_sql" ->
+      ("SELECT CAST(4 AS INT) AS compacted, " +
+        "CAST(4 AS INT) AS checkpointed_to, " +
+        "CAST(0 AS BIGINT) AS n_expired, CAST(1 AS BIGINT) AS n_vacuumed, " +
+        "CAST(NULL AS VARCHAR) AS compaction_refused, " +
+        "CAST(NULL AS VARCHAR) AS checkpoint_failed, " +
+        "CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows, " +
+        s"(SELECT ${oMoney(s"SUM(${oDec(oMoney(oDec("o_totalprice")))})")} " +
+        "FROM orders) AS rev, CAST(1 AS BIGINT) AS n_dirs"),
+
+    // the three versions of the alter+fill history recomputed raw
+    "table_alter_sql" -> {
+      val b = s"SELECT c_custkey AS key, ${oDec("c_acctbal")} AS bal " +
+        "FROM customer"
+      def snap(v: Int, tier: Boolean) =
+        s"SELECT $v AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          (if (tier) "CAST(COUNT(*) AS BIGINT)" else "CAST(0 AS BIGINT)") +
+          " AS n_tier, " +
+          (if (tier) "CAST(COUNT(CASE WHEN bal < 0 THEN 1 END) AS BIGINT)"
+           else "CAST(0 AS BIGINT)") + " AS n_neg, " +
+          s"${oMoney("SUM(bal)")} AS bal_sum FROM ($b)"
+      snap(0, tier = false) + " UNION ALL " + snap(1, tier = false) +
+        " UNION ALL " + snap(2, tier = true) + " ORDER BY version"
+    },
 
     // table_delete_dv's replay (sans purge), driven from SQL
     "table_delete_sql" -> {

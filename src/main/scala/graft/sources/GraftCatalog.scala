@@ -128,10 +128,38 @@ class GraftCatalog extends TableCatalog {
     load(ident, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on a graft table: evolve the schema by committing " +
-        "with allowEvolution (the write-time gate is the contract)")
+  /** `ALTER TABLE … ADD COLUMN[S]` — mapped onto the metadata-only
+    * empty-delta commit (`GraftTable.commitAddColumns`): the new
+    * version re-references the current data verbatim with a wider
+    * schema= header, and readers backfill typed NULLs. Every other
+    * change kind refuses loudly: drops/renames/retypes need a rewrite
+    * the user must run deliberately (allowEvolution through a write
+    * path), and a silent metadata-only version for them would lie about
+    * the files underneath. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    val added: Seq[(String, String)] = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "ALTER TABLE ADD COLUMN on a graft table adds top-level " +
+            s"columns only (got nested ${a.fieldNames.mkString(".")})")
+        require(a.isNullable,
+          s"ADD COLUMN ${a.fieldNames.head} must be nullable — every " +
+            "existing row backfills NULL (add NOT NULL as a declared " +
+            "constraint on a later full commit instead)")
+        require(a.position() == null,
+          "ADD COLUMN … FIRST/AFTER is not supported — new columns " +
+            "append at the end of the schema")
+        (a.fieldNames.head, a.dataType().catalogString)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported on a graft table " +
+          "— only ADD COLUMN[S] is metadata-only; drops/renames/retypes " +
+          "need a deliberate rewrite (commit with allowEvolution)")
+    }
+    GraftTable.commitAddColumns(spark, dir, added,
+      s"ALTER TABLE ADD COLUMNS (${added.map(_._1).mkString(", ")})")
+    load(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

@@ -242,6 +242,65 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
         .map(_.rows).sum
     }
 
+  /** COLUMN-LEVEL Catalyst statistics from the manifest, for the kept
+    * file set: per-column min/max (ordinals decoded back to catalyst
+    * values through the REGISTRY encodings — only statenc-declared
+    * columns, whose ordinal meaning the manifest itself defines) and
+    * null counts. This is what lets CBO estimate filter selectivity and
+    * reorder joins over graft scans from the transaction log instead of
+    * running blind — the column-stat half of `SupportsReportStatistics`,
+    * same source of truth as `manifestRows`. Empty under a DV (the
+    * tombstones falsify per-file counts) or without stats. */
+  private[graft] def manifestColStats(keep: Option[String => Boolean],
+      outSchema: StructType): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val res = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]
+    if (headers.contains("dv")) return res
+    val encs: Map[String, String] =
+      headers.get("statenc").map(GraftTable.StatsEnc.decode(_).toMap)
+        .getOrElse(Map.empty)
+    headers.get("stats").map(GraftTable.TableStats.decode).foreach { st =>
+      val kept = st.files.filter(f =>
+        keep.forall(_(canonPath(statPath(f.file)))))
+      if (kept.nonEmpty) st.cols.zipWithIndex.foreach { case (c, i) =>
+        if (outSchema.fieldNames.contains(c)) {
+          val dt = outSchema(outSchema.fieldIndex(c)).dataType
+          val mnOrd = kept.map(_.mins(i)).min
+          val mxOrd = kept.map(_.maxs(i)).max
+          val nulls: OptionalLong =
+            if (kept.exists(_.nulls.isEmpty)) OptionalLong.empty()
+            else OptionalLong.of(kept.map(_.nulls(i)).sum)
+          // an all-null kept set records min > max sentinels — report
+          // the null count alone then
+          val (mnV, mxV) =
+            if (mnOrd > mxOrd) (None, None)
+            else encs.get(c) match {
+              case Some(e) => (GraftTable.StatsEnc.ordinalValue(e, mnOrd, dt),
+                GraftTable.StatsEnc.ordinalValue(e, mxOrd, dt))
+              case None => (None, None)
+            }
+          if (mnV.isDefined || nulls.isPresent) {
+            res.put(Expressions.column(c),
+              new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  mnV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def max(): java.util.Optional[Object] =
+                  mxV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                override def nullCount(): OptionalLong = nulls
+              })
+          }
+        }
+      }
+    }
+    res
+  }
+
   /** Stats file keys are dir-relative for plain commits and
     * table-relative for append commits — same split `readStatsBands`
     * resolves. */
@@ -535,6 +594,13 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
     override def numRows(): OptionalLong =
       table.manifestRows(keep)
         .map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    // column min/max/null-count from the stats= line (registry-decoded)
+    // — with CBO on, filter-selectivity estimates and join reordering
+    // over graft scans read the transaction log's truth
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      table.manifestColStats(keep, out)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)

@@ -79,6 +79,31 @@ object GraftTable {
         s"unknown stats encoding '$other' (registered: $names)")
     }
 
+    /** INVERSE of the ordinal encoding: a recorded min/max ordinal back
+      * to the column's CATALYST-INTERNAL value (what Catalyst column
+      * statistics carry — micros Long for timestamps, epoch-day Int for
+      * dates, the numeric itself for `id`). None when the encoding
+      * cannot represent the column's type — the caller then reports no
+      * min/max for that column (never a guess). */
+    def ordinalValue(enc: String, ordinal: Long,
+        dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+      import org.apache.spark.sql.types._
+      (enc, dt) match {
+        case ("id", LongType)    => Some(ordinal)
+        case ("id", IntegerType) => Some(ordinal.toInt)
+        case ("id", ShortType)   => Some(ordinal.toShort)
+        case ("id", ByteType)    => Some(ordinal.toByte)
+        // TimestampType only — NOT TimestampNTZType: Spark's
+        // FilterEstimation has no case for ntz (MatchError at
+        // evaluateBinary), so advertising an ntz min/max would CRASH
+        // any CBO-enabled query filtering on the column. An absent
+        // stat is merely conservative.
+        case ("us", TimestampType) => Some(ordinal)
+        case ("days", DateType)  => Some(ordinal.toInt)
+        case _ => None
+      }
+    }
+
     /** Driver-side ordinal of a pushed-filter LITERAL under a registered
       * encoding — the exact long the write-side expression would produce
       * for the same value (UTC session canon for the temporal ones).
@@ -1422,7 +1447,27 @@ object GraftTable {
     // the read subtracts them with a BROADCAST anti-join — the DV is
     // small by construction (deleted keys only), so at 100 TB the base
     // scan stays shuffle-free and no data file is rewritten
-    hdrs.get("dv") match {
+    // After a metadata-only ADD COLUMN (`commitAddColumns`), a chain's
+    // dirs can differ PHYSICALLY (old dirs lack the new column), and
+    // parquet schema inference over such a union would pick one file's
+    // shape arbitrarily — multi-dir reads therefore bind the DECLARED
+    // schema, so every file null-fills exactly its missing columns.
+    // Multi-dir versions are flat by construction (the append/update
+    // gates refuse partitionBy), so no partition-column ordering is at
+    // stake; single-dir reads keep plain inference (partitionBy layouts
+    // surface partition columns last, the convention every door shares).
+    val declared: Option[org.apache.spark.sql.types.StructType] =
+      hdrs.get("schema").map(enc =>
+        org.apache.spark.sql.types.StructType(schemaDecode(enc).map {
+          case (n, t) => org.apache.spark.sql.types.StructField(
+            n, org.apache.spark.sql.types.DataType.fromDDL(t))
+        }))
+    def readDirs(paths: Seq[String]): DataFrame = declared match {
+      case Some(st) if paths.length > 1 =>
+        spark.read.schema(st).parquet(paths: _*)
+      case _ => spark.read.parquet(paths: _*)
+    }
+    val base = hdrs.get("dv") match {
       case Some(spec) if spec.endsWith(";scoped") =>
         // DIR-SCOPED tombstones (MoR UPDATE): each (key, __dir) pair
         // kills its key only in that chain dir, so a later dir's
@@ -1430,28 +1475,50 @@ object GraftTable {
         // per dir scan (dir BASENAME, so shallow clones' ../src
         // references keep matching); the union is per-dir but the
         // anti-join is still ONE broadcast
-        import org.apache.spark.sql.functions.{broadcast, col, lit}
+        import org.apache.spark.sql.functions.{broadcast, lit}
         val parts = spec.split(";", 3)
         val (dvDir, keyCols) = (parts(0), parts(1).split(",").toSeq)
         val withDir = dataDirs.map { dd =>
-          spark.read.parquet(s"$dir/$dd")
-            .withColumn("__gdir", lit(dirBasename(dd)))
+          (declared match {
+            case Some(st) => spark.read.schema(st).parquet(s"$dir/$dd")
+            case None => spark.read.parquet(s"$dir/$dd")
+          }).withColumn("__gdir", lit(dirBasename(dd)))
         }.reduce(_ unionByName _)
-        withDir.join(
-          broadcast(spark.read.parquet(s"$dir/$dvDir")
-            .withColumnRenamed("__dir", "__gdir")),
-          keyCols :+ "__gdir", "left_anti")
+        val dvDf = spark.read.parquet(s"$dir/$dvDir")
+          .withColumnRenamed("__dir", "__gdir")
+        // NULL-SAFE key equality: a tombstone whose key tuple holds a
+        // NULL (full-row SQL DML over nullable columns) must still kill
+        // its row — plain `=` would never match it, silently
+        // resurrecting deleted rows (and diverging from the DSv2
+        // reader's set probe, where null == null)
+        withDir.join(broadcast(dvDf),
+          (keyCols :+ "__gdir").map(k => withDir(k) <=> dvDf(k))
+            .reduce(_ && _),
+          "left_anti")
           .drop("__gdir")
       case Some(spec) =>
         val Array(dvDir, keys) = spec.split(";", 2)
         val keyCols = keys.split(",").toSeq
-        spark.read.parquet(dataDirs.map(d => s"$dir/$d"): _*).join(
-          org.apache.spark.sql.functions.broadcast(
-            spark.read.parquet(s"$dir/$dvDir")),
-          keyCols, "left_anti")
+        val dataDf = readDirs(dataDirs.map(d => s"$dir/$d"))
+        val dvDf = spark.read.parquet(s"$dir/$dvDir")
+        dataDf.join(
+          org.apache.spark.sql.functions.broadcast(dvDf),
+          keyCols.map(k => dataDf(k) <=> dvDf(k)).reduce(_ && _),
+          "left_anti")
       case None =>
-        spark.read.parquet(dataDirs.map(d => s"$dir/$d"): _*)
+        readDirs(dataDirs.map(d => s"$dir/$d"))
     }
+    // METADATA-ONLY evolution backfill: a column the schema= header
+    // declares but no data file carries yet (ALTER TABLE ADD COLUMN —
+    // `commitAddColumns`) surfaces as a typed NULL, in declared order
+    // at the end — no file is ever rewritten for an ADD COLUMN, the
+    // same contract every lake format gives. For every other version
+    // the header matches the files and this is a no-op.
+    hdrs.get("schema").map(schemaDecode).getOrElse(Nil)
+      .filterNot { case (n, _) => base.columns.contains(n) }
+      .foldLeft(base) { case (df, (n, t)) =>
+        df.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(t))
+      }
   }
 
   /** Chain-dir BASENAME — the dir identity scoped tombstones record.
@@ -1655,6 +1722,60 @@ object GraftTable {
     v
   }
 
+  /** METADATA-ONLY `ADD COLUMN`: mint a version that re-references the
+    * current data dirs VERBATIM and records a wider schema= — no file
+    * is listed, opened or rewritten (the empty-delta commit every lake
+    * format uses for ADD COLUMN). Readers backfill the new columns as
+    * typed NULLs (`readVersion` / the DSv2 schema-header path); the
+    * write gate then demands the new column from the next commit on.
+    * New columns must be nullable by construction (every existing row
+    * reads NULL) and must not collide with declared ones. Layout and
+    * index headers carry through unchanged — the files they describe
+    * are untouched (a predecessor append chain's table-relative stats
+    * keys are preserved via statrel=). Serves the SQL door
+    * (`ALTER TABLE gt.t ADD COLUMNS …`, GraftCatalog.alterTable).
+    * Returns the new version. */
+  def commitAddColumns(spark: SparkSession, dir: String,
+      cols: Seq[(String, String)],
+      metadata: String = "ALTER TABLE ADD COLUMNS",
+      prefix: String = "v"): Int = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(fs, dir).getOrElse(
+      sys.error(s"no committed version under $dir to alter"))
+    val hdrs = parseCommit(commitContent(fs, dir, cur))._1
+    val prev = hdrs.get("schema").map(schemaDecode).getOrElse(sys.error(
+      s"version $cur of $dir predates schema= headers — re-commit once " +
+        "through any write path to record the schema, then alter"))
+    val resolver = spark.sessionState.conf.resolver
+    cols.foreach { case (n, t) =>
+      require(!prev.exists(p => resolver(p._1, n)),
+        s"column '$n' already exists in the table's schema")
+      require(cols.count(c => resolver(c._1, n)) == 1,
+        s"column '$n' is added twice")
+      // parse-validate the type NOW — a bad DDL string must refuse the
+      // alter, not poison every future read
+      org.apache.spark.sql.types.DataType.fromDDL(t)
+    }
+    val v = cur + 1
+    commit(fs, dir, v, metadata, prefix = prefix,
+      dataDir = hdrs.get("data"),
+      dv = hdrs.get("dv"),
+      schema = Some((prev ++ cols).map { case (n, t) =>
+        s"${urlEnc(n)}:${urlEnc(t)}" }.mkString(",")),
+      partBy = hdrs.get("partby"),
+      prevTs = prevTsOf(Some((cur, hdrs))),
+      stats = hdrs.get("stats").map(TableStats.decode),
+      // an append predecessor's stats keys are table-relative; this
+      // commit carries no append= marker, so declare the key shape
+      statrel = hdrs.contains("append") || hdrs.contains("statrel"),
+      bloom = hdrs.get("bloom"),
+      statenc = hdrs.get("statenc"),
+      pmap = hdrs.get("pmap"),
+      constraintsHdr = hdrs.get("constraints"))
+    v
+  }
+
   /** MERGE-ON-READ UPDATE: one atomic commit = dir-scoped tombstones
     * for the matched rows' old versions PLUS a replacement dir carrying
     * the updated rows — no base file is rewritten (the CoW/MoR trade of
@@ -1733,10 +1854,21 @@ object GraftTable {
 
     // the live snapshot WITH dir attribution (existing tombstones
     // applied first — a dead row must neither re-match nor resurrect
-    // through a fresh replacement)
+    // through a fresh replacement). Each dir reads under the DECLARED
+    // schema when the manifest records one: after a metadata-only ADD
+    // COLUMN the old dirs lack the new column physically, and both the
+    // condition and the SET expressions must still see it (as NULL) —
+    // same conformance rule as readVersion's multi-dir reads.
+    val declared = hdrs.get("schema").map(enc =>
+      org.apache.spark.sql.types.StructType(schemaDecode(enc).map {
+        case (n, t) => org.apache.spark.sql.types.StructField(
+          n, org.apache.spark.sql.types.DataType.fromDDL(t))
+      }))
     val withDir = dataDirs.map { dd =>
-      spark.read.parquet(s"$dir/$dd")
-        .withColumn("__gdir", lit(dirBasename(dd)))
+      (declared match {
+        case Some(st) => spark.read.schema(st).parquet(s"$dir/$dd")
+        case None => spark.read.parquet(s"$dir/$dd")
+      }).withColumn("__gdir", lit(dirBasename(dd)))
     }.reduce(_ unionByName _)
     val outCols = withDir.columns.filterNot(_ == "__gdir").toSeq
     val keyCols = keyColsOpt.getOrElse(outCols)
@@ -1760,9 +1892,17 @@ object GraftTable {
       // equivalent is the key set crossed with every current dir
       else dvd.crossJoin(basenamesDf)
     }
-    val live = prevTombs.fold(withDir)(tb =>
-      withDir.join(broadcast(tb.withColumnRenamed("__dir", "__gdir")),
-        keyCols :+ "__gdir", "left_anti"))
+    val live = prevTombs.fold(withDir) { tb =>
+      val tbR = tb.withColumnRenamed("__dir", "__gdir")
+      // null-safe, matching readVersion: a NULL-bearing tombstone key
+      // (full-row SQL DML) must kill its row here too — otherwise a
+      // dead row re-matches the condition and resurrects through a
+      // fresh replacement
+      withDir.join(broadcast(tbR),
+        (keyCols :+ "__gdir").map(k => withDir(k) <=> tbR(k))
+          .reduce(_ && _),
+        "left_anti")
+    }
 
     val matched = live.filter(cond)
     val replacements = sets.foldLeft(matched) { case (df, (c, v)) =>
@@ -1775,7 +1915,10 @@ object GraftTable {
       enforceConstraints(replacements, carried, "update",
         existing =
           if (carried.exists(_.startsWith("unique:")))
-            Some(live.join(broadcast(newTombKeys), keyCols, "left_anti")
+            // null-safe like every DV subtraction in this file
+            Some(live.join(broadcast(newTombKeys),
+              keyCols.map(k => live(k) <=> newTombKeys(k)).reduce(_ && _),
+              "left_anti")
               .select(outCols.map(col): _*))
           else None)
     }
@@ -3300,7 +3443,8 @@ object GraftTable {
       metadata: String = "compact", prefix: String = "v",
       statsCols: StatsCols = Nil, bloomCol: Option[String] = None,
       clusterBy: StatsCols = Nil,
-      statsEnc: Seq[(String, String)] = Nil): Int = {
+      statsEnc: Seq[(String, String)] = Nil,
+      bloomCols: Seq[String] = Nil): Int = {
     require(targetFiles >= 1, s"targetFiles must be >= 1 (got $targetFiles)")
     val fs = fsOf(spark, dir)
     val (c, h) = currentHeaders(fs, dir).getOrElse(sys.error(
@@ -3311,7 +3455,7 @@ object GraftTable {
           "silently drop the skipping index for the rewritten layout — " +
           "re-declare the stat columns (or rewrite via " +
           "commitNextIsolated to drop stats deliberately)")
-    if (h.contains("bloom") && bloomCol.isEmpty)
+    if (h.contains("bloom") && bloomCol.isEmpty && bloomCols.isEmpty)
       throw new IndexRedeclarationRequired(
         "compacting a Bloom-indexed table without bloomCol would " +
           "silently drop the point-lookup index — re-declare the " +
@@ -3333,7 +3477,7 @@ object GraftTable {
       else snap.repartition(partBy.map(org.apache.spark.sql.functions.col): _*)
     commitNextIsolated(spark, dir, compacted, metadata, prefix = prefix,
       partitionBy = partBy, statsCols = statsCols, bloomCol = bloomCol,
-      statsEnc = statsEnc)
+      statsEnc = statsEnc, bloomCols = bloomCols)
   }
 
   /** OPTIMIZE ZORDER BY — the clustering rewrite `compactChain` applies
@@ -3577,7 +3721,8 @@ object GraftTable {
       bloomCol: Option[String] = None, clusterBy: StatsCols = Nil,
       retainMs: Long = Long.MaxValue, vacuumGraceMs: Long = 3600000L,
       prefix: String = "v", statsEnc: Seq[(String, String)] = Nil,
-      incremental: Boolean = false): MaintenanceReport = {
+      incremental: Boolean = false,
+      bloomCols: Seq[String] = Nil): MaintenanceReport = {
     val fs = fsOf(spark, dir)
     val (c, h) = currentHeaders(fs, dir).getOrElse(sys.error(
       s"nothing to maintain: no version committed under $dir"))
@@ -3599,10 +3744,10 @@ object GraftTable {
           if (incremental && dataDirsFrom(h, c, prefix).size >= 2)
             compactChainTail(spark, dir, targetFiles,
               "maintenance compact (tail)", prefix, statsCols, bloomCol,
-              clusterBy, statsEnc)
+              clusterBy, statsEnc, bloomCols)
           else compactChain(spark, dir, targetFiles,
             "maintenance compact", prefix, statsCols, bloomCol, clusterBy,
-            statsEnc)),
+            statsEnc, bloomCols)),
           None)
         catch {
           // ONLY an index-redeclaration refusal is survivable config

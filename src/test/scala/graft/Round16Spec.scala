@@ -523,6 +523,200 @@ class Round16Spec extends SparkSpec {
     assert(opened.size == 1)
   }
 
+  // ---- 6. ALTER TABLE ADD COLUMN -----------------------------------------
+
+  test("sql: ALTER TABLE ADD COLUMNS is metadata-only with NULL backfill") {
+    val dir = freshDir("altersql")
+    val base = T.t(spark, sf, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    GraftTable.commitNextIsolated(spark, dir, base, "base")
+    val fs = GraftTable.fsOf(spark, dir)
+    val baseDir = GraftTable.headersOf(fs, dir, 0)("data")
+    val before = fileSigs(dir, baseDir)
+
+    withCatalog("gt16")
+    val abs = new java.io.File(dir).getAbsolutePath
+    spark.sql(s"ALTER TABLE gt16.`$abs` " +
+      "ADD COLUMNS (region_code INT, note STRING)")
+    // metadata-only: same data dir, byte-identical files
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1))
+    val h1 = GraftTable.headersOf(fs, dir, 1)
+    assert(h1("data") == baseDir)
+    assert(fileSigs(dir, baseDir) == before)
+
+    // API read: new columns surface as typed NULLs at the end
+    val r = GraftTable.read(spark, dir)
+    assert(r.schema.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name", "region_code", "note"))
+    assert(r.schema("region_code").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(r.where(col("region_code").isNull && col("note").isNull)
+      .count() == base.count())
+    // DSv2/SQL read serves the same
+    val sqlRead = spark.sql(s"SELECT * FROM gt16.`$abs`")
+    assert(sqlRead.schema.fieldNames.toSeq == r.schema.fieldNames.toSeq)
+    assert(sqlRead.where(col("note").isNull).count() == base.count())
+    // v0 time travel keeps ITS schema
+    assert(GraftTable.readVersion(spark, dir, 0).schema.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name"))
+
+    // the write gate binds the NEW schema from here on: the narrow
+    // frame refuses, the wide one lands
+    val e = intercept[Exception] {
+      GraftTable.commitNextIsolated(spark, dir, base, "narrow again")
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    GraftTable.commitNextIsolated(spark, dir,
+      base.withColumn("region_code", (col("n_nationkey") % 5).cast("int"))
+        .withColumn("note", lit("x")),
+      "filled")
+    assert(GraftTable.read(spark, dir)
+      .where(col("region_code").isNotNull).count() == base.count())
+
+    // non-ADD changes refuse loudly
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE gt16.`$abs` DROP COLUMN note")
+    }
+    assert(e2.getMessage.contains("not supported"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE gt16.`$abs` ADD COLUMNS (note STRING)")
+    }
+    assert(e3.getMessage.contains("already exists"), e3.getMessage)
+  }
+
+  test("sql: DML full-row identity is exact over NULL-bearing columns") {
+    val dir = freshDir("nulldml")
+    import spark.implicits._
+    val rows = Seq((1L, Some("a")), (2L, None), (3L, None), (4L, Some("d")))
+      .toDF("k", "tag").repartition(2)
+    GraftTable.commitNextIsolated(spark, dir, rows, "base")
+    withCatalog("gt16")
+    val abs = new java.io.File(dir).getAbsolutePath
+    // delete a NULL-keyed row: the tombstone tuple holds a NULL — the
+    // null-safe anti-join must still kill it (and only it)
+    spark.sql(s"DELETE FROM gt16.`$abs` WHERE k = 2")
+    val afterDelete = GraftTable.read(spark, dir)
+      .select(col("k")).as[Long].collect().sorted.toSeq
+    assert(afterDelete == Seq(1L, 3L, 4L), s"got $afterDelete")
+    // update THROUGH a NULL: rows with tag NULL get one; the old
+    // NULL-bearing rows must die exactly once
+    spark.sql(s"UPDATE gt16.`$abs` SET tag = 'filled' WHERE tag IS NULL")
+    val after = GraftTable.read(spark, dir)
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(after == Seq((1L, Some("a")), (3L, Some("filled")),
+      (4L, Some("d"))), s"got $after")
+    // and the DSv2 read path agrees with the API read
+    val dsv2 = spark.read.format("graft").load(abs)
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(dsv2 == after)
+  }
+
+  // ---- 7. SQL maintenance surface ----------------------------------------
+
+  test("sql: graft_optimize / graft_vacuum / graft_expire drive maintenance from SQL text") {
+    import spark.implicits._
+    val dir = freshDir("sqlmaint")
+    val fs = GraftTable.fsOf(spark, dir)
+    def chunk(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i * 10)).toDF("k", "v").repartition(2)
+    GraftTable.commitNextIsolated(spark, dir, chunk(0, 100), "head",
+      statsEnc = Seq("k" -> "id"), bloomCols = Seq("k"))
+    GraftTable.commitAppend(spark, dir, chunk(100, 200), "a1",
+      statsEnc = Seq("k" -> "id"), bloomCols = Seq("k"))
+    GraftTable.commitAppend(spark, dir, chunk(200, 300), "a2",
+      statsEnc = Seq("k" -> "id"), bloomCols = Seq("k"))
+
+    // OPTIMIZE from SQL: one dir, index re-derived from the manifest
+    val rep = spark.sql(s"SELECT * FROM graft_optimize('$dir', 2)")
+      .collect()(0)
+    assert(rep.getAs[Int]("version") == 3 && rep.getAs[Long]("n_dirs") == 1L)
+    val h3 = GraftTable.headersOf(fs, dir, 3)
+    assert(h3.contains("stats") && h3.contains("statenc") &&
+      h3.contains("bloom"), s"OPTIMIZE must re-index: ${h3.keySet}")
+    val (pdf, hit, total) = GraftTable.readBloomEq(spark, dir, 3, "k", 250L)
+    assert(total == rep.getAs[Long]("n_files").toInt &&
+      pdf.where(col("k") === 250L).count() == 1 && hit.size >= 1)
+    val (_, opened, totalB) = GraftTable.readStatsBand(
+      spark, dir, 3, "k", 0L, 50L)
+    assert(opened.size < totalB || totalB == 1)
+    assert(GraftTable.read(spark, dir).count() == 300)
+
+    // VACUUM from SQL: a planted orphan staging dir is reclaimed
+    val orphan = new Path(s"$dir/v2_deadbeef")
+    fs.mkdirs(orphan)
+    fs.create(new Path(orphan, "part-0.parquet"), true).close()
+    val vac = spark.sql(s"SELECT * FROM graft_vacuum('$dir', 0)")
+      .as[String].collect().toSeq
+    assert(vac.contains("v2_deadbeef"), s"got $vac")
+    assert(!fs.exists(orphan))
+
+    // retention from SQL: nothing is old enough — zero rows, all
+    // versions still readable
+    assert(spark.sql(
+      s"SELECT * FROM graft_expire('$dir', ${Long.MaxValue})").count() == 0)
+    assert(GraftTable.readVersion(spark, dir, 0).count() == 100)
+  }
+
+  // ---- 5. column statistics for CBO --------------------------------------
+
+  test("cbo: manifest column stats drive filter-selectivity estimates") {
+    val dir = freshDir("cbostats")
+    // key-clustered statenc table — the manifest records per-file
+    // min/max in registry (id) ordinals
+    val o = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    GraftTable.commitNextIsolated(spark, dir, o, "clustered",
+      statsEnc = Seq("o_orderkey" -> "id"))
+    val abs = new java.io.File(dir).getAbsolutePath
+
+    val oldCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+      val scanDf = spark.read.format("graft").load(abs)
+      val rel = scanDf.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r
+      }.head
+      val attrStats = rel.stats.attributeStats
+      // the scan RELATION carries manifest-truth column stats
+      val keyStat = attrStats.find(_._1.name == "o_orderkey")
+        .map(_._2).getOrElse(fail(s"no o_orderkey colStat in $attrStats"))
+      val expMin = o.agg(min(col("o_orderkey"))).head().getLong(0)
+      val expMax = o.agg(max(col("o_orderkey"))).head().getLong(0)
+      assert(keyStat.min.contains(expMin) && keyStat.max.contains(expMax),
+        s"colStat min/max ${keyStat.min}/${keyStat.max} != " +
+          s"$expMin/$expMax")
+      assert(keyStat.nullCount.isDefined &&
+        keyStat.nullCount.get == BigInt(0), s"${keyStat.nullCount}")
+
+      // a range filter's ESTIMATED row count shrinks accordingly — the
+      // selectivity signal CBO join planning feeds on (without column
+      // stats the estimate would be the blind default, nowhere near the
+      // narrow slice)
+      val total = o.count()
+      val cut = expMin + (expMax - expMin) * 9 / 10
+      val filtered = spark.read.format("graft").load(abs)
+        .where(col("o_orderkey") >= cut)
+      val fStats = filtered.queryExecution.optimizedPlan.stats
+      val actual = o.where(col("o_orderkey") >= cut).count()
+      assert(fStats.rowCount.isDefined, "CBO must estimate a row count")
+      val est = fStats.rowCount.get.toLong
+      // range estimation from true min/max: a ~10% slice must estimate
+      // FAR below the table count and within a loose band of actual
+      assert(est < total / 2 && est > 0,
+        s"estimate $est not selective (total $total, actual $actual)")
+      assert(est <= actual * 3 + 10 && est * 3 + 10 >= actual,
+        s"estimate $est too far from actual $actual")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", oldCbo)
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
   test("sql: UPDATE/DELETE refusals are loud") {
     val dir = freshDir("sqldmlrefuse")
     val n = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
