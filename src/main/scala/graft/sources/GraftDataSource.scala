@@ -582,6 +582,12 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     if (table.dv.isEmpty) inner.columnarSupportMode()
+    // NOT PARTITION_DEFINED: Spark refuses mixed row/columnar
+    // partitions in one scan ("Cannot mix row-based and columnar input
+    // partitions", DataSourceV2ScanExecBase.supportsColumnar), and a
+    // dir-scoped DV always leaves at least one partition tombstoned —
+    // so per-partition columnar pass-through can never engage. The DV
+    // read path's scale tier is the binary UnsafeRow probe instead.
     else Scan.ColumnarSupportMode.UNSUPPORTED
 
   /** Manifest-truth planning statistics: bytes from the PRUNED file set
@@ -659,8 +665,15 @@ private[graft] object GraftDvInfo {
 /** Reader factory that subtracts deletion-vector keys row by row: each
   * wrapped reader drops rows whose key tuple is tombstoned, then
   * projects away any key column the query didn't request. The DV is
-  * small by construction (deleted keys only), shipped once per task via
-  * the factory's closure. */
+  * small by construction (deleted keys only), broadcast once per scan.
+  *
+  * SCALE TIER: the probe is BINARY — per reader, the broadcast key
+  * tuples are encoded once through an `UnsafeProjection` into a
+  * HashSet of `UnsafeRow`s (byte-wise equals/hashCode), and each data
+  * row probes with a second projection over bound key ordinals. No
+  * per-row boxing, no `Seq[Any]` allocation, however wide the key —
+  * and both sides share UnsafeRow's float canonicalization, so probe
+  * and tombstone can never disagree on NaN/-0.0. */
 private[graft] class DvFilteringReaderFactory(
     inner: PartitionReaderFactory, innerSchema: StructType,
     out: StructType,
@@ -671,12 +684,45 @@ private[graft] class DvFilteringReaderFactory(
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
+  /** The broadcast tombstone tuples as binary UnsafeRows (driver-side
+    * catalyst values re-normalized: binary keys travel as Seq[Byte] for
+    * set equality — see GraftDvInfo.normKey — and project as
+    * Array[Byte]). Built once per reader, O(|DV|). */
+  private def binarySet(tombstones: Set[Seq[Any]],
+      keyTypes: Seq[org.apache.spark.sql.types.DataType])
+      : java.util.HashSet[org.apache.spark.sql.catalyst.expressions.UnsafeRow] = {
+    val enc = UnsafeProjection.create(keyTypes.toArray)
+    val scratch =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        keyTypes.length)
+    val set = new java.util.HashSet[
+      org.apache.spark.sql.catalyst.expressions.UnsafeRow](
+      math.max(16, tombstones.size * 2))
+    tombstones.foreach { key =>
+      var i = 0
+      while (i < keyTypes.length) {
+        scratch.update(i, key(i) match {
+          case s: scala.collection.Seq[_] =>
+            s.asInstanceOf[scala.collection.Seq[Byte]].toArray
+          case other => other
+        })
+        i += 1
+      }
+      set.add(enc(scratch).copy())
+    }
+    set
+  }
+
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
-    val tombstones = dvBc.value.forPartition(p)
     val r = inner.createReader(p)
     val keyOrds = keyCols.map(innerSchema.fieldIndex)
     val keyTypes = keyOrds.map(innerSchema(_).dataType)
+    val tombstones = binarySet(dvBc.value.forPartition(p), keyTypes)
+    val keyProj = UnsafeProjection.create(keyOrds.zip(keyTypes).map {
+      case (i, dt) => BoundReference(i, dt, innerSchema(i).nullable)
+        : Expression
+    }.toArray)
     val proj = UnsafeProjection.create(out.fields.map { f =>
       val i = innerSchema.fieldIndex(f.name)
       BoundReference(i, innerSchema(i).dataType, innerSchema(i).nullable)
@@ -687,9 +733,9 @@ private[graft] class DvFilteringReaderFactory(
       override def next(): Boolean = {
         while (r.next()) {
           val row = r.get()
-          val key: Seq[Any] = keyOrds.indices
-            .map(i => GraftDvInfo.normKey(row.get(keyOrds(i), keyTypes(i))))
-          if (!tombstones.contains(key)) { cur = proj(row); return true }
+          if (!tombstones.contains(keyProj(row))) {
+            cur = proj(row); return true
+          }
         }
         false
       }
