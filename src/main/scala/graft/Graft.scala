@@ -222,14 +222,14 @@ object Graft {
       case Some(h) =>
         val enc = h.get("statenc")
           .map(sources.GraftTable.StatsEnc.decode).getOrElse(Nil)
-        // pass statsEnc only when it FULLY covers the stats line — a
-        // partial decl would mint a narrower index silently; the bare
-        // Nil lets compactChain's redeclaration gate refuse loudly
-        val covers = h.get("stats").forall(st =>
-          sources.GraftTable.TableStats.decode(st).cols == enc.map(_._1))
+        // pass statsEnc only when it FULLY covers the stats line (the
+        // shared statencCovers predicate) — a partial decl would mint a
+        // narrower index silently; the bare Nil lets compactChain's
+        // redeclaration gate refuse loudly
         val blooms = h.get("bloom")
           .map(sources.GraftTable.bloomColsOf).getOrElse(Nil)
-        (if (covers) enc else Nil, blooms.headOption, blooms.drop(1))
+        (if (sources.GraftTable.statencCovers(h)) enc else Nil,
+          blooms.headOption, blooms.drop(1))
       case None => (Nil, None, Nil)
     }
   }

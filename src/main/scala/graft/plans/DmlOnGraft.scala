@@ -114,6 +114,20 @@ case class GraftUpdateCommand(update: UpdateTable, dir: String)
 case class GraftDeleteCommand(delete: DeleteFromTable, dir: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // same loud posture as the SQL UPDATE door: a MoR delete cannot
+    // carry the skipping index (the dv invalidates per-file row counts
+    // and commitDeleteVector drops stats=/bloom= by design), and SQL
+    // text must never strip an index silently
+    val fs = GraftTable.fsOf(spark, dir)
+    val hdrs = GraftTable.currentVersion(fs, dir)
+      .map(v => GraftTable.headersOf(fs, dir, v)).getOrElse(Map.empty)
+    if (hdrs.contains("stats") || hdrs.contains("bloom"))
+      throw new GraftTable.IndexRedeclarationRequired(
+        "DELETE would silently drop this table's skipping index (a " +
+          "merge-on-read deletion vector invalidates the per-file " +
+          "statistics) — drop the index deliberately via " +
+          "commitNextIsolated and re-OPTIMIZE after the delete, or " +
+          "delete through the API knowingly")
     val cond = GraftDml.portable(delete.condition)
     val snapshot = GraftTable.read(spark, dir)
     GraftTable.commitDeleteVector(spark, dir, snapshot.where(cond),

@@ -29,24 +29,14 @@ import graft.sources.{GraftSparkTable, GraftTable}
   * (`WITH SCHEMA EVOLUTION`) — the write-time gate is the contract. */
 case class MergeIntoGraftRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def graftTarget(plan: LogicalPlan): Option[(LogicalPlan, String)] =
-    plan match {
-      case SubqueryAlias(_, child) => graftTarget(child)
-      case r: DataSourceV2Relation => r.table match {
-        case g: GraftSparkTable => Some((plan, g.dir))
-        case _ => None
-      }
-      case _ => None
-    }
-
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case m: MergeIntoTable if m.resolved && m.childrenResolved &&
-          graftTarget(m.targetTable).isDefined =>
+          GraftDml.graftTarget(m.targetTable).isDefined =>
         require(!m.withSchemaEvolution,
           "MERGE … WITH SCHEMA EVOLUTION is not supported on graft " +
             "tables — evolve by committing with allowEvolution")
-        GraftMergeCommand(m, graftTarget(m.targetTable).get._2)
+        GraftMergeCommand(m, GraftDml.graftTarget(m.targetTable).get._2)
     }
 }
 
@@ -61,10 +51,12 @@ case class MergeIntoGraftRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * holds: readers of the current version never see a half-applied
   * merge (the commit is one atomic manifest publish).
   *
-  * Cardinality note: a target row matched by several source rows
-  * yields one output per match (the full-outer join's native shape);
-  * like the API-level merge fixtures, callers wanting the standard's
-  * cardinality error should enforce source-key uniqueness upstream. */
+  * Cardinality: a target row matched by several source rows RAISES a
+  * cardinality-violation error before anything commits (the SQL
+  * standard's rule; sole-unconditional-DELETE is the one sound
+  * carve-out), detected by a narrow key-columns-only pre-join.
+  * `spark.graft.merge.allowMultipleMatches=true` opts into
+  * one-output-per-match semantics deliberately. */
 case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
     extends LeafRunnableCommand {
 
@@ -79,11 +71,12 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
     // merge condition and action expressions bind unchanged
     val tMark = Alias(Literal(true), "__t_exists")()
     val sMark = Alias(Literal(true), "__s_exists")()
-    // a per-target-row identity for the cardinality check below —
-    // partition-id + offset, stable within one execution, never output
+    // a per-target-row identity for the cardinality check's narrow
+    // pre-join — partition-id + offset, stable within one execution;
+    // never part of the main merge plan
     val tId = Alias(MonotonicallyIncreasingID(), "__t_id")()
     val joined = Join(
-      Project(tOut :+ tMark :+ tId, target),
+      Project(tOut :+ tMark, target),
       Project(sOut :+ sMark, source),
       FullOuter, Some(merge.mergeCondition), JoinHint.NONE)
     val jdf = GraftSqlBridge.ofRows(spark, joined)
@@ -93,9 +86,12 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
     // the committed snapshot — raise instead, like the standard and
     // every lake engine. The one sound carve-out (the Delta rule): a
     // sole unconditional WHEN MATCHED THEN DELETE, where every match
-    // drops the row and multiplicity cannot corrupt. The check is one
-    // bounded aggregation over the matched slice of the SAME join;
-    // callers that have proven source-key uniqueness upstream can skip
+    // drops the row and multiplicity cannot corrupt. Cost posture: the
+    // detection is a NARROW pre-join — only the merge condition's
+    // referenced columns plus the row id, INNER-joined (matched pairs
+    // only) — so both scans column-prune to the condition's footprint
+    // and the wide full-outer action struct is never evaluated twice.
+    // Callers that have proven source-key uniqueness upstream can skip
     // it explicitly with spark.graft.merge.allowMultipleMatches=true.
     val allowMulti = spark.conf
       .getOption("spark.graft.merge.allowMultipleMatches")
@@ -105,8 +101,13 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
       case _ => false
     }
     if (!allowMulti && !deleteOnly) {
-      val dup = jdf
-        .where(col("__t_exists").isNotNull && col("__s_exists").isNotNull)
+      val refs = merge.mergeCondition.references
+      val narrow = Join(
+        Project(tOut.filter(refs.contains) :+ tId, target),
+        Project(sOut.filter(refs.contains), source),
+        org.apache.spark.sql.catalyst.plans.Inner,
+        Some(merge.mergeCondition), JoinHint.NONE)
+      val dup = GraftSqlBridge.ofRows(spark, narrow)
         .groupBy(col("__t_id")).count()
         .where(col("count") > 1).limit(1).count()
       require(dup == 0L,
@@ -201,16 +202,15 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
         "would drop the value→dir map)")
     val statsEncDecl = hdrs.get("statenc")
       .map(GraftTable.StatsEnc.decode).getOrElse(Nil)
-    hdrs.get("stats").foreach { st =>
-      val cols = GraftTable.TableStats.decode(st).cols
-      if (cols != statsEncDecl.map(_._1))
-        throw new GraftTable.IndexRedeclarationRequired(
-          s"MERGE INTO cannot re-derive this table's stats index: its " +
-            s"stat columns $cols are not fully registry-declared " +
-            s"(statenc covers ${statsEncDecl.map(_._1)}) — merge " +
-            "through the API (commitWithRetry + statsCols), or " +
-            "re-commit the table with statsEnc registry encodings")
-    }
+    if (!GraftTable.statencCovers(hdrs))
+      throw new GraftTable.IndexRedeclarationRequired(
+        "MERGE INTO cannot re-derive this table's stats index: its " +
+          s"stat columns ${hdrs.get("stats")
+            .map(GraftTable.TableStats.decode(_).cols).getOrElse(Nil)} " +
+          s"are not fully registry-declared (statenc covers " +
+          s"${statsEncDecl.map(_._1)}) — merge through the API " +
+          "(commitWithRetry + statsCols), or re-commit the table with " +
+          "statsEnc registry encodings")
     GraftMergeCommand.lastResolve = Some(next.queryExecution)
     GraftTable.commitNextIsolated(spark, dir, next, "MERGE INTO (SQL)",
       partitionBy =

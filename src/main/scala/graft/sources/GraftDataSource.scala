@@ -851,7 +851,8 @@ private[graft] class GraftWriteBuilder(spark: SparkSession,
           "graft streaming writes support OutputMode.Append only — " +
             "Complete/Update modes would rewrite the snapshot per " +
             "epoch; fold state through GraftTable.streamingSink instead")
-        new GraftStreamingWrite(spark, table.dir, info.schema())
+        new GraftStreamingWrite(spark, table.dir, info.schema(),
+          info.queryId())
       }
     }
   }
@@ -877,7 +878,7 @@ private[graft] class GraftWriteBuilder(spark: SparkSession,
   * valid streaming SOURCE (append-only history), closing the
   * table-to-table pipeline loop. */
 private[graft] class GraftStreamingWrite(spark: SparkSession, dir: String,
-    schema: StructType)
+    schema: StructType, queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   // run-unique: a restarted query stages under fresh names, so a crash
@@ -907,7 +908,7 @@ private[graft] class GraftStreamingWrite(spark: SparkSession, dir: String,
       msgs: Array[org.apache.spark.sql.connector.write
         .WriterCommitMessage]): Unit = {
     GraftTable.commitEpochStaged(spark, dir, epochId,
-      stagedName(epochId), schema)
+      stagedName(epochId), schema, queryId)
     ()
   }
 
@@ -958,7 +959,20 @@ private[graft] class GraftEpochWriterFactory(
           .WriterCommitMessage = {
         w.close()
         if (rows == 0L) { fs.delete(tmp, false); GraftEpochMsg(None) }
-        else { fs.rename(tmp, fin); GraftEpochMsg(Some(fin.toString)) }
+        else {
+          // hadoop rename signals most failures by returning FALSE —
+          // an ignored result could commit an epoch missing this
+          // partition's file. The one benign false: a prior authorized
+          // attempt of this partition already published `fin` (died
+          // between rename and report; both attempts wrote identical
+          // bytes), where dropping our temp is the correct outcome.
+          if (!fs.rename(tmp, fin)) {
+            if (fs.exists(fin)) fs.delete(tmp, false)
+            else sys.error(s"failed to publish epoch file $fin " +
+              s"(rename from $tmp returned false)")
+          }
+          GraftEpochMsg(Some(fin.toString))
+        }
       }
       override def abort(): Unit = {
         try w.close() catch { case _: Throwable => () }

@@ -1759,16 +1759,23 @@ object GraftTable {
     }
     val v = cur + 1
     commit(fs, dir, v, metadata, prefix = prefix,
-      dataDir = hdrs.get("data"),
+      // resolve through the ONE sanctioned accessor, not a raw header
+      // copy: a convention-path predecessor (commitNext) has no data=
+      // header, and copying None would point this version at a
+      // nonexistent conventional dir — the commitDeleteVector rule
+      dataDir = Some(dataDirsFrom(hdrs, cur, prefix).mkString(",")),
       dv = hdrs.get("dv"),
       schema = Some((prev ++ cols).map { case (n, t) =>
         s"${urlEnc(n)}:${urlEnc(t)}" }.mkString(",")),
       partBy = hdrs.get("partby"),
       prevTs = prevTsOf(Some((cur, hdrs))),
       stats = hdrs.get("stats").map(TableStats.decode),
-      // an append predecessor's stats keys are table-relative; this
-      // commit carries no append= marker, so declare the key shape
-      statrel = hdrs.contains("append") || hdrs.contains("statrel"),
+      // an append predecessor's STATS keys are table-relative; this
+      // commit carries no append= marker, so declare the key shape —
+      // only when a stats line actually rides along (a bare statrel=
+      // is refused by commit())
+      statrel = hdrs.contains("stats") &&
+        (hdrs.contains("append") || hdrs.contains("statrel")),
       bloom = hdrs.get("bloom"),
       statenc = hdrs.get("statenc"),
       pmap = hdrs.get("pmap"),
@@ -2279,18 +2286,15 @@ object GraftTable {
         // whose columns are not fully registry-declared still refuses:
         // its lambda ordinals are code a DataFrame writer cannot
         // re-derive, and a mixed line would mis-prune band reads.
-        h.get("stats").foreach { st =>
-          val cols = TableStats.decode(st).cols
-          val enc = h.get("statenc").map(StatsEnc.decode(_).map(_._1))
-            .getOrElse(Nil)
-          if (cols != enc)
-            throw new IndexRedeclarationRequired(
-              s"a DSv2 append cannot extend this chain's stats index: " +
-                s"its stat columns $cols are not fully registry-declared" +
-                s" (statenc covers $enc) — append through commitAppend " +
-                "with the original statsCols, or re-commit the chain " +
-                "with statsEnc registry encodings")
-        }
+        if (!statencCovers(h))
+          throw new IndexRedeclarationRequired(
+            "a DSv2 append cannot extend this chain's stats index: its " +
+              s"stat columns ${h.get("stats").map(TableStats.decode(_).cols)
+                .getOrElse(Nil)} are not fully registry-declared " +
+              s"(statenc covers ${h.get("statenc")
+                .map(StatsEnc.decode(_).map(_._1)).getOrElse(Nil)}) — " +
+              "append through commitAppend with the original statsCols, " +
+              "or re-commit the chain with statsEnc registry encodings")
       }
     }
   }
@@ -2361,6 +2365,17 @@ object GraftTable {
         throw e
     }
   }
+
+  /** Whether a version's stats= line is FULLY described by its statenc=
+    * registry declaration (same columns, same order) — the shared
+    * predicate of every self-described re-indexing door (DSv2 append
+    * gate, SQL MERGE re-index, SQL OPTIMIZE/maintain). One
+    * implementation so the doors can never diverge on what "covered"
+    * means: a lambda-ordinal stats line refuses everywhere, a
+    * registry-declared one re-derives everywhere. */
+  private[graft] def statencCovers(h: Map[String, String]): Boolean =
+    h.get("stats").forall(st => TableStats.decode(st).cols ==
+      h.get("statenc").map(StatsEnc.decode(_).map(_._1)).getOrElse(Nil))
 
   /** SELF-DESCRIBED index extension for a staged DSv2/streaming append:
     * a chain whose stats line is fully statenc-declared re-derives its
@@ -2616,15 +2631,31 @@ object GraftTable {
   private[graft] def commitEpochStaged(spark: SparkSession, dir: String,
       epochId: Long, staged: String,
       schema: org.apache.spark.sql.types.StructType,
-      maxAttempts: Int = 10): Option[Int] = {
+      queryId: String, maxAttempts: Int = 10): Option[Int] = {
     val fs = fsOf(spark, dir)
     val stagedPath = new Path(s"$dir/$staged")
+    require(!queryId.contains("\n") && queryId.nonEmpty,
+      s"queryId must be a non-empty single-line token (got '$queryId')")
+    // Replay detection is keyed by (QUERY, epoch), never the bare epoch
+    // — Delta's (txnAppId, version) rule: batch ids restart from 0 for
+    // every distinct query (a fresh checkpoint, a second pipeline into
+    // the same sink), and a bare-epoch probe would silently discard a
+    // new query's entire early history as "replays" of the old one.
+    // The walk stops at THIS query's newest epoch commit; other
+    // writers' interleaved commits are walked past. Legacy bare
+    // `epoch=N` metadata (the foreachBatch streamingSink door) never
+    // matches a query-tagged probe and vice versa — independent
+    // idempotence namespaces.
     def newestEpoch: Option[Long] =
       versions(fs, dir).sorted(Ordering[Int].reverse).iterator
         .map(v => meta(fs, dir, v))
         .filter(_.startsWith("epoch="))
-        .flatMap(_.stripPrefix("epoch=").toLongOption)
-        .nextOption()
+        .map { m =>
+          val parts = m.stripPrefix("epoch=").split(";query=", 2)
+          (parts(0).toLongOption,
+            if (parts.length == 2) Some(parts(1)) else None)
+        }
+        .collectFirst { case (Some(e), Some(q)) if q == queryId => e }
     def dropStaged(): Unit =
       try fs.delete(stagedPath, true)
       catch { case _: java.io.IOException => () }
@@ -2658,7 +2689,8 @@ object GraftTable {
         val prevDirs = cur.map { case (c, h) => dataDirsFrom(h, c, "v") }
           .getOrElse(Seq.empty)
         try {
-          commit(fs, dir, v, s"epoch=$epochId", prefix = "v",
+          commit(fs, dir, v, s"epoch=$epochId;query=$queryId",
+            prefix = "v",
             dataDir = Some((prevDirs :+ staged).mkString(",")),
             appendDir = if (cur.isDefined) Some(staged) else None,
             schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
@@ -2847,16 +2879,7 @@ object GraftTable {
           // in-flight writer's dir could look ancient and be yanked
           // despite the grace window. A file-less or unreadable dir
           // falls back to the dir entry's own mtime.
-          (graceMs == 0L || {
-            val newest =
-              try {
-                val it = fs.listFiles(st.getPath, true)
-                var m = Long.MinValue
-                while (it.hasNext) m = math.max(m, it.next().getModificationTime)
-                if (m == Long.MinValue) st.getModificationTime else m
-              } catch { case _: java.io.IOException => st.getModificationTime }
-            newest <= cutoff
-          })
+          (graceMs == 0L || newestMtimeUnder(fs, st) <= cutoff)
       }
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
     // manifest-dir litter: a checkpoint() crash between fs.create of the
@@ -2891,7 +2914,10 @@ object GraftTable {
         val n = st.getPath.getName
         st.isDirectory && !referenced.contains(n) &&
           dirVersion(n, "ep").isDefined &&
-          st.getModificationTime <= tmpCutoff
+          // recursive newest-FILE mtime like the main walk — object
+          // stores' synthetic dir mtimes would let an in-flight epoch's
+          // staging look ancient and be yanked mid-write
+          newestMtimeUnder(fs, st) <= tmpCutoff
       }
       .map { st => fs.delete(st.getPath, true); st.getPath.getName }
     val bloomLitter =
@@ -2906,6 +2932,20 @@ object GraftTable {
       } catch { case _: java.io.IOException => Seq.empty }
     reclaimed ++ litter ++ epOrphans ++ bloomLitter
   }
+
+  /** NEWEST file mtime anywhere under a dir (recursive) — the vacuum
+    * grace-age truth: on object stores directory mtimes are synthetic
+    * or zero, so a just-staged in-flight writer's dir could look
+    * ancient by its own entry. A file-less or unreadable dir falls back
+    * to the dir entry's own mtime. */
+  private def newestMtimeUnder(fs: FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long =
+    try {
+      val it = fs.listFiles(st.getPath, true)
+      var m = Long.MinValue
+      while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+      if (m == Long.MinValue) st.getModificationTime else m
+    } catch { case _: java.io.IOException => st.getModificationTime }
 
   /** TIME-BASED retention — the wall-clock companion of `commit`'s
     * count-based `retain`: reclaim the data (and dv) dirs of every

@@ -261,8 +261,10 @@ class Round16Spec extends SparkSpec {
     mem.addData((1L, "a"), (2L, "b")); q1.processAllAvailable()
     mem.addData((3L, "c")); q1.processAllAvailable(); q1.stop()
     assert(GraftTable.versions(fs, dir) == Seq(0, 1))
-    assert(GraftTable.meta(fs, dir, 0) == "epoch=0" &&
-      GraftTable.meta(fs, dir, 1) == "epoch=1")
+    // replay idempotence is keyed (query, epoch) — Delta's (txnAppId,
+    // version) rule
+    assert(GraftTable.meta(fs, dir, 0).startsWith("epoch=0;query=") &&
+      GraftTable.meta(fs, dir, 1).startsWith("epoch=1;query="))
     // v1 is an APPEND commit re-referencing v0's dir — the CDC/stream
     // read fast path holds for the sink table
     val h1 = GraftTable.headersOf(fs, dir, 1)
@@ -293,7 +295,7 @@ class Round16Spec extends SparkSpec {
     // post-restart ingest continues the SAME history exactly once
     mem.addData((4L, "d")); q2.processAllAvailable(); q2.stop()
     assert(GraftTable.versions(fs, dir) == Seq(0, 1, 2))
-    assert(GraftTable.meta(fs, dir, 2) == "epoch=2")
+    assert(GraftTable.meta(fs, dir, 2).startsWith("epoch=2;query="))
     assert(rows() == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
 
     // the sink table is itself a valid streaming SOURCE: replay the
@@ -715,6 +717,117 @@ class Round16Spec extends SparkSpec {
       spark.conf.set("spark.sql.cbo.enabled", oldCbo)
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
     }
+  }
+
+  // ---- review-pass regressions -------------------------------------------
+
+  test("stream write: a second query into the same sink is NOT mistaken for a replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = freshDir("twoqueries")
+    val fs = GraftTable.fsOf(spark, dir)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(ckpt: String, batches: Seq[Seq[(Long, String)]]): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("id", "tag").writeStream.format("graft")
+        .option("path", new java.io.File(dir).getAbsolutePath)
+        .option("checkpointLocation", ckpt)
+        .start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+    }
+    // query A commits epochs 0..1
+    run(freshDir("twoqueries_ckptA"),
+      Seq(Seq((1L, "a")), Seq((2L, "a"))))
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1))
+    // query B: FRESH checkpoint — its epoch ids restart at 0; a
+    // bare-epoch probe would silently discard its whole early history
+    run(freshDir("twoqueries_ckptB"), Seq(Seq((3L, "b"))))
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1, 2),
+      "a new query's epoch 0 must LAND, not be dropped as a replay")
+    import spark.implicits._
+    val got = GraftTable.read(spark, dir).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "a"), (3L, "b")), s"got $got")
+  }
+
+  test("sql: ALTER works on convention-path and unindexed append chains") {
+    import spark.implicits._
+    // convention-path predecessor: commitNext writes no data= header —
+    // the alter must resolve dirs through dataDirsFrom, not copy None
+    val dir = freshDir("alterconv")
+    GraftTable.commitNext(spark, dir, Seq((1L, "x")).toDF("k", "t"), "v0")
+    withCatalog("gt16")
+    spark.sql(s"ALTER TABLE gt16.`${new java.io.File(dir).getAbsolutePath}` " +
+      "ADD COLUMNS (extra INT)")
+    val r = GraftTable.read(spark, dir)
+    assert(r.columns.toSeq == Seq("k", "t", "extra") && r.count() == 1)
+
+    // unindexed APPEND chain (a streaming sink's shape): statrel must
+    // not ride without a stats line
+    val dir2 = freshDir("alterappend")
+    GraftTable.commitNextIsolated(spark, dir2,
+      Seq((1L, "x")).toDF("k", "t"), "v0")
+    GraftTable.commitAppend(spark, dir2, Seq((2L, "y")).toDF("k", "t"), "a1")
+    spark.sql(s"ALTER TABLE gt16.`${new java.io.File(dir2).getAbsolutePath}` " +
+      "ADD COLUMNS (extra INT)")
+    val r2 = GraftTable.read(spark, dir2)
+    assert(r2.columns.toSeq == Seq("k", "t", "extra") && r2.count() == 2)
+    assert(r2.where(col("extra").isNull).count() == 2)
+  }
+
+  test("sql: MERGE raises a cardinality violation on multi-matched target rows") {
+    import spark.implicits._
+    val dir = freshDir("mergecard")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "base")
+    withCatalog("gt16")
+    val abs = new java.io.File(dir).getAbsolutePath
+    Seq((1L, 100L), (1L, 200L), (3L, 300L)).toDF("k", "v")
+      .createOrReplaceTempView("r16_card_src")
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO gt16.`$abs` t USING r16_card_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |""".stripMargin)
+    }
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    assert(GraftTable.versions(GraftTable.fsOf(spark, dir), dir) == Seq(0),
+      "a refused merge must mint nothing")
+    // the explicit escape hatch accepts one-output-per-match
+    spark.conf.set("spark.graft.merge.allowMultipleMatches", "true")
+    try {
+      spark.sql(s"""MERGE INTO gt16.`$abs` t USING r16_card_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |""".stripMargin)
+      assert(GraftTable.read(spark, dir).count() == 4) // 1×2 + 2 + 3
+    } finally spark.conf.unset("spark.graft.merge.allowMultipleMatches")
+    // sole unconditional DELETE is the sound carve-out: no error
+    val dir2 = freshDir("mergecard2")
+    GraftTable.commitNextIsolated(spark, dir2,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "base")
+    spark.sql(s"""MERGE INTO gt16.`${new java.io.File(dir2).getAbsolutePath}`
+      | t USING r16_card_src s ON t.k = s.k
+      |WHEN MATCHED THEN DELETE
+      |""".stripMargin)
+    assert(GraftTable.read(spark, dir2).as[(Long, Long)].collect().toSeq ==
+      Seq((2L, 20L)))
+  }
+
+  test("sql: DELETE refuses an indexed target loudly") {
+    val dir = freshDir("delidx")
+    val n = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
+    GraftTable.commitNextIsolated(spark, dir, n, "indexed",
+      statsEnc = Seq("n_nationkey" -> "id"))
+    withCatalog("gt16")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM gt16.`${new java.io.File(dir).getAbsolutePath}`" +
+        " WHERE n_nationkey = 1")
+    }
+    assert(e.getMessage.contains("skipping index"), e.getMessage)
   }
 
   test("sql: UPDATE/DELETE refusals are loud") {
