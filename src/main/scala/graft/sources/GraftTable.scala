@@ -606,6 +606,18 @@ object GraftTable {
       val i = f.indexOf(':'); (urlDec(f.take(i)), urlDec(f.drop(i + 1)))
     }
 
+  /** The DECLARED schema of a version, parsed from its schema= header —
+    * the one decode `readVersion` and the MoR update engine share for
+    * conformance reads (so the two can never diverge on what the
+    * header means). */
+  private def declaredSchemaOf(hdrs: Map[String, String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    hdrs.get("schema").map(enc =>
+      org.apache.spark.sql.types.StructType(schemaDecode(enc).map {
+        case (n, t) => org.apache.spark.sql.types.StructField(
+          n, org.apache.spark.sql.types.DataType.fromDDL(t))
+      }))
+
   /** WRITE-TIME schema compatibility gate: compare the next commit's
     * schema against the current version's recorded schema= header BY
     * NAME (column order and nullability are not schema identity here —
@@ -1456,18 +1468,25 @@ object GraftTable {
     // gates refuse partitionBy), so no partition-column ordering is at
     // stake; single-dir reads keep plain inference (partitionBy layouts
     // surface partition columns last, the convention every door shares).
-    val declared: Option[org.apache.spark.sql.types.StructType] =
-      hdrs.get("schema").map(enc =>
-        org.apache.spark.sql.types.StructType(schemaDecode(enc).map {
-          case (n, t) => org.apache.spark.sql.types.StructField(
-            n, org.apache.spark.sql.types.DataType.fromDDL(t))
-        }))
+    val declared = declaredSchemaOf(hdrs)
     def readDirs(paths: Seq[String]): DataFrame = declared match {
       case Some(st) if paths.length > 1 =>
         spark.read.schema(st).parquet(paths: _*)
       case _ => spark.read.parquet(paths: _*)
     }
-    val base = hdrs.get("dv") match {
+    // METADATA-ONLY evolution backfill, applied BEFORE any DV
+    // subtraction: a column the schema= header declares but a file set
+    // doesn't carry yet (ALTER TABLE ADD COLUMN) surfaces as a typed
+    // NULL — and a full-row tombstone minted AFTER the alter keys on
+    // that column, so the anti-join must already see it. For every
+    // un-evolved version this is a no-op.
+    def conform(df: DataFrame): DataFrame =
+      hdrs.get("schema").map(schemaDecode).getOrElse(Nil)
+        .filterNot { case (n, _) => df.columns.contains(n) }
+        .foldLeft(df) { case (d, (n, t)) =>
+          d.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(t))
+        }
+    hdrs.get("dv") match {
       case Some(spec) if spec.endsWith(";scoped") =>
         // DIR-SCOPED tombstones (MoR UPDATE): each (key, __dir) pair
         // kills its key only in that chain dir, so a later dir's
@@ -1499,26 +1518,15 @@ object GraftTable {
       case Some(spec) =>
         val Array(dvDir, keys) = spec.split(";", 2)
         val keyCols = keys.split(",").toSeq
-        val dataDf = readDirs(dataDirs.map(d => s"$dir/$d"))
+        val dataDf = conform(readDirs(dataDirs.map(d => s"$dir/$d")))
         val dvDf = spark.read.parquet(s"$dir/$dvDir")
         dataDf.join(
           org.apache.spark.sql.functions.broadcast(dvDf),
           keyCols.map(k => dataDf(k) <=> dvDf(k)).reduce(_ && _),
           "left_anti")
       case None =>
-        readDirs(dataDirs.map(d => s"$dir/$d"))
+        conform(readDirs(dataDirs.map(d => s"$dir/$d")))
     }
-    // METADATA-ONLY evolution backfill: a column the schema= header
-    // declares but no data file carries yet (ALTER TABLE ADD COLUMN —
-    // `commitAddColumns`) surfaces as a typed NULL, in declared order
-    // at the end — no file is ever rewritten for an ADD COLUMN, the
-    // same contract every lake format gives. For every other version
-    // the header matches the files and this is a no-op.
-    hdrs.get("schema").map(schemaDecode).getOrElse(Nil)
-      .filterNot { case (n, _) => base.columns.contains(n) }
-      .foldLeft(base) { case (df, (n, t)) =>
-        df.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(t))
-      }
   }
 
   /** Chain-dir BASENAME — the dir identity scoped tombstones record.
@@ -1866,11 +1874,7 @@ object GraftTable {
     // COLUMN the old dirs lack the new column physically, and both the
     // condition and the SET expressions must still see it (as NULL) —
     // same conformance rule as readVersion's multi-dir reads.
-    val declared = hdrs.get("schema").map(enc =>
-      org.apache.spark.sql.types.StructType(schemaDecode(enc).map {
-        case (n, t) => org.apache.spark.sql.types.StructField(
-          n, org.apache.spark.sql.types.DataType.fromDDL(t))
-      }))
+    val declared = declaredSchemaOf(hdrs)
     val withDir = dataDirs.map { dd =>
       (declared match {
         case Some(st) => spark.read.schema(st).parquet(s"$dir/$dd")
@@ -1912,9 +1916,20 @@ object GraftTable {
     }
 
     val matched = live.filter(cond)
-    val replacements = sets.foldLeft(matched) { case (df, (c, v)) =>
-      df.withColumn(c, v.cast(df.schema(c).dataType))
-    }.select(outCols.map(col): _*)
+    // SIMULTANEOUS assignment (the SQL rule): every SET expression
+    // evaluates against the PRE-update row — one select, not a
+    // sequential fold (a fold would make `SET a = b, b = a` read a's
+    // already-replaced value when computing b)
+    val resolver = spark.sessionState.conf.resolver
+    sets.foreach { case (c, _) =>
+      require(outCols.exists(resolver(_, c)),
+        s"SET column '$c' is not a column of the table ($outCols)") }
+    val replacements = matched.select(outCols.map { c =>
+      sets.find { case (sc, _) => resolver(sc, c) } match {
+        case Some((_, v)) => v.cast(matched.schema(c).dataType).as(c)
+        case None => col(c)
+      }
+    }: _*)
 
     val carried = carriedConstraints(Some((cur, hdrs)))
     if (carried.nonEmpty) {
@@ -2271,6 +2286,24 @@ object GraftTable {
           "would silently flatten it; overwrite through " +
           "commitNextIsolated(partitionBy = …) to keep (or knowingly " +
           "change) the layout")
+      // a statenc-declared stats line and a bloom= line are
+      // SELF-DESCRIBED by the manifest (registry encoding names /
+      // col|m|k sections), so BOTH DSv2 modes re-derive them
+      // (`commitStagedDsv2`): an append extends the chain's index, an
+      // overwrite re-indexes its replacement snapshot — the index is
+      // never silently stripped. Only a stats line whose columns are
+      // not fully registry-declared refuses: its lambda ordinals are
+      // code a DataFrame writer cannot re-derive, and a mixed line
+      // would mis-prune band reads.
+      if (!statencCovers(h))
+        throw new IndexRedeclarationRequired(
+          "a DSv2 write cannot re-derive this table's stats index: its " +
+            s"stat columns ${h.get("stats").map(TableStats.decode(_).cols)
+              .getOrElse(Nil)} are not fully registry-declared " +
+            s"(statenc covers ${h.get("statenc")
+              .map(StatsEnc.decode(_).map(_._1)).getOrElse(Nil)}) — " +
+            "write through the API with the original statsCols, or " +
+            "re-commit the chain with statsEnc registry encodings")
       if (append) {
         require(!h.contains("dv"),
           "cannot append onto a version carrying a deletion vector — " +
@@ -2278,23 +2311,6 @@ object GraftTable {
         require(!h.contains("partby"),
           "cannot append onto a partitionBy layout through the DSv2 " +
             "door — commit a full version instead")
-        // a statenc-declared stats line and a bloom= line are
-        // SELF-DESCRIBED by the manifest (registry encoding names /
-        // col|m|k sections), so the DSv2 door extends them
-        // automatically (`commitStagedDsv2`) — INSERT INTO an indexed
-        // chain keeps band and Bloom pruning live. Only a stats line
-        // whose columns are not fully registry-declared still refuses:
-        // its lambda ordinals are code a DataFrame writer cannot
-        // re-derive, and a mixed line would mis-prune band reads.
-        if (!statencCovers(h))
-          throw new IndexRedeclarationRequired(
-            "a DSv2 append cannot extend this chain's stats index: its " +
-              s"stat columns ${h.get("stats").map(TableStats.decode(_).cols)
-                .getOrElse(Nil)} are not fully registry-declared " +
-              s"(statenc covers ${h.get("statenc")
-                .map(StatsEnc.decode(_).map(_._1)).getOrElse(Nil)}) — " +
-              "append through commitAppend with the original statsCols, " +
-              "or re-commit the chain with statsEnc registry encodings")
       }
     }
   }
@@ -2312,9 +2328,6 @@ object GraftTable {
     val fs = fsOf(spark, dir)
     try {
       val stagedDf = spark.read.parquet(s"$dir/$staged")
-      val (newStats, statsEncDecl, newBloom) =
-        if (append) dsv2IndexExtension(spark, fs, dir, staged)
-        else (None, Nil, None)
       var attempt = 0
       var done = false
       while (!done) {
@@ -2323,6 +2336,13 @@ object GraftTable {
         // re-gate per attempt: the race winner may have evolved the
         // schema, declared constraints, or attached an index
         dsv2WriteGate(spark, dir, schema, append)
+        // per-ATTEMPT index derivation, from the SAME headers the gate
+        // just passed: an OCC winner that attached (or dropped) the
+        // chain's index mid-race must be reflected — a pre-loop
+        // snapshot would silently commit an index-less version onto a
+        // freshly indexed chain
+        val (newStats, statsEncDecl, newBloom) =
+          dsv2IndexExtension(spark, dir, staged, cur.map(_._2))
         val carried = carriedConstraints(cur)
         if (carried.nonEmpty)
           enforceConstraints(stagedDf, carried,
@@ -2342,7 +2362,11 @@ object GraftTable {
                 .mkString(",")),
             appendDir = if (append && cur.isDefined) Some(staged) else None,
             schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
-            stats = newStats.map(mergeAppendStats(_, staged, cur, "v")),
+            // append: the chain's merged line; overwrite: the staged
+            // dir's own entries (dir-relative — it IS the new version)
+            stats =
+              if (append) newStats.map(mergeAppendStats(_, staged, cur, "v"))
+              else newStats,
             bloom = newBloom,
             statenc =
               if (statsEncDecl.isEmpty || newStats.isEmpty) None
@@ -2377,19 +2401,19 @@ object GraftTable {
     h.get("stats").forall(st => TableStats.decode(st).cols ==
       h.get("statenc").map(StatsEnc.decode(_).map(_._1)).getOrElse(Nil))
 
-  /** SELF-DESCRIBED index extension for a staged DSv2/streaming append:
-    * a chain whose stats line is fully statenc-declared re-derives its
-    * ordinals from the REGISTRY (manifest names, not caller code) and
-    * the staged dir gets its own stats entries; a bloom= chain gets a
-    * fresh sidecar built on the staged dir for the same column set.
-    * Computed ONCE per staged dir — the staged files are immutable; a
-    * mid-race index change by an OCC winner surfaces loudly in the
-    * per-attempt gate/merge. Returns (new dir's stats, statenc
-    * declaration to carry, new dir's bloom header). */
-  private def dsv2IndexExtension(spark: SparkSession, fs: FileSystem,
-      dir: String, staged: String)
+  /** SELF-DESCRIBED index derivation for a staged DSv2/streaming
+    * write: a predecessor whose stats line is fully statenc-declared
+    * re-derives its ordinals from the REGISTRY (manifest names, not
+    * caller code) and the staged dir gets its own stats entries; a
+    * bloom= predecessor gets a fresh sidecar built on the staged dir
+    * for the same column set. Called PER OCC ATTEMPT with the headers
+    * that attempt's gate passed, so a mid-race index attach/drop is
+    * always reflected. Returns (staged dir's stats, statenc declaration
+    * to carry, staged dir's bloom header). */
+  private def dsv2IndexExtension(spark: SparkSession,
+      dir: String, staged: String, curHeaders: Option[Map[String, String]])
       : (Option[TableStats], Seq[(String, String)], Option[String]) =
-    currentHeaders(fs, dir).map(_._2) match {
+    curHeaders match {
       case Some(h) =>
         val encDecl = h.get("statenc").map(StatsEnc.decode).getOrElse(Nil)
         val effStats: StatsCols =
@@ -2668,16 +2692,16 @@ object GraftTable {
     if (!hasData) { dropStaged(); return None }
     try {
       val stagedDf = spark.read.parquet(s"$dir/$staged")
-      // a statenc/bloom-indexed sink chain extends per epoch — the
-      // streamed versions stay band/Bloom-skippable (same self-described
-      // derivation as the batch DSv2 door)
-      val (newStats, statsEncDecl, newBloom) =
-        dsv2IndexExtension(spark, fs, dir, staged)
       var attempt = 0
       while (true) {
         attempt += 1
         val cur = currentHeaders(fs, dir)
         dsv2WriteGate(spark, dir, schema, append = true)
+        // a statenc/bloom-indexed sink chain extends per epoch — the
+        // streamed versions stay band/Bloom-skippable (same
+        // self-described, per-attempt derivation as the batch door)
+        val (newStats, statsEncDecl, newBloom) =
+          dsv2IndexExtension(spark, dir, staged, cur.map(_._2))
         val carried = carriedConstraints(cur)
         if (carried.nonEmpty)
           enforceConstraints(stagedDf, carried, "append",

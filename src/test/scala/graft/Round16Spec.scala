@@ -830,6 +830,74 @@ class Round16Spec extends SparkSpec {
     assert(e.getMessage.contains("skipping index"), e.getMessage)
   }
 
+  test("sql: DML composes with ALTER — tombstones key the backfilled column") {
+    import spark.implicits._
+    val dir = freshDir("alterdml")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "t"), "base")
+    withCatalog("gt16")
+    val abs = new java.io.File(dir).getAbsolutePath
+    spark.sql(s"ALTER TABLE gt16.`$abs` ADD COLUMNS (extra INT)")
+    // full-row tombstones now include the NULL-backfilled column; the
+    // single-dir DV read must conform the declared schema before the
+    // anti-join or it cannot even resolve `extra`
+    spark.sql(s"DELETE FROM gt16.`$abs` WHERE k = 2")
+    val got = GraftTable.read(spark, dir)
+      .select(col("k"), col("t"), col("extra")).as[(Long, String, Option[Int])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", None), (3L, "c", None)), s"got $got")
+    // and an UPDATE filling the altered column after the delete
+    spark.sql(s"UPDATE gt16.`$abs` SET extra = 7 WHERE k = 3")
+    val got2 = GraftTable.read(spark, dir)
+      .select(col("k"), col("extra")).as[(Long, Option[Int])]
+      .collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, None), (3L, Some(7))), s"got $got2")
+  }
+
+  test("sql: UPDATE assignments are simultaneous (SET a = b, b = a swaps)") {
+    import spark.implicits._
+    val dir = freshDir("swapset")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("k", "a", "b"), "base")
+    withCatalog("gt16")
+    spark.sql(s"UPDATE gt16.`${new java.io.File(dir).getAbsolutePath}` " +
+      "SET a = b, b = a WHERE k = 1")
+    val got = GraftTable.read(spark, dir).as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 20L, 10L), (2L, 30L, 40L)),
+      s"a sequential fold would yield (1,20,20): $got")
+  }
+
+  test("dsv2: an overwrite of an indexed table re-indexes the replacement") {
+    val (dir, abs) = indexedOrdersFixture("idxoverwrite")
+    val replacement = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .limit(500).repartition(2)
+    replacement.write.format("graft").mode("overwrite").save(abs)
+    val fs = GraftTable.fsOf(spark, dir)
+    val h1 = GraftTable.headersOf(fs, dir, 1)
+    assert(h1.contains("stats") && h1.contains("bloom") &&
+      h1.contains("statenc"),
+      s"overwrite must re-index, not strip: ${h1.keySet}")
+    // the re-derived index serves the replacement rows
+    val k = replacement.select(col("o_custkey")).head().getLong(0)
+    val (pdf, hit, _) = GraftTable.readBloomEq(spark, dir, 1, "o_custkey", k)
+    assert(hit.nonEmpty && pdf.where(col("o_custkey") === k).count() ==
+      replacement.where(col("o_custkey") === k).count())
+    // a lambda-indexed chain refuses the overwrite instead
+    val dir2 = freshDir("idxoverwrite2")
+    val n = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
+    GraftTable.commitNextIsolated(spark, dir2, n, "lambda stats",
+      statsCols = Seq("n_nationkey" -> ((c: org.apache.spark.sql.Column) => c)))
+    val e = intercept[Exception] {
+      n.limit(1).write.format("graft").mode("overwrite")
+        .save(new java.io.File(dir2).getAbsolutePath)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("registry-declared")), msgs(e).toString)
+  }
+
   test("sql: UPDATE/DELETE refusals are loud") {
     val dir = freshDir("sqldmlrefuse")
     val n = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
