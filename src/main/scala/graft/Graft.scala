@@ -258,13 +258,22 @@ object Graft {
       bloomCols = bs)
     val fs = sources.GraftTable.fsOf(spark, dir)
     val dirs = sources.GraftTable.dataDirsOf(fs, dir, v)
-    val nFiles = dirs.map(dd => fs.listStatus(
-      new org.apache.hadoop.fs.Path(s"$dir/$dd")).count { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }).sum
+    // recursive walk: a preserved partitionBy layout nests its files
+    // under value subdirs, where a top-level listing would report 0
+    val nFiles = dirs.map { dd =>
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$dir/$dd"), true)
+      var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+          n += 1
+      }
+      n
+    }.sum
     import spark.implicits._
-    Seq((v, dirs.size.toLong, nFiles.toLong))
+    Seq((v, dirs.size.toLong, nFiles))
       .toDF("version", "n_dirs", "n_files").queryExecution.logical
   }
 

@@ -155,8 +155,7 @@ object Round16Ops {
         .repartition(4, col("key"))
       GraftTable.commitNextIsolated(s, dir, base, "indexed base",
         statsEnc = Seq("key" -> "id"), bloomCols = Seq("key"))
-      s.conf.set("spark.sql.catalog.gt16",
-        classOf[graft.sources.GraftCatalog].getName)
+      withCatalog(s, "gt16")
       mergeSource(s, d).createOrReplaceTempView("r16_reindex_src")
       val abs = new java.io.File(dir).getAbsolutePath
       s.sql(

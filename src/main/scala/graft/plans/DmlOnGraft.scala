@@ -72,12 +72,16 @@ case class UpdateDeleteGraftRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
-      case u: UpdateTable if u.resolved && u.childrenResolved &&
-          GraftDml.graftTarget(u.table).isDefined =>
-        GraftUpdateCommand(u, GraftDml.graftTarget(u.table).get._2)
-      case d: DeleteFromTable if d.resolved && d.childrenResolved &&
-          GraftDml.graftTarget(d.table).isDefined =>
-        GraftDeleteCommand(d, GraftDml.graftTarget(d.table).get._2)
+      case u: UpdateTable if u.resolved && u.childrenResolved =>
+        GraftDml.graftTarget(u.table) match {
+          case Some((_, d)) => GraftUpdateCommand(u, d)
+          case None => u
+        }
+      case d: DeleteFromTable if d.resolved && d.childrenResolved =>
+        GraftDml.graftTarget(d.table) match {
+          case Some((_, t)) => GraftDeleteCommand(d, t)
+          case None => d
+        }
     }
 }
 

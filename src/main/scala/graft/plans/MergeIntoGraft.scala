@@ -31,12 +31,15 @@ case class MergeIntoGraftRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
-      case m: MergeIntoTable if m.resolved && m.childrenResolved &&
-          GraftDml.graftTarget(m.targetTable).isDefined =>
-        require(!m.withSchemaEvolution,
-          "MERGE … WITH SCHEMA EVOLUTION is not supported on graft " +
-            "tables — evolve by committing with allowEvolution")
-        GraftMergeCommand(m, GraftDml.graftTarget(m.targetTable).get._2)
+      case m: MergeIntoTable if m.resolved && m.childrenResolved =>
+        GraftDml.graftTarget(m.targetTable) match {
+          case Some((_, dir)) =>
+            require(!m.withSchemaEvolution,
+              "MERGE … WITH SCHEMA EVOLUTION is not supported on graft " +
+                "tables — evolve by committing with allowEvolution")
+            GraftMergeCommand(m, dir)
+          case None => m
+        }
     }
 }
 
@@ -100,24 +103,36 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
       case Seq(DeleteAction(None)) => true
       case _ => false
     }
-    if (!allowMulti && !deleteOnly) {
-      val refs = merge.mergeCondition.references
-      val narrow = Join(
-        Project(tOut.filter(refs.contains) :+ tId, target),
-        Project(sOut.filter(refs.contains), source),
-        org.apache.spark.sql.catalyst.plans.Inner,
-        Some(merge.mergeCondition), JoinHint.NONE)
-      val dup = GraftSqlBridge.ofRows(spark, narrow)
-        .groupBy(col("__t_id")).count()
-        .where(col("count") > 1).limit(1).count()
-      require(dup == 0L,
-        "MERGE INTO cardinality violation: a target row matches more " +
-          "than one source row, so the merge result is ambiguous " +
-          "(the same row would be updated/kept once per match). " +
-          "Deduplicate the source on the merge keys, or set " +
-          "spark.graft.merge.allowMultipleMatches=true to accept " +
-          "one-output-per-match semantics deliberately")
-    }
+    // the SOURCE is evaluated by both the pre-check and the merge plan
+    // (and again by constraint enforcement): PERSIST it for the span of
+    // the command, so a non-deterministic or concurrently-changing
+    // source cannot pass the check yet produce different matches in the
+    // committed snapshot (Delta materializes its merge source for the
+    // same reason). Cache substitution matches the shared subtree in
+    // every plan built below, so this also removes the double scan.
+    val srcDf = GraftSqlBridge.ofRows(spark, source)
+    val doCheck = !allowMulti && !deleteOnly
+    if (doCheck)
+      srcDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (doCheck) {
+        val refs = merge.mergeCondition.references
+        val narrow = Join(
+          Project(tOut.filter(refs.contains) :+ tId, target),
+          Project(sOut.filter(refs.contains), source),
+          org.apache.spark.sql.catalyst.plans.Inner,
+          Some(merge.mergeCondition), JoinHint.NONE)
+        val dup = GraftSqlBridge.ofRows(spark, narrow)
+          .groupBy(col("__t_id")).count()
+          .where(col("count") > 1).limit(1).count()
+        require(dup == 0L,
+          "MERGE INTO cardinality violation: a target row matches more " +
+            "than one source row, so the merge result is ambiguous " +
+            "(the same row would be updated/kept once per match). " +
+            "Deduplicate the source on the merge keys, or set " +
+            "spark.graft.merge.allowMultipleMatches=true to accept " +
+            "one-output-per-match semantics deliberately")
+      }
 
     def c(e: Expression): Column = GraftSqlBridge.column(e)
     def nullOf(dt: org.apache.spark.sql.types.DataType): Column =
@@ -211,13 +226,14 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
           s"${statsEncDecl.map(_._1)}) — merge through the API " +
           "(commitWithRetry + statsCols), or re-commit the table with " +
           "statsEnc registry encodings")
-    GraftMergeCommand.lastResolve = Some(next.queryExecution)
-    GraftTable.commitNextIsolated(spark, dir, next, "MERGE INTO (SQL)",
-      partitionBy =
-        hdrs.get("partby").map(_.split(",").toSeq).getOrElse(Nil),
-      statsEnc = if (hdrs.contains("stats")) statsEncDecl else Nil,
-      bloomCols = hdrs.get("bloom")
-        .map(GraftTable.bloomColsOf).getOrElse(Nil))
+      GraftMergeCommand.lastResolve = Some(next.queryExecution)
+      GraftTable.commitNextIsolated(spark, dir, next, "MERGE INTO (SQL)",
+        partitionBy =
+          hdrs.get("partby").map(_.split(",").toSeq).getOrElse(Nil),
+        statsEnc = if (hdrs.contains("stats")) statsEncDecl else Nil,
+        bloomCols = hdrs.get("bloom")
+          .map(GraftTable.bloomColsOf).getOrElse(Nil))
+    } finally if (doCheck) srcDf.unpersist(blocking = false)
     Seq.empty
   }
 }

@@ -907,8 +907,14 @@ private[graft] class GraftStreamingWrite(spark: SparkSession, dir: String,
   override def commit(epochId: Long,
       msgs: Array[org.apache.spark.sql.connector.write
         .WriterCommitMessage]): Unit = {
+    // the writers' commit messages name every published partition file
+    // — handed to the manifest half as an existence audit before the
+    // version mints
+    val expected = msgs.toSeq.collect {
+      case GraftEpochMsg(Some(p)) => p
+    }
     GraftTable.commitEpochStaged(spark, dir, epochId,
-      stagedName(epochId), schema, queryId)
+      stagedName(epochId), schema, queryId, expectedFiles = expected)
     ()
   }
 

@@ -2655,7 +2655,8 @@ object GraftTable {
   private[graft] def commitEpochStaged(spark: SparkSession, dir: String,
       epochId: Long, staged: String,
       schema: org.apache.spark.sql.types.StructType,
-      queryId: String, maxAttempts: Int = 10): Option[Int] = {
+      queryId: String, maxAttempts: Int = 10,
+      expectedFiles: Seq[String] = Nil): Option[Int] = {
     val fs = fsOf(spark, dir)
     val stagedPath = new Path(s"$dir/$staged")
     require(!queryId.contains("\n") && queryId.nonEmpty,
@@ -2690,6 +2691,15 @@ object GraftTable {
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
     if (!hasData) { dropStaged(); return None }
+    // the task writers' commit messages name every published file —
+    // audit them against the dir BEFORE publishing, so a lost partition
+    // file (torn rename, external interference) fails the epoch loudly
+    // instead of committing whatever the listing happens to show
+    expectedFiles.foreach { f =>
+      require(fs.exists(new Path(f)),
+        s"epoch $epochId staged file missing before publish: $f — " +
+          "failing the epoch so the engine can retry it")
+    }
     try {
       val stagedDf = spark.read.parquet(s"$dir/$staged")
       var attempt = 0
@@ -2712,6 +2722,13 @@ object GraftTable {
         val v = cur.map(_._1 + 1).getOrElse(0)
         val prevDirs = cur.map { case (c, h) => dataDirsFrom(h, c, "v") }
           .getOrElse(Seq.empty)
+        // re-verify the staged dir right before publish: a concurrent
+        // vacuum racing a LONG-stalled commit (>10-min grace) could
+        // have reclaimed it as an orphan, and committing a dangling
+        // data= reference would poison every subsequent read
+        require(fs.exists(stagedPath),
+          s"staged epoch dir $staged vanished before publish " +
+            "(concurrent vacuum?) — failing the epoch for engine retry")
         try {
           commit(fs, dir, v, s"epoch=$epochId;query=$queryId",
             prefix = "v",
