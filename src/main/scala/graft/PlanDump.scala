@@ -83,7 +83,14 @@ object PlanDump {
       // read (per-dir scans + one broadcast anti-join), and the
       // tail-compacted band read (statrel path resolution)
       "table_dsv2_prune", "table_dsv2_stats_join", "table_update_dv",
-      "table_recluster_tail")
+      "table_recluster_tail",
+      // round-16: the index-extended chain read (band + Bloom resolve
+      // across head AND appended dirs — note the bounded file lists),
+      // the SQL UPDATE read-back (per-dir scans + broadcast anti-join
+      // over the full-row scoped DV), and the SQL-maintained compacted
+      // read (single-dir scan after graft_maintain folded the chain)
+      "table_dsv2_write_indexed", "table_update_sql",
+      "table_maintain_sql")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")

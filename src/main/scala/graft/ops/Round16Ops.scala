@@ -135,7 +135,7 @@ object Round16Ops {
       band.where(
         col("o_orderdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
           col("o_orderdate") < lit("1996-06-01").cast("timestamp_ntz"))
-        .agg(count(lit(1)).as("n_band"), money(sum(col("price"))).as("band_rev"))
+        .agg(count(lit(1)).as("n_band"), money(sum(dec(col("price")))).as("band_rev"))
         .crossJoin(ckDf.agg(count(lit(1)).as("n_ck"),
           sum(col("o_orderkey")).as("sum_ck")))
         .crossJoin(GraftTable.read(s, dir)
@@ -212,7 +212,7 @@ object Round16Ops {
       val nDirs = GraftTable.dataDirsOf(fs, dir, 4).size
       rep.crossJoin(GraftTable.read(s, dir)
           .agg(count(lit(1)).as("n_rows"),
-            money(sum(col("price"))).as("rev")))
+            money(sum(dec(col("price")))).as("rev")))
         .withColumn("n_dirs", lit(nDirs.toLong))
     }),
 
