@@ -196,7 +196,45 @@ object Graft {
         expireTvf, "scala_udf")
       treg.createOrReplaceTempFunction("graft_maintain",
         maintainTvf, "scala_udf")
+      treg.createOrReplaceTempFunction("graft_restore",
+        restoreTvf, "scala_udf")
+      treg.createOrReplaceTempFunction("graft_clone",
+        cloneTvf, "scala_udf")
     }
+  }
+
+  /** `graft_restore('<dir>', v)` — Delta's RESTORE TABLE as an action
+    * TVF: metadata-only rewind to version v's snapshot (no file copied;
+    * see `GraftTable.restoreVersion`). Returns (restored_to,
+    * new_version). */
+  private[graft] def restoreTvf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val args = litArgs("graft_restore", "(dir, version)", exprs, 2, 2)
+    val spark = SparkSession.active
+    val v = args(1).toString.toInt
+    val nv = sources.GraftTable.restoreVersion(spark, args(0).toString, v)
+    import spark.implicits._
+    Seq((v, nv)).toDF("restored_to", "new_version").queryExecution.logical
+  }
+
+  /** `graft_clone('<srcDir>', '<dstDir>')` — zero-copy shallow clone
+    * (`GraftTable.cloneShallow`): the clone's v0 re-references the
+    * source's current files. Returns (src_version, dst_version). */
+  private[graft] def cloneTvf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val args = litArgs("graft_clone", "(srcDir, dstDir)", exprs, 2, 2)
+    val spark = SparkSession.active
+    val (src, dst) = (args(0).toString, args(1).toString)
+    val sv = sources.GraftTable.currentVersion(
+      sources.GraftTable.fsOf(spark, src), src).getOrElse(
+      sys.error(s"nothing to clone: no committed version under $src"))
+    sources.GraftTable.cloneShallow(spark, src, dst, "CLONE (SQL)")
+    val dv = sources.GraftTable.currentVersion(
+      sources.GraftTable.fsOf(spark, dst), dst).getOrElse(-1)
+    import spark.implicits._
+    Seq((sv, dv)).toDF("src_version", "dst_version").queryExecution.logical
   }
 
   // ---- ACTION TVFs: the OPTIMIZE / VACUUM / retention surface ------------

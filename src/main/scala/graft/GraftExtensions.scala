@@ -110,5 +110,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_maintain"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.Graft.maintainTvf(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_restore"),
+      new ExpressionInfo(graft.sources.GraftTable.getClass.getName,
+        "graft_restore"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.Graft.restoreTvf(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_clone"),
+      new ExpressionInfo(graft.sources.GraftTable.getClass.getName,
+        "graft_clone"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.Graft.cloneTvf(exprs)))
   }
 }

@@ -249,6 +249,28 @@ object Round16Ops {
       snap(0).unionByName(snap(1)).unionByName(snap(2)).orderBy("version")
     }),
 
+    // Delta's RESTORE TABLE from SQL text: v1 is a bad overwrite
+    // (doubled prices), `graft_restore(dir, 0)` mints v2 as a
+    // METADATA-ONLY rewind (same data dir as v0 — byte identity and
+    // header carry pinned in Round16Spec). The whole history hashes:
+    // v1 must stay readable for forensics (restore is a new commit,
+    // never a rewrite of history) and v2 must serve exactly v0.
+    "table_restore_sql" -> ((s, d) => {
+      val dir = freshDir(s, d, "restoresql")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+      GraftTable.commitNextIsolated(s, dir, o, "good load")
+      GraftTable.commitNextIsolated(s, dir,
+        o.select(col("o_orderkey"), (col("price") * 2).as("price")),
+        "bad load: doubled prices")
+      s.sql(s"SELECT * FROM graft_restore('$dir', 0)").collect()
+      def snap(v: Int): DataFrame =
+        GraftTable.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), money(sum(col("price"))).as("rev"))
+          .select(lit(v).as("version"), col("n_rows"), col("rev"))
+      snap(0).unionByName(snap(1)).unionByName(snap(2)).orderBy("version")
+    }),
+
     // SQL DELETE, twice-composed: status-F rows die at v1, the
     // high-price band additionally at v2 — each version a MoR commit
     // whose full-row tombstones must kill exactly the matched rows
@@ -350,6 +372,18 @@ object Round16Ops {
           s"${oMoney("SUM(bal)")} AS bal_sum FROM ($b)"
       snap(0, tier = false) + " UNION ALL " + snap(1, tier = false) +
         " UNION ALL " + snap(2, tier = true) + " ORDER BY version"
+    },
+
+    // good, doubled, good again — the rewound head ≡ v0 exactly
+    "table_restore_sql" -> {
+      val o = s"SELECT o_orderkey, ${oDec("o_totalprice")} AS price " +
+        "FROM orders"
+      s"SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"${oMoney("SUM(price)")} AS rev FROM ($o) " +
+        "UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT), " +
+        s"${oMoney("SUM(price * 2)")} FROM ($o) " +
+        "UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), " +
+        s"${oMoney("SUM(price)")} FROM ($o) ORDER BY version"
     },
 
     // table_delete_dv's replay (sans purge), driven from SQL

@@ -1651,6 +1651,54 @@ object GraftTable {
     }.toDF("file", "rows", "col", "min", "max", "nulls")
   }
 
+  /** Delta's `RESTORE TABLE … VERSION AS OF`: mint a NEW version that
+    * re-references version `v`'s data VERBATIM — a metadata-only
+    * commit, no file copied or rewritten; history is preserved for
+    * forensics and the restore is itself a commit that can be restored
+    * away. Every one of v's layout/index headers carries (schema,
+    * partby, dv, stats/statenc, bloom, pmap, constraints), so the
+    * restored head serves exactly what `readVersion(v)` serves; the
+    * append= marker deliberately does NOT carry — a restore is a
+    * rewrite-shaped change, and a streaming reader of the table
+    * refuses it loudly rather than misreading it as added files.
+    * Refuses when v's data has been retention-reclaimed. Served to SQL
+    * as `graft_restore('<dir>', v)`. Returns the new version. */
+  def restoreVersion(spark: SparkSession, dir: String, v: Int,
+      metadata: String = "", prefix: String = "v"): Int = {
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(fs, dir).getOrElse(
+      sys.error(s"no committed version under $dir to restore"))
+    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
+      s"version $v was never committed under $dir")
+    val hdrs = parseCommit(commitContent(fs, dir, v))._1
+    val curHdrs = parseCommit(commitContent(fs, dir, cur))._1
+    val dirs = dataDirsFrom(hdrs, v, prefix)
+    dirs.foreach(dd => require(fs.exists(new Path(s"$dir/$dd")),
+      s"version $v's data dir $dd has been garbage-collected " +
+        "(retention) — it can no longer be restored"))
+    hdrs.get("dv").map(_.split(";", 2)(0)).foreach(dvd =>
+      require(fs.exists(new Path(s"$dir/$dvd")),
+        s"version $v's deletion vector $dvd has been garbage-collected " +
+          "(retention) — it can no longer be restored"))
+    val nv = cur + 1
+    commit(fs, dir, nv,
+      if (metadata.isEmpty) s"RESTORE VERSION AS OF $v" else metadata,
+      prefix = prefix,
+      dataDir = Some(dirs.mkString(",")),
+      dv = hdrs.get("dv"),
+      schema = hdrs.get("schema"),
+      partBy = hdrs.get("partby"),
+      prevTs = prevTsOf(Some((cur, curHdrs))),
+      stats = hdrs.get("stats").map(TableStats.decode),
+      statrel = hdrs.contains("stats") &&
+        (hdrs.contains("append") || hdrs.contains("statrel")),
+      bloom = hdrs.get("bloom"),
+      statenc = hdrs.get("statenc"),
+      pmap = hdrs.get("pmap"),
+      constraintsHdr = hdrs.get("constraints"))
+    nv
+  }
+
   /** MERGE-ON-READ delete: commit a new version that shares the current
     * version's data dir UNCHANGED and carries a DELETION VECTOR — the
     * distinct `keyCols` of `tombstones` written as a small parquet dir,

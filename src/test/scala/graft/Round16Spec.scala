@@ -898,6 +898,82 @@ class Round16Spec extends SparkSpec {
     assert(msgs(e).exists(_.contains("registry-declared")), msgs(e).toString)
   }
 
+  // ---- SQL surface completion: RESTORE / CLONE / CTAS --------------------
+
+  test("sql: graft_restore is a metadata-only rewind that carries every header") {
+    val dir = freshDir("sqlrestore")
+    val o = T.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val fs = GraftTable.fsOf(spark, dir)
+    // v0: an INDEXED version (statenc + bloom) — the restore must bring
+    // the index back, not just the rows
+    GraftTable.commitNextIsolated(spark, dir,
+      o.repartitionByRange(3, col("o_orderdate"), col("o_orderkey"))
+        .sortWithinPartitions("o_orderdate"),
+      "good load", statsEnc = Seq("o_orderdate" -> "us"),
+      bloomCols = Seq("o_custkey"))
+    val v0Files = fileSigs(dir, GraftTable.headersOf(fs, dir, 0)("data"))
+    // v1: a bad overwrite (no index)
+    GraftTable.commitNextIsolated(spark, dir,
+      o.limit(10), "bad load")
+    assert(GraftTable.read(spark, dir).count() == 10)
+
+    val rep = spark.sql(s"SELECT * FROM graft_restore('$dir', 0)").collect()(0)
+    assert(rep.getAs[Int]("restored_to") == 0 &&
+      rep.getAs[Int]("new_version") == 2)
+    // the head serves v0's snapshot again — same data dir, bytes intact
+    val h2 = GraftTable.headersOf(fs, dir, 2)
+    assert(h2("data") == GraftTable.headersOf(fs, dir, 0)("data"))
+    assert(fileSigs(dir, h2("data")) == v0Files,
+      "restore must be metadata-only (no rewrite)")
+    assert(GraftTable.read(spark, dir).count() == o.count())
+    // the index rode along: band + bloom probes serve on the new head
+    assert(h2.contains("stats") && h2.contains("statenc") &&
+      h2.contains("bloom"))
+    val ck = o.select(col("o_custkey")).head().getLong(0)
+    val (pdf, hit, total) = GraftTable.readBloomEq(spark, dir, 2,
+      "o_custkey", ck)
+    assert(total == 3 && hit.nonEmpty &&
+      pdf.where(col("o_custkey") === ck).count() ==
+        o.where(col("o_custkey") === ck).count())
+    // history preserved: v1's bad load is still readable (forensics)
+    assert(GraftTable.readVersion(spark, dir, 1).count() == 10)
+    // an expired version refuses with the retention message
+    val e = intercept[Exception] {
+      GraftTable.restoreVersion(spark, dir, 99)
+    }
+    assert(e.getMessage.contains("never committed"), e.getMessage)
+  }
+
+  test("sql: graft_clone zero-copies and CTAS lands through the catalog") {
+    import spark.implicits._
+    val src = freshDir("clonesrc")
+    val dst = freshDir("clonedst")
+    GraftTable.commitNextIsolated(spark, src,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "t"), "v0")
+    GraftTable.commitAppend(spark, src,
+      Seq((3L, "c")).toDF("k", "t"), "a1")
+    val rep = spark.sql(
+      s"SELECT * FROM graft_clone('$src', '$dst')").collect()(0)
+    assert(rep.getAs[Int]("src_version") == 1 &&
+      rep.getAs[Int]("dst_version") >= 0)
+    assert(GraftTable.read(spark, dst).as[(Long, String)]
+      .collect().sorted.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // CREATE TABLE AS SELECT through the catalog door
+    withCatalog("gt16")
+    val ctasDir = freshDir("ctas")
+    val abs = new java.io.File(ctasDir).getAbsolutePath
+    spark.sql(s"CREATE TABLE gt16.`$abs` AS " +
+      "SELECT id AS k, id * 2 AS dbl FROM range(5)")
+    val got = GraftTable.read(spark, ctasDir).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == (0L until 5L).map(i => (i, i * 2)).toSeq, s"got $got")
+    // and the catalog can read it back by SQL
+    assert(spark.sql(s"SELECT COUNT(*) FROM gt16.`$abs`")
+      .head().getLong(0) == 5)
+  }
+
   test("sql: UPDATE/DELETE refusals are loud") {
     val dir = freshDir("sqldmlrefuse")
     val n = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
