@@ -226,15 +226,13 @@ object Graft {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     val args = litArgs("graft_clone", "(srcDir, dstDir)", exprs, 2, 2)
     val spark = SparkSession.active
-    val (src, dst) = (args(0).toString, args(1).toString)
-    val sv = sources.GraftTable.currentVersion(
-      sources.GraftTable.fsOf(spark, src), src).getOrElse(
-      sys.error(s"nothing to clone: no committed version under $src"))
-    sources.GraftTable.cloneShallow(spark, src, dst, "CLONE (SQL)")
-    val dv = sources.GraftTable.currentVersion(
-      sources.GraftTable.fsOf(spark, dst), dst).getOrElse(-1)
+    // cloneShallow reports the version IT resolved (one read) — a
+    // concurrent writer on src cannot skew the provenance; the clone's
+    // own head is v0 by construction
+    val sv = sources.GraftTable.cloneShallow(spark,
+      args(0).toString, args(1).toString, "CLONE (SQL)")
     import spark.implicits._
-    Seq((sv, dv)).toDF("src_version", "dst_version").queryExecution.logical
+    Seq((sv, 0)).toDF("src_version", "dst_version").queryExecution.logical
   }
 
   // ---- ACTION TVFs: the OPTIMIZE / VACUUM / retention surface ------------

@@ -1093,7 +1093,7 @@ object GraftTable {
     * can orphan the clone's v0 reference (the clone's own vacuum never
     * reaches outside its dir — `dirVersion` ignores `../` names). */
   def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
-      metadata: String = "shallow clone"): Unit = {
+      metadata: String = "shallow clone"): Int = {
     val fs = fsOf(spark, srcDir)
     val sv = currentVersion(fs, srcDir).getOrElse(
       sys.error(s"nothing to clone: no committed version under $srcDir"))
@@ -1138,6 +1138,9 @@ object GraftTable {
       // the encoding names travel with the stats line they describe
       // (and are dropped with it when an append source's stats are)
       statenc = st.flatMap(_ => hdrs.get("statenc")))
+    // the version this clone actually captured — the ONE resolution
+    // above, so a concurrent writer on src cannot skew the provenance
+    sv
   }
 
   /** Stage `df` as the data of version `v` WITHOUT committing. Overwrite
@@ -1666,12 +1669,9 @@ object GraftTable {
   def restoreVersion(spark: SparkSession, dir: String, v: Int,
       metadata: String = "", prefix: String = "v"): Int = {
     val fs = fsOf(spark, dir)
-    val cur = currentVersion(fs, dir).getOrElse(
+    val (cur, curHdrs) = currentHeaders(fs, dir).getOrElse(
       sys.error(s"no committed version under $dir to restore"))
-    require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
-      s"version $v was never committed under $dir")
-    val hdrs = parseCommit(commitContent(fs, dir, v))._1
-    val curHdrs = parseCommit(commitContent(fs, dir, cur))._1
+    val hdrs = headersOf(fs, dir, v)
     val dirs = dataDirsFrom(hdrs, v, prefix)
     dirs.foreach(dd => require(fs.exists(new Path(s"$dir/$dd")),
       s"version $v's data dir $dd has been garbage-collected " +

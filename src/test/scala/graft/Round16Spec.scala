@@ -938,11 +938,29 @@ class Round16Spec extends SparkSpec {
         o.where(col("o_custkey") === ck).count())
     // history preserved: v1's bad load is still readable (forensics)
     assert(GraftTable.readVersion(spark, dir, 1).count() == 10)
-    // an expired version refuses with the retention message
+    // a never-committed version refuses
     val e = intercept[Exception] {
       GraftTable.restoreVersion(spark, dir, 99)
     }
     assert(e.getMessage.contains("never committed"), e.getMessage)
+
+    // and a RETENTION-RECLAIMED version refuses with the GC message —
+    // a restore that minted a version over vanished data would poison
+    // every read of the new head
+    import spark.implicits._
+    val dir2 = freshDir("sqlrestore_gc")
+    val fs2 = GraftTable.fsOf(spark, dir2)
+    GraftTable.commitNextIsolated(spark, dir2,
+      Seq((1L, "a")).toDF("k", "t"), "v0")
+    GraftTable.commitNextIsolated(spark, dir2,
+      Seq((2L, "b")).toDF("k", "t"), "v1")
+    val expired = GraftTable.expireVersions(fs2, dir2, retainMs = 1L,
+      nowMs = System.currentTimeMillis() + 600000L)
+    assert(expired.contains(0), s"fixture: v0 should expire, got $expired")
+    val e2 = intercept[Exception] {
+      GraftTable.restoreVersion(spark, dir2, 0)
+    }
+    assert(e2.getMessage.contains("garbage-collected"), e2.getMessage)
   }
 
   test("sql: graft_clone zero-copies and CTAS lands through the catalog") {
