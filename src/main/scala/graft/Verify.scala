@@ -38,6 +38,18 @@ object Verify {
           .take(500)
       }
     }
+    // Bloom-probe forensics: when either point-probe key ran, dump the
+    // decoded sidecars + per-probe hit-file lists under _forensics/ so
+    // a driver-side red carries its evidence. Best-effort — a forensics
+    // failure must never break the correctness dump.
+    try {
+      val bloomKeys = Seq("table_bloom_multicol", "table_dsv2_write_indexed")
+      if (bloomKeys.exists(k =>
+          only.forall(_.contains(k)) && !errors.contains(k)))
+        ops.BloomForensics.dump(spark, sfDir, outDir)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] bloom forensics failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -250,30 +250,50 @@ object Round15Ops {
 
     // Multi-column Bloom index, built and written EXECUTOR-side (the
     // driver never materializes a filter word — the 10⁴-file seam):
-    // one sidecar section per column, probed independently. Both
-    // probes' row sets ride the hash; a false NEGATIVE in either
-    // section drops rows here (false positives only open extra files —
-    // the row predicate is re-applied). absent_empty pins the
-    // point-lookup payoff: a key the table never held reads NOTHING.
+    // one sidecar section per column, probed independently. Layout is
+    // ENVIRONMENT-DETERMINISTIC by construction: key-hash repartition +
+    // a total in-partition order make the written files — and therefore
+    // every Bloom bit — bit-identical anywhere (the former round-robin
+    // repartition(6) depended on input split order, so a driver-side
+    // red could never reproduce locally). The hash carries a
+    // false-NEGATIVE witness per probe (truth rows the probe failed to
+    // serve — 0 by the no-false-negative contract; a non-zero driver
+    // value names the failing probe and dimension) and the FP-robust
+    // n_absent count (the old absent_empty boolean hashed a
+    // PROBABILISTIC property: a legitimate Bloom false positive on the
+    // absent key flipped it with no bug anywhere — the row-level
+    // re-filter keeps this count 0 even when a false positive opens
+    // files; the empty-hit-set claim moved to Round15Spec where FP luck
+    // is controlled).
     "table_bloom_multicol" -> ((s, d) => {
       val dir = freshDir(s, d, "mcbloom")
       val o = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
-        .repartition(6)
+        .repartition(6, pmod(col("o_orderkey"), lit(6)))
+        .sortWithinPartitions("o_orderkey")
       GraftTable.commitNextIsolated(s, dir, o, "2-key index",
         bloomCols = Seq("o_custkey", "o_orderpriority"))
+      val truth = GraftTable.read(s, dir)
       val ck = o.agg(min(col("o_custkey"))).head().getLong(0)
       val ckDf = GraftTable.readBloomEq(s, dir, 0, "o_custkey", ck)._1
         .where(col("o_custkey") === ck)
       val prDf = GraftTable
         .readBloomEq(s, dir, 0, "o_orderpriority", "1-URGENT")._1
         .where(col("o_orderpriority") === "1-URGENT")
-      val absentEmpty = GraftTable.readBloomEq(s, dir, 0, "o_custkey",
-        java.lang.Long.valueOf(-977L))._2.isEmpty
+      val missedCk = truth.where(col("o_custkey") === ck)
+        .join(ckDf.select(col("o_orderkey").as("__k")),
+          col("o_orderkey") === col("__k"), "left_anti")
+      val missedPr = truth.where(col("o_orderpriority") === "1-URGENT")
+        .join(prDf.select(col("o_orderkey").as("__k")),
+          col("o_orderkey") === col("__k"), "left_anti")
+      val absDf = GraftTable.readBloomEq(s, dir, 0, "o_custkey",
+        java.lang.Long.valueOf(-977L))._1.where(col("o_custkey") === -977L)
       ckDf.agg(count(lit(1)).as("n_ck"), sum(col("o_orderkey")).as("sum_ck"))
         .crossJoin(prDf.agg(count(lit(1)).as("n_pri"),
           sum(col("o_orderkey")).as("sum_pri")))
-        .withColumn("absent_empty", lit(absentEmpty))
+        .crossJoin(missedCk.agg(count(lit(1)).as("n_missed_ck")))
+        .crossJoin(missedPr.agg(count(lit(1)).as("n_missed_pri")))
+        .crossJoin(absDf.agg(count(lit(1)).as("n_absent")))
     }),
 
     // MERGE-ON-READ UPDATE: one atomic commit = dir-scoped tombstones
@@ -409,8 +429,10 @@ object Round15Ops {
         "CAST(3 AS BIGINT) AS n_versions, CAST(2 AS BIGINT) AS n_evals " +
         "FROM orders GROUP BY 1 ORDER BY p"),
 
-    // both point lookups recomputed raw; absent_empty is structurally
-    // TRUE (the fixture holds no negative custkey)
+    // both point lookups recomputed raw; the witnesses are structural
+    // zeros — n_missed_* by the Bloom no-false-negative contract,
+    // n_absent because the row-level re-filter survives any false
+    // positive on the never-held key
     "table_bloom_multicol" ->
       ("SELECT CAST((SELECT COUNT(*) FROM orders WHERE o_custkey = " +
         "(SELECT MIN(o_custkey) FROM orders)) AS BIGINT) AS n_ck, " +
@@ -419,7 +441,10 @@ object Round15Ops {
         "CAST((SELECT COUNT(*) FROM orders WHERE o_orderpriority = " +
         "'1-URGENT') AS BIGINT) AS n_pri, " +
         "(SELECT SUM(o_orderkey) FROM orders WHERE o_orderpriority = " +
-        "'1-URGENT') AS sum_pri, TRUE AS absent_empty"),
+        "'1-URGENT') AS sum_pri, " +
+        "CAST(0 AS BIGINT) AS n_missed_ck, " +
+        "CAST(0 AS BIGINT) AS n_missed_pri, " +
+        "CAST(0 AS BIGINT) AS n_absent"),
 
     // the band slice and the whole table, recomputed raw; n_dirs = 2
     // (head + folded tail) and improved = TRUE pin the incremental

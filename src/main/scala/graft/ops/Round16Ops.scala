@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.T.{t, dec, money, oDec, oMoney}
@@ -118,28 +118,51 @@ object Round16Ops {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           money(dec(col("o_totalprice"))).as("price"))
       val cut = lit("1997-01-01").cast("timestamp_ntz")
+      // ENVIRONMENT-DETERMINISTIC layout, both halves: the head splits
+      // files by YEAR (a pure key hash — range repartition samples and
+      // round-robin depends on input split order, neither reproducible
+      // across environments) with a total in-partition order, so per-file
+      // date ranges stay disjoint for the band while every written byte —
+      // and every Bloom bit — is identical anywhere; the appended tail
+      // key-hashes on o_orderkey the same way.
       GraftTable.commitNextIsolated(s, dir,
         o.where(col("o_orderdate") < cut)
-          .repartitionByRange(4, col("o_orderdate"), col("o_orderkey"))
-          .sortWithinPartitions("o_orderdate"),
+          .repartition(4, pmod(year(col("o_orderdate")), lit(4)))
+          .sortWithinPartitions("o_orderdate", "o_orderkey"),
         "indexed head", statsEnc = Seq("o_orderdate" -> "us"),
         bloomCols = Seq("o_custkey"))
-      o.where(col("o_orderdate") >= cut).repartition(3)
+      o.where(col("o_orderdate") >= cut)
+        .repartition(3, pmod(col("o_orderkey"), lit(3)))
+        .sortWithinPartitions("o_orderkey")
         .write.format("graft").mode("append")
         .save(new java.io.File(dir).getAbsolutePath)
+      val truth = GraftTable.read(s, dir)
       val (band, _, _) = GraftTable.readStatsBand(s, dir, 1, "o_orderdate",
         graft.T.epochUs("1996-03-01"), graft.T.epochUs("1996-06-01") - 1L)
+      val inBand = (c: Column) =>
+        c >= lit("1996-03-01").cast("timestamp_ntz") &&
+          c < lit("1996-06-01").cast("timestamp_ntz")
+      val bandRows = band.where(inBand(col("o_orderdate")))
       val ck = o.agg(min(col("o_custkey"))).head().getLong(0)
       val ckDf = GraftTable.readBloomEq(s, dir, 1, "o_custkey", ck)._1
         .where(col("o_custkey") === ck)
-      band.where(
-        col("o_orderdate") >= lit("1996-03-01").cast("timestamp_ntz") &&
-          col("o_orderdate") < lit("1996-06-01").cast("timestamp_ntz"))
+      // false-negative witnesses INSIDE the hash (VERDICT r16 item 1c):
+      // truth rows — a plain full scan, no skipping machinery — that the
+      // band / Bloom frames failed to serve. 0 by contract; a non-zero
+      // driver value names the probe that dropped rows.
+      val missedBand = truth.where(inBand(col("o_orderdate")))
+        .join(bandRows.select(col("o_orderkey").as("__k")),
+          col("o_orderkey") === col("__k"), "left_anti")
+      val missedCk = truth.where(col("o_custkey") === ck)
+        .join(ckDf.select(col("o_orderkey").as("__k")),
+          col("o_orderkey") === col("__k"), "left_anti")
+      bandRows
         .agg(count(lit(1)).as("n_band"), money(sum(dec(col("price")))).as("band_rev"))
         .crossJoin(ckDf.agg(count(lit(1)).as("n_ck"),
           sum(col("o_orderkey")).as("sum_ck")))
-        .crossJoin(GraftTable.read(s, dir)
-          .agg(count(lit(1)).as("n_total")))
+        .crossJoin(missedBand.agg(count(lit(1)).as("n_missed_band")))
+        .crossJoin(missedCk.agg(count(lit(1)).as("n_missed_ck")))
+        .crossJoin(truth.agg(count(lit(1)).as("n_total")))
     }),
 
     // SQL MERGE onto an indexed target RE-INDEXES the merged snapshot
@@ -314,7 +337,8 @@ object Round16Ops {
         "FROM orders ORDER BY o_orderkey"),
 
     // band + point-lookup + identity recomputed raw — skipping through
-    // the extended chain index must not change results
+    // the extended chain index must not change results; the witnesses
+    // are structural zeros (band/Bloom no-false-negative contract)
     "table_dsv2_write_indexed" ->
       ("SELECT " +
         "CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate >= " +
@@ -327,6 +351,8 @@ object Round16Ops {
         "(SELECT MIN(o_custkey) FROM orders)) AS BIGINT) AS n_ck, " +
         "(SELECT SUM(o_orderkey) FROM orders WHERE o_custkey = " +
         "(SELECT MIN(o_custkey) FROM orders)) AS sum_ck, " +
+        "CAST(0 AS BIGINT) AS n_missed_band, " +
+        "CAST(0 AS BIGINT) AS n_missed_ck, " +
         "CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total"),
 
     // the merged state replayed through the shared merge CTEs; the
