@@ -173,6 +173,9 @@ object Graft {
       reg.createOrReplaceTempFunction("graft_winnow_fps",
         exprs => graft.expr.WinnowFingerprints(exprs.head), "scala_udf")
     }
+    // the deferred-action leaf needs its strategy on sessions built
+    // without the extensions conf (idempotent, like topKPerKey's)
+    plans.GraftActionPlan.ensureStrategy(spark)
     val treg = spark.sessionState.tableFunctionRegistry
     val verId = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_version")
     if (!treg.functionExists(verId)) {
@@ -203,19 +206,33 @@ object Graft {
     }
   }
 
+  /** Static report schema of an action TVF — the leaf's output is
+    * declared up front; the action itself runs at EXECUTION time
+    * (`GraftActionPlan`), so EXPLAIN / analysis-only passes over the
+    * statement never perform the mutation. */
+  private def actionSchema(fields: (String, org.apache.spark.sql.types.DataType)*)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t, nullable = true) })
+
   /** `graft_restore('<dir>', v)` — Delta's RESTORE TABLE as an action
     * TVF: metadata-only rewind to version v's snapshot (no file copied;
     * see `GraftTable.restoreVersion`). Returns (restored_to,
-    * new_version). */
+    * new_version). The rewind runs when the statement EXECUTES. */
   private[graft] def restoreTvf(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     val args = litArgs("graft_restore", "(dir, version)", exprs, 2, 2)
     val spark = SparkSession.active
     val v = args(1).toString.toInt
-    val nv = sources.GraftTable.restoreVersion(spark, args(0).toString, v)
-    import spark.implicits._
-    Seq((v, nv)).toDF("restored_to", "new_version").queryExecution.logical
+    val dir = args(0).toString
+    import org.apache.spark.sql.types.IntegerType
+    plans.GraftActionPlan("graft_restore",
+      actionSchema("restored_to" -> IntegerType, "new_version" -> IntegerType),
+      () => {
+        val nv = sources.GraftTable.restoreVersion(spark, dir, v)
+        Seq(org.apache.spark.sql.Row(v, nv))
+      })
   }
 
   /** `graft_clone('<srcDir>', '<dstDir>')` — zero-copy shallow clone
@@ -226,13 +243,18 @@ object Graft {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     val args = litArgs("graft_clone", "(srcDir, dstDir)", exprs, 2, 2)
     val spark = SparkSession.active
-    // cloneShallow reports the version IT resolved (one read) — a
-    // concurrent writer on src cannot skew the provenance; the clone's
-    // own head is v0 by construction
-    val sv = sources.GraftTable.cloneShallow(spark,
-      args(0).toString, args(1).toString, "CLONE (SQL)")
-    import spark.implicits._
-    Seq((sv, 0)).toDF("src_version", "dst_version").queryExecution.logical
+    val (src, dst) = (args(0).toString, args(1).toString)
+    import org.apache.spark.sql.types.IntegerType
+    plans.GraftActionPlan("graft_clone",
+      actionSchema("src_version" -> IntegerType, "dst_version" -> IntegerType),
+      () => {
+        // cloneShallow reports the version IT resolved (one read) — a
+        // concurrent writer on src cannot skew the provenance; the
+        // clone's own head is v0 by construction
+        val sv = sources.GraftTable.cloneShallow(spark, src, dst,
+          "CLONE (SQL)")
+        Seq(org.apache.spark.sql.Row(sv, 0))
+      })
   }
 
   // ---- ACTION TVFs: the OPTIMIZE / VACUUM / retention surface ------------
@@ -240,9 +262,11 @@ object Graft {
   // Delta ships these as statements; graft serves them as action-TVFs
   // beside graft_history — `SELECT * FROM graft_optimize('<dir>')` runs
   // the maintenance primitive and returns its report as the relation.
-  // Like every graft TVF the work happens when the plan is built
-  // (arguments must be literals); the returned rows are a LOCAL report,
-  // never data. Index posture matches the DSv2 write door: a
+  // Arguments must be literals (resolved at analysis), but the ACTION
+  // runs at EXECUTION time (`GraftActionPlan` + its strategy): EXPLAIN
+  // or any analysis-only pass over the statement performs no mutation.
+  // The returned rows are a LOCAL report, never data. Index posture
+  // matches the DSv2 write door: a
   // statenc-declared stats line and the bloom= column set re-derive
   // from the manifest automatically, so SQL OPTIMIZE keeps the skipping
   // index live; a lambda-ordinal stats line refuses loudly through
@@ -288,29 +312,36 @@ object Graft {
     val spark = SparkSession.active
     val dir = args(0).toString
     val target = if (args.length > 1) args(1).toString.toInt else 1
-    val (enc, b1, bs) = sqlIdxDecl(spark, dir)
-    val v = sources.GraftTable.compactChain(spark, dir, target,
-      metadata = "OPTIMIZE (SQL)", statsEnc = enc, bloomCol = b1,
-      bloomCols = bs)
-    val fs = sources.GraftTable.fsOf(spark, dir)
-    val dirs = sources.GraftTable.dataDirsOf(fs, dir, v)
-    // recursive walk: a preserved partitionBy layout nests its files
-    // under value subdirs, where a top-level listing would report 0
-    val nFiles = dirs.map { dd =>
-      val it = fs.listFiles(
-        new org.apache.hadoop.fs.Path(s"$dir/$dd"), true)
-      var n = 0L
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-          n += 1
-      }
-      n
-    }.sum
-    import spark.implicits._
-    Seq((v, dirs.size.toLong, nFiles))
-      .toDF("version", "n_dirs", "n_files").queryExecution.logical
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    plans.GraftActionPlan("graft_optimize",
+      actionSchema("version" -> IntegerType, "n_dirs" -> LongType,
+        "n_files" -> LongType),
+      () => {
+        // the index re-declaration resolves at EXECUTION time too — the
+        // headers current when the compaction actually runs, not when
+        // the statement was planned
+        val (enc, b1, bs) = sqlIdxDecl(spark, dir)
+        val v = sources.GraftTable.compactChain(spark, dir, target,
+          metadata = "OPTIMIZE (SQL)", statsEnc = enc, bloomCol = b1,
+          bloomCols = bs)
+        val fs = sources.GraftTable.fsOf(spark, dir)
+        val dirs = sources.GraftTable.dataDirsOf(fs, dir, v)
+        // recursive walk: a preserved partitionBy layout nests its files
+        // under value subdirs, where a top-level listing would report 0
+        val nFiles = dirs.map { dd =>
+          val it = fs.listFiles(
+            new org.apache.hadoop.fs.Path(s"$dir/$dd"), true)
+          var n = 0L
+          while (it.hasNext) {
+            val st = it.next()
+            val name = st.getPath.getName
+            if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+              n += 1
+          }
+          n
+        }.sum
+        Seq(org.apache.spark.sql.Row(v, dirs.size.toLong, nFiles))
+      })
   }
 
   /** `graft_vacuum('<dir>'[, graceMs])` — reclaim orphaned staging;
@@ -322,10 +353,14 @@ object Graft {
     val spark = SparkSession.active
     val dir = args(0).toString
     val grace = if (args.length > 1) args(1).toString.toLong else 3600000L
-    val fs = sources.GraftTable.fsOf(spark, dir)
-    import spark.implicits._
-    sources.GraftTable.vacuum(fs, dir, graceMs = grace)
-      .toDF("reclaimed").queryExecution.logical
+    import org.apache.spark.sql.types.StringType
+    plans.GraftActionPlan("graft_vacuum",
+      actionSchema("reclaimed" -> StringType),
+      () => {
+        val fs = sources.GraftTable.fsOf(spark, dir)
+        sources.GraftTable.vacuum(fs, dir, graceMs = grace)
+          .map(org.apache.spark.sql.Row(_))
+      })
   }
 
   /** `graft_expire('<dir>', retainMs)` — time-based retention; one row
@@ -336,10 +371,15 @@ object Graft {
     val args = litArgs("graft_expire", "(dir, retainMs)", exprs, 2, 2)
     val spark = SparkSession.active
     val dir = args(0).toString
-    val fs = sources.GraftTable.fsOf(spark, dir)
-    import spark.implicits._
-    sources.GraftTable.expireVersions(fs, dir, args(1).toString.toLong)
-      .toDF("expired_version").queryExecution.logical
+    val retain = args(1).toString.toLong
+    import org.apache.spark.sql.types.IntegerType
+    plans.GraftActionPlan("graft_expire",
+      actionSchema("expired_version" -> IntegerType),
+      () => {
+        val fs = sources.GraftTable.fsOf(spark, dir)
+        sources.GraftTable.expireVersions(fs, dir, retain)
+          .map(org.apache.spark.sql.Row(_))
+      })
   }
 
   /** `graft_maintain('<dir>'[, maxChainDirs, targetFiles])` — the
@@ -354,17 +394,22 @@ object Graft {
     val dir = args(0).toString
     val maxDirs = if (args.length > 1) args(1).toString.toInt else 4
     val target = if (args.length > 2) args(2).toString.toInt else 1
-    val (enc, b1, bs) = sqlIdxDecl(spark, dir)
-    val rep = sources.GraftTable.maintain(spark, dir,
-      maxChainDirs = maxDirs, targetFiles = target, statsEnc = enc,
-      bloomCol = b1, bloomCols = bs)
-    import spark.implicits._
-    Seq((rep.compacted, rep.checkpointedTo, rep.expired.size.toLong,
-      rep.vacuumed.size.toLong, rep.compactionRefused,
-      rep.checkpointFailed))
-      .toDF("compacted", "checkpointed_to", "n_expired", "n_vacuumed",
-        "compaction_refused", "checkpoint_failed")
-      .queryExecution.logical
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    plans.GraftActionPlan("graft_maintain",
+      actionSchema("compacted" -> IntegerType,
+        "checkpointed_to" -> IntegerType, "n_expired" -> LongType,
+        "n_vacuumed" -> LongType, "compaction_refused" -> StringType,
+        "checkpoint_failed" -> StringType),
+      () => {
+        val (enc, b1, bs) = sqlIdxDecl(spark, dir)
+        val rep = sources.GraftTable.maintain(spark, dir,
+          maxChainDirs = maxDirs, targetFiles = target, statsEnc = enc,
+          bloomCol = b1, bloomCols = bs)
+        Seq(org.apache.spark.sql.Row(
+          rep.compacted.map(Int.box).orNull, rep.checkpointedTo,
+          rep.expired.size.toLong, rep.vacuumed.size.toLong,
+          rep.compactionRefused.orNull, rep.checkpointFailed.orNull))
+      })
   }
 
   /** TVF builders shared with GraftExtensions' cluster-wide injection. */

@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Graft.topKPerKey also injects this per-session via
     // experimental.extraStrategies for sessions built without extensions
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // plan the deferred-action TVF leaf (graft_optimize / vacuum /
+    // expire / maintain / restore / clone run at EXECUTION, not at
+    // plan build — EXPLAIN must not mutate)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftActionStrategy)
     // SQL MERGE INTO over graft DSv2 targets: rewrite the resolved
     // MergeIntoTable into the snapshot-commit command before Spark's
     // row-level-operation rewrite refuses the non-row-level table

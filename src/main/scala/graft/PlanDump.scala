@@ -93,7 +93,14 @@ object PlanDump {
       // over the full-row scoped DV), and the SQL-maintained compacted
       // read (single-dir scan after graft_maintain folded the chain)
       "table_dsv2_write_indexed", "table_update_sql",
-      "table_maintain_sql")
+      "table_maintain_sql",
+      // round-17: the CoW-indexed DML read-back (band + Bloom resolve
+      // through the REBUILT index), the partitioned-chain DSv2 read
+      // (partition pruning across two partby dirs), the renamed-column
+      // read (physical-name scan, logical output), and the upsert
+      // sink's MoR fold read (per-dir scans + one broadcast anti-join)
+      "table_update_sql_indexed", "table_dsv2_write_partby",
+      "table_alter_rename_sql", "table_stream_write_update")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")

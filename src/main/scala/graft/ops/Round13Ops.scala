@@ -486,6 +486,10 @@ object Round13Ops {
       GraftTable.commitNext(s, dir, n.filter(col("n_nationkey") < 10), "v0 load")
       GraftTable.commitNextIsolated(s, dir, n, "full load",
         statsCols = Seq("n_nationkey" -> ((c: Column) => c)))
+      // a MoR delete on a stats-bearing head refuses since round 17 —
+      // the deliberate index drop is itself a commit flavor the history
+      // must surface
+      GraftTable.commitNextIsolated(s, dir, n, "index dropped")
       GraftTable.commitDeleteVector(s, dir,
         GraftTable.read(s, dir).filter(col("n_nationkey") < 5),
         Seq("n_nationkey"), "dv delete")
@@ -661,8 +665,9 @@ object Round13Ops {
       ("SELECT * FROM (VALUES " +
         "(0, 'v0 load', FALSE, FALSE, CAST(NULL AS BIGINT)), " +
         "(1, 'full load', TRUE, FALSE, CAST(25 AS BIGINT)), " +
-        "(2, 'dv delete', FALSE, TRUE, CAST(NULL AS BIGINT)), " +
-        "(3, 'purge deletion vector', FALSE, FALSE, CAST(NULL AS BIGINT))" +
+        "(2, 'index dropped', FALSE, FALSE, CAST(NULL AS BIGINT)), " +
+        "(3, 'dv delete', FALSE, TRUE, CAST(NULL AS BIGINT)), " +
+        "(4, 'purge deletion vector', FALSE, FALSE, CAST(NULL AS BIGINT))" +
         ") t(version, metadata, has_stats, has_dv, n_rows) ORDER BY version"),
 
     // The manifest's row-count sum must equal the real count.

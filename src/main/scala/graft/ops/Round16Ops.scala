@@ -231,7 +231,12 @@ object Round16Ops {
       fs.setTimes(new org.apache.hadoop.fs.Path(orphan, "part-0.parquet"),
         1000L, 1000L)
       fs.setTimes(orphan, 1000L, 1000L)
-      val rep = s.sql(s"SELECT * FROM graft_maintain('$dir', 2, 1)")
+      // the action TVF defers its mutation to EXECUTION (round 17) —
+      // collect the report FIRST, so the table reads below see the
+      // maintained state, then re-lift the one report row
+      val rep0 = s.sql(s"SELECT * FROM graft_maintain('$dir', 2, 1)")
+      val rep = s.createDataFrame(
+        java.util.Arrays.asList(rep0.collect(): _*), rep0.schema)
       val nDirs = GraftTable.dataDirsOf(fs, dir, 4).size
       rep.crossJoin(GraftTable.read(s, dir)
           .agg(count(lit(1)).as("n_rows"),

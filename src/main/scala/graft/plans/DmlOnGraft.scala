@@ -1,13 +1,13 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, GetStructField, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.graft.GraftSqlBridge
 
 import graft.sources.{GraftSparkTable, GraftTable}
@@ -16,22 +16,37 @@ import graft.sources.{GraftSparkTable, GraftTable}
   * recipe as `MergeIntoGraftRule`: a RESOLVED `UpdateTable` /
   * `DeleteFromTable` whose target is a graft DSv2 relation becomes a
   * runnable command before Spark's row-level-operation machinery would
-  * refuse the non-SupportsRowLevelOperations table. Both route through
-  * the MERGE-ON-READ engines (`commitUpdateImpl` / `commitDeleteVector`)
-  * — no base file is rewritten; the commit mints dir-scoped tombstones
-  * (plus a replacement dir for UPDATE), which is exactly the fast path
-  * a lake user expects from a point DML statement at 100 TB.
+  * refuse the non-SupportsRowLevelOperations table.
   *
-  * Identity: SQL statements carry no key declaration, so both commands
-  * use FULL-ROW identity — the tombstone keys every column, killing the
-  * matched rows by exact value within their chain dir. This is
-  * semantically exact with no uniqueness contract: any row value-equal
-  * to a matched row satisfies the same deterministic condition, so it
-  * is itself matched (and, for UPDATE, contributes its own replacement
-  * row — duplicates preserve their multiplicity). The trade (full-row
-  * DV probes force the scan to read every column until the DV is
-  * purged) is documented at `commitUpdateImpl`; declared-key API calls
-  * remain the narrow-probe path. */
+  * TWO execution arms, chosen by the target's recorded layout:
+  *
+  *  - PLAIN flat tables route through the MERGE-ON-READ engines
+  *    (`commitUpdateImpl` / `commitDeleteVector`) — no base file is
+  *    rewritten; the commit mints dir-scoped tombstones (plus a
+  *    replacement dir for UPDATE), which is exactly the fast path a
+  *    lake user expects from a point DML statement at 100 TB.
+  *  - INDEX-BEARING (stats=/bloom=) and partitionBy targets route
+  *    through a COPY-ON-WRITE rewrite: the survivors/updated snapshot
+  *    commits as the next version with the index RE-DERIVED from its
+  *    self-described manifest declarations (statenc registry names /
+  *    bloom column set) and the partition layout preserved — the same
+  *    recipe the SQL MERGE door proved out. Indexed tables are
+  *    precisely the big tables where point DML matters, so refusing
+  *    them (the round-16 posture) was the wrong trade; only a stats
+  *    line with code-declared lambda ordinals still refuses (SQL text
+  *    cannot re-derive caller code, and silently dropping the index
+  *    would betray the loud-refusal contract).
+  *
+  * Identity (MoR arm): SQL statements carry no key declaration, so both
+  * commands use FULL-ROW identity — the tombstone keys every column,
+  * killing the matched rows by exact value within their chain dir. This
+  * is semantically exact with no uniqueness contract: any row
+  * value-equal to a matched row satisfies the same deterministic
+  * condition, so it is itself matched (and, for UPDATE, contributes its
+  * own replacement row — duplicates preserve their multiplicity). The
+  * trade (full-row DV probes force the scan to read every column until
+  * the DV is purged) is documented at `commitUpdateImpl`; declared-key
+  * API calls remain the narrow-probe path. */
 object GraftDml {
 
   private[plans] def graftTarget(plan: LogicalPlan)
@@ -46,10 +61,10 @@ object GraftDml {
     }
 
   /** A resolved condition/assignment expression, re-expressed so it
-    * binds BY NAME against the snapshot frames the MoR engines read
-    * (their attributes carry different exprIds than the DSv2
-    * relation's). Subqueries are refused — their plans reference the
-    * pre-DML snapshot and cannot travel through a by-name rebind; and a
+    * binds BY NAME against the snapshot frames the engines read (their
+    * attributes carry different exprIds than the DSv2 relation's).
+    * Subqueries are refused — their plans reference the pre-DML
+    * snapshot and cannot travel through a by-name rebind; and a
     * non-deterministic condition is refused because full-row identity
     * stands on "value-equal rows agree on the condition". */
   private[plans] def portable(e: Expression): Column = {
@@ -63,6 +78,94 @@ object GraftDml {
     GraftSqlBridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     })
+  }
+
+  /** SET assignments → per-top-level-column portable values. A plain
+    * column assignment passes through; a NESTED struct-field assignment
+    * (`SET s.f = expr`, any depth) rebuilds the struct via
+    * `Column.withField` on the PRE-update struct, so several fields of
+    * one struct compose and the SQL simultaneous-assignment rule holds
+    * (every right-hand side reads pre-update values). Refused:
+    * assigning the same path twice, assigning a column AND one of its
+    * fields, one path a prefix of another (ambiguous order), and field
+    * names containing '.' (withField would mis-nest them). */
+  private[plans] def assignments(spark: SparkSession,
+      as: Seq[Assignment]): Seq[(String, Column)] = {
+    def path(e: Expression): (String, Seq[String]) = e match {
+      case a: AttributeReference => (a.name, Nil)
+      case g: GetStructField =>
+        val (n, p) = path(g.child); (n, p :+ g.extractFieldName)
+      case other => sys.error(
+        s"UPDATE assignment key must be a plain column or a nested " +
+          s"struct field (got $other)")
+    }
+    val parts: Seq[(String, Seq[String], Expression)] =
+      as.map { a => val (n, p) = path(a.key); (n, p, a.value) }
+    parts.foreach { case (n, p, _) =>
+      require(!p.exists(_.contains(".")),
+        s"nested UPDATE on '$n': field names containing '.' are not " +
+          s"supported (${p.mkString("/")})")
+    }
+    val resolver = spark.sessionState.conf.resolver
+    val order = parts.map(_._1).foldLeft(Seq.empty[String])((acc, n) =>
+      if (acc.exists(resolver(_, n))) acc else acc :+ n)
+    order.map { n =>
+      val mine = parts.filter(p => resolver(p._1, n))
+      if (mine.exists(_._2.isEmpty))
+        require(mine.size == 1,
+          s"UPDATE assigns column '$n' more than once (or both the " +
+            "column and one of its nested fields)")
+      mine.map(_._2).combinations(2).foreach { case Seq(p1, p2) =>
+        require(p1 != p2 && !p1.startsWith(p2) && !p2.startsWith(p1),
+          s"UPDATE assigns overlapping paths under '$n': " +
+            s"${p1.mkString(".")} vs ${p2.mkString(".")}")
+      }
+      if (mine.head._2.isEmpty) n -> portable(mine.head._3)
+      else n -> mine.foldLeft(
+        GraftSqlBridge.column(UnresolvedAttribute(Seq(n)))) {
+          case (c, (_, p, v)) => c.withField(p.mkString("."), portable(v))
+        }
+    }
+  }
+
+  /** Layouts the MoR engines refuse but the copy-on-write arm serves
+    * (a colmap head additionally NORMALIZES: the rewrite's fresh files
+    * carry the logical names and the mapping clears). */
+  private[plans] def needsCow(hdrs: Map[String, String]): Boolean =
+    hdrs.contains("stats") || hdrs.contains("bloom") ||
+      hdrs.contains("partby") || hdrs.contains("colmap")
+
+  /** The COPY-ON-WRITE arm shared by SQL UPDATE and DELETE: read the
+    * pinned snapshot, apply `transform`, commit as the next version
+    * with the partition layout preserved and the skipping index
+    * RE-DERIVED from the manifest's self-described declarations — the
+    * `table_merge_reindex` recipe. The version race posture matches the
+    * SQL MERGE door: the snapshot is the head at command run time, and
+    * the isolated commit's manifest publish is the atomicity point. */
+  private[plans] def cowRewrite(spark: SparkSession, dir: String,
+      cur: Int, hdrs: Map[String, String], metadata: String)(
+      transform: DataFrame => DataFrame): Unit = {
+    require(!hdrs.contains("pmap"),
+      "this table is partition-mapped — update/delete by replacing its " +
+        "partitions through replacePartitionsWithRetry")
+    if (!GraftTable.statencCovers(hdrs))
+      throw new GraftTable.IndexRedeclarationRequired(
+        "SQL UPDATE/DELETE cannot re-derive this table's stats index: " +
+          s"its stat columns are not fully registry-declared (statenc " +
+          s"covers ${hdrs.get("statenc")
+            .map(GraftTable.StatsEnc.decode(_).map(_._1)).getOrElse(Nil)})" +
+          " — rewrite through the API with the original statsCols, or " +
+          "re-commit the chain with statsEnc registry encodings")
+    val statsEncDecl = hdrs.get("statenc")
+      .map(GraftTable.StatsEnc.decode).getOrElse(Nil)
+    GraftTable.commitNextIsolated(spark, dir,
+      transform(GraftTable.readVersion(spark, dir, cur)), metadata,
+      partitionBy =
+        hdrs.get("partby").map(_.split(",").toSeq).getOrElse(Nil),
+      statsEnc = if (hdrs.contains("stats")) statsEncDecl else Nil,
+      bloomCols = hdrs.get("bloom")
+        .map(GraftTable.bloomColsOf).getOrElse(Nil))
+    ()
   }
 }
 
@@ -85,57 +188,72 @@ case class UpdateDeleteGraftRule(spark: SparkSession)
     }
 }
 
-/** `UPDATE gt.t SET c = expr[, …] [WHERE cond]` → one MoR commit:
-  * dir-scoped full-row tombstones for the matched rows plus a
-  * replacement dir carrying their updated images. Layout/index
-  * refusals (partitionBy, pmap, stats=/bloom=) surface from the engine
-  * with the same messages as the API door. */
+/** `UPDATE gt.t SET c = expr[, s.f = expr, …] [WHERE cond]` → one
+  * commit: merge-on-read for plain flat tables (dir-scoped full-row
+  * tombstones + a replacement dir), copy-on-write with index
+  * re-derivation for stats=/bloom=/partitionBy targets. Nested-field
+  * assignments rebuild their struct (`GraftDml.assignments`). */
 case class GraftUpdateCommand(update: UpdateTable, dir: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val sets: Seq[(String, Column)] = update.assignments.map { as =>
-      val name = as.key match {
-        case a: AttributeReference => a.name
-        case other => sys.error(
-          s"UPDATE assignment key must be a plain column (got $other) — " +
-            "nested-field assignment is not supported on graft tables")
-      }
-      name -> GraftDml.portable(as.value)
-    }
-    require(sets.map(_._1).distinct.size == sets.size,
-      s"UPDATE assigns a column twice: ${sets.map(_._1)}")
+    val sets = GraftDml.assignments(spark, update.assignments)
     val cond = update.condition.map(GraftDml.portable).getOrElse(lit(true))
-    GraftTable.commitUpdateImpl(spark, dir, keyColsOpt = None, cond, sets,
-      "UPDATE (SQL)")
+    val fs = GraftTable.fsOf(spark, dir)
+    val cur = GraftTable.currentVersion(fs, dir).getOrElse(
+      sys.error(s"no committed version under $dir to update"))
+    val hdrs = GraftTable.headersOf(fs, dir, cur)
+    if (GraftDml.needsCow(hdrs)) {
+      val resolver = spark.sessionState.conf.resolver
+      GraftDml.cowRewrite(spark, dir, cur, hdrs,
+        "UPDATE (SQL, copy-on-write)") { snap =>
+        val cols = snap.columns.toSeq
+        sets.foreach { case (c, _) =>
+          require(cols.exists(resolver(_, c)),
+            s"SET column '$c' is not a column of the table ($cols)") }
+        // SIMULTANEOUS assignment (the SQL rule) in ONE select; a NULL
+        // condition leaves the row unmodified, like the MoR arm's filter
+        val condT = coalesce(cond, lit(false))
+        snap.select(cols.map { c =>
+          sets.find { case (sc, _) => resolver(sc, c) } match {
+            case Some((_, v)) =>
+              when(condT, v.cast(snap.schema(c).dataType))
+                .otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+      }
+    } else
+      GraftTable.commitUpdateImpl(spark, dir, keyColsOpt = None, cond,
+        sets, "UPDATE (SQL)")
     Seq.empty
   }
 }
 
-/** `DELETE FROM gt.t [WHERE cond]` → one MoR commit: the matched live
-  * rows (current deletion vector applied first) become full-row
-  * tombstones; no base file is listed, opened or rewritten beyond the
-  * match scan. */
+/** `DELETE FROM gt.t [WHERE cond]` → one commit: merge-on-read
+  * tombstones for plain flat tables, copy-on-write survivor rewrite
+  * (index re-derived, layout preserved) for indexed/partitioned ones.
+  * Version resolution happens ONCE and pins the commit (`expectVersion`
+  * on the MoR arm): the gate, the snapshot and the commit can never
+  * read different heads. */
 case class GraftDeleteCommand(delete: DeleteFromTable, dir: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    // same loud posture as the SQL UPDATE door: a MoR delete cannot
-    // carry the skipping index (the dv invalidates per-file row counts
-    // and commitDeleteVector drops stats=/bloom= by design), and SQL
-    // text must never strip an index silently
-    val fs = GraftTable.fsOf(spark, dir)
-    val hdrs = GraftTable.currentVersion(fs, dir)
-      .map(v => GraftTable.headersOf(fs, dir, v)).getOrElse(Map.empty)
-    if (hdrs.contains("stats") || hdrs.contains("bloom"))
-      throw new GraftTable.IndexRedeclarationRequired(
-        "DELETE would silently drop this table's skipping index (a " +
-          "merge-on-read deletion vector invalidates the per-file " +
-          "statistics) — drop the index deliberately via " +
-          "commitNextIsolated and re-OPTIMIZE after the delete, or " +
-          "delete through the API knowingly")
     val cond = GraftDml.portable(delete.condition)
-    val snapshot = GraftTable.read(spark, dir)
-    GraftTable.commitDeleteVector(spark, dir, snapshot.where(cond),
-      snapshot.columns.toSeq, "DELETE (SQL)")
+    val fs = GraftTable.fsOf(spark, dir)
+    val cur = GraftTable.currentVersion(fs, dir).getOrElse(
+      sys.error(s"no committed version under $dir to delete from"))
+    val hdrs = GraftTable.headersOf(fs, dir, cur)
+    if (GraftDml.needsCow(hdrs))
+      // survivors keep rows whose condition is FALSE or NULL — SQL
+      // DELETE removes only TRUE matches
+      GraftDml.cowRewrite(spark, dir, cur, hdrs,
+        "DELETE (SQL, copy-on-write)")(
+        _.where(!coalesce(cond, lit(false))))
+    else {
+      val snapshot = GraftTable.readVersion(spark, dir, cur)
+      GraftTable.commitDeleteVector(spark, dir, snapshot.where(cond),
+        snapshot.columns.toSeq, "DELETE (SQL)", expectVersion = Some(cur))
+    }
     Seq.empty
   }
 }

@@ -25,19 +25,20 @@ import graft.sources.{GraftSparkTable, GraftTable}
   * SET …/DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT, WHEN NOT
   * MATCHED BY SOURCE THEN UPDATE/DELETE, including `UPDATE SET *` /
   * `INSERT *`. Actions apply FIRST-MATCH-WINS in declaration order,
-  * per the SQL standard. Not supported: schema evolution
-  * (`WITH SCHEMA EVOLUTION`) — the write-time gate is the contract. */
+  * per the SQL standard. `MERGE WITH SCHEMA EVOLUTION` lands source
+  * columns the target lacks: a metadata-only ADD COLUMN commit
+  * (`commitAddColumns`) widens the schema first, then the merged
+  * snapshot carries source values where the star/assignment semantics
+  * provide them and NULL everywhere else (old rows backfill NULL —
+  * Delta's evolution contract). Without the declaration, extra source
+  * columns do NOT land — the write-time gate stays the contract. */
 case class MergeIntoGraftRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case m: MergeIntoTable if m.resolved && m.childrenResolved =>
         GraftDml.graftTarget(m.targetTable) match {
-          case Some((_, dir)) =>
-            require(!m.withSchemaEvolution,
-              "MERGE … WITH SCHEMA EVOLUTION is not supported on graft " +
-                "tables — evolve by committing with allowEvolution")
-            GraftMergeCommand(m, dir)
+          case Some((_, dir)) => GraftMergeCommand(m, dir)
           case None => m
         }
     }
@@ -68,6 +69,17 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
     val source = merge.sourceTable
     val tOut: Seq[Attribute] = target.output
     val sOut: Seq[Attribute] = source.output
+    val resolverEv = spark.sessionState.conf.resolver
+    // WITH SCHEMA EVOLUTION: source columns absent from the target
+    // widen the output (they land via star expansion / source values;
+    // kept target rows and DELETE-less arms read NULL). The schema
+    // itself widens via a metadata-only ADD COLUMN commit just before
+    // the snapshot commits — old versions stay untouched. Without the
+    // declaration the extra source columns simply do not land.
+    val evolveCols: Seq[Attribute] =
+      if (!merge.withSchemaEvolution) Nil
+      else sOut.filterNot(sa => tOut.exists(ta => resolverEv(ta.name, sa.name)))
+    val outAttrs: Seq[Attribute] = tOut ++ evolveCols
 
     // existence markers that survive the outer join (TRUE or NULL) —
     // the projections keep the original attributes, so the resolved
@@ -137,14 +149,26 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
     def c(e: Expression): Column = GraftSqlBridge.column(e)
     def nullOf(dt: org.apache.spark.sql.types.DataType): Column =
       c(Literal.create(null, dt))
-    val keepStruct = struct(tOut.map(a => c(a).as(a.name)): _*)
+    def isEvolved(a: Attribute): Boolean =
+      evolveCols.exists(_.exprId == a.exprId)
+    // kept target rows read NULL for evolved columns — exactly what a
+    // post-ALTER reader backfills for pre-evolution files
+    val keepStruct = struct(outAttrs.map(a =>
+      (if (isEvolved(a)) nullOf(a.dataType) else c(a)).as(a.name)): _*)
     val dropStruct = nullOf(org.apache.spark.sql.types.StructType(
-      tOut.map(a => org.apache.spark.sql.types.StructField(
+      outAttrs.map(a => org.apache.spark.sql.types.StructField(
         a.name, a.dataType, nullable = true))))
 
     // one output struct per action: assigned columns take the (cast)
     // assignment value, unassigned ones keep the target value (UPDATE)
-    // or NULL (INSERT)
+    // or NULL (INSERT). Evolved columns take the SAME-NAMED source
+    // value: the analyzer expands `SET *` / `INSERT *` into explicit
+    // assignments against the PRE-evolution schema before this command
+    // sees them, so the star intent is unrecoverable — and under a
+    // DECLARED evolution, an update/insert arm landing the source's new
+    // column is exactly what the user asked for. Rows with no source
+    // side (keeps, not-matched-by-source updates) read NULL — the
+    // source attribute is null-padded there by the outer join.
     def assignedStruct(assignments: Seq[Assignment],
         defaults: Attribute => Column): Column = {
       val byId = assignments.map { as =>
@@ -156,16 +180,19 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
         }
         key -> as.value
       }.toMap
-      struct(tOut.map { a =>
-        byId.get(a.exprId).map(v => c(v).cast(a.dataType))
-          .getOrElse(defaults(a)).as(a.name)
+      struct(outAttrs.map { a =>
+        (if (isEvolved(a)) c(a).cast(a.dataType)
+         else byId.get(a.exprId).map(v => c(v).cast(a.dataType))
+           .getOrElse(defaults(a))).as(a.name)
       }: _*)
     }
 
-    /** star expansion: every target column takes the same-named source
+    /** star expansion: every output column takes the same-named source
       * column (resolution leaves star actions intact for non-row-level
-      * targets, so expand here; a missing name fails loudly). */
-    def starStruct(): Column = struct(tOut.map { a =>
+      * targets, so expand here; a missing name fails loudly). Evolved
+      * columns are source columns by construction, so star is the arm
+      * that lands their values. */
+    def starStruct(): Column = struct(outAttrs.map { a =>
       val s = sOut.find(x => spark.sessionState.conf.resolver(x.name, a.name))
         .getOrElse(sys.error(
           s"MERGE … SET */INSERT *: source has no column '${a.name}'"))
@@ -198,7 +225,8 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
 
     val next = jdf.select(fate.as("__fate"))
       .where(col("__fate").isNotNull)
-      .select(tOut.map(a => col("__fate").getField(a.name).as(a.name)): _*)
+      .select(outAttrs.map(a =>
+        col("__fate").getField(a.name).as(a.name)): _*)
 
     // layout/index posture: a partitionBy layout is PRESERVED, and an
     // indexed target RE-INDEXES its merged snapshot on commit — a
@@ -227,6 +255,15 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
           "(commitWithRetry + statsCols), or re-commit the table with " +
           "statsEnc registry encodings")
       GraftMergeCommand.lastResolve = Some(next.queryExecution)
+      // declared evolution: widen the schema FIRST via the metadata-only
+      // ADD COLUMN commit (old versions untouched, readers backfill
+      // NULL), so the snapshot commit below passes the ordinary schema
+      // gate with no evolution escape hatch
+      if (evolveCols.nonEmpty)
+        GraftTable.commitAddColumns(spark, dir,
+          evolveCols.map(a => (a.name, a.dataType.catalogString)),
+          s"MERGE WITH SCHEMA EVOLUTION adds (${evolveCols.map(_.name)
+            .mkString(", ")})")
       GraftTable.commitNextIsolated(spark, dir, next, "MERGE INTO (SQL)",
         partitionBy =
           hdrs.get("partby").map(_.split(",").toSeq).getOrElse(Nil),

@@ -128,17 +128,22 @@ class GraftCatalog extends TableCatalog {
     load(ident, None)
   }
 
-  /** `ALTER TABLE … ADD COLUMN[S]` — mapped onto the metadata-only
-    * empty-delta commit (`GraftTable.commitAddColumns`): the new
-    * version re-references the current data verbatim with a wider
-    * schema= header, and readers backfill typed NULLs. Every other
-    * change kind refuses loudly: drops/renames/retypes need a rewrite
-    * the user must run deliberately (allowEvolution through a write
-    * path), and a silent metadata-only version for them would lie about
-    * the files underneath. */
+  /** `ALTER TABLE … ADD | RENAME | DROP COLUMN[S]` — each mapped onto a
+    * metadata-only empty-delta commit: ADD widens the schema= header
+    * (readers backfill typed NULLs, `GraftTable.commitAddColumns`);
+    * RENAME records the new names plus a colmap= header so the existing
+    * files keep serving under them (`commitRenameColumns`); DROP
+    * narrows the schema= header, files untouched (`commitDropColumns`).
+    * Retypes/repositions refuse loudly: they need a rewrite the user
+    * must run deliberately (allowEvolution through a write path), and a
+    * silent metadata-only version for them would lie about the files
+    * underneath. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
-    val added: Seq[(String, String)] = changes.map {
+    val added = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val renamed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "ALTER TABLE ADD COLUMN on a graft table adds top-level " +
@@ -150,14 +155,46 @@ class GraftCatalog extends TableCatalog {
         require(a.position() == null,
           "ADD COLUMN … FIRST/AFTER is not supported — new columns " +
             "append at the end of the schema")
-        (a.fieldNames.head, a.dataType().catalogString)
+        // the schema= header carries name:type ONLY — anything else the
+        // statement declares must refuse loudly (the repo's posture),
+        // never be silently discarded
+        require(a.comment() == null,
+          s"ADD COLUMN ${a.fieldNames.head} … COMMENT is not supported " +
+            "— a graft table's schema= header carries name:type only, " +
+            "and silently dropping the comment would lie about the DDL")
+        require(a.defaultValue() == null,
+          s"ADD COLUMN ${a.fieldNames.head} … DEFAULT is not supported " +
+            "— existing rows backfill NULL (metadata-only alter); a " +
+            "default would require a rewrite, run it deliberately")
+        added += ((a.fieldNames.head, a.dataType().catalogString))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "ALTER TABLE RENAME COLUMN on a graft table renames top-level " +
+            s"columns only (got nested ${r.fieldNames.mkString(".")})")
+        renamed += ((r.fieldNames.head, r.newName))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "ALTER TABLE DROP COLUMN on a graft table drops top-level " +
+            s"columns only (got nested ${d.fieldNames.mkString(".")})")
+        dropped += d.fieldNames.head
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other is not supported on a graft table " +
-          "— only ADD COLUMN[S] is metadata-only; drops/renames/retypes " +
-          "need a deliberate rewrite (commit with allowEvolution)")
+          "— ADD/RENAME/DROP COLUMN are metadata-only; retypes need a " +
+          "deliberate rewrite (commit with allowEvolution)")
     }
-    GraftTable.commitAddColumns(spark, dir, added,
-      s"ALTER TABLE ADD COLUMNS (${added.map(_._1).mkString(", ")})")
+    require(Seq(added, renamed, dropped).count(_.nonEmpty) == 1,
+      "one ALTER TABLE statement must be a single change kind " +
+        "(ADD, RENAME or DROP COLUMN)")
+    if (added.nonEmpty)
+      GraftTable.commitAddColumns(spark, dir, added.toSeq,
+        s"ALTER TABLE ADD COLUMNS (${added.map(_._1).mkString(", ")})")
+    else if (renamed.nonEmpty)
+      GraftTable.commitRenameColumns(spark, dir, renamed.toSeq,
+        s"ALTER TABLE RENAME COLUMN (${renamed
+          .map { case (o, n) => s"$o→$n" }.mkString(", ")})")
+    else
+      GraftTable.commitDropColumns(spark, dir, dropped.toSeq,
+        s"ALTER TABLE DROP COLUMNS (${dropped.mkString(", ")})")
     load(ident, None)
   }
 

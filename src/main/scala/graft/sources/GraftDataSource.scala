@@ -163,6 +163,16 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
   private val partCols: Seq[String] =
     headers.get("partby").map(_.split(",").toSeq).getOrElse(Nil)
 
+  /** Logical→physical name mapping of a RENAME/DROP COLUMN predecessor
+    * (colmap= header): the schemas this table SERVES stay logical; the
+    * scan requests the physical names from parquet and renames at the
+    * schema boundary only — rows are positional, so no per-row work. */
+  private[graft] val colmap: Map[String, String] =
+    headers.get("colmap").map(GraftTable.colmapDecode).getOrElse(Map.empty)
+  private[graft] def physSchema(st: StructType): StructType =
+    if (colmap.isEmpty) st
+    else StructType(st.map(f => f.copy(name = colmap.getOrElse(f.name, f.name))))
+
   /** Committed schema from the manifest (schema= header), split into
     * data columns and partition columns the way every file-based table
     * serves them (partition columns LAST — matching the API read path's
@@ -187,11 +197,18 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
     * listing per table instance; the scan builder installs a keep-set
     * before `build()` so skipped files never reach planning. */
   private[graft] val index: GraftFileIndex = {
+    // single partitioned dir: anchor discovery to it explicitly (clone
+    // references travel through `../`, and the anchor shares the files'
+    // own prefix). A MULTI-dir partitioned chain (partby append) has no
+    // single ancestor — omit basePath, so partition parsing anchors to
+    // each root dir itself (the PartitioningAwareFileIndex default),
+    // which is exactly the per-chain-dir layout the appends wrote.
     val params: Map[String, String] =
-      if (partCols.isEmpty) Map.empty
+      if (partCols.isEmpty || dataDirs.length > 1) Map.empty
       else Map("basePath" -> s"$dir/${dataDirs.head}")
     new GraftFileIndex(spark, dataDirs.map(d => new Path(s"$dir/$d")),
-      params, Some(fullSchema))
+      params, Some(physSchema(fullSchema)),
+      partitionedChain = partCols.nonEmpty)
   }
 
   /** Canonical absolute path of a manifest-relative file reference —
@@ -423,7 +440,15 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(spark, this, info)
+    // declaring `upsertKeys` selects the UPSERT streaming door, whose
+    // builder carries the SupportsStreamingUpdateAsAppend marker so
+    // OutputMode.Update passes Spark's sink validation; without the
+    // declaration the plain builder refuses Update mode via Spark's own
+    // error — an update stream appended blindly would silently turn
+    // the table into a changelog
+    if (info.options().containsKey("upsertKeys"))
+      new GraftUpsertWriteBuilder(spark, this, info)
+    else new GraftWriteBuilder(spark, this, info)
 }
 
 /** Scan builder: DELEGATES filter/column pushdown to Spark's own
@@ -438,17 +463,38 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
     options: CaseInsensitiveStringMap) extends ScanBuilder
     with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns {
 
-  private val inner =
-    ParquetScanBuilder(spark, table.index, fullSchema, dataSchema, options)
+  // the inner parquet builder binds the PHYSICAL names (a colmap
+  // predecessor's files were written before the rename; an identity
+  // mapping leaves everything untouched) — the logical names reappear
+  // only at the output-schema boundary in build()
+  private val inner = ParquetScanBuilder(spark, table.index,
+    table.physSchema(fullSchema), table.physSchema(dataSchema), options)
+  private val colmapInv: Map[String, String] = table.colmap.map(_.swap)
   private var requestedNames: Seq[String] = fullSchema.fieldNames.toSeq
   // every conjunct Spark pushed, as V1 filters — the manifest verdict's
   // input (the inner builder's own pushedDataFilters is protected)
   private var pushedV1: Array[sources.Filter] = Array.empty
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    pushedV1 = filters.flatMap(e =>
+    // pushed predicates reference LOGICAL attribute names — rewrite to
+    // physical for the parquet builder, and hand any residual back to
+    // Spark under its ORIGINAL logical expression (it re-evaluates
+    // residuals against the relation's logical output)
+    val phys =
+      if (table.colmap.isEmpty) filters
+      else filters.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if table.colmap.contains(a.name) =>
+          a.withName(table.colmap(a.name))
+      })
+    pushedV1 = phys.flatMap(e =>
       org.apache.spark.sql.graft.GraftSqlBridge.translateFilter(e)).toArray
-    inner.pushFilters(filters)
+    val residual = inner.pushFilters(phys)
+    if (table.colmap.isEmpty) residual
+    else {
+      val back = phys.zip(filters).toMap
+      residual.map(e => back.getOrElse(e, e))
+    }
   }
 
   override def pushedFilters
@@ -462,8 +508,8 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
     // the GraftScan projects them back out before rows leave the scan
     val forced = table.dv.map(_.keyCols).getOrElse(Nil)
       .filterNot(k => requiredSchema.fieldNames.contains(k))
-    inner.pruneColumns(StructType(requiredSchema.fields ++
-      forced.map(c => fullSchema(fullSchema.fieldIndex(c)))))
+    inner.pruneColumns(table.physSchema(StructType(requiredSchema.fields ++
+      forced.map(c => fullSchema(fullSchema.fieldIndex(c))))))
   }
 
   override def build(): Scan = {
@@ -472,8 +518,12 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
     // file index, where two scans of the same loaded table (a self-join,
     // a union of two filters) would clobber each other's pruning
     val ps = inner.build()
-    val out = StructType(
-      ps.readSchema().fields.filter(f => requestedNames.contains(f.name)))
+    // serve the LOGICAL names: the inner scan read the physical ones;
+    // rows are positional, so the rename is schema-only
+    val out = StructType(ps.readSchema().fields
+      .filter(f => requestedNames
+        .contains(colmapInv.getOrElse(f.name, f.name)))
+      .map(f => f.copy(name = colmapInv.getOrElse(f.name, f.name))))
     new GraftScan(ps, out, table, table.manifestVerdict(pushedV1), options)
   }
 }
@@ -750,8 +800,42 @@ private[graft] class DvFilteringReaderFactory(
   * partitions (`GraftScan.planInputPartitions`), so concurrent scans of
   * one table instance can never clobber each other's keep-sets. */
 private[graft] class GraftFileIndex(spark: SparkSession, roots: Seq[Path],
-    parameters: Map[String, String], schemaOpt: Option[StructType])
+    parameters: Map[String, String], schemaOpt: Option[StructType],
+    partitionedChain: Boolean = false)
     extends InMemoryFileIndex(spark, roots, parameters, schemaOpt) {
+
+  /** Partition discovery across a MULTI-dir partitioned chain (a
+    * partby append): Spark's `parsePartitions` hard-requires every leaf
+    * to resolve to ONE discovered base, so discovery over several
+    * independent partitioned roots throws
+    * CONFLICTING_DIRECTORY_STRUCTURES however basePaths are set. Parse
+    * each chain dir against ITSELF instead and merge the specs — the
+    * roots share one layout by construction (the write door re-stages
+    * appends to the recorded partitionBy shape), so the merged schema
+    * is any non-empty root's. Single-root tables — and flat chains,
+    * which must never pay the per-root re-listing — keep the stock
+    * path (including its explicit basePath anchoring for clones). */
+  private lazy val mergedSpec
+      : org.apache.spark.sql.execution.datasources.PartitionSpec = {
+    val specs = roots.map(r =>
+      new InMemoryFileIndex(spark, Seq(r), parameters - "basePath",
+        schemaOpt).partitionSpec())
+    val nonEmpty = specs.filter(_.partitionColumns.nonEmpty)
+    require(nonEmpty.map(_.partitionColumns).distinct.size <= 1,
+      s"chain dirs disagree on partition shape: " +
+        s"${nonEmpty.map(_.partitionColumns).distinct}")
+    nonEmpty.headOption match {
+      case None => specs.head
+      case Some(first) =>
+        org.apache.spark.sql.execution.datasources.PartitionSpec(
+          first.partitionColumns, nonEmpty.flatMap(_.partitions))
+    }
+  }
+
+  override def partitionSpec()
+      : org.apache.spark.sql.execution.datasources.PartitionSpec =
+    if (partitionedChain && roots.length > 1) mergedSpec
+    else super.partitionSpec()
 
   /** Total bytes of the files a keep-set retains — the pruned planning
     * size a scan reports. */
@@ -804,9 +888,14 @@ private[graft] class GraftWriteBuilder(spark: SparkSession,
   override def build(): org.apache.spark.sql.connector.write.Write = {
     // fail BEFORE any distributed job, like every API write path
     // (streaming epochs additionally re-gate per commit — the chain's
-    // headers can change between epochs)
+    // headers can change between epochs). A partitionBy target passes
+    // its recorded columns as the staged shape: the manifest half
+    // re-stages the flat job's output to exactly that shape
+    // (commitStagedDsv2's relayout), so the pre-job gate agrees with
+    // the per-attempt one by construction.
     GraftTable.dsv2WriteGate(spark, table.dir, info.schema(),
-      append = !overwrite)
+      append = !overwrite,
+      stagedPartBy = GraftTable.declaredPartBy(spark, table.dir))
     val doOverwrite = overwrite
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch
@@ -883,8 +972,12 @@ private[graft] class GraftStreamingWrite(spark: SparkSession, dir: String,
 
   // run-unique: a restarted query stages under fresh names, so a crash
   // window can never interleave two runs' files in one dir (orphans of
-  // the dead run are vacuum-reclaimable `ep…` dirs)
-  private val uid = java.util.UUID.randomUUID().toString.take(8)
+  // the dead run are vacuum-reclaimable `ep…` dirs). The leading
+  // query tag lets vacuum distinguish an in-flight epoch of THIS query
+  // (staged ahead of its committed history — never reclaimed, however
+  // stalled) from provably-dead replay garbage.
+  private val uid = s"${GraftTable.queryTag(queryId)}-" +
+    java.util.UUID.randomUUID().toString.take(8)
   private def stagedName(epochId: Long) = s"ep${epochId}_$uid"
 
   override def createStreamingWriterFactory(
@@ -915,6 +1008,91 @@ private[graft] class GraftStreamingWrite(spark: SparkSession, dir: String,
     }
     GraftTable.commitEpochStaged(spark, dir, epochId,
       stagedName(epochId), schema, queryId, expectedFiles = expected)
+    ()
+  }
+
+  override def abort(epochId: Long,
+      msgs: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    GraftTable.fsOf(spark, dir)
+      .delete(new Path(s"$dir/${stagedName(epochId)}"), true)
+    ()
+  }
+}
+
+/** The UPSERT write builder, selected by the `upsertKeys` option: its
+  * `SupportsStreamingUpdateAsAppend` marker admits OutputMode.Update
+  * (each epoch delivers the LATEST row per key — an aggregation's
+  * changed groups), and the streaming write folds every epoch into the
+  * table merge-on-read by those keys (`commitEpochUpsert`). Append mode
+  * with the option declared upserts too — the option IS the semantics
+  * declaration; what the engine delivers per epoch is the mode's
+  * business. Batch writes refuse: upsert-by-key from a batch frame is
+  * MERGE INTO's job. */
+private[graft] class GraftUpsertWriteBuilder(spark: SparkSession,
+    table: GraftSparkTable,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.internal.connector
+      .SupportsStreamingUpdateAsAppend {
+
+  private val keys: Seq[String] =
+    info.options().get("upsertKeys").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite =
+        sys.error("upsertKeys is a STREAMING option — a batch " +
+          "upsert-by-key is MERGE INTO (SQL) or commitUpdate (API)")
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite =
+        new GraftStreamingUpsertWrite(spark, table.dir, info.schema(),
+          info.queryId(), keys)
+    }
+}
+
+/** Streaming UPSERT write: same executor-side parquet staging as the
+  * append door (one temp+rename file per task under the commit
+  * coordinator), but the epoch-level commit folds the staged rows into
+  * the table by key — dir-scoped tombstones + the staged dir as the
+  * replacement, O(batch + dv) per epoch. Replay-exact across restarts
+  * via the shared (queryId, epoch) identity. */
+private[graft] class GraftStreamingUpsertWrite(spark: SparkSession,
+    dir: String, schema: StructType, queryId: String, keys: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val uid = s"${GraftTable.queryTag(queryId)}-" +
+    java.util.UUID.randomUUID().toString.take(8)
+  private def stagedName(epochId: Long) = s"ep${epochId}_$uid"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val factory = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    val fs = GraftTable.fsOf(spark, dir)
+    val dirAbs = fs.makeQualified(new Path(dir)).toString
+    new GraftEpochWriterFactory(factory, schema,
+      new GraftTable.SerializableHadoopConf(job.getConfiguration),
+      dirAbs, uid)
+  }
+
+  override def useCommitCoordinator: Boolean = true
+
+  override def commit(epochId: Long,
+      msgs: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val expected = msgs.toSeq.collect {
+      case GraftEpochMsg(Some(p)) => p
+    }
+    GraftTable.commitEpochUpsert(spark, dir, epochId,
+      stagedName(epochId), schema, queryId, keys,
+      expectedFiles = expected)
     ()
   }
 

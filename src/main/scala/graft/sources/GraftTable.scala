@@ -518,7 +518,7 @@ object GraftTable {
   private val headerKeys =
     Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=", "partby=",
       "bloom=", "constraints=", "statenc=", "update=", "pmap=", "wset=",
-      "statrel=")
+      "statrel=", "colmap=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
@@ -1137,7 +1137,11 @@ object GraftTable {
       constraintsHdr = hdrs.get("constraints"),
       // the encoding names travel with the stats line they describe
       // (and are dropped with it when an append source's stats are)
-      statenc = st.flatMap(_ => hdrs.get("statenc")))
+      statenc = st.flatMap(_ => hdrs.get("statenc")),
+      // a renamed/dropped-column source serves its logical names
+      // through the same mapping in the clone (the re-pointed dirs
+      // carry the same physical names)
+      colmap = hdrs.get("colmap"))
     // the version this clone actually captured — the ONE resolution
     // above, so a concurrent writer on src cannot skew the provenance
     sv
@@ -1197,7 +1201,12 @@ object GraftTable {
       statenc: Option[String] = None,
       updateDir: Option[String] = None,
       pmap: Option[String] = None, wset: Option[String] = None,
-      statrel: Boolean = false): Unit = {
+      statrel: Boolean = false, colmap: Option[String] = None): Unit = {
+    // colmap DESCRIBES the declared schema (logical→physical names) —
+    // meaningless without one
+    require(colmap.isEmpty || schema.nonEmpty,
+      "colmap= maps the schema= header's names and cannot be committed " +
+        "without one")
     require(!statrel || stats.nonEmpty,
       "statrel= qualifies the stats= line and cannot be committed alone")
     require(wset.isEmpty || pmap.nonEmpty,
@@ -1321,6 +1330,7 @@ object GraftTable {
       pmap.map(p => s"pmap=$p\n").getOrElse("") +
       wset.map(ws => s"wset=$ws\n").getOrElse("") +
       (if (statrel) "statrel=1\n" else "") +
+      colmap.map(cm => s"colmap=$cm\n").getOrElse("") +
       metadata
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -1472,8 +1482,30 @@ object GraftTable {
     // stake; single-dir reads keep plain inference (partitionBy layouts
     // surface partition columns last, the convention every door shares).
     val declared = declaredSchemaOf(hdrs)
-    def readDirs(paths: Seq[String]): DataFrame = declared match {
-      case Some(st) if paths.length > 1 =>
+    val partByCols = hdrs.get("partby").map(_.split(",").toSeq)
+      .getOrElse(Nil)
+    val colmap = hdrs.get("colmap").map(colmapDecode)
+    def readDirs(paths: Seq[String]): DataFrame = (declared, colmap) match {
+      case (Some(st), Some(cm)) =>
+        // a RENAME/DROP COLUMN predecessor: the files carry PHYSICAL
+        // names (and possibly extra, dropped columns) — request the
+        // declared schema under its physical names, never infer, and
+        // serve the frame under the logical ones
+        val phys = physicalRequest(st, cm)
+        val df =
+          if (paths.length > 1 && partByCols.nonEmpty)
+            paths.map(p => spark.read.schema(phys).parquet(p))
+              .reduce(_ unionByName _)
+          else spark.read.schema(phys).parquet(paths: _*)
+        df.toDF(st.fieldNames.toSeq: _*)
+      case (Some(st), None) if paths.length > 1 && partByCols.nonEmpty =>
+        // a multi-dir PARTITIONED chain (partby append through the
+        // DSv2/SQL door): read per dir — partition discovery anchors
+        // to each chain dir itself — and union by name, since
+        // partition columns surface last per dir
+        paths.map(p => spark.read.schema(st).parquet(p))
+          .reduce(_ unionByName _)
+      case (Some(st), None) if paths.length > 1 =>
         spark.read.schema(st).parquet(paths: _*)
       case _ => spark.read.parquet(paths: _*)
     }
@@ -1695,7 +1727,8 @@ object GraftTable {
       bloom = hdrs.get("bloom"),
       statenc = hdrs.get("statenc"),
       pmap = hdrs.get("pmap"),
-      constraintsHdr = hdrs.get("constraints"))
+      constraintsHdr = hdrs.get("constraints"),
+      colmap = hdrs.get("colmap"))
     nv
   }
 
@@ -1718,18 +1751,44 @@ object GraftTable {
     * to DV-free reads. */
   def commitDeleteVector(spark: SparkSession, dir: String,
       tombstones: DataFrame, keyCols: Seq[String], metadata: String = "",
-      prefix: String = "v"): Int = {
+      prefix: String = "v", expectVersion: Option[Int] = None): Int = {
     require(keyCols.nonEmpty, "deletion vector needs at least one key column")
     require(keyCols.forall(c => !c.contains(",") && !c.contains(";")),
       s"key column names must not contain the dv= header delimiters: $keyCols")
     val fs = fsOf(spark, dir)
     val cur = currentVersion(fs, dir).getOrElse(
       sys.error(s"no committed version under $dir to delete from"))
+    // OCC pin for callers whose tombstones were computed on a specific
+    // snapshot (the SQL DELETE door): a commit that interleaved between
+    // their read and this call would make the tombstone set stale —
+    // refuse like every lost race instead of applying old-snapshot
+    // tombstones to the new head
+    expectVersion.foreach(ev =>
+      if (ev != cur) throw new java.util.ConcurrentModificationException(
+        s"delete computed its tombstones on version $ev of $dir but the " +
+          s"head is now $cur — re-read and retry"))
     val hdrs = parseCommit(commitContent(fs, dir, cur))._1
     require(!hdrs.contains("pmap"),
       "this table is partition-mapped — delete by replacing its " +
         "partitions through replacePartitionsWithRetry (a MoR delete " +
         "would drop the value→dir map)")
+    require(!hdrs.contains("colmap"),
+      "a merge-on-read delete cannot target a renamed/dropped-column " +
+        "head (tombstone keys would name logical columns the files " +
+        "don't carry) — SQL DELETE rewrites copy-on-write, or rewrite " +
+        "via commitNextIsolated first")
+    // the index refusal lives HERE (not only in the SQL door), so the
+    // gate and the commit read the SAME headers and no door — present
+    // or future — can strip a just-attached skipping index silently:
+    // this commit carries no stats=/bloom= forward by design (a dv
+    // invalidates per-file row counts)
+    if (hdrs.contains("stats") || hdrs.contains("bloom"))
+      throw new IndexRedeclarationRequired(
+        "a merge-on-read delete cannot carry this table's skipping " +
+          "index (the deletion vector invalidates the per-file " +
+          "statistics) — delete through the copy-on-write door " +
+          "(deleteRowsIndexed / SQL DELETE re-indexes automatically), " +
+          "or drop the index deliberately via commitNextIsolated first")
     // resolve through the ONE sanctioned multi-dir accessor (not a raw
     // header read): round-trips byte-identically today, and keeps this
     // path correct if the data= encoding ever changes
@@ -1835,7 +1894,177 @@ object GraftTable {
       bloom = hdrs.get("bloom"),
       statenc = hdrs.get("statenc"),
       pmap = hdrs.get("pmap"),
-      constraintsHdr = hdrs.get("constraints"))
+      constraintsHdr = hdrs.get("constraints"),
+      // on a colmap head, a just-added column maps to a FRESH physical
+      // name no file can carry: after DROP x / ADD COLUMN x, binding
+      // the physical request to the literal name would RESURRECT the
+      // dropped column's old bytes instead of backfilling NULL — the
+      // absent mapping makes parquet null-fill it by construction
+      colmap = hdrs.get("colmap").map { enc =>
+        val prevMap = colmapDecode(enc)
+        val withNew = prev.map { case (n, _) =>
+          (n, prevMap.getOrElse(n, n)) } ++ cols.map { case (n, _) =>
+          (n, s"__gadd${v}_${urlEnc(n)}") }
+        colmapEncode(withNew)
+      })
+    v
+  }
+
+  /** colmap= codec: the logical→physical name mapping of a version
+    * whose files were written BEFORE a metadata-only RENAME/DROP
+    * COLUMN. The header's PRESENCE is itself load-bearing — it tells
+    * every reader "bind the declared schema mapped to physical names,
+    * never infer" (after a DROP the files carry more columns than the
+    * schema declares, and inference would resurrect them) — so an
+    * all-identity mapping encodes as the `-` sentinel rather than
+    * disappearing. */
+  private[graft] def colmapEncode(m: Seq[(String, String)]): String = {
+    val diff = m.filter { case (l, p) => l != p }
+    if (diff.isEmpty) "-"
+    else diff.map { case (l, p) => s"${urlEnc(l)}:${urlEnc(p)}" }
+      .mkString(",")
+  }
+
+  private[graft] def colmapDecode(s: String): Map[String, String] =
+    if (s == "-") Map.empty
+    else s.split(",").filter(_.nonEmpty).map { e =>
+      val i = e.lastIndexOf(':')
+      (urlDec(e.take(i)), urlDec(e.drop(i + 1)))
+    }.toMap
+
+  /** The physical-name request schema of a colmap-bearing version: the
+    * declared (logical) schema with each mapped field renamed to the
+    * name the files actually carry. Readers request THIS from parquet,
+    * then serve the frame under the logical names. */
+  private def physicalRequest(declared: org.apache.spark.sql.types.StructType,
+      colmap: Map[String, String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(declared.map(f =>
+      f.copy(name = colmap.getOrElse(f.name, f.name))))
+
+  /** Shared refusal gate of the metadata-only RENAME/DROP commits: the
+    * combinations whose readers or maintainers would need PER-FILE name
+    * resolution the manifest doesn't model refuse loudly — rewrite
+    * (OPTIMIZE / commitNextIsolated) first, which normalizes physical
+    * names to logical and clears the mapping. */
+  private def alterNamesGate(hdrs: Map[String, String], what: String): Unit = {
+    require(!hdrs.contains("dv"),
+      s"$what on a table carrying a deletion vector is not supported — " +
+        "the tombstone keys name columns; purgeDeleteVector first")
+    require(!hdrs.contains("pmap"),
+      s"$what on a partition-mapped table is not supported")
+    require(!hdrs.contains("stats") && !hdrs.contains("bloom"),
+      s"$what on an index-bearing table is not supported — the stats/" +
+        "Bloom sidecars name physical columns and their probe frames " +
+        "serve physical names; OPTIMIZE (re-indexing the rewrite) first")
+    require(!hdrs.contains("constraints"),
+      s"$what under declared constraints is not supported — constraint " +
+        "expressions name columns; drop and re-declare them around the " +
+        "alter")
+  }
+
+  /** METADATA-ONLY `RENAME COLUMN`: mint a version that re-references
+    * the current data dirs VERBATIM, records the schema under the NEW
+    * names and carries a colmap= header (new logical name → the
+    * physical name the existing files still use) — the Iceberg
+    * field-mapping idea expressed as names. No file is listed, opened
+    * or rewritten; old versions keep serving their own names. Readers
+    * (API and DSv2) bind the physical request schema and serve logical
+    * names; appends/MoR DML refuse on a mapped head (per-dir name
+    * resolution is not modeled — any full rewrite normalizes and clears
+    * the map). Partition columns cannot rename (dir names ARE the
+    * values). Returns the new version. */
+  def commitRenameColumns(spark: SparkSession, dir: String,
+      renames: Seq[(String, String)],
+      metadata: String = "ALTER TABLE RENAME COLUMN",
+      prefix: String = "v"): Int = {
+    require(renames.nonEmpty, "RENAME COLUMN needs at least one rename")
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(fs, dir).getOrElse(
+      sys.error(s"no committed version under $dir to alter"))
+    val hdrs = parseCommit(commitContent(fs, dir, cur))._1
+    alterNamesGate(hdrs, "RENAME COLUMN")
+    val prev = hdrs.get("schema").map(schemaDecode).getOrElse(sys.error(
+      s"version $cur of $dir predates schema= headers — re-commit once " +
+        "through any write path to record the schema, then alter"))
+    val resolver = spark.sessionState.conf.resolver
+    val partCols = hdrs.get("partby").map(_.split(",").toSeq).getOrElse(Nil)
+    val prevMap = hdrs.get("colmap").map(colmapDecode).getOrElse(Map.empty)
+    renames.foreach { case (o, n) =>
+      require(prev.exists(p => resolver(p._1, o)),
+        s"column '$o' does not exist in the table's schema")
+      require(!partCols.exists(resolver(_, o)),
+        s"cannot rename partition column '$o' — the directory names ARE " +
+          "its values; re-layout via commitNextIsolated(partitionBy = …)")
+      require(renames.count(r => resolver(r._1, o)) == 1,
+        s"column '$o' is renamed twice")
+      require(!n.contains(",") && !n.contains(";") && !n.contains(":"),
+        s"new column name '$n' contains a reserved delimiter")
+    }
+    val newSchema = prev.map { case (name, t) =>
+      renames.find(r => resolver(r._1, name)) match {
+        case Some((_, n)) => (n, t)
+        case None => (name, t)
+      }
+    }
+    require(newSchema.map(_._1.toLowerCase).distinct.size == newSchema.size,
+      s"renames collide: resulting schema ${newSchema.map(_._1)}")
+    // new logical name → the files' PHYSICAL name (resolving through a
+    // predecessor mapping, so chained renames stay one hop deep)
+    val newMap: Seq[(String, String)] = prev.zip(newSchema).map {
+      case ((oldName, _), (newName, _)) =>
+        (newName, prevMap.getOrElse(oldName, oldName))
+    }
+    val v = cur + 1
+    commit(fs, dir, v, metadata, prefix = prefix,
+      dataDir = Some(dataDirsFrom(hdrs, cur, prefix).mkString(",")),
+      schema = Some(newSchema.map { case (n, t) =>
+        s"${urlEnc(n)}:${urlEnc(t)}" }.mkString(",")),
+      partBy = hdrs.get("partby"),
+      prevTs = prevTsOf(Some((cur, hdrs))),
+      colmap = Some(colmapEncode(newMap)))
+    v
+  }
+
+  /** METADATA-ONLY `DROP COLUMN`: the schema= header simply loses the
+    * columns — files are untouched (they still carry the bytes; readers
+    * bound to the declared schema never request them), so the drop is
+    * O(one commit file) however large the table, exactly Delta's
+    * column-mapping drop. Same refusal envelope as RENAME; partition
+    * columns cannot drop. Returns the new version. */
+  def commitDropColumns(spark: SparkSession, dir: String,
+      cols: Seq[String], metadata: String = "ALTER TABLE DROP COLUMN",
+      prefix: String = "v"): Int = {
+    require(cols.nonEmpty, "DROP COLUMN needs at least one column")
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(fs, dir).getOrElse(
+      sys.error(s"no committed version under $dir to alter"))
+    val hdrs = parseCommit(commitContent(fs, dir, cur))._1
+    alterNamesGate(hdrs, "DROP COLUMN")
+    val prev = hdrs.get("schema").map(schemaDecode).getOrElse(sys.error(
+      s"version $cur of $dir predates schema= headers — re-commit once " +
+        "through any write path to record the schema, then alter"))
+    val resolver = spark.sessionState.conf.resolver
+    val partCols = hdrs.get("partby").map(_.split(",").toSeq).getOrElse(Nil)
+    cols.foreach { c =>
+      require(prev.exists(p => resolver(p._1, c)),
+        s"column '$c' does not exist in the table's schema")
+      require(!partCols.exists(resolver(_, c)),
+        s"cannot drop partition column '$c' — the layout stands on it; " +
+          "re-layout via commitNextIsolated(partitionBy = …)")
+    }
+    val newSchema = prev.filterNot(p => cols.exists(resolver(_, p._1)))
+    require(newSchema.nonEmpty, "cannot drop every column of the table")
+    val prevMap = hdrs.get("colmap").map(colmapDecode).getOrElse(Map.empty)
+    val newMap = newSchema.map { case (n, _) =>
+      (n, prevMap.getOrElse(n, n)) }
+    val v = cur + 1
+    commit(fs, dir, v, metadata, prefix = prefix,
+      dataDir = Some(dataDirsFrom(hdrs, cur, prefix).mkString(",")),
+      schema = Some(newSchema.map { case (n, t) =>
+        s"${urlEnc(n)}:${urlEnc(t)}" }.mkString(",")),
+      partBy = hdrs.get("partby"),
+      prevTs = prevTsOf(Some((cur, hdrs))),
+      colmap = Some(colmapEncode(newMap)))
     v
   }
 
@@ -1902,6 +2131,10 @@ object GraftTable {
       "this table is partition-mapped — update by replacing its " +
         "partitions through replacePartitionsWithRetry (a MoR update " +
         "would drop the value→dir map)")
+    require(!hdrs.contains("colmap"),
+      "a merge-on-read update cannot target a renamed/dropped-column " +
+        "head — SQL UPDATE rewrites copy-on-write, or rewrite via " +
+        "commitNextIsolated first")
     // same posture as every other index-dropping path: REFUSE rather
     // than silently strip the skipping indexes (stats/bloom cannot
     // coexist with the dv this commit mints — see commit()'s exclusion)
@@ -2140,6 +2373,11 @@ object GraftTable {
           "this table is partition-mapped — append by replacing (or " +
             "adding) partitions through replacePartitionsWithRetry (a " +
             "plain append would drop the value→dir map)")
+        require(!h.contains("colmap"),
+          "cannot append onto a renamed/dropped-column head: the new " +
+            "dir's physical names would differ from the chain's — " +
+            "rewrite via commitNextIsolated (normalizing the names) " +
+            "first")
         val prevStatCols = h.get("stats")
           .map(_.split(";", 2)(0).split(",").toSeq.map(urlDec))
         (prevStatCols, effStats.map(_._1)) match {
@@ -2315,7 +2553,7 @@ object GraftTable {
     * stats/Bloom ordinals (code, not headers). */
   private[graft] def dsv2WriteGate(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
-      append: Boolean): Unit = {
+      append: Boolean, stagedPartBy: Seq[String] = Nil): Unit = {
     val fs = fsOf(spark, dir)
     currentHeaders(fs, dir).foreach { case (_, h) =>
       schemaGate(h.get("schema"), schema, allowEvolution = false,
@@ -2324,16 +2562,19 @@ object GraftTable {
         "this table is partition-mapped — write through " +
           "replacePartitionsWithRetry (a plain DSv2 write would drop " +
           "the value→dir map)")
-      // overwrite refuses too (not just append): the staged dir is
-      // FLAT, so committing it over a partitionBy version would
-      // silently drop the table's partition layout — the same loud
-      // posture as the pmap refusal above; re-layout deliberately
-      // through commitNextIsolated(partitionBy = …)
-      require(!h.contains("partby") || append,
-        "this table carries a partitionBy layout — a DSv2 overwrite " +
-          "would silently flatten it; overwrite through " +
-          "commitNextIsolated(partitionBy = …) to keep (or knowingly " +
-          "change) the layout")
+      // a partitionBy layout is PRESERVED: the write door re-stages the
+      // flat parquet job's output partitionBy-shaped from the RECORDED
+      // columns and carries the partby header (`commitStagedDsv2`'s
+      // relayout), so both modes serve it. Only a shape MISMATCH
+      // refuses — a racing writer re-laying out the table between the
+      // relayout and this attempt's gate — because the already-staged
+      // dirs no longer match the head's layout.
+      val declaredPartBy =
+        h.get("partby").map(_.split(",").toSeq).getOrElse(Nil)
+      require(declaredPartBy == stagedPartBy,
+        s"this table's partitionBy layout ($declaredPartBy) changed " +
+          s"after the write staged its dirs ($stagedPartBy) — re-run " +
+          "the write against the new layout")
       // a statenc-declared stats line and a bloom= line are
       // SELF-DESCRIBED by the manifest (registry encoding names /
       // col|m|k sections), so BOTH DSv2 modes re-derive them
@@ -2356,9 +2597,22 @@ object GraftTable {
         require(!h.contains("dv"),
           "cannot append onto a version carrying a deletion vector — " +
             "purgeDeleteVector first")
-        require(!h.contains("partby"),
-          "cannot append onto a partitionBy layout through the DSv2 " +
-            "door — commit a full version instead")
+        require(!h.contains("colmap"),
+          "cannot append onto a renamed/dropped-column head through " +
+            "the DSv2 door — overwrite (which normalizes the physical " +
+            "names) or rewrite via commitNextIsolated first")
+        // a partitioned APPEND composes with everything EXCEPT a
+        // band/Bloom index: the point-probe and band readers open hit
+        // files directly and a multi-dir partitioned chain has no
+        // single basePath to re-anchor the partition columns under —
+        // serving it would silently drop those columns from pruned
+        // reads. Loud refusal until the chain compacts back to one dir.
+        require(!h.contains("partby") ||
+            !(h.contains("stats") || h.contains("bloom")),
+          "cannot append onto an index-bearing partitionBy chain " +
+            "through the DSv2 door (band/Bloom reads cannot re-anchor " +
+            "partition columns across chain dirs) — OPTIMIZE the chain " +
+            "to one dir first, or extend it through the API")
       }
     }
   }
@@ -2374,23 +2628,46 @@ object GraftTable {
       staged: String, schema: org.apache.spark.sql.types.StructType,
       append: Boolean, maxAttempts: Int = 10): Unit = {
     val fs = fsOf(spark, dir)
+    // PARTITION RELAYOUT: a partitionBy target re-stages the flat
+    // parquet job's output partitionBy-shaped from the RECORDED columns
+    // — the commit then carries the partby header and readers keep
+    // their partition pruning (the round-16 refusal becomes the
+    // capability). One extra distributed pass over the NEW rows only,
+    // never the table; the flat dir is dropped the moment the shaped
+    // one lands. The shaped name stays version-prefixed so a failed
+    // commit's leftover is ordinary vacuum-reclaimable staging.
+    val partBy = currentHeaders(fs, dir)
+      .flatMap(_._2.get("partby")).map(_.split(",").toSeq).getOrElse(Nil)
+    val effStaged =
+      if (partBy.isEmpty) staged
+      else {
+        val shaped = s"${staged}p"
+        spark.read.schema(schema).parquet(s"$dir/$staged")
+          .write.mode("errorifexists").partitionBy(partBy: _*)
+          .parquet(s"$dir/$shaped")
+        try fs.delete(new Path(s"$dir/$staged"), true)
+        catch { case _: java.io.IOException => () }
+        shaped
+      }
     try {
-      val stagedDf = spark.read.parquet(s"$dir/$staged")
+      val stagedDf = spark.read.parquet(s"$dir/$effStaged")
       var attempt = 0
       var done = false
       while (!done) {
         attempt += 1
         val cur = currentHeaders(fs, dir)
         // re-gate per attempt: the race winner may have evolved the
-        // schema, declared constraints, or attached an index
-        dsv2WriteGate(spark, dir, schema, append)
+        // schema, declared constraints, or attached an index — or
+        // re-laid out the partition shape, which refuses (the staged
+        // dirs no longer match)
+        dsv2WriteGate(spark, dir, schema, append, stagedPartBy = partBy)
         // per-ATTEMPT index derivation, from the SAME headers the gate
         // just passed: an OCC winner that attached (or dropped) the
         // chain's index mid-race must be reflected — a pre-loop
         // snapshot would silently commit an index-less version onto a
         // freshly indexed chain
         val (newStats, statsEncDecl, newBloom) =
-          dsv2IndexExtension(spark, dir, staged, cur.map(_._2))
+          dsv2IndexExtension(spark, dir, effStaged, cur.map(_._2))
         val carried = carriedConstraints(cur)
         if (carried.nonEmpty)
           enforceConstraints(stagedDf, carried,
@@ -2406,14 +2683,16 @@ object GraftTable {
           commit(fs, dir, v, if (append) "dsv2 append" else "dsv2 overwrite",
             prefix = "v",
             dataDir = Some(
-              (if (append) prevDirs :+ staged else Seq(staged))
+              (if (append) prevDirs :+ effStaged else Seq(effStaged))
                 .mkString(",")),
-            appendDir = if (append && cur.isDefined) Some(staged) else None,
+            appendDir = if (append && cur.isDefined) Some(effStaged) else None,
             schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
+            partBy =
+              if (partBy.isEmpty) None else Some(partBy.mkString(",")),
             // append: the chain's merged line; overwrite: the staged
             // dir's own entries (dir-relative — it IS the new version)
             stats =
-              if (append) newStats.map(mergeAppendStats(_, staged, cur, "v"))
+              if (append) newStats.map(mergeAppendStats(_, effStaged, cur, "v"))
               else newStats,
             bloom = newBloom,
             statenc =
@@ -2434,9 +2713,19 @@ object GraftTable {
         // every manifest, but vacuum hygiene beats waiting for it)
         try fs.delete(new Path(s"$dir/$staged"), true)
         catch { case _: java.io.IOException => () }
+        try fs.delete(new Path(s"$dir/$effStaged"), true)
+        catch { case _: java.io.IOException => () }
         throw e
     }
   }
+
+  /** The current version's recorded partitionBy columns (empty for flat
+    * tables and empty dirs) — the shape the DSv2 write door's relayout
+    * stages toward. */
+  private[graft] def declaredPartBy(spark: SparkSession,
+      dir: String): Seq[String] =
+    currentHeaders(fsOf(spark, dir), dir)
+      .flatMap(_._2.get("partby")).map(_.split(",").toSeq).getOrElse(Nil)
 
   /** Whether a version's stats= line is FULLY described by its statenc=
     * registry declaration (same columns, same order) — the shared
@@ -2700,6 +2989,54 @@ object GraftTable {
     * fast path, streaming READS of the sink table, versionDelta all
     * apply), v0 is the create. Same per-attempt re-gating as
     * `commitStagedDsv2` under OCC races. */
+  /** Stable 8-hex tag of a streaming queryId — embedded in epoch
+    * staging-dir names (`ep<epoch>_<tag>-<run>`) so `vacuum` can tell
+    * an IN-FLIGHT epoch (staged ahead of its own query's committed
+    * history — its commit may still publish, however stalled) from
+    * replay/crash garbage (at or behind the committed history —
+    * provably never publishing, reclaimable after the grace window).
+    * Without the tag, a commit stalled past the grace could have its
+    * staging vacuumed between `commitEpochStaged`'s final re-verify
+    * and the manifest publish, minting a dangling data= entry. */
+  private[graft] def queryTag(queryId: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+
+  /** The query tag of an `ep<epoch>_<tag>-<run>` staging name — None
+    * for tag-less legacy names (pre-tag stagings fall back to the
+    * plain grace-window rule in `vacuum`). */
+  private def epStagingTag(name: String): Option[String] = {
+    val i = name.indexOf('_')
+    if (i < 0) None
+    else {
+      val rest = name.substring(i + 1)
+      val j = rest.indexOf('-')
+      if (j == 8 && rest.take(8).forall(c => c.isDigit ||
+          (c >= 'a' && c <= 'f'))) Some(rest.take(8))
+      else None
+    }
+  }
+
+  /** Newest committed streaming epoch of `queryId` — the (query, epoch)
+    * replay-identity probe shared by the append and upsert streaming
+    * doors (Delta's (txnAppId, version) rule). The walk stops at THIS
+    * query's newest epoch commit; other writers' interleaved commits
+    * are walked past. Legacy bare `epoch=N` metadata (the foreachBatch
+    * streamingSink door) never matches a query-tagged probe and vice
+    * versa — independent idempotence namespaces. */
+  private def newestEpochFor(fs: FileSystem, dir: String,
+      queryId: String): Option[Long] =
+    versions(fs, dir).sorted(Ordering[Int].reverse).iterator
+      .map(v => meta(fs, dir, v))
+      .filter(_.startsWith("epoch="))
+      .map { m =>
+        val parts = m.stripPrefix("epoch=").split(";query=", 2)
+        (parts(0).toLongOption,
+          if (parts.length == 2) Some(parts(1)) else None)
+      }
+      .collectFirst { case (Some(e), Some(q)) if q == queryId => e }
+
   private[graft] def commitEpochStaged(spark: SparkSession, dir: String,
       epochId: Long, staged: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -2710,25 +3047,11 @@ object GraftTable {
     require(!queryId.contains("\n") && queryId.nonEmpty,
       s"queryId must be a non-empty single-line token (got '$queryId')")
     // Replay detection is keyed by (QUERY, epoch), never the bare epoch
-    // — Delta's (txnAppId, version) rule: batch ids restart from 0 for
-    // every distinct query (a fresh checkpoint, a second pipeline into
-    // the same sink), and a bare-epoch probe would silently discard a
-    // new query's entire early history as "replays" of the old one.
-    // The walk stops at THIS query's newest epoch commit; other
-    // writers' interleaved commits are walked past. Legacy bare
-    // `epoch=N` metadata (the foreachBatch streamingSink door) never
-    // matches a query-tagged probe and vice versa — independent
-    // idempotence namespaces.
-    def newestEpoch: Option[Long] =
-      versions(fs, dir).sorted(Ordering[Int].reverse).iterator
-        .map(v => meta(fs, dir, v))
-        .filter(_.startsWith("epoch="))
-        .map { m =>
-          val parts = m.stripPrefix("epoch=").split(";query=", 2)
-          (parts(0).toLongOption,
-            if (parts.length == 2) Some(parts(1)) else None)
-        }
-        .collectFirst { case (Some(e), Some(q)) if q == queryId => e }
+    // — batch ids restart from 0 for every distinct query (a fresh
+    // checkpoint, a second pipeline into the same sink), and a
+    // bare-epoch probe would silently discard a new query's entire
+    // early history as "replays" of the old one. See `newestEpochFor`.
+    def newestEpoch: Option[Long] = newestEpochFor(fs, dir, queryId)
     def dropStaged(): Unit =
       try fs.delete(stagedPath, true)
       catch { case _: java.io.IOException => () }
@@ -2754,6 +3077,14 @@ object GraftTable {
       while (true) {
         attempt += 1
         val cur = currentHeaders(fs, dir)
+        // streaming epochs stage FLAT (one parquet file per task, no
+        // relayout pass inside an epoch's latency budget) — a
+        // partitionBy sink refuses with its own message rather than
+        // surfacing the gate's shape-mismatch wording
+        cur.foreach { case (_, h) => require(!h.contains("partby"),
+          "streaming appends cannot target a partitionBy layout — " +
+            "epochs stage flat; sink to a flat table (or fold through " +
+            "GraftTable.streamingSink, which writes through the API)") }
         dsv2WriteGate(spark, dir, schema, append = true)
         // a statenc/bloom-indexed sink chain extends per epoch — the
         // streamed versions stay band/Bloom-skippable (same
@@ -2804,6 +3135,171 @@ object GraftTable {
       case e: Throwable =>
         // a refused or exhausted publish must not leave staged files
         // where a reader could mistake them for data
+        dropStaged()
+        throw e
+    }
+  }
+
+  /** The UPSERT half of the streaming write door (OutputMode.Update →
+    * `SupportsStreamingUpdateAsAppend`): each epoch's staged rows are
+    * the LATEST state per key — fold them into the table MERGE-ON-READ,
+    * exactly like `commitUpdateImpl`: dir-scoped tombstones kill the
+    * old images of the batch's keys, the staged dir appends as their
+    * replacement, no base file is rewritten. O(batch + dv) per epoch —
+    * the shape that survives a 10⁵-epoch sink (a per-epoch snapshot
+    * rewrite would be O(table) each trigger); `purgeDeleteVector` /
+    * OPTIMIZE fold the accumulated chain back when wanted. Exactly-once
+    * across restarts via the same (queryId, epoch) identity as the
+    * append door. Refusals mirror the MoR update engine: partitionBy,
+    * pmap and index-bearing heads refuse loudly (indexes cannot ride a
+    * dv); a predecessor DV must be keyed by the SAME upsert keys. */
+  private[graft] def commitEpochUpsert(spark: SparkSession, dir: String,
+      epochId: Long, staged: String,
+      schema: org.apache.spark.sql.types.StructType,
+      queryId: String, keyCols: Seq[String], maxAttempts: Int = 10,
+      expectedFiles: Seq[String] = Nil): Option[Int] = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val fs = fsOf(spark, dir)
+    val stagedPath = new Path(s"$dir/$staged")
+    require(keyCols.nonEmpty, "streaming upsert needs upsertKeys")
+    require(keyCols.forall(c => !c.contains(",") && !c.contains(";")),
+      s"key column names must not contain the dv= header delimiters: $keyCols")
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"upsert key '$k' is not a column of the stream (${
+        schema.fieldNames.toSeq})"))
+    def dropStaged(): Unit =
+      try fs.delete(stagedPath, true)
+      catch { case _: java.io.IOException => () }
+    if (newestEpochFor(fs, dir, queryId).exists(epochId <= _)) {
+      dropStaged(); return None
+    }
+    val hasData = fs.exists(stagedPath) && fs.listStatus(stagedPath)
+      .exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (!hasData) { dropStaged(); return None }
+    expectedFiles.foreach { f =>
+      require(fs.exists(new Path(f)),
+        s"epoch $epochId staged file missing before publish: $f — " +
+          "failing the epoch so the engine can retry it")
+    }
+    try {
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val cur = currentHeaders(fs, dir)
+        cur.foreach { case (_, h) =>
+          schemaGate(h.get("schema"), schema, allowEvolution = false,
+            context = "append")
+          require(!h.contains("partby"),
+            "streaming upsert cannot target a partitionBy layout — " +
+              "a flat replacement dir beside a partitioned one makes " +
+              "the union unreadable")
+          require(!h.contains("pmap"),
+            "this table is partition-mapped — upsert through " +
+              "replacePartitionsWithRetry")
+          require(!h.contains("colmap"),
+            "a streaming upsert cannot target a renamed/dropped-column " +
+              "head — rewrite via commitNextIsolated first")
+          if (h.contains("stats") || h.contains("bloom"))
+            throw new IndexRedeclarationRequired(
+              "a streaming upsert cannot carry the table's skipping " +
+                "index (its merge-on-read tombstones invalidate the " +
+                "per-file statistics) — drop the index deliberately, " +
+                "stream, then re-index with OPTIMIZE")
+          h.get("dv").foreach { spec =>
+            val prevKeys = spec.split(";", -1)(1).split(",").toSeq
+            require(prevKeys == keyCols,
+              s"the current version's deletion vector is keyed by " +
+                s"$prevKeys but this upsert keys by $keyCols")
+          }
+        }
+        val v = cur.map(_._1 + 1).getOrElse(0)
+        require(fs.exists(stagedPath),
+          s"staged epoch dir $staged vanished before publish " +
+            "(concurrent vacuum?) — failing the epoch for engine retry")
+        val batch = spark.read.schema(schema).parquet(s"$dir/$staged")
+        try {
+          cur match {
+            case None =>
+              // first epoch IS the table — a plain full version
+              commit(fs, dir, v, s"epoch=$epochId;query=$queryId",
+                prefix = "v", dataDir = Some(staged),
+                schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur))
+            case Some((c, hdrs)) =>
+              import spark.implicits._
+              val dataDirs = dataDirsFrom(hdrs, c, "v")
+              val basenamesDf = dataDirs.map(dirBasename).toDF("__dir")
+              val declared = declaredSchemaOf(hdrs)
+              val withDir = dataDirs.map { dd =>
+                (declared match {
+                  case Some(st) => spark.read.schema(st).parquet(s"$dir/$dd")
+                  case None => spark.read.parquet(s"$dir/$dd")
+                }).withColumn("__gdir", lit(dirBasename(dd)))
+              }.reduce(_ unionByName _)
+              val prevTombs: Option[DataFrame] = hdrs.get("dv").map { sp =>
+                val parts = sp.split(";", -1)
+                val dvd = spark.read.parquet(s"$dir/${parts(0)}")
+                if (parts.length == 3) dvd
+                else dvd.crossJoin(basenamesDf)
+              }
+              val live = prevTombs.fold(withDir) { tb =>
+                val tbR = tb.withColumnRenamed("__dir", "__gdir")
+                withDir.join(broadcast(tbR),
+                  (keyCols :+ "__gdir").map(k => withDir(k) <=> tbR(k))
+                    .reduce(_ && _),
+                  "left_anti")
+              }
+              // old images of the batch's keys die in THEIR dirs; the
+              // staged dir (appended last) carries the replacements
+              val batchKeys = batch.select(keyCols.map(col): _*).distinct()
+              val matched = live.join(broadcast(batchKeys),
+                keyCols.map(k => live(k) <=> batchKeys(k)).reduce(_ && _),
+                "left_semi")
+              val newTombs = matched
+                .select((keyCols.map(col) :+ col("__gdir").as("__dir")): _*)
+                .distinct()
+              val fullTombs = prevTombs.fold(newTombs)(p =>
+                p.select((keyCols :+ "__dir").map(col): _*)
+                  .unionByName(newTombs).distinct())
+              val dvDir =
+                s"dv${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+              fullTombs.write.mode("errorifexists").parquet(s"$dir/$dvDir")
+              val carried = carriedConstraints(cur)
+              if (carried.nonEmpty)
+                enforceConstraints(batch, carried, "append",
+                  existing =
+                    if (carried.exists(_.startsWith("unique:")))
+                      // survivors after this epoch's tombstones — the
+                      // uniqueness universe the batch inserts into
+                      Some(live.join(broadcast(batchKeys),
+                        keyCols.map(k =>
+                          live(k) <=> batchKeys(k)).reduce(_ && _),
+                        "left_anti").drop("__gdir"))
+                    else None)
+              commit(fs, dir, v, s"epoch=$epochId;query=$queryId",
+                prefix = "v",
+                dataDir = Some((dataDirs :+ staged).mkString(",")),
+                dv = Some(s"$dvDir;${keyCols.mkString(",")};scoped"),
+                updateDir = Some(staged),
+                schema = hdrs.get("schema")
+                  .orElse(Some(schemaEncode(schema))),
+                prevTs = prevTsOf(cur),
+                constraintsHdr = hdrs.get("constraints"))
+          }
+          return Some(v)
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            if (attempt >= maxAttempts) throw e
+            if (newestEpochFor(fs, dir, queryId).exists(epochId <= _)) {
+              dropStaged(); return None
+            }
+        }
+      }
+      None // unreachable
+    } catch {
+      case e: Throwable =>
         dropStaged()
         throw e
     }
@@ -2949,12 +3445,26 @@ object GraftTable {
     // reclaimable garbage like any other unreferenced staging dir
     // TOP-LEVEL granularity: a partition-mapped entry `<root>/__p=<v>`
     // must protect its root from the whole-dir delete below
-    val referenced = committed.flatMap { v =>
-      val hdrs = parseCommit(commitContent(fs, dir, v))._1
+    val parsed = committed.map(v =>
+      (v, parseCommit(commitContent(fs, dir, v))))
+    val referenced = parsed.flatMap { case (v, (hdrs, _)) =>
       (dataDirsFrom(hdrs, v, prefix) ++
         hdrs.get("dv").map(_.split(";", 2)(0)).toList)
         .map(_.split('/').head)
     }.toSet
+    // per-query newest committed streaming epoch, keyed by the query
+    // tag the staging names carry — the in-flight test below
+    val epochNewest: Map[String, Long] = parsed
+      .flatMap { case (_, (_, md)) =>
+        if (!md.startsWith("epoch=")) None
+        else {
+          val parts = md.stripPrefix("epoch=").split(";query=", 2)
+          if (parts.length == 2)
+            parts(0).toLongOption.map(e => (queryTag(parts(1)), e))
+          else None
+        }
+      }
+      .groupBy(_._1).map { case (t, es) => (t, es.map(_._2).max) }
     val reclaimed = fs.listStatus(new Path(dir)).toSeq
       .filter { st =>
         val n = st.getPath.getName
@@ -2994,15 +3504,31 @@ object GraftTable {
     // 10-minute floor as the checkpoint temps, so an in-flight build is
     // never yanked mid-publish.
     // streaming-epoch staging orphans: a crashed (or replay-discarded)
-    // DSv2 streaming epoch leaves its `ep<id>_<uid>` dir unreferenced;
-    // the version-numbered walk above never matches the `ep` prefix.
-    // 10-minute floor again — an IN-FLIGHT epoch stages its files
-    // seconds before its commit publishes.
+    // DSv2 streaming epoch leaves its `ep<id>_<qtag>-<run>` dir
+    // unreferenced; the version-numbered walk above never matches the
+    // `ep` prefix. 10-minute floor again — an IN-FLIGHT epoch stages
+    // its files seconds before its commit publishes. Additionally, a
+    // staged epoch AHEAD of its own query's newest committed epoch is
+    // never reclaimed, HOWEVER old: its commit may still be in flight
+    // (a stall past any grace window is indistinguishable from a slow
+    // commit, and deleting the dir between commitEpochStaged's final
+    // re-verify and the manifest publish would mint a dangling data=
+    // entry). The moment the query commits that epoch — including after
+    // a restart, queryIds being checkpoint-stable — the dir falls at or
+    // behind the committed history and reclaims normally. A query that
+    // dies before ITS FIRST commit leaks its staging until then: the
+    // deliberate leak-over-data-loss trade. Tag-less legacy names keep
+    // the plain grace rule.
     val epOrphans = fs.listStatus(new Path(dir)).toSeq
       .filter { st =>
         val n = st.getPath.getName
+        val inflight = (dirVersion(n, "ep"), epStagingTag(n)) match {
+          case (Some(e), Some(tag)) =>
+            epochNewest.get(tag).forall(e > _)
+          case _ => false
+        }
         st.isDirectory && !referenced.contains(n) &&
-          dirVersion(n, "ep").isDefined &&
+          dirVersion(n, "ep").isDefined && !inflight &&
           // recursive newest-FILE mtime like the main walk — object
           // stores' synthetic dir mtimes would let an in-flight epoch's
           // staging look ancient and be yanked mid-write

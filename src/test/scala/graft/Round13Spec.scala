@@ -345,22 +345,32 @@ class Round13Spec extends SparkSpec {
     GraftTable.commitNext(spark, dir, Seq(1L, 2L).toDF("k"), "v0")
     GraftTable.commitNextIsolated(spark, dir, Seq(1L, 2L, 3L).toDF("k"), "v1",
       statsCols = Seq("k" -> ((c: org.apache.spark.sql.Column) => c)))
+    // a MoR delete on the stats-bearing head now refuses (the index
+    // would be silently dropped) — drop the index DELIBERATELY first,
+    // which is itself a commit flavor history must surface
+    intercept[GraftTable.IndexRedeclarationRequired] {
+      GraftTable.commitDeleteVector(spark, dir,
+        Seq(1L).toDF("k"), Seq("k"), "refused dv")
+    }
+    GraftTable.commitNextIsolated(spark, dir, Seq(1L, 2L, 3L).toDF("k"),
+      "v2 index dropped")
     GraftTable.commitDeleteVector(spark, dir,
-      Seq(1L).toDF("k"), Seq("k"), "v2 dv")
+      Seq(1L).toDF("k"), Seq("k"), "v3 dv")
     val h = GraftTable.history(spark, dir).orderBy("version").collect()
-    assert(h.map(_.getAs[Int]("version")).toSeq == Seq(0, 1, 2))
+    assert(h.map(_.getAs[Int]("version")).toSeq == Seq(0, 1, 2, 3))
     val ms = h.map(_.getAs[Long]("commit_ms"))
     assert(ms.sliding(2).forall(p => p(0) <= p(1)),
       s"commit_ms must be non-decreasing: ${ms.toSeq}")
     assert(h.map(_.getAs[Boolean]("has_stats")).toSeq ==
-      Seq(false, true, false))
-    assert(h.map(_.getAs[Boolean]("has_dv")).toSeq == Seq(false, false, true))
+      Seq(false, true, false, false))
+    assert(h.map(_.getAs[Boolean]("has_dv")).toSeq ==
+      Seq(false, false, false, true))
     assert(h(1).getAs[Long]("n_rows") == 3L && h(0).isNullAt(
       h(0).fieldIndex("n_rows")))
     // the SQL surface serves the same rows
     Graft.registerFunctions(spark)
     assert(spark.sql(s"SELECT COUNT(*) FROM graft_history('$dir')")
-      .collect()(0).getLong(0) == 3L)
+      .collect()(0).getLong(0) == 4L)
   }
 
   test("graft_stats: the skipping index is queryable from SQL, and a SQL-computed overlap set equals the engine's read set") {
@@ -626,20 +636,24 @@ class Round13Spec extends SparkSpec {
       "iso v2",
       statsCols = Seq("k" -> ((c: org.apache.spark.sql.Column) => c)))
     q.processAllAvailable()
-    // v3: a deletion-vector commit — its dv= header must strip too (the
-    // strip pattern is derived from headerKeys, so a new header can
-    // never leak into subscriber metadata again)
+    // v3: drop the index deliberately (a MoR delete on a stats head now
+    // refuses), then v4: a deletion-vector commit — its dv= header must
+    // strip too (the strip pattern is derived from headerKeys, so a new
+    // header can never leak into subscriber metadata again)
+    GraftTable.commitNextIsolated(spark, dir, Seq(1L, 2L, 3L, 4L).toDF("k"),
+      "drop idx v3")
     GraftTable.commitDeleteVector(spark, dir, Seq(4L).toDF("k"), Seq("k"),
-      "dv v3")
+      "dv v4")
     q.processAllAvailable()
     q.stop()
     // FULL-list equality: pins exactly-once cardinality AND clean
     // metadata for every commit flavor (a double-delivery or a leaked
     // dv= header both fail here with the whole feed in the message).
-    // v3's delta is empty — a dv commit shares its predecessor's data,
-    // so exceptAll of the two snapshots removes rows, never adds.
+    // v3's delta is empty (a same-rows rewrite) and so is v4's — a dv
+    // commit shares its predecessor's data, so exceptAll of the two
+    // snapshots removes rows, never adds.
     assert(received.toList == List((0, "", 2L), (1, "iso v1", 1L),
-      (2, "iso v2", 1L), (3, "dv v3", 0L)),
+      (2, "iso v2", 1L), (3, "drop idx v3", 0L), (4, "dv v4", 0L)),
       s"feed must be one row per version with headers stripped: " +
         s"${received.toList}")
   }

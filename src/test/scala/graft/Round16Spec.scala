@@ -575,13 +575,17 @@ class Round16Spec extends SparkSpec {
     assert(GraftTable.read(spark, dir)
       .where(col("region_code").isNotNull).count() == base.count())
 
-    // non-ADD changes refuse loudly
+    // DROP became metadata-only in round 17 — the column leaves the
+    // schema, files untouched; retypes still refuse loudly
+    spark.sql(s"ALTER TABLE gt16.`$abs` DROP COLUMN note")
+    assert(!GraftTable.read(spark, dir).columns.contains("note"))
     val e2 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE gt16.`$abs` DROP COLUMN note")
+      spark.sql(
+        s"ALTER TABLE gt16.`$abs` ALTER COLUMN region_code TYPE BIGINT")
     }
     assert(e2.getMessage.contains("not supported"), e2.getMessage)
     val e3 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE gt16.`$abs` ADD COLUMNS (note STRING)")
+      spark.sql(s"ALTER TABLE gt16.`$abs` ADD COLUMNS (region_code INT)")
     }
     assert(e3.getMessage.contains("already exists"), e3.getMessage)
   }
@@ -817,17 +821,34 @@ class Round16Spec extends SparkSpec {
       Seq((2L, 20L)))
   }
 
-  test("sql: DELETE refuses an indexed target loudly") {
-    val dir = freshDir("delidx")
+  test("sql: DELETE on a registry-indexed target takes the copy-on-write arm — index re-derived and live; lambda ordinals still refuse") {
+    val dir = freshDir("delidx16")
     val n = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
     GraftTable.commitNextIsolated(spark, dir, n, "indexed",
       statsEnc = Seq("n_nationkey" -> "id"))
     withCatalog("gt16")
+    spark.sql(s"DELETE FROM gt16.`${new java.io.File(dir).getAbsolutePath}`" +
+      " WHERE n_nationkey = 1")
+    // survivors exact, and the rewritten version still carries a LIVE
+    // stats index — the band read resolves through it (it throws on an
+    // index-less commit) and genuinely serves the surviving keys
+    val keys = GraftTable.read(spark, dir)
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).toSet
+    assert(!keys.contains(1) && keys.contains(0) && keys.contains(2))
+    val (band, _, _) =
+      GraftTable.readStatsBand(spark, dir, 1, "n_nationkey", 0L, 3L)
+    assert(band.where(col("n_nationkey").between(0, 3))
+      .collect().map(_.getInt(0)).toSet == Set(0, 2, 3))
+    // a LAMBDA-ordinal stats line still refuses: SQL text cannot
+    // re-derive caller code, and silent index stripping stays banned
+    val dir2 = freshDir("delidx16l")
+    GraftTable.commitNextIsolated(spark, dir2, n, "lambda-indexed",
+      statsCols = Seq("n_nationkey" -> ((c: org.apache.spark.sql.Column) => c)))
     val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM gt16.`${new java.io.File(dir).getAbsolutePath}`" +
+      spark.sql(s"DELETE FROM gt16.`${new java.io.File(dir2).getAbsolutePath}`" +
         " WHERE n_nationkey = 1")
     }
-    assert(e.getMessage.contains("skipping index"), e.getMessage)
+    assert(e.getMessage.contains("registry-declared"), e.getMessage)
   }
 
   test("sql: DML composes with ALTER — tombstones key the backfilled column") {
@@ -992,18 +1013,26 @@ class Round16Spec extends SparkSpec {
       .head().getLong(0) == 5)
   }
 
-  test("sql: UPDATE/DELETE refusals are loud") {
+  test("sql: UPDATE on a Bloom-indexed target rewrites copy-on-write with the index live; non-deterministic conditions refuse") {
     val dir = freshDir("sqldmlrefuse")
     val n = T.t(spark, sf, "nation").select(col("n_nationkey"), col("n_name"))
     GraftTable.commitNextIsolated(spark, dir, n, "bloomed",
       bloomCol = Some("n_nationkey"))
     withCatalog("gt16")
     val abs = new java.io.File(dir).getAbsolutePath
-    // an indexed target refuses UPDATE (stats/bloom cannot ride a dv)
-    val e1 = intercept[Exception] {
-      spark.sql(s"UPDATE gt16.`$abs` SET n_name = 'X' WHERE n_nationkey = 1")
-    }
-    assert(e1.getMessage.contains("skipping index"), e1.getMessage)
+    // the indexed target takes the copy-on-write arm: the update lands
+    // and the REBUILT Bloom index serves the updated row (readBloomEq
+    // throws on an index-less commit)
+    spark.sql(s"UPDATE gt16.`$abs` SET n_name = 'X' WHERE n_nationkey = 1")
+    // the probe literal must match the column's RUNTIME type (INT here
+    // — xxhash64 hashes type-tagged bytes)
+    val probed = GraftTable.readBloomEq(spark, dir, 1, "n_nationkey",
+      java.lang.Integer.valueOf(1))
+      ._1.where(col("n_nationkey") === 1)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(probed == Seq((1, "X")), s"got $probed")
+    assert(GraftTable.read(spark, dir).where(col("n_name") === "X")
+      .count() == 1L)
     // non-deterministic conditions refuse (full-row identity contract)
     val dir2 = freshDir("sqldmlrand")
     GraftTable.commitNextIsolated(spark, dir2, n, "plain")

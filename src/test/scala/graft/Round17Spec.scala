@@ -1,0 +1,459 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.GraftTable
+
+/** Round-17 surface: copy-on-write SQL DML on indexed/partitioned
+  * targets, nested-field UPDATE SET, partitionBy DSv2/SQL writes,
+  * MERGE WITH SCHEMA EVOLUTION, the Update-mode streaming upsert door,
+  * deferred-execution action TVFs, and the vacuum/in-flight-epoch
+  * guard. */
+class Round17Spec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val dir = s"target/tmp/r17_${tag}"
+    val fs = GraftTable.fsOf(spark, dir)
+    fs.delete(new Path(dir), true)
+    dir
+  }
+
+  private def withCatalog(name: String): Unit =
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.GraftCatalog].getName)
+
+  /** Files the physical scan actually plans (read-set truth). */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    plan.collect { case b: BatchScanExec =>
+      b.inputRDD.partitions.flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceRDDPartition =>
+          p.inputPartitions.flatMap {
+            case fp: FilePartition => fp.files.map(_.urlEncodedPath)
+            case _ => Nil
+          }
+        case _ => Nil
+      }.toSeq
+    }.flatten
+  }
+
+  // ---- 1. copy-on-write SQL DML ----------------------------------------
+
+  test("sql: UPDATE/DELETE on a partitionBy table rewrite copy-on-write, layout preserved, pruning live") {
+    import spark.implicits._
+    val dir = freshDir("pbdml")
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L),
+      (4L, "b", 40L)).toDF("k", "p", "v")
+    GraftTable.commitNextIsolated(spark, dir, base, "partitioned",
+      partitionBy = Seq("p"))
+    withCatalog("gt17s")
+    val abs = new java.io.File(dir).getAbsolutePath
+    spark.sql(s"UPDATE gt17s.`$abs` SET v = v + 1 WHERE k = 1")
+    spark.sql(s"DELETE FROM gt17s.`$abs` WHERE k = 4")
+    val got = GraftTable.read(spark, dir)
+      .select(col("k"), col("p"), col("v")).as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 11L), (2L, "b", 20L), (3L, "a", 30L)),
+      s"got $got")
+    // the head version still carries the partby header, its data dir is
+    // value-partitioned on disk, and a partition filter PRUNES files
+    val fs = GraftTable.fsOf(spark, dir)
+    val hdrs = GraftTable.headersOf(fs, dir, 2)
+    assert(hdrs("partby") == "p")
+    val dd = hdrs("data")
+    assert(fs.exists(new Path(s"$dir/$dd/p=a")) &&
+      fs.exists(new Path(s"$dir/$dd/p=b")))
+    val pruned = spark.read.format("graft").load(abs)
+      .where(col("p") === "a")
+    assert(pruned.count() == 2L)
+    val planned = plannedFiles(pruned)
+    assert(planned.nonEmpty && planned.forall(_.contains("p=a")),
+      s"partition pruning must hold after CoW DML: $planned")
+  }
+
+  test("sql: nested UPDATE refusals — overlapping paths, column+field, dotted names") {
+    import spark.implicits._
+    val dir = freshDir("nestref")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, (10L, "x"))).toDF("k", "s"), "base")
+    withCatalog("gt17s")
+    val abs = new java.io.File(dir).getAbsolutePath
+    val e1 = intercept[Exception] {
+      spark.sql(s"UPDATE gt17s.`$abs` SET s._1 = 1, s._1 = 2 WHERE k = 1")
+    }
+    assert(e1.getMessage.contains("overlapping") ||
+      e1.getMessage.contains("more than once") ||
+      e1.getMessage.toLowerCase.contains("duplicate"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"UPDATE gt17s.`$abs` SET s = named_struct('_1', 1L, '_2', 'y')," +
+          " s._1 = 2 WHERE k = 1")
+    }
+    assert(e2.getMessage.contains("more than once") ||
+      e2.getMessage.toLowerCase.contains("conflict") ||
+      e2.getMessage.toLowerCase.contains("duplicate"), e2.getMessage)
+    // and the happy path composes two fields of one struct in one
+    // statement, both reading PRE-update values (simultaneous rule)
+    spark.sql(s"UPDATE gt17s.`$abs` SET s._1 = s._1 * 2, " +
+      "s._2 = concat(s._2, cast(s._1 as string)) WHERE k = 1")
+    val r = GraftTable.read(spark, dir).select(col("s._1"), col("s._2"))
+      .as[(Long, String)].collect().head
+    assert(r == ((20L, "x10")), s"got $r")
+  }
+
+  test("api: commitDeleteVector pins the expected version and refuses indexed heads") {
+    import spark.implicits._
+    val dir = freshDir("dvpin")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq(1L, 2L, 3L).toDF("k"), "v0")
+    // a commit interleaving between the caller's read and the delete
+    // refuses instead of applying stale tombstones to the new head
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq(1L, 2L, 3L, 4L).toDF("k"), "v1 interloper")
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTable.commitDeleteVector(spark, dir, Seq(2L).toDF("k"),
+        Seq("k"), "stale", expectVersion = Some(0))
+    }
+    // the refusal minted nothing
+    assert(GraftTable.versions(GraftTable.fsOf(spark, dir), dir) ==
+      Seq(0, 1))
+    // and an indexed head refuses the MoR delete from the API too
+    val dir2 = freshDir("dvpinidx")
+    GraftTable.commitNextIsolated(spark, dir2, Seq(1L, 2L).toDF("k"),
+      "indexed", statsEnc = Seq("k" -> "id"))
+    intercept[GraftTable.IndexRedeclarationRequired] {
+      GraftTable.commitDeleteVector(spark, dir2, Seq(1L).toDF("k"),
+        Seq("k"), "refused")
+    }
+  }
+
+  // ---- 2. partitionBy DSv2/SQL writes ----------------------------------
+
+  test("dsv2: partby append re-lays out the staged dir, the chain reads whole and pruned, indexed-partby appends refuse") {
+    import spark.implicits._
+    val dir = freshDir("pbappend")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), "head",
+      partitionBy = Seq("p"))
+    val abs = new java.io.File(dir).getAbsolutePath
+    Seq((3L, "a"), (4L, "c")).toDF("k", "p")
+      .write.format("graft").mode("append").save(abs)
+    val fs = GraftTable.fsOf(spark, dir)
+    val hdrs = GraftTable.headersOf(fs, dir, 1)
+    assert(hdrs("partby") == "p")
+    val appended = hdrs("append")
+    assert(fs.exists(new Path(s"$dir/$appended/p=a")) &&
+      fs.exists(new Path(s"$dir/$appended/p=c")),
+      "the appended dir must be partitionBy-shaped")
+    // both doors serve the union; the DSv2 scan prunes on p
+    assert(GraftTable.read(spark, dir).select(col("k"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    val tbl = spark.read.format("graft").load(abs)
+    assert(tbl.where(col("p") === "a").select(col("k"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val planned = plannedFiles(tbl.where(col("p") === "a"))
+    assert(planned.nonEmpty && planned.forall(_.contains("p=a")),
+      s"partition pruning must prune across the chain: $planned")
+    // overwrite flattens nothing either: it re-lays out too
+    Seq((9L, "z")).toDF("k", "p")
+      .write.format("graft").mode("overwrite").save(abs)
+    val h2 = GraftTable.headersOf(fs, dir, 2)
+    assert(h2("partby") == "p" &&
+      fs.exists(new Path(s"$dir/${h2("data")}/p=z")))
+    // an INDEX-bearing partby chain refuses appends loudly
+    val dir3 = freshDir("pbappendidx")
+    GraftTable.commitNextIsolated(spark, dir3,
+      Seq((1L, "a")).toDF("k", "p"), "indexed partby",
+      partitionBy = Seq("p"), statsEnc = Seq("k" -> "id"))
+    val e = intercept[Exception] {
+      Seq((2L, "b")).toDF("k", "p").write.format("graft")
+        .mode("append").save(new java.io.File(dir3).getAbsolutePath)
+    }
+    assert(e.getMessage.contains("index-bearing partitionBy"),
+      e.getMessage)
+  }
+
+  // ---- 3. MERGE WITH SCHEMA EVOLUTION ----------------------------------
+
+  test("sql: merge evolution — undeclared extra source columns do NOT land; declared ones backfill NULL and old versions stay narrow") {
+    import spark.implicits._
+    val dir = freshDir("evo")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "narrow base")
+    withCatalog("gt17s")
+    val abs = new java.io.File(dir).getAbsolutePath
+    Seq((2L, 21L, "x"), (3L, 30L, "y")).toDF("k", "v", "extra")
+      .createOrReplaceTempView("r17s_evo_src")
+    // WITHOUT the declaration: the merge lands, `extra` does not
+    spark.sql(
+      s"""MERGE INTO gt17s.`$abs` t USING r17s_evo_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(GraftTable.read(spark, dir).columns.toSeq == Seq("k", "v"))
+    assert(GraftTable.read(spark, dir).as[(Long, Long)].collect()
+      .sortBy(_._1).toSeq == Seq((1L, 10L), (2L, 21L), (3L, 30L)))
+    // WITH the declaration: extra lands, star-updated/inserted rows
+    // carry source values, source-less rows backfill NULL
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO gt17s.`$abs` t
+         |USING r17s_evo_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = GraftTable.read(spark, dir)
+      .select(col("k"), col("v"), col("extra"))
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10L, None), (2L, 21L, Some("x")),
+      (3L, 30L, Some("y"))), s"got $got")
+    // time travel: versions from before the evolution stay narrow
+    assert(GraftTable.readVersion(spark, dir, 1).columns.toSeq ==
+      Seq("k", "v"))
+  }
+
+  // ---- 4. Update-mode streaming upsert ----------------------------------
+
+  test("stream upsert: crash-window replay mints nothing and never double-applies; plain Update mode refuses without upsertKeys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = freshDir("upsink")
+    val ckpt = freshDir("upsink_ckpt")
+    val fs = GraftTable.fsOf(spark, dir)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    def start() = mem.toDF().toDF("tag", "x")
+      .groupBy("tag").agg(sum(col("x")).as("total"))
+      .writeStream.format("graft")
+      .outputMode("update")
+      .option("path", new java.io.File(dir).getAbsolutePath)
+      .option("upsertKeys", "tag")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = start()
+    mem.addData(("a", 1L), ("b", 2L)); q.processAllAvailable()
+    mem.addData(("a", 10L)); q.processAllAvailable()
+    q.stop()
+    def state(): Seq[(String, Long)] = GraftTable.read(spark, dir)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(state() == Seq(("a", 11L), ("b", 2L)), s"got ${state()}")
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1))
+    // CRASH WINDOW: the sink committed epoch 1 but the engine died
+    // before recording it — drop the commit log entry and restart; the
+    // re-delivered epoch must mint nothing and change nothing
+    fs.delete(new Path(s"$ckpt/commits/1"), false)
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1),
+      "a replayed upsert epoch must not mint a version")
+    assert(state() == Seq(("a", 11L), ("b", 2L)))
+    // post-restart the SAME history continues: a replaces again
+    mem.addData(("a", 100L), ("c", 5L)); q2.processAllAvailable(); q2.stop()
+    assert(state() == Seq(("a", 111L), ("b", 2L), ("c", 5L)),
+      s"got ${state()}")
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1, 2))
+    // Update mode WITHOUT upsertKeys refuses via Spark's own validation
+    val dir2 = freshDir("upsink2")
+    val e = intercept[Exception] {
+      val qq = mem.toDF().toDF("tag", "x")
+        .groupBy("tag").agg(sum(col("x")).as("total"))
+        .writeStream.format("graft")
+        .outputMode("update")
+        .option("path", new java.io.File(dir2).getAbsolutePath)
+        .option("checkpointLocation", freshDir("upsink2_ckpt"))
+        .start()
+      mem.addData(("z", 1L)); qq.processAllAvailable(); qq.stop()
+      qq.exception.foreach(throw _)
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.toLowerCase.contains("update") ||
+        Option(e.getCause).exists(_.getMessage.toLowerCase
+          .contains("update"))), s"unexpected: ${e.getMessage}")
+  }
+
+  test("stream upsert: indexed sinks refuse, batch writes with upsertKeys refuse") {
+    import spark.implicits._
+    val dir = freshDir("upsinkidx")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq(("a", 1L)).toDF("tag", "total"), "indexed sink",
+      statsEnc = Seq("total" -> "id"))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val e = intercept[Exception] {
+      val q = mem.toDF().toDF("tag", "total")
+        .writeStream.format("graft")
+        .option("path", new java.io.File(dir).getAbsolutePath)
+        .option("upsertKeys", "tag")
+        .option("checkpointLocation", freshDir("upsinkidx_ckpt"))
+        .start()
+      mem.addData(("b", 2L)); q.processAllAvailable(); q.stop()
+      q.exception.foreach(throw _)
+    }
+    assert(e.getMessage.contains("skipping index") ||
+      Option(e.getCause).exists(_.getMessage.contains("skipping index")),
+      s"unexpected: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      Seq(("c", 3L)).toDF("tag", "total").write.format("graft")
+        .mode("append").option("upsertKeys", "tag")
+        .save(new java.io.File(freshDir("upsinkbatch")).getAbsolutePath)
+    }
+    assert(e2.getMessage.contains("MERGE INTO"), e2.getMessage)
+  }
+
+  // ---- 5. deferred action TVFs ------------------------------------------
+
+  test("sql: EXPLAIN over an action TVF performs no mutation; execution does") {
+    import spark.implicits._
+    val dir = freshDir("tvfdefer")
+    GraftTable.commitNextIsolated(spark, dir, Seq(1L, 2L).toDF("k"), "v0")
+    GraftTable.commitNextIsolated(spark, dir, Seq(3L).toDF("k"), "v1")
+    val fs = GraftTable.fsOf(spark, dir)
+    Graft.registerFunctions(spark)
+    spark.sql(s"EXPLAIN SELECT * FROM graft_restore('$dir', 0)").collect()
+    assert(GraftTable.currentVersion(fs, dir).contains(1),
+      "EXPLAIN must not restore")
+    spark.sql(s"EXPLAIN EXTENDED SELECT * FROM graft_optimize('$dir')")
+      .collect()
+    assert(GraftTable.versions(fs, dir) == Seq(0, 1),
+      "EXPLAIN must not optimize")
+    val r = spark.sql(s"SELECT * FROM graft_restore('$dir', 0)").collect()
+    assert(r.head.getInt(0) == 0 && r.head.getInt(1) == 2)
+    assert(GraftTable.read(spark, dir).count() == 2L)
+  }
+
+  // ---- 6. vacuum vs in-flight epochs ------------------------------------
+
+  test("vacuum: a tagged epoch staged AHEAD of its query's history survives any grace; at/behind history it reclaims") {
+    import spark.implicits._
+    val dir = freshDir("vacinflight")
+    val fs = GraftTable.fsOf(spark, dir)
+    GraftTable.commitNextIsolated(spark, dir, Seq(1L).toDF("k"), "base")
+    val qid = "query-abc"
+    val tag = GraftTable.queryTag(qid)
+    // epoch 5 committed for this query
+    val ep5 = s"ep5_$tag-run00001"
+    fs.mkdirs(new Path(s"$dir/$ep5"))
+    fs.create(new Path(s"$dir/$ep5/part-0-5.parquet"), true).close()
+    Seq(2L).toDF("k").write.mode("overwrite").parquet(s"$dir/$ep5")
+    GraftTable.commitEpochStaged(spark, dir, 5L, ep5,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))), qid)
+    // an IN-FLIGHT epoch 6 staging, ancient mtimes — must survive
+    val ep6 = s"ep6_$tag-run00002"
+    fs.mkdirs(new Path(s"$dir/$ep6"))
+    fs.create(new Path(s"$dir/$ep6/part-0-6.parquet"), true).close()
+    val old = System.currentTimeMillis() - 24 * 3600 * 1000L
+    fs.setTimes(new Path(s"$dir/$ep6/part-0-6.parquet"), old, old)
+    fs.setTimes(new Path(s"$dir/$ep6"), old, old)
+    // and a REPLAY-dead epoch 4 staging (behind the committed history)
+    val ep4 = s"ep4_$tag-run00003"
+    fs.mkdirs(new Path(s"$dir/$ep4"))
+    fs.create(new Path(s"$dir/$ep4/part-0-4.parquet"), true).close()
+    fs.setTimes(new Path(s"$dir/$ep4/part-0-4.parquet"), old, old)
+    fs.setTimes(new Path(s"$dir/$ep4"), old, old)
+    val reclaimed = GraftTable.vacuum(fs, dir, graceMs = 0L)
+    assert(reclaimed.contains(ep4), s"dead replay must reclaim: $reclaimed")
+    assert(!reclaimed.contains(ep6) && fs.exists(new Path(s"$dir/$ep6")),
+      "an in-flight epoch ahead of its query's history must survive")
+  }
+
+  // ---- 7. rename / drop column semantics ---------------------------------
+
+  test("alter names: rename serves both doors and time travel, chains one hop deep, CoW DML normalizes; refusals hold") {
+    import spark.implicits._
+    val dir = freshDir("rencol")
+    val fs = GraftTable.fsOf(spark, dir)
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "v0")
+    GraftTable.commitAppend(spark, dir, Seq((3L, 30L)).toDF("k", "v"), "v1")
+    withCatalog("gt17s")
+    val abs = new java.io.File(dir).getAbsolutePath
+    spark.sql(s"ALTER TABLE gt17s.`$abs` RENAME COLUMN v TO w")
+    // both doors serve the new name across the 2-dir chain; pushdown on
+    // the renamed column reaches the physical files
+    assert(GraftTable.read(spark, dir).select(col("k"), col("w"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(spark.sql(s"SELECT k FROM gt17s.`$abs` WHERE w > 15")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // old versions still serve THEIR names (time travel is honest)
+    assert(GraftTable.readVersion(spark, dir, 1).columns.toSeq ==
+      Seq("k", "v"))
+    // a chained second rename stays one mapping hop deep
+    spark.sql(s"ALTER TABLE gt17s.`$abs` RENAME COLUMN w TO x")
+    assert(GraftTable.colmapDecode(
+      GraftTable.headersOf(fs, dir, 3)("colmap")) == Map("x" -> "v"))
+    // appends refuse on a mapped head (physical names would diverge)
+    val eApp = intercept[Exception] {
+      GraftTable.commitAppend(spark, dir, Seq((4L, 40L)).toDF("k", "x"))
+    }
+    assert(eApp.getMessage.contains("renamed/dropped-column"),
+      eApp.getMessage)
+    // SQL UPDATE takes the CoW arm and NORMALIZES: the new head's files
+    // carry the logical names and the mapping is gone
+    spark.sql(s"UPDATE gt17s.`$abs` SET x = x + 1 WHERE k = 1")
+    val head = GraftTable.currentVersion(fs, dir).get
+    assert(!GraftTable.headersOf(fs, dir, head).contains("colmap"))
+    assert(GraftTable.read(spark, dir).select(col("k"), col("x"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, 11L), (2L, 20L), (3L, 30L)))
+    // refusals: partition column, indexed table, declared constraints
+    val dirP = freshDir("rencolp")
+    GraftTable.commitNextIsolated(spark, dirP,
+      Seq((1L, "a")).toDF("k", "p"), "pb", partitionBy = Seq("p"))
+    val eP = intercept[Exception] {
+      GraftTable.commitRenameColumns(spark, dirP, Seq("p" -> "q"))
+    }
+    assert(eP.getMessage.contains("partition column"), eP.getMessage)
+    val dirI = freshDir("rencoli")
+    GraftTable.commitNextIsolated(spark, dirI,
+      Seq((1L, 2L)).toDF("k", "v"), "idx", statsEnc = Seq("k" -> "id"))
+    val eI = intercept[Exception] {
+      GraftTable.commitRenameColumns(spark, dirI, Seq("v" -> "w"))
+    }
+    assert(eI.getMessage.contains("index-bearing"), eI.getMessage)
+  }
+
+  test("alter names: DROP then re-ADD the same name backfills NULL — never resurrects the dropped bytes") {
+    import spark.implicits._
+    val dir = freshDir("dropreadd")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, "secret"), (2L, "hidden")).toDF("k", "t"), "v0")
+    withCatalog("gt17s")
+    val abs = new java.io.File(dir).getAbsolutePath
+    spark.sql(s"ALTER TABLE gt17s.`$abs` DROP COLUMN t")
+    assert(GraftTable.read(spark, dir).columns.toSeq == Seq("k"))
+    spark.sql(s"ALTER TABLE gt17s.`$abs` ADD COLUMNS (t STRING)")
+    // the files still hold 'secret'/'hidden' under the physical name t;
+    // the re-added logical t must read NULL through BOTH doors
+    val api = GraftTable.read(spark, dir).select(col("k"), col("t"))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(api == Seq((1L, None), (2L, None)), s"resurrected: $api")
+    val sql = spark.sql(s"SELECT k, t FROM gt17s.`$abs` ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(sql == Seq((1L, None), (2L, None)), s"resurrected: $sql")
+  }
+
+  // ---- 8. catalog refusals ----------------------------------------------
+
+  test("sql: ALTER TABLE ADD COLUMN with COMMENT refuses loudly") {
+    import spark.implicits._
+    val dir = freshDir("altercomment")
+    GraftTable.commitNextIsolated(spark, dir, Seq(1L).toDF("k"), "base")
+    withCatalog("gt17s")
+    val abs = new java.io.File(dir).getAbsolutePath
+    val e = intercept[Exception] {
+      spark.sql(
+        s"ALTER TABLE gt17s.`$abs` ADD COLUMNS (c INT COMMENT 'nope')")
+    }
+    assert(e.getMessage.contains("COMMENT"), e.getMessage)
+    // the refusal minted nothing
+    assert(GraftTable.versions(GraftTable.fsOf(spark, dir), dir) == Seq(0))
+  }
+}
