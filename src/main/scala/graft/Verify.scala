@@ -43,10 +43,10 @@ object Verify {
     // a driver-side red carries its evidence. Best-effort — a forensics
     // failure must never break the correctness dump.
     try {
-      val bloomKeys = Seq("table_bloom_multicol", "table_dsv2_write_indexed")
-      if (bloomKeys.exists(k =>
-          only.forall(_.contains(k)) && !errors.contains(k)))
-        ops.BloomForensics.dump(spark, sfDir, outDir)
+      val ran = Seq("table_bloom_multicol", "table_dsv2_write_indexed")
+        .filter(k => only.forall(_.contains(k)) && !errors.contains(k))
+      if (ran.nonEmpty)
+        ops.BloomForensics.dump(spark, sfDir, outDir, ran.toSet)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] bloom forensics failed: ${e.getMessage}")
     }

@@ -17,7 +17,8 @@ import graft.sources.GraftTable
   * forensics failure must never fail the dump itself. */
 object BloomForensics {
 
-  def dump(s: SparkSession, sfDir: String, outDir: String): Unit = {
+  def dump(s: SparkSession, sfDir: String, outDir: String,
+      ranKeys: Set[String]): Unit = {
     import s.implicits._
     val base = new java.io.File(sfDir).getName
     val fdir = s"$outDir/_forensics"
@@ -29,8 +30,12 @@ object BloomForensics {
         else hits.map(h => (p, h, total))
       }.toDF("probe", "hit_file", "total_files")
 
+    // only fixtures whose key ran THIS invocation: a stale table left
+    // in target/tmp by an earlier run would otherwise masquerade as
+    // evidence for a run it never belonged to
     val mc = s"target/tmp/gmcbloom_$base"
-    if (GraftTable.currentVersion(GraftTable.fsOf(s, mc), mc).isDefined) {
+    if (ranKeys.contains("table_bloom_multicol") &&
+        GraftTable.currentVersion(GraftTable.fsOf(s, mc), mc).isDefined) {
       val ck = GraftTable.read(s, mc)
         .agg(min(col("o_custkey"))).head().getLong(0)
       def probe(c: String, v: Any): (Seq[String], Int) = {
@@ -46,7 +51,8 @@ object BloomForensics {
     }
 
     val iw = s"target/tmp/gidxwrite_$base"
-    if (GraftTable.currentVersion(GraftTable.fsOf(s, iw), iw).isDefined) {
+    if (ranKeys.contains("table_dsv2_write_indexed") &&
+        GraftTable.currentVersion(GraftTable.fsOf(s, iw), iw).isDefined) {
       val ck = GraftTable.read(s, iw)
         .agg(min(col("o_custkey"))).head().getLong(0)
       val bl = GraftTable.readBloomEq(s, iw, 1, "o_custkey", ck)

@@ -60,6 +60,20 @@ object GraftDml {
       case _ => None
     }
 
+  /** The snapshot version the resolved target RELATION is pinned to —
+    * the version MERGE's full-outer join actually reads, and therefore
+    * the only sound `expectVersion` for its commit (a run-time
+    * currentVersion could already be someone else's newer head). */
+  private[plans] def graftSnapshotVersion(plan: LogicalPlan): Option[Int] =
+    plan match {
+      case SubqueryAlias(_, child) => graftSnapshotVersion(child)
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftSparkTable => Some(g.snapshotVersion)
+        case _ => None
+      }
+      case _ => None
+    }
+
   /** A resolved condition/assignment expression, re-expressed so it
     * binds BY NAME against the snapshot frames the engines read (their
     * attributes carry different exprIds than the DSv2 relation's).
@@ -139,9 +153,10 @@ object GraftDml {
     * pinned snapshot, apply `transform`, commit as the next version
     * with the partition layout preserved and the skipping index
     * RE-DERIVED from the manifest's self-described declarations — the
-    * `table_merge_reindex` recipe. The version race posture matches the
-    * SQL MERGE door: the snapshot is the head at command run time, and
-    * the isolated commit's manifest publish is the atomicity point. */
+    * `table_merge_reindex` recipe. The commit is PINNED to the version
+    * the snapshot was read at (`expectVersion`): an interleaved commit
+    * either fails the pin or loses the atomic publish — it can never be
+    * silently erased by a rewrite built from the older snapshot. */
   private[plans] def cowRewrite(spark: SparkSession, dir: String,
       cur: Int, hdrs: Map[String, String], metadata: String)(
       transform: DataFrame => DataFrame): Unit = {
@@ -164,7 +179,8 @@ object GraftDml {
         hdrs.get("partby").map(_.split(",").toSeq).getOrElse(Nil),
       statsEnc = if (hdrs.contains("stats")) statsEncDecl else Nil,
       bloomCols = hdrs.get("bloom")
-        .map(GraftTable.bloomColsOf).getOrElse(Nil))
+        .map(GraftTable.bloomColsOf).getOrElse(Nil),
+      expectVersion = Some(cur))
     ()
   }
 }

@@ -255,21 +255,39 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
           "(commitWithRetry + statsCols), or re-commit the table with " +
           "statsEnc registry encodings")
       GraftMergeCommand.lastResolve = Some(next.queryExecution)
+      // the merge plan READS the version the resolved target relation
+      // is pinned to — pin the commit to exactly that lineage, so a
+      // commit interleaving anywhere between relation resolution and
+      // the publish raises ConcurrentModificationException instead of
+      // being silently erased by a snapshot built from the older head
+      val snapV = GraftDml.graftSnapshotVersion(merge.targetTable)
+        .getOrElse(sys.error("merge target lost its graft relation"))
       // declared evolution: widen the schema FIRST via the metadata-only
       // ADD COLUMN commit (old versions untouched, readers backfill
       // NULL), so the snapshot commit below passes the ordinary schema
-      // gate with no evolution escape hatch
-      if (evolveCols.nonEmpty)
-        GraftTable.commitAddColumns(spark, dir,
-          evolveCols.map(a => (a.name, a.dataType.catalogString)),
-          s"MERGE WITH SCHEMA EVOLUTION adds (${evolveCols.map(_.name)
-            .mkString(", ")})")
+      // gate with no evolution escape hatch; the alter itself advances
+      // the pin by exactly one
+      val expectV =
+        if (evolveCols.isEmpty) snapV
+        else {
+          val va = GraftTable.commitAddColumns(spark, dir,
+            evolveCols.map(a => (a.name, a.dataType.catalogString)),
+            s"MERGE WITH SCHEMA EVOLUTION adds (${evolveCols.map(_.name)
+              .mkString(", ")})")
+          if (va != snapV + 1)
+            throw new java.util.ConcurrentModificationException(
+              s"a commit interleaved between MERGE's snapshot (v$snapV) " +
+                s"and its schema evolution (landed v$va) — re-run the " +
+                "merge against the new head")
+          va
+        }
       GraftTable.commitNextIsolated(spark, dir, next, "MERGE INTO (SQL)",
         partitionBy =
           hdrs.get("partby").map(_.split(",").toSeq).getOrElse(Nil),
         statsEnc = if (hdrs.contains("stats")) statsEncDecl else Nil,
         bloomCols = hdrs.get("bloom")
-          .map(GraftTable.bloomColsOf).getOrElse(Nil))
+          .map(GraftTable.bloomColsOf).getOrElse(Nil),
+        expectVersion = Some(expectV))
     } finally if (doCheck) srcDf.unpersist(blocking = false)
     Seq.empty
   }

@@ -814,7 +814,14 @@ private[graft] class GraftFileIndex(spark: SparkSession, roots: Seq[Path],
     * appends to the recorded partitionBy shape), so the merged schema
     * is any non-empty root's. Single-root tables — and flat chains,
     * which must never pay the per-root re-listing — keep the stock
-    * path (including its explicit basePath anchoring for clones). */
+    * path (including its explicit basePath anchoring for clones).
+    * ACCEPTED COST: each chain dir is listed a second time here (the
+    * outer index already listed eagerly) — bounded by the chain length,
+    * which stays short by usage (index-bearing partitioned chains
+    * refuse appends, and OPTIMIZE folds the rest); reusing the outer
+    * listing would mean re-implementing Spark's partition-value parser
+    * (escaping, type inference), a worse trade than a bounded extra
+    * listing. */
   private lazy val mergedSpec
       : org.apache.spark.sql.execution.datasources.PartitionSpec = {
     val specs = roots.map(r =>
@@ -966,21 +973,33 @@ private[graft] class GraftWriteBuilder(spark: SparkSession,
   * the staged dir onto the current chain. The sink table is itself a
   * valid streaming SOURCE (append-only history), closing the
   * table-to-table pipeline loop. */
-private[graft] class GraftStreamingWrite(spark: SparkSession, dir: String,
-    schema: StructType, queryId: String)
+/** Shared executor-side staging machinery of BOTH streaming doors
+  * (append and upsert): run-unique staging names — a restarted query
+  * stages under fresh names, so a crash window can never interleave two
+  * runs' files in one dir (orphans of the dead run are
+  * vacuum-reclaimable `ep…` dirs), and the leading query tag lets
+  * vacuum distinguish an in-flight epoch of THIS query (staged ahead of
+  * its committed history — never reclaimed, however stalled) from
+  * provably-dead replay garbage — plus the per-task parquet writer
+  * factory (temp + rename under the commit coordinator) and the abort
+  * cleanup. One implementation, so a staging-protocol fix can never
+  * silently diverge the two doors. */
+private[graft] abstract class GraftEpochStagingWrite(spark: SparkSession,
+    dir: String, schema: StructType, queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
-  // run-unique: a restarted query stages under fresh names, so a crash
-  // window can never interleave two runs' files in one dir (orphans of
-  // the dead run are vacuum-reclaimable `ep…` dirs). The leading
-  // query tag lets vacuum distinguish an in-flight epoch of THIS query
-  // (staged ahead of its committed history — never reclaimed, however
-  // stalled) from provably-dead replay garbage.
   private val uid = s"${GraftTable.queryTag(queryId)}-" +
     java.util.UUID.randomUUID().toString.take(8)
-  private def stagedName(epochId: Long) = s"ep${epochId}_$uid"
+  protected final def stagedName(epochId: Long) = s"ep${epochId}_$uid"
 
-  override def createStreamingWriterFactory(
+  /** Commit messages → the published partition files, handed to the
+    * manifest half as an existence audit before the version mints. */
+  protected final def expectedOf(
+      msgs: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Seq[String] =
+    msgs.toSeq.collect { case GraftEpochMsg(Some(p)) => p }
+
+  override final def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory = {
@@ -995,27 +1014,27 @@ private[graft] class GraftStreamingWrite(spark: SparkSession, dir: String,
       dirAbs, uid)
   }
 
-  override def useCommitCoordinator: Boolean = true
+  override final def useCommitCoordinator: Boolean = true
 
-  override def commit(epochId: Long,
-      msgs: Array[org.apache.spark.sql.connector.write
-        .WriterCommitMessage]): Unit = {
-    // the writers' commit messages name every published partition file
-    // — handed to the manifest half as an existence audit before the
-    // version mints
-    val expected = msgs.toSeq.collect {
-      case GraftEpochMsg(Some(p)) => p
-    }
-    GraftTable.commitEpochStaged(spark, dir, epochId,
-      stagedName(epochId), schema, queryId, expectedFiles = expected)
-    ()
-  }
-
-  override def abort(epochId: Long,
+  override final def abort(epochId: Long,
       msgs: Array[org.apache.spark.sql.connector.write
         .WriterCommitMessage]): Unit = {
     GraftTable.fsOf(spark, dir)
       .delete(new Path(s"$dir/${stagedName(epochId)}"), true)
+    ()
+  }
+}
+
+private[graft] class GraftStreamingWrite(spark: SparkSession, dir: String,
+    schema: StructType, queryId: String)
+    extends GraftEpochStagingWrite(spark, dir, schema, queryId) {
+
+  override def commit(epochId: Long,
+      msgs: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    GraftTable.commitEpochStaged(spark, dir, epochId,
+      stagedName(epochId), schema, queryId,
+      expectedFiles = expectedOf(msgs))
     ()
   }
 }
@@ -1040,7 +1059,15 @@ private[graft] class GraftUpsertWriteBuilder(spark: SparkSession,
     info.options().get("upsertKeys").split(",").toSeq
       .map(_.trim).filter(_.nonEmpty)
 
-  override def build(): org.apache.spark.sql.connector.write.Write =
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    // fail BEFORE any distributed job, like every write door (the
+    // epoch commits re-run the same gate per attempt — the chain's
+    // headers can change between epochs)
+    GraftTable.upsertWriteGate(spark, table.dir, info.schema(), keys,
+      GraftTable.currentVersion(GraftTable.fsOf(spark, table.dir),
+          table.dir)
+        .map(v => (v, GraftTable.headersOf(
+          GraftTable.fsOf(spark, table.dir), table.dir, v))))
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite =
@@ -1051,56 +1078,25 @@ private[graft] class GraftUpsertWriteBuilder(spark: SparkSession,
         new GraftStreamingUpsertWrite(spark, table.dir, info.schema(),
           info.queryId(), keys)
     }
+  }
 }
 
 /** Streaming UPSERT write: same executor-side parquet staging as the
-  * append door (one temp+rename file per task under the commit
-  * coordinator), but the epoch-level commit folds the staged rows into
-  * the table by key — dir-scoped tombstones + the staged dir as the
-  * replacement, O(batch + dv) per epoch. Replay-exact across restarts
-  * via the shared (queryId, epoch) identity. */
+  * append door (the shared `GraftEpochStagingWrite` machinery), but the
+  * epoch-level commit folds the staged rows into the table by key —
+  * dir-scoped tombstones + the staged dir as the replacement.
+  * Replay-exact across restarts via the shared (queryId, epoch)
+  * identity. */
 private[graft] class GraftStreamingUpsertWrite(spark: SparkSession,
     dir: String, schema: StructType, queryId: String, keys: Seq[String])
-    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-
-  private val uid = s"${GraftTable.queryTag(queryId)}-" +
-    java.util.UUID.randomUUID().toString.take(8)
-  private def stagedName(epochId: Long) = s"ep${epochId}_$uid"
-
-  override def createStreamingWriterFactory(
-      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
-      : org.apache.spark.sql.connector.write.streaming
-        .StreamingDataWriterFactory = {
-    val job = org.apache.hadoop.mapreduce.Job.getInstance(
-      spark.sessionState.newHadoopConf())
-    val factory = new org.apache.spark.sql.execution.datasources.parquet
-      .ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
-    val fs = GraftTable.fsOf(spark, dir)
-    val dirAbs = fs.makeQualified(new Path(dir)).toString
-    new GraftEpochWriterFactory(factory, schema,
-      new GraftTable.SerializableHadoopConf(job.getConfiguration),
-      dirAbs, uid)
-  }
-
-  override def useCommitCoordinator: Boolean = true
+    extends GraftEpochStagingWrite(spark, dir, schema, queryId) {
 
   override def commit(epochId: Long,
       msgs: Array[org.apache.spark.sql.connector.write
         .WriterCommitMessage]): Unit = {
-    val expected = msgs.toSeq.collect {
-      case GraftEpochMsg(Some(p)) => p
-    }
     GraftTable.commitEpochUpsert(spark, dir, epochId,
       stagedName(epochId), schema, queryId, keys,
-      expectedFiles = expected)
-    ()
-  }
-
-  override def abort(epochId: Long,
-      msgs: Array[org.apache.spark.sql.connector.write
-        .WriterCommitMessage]): Unit = {
-    GraftTable.fsOf(spark, dir)
-      .delete(new Path(s"$dir/${stagedName(epochId)}"), true)
+      expectedFiles = expectedOf(msgs))
     ()
   }
 }

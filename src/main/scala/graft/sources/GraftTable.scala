@@ -1592,9 +1592,20 @@ object GraftTable {
       bloomCol: Option[String] = None, constraints: Seq[String] = Nil,
       dropConstraints: Boolean = false,
       statsEnc: Seq[(String, String)] = Nil,
-      bloomCols: Seq[String] = Nil): Int = {
+      bloomCols: Seq[String] = Nil,
+      expectVersion: Option[Int] = None): Int = {
     val fs = fsOf(spark, dir)
     val cur = currentHeaders(fs, dir)
+    // OCC pin for callers whose snapshot/headers were resolved earlier
+    // (the SQL CoW DML and MERGE doors): the commit below targets
+    // exactly expectVersion + 1, so an interleaved commit either fails
+    // this check or loses the atomic publish — a lost update can never
+    // be silent
+    expectVersion.foreach(ev =>
+      if (!cur.map(_._1).contains(ev))
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot was resolved at version $ev of $dir but the head " +
+            s"is now ${cur.map(_._1).getOrElse(-1)} — re-read and retry"))
     // registry-declared stat columns: the ordinal comes FROM the
     // registry (never a caller lambda), so the recorded statenc= name
     // and the computed bands can never disagree
@@ -2006,8 +2017,13 @@ object GraftTable {
         case None => (name, t)
       }
     }
-    require(newSchema.map(_._1.toLowerCase).distinct.size == newSchema.size,
-      s"renames collide: resulting schema ${newSchema.map(_._1)}")
+    // collision detection under the SESSION resolver (not a hard-coded
+    // case fold): a case-sensitive session may legally hold names that
+    // differ only in case
+    newSchema.map(_._1).combinations(2).foreach { case Seq(n1, n2) =>
+      require(!resolver(n1, n2),
+        s"renames collide: resulting schema ${newSchema.map(_._1)}")
+    }
     // new logical name → the files' PHYSICAL name (resolving through a
     // predecessor mapping, so chained renames stay one hop deep)
     val newMap: Seq[(String, String)] = prev.zip(newSchema).map {
@@ -3145,14 +3161,58 @@ object GraftTable {
     * the LATEST state per key — fold them into the table MERGE-ON-READ,
     * exactly like `commitUpdateImpl`: dir-scoped tombstones kill the
     * old images of the batch's keys, the staged dir appends as their
-    * replacement, no base file is rewritten. O(batch + dv) per epoch —
-    * the shape that survives a 10⁵-epoch sink (a per-epoch snapshot
-    * rewrite would be O(table) each trigger); `purgeDeleteVector` /
+    * replacement, no base file is rewritten. Per-epoch WRITE cost is
+    * O(batch + dv); the tombstone-scoping pass reads the chain's KEY
+    * COLUMNS only (the semi-join plan below column-prunes the per-dir
+    * scans down to the keys — never the full rows), so trigger latency
+    * grows with key-column bytes, not table width; a full-width pass
+    * happens only under a declared `unique:` constraint. A per-epoch
+    * snapshot REWRITE would be O(table · width) each trigger — this
+    * shape is what survives a 10⁵-epoch sink; `purgeDeleteVector` /
     * OPTIMIZE fold the accumulated chain back when wanted. Exactly-once
     * across restarts via the same (queryId, epoch) identity as the
     * append door. Refusals mirror the MoR update engine: partitionBy,
     * pmap and index-bearing heads refuse loudly (indexes cannot ride a
     * dv); a predecessor DV must be keyed by the SAME upsert keys. */
+  /** The upsert door's shared refusal gate — run once by the write
+    * builder BEFORE any distributed job (fail-early, like every write
+    * door) and re-run per commit attempt with that attempt's headers
+    * (the chain can change between epochs). */
+  private[graft] def upsertWriteGate(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType, keyCols: Seq[String],
+      curOpt: Option[(Int, Map[String, String])]): Unit = {
+    require(keyCols.nonEmpty, "streaming upsert needs upsertKeys")
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"upsert key '$k' is not a column of the stream (${
+        schema.fieldNames.toSeq})"))
+    curOpt.foreach { case (_, h) =>
+      schemaGate(h.get("schema"), schema, allowEvolution = false,
+        context = "append")
+      require(!h.contains("partby"),
+        "streaming upsert cannot target a partitionBy layout — " +
+          "a flat replacement dir beside a partitioned one makes " +
+          "the union unreadable")
+      require(!h.contains("pmap"),
+        "this table is partition-mapped — upsert through " +
+          "replacePartitionsWithRetry")
+      require(!h.contains("colmap"),
+        "a streaming upsert cannot target a renamed/dropped-column " +
+          "head — rewrite via commitNextIsolated first")
+      if (h.contains("stats") || h.contains("bloom"))
+        throw new IndexRedeclarationRequired(
+          "a streaming upsert cannot carry the table's skipping " +
+            "index (its merge-on-read tombstones invalidate the " +
+            "per-file statistics) — drop the index deliberately, " +
+            "stream, then re-index with OPTIMIZE")
+      h.get("dv").foreach { spec =>
+        val prevKeys = spec.split(";", -1)(1).split(",").toSeq
+        require(prevKeys == keyCols,
+          s"the current version's deletion vector is keyed by " +
+            s"$prevKeys but this upsert keys by $keyCols")
+      }
+    }
+  }
+
   private[graft] def commitEpochUpsert(spark: SparkSession, dir: String,
       epochId: Long, staged: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -3189,32 +3249,9 @@ object GraftTable {
       while (true) {
         attempt += 1
         val cur = currentHeaders(fs, dir)
-        cur.foreach { case (_, h) =>
-          schemaGate(h.get("schema"), schema, allowEvolution = false,
-            context = "append")
-          require(!h.contains("partby"),
-            "streaming upsert cannot target a partitionBy layout — " +
-              "a flat replacement dir beside a partitioned one makes " +
-              "the union unreadable")
-          require(!h.contains("pmap"),
-            "this table is partition-mapped — upsert through " +
-              "replacePartitionsWithRetry")
-          require(!h.contains("colmap"),
-            "a streaming upsert cannot target a renamed/dropped-column " +
-              "head — rewrite via commitNextIsolated first")
-          if (h.contains("stats") || h.contains("bloom"))
-            throw new IndexRedeclarationRequired(
-              "a streaming upsert cannot carry the table's skipping " +
-                "index (its merge-on-read tombstones invalidate the " +
-                "per-file statistics) — drop the index deliberately, " +
-                "stream, then re-index with OPTIMIZE")
-          h.get("dv").foreach { spec =>
-            val prevKeys = spec.split(";", -1)(1).split(",").toSeq
-            require(prevKeys == keyCols,
-              s"the current version's deletion vector is keyed by " +
-                s"$prevKeys but this upsert keys by $keyCols")
-          }
-        }
+        // re-gated per attempt; the write builder runs the same gate
+        // BEFORE the first distributed job (upsertWriteGate)
+        upsertWriteGate(spark, dir, schema, keyCols, cur)
         val v = cur.map(_._1 + 1).getOrElse(0)
         require(fs.exists(stagedPath),
           s"staged epoch dir $staged vanished before publish " +
