@@ -27,7 +27,12 @@ fails = 0
 # present on only one side FAILS below (the read of the missing side
 # raises).
 def dirs(out):
-    return {k for k in os.listdir(out) if os.path.isdir(os.path.join(out, k))}
+    # skip underscore-prefixed non-key artifacts (the _forensics dump
+    # Verify writes beside the Bloom keys), mirroring the hidden-file
+    # convention the driver and Spark's file sources share
+    return {k for k in os.listdir(out)
+            if os.path.isdir(os.path.join(out, k))
+            and not k.startswith("_")}
 ka, kb = dirs(outa), dirs(outb)
 for k in sorted(ka ^ kb):
     side = f"only in {outa if k in ka else outb}"
