@@ -292,6 +292,32 @@ object Round17Ops {
           .select(lit(v).as("version"), col("key"),
             money(col("s.bal")).as("bal"), col("s.seg").as("seg"))
       snap(0).unionByName(snap(1)).orderBy("version", "key")
+    }),
+
+    // METADATA-ONLY aggregates (SupportsPushDownAggregates): a
+    // group-by-free COUNT(*)/MIN/MAX/COUNT(col) over a stats-bearing
+    // version is answered from the manifest line alone — the plan is a
+    // bare one-row BatchScan (Round17Spec pins the shape: no
+    // HashAggregate, no Exchange, no file read), which is the 100 TB
+    // "how many rows / what's the key range" query for free. The
+    // oracle recomputes the same aggregates from the raw rows, so a
+    // stats line that ever disagreed with the data it describes flips
+    // a value here.
+    "table_meta_agg_pushdown" -> ((s, d) => {
+      val dir = freshDir(s, d, "metaagg")
+      val o = t(s, d, "orders").select(
+        col("o_orderkey").as("key"), col("o_orderdate").as("odate"),
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("ck"))
+        .repartition(4, pmod(col("key"), lit(4)))
+        .sortWithinPartitions("key")
+      GraftTable.commitNextIsolated(s, dir, o, "meta-agg head",
+        statsEnc = Seq("key" -> "id", "odate" -> "us", "ck" -> "id"))
+      s.read.format("graft").load(dir).agg(
+        count(lit(1)).as("n_rows"),
+        min("key").as("min_key"), max("key").as("max_key"),
+        min("odate").as("min_odate"), max("odate").as("max_odate"),
+        count("ck").as("n_ck"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -400,5 +426,15 @@ object Round17Ops {
         "UNION ALL SELECT 1 AS version, key, " +
         s"${oMoney("CAST(CASE WHEN key % 5 = 0 THEN bal * 2 ELSE bal END " +
           "AS DECIMAL(12,2))")} AS bal, seg FROM base " +
-        "ORDER BY version, key"))
+        "ORDER BY version, key"),
+
+    // the metadata-served aggregates recomputed from the raw rows — a
+    // manifest stats line disagreeing with its data flips a value
+    "table_meta_agg_pushdown" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, " +
+        "MIN(o_orderdate) AS min_odate, MAX(o_orderdate) AS max_odate, " +
+        "CAST(COUNT(CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
+        "ELSE o_custkey END) AS BIGINT) AS n_ck " +
+        "FROM orders"))
 }

@@ -461,7 +461,8 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
 private[graft] class GraftScanBuilder(spark: SparkSession,
     table: GraftSparkTable, dataSchema: StructType, fullSchema: StructType,
     options: CaseInsensitiveStringMap) extends ScanBuilder
-    with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   // the inner parquet builder binds the PHYSICAL names (a colmap
   // predecessor's files were written before the rename; an identity
@@ -475,7 +476,14 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
   // input (the inner builder's own pushedDataFilters is protected)
   private var pushedV1: Array[sources.Filter] = Array.empty
 
+  // whether ANY predicate reached this scan — pushed data filters AND
+  // fully-consumed partition filters alike disqualify the metadata-only
+  // aggregate answer (manifest totals describe the WHOLE version, not a
+  // filtered slice)
+  private var sawFilters = false
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    sawFilters = sawFilters || filters.nonEmpty
     // pushed predicates reference LOGICAL attribute names — rewrite to
     // physical for the parquet builder, and hand any residual back to
     // Spark under its ORIGINAL logical expression (it re-evaluates
@@ -512,7 +520,131 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
       forced.map(c => fullSchema(fullSchema.fieldIndex(c))))))
   }
 
+  // ---- METADATA-ONLY aggregate pushdown (SupportsPushDownAggregates):
+  // a group-by-free COUNT(*)/COUNT(col)/MIN/MAX whose every input is
+  // recorded in the manifest stats= line is answered from the
+  // transaction log alone — zero files opened, zero tasks over data, at
+  // ANY table size. The 100 TB "how many rows / what's the date range"
+  // query becomes one driver-side manifest decode. Strictly gated:
+  //  - no filters of any kind reached the scan (manifest totals
+  //    describe the whole version);
+  //  - no deletion vector (tombstones falsify per-file counts);
+  //  - the stats= line covers EXACTLY the live file set (set equality
+  //    against the index — a partially-covered chain refuses);
+  //  - MIN/MAX only on statenc-declared columns whose registry encoding
+  //    round-trips the column's type (sound by the registry contract:
+  //    every encoding is monotone, so file-band extremes ARE column
+  //    extremes); COUNT(col) only when every file records null counts.
+  // Anything outside the gate returns false and Spark plans the
+  // ordinary distributed aggregate — never a guess.
+  private var metaAgg: Option[(StructType, Seq[Any])] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = metaAggResult(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    val r = metaAggResult(agg)
+    metaAgg = r
+    r.isDefined
+  }
+
+  private def metaAggResult(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types.LongType
+    if (agg.groupByExpressions().nonEmpty || sawFilters) return None
+    if (table.headers.contains("dv")) return None
+    val statsHdr = table.headers.get("stats").getOrElse(return None)
+    val st = GraftTable.TableStats.decode(statsHdr)
+    // coverage gate: the stats line must describe EXACTLY the live file
+    // set (the index's listing is already cached driver-side)
+    val statPaths = st.files
+      .map(f => table.canonPath(table.statPath(f.file))).toSet
+    val livePaths = table.index.allFiles()
+      .map(_.getPath.toUri.normalize().getPath).toSet
+    if (statPaths != livePaths) return None
+    val encs: Map[String, String] =
+      table.headers.get("statenc")
+        .map(GraftTable.StatsEnc.decode(_).toMap).getOrElse(Map.empty)
+    def single(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames().head)
+      case _ => None
+    }
+    // stats columns are recorded under PHYSICAL names; the pushed
+    // aggregate references logical ones
+    def phys(c: String): String = table.colmap.getOrElse(c, c)
+    def colIdx(c: String): Option[Int] = {
+      val p = phys(c)
+      val i = st.cols.indexOf(p)
+      if (i >= 0) Some(i) else None
+    }
+    def logicalType(c: String): Option[DataType] =
+      if (fullSchema.fieldNames.contains(c))
+        Some(fullSchema(fullSchema.fieldIndex(c)).dataType)
+      else None
+    def extreme(c: String, isMin: Boolean)
+        : Option[(StructField, Any)] = for {
+      i <- colIdx(c)
+      dt <- logicalType(c)
+      enc <- encs.get(phys(c))
+      // all-null files record min > max sentinels and contribute
+      // nothing to a column extreme; SQL MIN/MAX ignore nulls the
+      // same way
+      live = st.files.filter(f => f.rows > 0 && f.mins(i) <= f.maxs(i))
+      v <- if (live.isEmpty) Some(null)
+      else {
+        val ord = if (isMin) live.map(_.mins(i)).min
+        else live.map(_.maxs(i)).max
+        (enc, dt) match {
+          // ntz under the "us" encoding is an exact bijection (the
+          // registry pins the writer session to UTC, and catalyst ntz
+          // IS a micros Long) — sound for a VALUE answer, even though
+          // ordinalValue refuses ntz for the CBO column-stat surface
+          // (Spark's FilterEstimation MatchErrors on ntz there)
+          case ("us", org.apache.spark.sql.types.TimestampNTZType) =>
+            Some(ord)
+          case _ => GraftTable.StatsEnc.ordinalValue(enc, ord, dt)
+        }
+      }
+    } yield (StructField(s"${if (isMin) "min" else "max"}_$c", dt,
+      nullable = true), v)
+    val rowsTotal = st.files.map(_.rows).sum
+    val outs: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count_star", LongType, nullable = false),
+            rowsTotal))
+        case c: Count if !c.isDistinct =>
+          for {
+            name <- single(c.column())
+            i <- colIdx(name)
+            // COUNT(col) = rows - nulls; requires every file to carry
+            // the null-count extension (older stats lines omit it)
+            if st.files.forall(_.nulls.nonEmpty)
+          } yield (StructField(s"count_$name", LongType, nullable = false),
+            rowsTotal - st.files.map(_.nulls(i)).sum)
+        case m: Min => single(m.column()).flatMap(extreme(_, isMin = true))
+        case m: Max => single(m.column()).flatMap(extreme(_, isMin = false))
+        case _ => None
+      }
+    if (outs.exists(_.isEmpty)) None
+    else Some((StructType(outs.flatten.map(_._1)), outs.flatten.map(_._2)))
+  }
+
   override def build(): Scan = {
+    // a completely-pushed aggregation short-circuits everything below:
+    // the answer was already computed from the manifest, no file is
+    // planned, opened or read
+    metaAgg.foreach { case (schema, values) =>
+      return new GraftMetaAggScan(table, schema, values)
+    }
     // the keep-set is SCAN-LOCAL state: it rides into the GraftScan and
     // filters planned partitions there — never installed on the shared
     // file index, where two scans of the same loaded table (a self-join,
@@ -526,6 +658,45 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
       .map(f => f.copy(name = colmapInv.getOrElse(f.name, f.name))))
     new GraftScan(ps, out, table, table.manifestVerdict(pushedV1), options)
   }
+}
+
+/** The scan a COMPLETELY-pushed aggregation resolves to: one partition,
+  * one row, values computed driver-side from the manifest stats line —
+  * the data files are never planned, opened, or footer-read. The single
+  * row rides as plain JVM values (counts are Longs; statenc extremes
+  * decode to catalyst-internal numerics/temporals by the registry
+  * contract), so the reader just wraps them in a GenericInternalRow. */
+private[graft] case class GraftMetaAggPartition(values: Seq[Any])
+    extends InputPartition
+
+private[graft] class GraftMetaAggScan(table: GraftSparkTable,
+    schema: StructType, values: Seq[Any])
+    extends Scan with Batch with SupportsMetadata {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftMetaAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+        private val vs = p.asInstanceOf[GraftMetaAggPartition].values
+        private var served = false
+        override def next(): Boolean = if (served) false else {
+          served = true; true
+        }
+        override def get(): InternalRow =
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vs.toArray)
+        override def close(): Unit = ()
+      }
+    }
+  override def description(): String =
+    s"GraftMetaAggScan ${table.name()} " +
+      s"[metadata-only: ${schema.fieldNames.mkString(", ")}]"
+  override def getMetaData(): Map[String, String] = Map(
+    "GraftMetaAgg" -> "true",
+    "GraftVersion" -> table.snapshotVersion.toString)
 }
 
 /** The served scan: Spark's `ParquetScan` over the pruned index, plus

@@ -959,8 +959,7 @@ object GraftTable {
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .orderBy("__file")
       .collect() // one small row per FILE — never data
-    TableStats(statsCols.map(_._1),
-      rows.toSeq.map { r =>
+    val covered = rows.toSeq.map { r =>
         // a file whose stat column is entirely null has NO range: min/
         // max aggregate to null, and a naive getAs would unbox that to
         // a fabricated 0. Record the EMPTY range (min=MaxValue,
@@ -977,7 +976,24 @@ object GraftTable {
           statsCols.map(c => longOr(s"__min_${c._1}", Long.MaxValue)),
           statsCols.map(c => longOr(s"__max_${c._1}", Long.MinValue)),
           statsCols.map(c => rows - r.getAs[Long](s"__cnt_${c._1}")))
-      })
+      }
+    // a ZERO-row file never surfaces through the groupBy (no rows, no
+    // group) but it IS part of the version — record it with the empty
+    // range so the stats line covers the file set EXACTLY. Consumers
+    // that demand set-equal coverage (the metadata-only aggregate
+    // pushdown) would otherwise refuse a layout whose hash repartition
+    // left an empty task, and band pruning correctly skips it (an
+    // empty file matches no predicate).
+    val seen = covered.map(_.file).toSet
+    val empties = df.inputFiles.toSeq
+      .map(_.replaceFirst(
+        "^.*?/" + java.util.regex.Pattern.quote(dataName) + "/", ""))
+      .filterNot(seen)
+      .map(f => FileStats(f, 0L,
+        statsCols.map(_ => Long.MaxValue),
+        statsCols.map(_ => Long.MinValue),
+        statsCols.map(_ => 0L)))
+    TableStats(statsCols.map(_._1), (covered ++ empties).sortBy(_.file))
   }
 
   /** The log-skipping read: resolve version `v`'s data files whose

@@ -456,4 +456,110 @@ class Round17Spec extends SparkSpec {
     // the refusal minted nothing
     assert(GraftTable.versions(GraftTable.fsOf(spark, dir), dir) == Seq(0))
   }
+
+  // ---- 9. metadata-only aggregate pushdown ------------------------------
+
+  private def metaAggEngaged(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    p.contains("GraftMetaAggScan") && !p.contains("HashAggregate")
+  }
+
+  /** (key, odate-ntz, nullable ck) fixture with a registry stats line. */
+  private def metaAggFixture(tag: String,
+      statsEnc: Seq[(String, String)]): String = {
+    import spark.implicits._
+    val dir = freshDir(tag)
+    val df = Seq(
+      (1L, java.time.LocalDateTime.of(2024, 1, 3, 10, 30), Some(7L)),
+      (2L, java.time.LocalDateTime.of(2024, 2, 1, 0, 0), None),
+      (5L, java.time.LocalDateTime.of(2023, 12, 31, 23, 59), Some(9L)),
+      (9L, java.time.LocalDateTime.of(2024, 6, 15, 5, 0), None))
+      .toDF("key", "odate", "ck")
+      .repartition(2, pmod(col("key"), lit(2)))
+      .sortWithinPartitions("key")
+    GraftTable.commitNextIsolated(spark, dir, df, "meta-agg fixture",
+      statsEnc = statsEnc)
+    dir
+  }
+
+  test("meta-agg: COUNT/MIN/MAX/COUNT(col) answered from the manifest — one-row scan, no aggregate, no file read") {
+    val dir = metaAggFixture("metaagg",
+      Seq("key" -> "id", "odate" -> "us", "ck" -> "id"))
+    val q = spark.read.format("graft").load(dir).agg(
+      count(lit(1)).as("n"), min("key").as("mnk"), max("key").as("mxk"),
+      min("odate").as("mnd"), max("odate").as("mxd"),
+      count("ck").as("nck"))
+    assert(metaAggEngaged(q), q.queryExecution.executedPlan.toString)
+    // ZERO files planned — the answer came from the manifest alone
+    assert(plannedFiles(q).isEmpty)
+    val r = q.collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L && r.getLong(2) == 9L)
+    assert(r.getAs[java.time.LocalDateTime](3) ==
+      java.time.LocalDateTime.of(2023, 12, 31, 23, 59))
+    assert(r.getAs[java.time.LocalDateTime](4) ==
+      java.time.LocalDateTime.of(2024, 6, 15, 5, 0))
+    assert(r.getLong(5) == 2L)
+    // the SQL door takes the same metadata path
+    withCatalog("gt17s")
+    val abs = new java.io.File(dir).getAbsolutePath
+    val sq = spark.sql(s"SELECT COUNT(*), MIN(key) FROM gt17s.`$abs`")
+    assert(metaAggEngaged(sq), sq.queryExecution.executedPlan.toString)
+    assert(sq.collect().head.getLong(0) == 4L)
+  }
+
+  test("meta-agg: every disqualifier falls back to the distributed aggregate — filters, group-by, distinct, DV, missing stats, undecodable column") {
+    import spark.implicits._
+    val dir = metaAggFixture("metaagggate",
+      Seq("key" -> "id", "odate" -> "us"))
+    def t() = spark.read.format("graft").load(dir)
+    // a filter of ANY kind (manifest totals describe the whole version)
+    assert(!metaAggEngaged(t().where(col("key") > 1)
+      .agg(count(lit(1)))))
+    // group-by
+    assert(!metaAggEngaged(t().groupBy("ck").agg(count(lit(1)))))
+    // distinct count
+    assert(!metaAggEngaged(t().agg(countDistinct(col("key")))))
+    // COUNT(col)/MIN on a column OUTSIDE the stats line
+    assert(!metaAggEngaged(t().agg(count(col("ck")))))
+    assert(!metaAggEngaged(t().agg(min(col("ck")))))
+    // SUM is not derivable from [min,max,rows,nulls]
+    assert(!metaAggEngaged(t().agg(sum(col("key")))))
+    // values still correct through the fallback
+    assert(t().agg(count(lit(1))).collect().head.getLong(0) == 4L)
+    // no stats line at all
+    val plain = freshDir("metaaggplain")
+    GraftTable.commitNextIsolated(spark, plain,
+      Seq(1L, 2L).toDF("key"), "no stats")
+    assert(!metaAggEngaged(spark.read.format("graft").load(plain)
+      .agg(count(lit(1)))))
+    // a merge-on-read head carries no stats line by construction (the
+    // dv-vs-index refusal) — the aggregate falls back AND serves the
+    // post-delete truth, never the raw file counts
+    val mor = freshDir("metaaggdv")
+    GraftTable.commitNextIsolated(spark, mor,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("key", "s"), "base")
+    GraftTable.commitDeleteVector(spark, mor,
+      Seq(2L).toDF("key"), Seq("key"), "dv delete")
+    val dq = spark.read.format("graft").load(mor)
+      .agg(count(lit(1)).as("n"), max(col("key")).as("mx"))
+    assert(!metaAggEngaged(dq))
+    val dr = dq.collect().head
+    assert(dr.getLong(0) == 2L && dr.getLong(1) == 3L)
+  }
+
+  test("meta-agg: all-null stats column serves NULL extremes; empty-after-sentinel files are skipped") {
+    import spark.implicits._
+    val dir = freshDir("metaaggnull")
+    val df = Seq((1L, None: Option[Long]), (2L, None))
+      .toDF("key", "v")
+      .repartition(1)
+    GraftTable.commitNextIsolated(spark, dir, df, "all-null stats col",
+      statsEnc = Seq("key" -> "id", "v" -> "id"))
+    val q = spark.read.format("graft").load(dir).agg(
+      min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(col("v")).as("n"))
+    assert(metaAggEngaged(q), q.queryExecution.executedPlan.toString)
+    val r = q.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0L)
+  }
 }
