@@ -318,6 +318,35 @@ object Round17Ops {
         min("key").as("min_key"), max("key").as("max_key"),
         min("odate").as("min_odate"), max("odate").as("max_odate"),
         count("ck").as("n_ck"))
+    }),
+
+    // STORAGE-PARTITIONED JOIN (SupportsReportPartitioning +
+    // HasPartitionKey): two graft tables partitioned by the same
+    // column join on it with NO shuffle on either side — each key
+    // group reads co-located and merges in place (Round17Spec pins
+    // zero exchanges in the executed plan; here the oracle pins the
+    // VALUES the shuffle-free plan must still produce). The per-prio
+    // aggregate afterwards also runs inside the key groups.
+    "table_spj_join" -> ((s, d) => {
+      val dirA = freshDir(s, d, "spja")
+      val dirB = freshDir(s, d, "spjb")
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderpriority").as("prio"),
+        money(dec(col("o_totalprice"))).as("price"))
+      GraftTable.commitNextIsolated(s, dirA, o, "spj facts",
+        partitionBy = Seq("prio"))
+      GraftTable.commitNextIsolated(s, dirB,
+        o.groupBy("prio")
+          .agg(countDistinct(col("o_custkey")).as("n_cust")),
+        "spj dim", partitionBy = Seq("prio"))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.read.format("graft").load(dirA)
+        .join(s.read.format("graft").load(dirB), "prio")
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(col("price"))).as("revenue"),
+          max(col("n_cust")).as("n_cust"))
+        .orderBy("prio")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -436,5 +465,14 @@ object Round17Ops {
         "MIN(o_orderdate) AS min_odate, MAX(o_orderdate) AS max_odate, " +
         "CAST(COUNT(CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
         "ELSE o_custkey END) AS BIGINT) AS n_ck " +
-        "FROM orders"))
+        "FROM orders"),
+
+    // the shuffle-free co-partitioned join's values recomputed raw
+    "table_spj_join" ->
+      (s"WITH o AS (SELECT o_custkey, o_orderpriority AS prio, " +
+        s"${oMoney(oDec("o_totalprice"))} AS price FROM orders) " +
+        "SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        s"${oMoney("SUM(price)")} AS revenue, " +
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust " +
+        "FROM o GROUP BY prio ORDER BY prio"))
 }

@@ -160,7 +160,7 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
     else Nil
   dataDirs.foreach(d => require(fs.exists(new Path(s"$dir/$d")),
     s"version $snapshotVersion's data dir $d has been garbage-collected (retention)"))
-  private val partCols: Seq[String] =
+  private[graft] val partCols: Seq[String] =
     headers.get("partby").map(_.split(",").toSeq).getOrElse(Nil)
 
   /** Logical→physical name mapping of a RENAME/DROP COLUMN predecessor
@@ -699,6 +699,17 @@ private[graft] class GraftMetaAggScan(table: GraftSparkTable,
     "GraftVersion" -> table.snapshotVersion.toString)
 }
 
+/** A planned file group that knows its partition-key value: what
+  * Spark's key-grouped (storage-partitioned) execution consumes. Plain
+  * subclass of `FilePartition` so the stock parquet reader factory
+  * keeps matching it. */
+private[graft] class GraftKeyedFilePartition(index: Int,
+    files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: InternalRow) extends FilePartition(index, files)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 /** The served scan: Spark's `ParquetScan` over the pruned index, plus
   * (a) manifest-truth `SupportsReportStatistics` and (b) deletion-vector
   * row filtering in the reader factory when the version is
@@ -710,7 +721,8 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
       CaseInsensitiveStringMap.empty())
     extends Scan with Batch with SupportsReportStatistics
     with SupportsMetadata
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
@@ -746,6 +758,70 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
         Some(p => a.forall(_(p)) && b.forall(_(p)))
     }
 
+  // ---- STORAGE-PARTITIONED JOIN (SupportsReportPartitioning): a
+  // partitionBy table reports KeyGroupedPartitioning over its partition
+  // columns (identity transforms) and plans one HasPartitionKey group
+  // per live partition value — so a join of two co-partitioned graft
+  // tables on those columns, or a groupBy over them, runs with NO
+  // shuffle on either side. At 100 TB that is the difference between a
+  // co-located merge and moving both tables over the network. Gated on
+  // Spark's own spark.sql.sources.v2.bucketing.enabled (default false,
+  // same switch every SPJ source honors: grouping trades per-key task
+  // parallelism for shuffle elimination, a choice the user makes), and
+  // only when the scan still OUTPUTS every partition column, there is
+  // no deletion vector (its per-dir repack conflicts with key groups;
+  // dv+partby cannot coexist today anyway) and no colmap rename
+  // shadowing the key names.
+  private def spjEligible: Boolean =
+    table.partCols.nonEmpty && table.dv.isEmpty &&
+      table.colmap.isEmpty &&
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
+        .toBoolean &&
+      table.partCols.forall(inner.readPartitionSchema.fieldNames.contains)
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjEligible) {
+      // distinct live partition values — the grouped partition count
+      // (Spark rebuilds the physical partitioning from the actual
+      // planned groups; this count is the planning-time estimate)
+      val n = table.index.partitionSpec().partitions
+        .map(_.values).distinct.size
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          table.partCols.map(c => Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression)
+            .toArray, n)
+    } else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
+
+  /** Regroup planned files into one partition per partition-key value,
+    * each carrying its key (`HasPartitionKey`) so Spark's key-grouped
+    * execution can line both join sides up without an exchange. */
+  private def spjRegroup(parts: Array[InputPartition])
+      : Array[InputPartition] = {
+    val pschema = inner.readPartitionSchema
+    val idx = table.partCols.map(pschema.fieldIndex)
+    val dts = idx.map(i => pschema.fields(i).dataType)
+    def keyOf(f: org.apache.spark.sql.execution.datasources.PartitionedFile)
+        : Seq[Any] =
+      idx.zip(dts).map { case (i, dt) => f.partitionValues.get(i, dt) }
+    val files = parts.flatMap {
+      case fp: FilePartition => fp.files
+      case other => return parts // non-file partitions: never regroup
+    }
+    files.groupBy(keyOf).toSeq
+      // deterministic group order: sort by the key's string image
+      .sortBy(_._1.map(String.valueOf).mkString(" "))
+      .zipWithIndex.map { case ((key, fs), i) =>
+        new GraftKeyedFilePartition(i,
+          fs.sortBy(_.urlEncodedPath),
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(key.toArray)): InputPartition
+      }.toArray
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // manifest pruning applies HERE, scan-locally: drop skipped files
     // from the planned partitions (they are never opened — the readers
@@ -780,6 +856,7 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
           case (fp: FilePartition, i) => FilePartition(i, fp.files)
           case (other, _) => other
         }
+      case _ if spjEligible => spjRegroup(base)
       case _ => base
     }
   }

@@ -547,6 +547,81 @@ class Round17Spec extends SparkSpec {
     assert(dr.getLong(0) == 2L && dr.getLong(1) == 3L)
   }
 
+  // ---- 10. storage-partitioned joins ------------------------------------
+
+  /** Shuffle exchanges anywhere in the executed-plan string (the query
+    * must be collected first so AQE's final plan is materialized; the
+    * string carries initial+final, so 0 means neither planned one). */
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+  }
+
+  private def spjFixtures(tag: String): (String, String) = {
+    import spark.implicits._
+    val a = freshDir(s"${tag}_a")
+    val b = freshDir(s"${tag}_b")
+    val facts = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "x", 30L),
+      (4L, "z", 40L), (5L, "y", 50L)).toDF("k", "p", "v")
+    GraftTable.commitNextIsolated(spark, a, facts, "facts",
+      partitionBy = Seq("p"))
+    GraftTable.commitNextIsolated(spark, b,
+      Seq(("x", 100L), ("y", 200L), ("z", 300L)).toDF("p", "w"),
+      "dim", partitionBy = Seq("p"))
+    (a, b)
+  }
+
+  test("spj: co-partitioned join and partition-key groupBy run with ZERO shuffles; conf off falls back; values identical") {
+    val (a, b) = spjFixtures("spj")
+    // no final orderBy: a range-partitioned sort would add its own
+    // legitimate exchange — the claim under test is join+groupBy
+    def q() = {
+      val fa = spark.read.format("graft").load(a)
+      val fb = spark.read.format("graft").load(b)
+      fa.join(fb, "p").groupBy("p")
+        .agg(sum(col("v") + col("w")).as("t"))
+    }
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = q()
+      assert(shuffles(off) > 0, "expected the ordinary shuffled plan")
+      val offRows = off.collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq.sorted
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val on = q()
+      assert(shuffles(on) == 0,
+        on.queryExecution.executedPlan.toString)
+      assert(on.collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq.sorted == offRows)
+      // groupBy over the partition column alone: also exchange-free
+      val g = spark.read.format("graft").load(a)
+        .groupBy("p").agg(count(lit(1)).as("n"))
+      assert(shuffles(g) == 0, g.queryExecution.executedPlan.toString)
+      assert(g.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq.sorted == Seq(("x", 2L), ("y", 2L), ("z", 1L)))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("spj: a partition filter composes — pruned key groups, still correct") {
+    val (a, b) = spjFixtures("spjf")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val fa = spark.read.format("graft").load(a).where(col("p") =!= "z")
+      val fb = spark.read.format("graft").load(b).where(col("p") =!= "z")
+      val j = fa.join(fb, "p").select(col("k"), col("w"))
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      assert(got == Seq((1L, 100L), (2L, 200L), (3L, 100L), (5L, 200L)))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    }
+  }
+
   test("meta-agg: all-null stats column serves NULL extremes; empty-after-sentinel files are skipped") {
     import spark.implicits._
     val dir = freshDir("metaaggnull")
