@@ -347,6 +347,41 @@ object Round17Ops {
           money(sum(col("price"))).as("revenue"),
           max(col("n_cust")).as("n_cust"))
         .orderBy("prio")
+    }),
+
+    // BUCKET-transform SPJ: both tables carry a declared bucket layout
+    // (bucketfn= header, bucketCol = floorMod(key, 8) validated
+    // row-for-row at commit), the scans report `bucket(8, key)` through
+    // the catalog's FunctionCatalog, and the join on the RAW key —
+    // the high-cardinality case identity partitioning can't serve —
+    // runs with no exchange under it (Round17Spec pins the plan; the
+    // oracle pins the values).
+    "table_bucket_spj_join" -> ((s, d) => {
+      val dirA = freshDir(s, d, "bkta")
+      val dirB = freshDir(s, d, "bktb")
+      val n = 8
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          money(dec(col("o_totalprice"))).as("price"))
+        .withColumn("cb", pmod(col("o_custkey"), lit(n.toLong)).cast("int"))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("cb", pmod(col("c_custkey"), lit(n.toLong)).cast("int"))
+      GraftTable.commitNextIsolated(s, dirA, o, "orders bucketed",
+        partitionBy = Seq("cb"), bucketFn = Some((n, "o_custkey")))
+      GraftTable.commitNextIsolated(s, dirB, c, "customer bucketed",
+        partitionBy = Seq("cb"), bucketFn = Some((n, "c_custkey")))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      withCatalog(s, "gt17")
+      val aa = new java.io.File(dirA).getAbsolutePath
+      val ab = new java.io.File(dirB).getAbsolutePath
+      s.sql(
+        s"""SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+           |  SUM(o.price) AS revenue
+           |FROM gt17.`$aa` o JOIN gt17.`$ab` c
+           |  ON o.o_custkey = c.c_custkey
+           |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin)
+        .select(col("seg"), col("n"), money(col("revenue")).as("revenue"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -474,5 +509,14 @@ object Round17Ops {
         "SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
         s"${oMoney("SUM(price)")} AS revenue, " +
         "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust " +
-        "FROM o GROUP BY prio ORDER BY prio"))
+        "FROM o GROUP BY prio ORDER BY prio"),
+
+    // the shuffle-free bucket join's values recomputed raw
+    "table_bucket_spj_join" ->
+      (s"WITH o AS (SELECT o_custkey, ${oMoney(oDec("o_totalprice"))} " +
+        "AS price FROM orders) " +
+        "SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney("SUM(o.price)")} AS revenue " +
+        "FROM o JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "GROUP BY c.c_mktsegment ORDER BY seg"))
 }

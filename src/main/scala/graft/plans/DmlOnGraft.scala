@@ -180,7 +180,12 @@ object GraftDml {
       statsEnc = if (hdrs.contains("stats")) statsEncDecl else Nil,
       bloomCols = hdrs.get("bloom")
         .map(GraftTable.bloomColsOf).getOrElse(Nil),
-      expectVersion = Some(cur))
+      expectVersion = Some(cur),
+      // a declared bucket layout carries through the rewrite — and
+      // commitNextIsolated RE-VALIDATES the invariant, so an UPDATE
+      // that broke bucketCol = bucket(key) refuses loudly
+      bucketFn = GraftTable.bucketFnOf(hdrs).map { case (n, k, _) =>
+        (n, k) })
     ()
   }
 }

@@ -287,7 +287,11 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
         statsEnc = if (hdrs.contains("stats")) statsEncDecl else Nil,
         bloomCols = hdrs.get("bloom")
           .map(GraftTable.bloomColsOf).getOrElse(Nil),
-        expectVersion = Some(expectV))
+        expectVersion = Some(expectV),
+        // bucket layouts carry through; the commit re-validates the
+        // invariant over the merged snapshot
+        bucketFn = GraftTable.bucketFnOf(hdrs).map { case (n, k, _) =>
+          (n, k) })
     } finally if (doCheck) srcDf.unpersist(blocking = false)
     Seq.empty
   }

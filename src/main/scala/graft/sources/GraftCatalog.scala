@@ -29,10 +29,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Catalogs resolve lazily from runtime conf, so registration needs no
   * session rebuild. Reads serve the same manifest-resolved DSv2 table
   * `spark.read.format("graft")` builds — one read path, two doors. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: Option[String] = None
+
+  // ---- FunctionCatalog: the ONE function the storage layout declares.
+  // Spark resolves a scan's reported bucket(n, col) transform against
+  // the relation's function catalog (V2ExpressionUtils) — without this,
+  // two bucket-layout tables could never prove to the planner that
+  // their key groups line up, and every join would shuffle.
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -209,4 +225,49 @@ class GraftCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "RENAME on a graft table is not supported (a table IS its dir)")
+}
+
+/** The storage bucketing function, defined ONCE for both sides of the
+  * contract: the WRITE side materializes `bucketCol = pmod(key, n)`
+  * (validated row-for-row at commit), and the READ side reports the
+  * `bucket(n, key)` transform whose evaluation is this exact function —
+  * so the planner's key-group alignment and the bytes on disk can never
+  * disagree. Modulo (not a hash) on purpose: the bucket id is then
+  * human-legible in the dir name, and uniformity comes from the key
+  * domain the way it does for every hash-partitioned layout here. */
+private[graft] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(col, n) — the graft bucket-layout transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets, col); got ${inputType.simpleString}")
+    val keyType = inputType.fields(1).dataType
+    require(keyType == LongType || keyType == IntegerType,
+      s"bucket key must be integral; got ${keyType.simpleString}")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, keyType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = true
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+        if (input.isNullAt(0) || input.isNullAt(1)) null
+        else {
+          val n = input.getInt(0)
+          val k = keyType match {
+            case LongType => input.getLong(1)
+            case _        => input.getInt(1).toLong
+          }
+          java.lang.Math.floorMod(k, n.toLong).toInt
+        }
+    }
+  }
 }

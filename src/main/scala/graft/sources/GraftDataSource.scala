@@ -163,6 +163,14 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
   private[graft] val partCols: Seq[String] =
     headers.get("partby").map(_.split(",").toSeq).getOrElse(Nil)
 
+  /** Declared bucket transform of the partby layout (bucketfn= header):
+    * (n, keyCol, bucketCol) with bucketCol = floorMod(keyCol, n)
+    * validated at every data-writing commit. The scan reports
+    * `bucket(n, keyCol)` instead of the identity transform then, so two
+    * co-bucketed tables storage-partition-join on the KEY column. */
+  private[graft] val bucketFn: Option[(Int, String, String)] =
+    GraftTable.bucketFnOf(headers)
+
   /** Logical→physical name mapping of a RENAME/DROP COLUMN predecessor
     * (colmap= header): the schemas this table SERVES stay logical; the
     * scan requests the physical names from parquet and renames at the
@@ -778,7 +786,13 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
         .toBoolean &&
-      table.partCols.forall(inner.readPartitionSchema.fieldNames.contains)
+      // identity keys group on the reader's partition VALUES, so the
+      // partition columns must have survived pruning; a bucket layout
+      // groups on the DIR NAMES instead (the key column the transform
+      // references typically is selected — it's the join key — while
+      // the bucket column itself almost never is)
+      (table.bucketFn.isDefined ||
+        table.partCols.forall(inner.readPartitionSchema.fieldNames.contains))
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -788,11 +802,23 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
       // planned groups; this count is the planning-time estimate)
       val n = table.index.partitionSpec().partitions
         .map(_.values).distinct.size
-      new org.apache.spark.sql.connector.read.partitioning
-        .KeyGroupedPartitioning(
+      // a DECLARED bucket layout reports the bucket transform of the
+      // KEY column (so joins on the key itself align); the key must
+      // still be in the scan's output for Spark to resolve the
+      // transform's reference — when pruned away, resolution finds no
+      // attribute and Spark ignores the report (its documented
+      // fallback), exactly as if we reported UnknownPartitioning
+      val keys: Array[org.apache.spark.sql.connector.expressions
+        .Expression] = table.bucketFn match {
+        case Some((nb, keyCol, _)) =>
+          Array(Expressions.bucket(nb, keyCol))
+        case None =>
           table.partCols.map(c => Expressions.identity(c)
             : org.apache.spark.sql.connector.expressions.Expression)
-            .toArray, n)
+            .toArray
+      }
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(keys, n)
     } else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
 
@@ -801,12 +827,25 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
     * execution can line both join sides up without an exchange. */
   private def spjRegroup(parts: Array[InputPartition])
       : Array[InputPartition] = {
-    val pschema = inner.readPartitionSchema
-    val idx = table.partCols.map(pschema.fieldIndex)
-    val dts = idx.map(i => pschema.fields(i).dataType)
-    def keyOf(f: org.apache.spark.sql.execution.datasources.PartitionedFile)
-        : Seq[Any] =
-      idx.zip(dts).map { case (i, dt) => f.partitionValues.get(i, dt) }
+    val keyOf: org.apache.spark.sql.execution.datasources.PartitionedFile
+        => Seq[Any] = table.bucketFn match {
+      case Some((_, _, bCol)) =>
+        // bucket layouts key on the DIR NAME (`cb=<i>`): the bucket
+        // column is rarely in the scan's pruned output, but the path
+        // always carries it — and the dir values are commit-validated
+        // ints, so the parse is exact
+        f => {
+          val dirName = f.toPath.getParent.getName
+          val v = dirName.stripPrefix(s"$bCol=")
+          Seq(if (v == "__HIVE_DEFAULT_PARTITION__") null
+          else Integer.valueOf(v.toInt))
+        }
+      case None =>
+        val pschema = inner.readPartitionSchema
+        val idx = table.partCols.map(pschema.fieldIndex)
+        val dts = idx.map(i => pschema.fields(i).dataType)
+        f => idx.zip(dts).map { case (i, dt) => f.partitionValues.get(i, dt) }
+    }
     val files = parts.flatMap {
       case fp: FilePartition => fp.files
       case other => return parts // non-file partitions: never regroup

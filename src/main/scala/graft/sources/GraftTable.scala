@@ -518,7 +518,7 @@ object GraftTable {
   private val headerKeys =
     Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=", "partby=",
       "bloom=", "constraints=", "statenc=", "update=", "pmap=", "wset=",
-      "statrel=", "colmap=")
+      "statrel=", "colmap=", "bucketfn=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
@@ -1157,7 +1157,9 @@ object GraftTable {
       // a renamed/dropped-column source serves its logical names
       // through the same mapping in the clone (the re-pointed dirs
       // carry the same physical names)
-      colmap = hdrs.get("colmap"))
+      colmap = hdrs.get("colmap"),
+      // the bucket declaration describes the re-pointed dirs verbatim
+      bucketFnHdr = hdrs.get("bucketfn"))
     // the version this clone actually captured — the ONE resolution
     // above, so a concurrent writer on src cannot skew the provenance
     sv
@@ -1217,12 +1219,19 @@ object GraftTable {
       statenc: Option[String] = None,
       updateDir: Option[String] = None,
       pmap: Option[String] = None, wset: Option[String] = None,
-      statrel: Boolean = false, colmap: Option[String] = None): Unit = {
+      statrel: Boolean = false, colmap: Option[String] = None,
+      bucketFnHdr: Option[String] = None): Unit = {
     // colmap DESCRIBES the declared schema (logical→physical names) —
     // meaningless without one
     require(colmap.isEmpty || schema.nonEmpty,
       "colmap= maps the schema= header's names and cannot be committed " +
         "without one")
+    // bucketfn DESCRIBES the partby dir layout (bucketCol = bucket(n,
+    // keyCol)) — a bucket declaration without the layout is a promise
+    // the planner would act on with nothing behind it
+    require(bucketFnHdr.isEmpty || partBy.nonEmpty,
+      "bucketfn= declares the partby= layout's bucket transform and " +
+        "cannot be committed without one")
     require(!statrel || stats.nonEmpty,
       "statrel= qualifies the stats= line and cannot be committed alone")
     require(wset.isEmpty || pmap.nonEmpty,
@@ -1347,6 +1356,7 @@ object GraftTable {
       wset.map(ws => s"wset=$ws\n").getOrElse("") +
       (if (statrel) "statrel=1\n" else "") +
       colmap.map(cm => s"colmap=$cm\n").getOrElse("") +
+      bucketFnHdr.map(bf => s"bucketfn=$bf\n").getOrElse("") +
       metadata
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -1609,7 +1619,8 @@ object GraftTable {
       dropConstraints: Boolean = false,
       statsEnc: Seq[(String, String)] = Nil,
       bloomCols: Seq[String] = Nil,
-      expectVersion: Option[Int] = None): Int = {
+      expectVersion: Option[Int] = None,
+      bucketFn: Option[(Int, String)] = None): Int = {
     val fs = fsOf(spark, dir)
     val cur = currentHeaders(fs, dir)
     // OCC pin for callers whose snapshot/headers were resolved earlier
@@ -1637,6 +1648,41 @@ object GraftTable {
     val carried = if (dropConstraints) Nil else carriedConstraints(cur)
     val allConstraints = (carried ++ constraints).distinct
     enforceConstraints(df, allConstraints, "commit")
+    // a declared bucket layout: the partitionBy column must BE the
+    // bucket transform of the key, row for row — validated here at
+    // every data-writing commit, so the bucketfn= header the planner's
+    // key-group alignment trusts can never drift from the bytes
+    bucketFn.foreach { case (n, keyCol) =>
+      import org.apache.spark.sql.functions.{col, lit, not, pmod}
+      require(n > 0, s"bucket count must be positive (got $n)")
+      require(partitionBy.length == 1,
+        s"a bucket layout partitions by exactly its bucket column " +
+          s"(got partitionBy=$partitionBy)")
+      val bCol = partitionBy.head
+      Seq(keyCol, bCol).foreach(c =>
+        require(df.schema.fieldNames.contains(c),
+          s"bucketFn column '$c' is not in the schema " +
+            s"${df.schema.fieldNames.mkString("[", ",", "]")}"))
+      val kt = df.schema(keyCol).dataType
+      require(kt == org.apache.spark.sql.types.LongType ||
+        kt == org.apache.spark.sql.types.IntegerType,
+        s"bucketFn key column must be integral (got ${kt.simpleString})")
+      // the bucket column must be exactly INT: the reported transform's
+      // result type is Integer, and the planner compares partition-key
+      // rows under that type — a long bucket column would make the
+      // grouped keys unreadable
+      require(df.schema(bCol).dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        s"bucket column '$bCol' must be INT (the bucket transform's " +
+          s"result type); got ${df.schema(bCol).dataType.simpleString}")
+      val bad = df.filter(not(col(bCol).cast("int") <=>
+          pmod(col(keyCol).cast("long"), lit(n.toLong)).cast("int")))
+        .limit(1).count()
+      require(bad == 0,
+        s"bucket invariant violated: '$bCol' must equal " +
+          s"floorMod($keyCol, $n) on every row — fix the bucket column " +
+          "or drop the bucketFn declaration")
+    }
     val v = cur.map(_._1 + 1).getOrElse(0)
     val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     val w = df.write.mode("errorifexists")
@@ -1663,7 +1709,9 @@ object GraftTable {
         if (allConstraints.isEmpty) None
         else Some(constraintsEncode(allConstraints)),
       statenc =
-        if (statsEnc.isEmpty) None else Some(StatsEnc.encode(statsEnc)))
+        if (statsEnc.isEmpty) None else Some(StatsEnc.encode(statsEnc)),
+      bucketFnHdr = bucketFn.map { case (n, k) =>
+        bucketFnEncode(n, k, partitionBy.head) })
     v
   }
 
@@ -1755,7 +1803,8 @@ object GraftTable {
       statenc = hdrs.get("statenc"),
       pmap = hdrs.get("pmap"),
       constraintsHdr = hdrs.get("constraints"),
-      colmap = hdrs.get("colmap"))
+      colmap = hdrs.get("colmap"),
+      bucketFnHdr = hdrs.get("bucketfn"))
     nv
   }
 
@@ -1860,7 +1909,10 @@ object GraftTable {
       prevTs = prevTsOf(Some((cur, hdrs))),
       // a delete only SHRINKS the row set, and every declared
       // constraint is subset-closed — carry, don't re-validate
-      constraintsHdr = hdrs.get("constraints"))
+      constraintsHdr = hdrs.get("constraints"),
+      // subset-closed too: untouched files keep the bucket invariant
+      // (the SPJ read side already stands down under a dv)
+      bucketFnHdr = hdrs.get("bucketfn"))
     v
   }
 
@@ -1907,8 +1959,17 @@ object GraftTable {
       // nonexistent conventional dir — the commitDeleteVector rule
       dataDir = Some(dataDirsFrom(hdrs, cur, prefix).mkString(",")),
       dv = hdrs.get("dv"),
-      schema = Some((prev ++ cols).map { case (n, t) =>
-        s"${urlEnc(n)}:${urlEnc(t)}" }.mkString(",")),
+      // new columns land BEFORE the partition columns: every reader
+      // serves partition columns LAST (the file-table convention), so a
+      // declared order with data columns after them would make the next
+      // full rewrite's schema gate see a phantom "retype" and refuse
+      schema = Some({
+        val partSet =
+          hdrs.get("partby").map(_.split(",").toSet).getOrElse(Set.empty)
+        val (dataPrev, partPrev) = prev.partition(p => !partSet(p._1))
+        (dataPrev ++ cols ++ partPrev).map { case (n, t) =>
+          s"${urlEnc(n)}:${urlEnc(t)}" }.mkString(",")
+      }),
       partBy = hdrs.get("partby"),
       prevTs = prevTsOf(Some((cur, hdrs))),
       stats = hdrs.get("stats").map(TableStats.decode),
@@ -1933,7 +1994,9 @@ object GraftTable {
           (n, prevMap.getOrElse(n, n)) } ++ cols.map { case (n, _) =>
           (n, s"__gadd${v}_${urlEnc(n)}") }
         colmapEncode(withNew)
-      })
+      },
+      // adding a column cannot disturb the bucket invariant — carry
+      bucketFnHdr = hdrs.get("bucketfn"))
     v
   }
 
@@ -1958,6 +2021,20 @@ object GraftTable {
       val i = e.lastIndexOf(':')
       (urlDec(e.take(i)), urlDec(e.drop(i + 1)))
     }.toMap
+
+  /** bucketfn= codec: `<n>,<keyCol>,<bucketCol>` — the declared bucket
+    * transform of a partby layout (bucketCol = floorMod(keyCol, n),
+    * validated row-for-row at every commit that writes data). */
+  private[graft] def bucketFnEncode(n: Int, keyCol: String,
+      bucketCol: String): String =
+    s"$n,${urlEnc(keyCol)},${urlEnc(bucketCol)}"
+
+  private[graft] def bucketFnOf(hdrs: Map[String, String])
+      : Option[(Int, String, String)] =
+    hdrs.get("bucketfn").map { s =>
+      val parts = s.split(",", 3)
+      (parts(0).toInt, urlDec(parts(1)), urlDec(parts(2)))
+    }
 
   /** The physical-name request schema of a colmap-bearing version: the
     * declared (logical) schema with each mapped field renamed to the
@@ -2040,6 +2117,13 @@ object GraftTable {
       require(!resolver(n1, n2),
         s"renames collide: resulting schema ${newSchema.map(_._1)}")
     }
+    // a declared bucket transform names its key column: renaming that
+    // column would orphan the declaration the planner trusts
+    bucketFnOf(hdrs).foreach { case (_, keyCol, _) =>
+      require(!renames.exists(r => resolver(r._1, keyCol)),
+        s"cannot rename '$keyCol': it is the declared bucket key " +
+          "(bucketfn=) — re-layout via commitNextIsolated(bucketFn = …)")
+    }
     // new logical name → the files' PHYSICAL name (resolving through a
     // predecessor mapping, so chained renames stay one hop deep)
     val newMap: Seq[(String, String)] = prev.zip(newSchema).map {
@@ -2053,7 +2137,8 @@ object GraftTable {
         s"${urlEnc(n)}:${urlEnc(t)}" }.mkString(",")),
       partBy = hdrs.get("partby"),
       prevTs = prevTsOf(Some((cur, hdrs))),
-      colmap = Some(colmapEncode(newMap)))
+      colmap = Some(colmapEncode(newMap)),
+      bucketFnHdr = hdrs.get("bucketfn"))
     v
   }
 
@@ -2086,6 +2171,12 @@ object GraftTable {
     }
     val newSchema = prev.filterNot(p => cols.exists(resolver(_, p._1)))
     require(newSchema.nonEmpty, "cannot drop every column of the table")
+    // the bucket key column cannot drop out from under its declaration
+    bucketFnOf(hdrs).foreach { case (_, keyCol, _) =>
+      require(!cols.exists(resolver(_, keyCol)),
+        s"cannot drop '$keyCol': it is the declared bucket key " +
+          "(bucketfn=) — re-layout via commitNextIsolated(bucketFn = …)")
+    }
     val prevMap = hdrs.get("colmap").map(colmapDecode).getOrElse(Map.empty)
     val newMap = newSchema.map { case (n, _) =>
       (n, prevMap.getOrElse(n, n)) }
@@ -2096,7 +2187,8 @@ object GraftTable {
         s"${urlEnc(n)}:${urlEnc(t)}" }.mkString(",")),
       partBy = hdrs.get("partby"),
       prevTs = prevTsOf(Some((cur, hdrs))),
-      colmap = Some(colmapEncode(newMap)))
+      colmap = Some(colmapEncode(newMap)),
+      bucketFnHdr = hdrs.get("bucketfn"))
     v
   }
 
@@ -2607,6 +2699,15 @@ object GraftTable {
         s"this table's partitionBy layout ($declaredPartBy) changed " +
           s"after the write staged its dirs ($stagedPartBy) — re-run " +
           "the write against the new layout")
+      // a BUCKET-declared layout refuses both DSv2 modes: an append's
+      // incoming rows are not validated against the bucket invariant
+      // here, and an overwrite would silently strip the declaration
+      // the planner's key-group alignment trusts
+      require(!h.contains("bucketfn"),
+        s"cannot write to a bucket-layout table (bucketfn=" +
+          s"${h.getOrElse("bucketfn", "")}) through the DSv2 door — " +
+          "rewrite via commitNextIsolated(bucketFn = …), which " +
+          "validates the bucket invariant row-for-row")
       // a statenc-declared stats line and a bloom= line are
       // SELF-DESCRIBED by the manifest (registry encoding names /
       // col|m|k sections), so BOTH DSv2 modes re-derive them
@@ -4185,7 +4286,10 @@ object GraftTable {
       else snap.repartition(partBy.map(org.apache.spark.sql.functions.col): _*)
     commitNextIsolated(spark, dir, compacted, metadata, prefix = prefix,
       partitionBy = partBy, statsCols = statsCols, bloomCol = bloomCol,
-      statsEnc = statsEnc, bloomCols = bloomCols)
+      statsEnc = statsEnc, bloomCols = bloomCols,
+      // a compaction rewrites the same rows: the bucket declaration
+      // carries through and commitNextIsolated re-validates it
+      bucketFn = bucketFnOf(h).map { case (n, k, _) => (n, k) })
   }
 
   /** OPTIMIZE ZORDER BY — the clustering rewrite `compactChain` applies

@@ -622,6 +622,126 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  // ---- 11. bucket-transform SPJ ------------------------------------------
+
+  /** Two co-bucketed (n=4) tables over disjoint-ish key sets. */
+  private def bucketFixtures(tag: String): (String, String) = {
+    import spark.implicits._
+    val a = freshDir(s"${tag}_a")
+    val b = freshDir(s"${tag}_b")
+    def bucketed(df: org.apache.spark.sql.DataFrame, key: String) =
+      df.withColumn("cb", pmod(col(key), lit(4L)).cast("int"))
+    GraftTable.commitNextIsolated(spark, a,
+      bucketed(Seq((1L, 10L), (2L, 20L), (5L, 50L), (6L, 60L), (11L, 110L))
+        .toDF("k", "v"), "k"),
+      "facts", partitionBy = Seq("cb"), bucketFn = Some((4, "k")))
+    GraftTable.commitNextIsolated(spark, b,
+      bucketed(Seq((1L, "a"), (5L, "b"), (6L, "c"), (7L, "d"))
+        .toDF("ck", "s"), "ck"),
+      "dim", partitionBy = Seq("cb"), bucketFn = Some((4, "ck")))
+    (a, b)
+  }
+
+  test("bucket-spj: join on the RAW key runs with zero shuffles through the catalog door; values identical to the shuffled plan") {
+    val (a, b) = bucketFixtures("bspj")
+    withCatalog("gt17s")
+    val (aa, ab) = (new java.io.File(a).getAbsolutePath,
+      new java.io.File(b).getAbsolutePath)
+    def q() = spark.sql(
+      s"SELECT f.k, f.v, d.s FROM gt17s.`$aa` f " +
+        s"JOIN gt17s.`$ab` d ON f.k = d.ck")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = q()
+      assert(shuffles(off) > 0, "expected the ordinary shuffled plan")
+      val offRows = off.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sorted
+      assert(offRows == Seq((1L, 10L, "a"), (5L, 50L, "b"), (6L, 60L, "c")))
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val on = q()
+      assert(shuffles(on) == 0, on.queryExecution.executedPlan.toString)
+      assert(on.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sorted == offRows)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("bucket-spj: the bucket invariant is validated at commit; violations and bad declarations refuse") {
+    import spark.implicits._
+    val dir = freshDir("bktbad")
+    // wrong bucket value on one row
+    val bad = Seq((1L, 1), (2L, 2), (5L, 0)).toDF("k", "cb")
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.commitNextIsolated(spark, dir, bad, "bad bucket",
+        partitionBy = Seq("cb"), bucketFn = Some((4, "k")))
+    }
+    assert(e.getMessage.contains("bucket invariant"), e.getMessage)
+    assert(GraftTable.versions(GraftTable.fsOf(spark, dir), dir).isEmpty)
+    // a long bucket column refuses (the transform's result type is INT)
+    val longB = Seq((1L, 1L)).toDF("k", "cb")
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.commitNextIsolated(spark, dir, longB, "long bucket",
+        partitionBy = Seq("cb"), bucketFn = Some((4, "k")))
+    }
+    assert(e2.getMessage.contains("must be INT"), e2.getMessage)
+    // bucketFn without a partitionBy layout refuses
+    val e3 = intercept[IllegalArgumentException] {
+      GraftTable.commitNextIsolated(spark, dir,
+        Seq((1L, 1)).toDF("k", "cb"), "no layout",
+        bucketFn = Some((4, "k")))
+    }
+    assert(e3.getMessage.contains("partitions by exactly"), e3.getMessage)
+  }
+
+  test("bucket-spj: the declaration survives compaction and ALTER ADD, refuses DSv2 writes and key-column rename/drop") {
+    import spark.implicits._
+    val (a, _) = bucketFixtures("bktdoors")
+    def hdrs() = {
+      val fs = GraftTable.fsOf(spark, a)
+      val cur = GraftTable.currentVersion(fs, a).get
+      GraftTable.headersOf(fs, a, cur)
+    }
+    assert(hdrs().contains("bucketfn"))
+    // compaction rewrites the same rows — declaration carries, validated
+    GraftTable.compactChain(spark, a)
+    assert(hdrs().contains("bucketfn"), "compaction dropped bucketfn")
+    // metadata-only ADD COLUMN carries
+    GraftTable.commitAddColumns(spark, a, Seq(("note", "string")))
+    assert(hdrs().contains("bucketfn"), "ALTER ADD dropped bucketfn")
+    // the DSv2 doors refuse (incoming rows are not invariant-validated)
+    val e = intercept[Exception] {
+      Seq((9L, 90L, 1, "x")).toDF("k", "v", "cb", "note")
+        .write.format("graft").mode("append")
+        .save(new java.io.File(a).getAbsolutePath)
+    }
+    assert(e.getMessage.contains("bucket-layout"), e.getMessage)
+    // renaming or dropping the declared key column refuses
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.commitRenameColumns(spark, a, Seq(("k", "kk")))
+    }
+    assert(e2.getMessage.contains("bucket key"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      GraftTable.commitDropColumns(spark, a, Seq("k"))
+    }
+    assert(e3.getMessage.contains("bucket key"), e3.getMessage)
+    // an unrelated column still renames, and the declaration carries
+    GraftTable.commitRenameColumns(spark, a, Seq(("v", "val")))
+    assert(hdrs().contains("bucketfn"))
+    // SQL DELETE takes the CoW arm and re-validates the carried
+    // declaration — the layout and header survive point DML
+    withCatalog("gt17s")
+    spark.sql(s"DELETE FROM gt17s.`${new java.io.File(a).getAbsolutePath}` " +
+      "WHERE k = 11")
+    assert(hdrs().contains("bucketfn"), "SQL DELETE dropped bucketfn")
+    assert(GraftTable.read(spark, a).count() == 4L)
+  }
+
   test("meta-agg: all-null stats column serves NULL extremes; empty-after-sentinel files are skipped") {
     import spark.implicits._
     val dir = freshDir("metaaggnull")
