@@ -382,6 +382,27 @@ object Round17Ops {
            |  ON o.o_custkey = c.c_custkey
            |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin)
         .select(col("seg"), col("n"), money(col("revenue")).as("revenue"))
+    }),
+
+    // GROUPED metadata-only aggregates: GROUP BY a partition column is
+    // answered per-dir from the same manifest stats line — one row per
+    // partition value, zero files opened (a file's whole group key IS
+    // its dir, so per-group sums of per-file stats are exact). The
+    // per-partition row-count/extreme report over 100 TB becomes one
+    // driver-side decode.
+    "table_meta_agg_groupby" -> ((s, d) => {
+      val dir = freshDir(s, d, "metagrp")
+      val o = t(s, d, "orders").select(
+        col("o_orderkey").as("key"),
+        col("o_orderpriority").as("prio"),
+        col("o_orderdate").as("odate"))
+      GraftTable.commitNextIsolated(s, dir, o, "grouped meta-agg head",
+        partitionBy = Seq("prio"),
+        statsEnc = Seq("key" -> "id", "odate" -> "us"))
+      s.read.format("graft").load(dir).groupBy("prio").agg(
+        count(lit(1)).as("n_rows"), min("key").as("min_key"),
+        max("key").as("max_key"), max("odate").as("max_odate"))
+        .orderBy("prio")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -518,5 +539,13 @@ object Round17Ops {
         "SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n, " +
         s"${oMoney("SUM(o.price)")} AS revenue " +
         "FROM o JOIN customer c ON o.o_custkey = c.c_custkey " +
-        "GROUP BY c.c_mktsegment ORDER BY seg"))
+        "GROUP BY c.c_mktsegment ORDER BY seg"),
+
+    // the per-partition metadata report recomputed from the raw rows
+    "table_meta_agg_groupby" ->
+      ("SELECT o_orderpriority AS prio, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, " +
+        "MAX(o_orderdate) AS max_odate " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY prio"))
 }

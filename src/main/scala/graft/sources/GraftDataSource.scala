@@ -545,7 +545,7 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
   //    extremes); COUNT(col) only when every file records null counts.
   // Anything outside the gate returns false and Spark plans the
   // ordinary distributed aggregate — never a guess.
-  private var metaAgg: Option[(StructType, Seq[Any])] = None
+  private var metaAgg: Option[(StructType, Seq[Seq[Any]])] = None
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -561,18 +561,19 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
 
   private def metaAggResult(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types.LongType
-    if (agg.groupByExpressions().nonEmpty || sawFilters) return None
+    if (sawFilters) return None
     if (table.headers.contains("dv")) return None
     val statsHdr = table.headers.get("stats").getOrElse(return None)
     val st = GraftTable.TableStats.decode(statsHdr)
     // coverage gate: the stats line must describe EXACTLY the live file
     // set (the index's listing is already cached driver-side)
-    val statPaths = st.files
-      .map(f => table.canonPath(table.statPath(f.file))).toSet
+    val canonOf: GraftTable.FileStats => String =
+      f => table.canonPath(table.statPath(f.file))
+    val statPaths = st.files.map(canonOf).toSet
     val livePaths = table.index.allFiles()
       .map(_.getPath.toUri.normalize().getPath).toSet
     if (statPaths != livePaths) return None
@@ -585,6 +586,17 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
         Some(nr.fieldNames().head)
       case _ => None
     }
+    // GROUP BY is served too, when every group key is a PARTITION
+    // column: a file's whole group key is its dir, so per-group totals
+    // are exact per-dir sums of the same per-file stats — the 100 TB
+    // "rows per partition / date range per partition" report, still
+    // zero files opened. (A strict subset of the partition columns is
+    // fine: groups then merge across the remaining dir levels.)
+    val gbNames = agg.groupByExpressions().toSeq.map(single)
+    if (gbNames.exists(_.isEmpty)) return None
+    val gbCols = gbNames.flatten
+    if (gbCols.distinct.size != gbCols.size) return None
+    if (!gbCols.forall(table.partCols.contains)) return None
     // stats columns are recorded under PHYSICAL names; the pushed
     // aggregate references logical ones
     def phys(c: String): String = table.colmap.getOrElse(c, c)
@@ -597,7 +609,31 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
       if (fullSchema.fieldNames.contains(c))
         Some(fullSchema(fullSchema.fieldIndex(c)).dataType)
       else None
-    def extreme(c: String, isMin: Boolean)
+    // file → its group key (the dir's partition values projected onto
+    // the group-by columns, in group-by order); one flat key for the
+    // global aggregate
+    val groups: Seq[(Seq[Any], Seq[GraftTable.FileStats])] =
+      if (gbCols.isEmpty) Seq((Nil, st.files))
+      else {
+        val spec = table.index.partitionSpec()
+        val idx = gbCols.map(spec.partitionColumns.fieldIndex)
+        val dts = idx.map(i => spec.partitionColumns.fields(i).dataType)
+        val dirs: Seq[(String, Seq[Any])] = spec.partitions.map { pp =>
+          (pp.path.toUri.normalize().getPath,
+            idx.zip(dts).map { case (i, dt) => pp.values.get(i, dt) })
+        }
+        val keyed = st.files.map { f =>
+          val p = canonOf(f)
+          dirs.find { case (d, _) => p.startsWith(d + "/") } match {
+            case Some((_, key)) => (key, f)
+            case None => return None // a file outside every known dir
+          }
+        }
+        keyed.groupBy(_._1).toSeq
+          .map { case (k, fs) => (k, fs.map(_._2)) }
+          .sortBy(_._1.map(String.valueOf).mkString(" "))
+      }
+    def extreme(c: String, isMin: Boolean, fs: Seq[GraftTable.FileStats])
         : Option[(StructField, Any)] = for {
       i <- colIdx(c)
       dt <- logicalType(c)
@@ -605,7 +641,7 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
       // all-null files record min > max sentinels and contribute
       // nothing to a column extreme; SQL MIN/MAX ignore nulls the
       // same way
-      live = st.files.filter(f => f.rows > 0 && f.mins(i) <= f.maxs(i))
+      live = fs.filter(f => f.rows > 0 && f.mins(i) <= f.maxs(i))
       v <- if (live.isEmpty) Some(null)
       else {
         val ord = if (isMin) live.map(_.mins(i)).min
@@ -623,27 +659,40 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
       }
     } yield (StructField(s"${if (isMin) "min" else "max"}_$c", dt,
       nullable = true), v)
-    val rowsTotal = st.files.map(_.rows).sum
-    val outs: Seq[Option[(StructField, Any)]] =
+    def aggOver(fs: Seq[GraftTable.FileStats])
+        : Seq[Option[(StructField, Any)]] =
       agg.aggregateExpressions().toSeq.map {
         case _: CountStar =>
           Some((StructField("count_star", LongType, nullable = false),
-            rowsTotal))
+            fs.map(_.rows).sum))
         case c: Count if !c.isDistinct =>
           for {
             name <- single(c.column())
             i <- colIdx(name)
             // COUNT(col) = rows - nulls; requires every file to carry
             // the null-count extension (older stats lines omit it)
-            if st.files.forall(_.nulls.nonEmpty)
+            if fs.forall(_.nulls.nonEmpty)
           } yield (StructField(s"count_$name", LongType, nullable = false),
-            rowsTotal - st.files.map(_.nulls(i)).sum)
-        case m: Min => single(m.column()).flatMap(extreme(_, isMin = true))
-        case m: Max => single(m.column()).flatMap(extreme(_, isMin = false))
+            fs.map(_.rows).sum - fs.map(_.nulls(i)).sum)
+        case m: Min =>
+          single(m.column()).flatMap(extreme(_, isMin = true, fs))
+        case m: Max =>
+          single(m.column()).flatMap(extreme(_, isMin = false, fs))
         case _ => None
       }
-    if (outs.exists(_.isEmpty)) None
-    else Some((StructType(outs.flatten.map(_._1)), outs.flatten.map(_._2)))
+    val gbFields: Seq[Option[StructField]] = gbCols.map(c =>
+      logicalType(c).map(dt => StructField(c, dt, nullable = true)))
+    if (gbFields.exists(_.isEmpty)) return None
+    // supportability is decided DATA-INDEPENDENTLY first (a probe over
+    // no files): with zero groups there would be no per-group evidence,
+    // and the schema must still carry one field per aggregate
+    val probe = aggOver(Nil)
+    if (probe.exists(_.isEmpty)) return None
+    val perGroup: Seq[(Seq[Any], Seq[Option[(StructField, Any)]])] =
+      groups.map { case (key, fs) => (key, aggOver(fs)) }
+    if (perGroup.exists(_._2.exists(_.isEmpty))) None
+    else Some((StructType(gbFields.flatten ++ probe.flatten.map(_._1)),
+      perGroup.map { case (key, outs) => key ++ outs.flatten.map(_._2) }))
   }
 
   override def build(): Scan = {
@@ -669,33 +718,34 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
 }
 
 /** The scan a COMPLETELY-pushed aggregation resolves to: one partition,
-  * one row, values computed driver-side from the manifest stats line —
-  * the data files are never planned, opened, or footer-read. The single
-  * row rides as plain JVM values (counts are Longs; statenc extremes
-  * decode to catalyst-internal numerics/temporals by the registry
-  * contract), so the reader just wraps them in a GenericInternalRow. */
-private[graft] case class GraftMetaAggPartition(values: Seq[Any])
+  * one row per group (one total row when there is no group-by), values
+  * computed driver-side from the manifest stats line — the data files
+  * are never planned, opened, or footer-read. Rows ride as plain JVM /
+  * catalyst-internal values (counts are Longs; statenc extremes and
+  * partition-dir group keys decode to catalyst form by construction),
+  * so the reader just wraps them in GenericInternalRows. */
+private[graft] case class GraftMetaAggPartition(rows: Seq[Seq[Any]])
     extends InputPartition
 
 private[graft] class GraftMetaAggScan(table: GraftSparkTable,
-    schema: StructType, values: Seq[Any])
+    schema: StructType, rows: Seq[Seq[Any]])
     extends Scan with Batch with SupportsMetadata {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftMetaAggPartition(values))
+    Array(GraftMetaAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition)
           : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
-        private val vs = p.asInstanceOf[GraftMetaAggPartition].values
-        private var served = false
-        override def next(): Boolean = if (served) false else {
-          served = true; true
-        }
+        private val it = p.asInstanceOf[GraftMetaAggPartition].rows.iterator
+        private var cur: Seq[Any] = _
+        override def next(): Boolean = if (it.hasNext) {
+          cur = it.next(); true
+        } else false
         override def get(): InternalRow =
           new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(vs.toArray)
+            .GenericInternalRow(cur.toArray)
         override def close(): Unit = ()
       }
     }

@@ -622,6 +622,35 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("meta-agg: GROUP BY a partition column (and a subset of several) serves per-dir rows; non-partition group-by falls back") {
+    import spark.implicits._
+    val dir = freshDir("metagrp")
+    val df = Seq((1L, "x", "u"), (2L, "x", "v"), (5L, "y", "u"),
+      (9L, "y", "u"), (4L, "y", "v")).toDF("k", "p", "q")
+    GraftTable.commitNextIsolated(spark, dir, df, "two-level partby",
+      partitionBy = Seq("p", "q"), statsEnc = Seq("k" -> "id"))
+    def t() = spark.read.format("graft").load(dir)
+    // full partition-column group-by: one metadata row per dir
+    val g2 = t().groupBy("p", "q")
+      .agg(count(lit(1)).as("n"), max("k").as("mx"))
+    assert(metaAggEngaged(g2), g2.queryExecution.executedPlan.toString)
+    assert(plannedFiles(g2).isEmpty)
+    assert(g2.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).toSeq.sorted ==
+      Seq(("x", "u", 1L, 1L), ("x", "v", 1L, 2L),
+        ("y", "u", 2L, 9L), ("y", "v", 1L, 4L)))
+    // a SUBSET of the partition columns: groups merge across dirs
+    val g1 = t().groupBy("p").agg(count(lit(1)).as("n"), min("k").as("mn"))
+    assert(metaAggEngaged(g1), g1.queryExecution.executedPlan.toString)
+    assert(g1.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq.sorted == Seq(("x", 2L, 1L), ("y", 3L, 4L)))
+    // grouping by a NON-partition column falls back (per-file stats
+    // cannot split a file across groups) — values still correct
+    val gq = t().groupBy("k").agg(count(lit(1)).as("n"))
+    assert(!metaAggEngaged(gq))
+    assert(gq.collect().length == 5)
+  }
+
   // ---- 11. bucket-transform SPJ ------------------------------------------
 
   /** Two co-bucketed (n=4) tables over disjoint-ish key sets. */
