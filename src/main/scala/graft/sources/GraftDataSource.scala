@@ -484,14 +484,13 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
   // input (the inner builder's own pushedDataFilters is protected)
   private var pushedV1: Array[sources.Filter] = Array.empty
 
-  // whether ANY predicate reached this scan — pushed data filters AND
-  // fully-consumed partition filters alike disqualify the metadata-only
-  // aggregate answer (manifest totals describe the WHOLE version, not a
-  // filtered slice)
-  private var sawFilters = false
+  // whether every pushed predicate made it into `pushedV1` — a conjunct
+  // the V1 bridge cannot express would otherwise be INVISIBLE to the
+  // metadata-only aggregate gate below, which must see (and decide)
+  // every filter or stand down
+  private var allFiltersTranslated = true
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    sawFilters = sawFilters || filters.nonEmpty
     // pushed predicates reference LOGICAL attribute names — rewrite to
     // physical for the parquet builder, and hand any residual back to
     // Spark under its ORIGINAL logical expression (it re-evaluates
@@ -505,6 +504,7 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
       })
     pushedV1 = phys.flatMap(e =>
       org.apache.spark.sql.graft.GraftSqlBridge.translateFilter(e)).toArray
+    allFiltersTranslated &&= pushedV1.length == phys.length
     val residual = inner.pushFilters(phys)
     if (table.colmap.isEmpty) residual
     else {
@@ -565,7 +565,6 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types.LongType
-    if (sawFilters) return None
     if (table.headers.contains("dv")) return None
     val statsHdr = table.headers.get("stats").getOrElse(return None)
     val st = GraftTable.TableStats.decode(statsHdr)
@@ -609,27 +608,78 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
       if (fullSchema.fieldNames.contains(c))
         Some(fullSchema(fullSchema.fieldIndex(c)).dataType)
       else None
+    // ---- filters: a filtered aggregate is still metadata-exact when
+    // EVERY conjunct is decidable per partition DIR (equality / IN /
+    // null tests on partition columns — the same decisions partition
+    // pruning makes, which are exact, never approximate). Any other
+    // filter shape, any filter on a data column, or a conjunct the V1
+    // bridge could not even express, stands the whole pushdown down.
+    def conjunctsOf(f: sources.Filter): Seq[sources.Filter] = f match {
+      case sources.And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      case other => Seq(other)
+    }
+    val conjuncts = pushedV1.toSeq.flatMap(conjunctsOf)
+    if (!allFiltersTranslated) return None
+    if (conjuncts.nonEmpty && table.partCols.isEmpty) return None
+    // the dir table: every partition value tuple with its path prefix
+    // (needed for filters AND for group keys)
+    lazy val spec = table.index.partitionSpec()
+    def isPart(c: String): Boolean = table.partCols.contains(c)
+    def dirPasses(values: InternalRow): Option[Boolean] = {
+      def pv(c: String): Any = {
+        val i = spec.partitionColumns.fieldIndex(c)
+        values.get(i, spec.partitionColumns.fields(i).dataType)
+      }
+      def conv(c: String, v: Any): Any = {
+        val i = spec.partitionColumns.fieldIndex(c)
+        CatalystTypeConverters.createToCatalystConverter(
+          spec.partitionColumns.fields(i).dataType)(v)
+      }
+      val verdicts = conjuncts.map {
+        case sources.EqualTo(c, v) if isPart(c) =>
+          Some(pv(c) != null && pv(c) == conv(c, v))
+        case sources.In(c, vs) if isPart(c) =>
+          Some(pv(c) != null && vs.exists(v => conv(c, v) == pv(c)))
+        case sources.IsNotNull(c) if isPart(c) => Some(pv(c) != null)
+        case sources.IsNull(c) if isPart(c) => Some(pv(c) == null)
+        case _ => None
+      }
+      if (verdicts.exists(_.isEmpty)) None
+      else Some(verdicts.flatten.forall(identity))
+    }
+    // files that survive the dir filter, each with its dir's values
+    val keptFiles: Seq[(GraftTable.FileStats, Option[InternalRow])] =
+      if (table.partCols.isEmpty) st.files.map((_, None))
+      else {
+        val dirs: Seq[(String, InternalRow, Boolean)] =
+          spec.partitions.map { pp =>
+            dirPasses(pp.values) match {
+              case Some(keep) =>
+                (pp.path.toUri.normalize().getPath, pp.values, keep)
+              case None => return None // an undecidable conjunct
+            }
+          }
+        st.files.flatMap { f =>
+          val p = canonOf(f)
+          dirs.find { case (d, _, _) => p.startsWith(d + "/") } match {
+            case Some((_, values, keep)) =>
+              if (keep) Some((f, Some(values))) else None
+            case None => return None // a file outside every known dir
+          }
+        }
+      }
     // file → its group key (the dir's partition values projected onto
     // the group-by columns, in group-by order); one flat key for the
     // global aggregate
     val groups: Seq[(Seq[Any], Seq[GraftTable.FileStats])] =
-      if (gbCols.isEmpty) Seq((Nil, st.files))
+      if (gbCols.isEmpty) Seq((Nil, keptFiles.map(_._1)))
       else {
-        val spec = table.index.partitionSpec()
         val idx = gbCols.map(spec.partitionColumns.fieldIndex)
         val dts = idx.map(i => spec.partitionColumns.fields(i).dataType)
-        val dirs: Seq[(String, Seq[Any])] = spec.partitions.map { pp =>
-          (pp.path.toUri.normalize().getPath,
-            idx.zip(dts).map { case (i, dt) => pp.values.get(i, dt) })
-        }
-        val keyed = st.files.map { f =>
-          val p = canonOf(f)
-          dirs.find { case (d, _) => p.startsWith(d + "/") } match {
-            case Some((_, key)) => (key, f)
-            case None => return None // a file outside every known dir
-          }
-        }
-        keyed.groupBy(_._1).toSeq
+        keptFiles.map { case (f, values) =>
+          val vs = values.getOrElse(return None)
+          (idx.zip(dts).map { case (i, dt) => vs.get(i, dt) }, f)
+        }.groupBy(_._1).toSeq
           .map { case (k, fs) => (k, fs.map(_._2)) }
           .sortBy(_._1.map(String.valueOf).mkString(" "))
       }

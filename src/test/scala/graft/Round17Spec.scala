@@ -512,7 +512,8 @@ class Round17Spec extends SparkSpec {
     val dir = metaAggFixture("metaagggate",
       Seq("key" -> "id", "odate" -> "us"))
     def t() = spark.read.format("graft").load(dir)
-    // a filter of ANY kind (manifest totals describe the whole version)
+    // a data-column filter (only partition-dir-decidable filters keep
+    // the metadata answer exact)
     assert(!metaAggEngaged(t().where(col("key") > 1)
       .agg(count(lit(1)))))
     // group-by
@@ -649,6 +650,39 @@ class Round17Spec extends SparkSpec {
     val gq = t().groupBy("k").agg(count(lit(1)).as("n"))
     assert(!metaAggEngaged(gq))
     assert(gq.collect().length == 5)
+  }
+
+  test("meta-agg: partition-column filters stay metadata-exact — equality, IN, null tests; range and data filters fall back") {
+    import spark.implicits._
+    val dir = freshDir("metafilt")
+    val df = Seq((1L, Some("x")), (2L, Some("x")), (5L, Some("y")),
+      (9L, None: Option[String])).toDF("k", "p")
+    GraftTable.commitNextIsolated(spark, dir, df, "filtered meta-agg",
+      partitionBy = Seq("p"), statsEnc = Seq("k" -> "id"))
+    def t() = spark.read.format("graft").load(dir)
+    val eq = t().where(col("p") === "x")
+      .agg(count(lit(1)).as("n"), max("k").as("mx"))
+    assert(metaAggEngaged(eq), eq.queryExecution.executedPlan.toString)
+    assert(plannedFiles(eq).isEmpty)
+    val er = eq.collect().head
+    assert(er.getLong(0) == 2L && er.getLong(1) == 2L)
+    val in = t().where(col("p").isin("x", "y")).agg(count(lit(1)).as("n"))
+    assert(metaAggEngaged(in), in.queryExecution.executedPlan.toString)
+    assert(in.collect().head.getLong(0) == 3L)
+    val nn = t().where(col("p").isNull).agg(count(lit(1)).as("n"))
+    assert(metaAggEngaged(nn), nn.queryExecution.executedPlan.toString)
+    assert(nn.collect().head.getLong(0) == 1L)
+    // filter + group-by compose
+    val fg = t().where(col("p").isNotNull).groupBy("p")
+      .agg(count(lit(1)).as("n"))
+    assert(metaAggEngaged(fg), fg.queryExecution.executedPlan.toString)
+    assert(fg.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.sorted == Seq(("x", 2L), ("y", 1L)))
+    // a RANGE filter on the partition column is not dir-equality —
+    // falls back, values still right
+    val rg = t().where(col("p") > "w").agg(count(lit(1)).as("n"))
+    assert(!metaAggEngaged(rg))
+    assert(rg.collect().head.getLong(0) == 3L)
   }
 
   // ---- 11. bucket-transform SPJ ------------------------------------------
