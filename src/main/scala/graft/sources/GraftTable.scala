@@ -1675,13 +1675,7 @@ object GraftTable {
         org.apache.spark.sql.types.IntegerType,
         s"bucket column '$bCol' must be INT (the bucket transform's " +
           s"result type); got ${df.schema(bCol).dataType.simpleString}")
-      val bad = df.filter(not(col(bCol).cast("int") <=>
-          pmod(col(keyCol).cast("long"), lit(n.toLong)).cast("int")))
-        .limit(1).count()
-      require(bad == 0,
-        s"bucket invariant violated: '$bCol' must equal " +
-          s"floorMod($keyCol, $n) on every row — fix the bucket column " +
-          "or drop the bucketFn declaration")
+      validateBucketInvariant(df, n, keyCol, bCol)
     }
     val v = cur.map(_._1 + 1).getOrElse(0)
     val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -2021,6 +2015,22 @@ object GraftTable {
       val i = e.lastIndexOf(':')
       (urlDec(e.take(i)), urlDec(e.drop(i + 1)))
     }.toMap
+
+  /** The one bucket-invariant check every bucket-writing door shares:
+    * refuse unless `bucketCol = floorMod(keyCol, n)` holds on every row
+    * of `df` (one column-pruned distributed pass, short-circuited at
+    * the first violation). */
+  private[graft] def validateBucketInvariant(df: DataFrame, n: Int,
+      keyCol: String, bCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, not, pmod}
+    val bad = df.filter(not(col(bCol).cast("int") <=>
+        pmod(col(keyCol).cast("long"), lit(n.toLong)).cast("int")))
+      .limit(1).count()
+    require(bad == 0,
+      s"bucket invariant violated: '$bCol' must equal " +
+        s"floorMod($keyCol, $n) on every row — fix the bucket column " +
+        "or drop the bucketFn declaration")
+  }
 
   /** bucketfn= codec: `<n>,<keyCol>,<bucketCol>` — the declared bucket
     * transform of a partby layout (bucketCol = floorMod(keyCol, n),
@@ -2699,15 +2709,11 @@ object GraftTable {
         s"this table's partitionBy layout ($declaredPartBy) changed " +
           s"after the write staged its dirs ($stagedPartBy) — re-run " +
           "the write against the new layout")
-      // a BUCKET-declared layout refuses both DSv2 modes: an append's
-      // incoming rows are not validated against the bucket invariant
-      // here, and an overwrite would silently strip the declaration
-      // the planner's key-group alignment trusts
-      require(!h.contains("bucketfn"),
-        s"cannot write to a bucket-layout table (bucketfn=" +
-          s"${h.getOrElse("bucketfn", "")}) through the DSv2 door — " +
-          "rewrite via commitNextIsolated(bucketFn = …), which " +
-          "validates the bucket invariant row-for-row")
+      // a BUCKET-declared layout is served by both DSv2 modes: the
+      // staged rows are validated against the bucket invariant before
+      // any version mints (commitStagedDsv2), and the declaration
+      // carries — so the planner's key-group alignment stays truthful
+      // through DSv2 ingest too
       // a statenc-declared stats line and a bloom= line are
       // SELF-DESCRIBED by the manifest (registry encoding names /
       // col|m|k sections), so BOTH DSv2 modes re-derive them
@@ -2801,6 +2807,15 @@ object GraftTable {
         // freshly indexed chain
         val (newStats, statsEncDecl, newBloom) =
           dsv2IndexExtension(spark, dir, effStaged, cur.map(_._2))
+        // a bucket-declared target validates the STAGED rows against
+        // the invariant before any version mints (append: old files
+        // were validated at their own commits; overwrite: the staged
+        // rows ARE the new snapshot) — re-read per attempt like the
+        // index, in case the race winner declared bucketing mid-race
+        cur.map(_._2).flatMap(bucketFnOf).foreach {
+          case (n, keyCol, bCol) =>
+            validateBucketInvariant(stagedDf, n, keyCol, bCol)
+        }
         val carried = carriedConstraints(cur)
         if (carried.nonEmpty)
           enforceConstraints(stagedDf, carried,
@@ -2832,7 +2847,8 @@ object GraftTable {
               if (statsEncDecl.isEmpty || newStats.isEmpty) None
               else Some(StatsEnc.encode(statsEncDecl)),
             constraintsHdr =
-              if (carried.isEmpty) None else Some(constraintsEncode(carried)))
+              if (carried.isEmpty) None else Some(constraintsEncode(carried)),
+            bucketFnHdr = cur.flatMap(_._2.get("bucketfn")))
           done = true
         } catch {
           case e: java.util.ConcurrentModificationException =>

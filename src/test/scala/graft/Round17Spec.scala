@@ -762,7 +762,7 @@ class Round17Spec extends SparkSpec {
     assert(e3.getMessage.contains("partitions by exactly"), e3.getMessage)
   }
 
-  test("bucket-spj: the declaration survives compaction and ALTER ADD, refuses DSv2 writes and key-column rename/drop") {
+  test("bucket-spj: the declaration survives compaction, ALTER ADD, validated DSv2 appends and CoW DML; key-column rename/drop refuses") {
     import spark.implicits._
     val (a, _) = bucketFixtures("bktdoors")
     def hdrs() = {
@@ -777,13 +777,22 @@ class Round17Spec extends SparkSpec {
     // metadata-only ADD COLUMN carries
     GraftTable.commitAddColumns(spark, a, Seq(("note", "string")))
     assert(hdrs().contains("bucketfn"), "ALTER ADD dropped bucketfn")
-    // the DSv2 doors refuse (incoming rows are not invariant-validated)
-    val e = intercept[Exception] {
-      Seq((9L, 90L, 1, "x")).toDF("k", "v", "cb", "note")
-        .write.format("graft").mode("append")
-        .save(new java.io.File(a).getAbsolutePath)
+    // the DSv2 append door validates the STAGED rows' invariant and
+    // carries the declaration; a violating batch refuses with no
+    // version minted
+    val abs = new java.io.File(a).getAbsolutePath
+    val nvBefore = GraftTable.versions(GraftTable.fsOf(spark, a), a).size
+    val bad = intercept[Exception] {
+      Seq((9L, 90L, "x", 3)).toDF("k", "v", "note", "cb")
+        .write.format("graft").mode("append").save(abs)
     }
-    assert(e.getMessage.contains("bucket-layout"), e.getMessage)
+    assert(bad.getMessage.contains("bucket invariant"), bad.getMessage)
+    assert(GraftTable.versions(GraftTable.fsOf(spark, a), a).size
+      == nvBefore, "a refused append minted a version")
+    Seq((9L, 90L, "x", 1)).toDF("k", "v", "note", "cb")
+      .write.format("graft").mode("append").save(abs)
+    assert(hdrs().contains("bucketfn"), "DSv2 append dropped bucketfn")
+    assert(GraftTable.read(spark, a).count() == 6L)
     // renaming or dropping the declared key column refuses
     val e2 = intercept[IllegalArgumentException] {
       GraftTable.commitRenameColumns(spark, a, Seq(("k", "kk")))
@@ -802,7 +811,7 @@ class Round17Spec extends SparkSpec {
     spark.sql(s"DELETE FROM gt17s.`${new java.io.File(a).getAbsolutePath}` " +
       "WHERE k = 11")
     assert(hdrs().contains("bucketfn"), "SQL DELETE dropped bucketfn")
-    assert(GraftTable.read(spark, a).count() == 4L)
+    assert(GraftTable.read(spark, a).count() == 5L)
   }
 
   test("meta-agg: all-null stats column serves NULL extremes; empty-after-sentinel files are skipped") {
