@@ -339,6 +339,10 @@ object Round17Ops {
         o.groupBy("prio")
           .agg(countDistinct(col("o_custkey")).as("n_cust")),
         "spj dim", partitionBy = Seq("prio"))
+      // left ON deliberately: the DataFrame executes AFTER this lambda
+      // returns, so the conf must outlive it. It is read-path-only
+      // (key-grouped planning over partby graft scans); every key's
+      // VALUES are conf-invariant and the key order is fixed per build
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.read.format("graft").load(dirA)
         .join(s.read.format("graft").load(dirB), "prio")
@@ -371,6 +375,7 @@ object Round17Ops {
         partitionBy = Seq("cb"), bucketFn = Some((n, "o_custkey")))
       GraftTable.commitNextIsolated(s, dirB, c, "customer bucketed",
         partitionBy = Seq("cb"), bucketFn = Some((n, "c_custkey")))
+      // left ON deliberately — same rationale as table_spj_join
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       withCatalog(s, "gt17")
       val aa = new java.io.File(dirA).getAbsolutePath

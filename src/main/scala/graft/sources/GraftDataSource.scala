@@ -138,6 +138,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       Option(schema).filter(_.nonEmpty))
 }
 
+/** Shared V1-filter utilities for the scan's two manifest consumers
+  * (the pruning verdict and the metadata-only aggregate gate). */
+private[graft] object GraftFilters {
+  /** Flatten a filter's implicit conjunction (nested Ands). */
+  def conjuncts(f: sources.Filter): Seq[sources.Filter] = f match {
+    case sources.And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+}
+
 /** One committed version of a GraftTable dir as a DSv2 `Table`. All
   * manifest resolution happens ONCE here (one commit-file read); the
   * scan builder below reuses the parsed headers, the shared file index
@@ -351,11 +361,7 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
   private[graft] def manifestVerdict(pushed: Array[sources.Filter])
       : Option[String => Boolean] = {
     // flatten the implicit conjunction (the array) plus nested Ands
-    def conjuncts(f: sources.Filter): Seq[sources.Filter] = f match {
-      case sources.And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val preds = pushed.toSeq.flatMap(conjuncts)
+    val preds = pushed.toSeq.flatMap(GraftFilters.conjuncts)
 
     // ---- stats bands (statenc-declared columns only) ----
     val encs: Map[String, String] =
@@ -546,15 +552,31 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
   // Anything outside the gate returns false and Spark plans the
   // ordinary distributed aggregate — never a guess.
   private var metaAgg: Option[(StructType, Seq[Seq[Any]])] = None
+  // memo for the supportCompletePushDown → pushAggregation double call
+  // (Aggregation is a record with structural equality): one manifest
+  // decode + file-set walk per builder, not two
+  private var metaAggMemo: Option[(
+    org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    Option[(StructType, Seq[Seq[Any]])])] = None
+
+  private def metaAggFor(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Seq[Any]])] = metaAggMemo match {
+    case Some((a, r)) if a == agg => r
+    case _ =>
+      val r = metaAggResult(agg)
+      metaAggMemo = Some((agg, r))
+      r
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = metaAggResult(agg).isDefined
+      : Boolean = metaAggFor(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    val r = metaAggResult(agg)
+    val r = metaAggFor(agg)
     metaAgg = r
     r.isDefined
   }
@@ -608,17 +630,27 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
       if (fullSchema.fieldNames.contains(c))
         Some(fullSchema(fullSchema.fieldIndex(c)).dataType)
       else None
+    // the encoding must ROUND-TRIP the column's type, for COUNT(col)
+    // as much as for MIN/MAX: a lossy declaration ("id" on a string
+    // column) writes ordinal nulls for values that are NOT null, so its
+    // recorded null counts describe the ordinal, not the column —
+    // serving rows-minus-nulls from them would be silently wrong
+    def encRoundTrips(c: String): Boolean =
+      logicalType(c).exists { dt =>
+        encs.get(phys(c)).exists { enc =>
+          (enc, dt) match {
+            case ("us", org.apache.spark.sql.types.TimestampNTZType) => true
+            case _ => GraftTable.StatsEnc.ordinalValue(enc, 0L, dt).isDefined
+          }
+        }
+      }
     // ---- filters: a filtered aggregate is still metadata-exact when
     // EVERY conjunct is decidable per partition DIR (equality / IN /
     // null tests on partition columns — the same decisions partition
     // pruning makes, which are exact, never approximate). Any other
     // filter shape, any filter on a data column, or a conjunct the V1
     // bridge could not even express, stands the whole pushdown down.
-    def conjunctsOf(f: sources.Filter): Seq[sources.Filter] = f match {
-      case sources.And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
-      case other => Seq(other)
-    }
-    val conjuncts = pushedV1.toSeq.flatMap(conjunctsOf)
+    val conjuncts = pushedV1.toSeq.flatMap(GraftFilters.conjuncts)
     if (!allFiltersTranslated) return None
     if (conjuncts.nonEmpty && table.partCols.isEmpty) return None
     // the dir table: every partition value tuple with its path prefix
@@ -720,8 +752,11 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
             name <- single(c.column())
             i <- colIdx(name)
             // COUNT(col) = rows - nulls; requires every file to carry
-            // the null-count extension (older stats lines omit it)
-            if fs.forall(_.nulls.nonEmpty)
+            // the null-count extension (older stats lines omit it) AND
+            // a type-exact encoding (the null counts count ORDINAL
+            // nulls — only a round-tripping encoding makes those the
+            // column's nulls)
+            if fs.forall(_.nulls.nonEmpty) && encRoundTrips(name)
           } yield (StructField(s"count_$name", LongType, nullable = false),
             fs.map(_.rows).sum - fs.map(_.nulls(i)).sum)
         case m: Min =>
@@ -946,19 +981,25 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
         val dts = idx.map(i => pschema.fields(i).dataType)
         f => idx.zip(dts).map { case (i, dt) => f.partitionValues.get(i, dt) }
     }
-    val files = parts.flatMap {
-      case fp: FilePartition => fp.files
+    // split each PLANNED partition by key rather than globally merging
+    // per key: when key-grouped execution engages, Spark merges
+    // same-key splits itself (groupPartitions), and when it does NOT
+    // engage — a path-based read with no function catalog to resolve
+    // the bucket transform, or a scan that pruned the identity keys —
+    // the original read parallelism survives instead of collapsing to
+    // one task per partition value
+    parts.flatMap {
+      case fp: FilePartition =>
+        fp.files.groupBy(keyOf).toSeq
+          // deterministic order: sort by the key's string image
+          .sortBy(_._1.map(String.valueOf).mkString(" "))
+          .map { case (key, fs) => (key, fs.sortBy(_.urlEncodedPath)) }
       case other => return parts // non-file partitions: never regroup
+    }.zipWithIndex.map { case ((key, fs), i) =>
+      new GraftKeyedFilePartition(i, fs,
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(key.toArray)): InputPartition
     }
-    files.groupBy(keyOf).toSeq
-      // deterministic group order: sort by the key's string image
-      .sortBy(_._1.map(String.valueOf).mkString(" "))
-      .zipWithIndex.map { case ((key, fs), i) =>
-        new GraftKeyedFilePartition(i,
-          fs.sortBy(_.urlEncodedPath),
-          new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(key.toArray)): InputPartition
-      }.toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

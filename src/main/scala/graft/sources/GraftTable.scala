@@ -984,7 +984,20 @@ object GraftTable {
     // pushdown) would otherwise refuse a layout whose hash repartition
     // left an empty task, and band pruning correctly skips it (an
     // empty file matches no predicate).
-    val seen = covered.map(_.file).toSet
+    // the covered keys come from input_file_name(), which serves the
+    // URL-ENCODED path (a space in a partition value reads %20), while
+    // inputFiles lists the raw on-disk names — decode the covered side
+    // ONCE (and only it: the raw side may legitimately contain a
+    // disk-escaped %25 that must not over-decode) or a special-character
+    // dir would mint a phantom duplicate 0-row entry per real file
+    def dec(s: String): String =
+      // URI-style decode: %XX only — URLDecoder's form-decoding would
+      // additionally turn a literal '+' (legal in a URI path, so
+      // input_file_name leaves it as-is) into a space
+      try java.net.URLDecoder.decode(s.replace("+", "%2B"),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: IllegalArgumentException => s }
+    val seen = covered.map(f => dec(f.file)).toSet
     val empties = df.inputFiles.toSeq
       .map(_.replaceFirst(
         "^.*?/" + java.util.regex.Pattern.quote(dataName) + "/", ""))

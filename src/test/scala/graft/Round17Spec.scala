@@ -527,6 +527,23 @@ class Round17Spec extends SparkSpec {
     assert(!metaAggEngaged(t().agg(sum(col("key")))))
     // values still correct through the fallback
     assert(t().agg(count(lit(1))).collect().head.getLong(0) == 4L)
+    // an encoding that does not ROUND-TRIP the column's type (id on a
+    // decimal column commits — the ordinal cast truncates): the null
+    // counts describe the ordinal, not the column, so COUNT(col) must
+    // refuse the metadata answer and fall back to the true count (a
+    // lossy id-on-string declaration fails loudly at commit under ANSI,
+    // but the read side must not TRUST the declaration's type either)
+    val lossy = freshDir("metaagglossy")
+    GraftTable.commitNextIsolated(spark, lossy,
+      Seq((1L, BigDecimal("1.50")), (2L, BigDecimal("7.25")))
+        .toDF("key", "s"),
+      "non-round-tripping declaration",
+      statsEnc = Seq("key" -> "id", "s" -> "id"))
+    val lq = spark.read.format("graft").load(lossy)
+      .agg(count(col("s")).as("n"))
+    assert(!metaAggEngaged(lq), lq.queryExecution.executedPlan.toString)
+    assert(lq.collect().head.getLong(0) == 2L,
+      "COUNT over a non-round-tripping column must serve the TRUE count")
     // no stats line at all
     val plain = freshDir("metaaggplain")
     GraftTable.commitNextIsolated(spark, plain,
