@@ -100,7 +100,15 @@ object PlanDump {
       // read (physical-name scan, logical output), and the upsert
       // sink's MoR fold read (per-dir scans + one broadcast anti-join)
       "table_update_sql_indexed", "table_dsv2_write_partby",
-      "table_alter_rename_sql", "table_stream_write_update")
+      "table_alter_rename_sql", "table_stream_write_update",
+      // round-17 session 2: the metadata-only aggregate (a bare one-row
+      // GraftMetaAggScan — no aggregate, no exchange, no file), its
+      // grouped variant (one row per partition dir), and the two
+      // storage-partitioned joins (SortMergeJoin with NO exchange under
+      // it — identity transform and bucket(n, key) through the
+      // function catalog)
+      "table_meta_agg_pushdown", "table_meta_agg_groupby",
+      "table_spj_join", "table_bucket_spj_join")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")
