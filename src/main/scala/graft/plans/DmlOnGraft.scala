@@ -142,6 +142,29 @@ object GraftDml {
     }
   }
 
+  /** SERIALIZABLE OCC retry for the SQL mutation doors: a concurrent
+    * commit between a statement's snapshot resolution and its publish
+    * surfaces as ConcurrentModificationException (the expectVersion pin
+    * or the atomic-publish loss — never a silent overwrite); re-running
+    * the WHOLE body re-resolves the head, re-decides the MoR/CoW arm
+    * (the racer may have attached an index or re-laid out the table)
+    * and recomputes against the new snapshot — the statement lands as
+    * if it ran strictly after the racer, which is exactly serial
+    * execution. Bounded attempts: a hot table that keeps losing races
+    * eventually surfaces the conflict to the caller. */
+  private[plans] def withOccRetry[A](maxAttempts: Int = 10)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Layouts the MoR engines refuse but the copy-on-write arm serves
     * (a colmap head additionally NORMALIZES: the rewrite's fresh files
     * carry the logical names and the mapping clears). */
@@ -216,7 +239,7 @@ case class UpdateDeleteGraftRule(spark: SparkSession)
   * assignments rebuild their struct (`GraftDml.assignments`). */
 case class GraftUpdateCommand(update: UpdateTable, dir: String)
     extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
+  override def run(spark: SparkSession): Seq[Row] = GraftDml.withOccRetry() {
     val sets = GraftDml.assignments(spark, update.assignments)
     val cond = update.condition.map(GraftDml.portable).getOrElse(lit(true))
     val fs = GraftTable.fsOf(spark, dir)
@@ -258,7 +281,7 @@ case class GraftUpdateCommand(update: UpdateTable, dir: String)
   * read different heads. */
 case class GraftDeleteCommand(delete: DeleteFromTable, dir: String)
     extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
+  override def run(spark: SparkSession): Seq[Row] = GraftDml.withOccRetry() {
     val cond = GraftDml.portable(delete.condition)
     val fs = GraftTable.fsOf(spark, dir)
     val cur = GraftTable.currentVersion(fs, dir).getOrElse(

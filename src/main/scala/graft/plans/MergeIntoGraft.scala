@@ -64,6 +64,11 @@ case class MergeIntoGraftRule(spark: SparkSession) extends Rule[LogicalPlan] {
 case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
     extends LeafRunnableCommand {
 
+  // NOTE deliberately NOT wrapped in GraftDml.withOccRetry: the merge
+  // reads the SNAPSHOT its resolved relation pinned at analysis, so a
+  // retry would recompute the same expectVersion against the same old
+  // rows and lose again — 10 futile distributed merges. A raced MERGE
+  // must loudly ask the caller to re-plan against the new head.
   override def run(spark: SparkSession): Seq[Row] = {
     val target = merge.targetTable
     val source = merge.sourceTable
