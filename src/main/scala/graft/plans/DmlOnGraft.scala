@@ -267,8 +267,12 @@ case class GraftUpdateCommand(update: UpdateTable, dir: String)
         }: _*)
       }
     } else
+      // pinned to the version the ARM DECISION was made on: a racer
+      // that attached an index (or re-laid out the table) between this
+      // door's header read and the impl's own must surface as the
+      // retryable CME, re-entering through needsCow on the new head
       GraftTable.commitUpdateImpl(spark, dir, keyColsOpt = None, cond,
-        sets, "UPDATE (SQL)")
+        sets, "UPDATE (SQL)", expectVersion = Some(cur))
     Seq.empty
   }
 }

@@ -959,6 +959,19 @@ object GraftTable {
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .orderBy("__file")
       .collect() // one small row per FILE — never data
+    // input_file_name() serves the URL-ENCODED path (a space in a
+    // partition value reads %20) while every consumer of the recorded
+    // names — canonPath matching against the index listing, band-read
+    // path reconstruction, the meta-agg coverage gate — works in RAW
+    // on-disk names: record the DECODED form, or a special-character
+    // partition dir's bands would silently match no planned file.
+    // %XX only — URLDecoder's form-decoding would additionally turn a
+    // literal '+' (legal in a URI path, left as-is by the encoder)
+    // into a space.
+    def dec(str: String): String =
+      try java.net.URLDecoder.decode(str.replace("+", "%2B"),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: IllegalArgumentException => str }
     val covered = rows.toSeq.map { r =>
         // a file whose stat column is entirely null has NO range: min/
         // max aggregate to null, and a naive getAs would unbox that to
@@ -972,7 +985,7 @@ object GraftTable {
           if (r.isNullAt(i)) empty else r.getLong(i)
         }
         val rows = r.getAs[Long]("__rows")
-        FileStats(r.getAs[String]("__file"), rows,
+        FileStats(dec(r.getAs[String]("__file")), rows,
           statsCols.map(c => longOr(s"__min_${c._1}", Long.MaxValue)),
           statsCols.map(c => longOr(s"__max_${c._1}", Long.MinValue)),
           statsCols.map(c => rows - r.getAs[Long](s"__cnt_${c._1}")))
@@ -983,24 +996,15 @@ object GraftTable {
     // that demand set-equal coverage (the metadata-only aggregate
     // pushdown) would otherwise refuse a layout whose hash repartition
     // left an empty task, and band pruning correctly skips it (an
-    // empty file matches no predicate).
-    // the covered keys come from input_file_name(), which serves the
-    // URL-ENCODED path (a space in a partition value reads %20), while
-    // inputFiles lists the raw on-disk names — decode the covered side
-    // ONCE (and only it: the raw side may legitimately contain a
-    // disk-escaped %25 that must not over-decode) or a special-character
-    // dir would mint a phantom duplicate 0-row entry per real file
-    def dec(s: String): String =
-      // URI-style decode: %XX only — URLDecoder's form-decoding would
-      // additionally turn a literal '+' (legal in a URI path, so
-      // input_file_name leaves it as-is) into a space
-      try java.net.URLDecoder.decode(s.replace("+", "%2B"),
-        java.nio.charset.StandardCharsets.UTF_8)
-      catch { case _: IllegalArgumentException => s }
-    val seen = covered.map(f => dec(f.file)).toSet
+    // empty file matches no predicate). inputFiles serves URI-encoded
+    // strings exactly like input_file_name — decode them the same way,
+    // so both sides land in the raw on-disk form the covered entries
+    // now record.
+    val seen = covered.map(_.file).toSet
     val empties = df.inputFiles.toSeq
       .map(_.replaceFirst(
         "^.*?/" + java.util.regex.Pattern.quote(dataName) + "/", ""))
+      .map(dec)
       .filterNot(seen)
       .map(f => FileStats(f, 0L,
         statsCols.map(_ => Long.MaxValue),
@@ -2264,11 +2268,22 @@ object GraftTable {
       keyColsOpt: Option[Seq[String]],
       cond: org.apache.spark.sql.Column,
       sets: Seq[(String, org.apache.spark.sql.Column)],
-      metadata: String = "", prefix: String = "v"): Int = {
+      metadata: String = "", prefix: String = "v",
+      expectVersion: Option[Int] = None): Int = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val fs = fsOf(spark, dir)
     val cur = currentVersion(fs, dir).getOrElse(
       sys.error(s"no committed version under $dir to update"))
+    // OCC pin BEFORE the layout gates (the commitDeleteVector rule): a
+    // caller whose arm decision was made on an older head must see
+    // ConcurrentModificationException — the retryable conflict — not a
+    // layout refusal computed from headers it never read (a racer
+    // attaching an index mid-flight would otherwise surface as
+    // IndexRedeclarationRequired and defeat the SQL door's retry)
+    expectVersion.foreach(ev =>
+      if (ev != cur) throw new java.util.ConcurrentModificationException(
+        s"update resolved its snapshot at version $ev of $dir but the " +
+          s"head is now $cur — re-read and retry"))
     val hdrs = parseCommit(commitContent(fs, dir, cur))._1
     require(!hdrs.contains("partby"),
       s"cannot update a partitionBy layout (${hdrs.getOrElse("partby", "")})" +

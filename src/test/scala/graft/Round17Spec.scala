@@ -524,6 +524,47 @@ class Round17Spec extends SparkSpec {
     assert(probe.length == 1 && probe.head.getLong(1) == 11L)
   }
 
+  test("api: commitUpdateImpl pins the expected version — a raced arm decision surfaces as the retryable conflict") {
+    import spark.implicits._
+    val dir = freshDir("updpin")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), "v0")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"), "v1 interloper")
+    intercept[java.util.ConcurrentModificationException] {
+      GraftTable.commitUpdateImpl(spark, dir, keyColsOpt = None,
+        col("k") === 1L, Seq("v" -> lit(99L)), "stale",
+        expectVersion = Some(0))
+    }
+    assert(GraftTable.versions(GraftTable.fsOf(spark, dir), dir)
+      == Seq(0, 1), "the refused update minted nothing")
+  }
+
+  test("stats: special-character partition values — recorded names are decoded, so band pruning and meta-agg coverage work") {
+    import spark.implicits._
+    val dir = freshDir("statsdec")
+    val df = Seq((1L, "a b"), (2L, "a b"), (55L, "c%d"))
+      .toDF("k", "p")
+    GraftTable.commitNextIsolated(spark, dir, df, "special chars",
+      partitionBy = Seq("p"), statsEnc = Seq("k" -> "id"))
+    val t = spark.read.format("graft").load(dir)
+    // the band verdict must KEEP the matching file (the encoded-name
+    // bug made the keep set match no planned path — zero rows)
+    val hit = t.where(col("k") === 55L)
+    assert(hit.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((55L, "c%d")))
+    // and it actually PRUNED: only the c%d dir's file planned
+    // plannedFiles serves urlEncodedPath: the on-disk dir is the
+    // hive-escaped p=c%25d, URL-encoded once more to p=c%2525d
+    val planned = plannedFiles(hit)
+    assert(planned.nonEmpty && planned.forall(_.contains("p=c%2525d")),
+      s"band pruning must keep exactly the matching dir: $planned")
+    // the meta-agg coverage gate (stats set-equal to live files) passes
+    val m = t.agg(count(lit(1)).as("n"))
+    assert(metaAggEngaged(m), m.queryExecution.executedPlan.toString)
+    assert(m.collect().head.getLong(0) == 3L)
+  }
+
   // ---- 9. metadata-only aggregate pushdown ------------------------------
 
   private def metaAggEngaged(df: org.apache.spark.sql.DataFrame): Boolean = {
