@@ -21,7 +21,10 @@ object BloomForensics {
       ranKeys: Set[String]): Unit = {
     import s.implicits._
     val base = new java.io.File(sfDir).getName
-    val fdir = s"$outDir/_forensics"
+    // SIBLING of outDir, not inside it: the driver globs outDir/* as
+    // per-query result dirs, so a dump inside would surface as a phantom
+    // "_forensics" correctness entry (VERDICT r17, missing item 6).
+    val fdir = s"${outDir.stripSuffix("/")}__forensics"
     def write(df: DataFrame, name: String): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$fdir/$name")
     def hitsDf(probes: Seq[(String, (Seq[String], Int))]): DataFrame =

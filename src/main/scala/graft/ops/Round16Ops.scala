@@ -354,8 +354,11 @@ object Round16Ops {
         "o_orderdate < TIMESTAMP '1996-06-01') AS band_rev, " +
         "CAST((SELECT COUNT(*) FROM orders WHERE o_custkey = " +
         "(SELECT MIN(o_custkey) FROM orders)) AS BIGINT) AS n_ck, " +
-        "(SELECT SUM(o_orderkey) FROM orders WHERE o_custkey = " +
-        "(SELECT MIN(o_custkey) FROM orders)) AS sum_ck, " +
+        // CAST: DuckDB's SUM(BIGINT) widens to HUGEINT, which hash-
+        // mismatches Spark's LongType in the driver even at equal values
+        // (VERDICT r17 root cause for this key's three-round red).
+        "CAST((SELECT SUM(o_orderkey) FROM orders WHERE o_custkey = " +
+        "(SELECT MIN(o_custkey) FROM orders)) AS BIGINT) AS sum_ck, " +
         "CAST(0 AS BIGINT) AS n_missed_band, " +
         "CAST(0 AS BIGINT) AS n_missed_ck, " +
         "CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_total"),
