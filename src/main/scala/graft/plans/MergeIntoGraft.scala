@@ -64,12 +64,38 @@ case class MergeIntoGraftRule(spark: SparkSession) extends Rule[LogicalPlan] {
 case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
     extends LeafRunnableCommand {
 
-  // NOTE deliberately NOT wrapped in GraftDml.withOccRetry: the merge
-  // reads the SNAPSHOT its resolved relation pinned at analysis, so a
-  // retry would recompute the same expectVersion against the same old
-  // rows and lose again — 10 futile distributed merges. A raced MERGE
-  // must loudly ask the caller to re-plan against the new head.
+  // SERIALIZABLE OCC retry — with RE-RESOLUTION. A bare retry would be
+  // futile (the resolved relation pins the snapshot at analysis, so
+  // replaying recomputes the same expectVersion against the same old
+  // rows and loses again — the round-16/17 refusal posture). Instead a
+  // lost race REBASES the target: the pinned GraftSparkTable inside the
+  // resolved relation is swapped for a fresh one at the new head,
+  // KEEPING the relation's output attributes (same exprIds, so the
+  // resolved condition and every action arm bind unchanged — sound
+  // because the swap is refused unless the head's schema is
+  // name-and-type identical). The whole body then re-runs: the
+  // full-outer join, the cardinality pre-check and the commit pin all
+  // read the racer's rows, so the merge lands as if it ran strictly
+  // after the racer — serial execution. Bounded attempts: a hot table
+  // that keeps losing surfaces the conflict to the caller.
   override def run(spark: SparkSession): Seq[Row] = {
+    val maxAttempts = 10
+    var m = merge
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return runOnce(spark, m)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          m = GraftMergeCommand.rebase(spark, m, dir, e)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def runOnce(spark: SparkSession,
+      merge: MergeIntoTable): Seq[Row] = {
     val target = merge.targetTable
     val source = merge.sourceTable
     val tOut: Seq[Attribute] = target.output
@@ -308,4 +334,43 @@ object GraftMergeCommand {
     * executes eagerly, so the resolve plan is otherwise invisible). */
   @volatile private[graft] var lastResolve
       : Option[org.apache.spark.sql.execution.QueryExecution] = None
+
+  /** Rebase a raced MERGE onto the table's new head: swap the pinned
+    * `GraftSparkTable` inside the resolved target relation for a fresh
+    * one at `currentVersion`, keeping the relation's output attributes
+    * so every already-resolved expression binds unchanged. Refuses
+    * (rethrows the race) when the head's schema is no longer
+    * name-and-type identical to what the statement resolved against —
+    * e.g. the racer ran ADD/RENAME/DROP COLUMN, or an evolving merge
+    * lost the race between its own schema commit and snapshot commit;
+    * binding the old attributes to a reshaped table would be a guess,
+    * and the caller must re-plan. */
+  private def rebase(spark: SparkSession, m: MergeIntoTable, dir: String,
+      cause: java.util.ConcurrentModificationException): MergeIntoTable = {
+    import graft.sources.{GraftSparkTable, GraftTable}
+    val fs = GraftTable.fsOf(spark, dir)
+    val head = GraftTable.currentVersion(fs, dir).getOrElse(throw cause)
+    var replaced = false
+    val fresh = m.targetTable.transform {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftSparkTable] =>
+        val old = r.table.asInstanceOf[GraftSparkTable]
+        val nt = new GraftSparkTable(spark, dir, head, old.prefixV)
+        val was = r.output.map(a => (a.name, a.dataType))
+        val now = nt.schema().fields.toSeq.map(f => (f.name, f.dataType))
+        if (was != now) {
+          val e = new java.util.ConcurrentModificationException(
+            s"MERGE INTO lost a race on $dir AND the new head v$head " +
+              s"changed the table's schema ($was -> $now) — the resolved " +
+              "statement cannot be rebased; re-run the MERGE against " +
+              "the new head")
+          e.initCause(cause)
+          throw e
+        }
+        replaced = true
+        r.copy(table = nt)
+    }
+    if (!replaced) throw cause
+    m.copy(targetTable = fresh)
+  }
 }
