@@ -2420,6 +2420,43 @@ object GraftTable {
     commitNextIsolated(spark, dir, read(spark, dir, prefix), metadata,
       prefix = prefix)
 
+  /** Bounded serializable-OCC retry shared by EVERY commit door. Runs
+    * `body` with the 1-based attempt number; a lost race
+    * (ConcurrentModificationException — the ONLY retryable failure;
+    * anything else, disk failure included, propagates immediately)
+    * re-runs it up to `maxAttempts` times, then rethrows. Conflict
+    * SAFETY lives in the body, not here: each attempt must re-read the
+    * head and re-derive everything that depends on it (gate,
+    * constraints, index derivation, version number) — the helper
+    * standardizes only the bounding and the retry trigger, so the
+    * doors' loop semantics cannot drift apart (they had, six hand-rolled
+    * copies deep, by round 17). `onConflict` runs after a lost attempt
+    * (never after the last, which rethrows); returning Some(a) ends the
+    * loop with `a` instead of retrying — the streaming doors use it to
+    * detect their own restarted twin (replay ⇒ drop the staged dir,
+    * report no-op), the partition-replace door to re-stage when the
+    * winner's write set didn't commute with its own. */
+  private[graft] def retryOnConflict[A](maxAttempts: Int,
+      onConflict: (Int, java.util.ConcurrentModificationException)
+        => Option[A] = (_: Int,
+          _: java.util.ConcurrentModificationException) => None)
+      (body: Int => A): A = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body(attempt)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          onConflict(attempt, e) match {
+            case Some(a) => return a
+            case None => ()
+          }
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** The OCC commit LOOP the commit doc prescribes: read the current
     * snapshot, apply the caller's `transform` to it (None when the table
     * has no version yet), stage writer-private, attempt the commit; on
@@ -2436,10 +2473,8 @@ object GraftTable {
   def commitWithRetry(spark: SparkSession, dir: String,
       transform: Option[DataFrame] => DataFrame, metadata: String = "",
       maxAttempts: Int = 10, retain: Int = Int.MaxValue,
-      prefix: String = "v", allowEvolution: Boolean = false): Int = {
-    var attempt = 0
-    while (true) {
-      attempt += 1
+      prefix: String = "v", allowEvolution: Boolean = false): Int =
+    retryOnConflict(maxAttempts) { _ =>
       val fs = fsOf(spark, dir)
       val cur = currentHeaders(fs, dir)
       val out = transform(cur.map { case (v, _) =>
@@ -2455,21 +2490,12 @@ object GraftTable {
       val v = cur.map(_._1 + 1).getOrElse(0)
       val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
       out.write.mode("errorifexists").parquet(s"$dir/$data")
-      try {
-        commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data),
-          schema = Some(schemaEncode(out.schema)), prevTs = prevTsOf(cur),
-          constraintsHdr =
-            if (carried.isEmpty) None else Some(constraintsEncode(carried)))
-        return v
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          if (attempt >= maxAttempts) throw e
-        // anything else (disk failure etc.) propagates — only a genuine
-        // commit conflict justifies another loop
-      }
+      commit(fs, dir, v, metadata, retain, prefix, dataDir = Some(data),
+        schema = Some(schemaEncode(out.schema)), prevTs = prevTsOf(cur),
+        constraintsHdr =
+          if (carried.isEmpty) None else Some(constraintsEncode(carried)))
+      v
     }
-    -1 // unreachable
-  }
 
   /** APPEND-ONLY OCC commit: write `df`'s rows ONCE to a writer-private
     * dir, then commit a version whose data= list is the current
@@ -2639,34 +2665,29 @@ object GraftTable {
       if (effBloom.isEmpty) None
       else Some(bloomHeader(
         buildBloomSidecar(spark, s"$dir/$added", effBloom)))
-    var attempt = 0
-    while (true) {
-      attempt += 1
+    retryOnConflict(maxAttempts) { attempt =>
+      // the staged dir is reused VERBATIM across attempts (an append
+      // reads no snapshot, so there is nothing to re-execute) — only
+      // the gate, constraints and manifest math re-run on the new head
       val cur = if (attempt == 1) cur0 else currentHeaders(fs, dir)
       if (attempt > 1) { gate(cur); constraintsCarried = enforceOn(cur) }
       val prevDirs = cur.map { case (c, h) => dataDirsFrom(h, c, prefix) }
         .getOrElse(Seq.empty)
       val v = cur.map(_._1 + 1).getOrElse(0)
       val mergedStats = newStats.map(mergeAppendStats(_, added, cur, prefix))
-      try {
-        commit(fs, dir, v, metadata, retain, prefix,
-          dataDir = Some((prevDirs :+ added).mkString(",")),
-          stats = mergedStats, appendDir = Some(added),
-          schema = Some(schemaEncode(df.schema)), prevTs = prevTsOf(cur),
-          bloom = newBloom,
-          constraintsHdr =
-            if (constraintsCarried.isEmpty) None
-            else Some(constraintsEncode(constraintsCarried)),
-          statenc =
-            if (statsEnc.isEmpty || mergedStats.isEmpty) None
-            else Some(StatsEnc.encode(statsEnc)))
-        return v
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          if (attempt >= maxAttempts) throw e
-      }
+      commit(fs, dir, v, metadata, retain, prefix,
+        dataDir = Some((prevDirs :+ added).mkString(",")),
+        stats = mergedStats, appendDir = Some(added),
+        schema = Some(schemaEncode(df.schema)), prevTs = prevTsOf(cur),
+        bloom = newBloom,
+        constraintsHdr =
+          if (constraintsCarried.isEmpty) None
+          else Some(constraintsEncode(constraintsCarried)),
+        statenc =
+          if (statsEnc.isEmpty || mergedStats.isEmpty) None
+          else Some(StatsEnc.encode(statsEnc)))
+      v
     }
-    -1 // unreachable
   }
 
   /** Merged stats line for an append commit, table-relative keys: the
@@ -2818,10 +2839,7 @@ object GraftTable {
       }
     try {
       val stagedDf = spark.read.parquet(s"$dir/$effStaged")
-      var attempt = 0
-      var done = false
-      while (!done) {
-        attempt += 1
+      retryOnConflict(maxAttempts) { _ =>
         val cur = currentHeaders(fs, dir)
         // re-gate per attempt: the race winner may have evolved the
         // schema, declared constraints, or attached an index — or
@@ -2855,33 +2873,27 @@ object GraftTable {
         val v = cur.map(_._1 + 1).getOrElse(0)
         val prevDirs = cur.map { case (c, h) => dataDirsFrom(h, c, "v") }
           .getOrElse(Seq.empty)
-        try {
-          commit(fs, dir, v, if (append) "dsv2 append" else "dsv2 overwrite",
-            prefix = "v",
-            dataDir = Some(
-              (if (append) prevDirs :+ effStaged else Seq(effStaged))
-                .mkString(",")),
-            appendDir = if (append && cur.isDefined) Some(effStaged) else None,
-            schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
-            partBy =
-              if (partBy.isEmpty) None else Some(partBy.mkString(",")),
-            // append: the chain's merged line; overwrite: the staged
-            // dir's own entries (dir-relative — it IS the new version)
-            stats =
-              if (append) newStats.map(mergeAppendStats(_, effStaged, cur, "v"))
-              else newStats,
-            bloom = newBloom,
-            statenc =
-              if (statsEncDecl.isEmpty || newStats.isEmpty) None
-              else Some(StatsEnc.encode(statsEncDecl)),
-            constraintsHdr =
-              if (carried.isEmpty) None else Some(constraintsEncode(carried)),
-            bucketFnHdr = cur.flatMap(_._2.get("bucketfn")))
-          done = true
-        } catch {
-          case e: java.util.ConcurrentModificationException =>
-            if (attempt >= maxAttempts) throw e
-        }
+        commit(fs, dir, v, if (append) "dsv2 append" else "dsv2 overwrite",
+          prefix = "v",
+          dataDir = Some(
+            (if (append) prevDirs :+ effStaged else Seq(effStaged))
+              .mkString(",")),
+          appendDir = if (append && cur.isDefined) Some(effStaged) else None,
+          schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
+          partBy =
+            if (partBy.isEmpty) None else Some(partBy.mkString(",")),
+          // append: the chain's merged line; overwrite: the staged
+          // dir's own entries (dir-relative — it IS the new version)
+          stats =
+            if (append) newStats.map(mergeAppendStats(_, effStaged, cur, "v"))
+            else newStats,
+          bloom = newBloom,
+          statenc =
+            if (statsEncDecl.isEmpty || newStats.isEmpty) None
+            else Some(StatsEnc.encode(statsEncDecl)),
+          constraintsHdr =
+            if (carried.isEmpty) None else Some(constraintsEncode(carried)),
+          bucketFnHdr = cur.flatMap(_._2.get("bucketfn")))
       }
     } catch {
       case e: Throwable =>
@@ -3049,58 +3061,52 @@ object GraftTable {
 
     var cur = currentHeaders(fs, dir)
     var (w, root, schema) = stageOnce(cur)
-    var attempt = 0
-    while (true) {
-      attempt += 1
+    retryOnConflict[Int](maxAttempts, onConflict = (_, _) => {
+      val base = cur.map(_._1).getOrElse(-1)
+      val newCur = currentHeaders(fs, dir)
+      val carried = carriedConstraints(newCur)
+      // every interleaved commit must be pmap-shaped AND disjoint
+      // from our write set for the staged result to commute past it
+      val commutes = !carried.exists(_.startsWith("unique:")) &&
+        ((base + 1) to newCur.map(_._1).getOrElse(-1)).forall { vv =>
+          val h = parseCommit(commitContent(fs, dir, vv))._1
+          h.contains("pmap") && h.get("wset").exists(ws =>
+            ws.split(",").filter(_.nonEmpty).map(urlDec)
+              .toSet.intersect(w.toSet).isEmpty)
+        }
+      // a NON-pmap interleaved commit rewrote the table's shape out
+      // from under this API (pmapOf would refuse it anyway) — fail
+      // loudly BEFORE wasting a re-execution on a doomed retry
+      ((base + 1) to newCur.map(_._1).getOrElse(-1)).foreach { vv =>
+        if (!parseCommit(commitContent(fs, dir, vv))._1.contains("pmap"))
+          throw new IllegalStateException(
+            s"version $vv of $dir was committed outside the " +
+              "partition-mapped protocol mid-retry — the table is " +
+              "no longer value-mapped; rebuild it through " +
+              "replacePartitionsWithRetry")
+      }
+      cur = newCur
+      if (!commutes) {
+        // overlapping write set (or a declared unique: constraint):
+        // re-execute against the fresh snapshot; the abandoned
+        // staging root is a vacuum-reclaimable orphan
+        val s2 = stageOnce(cur)
+        w = s2._1; root = s2._2; schema = s2._3
+      }
+      None
+    }) { _ =>
       val prevMap = pmapOf(cur)
       val newMap = (prevMap -- w) ++ w.map(v => v -> s"$root/__p=$v")
       val entries = newMap.toSeq.sortBy(_._1).map(_._2)
       val v = cur.map(_._1 + 1).getOrElse(0)
-      try {
-        commit(fs, dir, v, metadata, prefix = prefix,
-          dataDir = Some(entries.mkString(",")),
-          schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
-          constraintsHdr = cur.flatMap(_._2.get("constraints")),
-          pmap = Some(pmapEncode(partCol, newMap)),
-          wset = Some(w.map(urlEnc).mkString(",")))
-        return v
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          if (attempt >= maxAttempts) throw e
-          val base = cur.map(_._1).getOrElse(-1)
-          val newCur = currentHeaders(fs, dir)
-          val carried = carriedConstraints(newCur)
-          // every interleaved commit must be pmap-shaped AND disjoint
-          // from our write set for the staged result to commute past it
-          val commutes = !carried.exists(_.startsWith("unique:")) &&
-            ((base + 1) to newCur.map(_._1).getOrElse(-1)).forall { vv =>
-              val h = parseCommit(commitContent(fs, dir, vv))._1
-              h.contains("pmap") && h.get("wset").exists(ws =>
-                ws.split(",").filter(_.nonEmpty).map(urlDec)
-                  .toSet.intersect(w.toSet).isEmpty)
-            }
-          // a NON-pmap interleaved commit rewrote the table's shape out
-          // from under this API (pmapOf would refuse it anyway) — fail
-          // loudly BEFORE wasting a re-execution on a doomed retry
-          ((base + 1) to newCur.map(_._1).getOrElse(-1)).foreach { vv =>
-            if (!parseCommit(commitContent(fs, dir, vv))._1.contains("pmap"))
-              throw new IllegalStateException(
-                s"version $vv of $dir was committed outside the " +
-                  "partition-mapped protocol mid-retry — the table is " +
-                  "no longer value-mapped; rebuild it through " +
-                  "replacePartitionsWithRetry")
-          }
-          cur = newCur
-          if (!commutes) {
-            // overlapping write set (or a declared unique: constraint):
-            // re-execute against the fresh snapshot; the abandoned
-            // staging root is a vacuum-reclaimable orphan
-            val s2 = stageOnce(cur)
-            w = s2._1; root = s2._2; schema = s2._3
-          }
-      }
+      commit(fs, dir, v, metadata, prefix = prefix,
+        dataDir = Some(entries.mkString(",")),
+        schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
+        constraintsHdr = cur.flatMap(_._2.get("constraints")),
+        pmap = Some(pmapEncode(partCol, newMap)),
+        wset = Some(w.map(urlEnc).mkString(",")))
+      v
     }
-    -1 // unreachable
   }
 
   // ---- exactly-once streaming ingest ----------------------------------------
@@ -3250,9 +3256,12 @@ object GraftTable {
     }
     try {
       val stagedDf = spark.read.parquet(s"$dir/$staged")
-      var attempt = 0
-      while (true) {
-        attempt += 1
+      retryOnConflict[Option[Int]](maxAttempts, onConflict = (_, _) =>
+        // the race winner could be this very epoch's twin from a
+        // concurrently-restarted run — re-probe before re-gating
+        if (newestEpoch.exists(epochId <= _)) { dropStaged(); Some(None) }
+        else None
+      ) { _ =>
         val cur = currentHeaders(fs, dir)
         // streaming epochs stage FLAT (one parquet file per task, no
         // relayout pass inside an epoch's latency budget) — a
@@ -3285,29 +3294,20 @@ object GraftTable {
         require(fs.exists(stagedPath),
           s"staged epoch dir $staged vanished before publish " +
             "(concurrent vacuum?) — failing the epoch for engine retry")
-        try {
-          commit(fs, dir, v, s"epoch=$epochId;query=$queryId",
-            prefix = "v",
-            dataDir = Some((prevDirs :+ staged).mkString(",")),
-            appendDir = if (cur.isDefined) Some(staged) else None,
-            schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
-            stats = newStats.map(mergeAppendStats(_, staged, cur, "v")),
-            bloom = newBloom,
-            statenc =
-              if (statsEncDecl.isEmpty || newStats.isEmpty) None
-              else Some(StatsEnc.encode(statsEncDecl)),
-            constraintsHdr =
-              if (carried.isEmpty) None else Some(constraintsEncode(carried)))
-          return Some(v)
-        } catch {
-          case e: java.util.ConcurrentModificationException =>
-            if (attempt >= maxAttempts) throw e
-            // the race winner could be this very epoch's twin from a
-            // concurrently-restarted run — re-probe before re-gating
-            if (newestEpoch.exists(epochId <= _)) { dropStaged(); return None }
-        }
+        commit(fs, dir, v, s"epoch=$epochId;query=$queryId",
+          prefix = "v",
+          dataDir = Some((prevDirs :+ staged).mkString(",")),
+          appendDir = if (cur.isDefined) Some(staged) else None,
+          schema = Some(schemaEncode(schema)), prevTs = prevTsOf(cur),
+          stats = newStats.map(mergeAppendStats(_, staged, cur, "v")),
+          bloom = newBloom,
+          statenc =
+            if (statsEncDecl.isEmpty || newStats.isEmpty) None
+            else Some(StatsEnc.encode(statsEncDecl)),
+          constraintsHdr =
+            if (carried.isEmpty) None else Some(constraintsEncode(carried)))
+        Some(v)
       }
-      None // unreachable
     } catch {
       case e: Throwable =>
         // a refused or exhausted publish must not leave staged files
@@ -3406,9 +3406,13 @@ object GraftTable {
           "failing the epoch so the engine can retry it")
     }
     try {
-      var attempt = 0
-      while (true) {
-        attempt += 1
+      retryOnConflict[Option[Int]](maxAttempts, onConflict = (_, _) =>
+        // replay probe, as in the append door: the race winner could be
+        // this epoch's twin from a concurrently-restarted run
+        if (newestEpochFor(fs, dir, queryId).exists(epochId <= _)) {
+          dropStaged(); Some(None)
+        } else None
+      ) { _ =>
         val cur = currentHeaders(fs, dir)
         // re-gated per attempt; the write builder runs the same gate
         // BEFORE the first distributed job (upsertWriteGate)
@@ -3418,8 +3422,7 @@ object GraftTable {
           s"staged epoch dir $staged vanished before publish " +
             "(concurrent vacuum?) — failing the epoch for engine retry")
         val batch = spark.read.schema(schema).parquet(s"$dir/$staged")
-        try {
-          cur match {
+        cur match {
             case None =>
               // first epoch IS the table — a plain full version
               commit(fs, dir, v, s"epoch=$epochId;query=$queryId",
@@ -3486,16 +3489,8 @@ object GraftTable {
                 prevTs = prevTsOf(cur),
                 constraintsHdr = hdrs.get("constraints"))
           }
-          return Some(v)
-        } catch {
-          case e: java.util.ConcurrentModificationException =>
-            if (attempt >= maxAttempts) throw e
-            if (newestEpochFor(fs, dir, queryId).exists(epochId <= _)) {
-              dropStaged(); return None
-            }
-        }
+        Some(v)
       }
-      None // unreachable
     } catch {
       case e: Throwable =>
         dropStaged()
