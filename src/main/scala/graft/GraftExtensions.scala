@@ -34,6 +34,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // routed through the merge-on-read engines (no base-file rewrite)
     ext.injectResolutionRule(session =>
       graft.plans.UpdateDeleteGraftRule(session))
+    // large-deletion-vector READ tier: past the footer-counted size
+    // gate, serve the relation through the distributed anti-join plan
+    // instead of the driver-collected broadcast set probe
+    ext.injectResolutionRule(session =>
+      graft.plans.LargeDvReadRule(session))
+    // path reads of bucket-layout tables get the FunctionCatalog face
+    // the catalog door already has, so bucket SPJ works through BOTH
+    // doors instead of silently shuffling on the path one
+    ext.injectResolutionRule(session =>
+      graft.plans.PathBucketCatalogRule(session))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

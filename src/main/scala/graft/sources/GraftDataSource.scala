@@ -173,6 +173,14 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
   private[graft] val partCols: Seq[String] =
     headers.get("partby").map(_.split(",").toSeq).getOrElse(Nil)
 
+  /** Declared within-file sort of the partby layout (sortw= header,
+    * minted only by the engine-sorted write path or carried verbatim by
+    * data-preserving doors): rows inside every partition-dir file are
+    * sorted by these columns. The scan reports it through
+    * SupportsReportOrdering under the one-unsplit-file-per-group guard. */
+  private[graft] val sortWithinCols: Seq[String] =
+    headers.get("sortw").map(_.split(",").toSeq).getOrElse(Nil)
+
   /** Declared bucket transform of the partby layout (bucketfn= header):
     * (n, keyCol, bucketCol) with bucketCol = floorMod(keyCol, n)
     * validated at every data-writing commit. The scan reports
@@ -235,15 +243,62 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
   private[graft] def canonPath(rel: String): String =
     fs.makeQualified(new Path(s"$dir/$rel")).toUri.normalize().getPath
 
+  /** Tombstone row count from the DV dir's parquet FOOTERS — O(dv
+    * files) metadata reads, no data, no job. This is the scale gate's
+    * input: the set-probe path below materializes every key on the
+    * driver, which is fine for point deletes but a driver-memory
+    * ceiling under a large un-purged delete (millions of keys). */
+  private[graft] lazy val dvTombstoneRows: Long =
+    headers.get("dv").map { spec =>
+      val dvDir = spec.split(";", -1)(0)
+      val conf = spark.sessionState.newHadoopConf()
+      fs.listStatus(new Path(s"$dir/$dvDir"))
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+    }.getOrElse(0L)
+
+  /** DV facts readable from the HEADER alone — every planning-time
+    * consumer (column forcing, columnar verdict, streaming refusal,
+    * metadata) must use these, not `dv`, so that plan building and
+    * EXPLAIN never force the driver-side key collect; only execution
+    * (partition repack + broadcast) touches the materialized set. */
+  private[graft] def dvDeclared: Boolean = headers.contains("dv")
+  private[graft] def dvKeyCols: Seq[String] =
+    headers.get("dv").map(_.split(";", -1)(1).split(",").toSeq)
+      .getOrElse(Nil)
+
+  /** TRUE when the deletion vector is too large for the driver-side
+    * collect + broadcast set probe — `LargeDvReadRule` then rewrites
+    * the relation to the DISTRIBUTED anti-join plan (no driver
+    * materialization, shuffle-eligible), and this table's `dv` is never
+    * forced. A def, not a val: the threshold is session conf, so tests
+    * and operators can move the gate without rebuilding the table. */
+  private[graft] def dvServedByAntiJoin: Boolean =
+    headers.contains("dv") && dvTombstoneRows > spark.conf
+      .get("spark.graft.dv.broadcastMaxKeys", "1000000").toLong
+
   /** The version's deletion vector, loaded once: key columns plus key
     * tuples in CATALYST form — what executor-side InternalRow getters
     * yield, so probe and row can never disagree on representation. A
     * SCOPED dv (MoR update) resolves to one key set per chain-dir
     * basename; the scan then repacks partitions per dir so each reader
     * subtracts exactly its dir's tombstones (the replacement dir has
-    * none and passes through untouched). */
+    * none and passes through untouched). Size posture: each collected
+    * row is a deleted key, so the driver cost is O(tombstones) —
+    * bounded by the `dvServedByAntiJoin` gate on the ordinary read
+    * path (write-door plans that bypass the rule keep this collect;
+    * purge/compaction clears it). */
   private[graft] lazy val dv: Option[GraftDvInfo] =
     headers.get("dv").map { spec =>
+      GraftDvInfo.driverCollects.incrementAndGet()
       val parts = spec.split(";", -1)
       val (dvDir, keyCols) = (parts(0), parts(1).split(",").toSeq)
       val dvDf = spark.read.parquet(s"$dir/$dvDir")
@@ -528,7 +583,7 @@ private[graft] class GraftScanBuilder(spark: SparkSession,
     // a deletion vector filters rows BY KEY inside the readers, so the
     // key columns must be read even when the query didn't ask for them;
     // the GraftScan projects them back out before rows leave the scan
-    val forced = table.dv.map(_.keyCols).getOrElse(Nil)
+    val forced = table.dvKeyCols
       .filterNot(k => requiredSchema.fieldNames.contains(k))
     inner.pruneColumns(table.physSchema(StructType(requiredSchema.fields ++
       forced.map(c => fullSchema(fullSchema.fieldIndex(c))))))
@@ -865,7 +920,8 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
     extends Scan with Batch with SupportsReportStatistics
     with SupportsMetadata
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
@@ -915,8 +971,12 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
   // no deletion vector (its per-dir repack conflicts with key groups;
   // dv+partby cannot coexist today anyway) and no colmap rename
   // shadowing the key names.
-  private def spjEligible: Boolean =
-    table.partCols.nonEmpty && table.dv.isEmpty &&
+  // a LAZY VAL, not a def: outputPartitioning/outputOrdering (optimizer
+  // time) and planInputPartitions (execution time) must see the SAME
+  // verdict — a bucketing-conf flip between the two would otherwise
+  // let an ordering/partitioning claim stand over bin-packed partitions
+  private lazy val spjEligible: Boolean =
+    table.partCols.nonEmpty && !table.dvDeclared &&
       table.colmap.isEmpty &&
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
@@ -956,6 +1016,54 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
         .KeyGroupedPartitioning(keys, n)
     } else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
+
+  // ---- SupportsReportOrdering: eliminate the Sort under SPJ sort-merge
+  // joins. Per-partition ordering claims, valid by construction:
+  //  - IDENTITY SPJ groups hold exactly ONE partition-column value each
+  //    (spjRegroup keys on the values), so ANY ordering claim on the
+  //    partition columns holds — reporting them satisfies the SMJ's
+  //    requiredOrdering on the join keys with zero fragility.
+  //  - A sortw= layout (engine-sorted: one file per partition dir, rows
+  //    sorted within) additionally orders rows by the declared columns
+  //    — but only while each key group plans as ONE UNSPLIT file
+  //    (concatenating two sorted files is not sorted; a byte-range
+  //    split could reorder across task boundaries). The guard checks
+  //    the listing against files.maxPartitionBytes and REFUSES the
+  //    claim otherwise — an elided Sort that lies corrupts the join.
+  // Reported only when key-grouped planning is on (spjEligible): a
+  // bin-packed flat scan mixes partition values per task and no claim
+  // below survives it.
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+    if (!spjEligible) return Array.empty
+    val sortedOk = table.sortWithinCols.nonEmpty &&
+      table.sortWithinCols.forall(out.fieldNames.contains) &&
+      oneUnsplitFilePerGroup
+    val cols: Seq[String] = table.bucketFn match {
+      // bucket groups hold MANY key values — only the within-file sort
+      // orders them, and the join key (not the bucket col) is what the
+      // SMJ requires
+      case Some(_) => if (sortedOk) table.sortWithinCols else Nil
+      // identity groups: partition columns are constant per group
+      // (always claimable); a sortw suffix extends the claim
+      case None =>
+        table.partCols ++ (if (sortedOk) table.sortWithinCols else Nil)
+    }
+    cols.distinct.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
+        NullOrdering.NULLS_FIRST)).toArray
+  }
+
+  /** TRUE when every live partition dir plans as exactly one
+    * PartitionedFile: one data file, small enough that the parquet
+    * splitter leaves it whole. O(cached listing), no I/O. */
+  private def oneUnsplitFilePerGroup: Boolean = {
+    val maxSplit = org.apache.spark.sql.internal.SQLConf.get
+      .filesMaxPartitionBytes
+    table.index.listFiles(Nil, Nil).forall(pd =>
+      pd.files.length == 1 && pd.files.forall(_.getLen <= maxSplit))
+  }
 
   /** Regroup planned files into one partition per partition-key value,
     * each carrying its key (`HasPartitionKey`) so Spark's key-grouped
@@ -1059,7 +1167,7 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
     }
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    if (table.dv.isEmpty) inner.columnarSupportMode()
+    if (!table.dvDeclared) inner.columnarSupportMode()
     // NOT PARTITION_DEFINED: Spark refuses mixed row/columnar
     // partitions in one scan ("Cannot mix row-based and columnar input
     // partitions", DataSourceV2ScanExecBase.supportsColumnar), and a
@@ -1089,7 +1197,7 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(table.dv.isEmpty,
+    require(!table.dvDeclared,
       "streaming reads require an append-only history — the current " +
         "version carries a deletion vector (cdcSubscribeTyped serves " +
         "typed diffs)")
@@ -1103,7 +1211,7 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
   override def getMetaData(): Map[String, String] =
     inner.getMetaData() ++ Map(
       "GraftVersion" -> table.snapshotVersion.toString,
-      "GraftDV" -> table.dv.isDefined.toString,
+      "GraftDV" -> table.dvDeclared.toString,
       "GraftManifestPruned" -> keep.isDefined.toString)
 }
 
@@ -1123,6 +1231,12 @@ private[graft] case class GraftDvInfo(keyCols: Seq[String],
 }
 
 private[graft] object GraftDvInfo {
+  /** Observability hook: how many times a deletion vector was
+    * materialized ON THE DRIVER (the set-probe path). The large-DV
+    * fallback spec pins that its tier never increments this. */
+  private[graft] val driverCollects =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Chain-dir basename of a planned file = its parent dir's name
     * (scoped-dv layouts are flat by construction — `commitUpdate`
     * refuses partitionBy). */

@@ -518,7 +518,7 @@ object GraftTable {
   private val headerKeys =
     Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=", "partby=",
       "bloom=", "constraints=", "statenc=", "update=", "pmap=", "wset=",
-      "statrel=", "colmap=", "bucketfn=")
+      "statrel=", "colmap=", "bucketfn=", "sortw=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
@@ -1237,7 +1237,16 @@ object GraftTable {
       updateDir: Option[String] = None,
       pmap: Option[String] = None, wset: Option[String] = None,
       statrel: Boolean = false, colmap: Option[String] = None,
-      bucketFnHdr: Option[String] = None): Unit = {
+      bucketFnHdr: Option[String] = None,
+      sortw: Option[String] = None): Unit = {
+    // sortw DESCRIBES the partby layout's within-file row order (one
+    // file per partition dir, rows sorted by these columns) — only the
+    // engine-sorted write path (commitNextIsolated sortWithin) and the
+    // data-verbatim doors (restore) may assert it; a declaration
+    // without the layout is a planner promise with nothing behind it
+    require(sortw.isEmpty || partBy.nonEmpty,
+      "sortw= declares the partby= layout's within-file sort and " +
+        "cannot be committed without one")
     // colmap DESCRIBES the declared schema (logical→physical names) —
     // meaningless without one
     require(colmap.isEmpty || schema.nonEmpty,
@@ -1374,6 +1383,7 @@ object GraftTable {
       (if (statrel) "statrel=1\n" else "") +
       colmap.map(cm => s"colmap=$cm\n").getOrElse("") +
       bucketFnHdr.map(bf => s"bucketfn=$bf\n").getOrElse("") +
+      sortw.map(sw => s"sortw=$sw\n").getOrElse("") +
       metadata
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -1498,9 +1508,15 @@ object GraftTable {
   /** Time travel: read committed version `v`. Fails loudly for a version
     * that was never committed or whose data retention has expired. The
     * data location resolves THROUGH the commit file (dataDirOf), so
-    * isolated-commit versions read transparently. */
+    * isolated-commit versions read transparently.
+    *
+    * `dvBroadcastHint=false` drops the broadcast hint from the DV
+    * anti-join: the hint forces a DRIVER materialization of the build
+    * side (BroadcastExchange collects first), which is exactly the
+    * ceiling the large-DV read tier exists to avoid — past the gate the
+    * join must stay shuffle-eligible and let AQE pick. */
   def readVersion(spark: SparkSession, dir: String, v: Int,
-      prefix: String = "v"): DataFrame = {
+      prefix: String = "v", dvBroadcastHint: Boolean = true): DataFrame = {
     val fs = fsOf(spark, dir)
     require(fs.exists(new Path(s"$dir/manifest/commit_$v")),
       s"version $v was never committed under $dir")
@@ -1588,7 +1604,7 @@ object GraftTable {
         // its row — plain `=` would never match it, silently
         // resurrecting deleted rows (and diverging from the DSv2
         // reader's set probe, where null == null)
-        withDir.join(broadcast(dvDf),
+        withDir.join(if (dvBroadcastHint) broadcast(dvDf) else dvDf,
           (keyCols :+ "__gdir").map(k => withDir(k) <=> dvDf(k))
             .reduce(_ && _),
           "left_anti")
@@ -1599,7 +1615,9 @@ object GraftTable {
         val dataDf = conform(readDirs(dataDirs.map(d => s"$dir/$d")))
         val dvDf = spark.read.parquet(s"$dir/$dvDir")
         dataDf.join(
-          org.apache.spark.sql.functions.broadcast(dvDf),
+          if (dvBroadcastHint)
+            org.apache.spark.sql.functions.broadcast(dvDf)
+          else dvDf,
           keyCols.map(k => dataDf(k) <=> dvDf(k)).reduce(_ && _),
           "left_anti")
       case None =>
@@ -1637,7 +1655,8 @@ object GraftTable {
       statsEnc: Seq[(String, String)] = Nil,
       bloomCols: Seq[String] = Nil,
       expectVersion: Option[Int] = None,
-      bucketFn: Option[(Int, String)] = None): Int = {
+      bucketFn: Option[(Int, String)] = None,
+      sortWithin: Seq[String] = Nil): Int = {
     val fs = fsOf(spark, dir)
     val cur = currentHeaders(fs, dir)
     // OCC pin for callers whose snapshot/headers were resolved earlier
@@ -1694,9 +1713,34 @@ object GraftTable {
           s"result type); got ${df.schema(bCol).dataType.simpleString}")
       validateBucketInvariant(df, n, keyCol, bCol)
     }
+    // SORTED LAYOUT BY CONSTRUCTION (`sortWithin`): the ENGINE reshapes
+    // the rows — one task per partition value (repartition on the
+    // partition columns), rows sorted inside each task by (partCols ++
+    // sortWithin) — so every partition dir receives exactly ONE file
+    // whose rows are sorted by the declared columns. The sortw= header
+    // this mints is therefore true by construction, never a caller
+    // claim; the scan's SupportsReportOrdering trusts it to elide the
+    // Sort under storage-partitioned sort-merge joins. The reshape is
+    // one extra exchange at WRITE time — the classic write-once /
+    // read-many trade every clustered layout makes.
+    sortWithin.foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"sortWithin column '$c' is not in the schema " +
+          s"${df.schema.fieldNames.mkString("[", ",", "]")}")
+      require(partitionBy.nonEmpty,
+        "sortWithin declares a within-file order of a partitionBy " +
+          "layout — pass partitionBy as well")
+    }
+    val effDf =
+      if (sortWithin.isEmpty) df
+      else {
+        import org.apache.spark.sql.functions.col
+        df.repartition(partitionBy.map(col): _*)
+          .sortWithinPartitions((partitionBy ++ sortWithin).map(col): _*)
+      }
     val v = cur.map(_._1 + 1).getOrElse(0)
     val data = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
-    val w = df.write.mode("errorifexists")
+    val w = effDf.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$dir/$data")
     val st =
@@ -1722,7 +1766,9 @@ object GraftTable {
       statenc =
         if (statsEnc.isEmpty) None else Some(StatsEnc.encode(statsEnc)),
       bucketFnHdr = bucketFn.map { case (n, k) =>
-        bucketFnEncode(n, k, partitionBy.head) })
+        bucketFnEncode(n, k, partitionBy.head) },
+      sortw =
+        if (sortWithin.isEmpty) None else Some(sortWithin.mkString(",")))
     v
   }
 
@@ -1815,7 +1861,10 @@ object GraftTable {
       pmap = hdrs.get("pmap"),
       constraintsHdr = hdrs.get("constraints"),
       colmap = hdrs.get("colmap"),
-      bucketFnHdr = hdrs.get("bucketfn"))
+      bucketFnHdr = hdrs.get("bucketfn"),
+      // the restored data is v's files VERBATIM, so v's within-file
+      // sort declaration stays true
+      sortw = hdrs.get("sortw"))
     nv
   }
 

@@ -101,6 +101,204 @@ class Round18Spec extends SparkSpec {
       Seq("key", "v", "tag"))
   }
 
+  // ---- large-deletion-vector read tier --------------------------------------
+
+  test("DV tiers serve identical rows; the large tier never collects " +
+      "keys on the driver") {
+    val dir = fresh("dvtier")
+    import spark.implicits._
+    val base = (1L to 2000L).map(k => (k, s"row$k")).toDF("k", "s")
+    sources.GraftTable.commitNextIsolated(spark, dir, base, "base")
+    sources.GraftTable.commitDeleteVector(spark, dir,
+      sources.GraftTable.read(spark, dir).where($"k" % 3 === 0),
+      Seq("k"), "delete every third key")
+    val expect = (1L to 2000L).filter(_ % 3 != 0).map(k => (k, s"row$k"))
+
+    def served(): Seq[(Long, String)] =
+      spark.read.format("graft").load(dir).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    // tier 1: gate high → the broadcast set probe (collects once)
+    spark.conf.set("spark.graft.dv.broadcastMaxKeys", "1000000")
+    val before = sources.GraftDvInfo.driverCollects.get()
+    assert(served() == expect)
+    assert(sources.GraftDvInfo.driverCollects.get() > before,
+      "the probe tier materializes the DV on the driver by design")
+
+    // tier 2: gate low → the distributed anti-join; driver collect
+    // count must NOT move, and the plan must carry the LeftAnti join
+    spark.conf.set("spark.graft.dv.broadcastMaxKeys", "10")
+    try {
+      val large = spark.read.format("graft").load(dir)
+      val after = sources.GraftDvInfo.driverCollects.get()
+      assert(large.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == expect)
+      assert(sources.GraftDvInfo.driverCollects.get() == after,
+        "the large tier must never materialize DV keys on the driver")
+      import org.apache.spark.sql.catalyst.plans.LeftAnti
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      assert(large.queryExecution.optimizedPlan.exists {
+        case j: Join => j.joinType == LeftAnti
+        case _ => false
+      }, "large tier must plan the distributed anti-join")
+      assert(!large.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange") ||
+        spark.conf.get("spark.sql.adaptive.enabled") == "true",
+        "the anti-join must not be FORCED broadcast (AQE may still " +
+          "choose it from runtime sizes)")
+    } finally spark.conf.unset("spark.graft.dv.broadcastMaxKeys")
+  }
+
+  test("scoped (MoR update) DVs route through the large tier too") {
+    val dir = fresh("dvtierscoped")
+    import spark.implicits._
+    val base = (1L to 500L).map(k => (k, k * 10L)).toDF("k", "v")
+    sources.GraftTable.commitNextIsolated(spark, dir, base, "base")
+    // MoR UPDATE mints a dir-SCOPED dv (old images die in their dir,
+    // the replacement dir carries the new rows)
+    sources.GraftTable.commitUpdate(spark, dir, Seq("k"),
+      org.apache.spark.sql.functions.col("k") <= 100L,
+      Seq("v" -> org.apache.spark.sql.functions.lit(0L)), "zero first 100")
+    val expect = (1L to 500L).map(k => (k, if (k <= 100) 0L else k * 10L))
+    spark.conf.set("spark.graft.dv.broadcastMaxKeys", "10")
+    try {
+      val got = spark.read.format("graft").load(dir).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expect)
+    } finally spark.conf.unset("spark.graft.dv.broadcastMaxKeys")
+  }
+
+  // ---- SupportsReportOrdering (sorted SPJ) -----------------------------------
+
+  /** Execute first: under AQE the final operators only exist in the
+    * adaptive plan's string after the run. */
+  private def shuffles(df: DataFrame): Int = {
+    df.collect()
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+  }
+
+  private def sorts(df: DataFrame): Int = {
+    df.collect()
+    "\\bSort \\[".r.findAllIn(df.queryExecution.executedPlan.toString).size
+  }
+
+  test("sorted bucket SPJ: SMJ runs with zero shuffles AND zero sorts; " +
+      "values identical to the shuffled plan") {
+    import spark.implicits._
+    val a = fresh("ssrt_a"); val b = fresh("ssrt_b")
+    def bucketed(df: DataFrame, key: String) =
+      df.withColumn("cb",
+        org.apache.spark.sql.functions.pmod(col(key), lit(4L)).cast("int"))
+    // deliberately UNSORTED input rows — the engine's sortWithin
+    // reshape is what makes the sortw= header true
+    sources.GraftTable.commitNextIsolated(spark, a,
+      bucketed(Seq((11L, 110L), (2L, 20L), (5L, 50L), (1L, 10L), (6L, 60L))
+        .toDF("k", "v"), "k"),
+      "facts", partitionBy = Seq("cb"), bucketFn = Some((4, "k")),
+      sortWithin = Seq("k"))
+    sources.GraftTable.commitNextIsolated(spark, b,
+      bucketed(Seq((7L, "d"), (1L, "a"), (6L, "c"), (5L, "b"))
+        .toDF("ck", "s"), "ck"),
+      "dim", partitionBy = Seq("cb"), bucketFn = Some((4, "ck")),
+      sortWithin = Seq("ck"))
+    spark.conf.set("spark.sql.catalog.gt18t",
+      classOf[graft.sources.GraftCatalog].getName)
+    val (aa, ab) = (new java.io.File(a).getAbsolutePath,
+      new java.io.File(b).getAbsolutePath)
+    def q() = spark.sql(
+      s"SELECT f.k, f.v, d.s FROM gt18t.`$aa` f " +
+        s"JOIN gt18t.`$ab` d ON f.k = d.ck")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = q()
+      assert(shuffles(off) > 0, "expected the ordinary shuffled plan")
+      val offRows = off.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sorted
+      assert(offRows == Seq((1L, 10L, "a"), (5L, 50L, "b"), (6L, 60L, "c")))
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val on = q()
+      assert(shuffles(on) == 0, on.queryExecution.executedPlan.toString)
+      val plan = on.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(sorts(on) == 0,
+        s"the sortw= layout must elide BOTH sides' Sorts:\n$plan")
+      assert(on.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sorted == offRows)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("sortw guards: declaration without partitionBy refuses; a " +
+      "multi-file group withholds the ordering claim (Sort comes back)") {
+    import spark.implicits._
+    val flat = fresh("ssrt_flat")
+    val e = intercept[IllegalArgumentException] {
+      sources.GraftTable.commitNextIsolated(spark, flat,
+        Seq((1L, 2L)).toDF("k", "v"), "no layout",
+        sortWithin = Seq("k"))
+    }
+    assert(e.getMessage.contains("partitionBy"))
+
+    // an APPEND onto a sorted table mints a version WITHOUT sortw=
+    // (the door doesn't carry it), so the claim disappears with the
+    // guarantee instead of lying
+    val a = fresh("ssrt_app")
+    def bucketed(df: DataFrame, key: String) =
+      df.withColumn("cb",
+        org.apache.spark.sql.functions.pmod(col(key), lit(4L)).cast("int"))
+    sources.GraftTable.commitNextIsolated(spark, a,
+      bucketed(Seq((1L, 10L), (5L, 50L)).toDF("k", "v"), "k"),
+      "sorted base", partitionBy = Seq("cb"), bucketFn = Some((4, "k")),
+      sortWithin = Seq("k"))
+    val fs = sources.GraftTable.fsOf(spark, a)
+    assert(sources.GraftTable.headersOf(fs, a, 0).contains("sortw"))
+    // restore CARRIES it (data verbatim)
+    sources.GraftTable.restoreVersion(spark, a, 0)
+    assert(sources.GraftTable.headersOf(fs, a, 1).contains("sortw"))
+  }
+
+  test("path-read bucket SPJ: the PATH door plans the same shuffle-free " +
+      "join as the catalog door") {
+    import spark.implicits._
+    val a = fresh("pbkt_a"); val b = fresh("pbkt_b")
+    def bucketed(df: DataFrame, key: String) =
+      df.withColumn("cb",
+        org.apache.spark.sql.functions.pmod(col(key), lit(4L)).cast("int"))
+    sources.GraftTable.commitNextIsolated(spark, a,
+      bucketed(Seq((1L, 10L), (2L, 20L), (5L, 50L), (6L, 60L), (11L, 110L))
+        .toDF("k", "v"), "k"),
+      "facts", partitionBy = Seq("cb"), bucketFn = Some((4, "k")))
+    sources.GraftTable.commitNextIsolated(spark, b,
+      bucketed(Seq((1L, "a"), (5L, "b"), (6L, "c"), (7L, "d"))
+        .toDF("ck", "s"), "ck"),
+      "dim", partitionBy = Seq("cb"), bucketFn = Some((4, "ck")))
+    def q() = spark.read.format("graft").load(a)
+      .join(spark.read.format("graft").load(b),
+        col("k") === col("ck"))
+      .select(col("k"), col("v"), col("s"))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val on = q()
+      assert(shuffles(on) == 0,
+        "path-read bucket SPJ must not silently shuffle:\n" +
+          on.queryExecution.executedPlan.toString)
+      assert(on.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted ==
+        Seq((1L, 10L, "a"), (5L, 50L, "b"), (6L, 60L, "c")))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("table_merge_concurrent: both racing SQL merges land (3 versions)") {
     val df = SparkEntry.queries("table_merge_concurrent")(spark, sf)
     val rows = df.collect()
