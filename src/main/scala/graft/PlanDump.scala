@@ -108,7 +108,13 @@ object PlanDump {
       // it — identity transform and bucket(n, key) through the
       // function catalog)
       "table_meta_agg_pushdown", "table_meta_agg_groupby",
-      "table_spj_join", "table_bucket_spj_join")
+      "table_spj_join", "table_bucket_spj_join",
+      // round-18: the large-DV read tier (the relation rewritten to a
+      // distributed LeftAnti join — no broadcast HINT, though AQE may
+      // still choose broadcast from runtime sizes at this sf) and the
+      // sorted bucket SPJ (SortMergeJoin with NO exchange and NO Sort
+      // under it — SupportsReportOrdering over the sortw= layout)
+      "table_dv_scale_gate", "table_sorted_spj_join")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")

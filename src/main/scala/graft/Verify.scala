@@ -37,6 +37,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a STALE forensics dump from a round that wrote it inside outDir
+    // would still surface as a phantom key in the driver's enumeration
+    // (it globs outDir/*) — the dump now lives in a sibling dir, and
+    // any leftover is removed before the fresh dump
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).delete(
+      new org.apache.hadoop.fs.Path(s"$outDir/_forensics"), true)
     // SPARK_GRAFT_ONLY=k1,k2 restricts the dump (dev iteration aid; the
     // driver sets nothing and gets the full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
