@@ -152,18 +152,8 @@ object GraftDml {
     * if it ran strictly after the racer, which is exactly serial
     * execution. Bounded attempts: a hot table that keeps losing races
     * eventually surfaces the conflict to the caller. */
-  private[plans] def withOccRetry[A](maxAttempts: Int = 10)(body: => A): A = {
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      try return body
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          if (attempt >= maxAttempts) throw e
-      }
-    }
-    sys.error("unreachable")
-  }
+  private[plans] def withOccRetry[A](maxAttempts: Int = 10)(body: => A): A =
+    GraftTable.retryOnConflict(maxAttempts)(_ => body)
 
   /** Layouts the MoR engines refuse but the copy-on-write arm serves
     * (a colmap head additionally NORMALIZES: the rewrite's fresh files

@@ -27,11 +27,10 @@ import graft.sources.{GraftSparkTable, GraftTable}
   * output attribute ids are preserved through an aliasing Project, so
   * everything already resolved against the relation binds unchanged.
   *
-  * Skipped for plans that contain any Command or DML/insert statement:
-  * those doors pin and mutate the relation identity (MERGE rebase, DSv2
-  * writes), and rewriting their read side would break target
-  * resolution. Such paths keep the set-probe ceiling — documented, and
-  * bounded by purge/compaction, which clears the DV entirely. */
+  * Relations in MUTATION-TARGET or command-subject position are spared
+  * (pinned by reference, see apply) — rewriting them would break
+  * target resolution; the READ side of those same statements still
+  * gets the distributed plan. */
 /** Path-read bucket SPJ (VERDICT r17 missing item 4 / next-round 7).
   *
   * A bucket-layout scan reports `KeyGroupedPartitioning(bucket(n, key))`;
@@ -72,15 +71,41 @@ object PathBucketCatalogRule {
 case class LargeDvReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val skip = plan.exists {
-      case _: Command => true
-      case _: UpdateTable | _: DeleteFromTable | _: MergeIntoTable => true
-      case _: InsertIntoStatement => true
-      case _ => false
+    // Relations in mutation-target / command-subject position, pinned
+    // by OBJECT IDENTITY (name-based matching could pin a self-join's
+    // read side too): UPDATE/DELETE/MERGE targets, INSERT/DSv2-write
+    // tables, and any command's direct relation child (DESCRIBE and
+    // friends). Those doors pin and mutate the relation identity —
+    // rewriting them would break target resolution. The READ side of
+    // the same statements (a CTAS or INSERT-INTO-other SELECTing from
+    // a large-DV table — exactly the high-volume export this tier
+    // exists for) stays eligible. A pinned target that is itself
+    // large-DV keeps the set-probe ceiling, bounded by
+    // purge/compaction.
+    val pinned = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def pin(p: LogicalPlan): Unit = p.foreach {
+      case r: DataSourceV2Relation => pinned.add(r); ()
+      case _ => ()
     }
-    if (skip) plan
-    else plan.resolveOperators {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable]
+    plan.foreach {
+      case u: UpdateTable => pin(u.table)
+      case d: DeleteFromTable => pin(d.table)
+      case m: MergeIntoTable => pin(m.targetTable)
+      case i: InsertIntoStatement => pin(i.table)
+      case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
+        pin(w.table)
+      case c: Command => c.children.foreach {
+        case r: DataSourceV2Relation => pinned.add(r); ()
+        case org.apache.spark.sql.catalyst.plans.logical
+            .SubqueryAlias(_, r: DataSourceV2Relation) => pinned.add(r); ()
+        case _ => ()
+      }
+      case _ => ()
+    }
+    plan.resolveOperators {
+      case r: DataSourceV2Relation if !pinned.contains(r)
+          && r.table.isInstanceOf[GraftSparkTable]
           && r.table.asInstanceOf[GraftSparkTable].dvServedByAntiJoin =>
         val g = r.table.asInstanceOf[GraftSparkTable]
         val child = GraftTable

@@ -79,19 +79,11 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
   // after the racer — serial execution. Bounded attempts: a hot table
   // that keeps losing surfaces the conflict to the caller.
   override def run(spark: SparkSession): Seq[Row] = {
-    val maxAttempts = 10
     var m = merge
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      try return runOnce(spark, m)
-      catch {
-        case e: java.util.ConcurrentModificationException =>
-          if (attempt >= maxAttempts) throw e
-          m = GraftMergeCommand.rebase(spark, m, dir, e)
-      }
-    }
-    sys.error("unreachable")
+    GraftTable.retryOnConflict[Seq[Row]](10, onConflict = (_, e) => {
+      m = GraftMergeCommand.rebase(spark, m, dir, e)
+      None // rebase succeeded — loop again with the re-pinned statement
+    })(_ => runOnce(spark, m))
   }
 
   private def runOnce(spark: SparkSession,

@@ -1057,11 +1057,20 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
 
   /** TRUE when every live partition dir plans as exactly one
     * PartitionedFile: one data file, small enough that the parquet
-    * splitter leaves it whole. O(cached listing), no I/O. */
+    * splitter leaves it whole. The threshold is the SAME
+    * `FilePartition.maxSplitBytes` the planner will use — min(conf
+    * ceiling, max(openCost, totalBytes/parallelism)) — NOT the bare
+    * files.maxPartitionBytes conf: on a wide-parallelism session the
+    * effective split size is far smaller than the ceiling, and a guard
+    * built on the ceiling would let the ordering claim stand over a
+    * file the planner byte-range splits (split concatenation order is
+    * an unspecified internal; a claim relying on it is a lie waiting
+    * for a Spark upgrade). O(cached listing), no I/O. */
   private def oneUnsplitFilePerGroup: Boolean = {
-    val maxSplit = org.apache.spark.sql.internal.SQLConf.get
-      .filesMaxPartitionBytes
-    table.index.listFiles(Nil, Nil).forall(pd =>
+    val parts = table.index.listFiles(Nil, Nil)
+    val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
+      .maxSplitBytes(org.apache.spark.sql.SparkSession.active, parts)
+    parts.forall(pd =>
       pd.files.length == 1 && pd.files.forall(_.getLen <= maxSplit))
   }
 

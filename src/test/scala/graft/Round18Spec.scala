@@ -234,8 +234,8 @@ class Round18Spec extends SparkSpec {
     }
   }
 
-  test("sortw guards: declaration without partitionBy refuses; a " +
-      "multi-file group withholds the ordering claim (Sort comes back)") {
+  test("sortw guards: declaration without partitionBy refuses; appends " +
+      "drop the header; restore carries it") {
     import spark.implicits._
     val flat = fresh("ssrt_flat")
     val e = intercept[IllegalArgumentException] {
@@ -261,6 +261,93 @@ class Round18Spec extends SparkSpec {
     // restore CARRIES it (data verbatim)
     sources.GraftTable.restoreVersion(spark, a, 0)
     assert(sources.GraftTable.headersOf(fs, a, 1).contains("sortw"))
+  }
+
+  test("sortw guard: a file the planner byte-range splits WITHHOLDS the " +
+      "ordering claim — the Sort comes back, values unchanged") {
+    import spark.implicits._
+    val a = fresh("ssrt_split_a"); val b = fresh("ssrt_split_b")
+    def bucketed(df: DataFrame, key: String) =
+      df.withColumn("cb",
+        org.apache.spark.sql.functions.pmod(col(key), lit(2L)).cast("int"))
+    // enough rows that each bucket file is well past the tiny split
+    // size forced below
+    sources.GraftTable.commitNextIsolated(spark, a,
+      bucketed((1L to 20000L).map(k => (k, k * 3L)).toDF("k", "v"), "k"),
+      "facts", partitionBy = Seq("cb"), bucketFn = Some((2, "k")),
+      sortWithin = Seq("k"))
+    sources.GraftTable.commitNextIsolated(spark, b,
+      bucketed((1L to 2000L).map(k => (k, s"s$k")).toDF("ck", "s"), "ck"),
+      "dim", partitionBy = Seq("cb"), bucketFn = Some((2, "ck")),
+      sortWithin = Seq("ck"))
+    spark.conf.set("spark.sql.catalog.gt18t",
+      classOf[graft.sources.GraftCatalog].getName)
+    val (aa, ab) = (new java.io.File(a).getAbsolutePath,
+      new java.io.File(b).getAbsolutePath)
+    def q() = spark.sql(
+      s"SELECT f.k, f.v, d.s FROM gt18t.`$aa` f " +
+        s"JOIN gt18t.`$ab` d ON f.k = d.ck")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // force the planner's EFFECTIVE split size below the file sizes:
+      // the guard must mirror FilePartition.maxSplitBytes, not the
+      // conf ceiling alone
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+      val on = q()
+      val nShuffles = shuffles(on)
+      val nSorts = sorts(on)
+      val plan = on.queryExecution.executedPlan.toString
+      assert(nShuffles == 0, s"SPJ grouping itself still engages:\n$plan")
+      assert(nSorts > 0,
+        "a split sorted file must NOT sustain the ordering claim — " +
+          s"the SMJ needs its Sorts back:\n$plan")
+      // and the values are still exact
+      assert(on.count() == 2000L)
+      assert(on.where(col("k") =!= col("ck")).count() == 0L)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
+  test("large-DV tier serves the READ side of a write statement (CTAS " +
+      "export) without a driver collect") {
+    val dir = fresh("dvctas")
+    import spark.implicits._
+    sources.GraftTable.commitNextIsolated(spark, dir,
+      (1L to 3000L).map(k => (k, k % 7L)).toDF("k", "v"), "base")
+    sources.GraftTable.commitDeleteVector(spark, dir,
+      sources.GraftTable.read(spark, dir).where($"k" % 2 === 0),
+      Seq("k"), "delete evens")
+    spark.conf.set("spark.sql.catalog.gt18t",
+      classOf[graft.sources.GraftCatalog].getName)
+    val abs = new java.io.File(dir).getAbsolutePath
+    spark.conf.set("spark.graft.dv.broadcastMaxKeys", "10")
+    spark.sql("DROP TABLE IF EXISTS dv_export_r18")
+    try {
+      val before = sources.GraftDvInfo.driverCollects.get()
+      spark.sql(
+        s"CREATE TABLE dv_export_r18 USING parquet AS " +
+          s"SELECT k, v FROM gt18t.`$abs` WHERE v < 3")
+      assert(sources.GraftDvInfo.driverCollects.get() == before,
+        "the CTAS read side must use the distributed anti-join tier, " +
+          "not the driver-collected set probe")
+      val got = spark.table("dv_export_r18").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val expect = (1L to 3000L).filter(_ % 2 == 1).map(k => (k, k % 7L))
+        .filter(_._2 < 3)
+      assert(got == expect)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dv_export_r18")
+      spark.conf.unset("spark.graft.dv.broadcastMaxKeys")
+    }
   }
 
   test("path-read bucket SPJ: the PATH door plans the same shuffle-free " +
