@@ -249,21 +249,9 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
     * driver, which is fine for point deletes but a driver-memory
     * ceiling under a large un-purged delete (millions of keys). */
   private[graft] lazy val dvTombstoneRows: Long =
-    headers.get("dv").map { spec =>
-      val dvDir = spec.split(";", -1)(0)
-      val conf = spark.sessionState.newHadoopConf()
-      fs.listStatus(new Path(s"$dir/$dvDir"))
-        .filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
-        .map { st =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }.sum
-    }.getOrElse(0L)
+    headers.get("dv").map(spec =>
+      GraftTable.dvFooterRows(spark, fs, dir, spec.split(";", -1)(0)))
+      .getOrElse(0L)
 
   /** DV facts readable from the HEADER alone — every planning-time
     * consumer (column forcing, columnar verdict, streaming refusal,
@@ -282,8 +270,8 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
     * forced. A def, not a val: the threshold is session conf, so tests
     * and operators can move the gate without rebuilding the table. */
   private[graft] def dvServedByAntiJoin: Boolean =
-    headers.contains("dv") && dvTombstoneRows > spark.conf
-      .get("spark.graft.dv.broadcastMaxKeys", "1000000").toLong
+    headers.contains("dv") &&
+      dvTombstoneRows > GraftTable.dvBroadcastMaxKeys(spark)
 
   /** The version's deletion vector, loaded once: key columns plus key
     * tuples in CATALYST form — what executor-side InternalRow getters

@@ -1505,16 +1505,47 @@ object GraftTable {
     readVersion(spark, dir, v, prefix)
   }
 
+  /** Tombstone row count of a DV dir from its parquet FOOTERS —
+    * O(dv files) metadata reads, no data, no job. Shared by the DSv2
+    * scan's scale gate and the API read path's broadcast-hint decision
+    * so the two doors can never disagree on what "large" means. */
+  private[graft] def dvFooterRows(spark: SparkSession,
+      fs: FileSystem, dir: String, dvDir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    fs.listStatus(new Path(s"$dir/$dvDir"))
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
+  /** The driver-materialization ceiling for deletion vectors: at most
+    * this many tombstones may be collected/broadcast through a single
+    * node (the DSv2 set probe, or a HINTED anti-join build side —
+    * BroadcastExchange collects on the driver first). */
+  private[graft] def dvBroadcastMaxKeys(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.dv.broadcastMaxKeys", "1000000").toLong
+
   /** Time travel: read committed version `v`. Fails loudly for a version
     * that was never committed or whose data retention has expired. The
     * data location resolves THROUGH the commit file (dataDirOf), so
     * isolated-commit versions read transparently.
     *
-    * `dvBroadcastHint=false` drops the broadcast hint from the DV
-    * anti-join: the hint forces a DRIVER materialization of the build
-    * side (BroadcastExchange collects first), which is exactly the
-    * ceiling the large-DV read tier exists to avoid — past the gate the
-    * join must stay shuffle-eligible and let AQE pick. */
+    * The DV anti-join's build side is broadcast-HINTED only while the
+    * footer-counted tombstone total sits under the
+    * `spark.graft.dv.broadcastMaxKeys` gate: the hint forces a DRIVER
+    * materialization (BroadcastExchange collects first), which is
+    * exactly the ceiling the large-DV tier exists to avoid — past the
+    * gate the join stays shuffle-eligible and AQE picks from runtime
+    * sizes. `dvBroadcastHint=false` (the DSv2 rewrite rule, which has
+    * already decided largeness) skips both the hint and the footer
+    * probe. */
   def readVersion(spark: SparkSession, dir: String, v: Int,
       prefix: String = "v", dvBroadcastHint: Boolean = true): DataFrame = {
     val fs = fsOf(spark, dir)
@@ -1599,12 +1630,14 @@ object GraftTable {
         }.reduce(_ unionByName _)
         val dvDf = spark.read.parquet(s"$dir/$dvDir")
           .withColumnRenamed("__dir", "__gdir")
+        val hint = dvBroadcastHint &&
+          dvFooterRows(spark, fs, dir, dvDir) <= dvBroadcastMaxKeys(spark)
         // NULL-SAFE key equality: a tombstone whose key tuple holds a
         // NULL (full-row SQL DML over nullable columns) must still kill
         // its row — plain `=` would never match it, silently
         // resurrecting deleted rows (and diverging from the DSv2
         // reader's set probe, where null == null)
-        withDir.join(if (dvBroadcastHint) broadcast(dvDf) else dvDf,
+        withDir.join(if (hint) broadcast(dvDf) else dvDf,
           (keyCols :+ "__gdir").map(k => withDir(k) <=> dvDf(k))
             .reduce(_ && _),
           "left_anti")
@@ -1614,8 +1647,10 @@ object GraftTable {
         val keyCols = keys.split(",").toSeq
         val dataDf = conform(readDirs(dataDirs.map(d => s"$dir/$d")))
         val dvDf = spark.read.parquet(s"$dir/$dvDir")
+        val hint = dvBroadcastHint &&
+          dvFooterRows(spark, fs, dir, dvDir) <= dvBroadcastMaxKeys(spark)
         dataDf.join(
-          if (dvBroadcastHint)
+          if (hint)
             org.apache.spark.sql.functions.broadcast(dvDf)
           else dvDf,
           keyCols.map(k => dataDf(k) <=> dvDf(k)).reduce(_ && _),
@@ -4358,6 +4393,13 @@ object GraftTable {
           "silently drop the point-lookup index — re-declare the " +
           "indexed column (or rewrite via commitNextIsolated)")
     val partBy = h.get("partby").map(_.split(",").toSeq).getOrElse(Nil)
+    // a declared within-file sort (sortw=) is PRESERVED: the rewrite
+    // routes through commitNextIsolated's sortWithin reshape (one task
+    // per partition value, rows re-sorted inside), so the compacted
+    // layout re-earns the header instead of silently losing the
+    // ordering-aware SPJ tier — a compaction that degraded the read
+    // plan would betray what OPTIMIZE is for
+    val sortW = h.get("sortw").map(_.split(",").toSeq).getOrElse(Nil)
     val snap = readVersion(spark, dir, c, prefix)
     val compacted =
       if (clusterBy.nonEmpty) {
@@ -4367,6 +4409,10 @@ object GraftTable {
         clusteredLayout(spark, snap, clusterBy, targetFiles)
       }
       else if (partBy.isEmpty) snap.coalesce(targetFiles)
+      // sortw layouts: commitNextIsolated(sortWithin) does its own
+      // repartition + in-task sort — pre-shaping here would be a
+      // second redundant exchange
+      else if (sortW.nonEmpty) snap
       // hash-repartition on the partition columns: every partition
       // value's rows reach one task, so each partition dir gets exactly
       // one file — without this the rewrite would fan each value across
@@ -4377,7 +4423,8 @@ object GraftTable {
       statsEnc = statsEnc, bloomCols = bloomCols,
       // a compaction rewrites the same rows: the bucket declaration
       // carries through and commitNextIsolated re-validates it
-      bucketFn = bucketFnOf(h).map { case (n, k, _) => (n, k) })
+      bucketFn = bucketFnOf(h).map { case (n, k, _) => (n, k) },
+      sortWithin = sortW)
   }
 
   /** OPTIMIZE ZORDER BY — the clustering rewrite `compactChain` applies

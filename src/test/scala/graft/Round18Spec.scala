@@ -386,6 +386,80 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  test("API read path: the DV anti-join is broadcast-HINTED only under " +
+      "the footer-counted gate") {
+    val dir = fresh("dvhint")
+    import spark.implicits._
+    sources.GraftTable.commitNextIsolated(spark, dir,
+      (1L to 1000L).map(k => (k, k * 2L)).toDF("k", "v"), "base")
+    sources.GraftTable.commitDeleteVector(spark, dir,
+      sources.GraftTable.read(spark, dir).where($"k" % 4 === 0),
+      Seq("k"), "delete every fourth")
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    def hints(df: DataFrame): Seq[JoinHint] =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    // under the gate: hinted broadcast (the point-delete fast path)
+    spark.conf.set("spark.graft.dv.broadcastMaxKeys", "1000000")
+    assert(hints(sources.GraftTable.read(spark, dir))
+      .exists(_ != JoinHint.NONE), "small DV must keep the broadcast hint")
+    // past the gate: NO hint — the build side must never be forced
+    // through the driver; AQE may still choose broadcast from runtime
+    // sizes, which is fine (that path is size-bounded)
+    spark.conf.set("spark.graft.dv.broadcastMaxKeys", "10")
+    try {
+      val large = sources.GraftTable.read(spark, dir)
+      assert(hints(large).forall(_ == JoinHint.NONE),
+        "a large DV must not be broadcast-hinted")
+      assert(large.count() == 750L)
+    } finally spark.conf.unset("spark.graft.dv.broadcastMaxKeys")
+  }
+
+  test("compaction preserves the sortw layout: header carried, join " +
+      "still sort-free after OPTIMIZE") {
+    import spark.implicits._
+    val a = fresh("ssrt_cmp_a"); val b = fresh("ssrt_cmp_b")
+    def bucketed(df: DataFrame, key: String) =
+      df.withColumn("cb",
+        org.apache.spark.sql.functions.pmod(col(key), lit(4L)).cast("int"))
+    sources.GraftTable.commitNextIsolated(spark, a,
+      bucketed(Seq((11L, 110L), (2L, 20L), (5L, 50L), (1L, 10L), (6L, 60L))
+        .toDF("k", "v"), "k"),
+      "facts", partitionBy = Seq("cb"), bucketFn = Some((4, "k")),
+      sortWithin = Seq("k"))
+    sources.GraftTable.commitNextIsolated(spark, b,
+      bucketed(Seq((7L, "d"), (1L, "a"), (6L, "c"), (5L, "b"))
+        .toDF("ck", "s"), "ck"),
+      "dim", partitionBy = Seq("cb"), bucketFn = Some((4, "ck")),
+      sortWithin = Seq("ck"))
+    sources.GraftTable.compactChain(spark, a, metadata = "optimize")
+    sources.GraftTable.compactChain(spark, b, metadata = "optimize")
+    val fs = sources.GraftTable.fsOf(spark, a)
+    assert(sources.GraftTable.headersOf(fs, a, 1).get("sortw")
+      .contains("k"), "OPTIMIZE must re-earn the sortw declaration")
+    spark.conf.set("spark.sql.catalog.gt18t",
+      classOf[graft.sources.GraftCatalog].getName)
+    val (aa, ab) = (new java.io.File(a).getAbsolutePath,
+      new java.io.File(b).getAbsolutePath)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val on = spark.sql(
+        s"SELECT f.k, f.v, d.s FROM gt18t.`$aa` f " +
+          s"JOIN gt18t.`$ab` d ON f.k = d.ck")
+      assert(shuffles(on) == 0)
+      assert(sorts(on) == 0,
+        "the compacted sortw layout must still elide the SMJ Sorts:\n" +
+          on.queryExecution.executedPlan.toString)
+      assert(on.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted ==
+        Seq((1L, 10L, "a"), (5L, 50L, "b"), (6L, 60L, "c")))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("table_merge_concurrent: both racing SQL merges land (3 versions)") {
     val df = SparkEntry.queries("table_merge_concurrent")(spark, sf)
     val rows = df.collect()
