@@ -158,4 +158,16 @@ object T {
   def epochUs(date: String): Long =
     java.time.LocalDate.parse(date)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L
+
+  /** Writer-private fixture dir under target/tmp, deleted up front so
+    * every query key stays a pure function of its inputs — the ONE
+    * staging-convention helper the table-fixture rounds share (it was
+    * five verbatim private copies by round 18; a convention change must
+    * land exactly here). */
+  def freshDir(s: SparkSession, d: String, tag: String): String = {
+    val dir = s"target/tmp/g${tag}_${new java.io.File(d).getName}"
+    graft.sources.GraftTable.fsOf(s, dir)
+      .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
+    dir
+  }
 }

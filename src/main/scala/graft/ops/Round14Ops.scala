@@ -83,12 +83,8 @@ object Round14Ops {
 
   /** Fresh table dir under target/tmp, keyed by SF so the three scale
     * factors never share state. */
-  private def freshDir(s: SparkSession, d: String, tag: String): String = {
-    val dir = s"target/tmp/g${tag}_${new java.io.File(d).getName}"
-    GraftTable.fsOf(s, dir)
-      .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
-    dir
-  }
+  private def freshDir(s: SparkSession, d: String, tag: String): String =
+    graft.T.freshDir(s, d, tag)
 
   /** The null-clustered stats table `scan_stats_skipping_null` reads:
     * orders range-partitioned by DATE (orderkey tiebreak for balanced

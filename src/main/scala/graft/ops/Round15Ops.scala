@@ -27,12 +27,8 @@ import graft.sources.GraftTable
   */
 object Round15Ops {
 
-  private def freshDir(s: SparkSession, d: String, tag: String): String = {
-    val dir = s"target/tmp/g${tag}_${new java.io.File(d).getName}"
-    GraftTable.fsOf(s, dir)
-      .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
-    dir
-  }
+  private def freshDir(s: SparkSession, d: String, tag: String): String =
+    graft.T.freshDir(s, d, tag)
 
   /** Two-version nation fixture the DSv2 read key serves: v0 = the
     * sub-10 slice, v1 = all nations. */

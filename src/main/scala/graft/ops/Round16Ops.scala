@@ -18,12 +18,8 @@ import graft.sources.GraftTable
   */
 object Round16Ops {
 
-  private def freshDir(s: SparkSession, d: String, tag: String): String = {
-    val dir = s"target/tmp/g${tag}_${new java.io.File(d).getName}"
-    GraftTable.fsOf(s, dir)
-      .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
-    dir
-  }
+  private def freshDir(s: SparkSession, d: String, tag: String): String =
+    graft.T.freshDir(s, d, tag)
 
   private def withCatalog(s: SparkSession, name: String): Unit =
     s.conf.set(s"spark.sql.catalog.$name",

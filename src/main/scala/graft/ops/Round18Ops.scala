@@ -30,12 +30,8 @@ import graft.sources.GraftTable
   */
 object Round18Ops {
 
-  private def freshDir(s: SparkSession, d: String, tag: String): String = {
-    val dir = s"target/tmp/g${tag}_${new java.io.File(d).getName}"
-    GraftTable.fsOf(s, dir)
-      .delete(new org.apache.hadoop.fs.Path(dir), true) // pure-function reset
-    dir
-  }
+  private def freshDir(s: SparkSession, d: String, tag: String): String =
+    graft.T.freshDir(s, d, tag)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -336,10 +336,36 @@ object GraftMergeCommand {
     * e.g. the racer ran ADD/RENAME/DROP COLUMN, or an evolving merge
     * lost the race between its own schema commit and snapshot commit;
     * binding the old attributes to a reshaped table would be a guess,
-    * and the caller must re-plan. */
+    * and the caller must re-plan. Likewise refuses when the SOURCE
+    * reads the target table: only the target re-pins, so a
+    * self-referencing source would feed the retry stale rows and the
+    * result would match no serial execution. */
   private def rebase(spark: SparkSession, m: MergeIntoTable, dir: String,
       cause: java.util.ConcurrentModificationException): MergeIntoTable = {
     import graft.sources.{GraftSparkTable, GraftTable}
+    // a SOURCE that reads the target table stays pinned to the
+    // pre-race snapshot — rebasing only the target would apply deltas
+    // derived from stale rows, committing a state no serial order
+    // (racer-then-merge or merge-then-racer) could produce. Refuse:
+    // the caller must re-plan the whole statement against the new head.
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
+    val selfSource = m.sourceTable.exists {
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftSparkTable => canon(g.dir) == canon(dir)
+        case _ => false
+      }
+      case _ => false
+    }
+    if (selfSource) {
+      val e = new java.util.ConcurrentModificationException(
+        s"MERGE INTO lost a race on $dir AND its source reads the same " +
+          "table (pinned to the pre-race snapshot) — rebasing only the " +
+          "target would merge stale source rows; re-run the MERGE " +
+          "against the new head")
+      e.initCause(cause)
+      throw e
+    }
     val fs = GraftTable.fsOf(spark, dir)
     val head = GraftTable.currentVersion(fs, dir).getOrElse(throw cause)
     var replaced = false

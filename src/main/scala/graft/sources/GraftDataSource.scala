@@ -1034,9 +1034,15 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
       // SMJ requires
       case Some(_) => if (sortedOk) table.sortWithinCols else Nil
       // identity groups: partition columns are constant per group
-      // (always claimable); a sortw suffix extends the claim
+      // (always claimable); a sortw suffix extends the claim. Filter
+      // to the scan's OUTPUT defensively — ordering resolution is
+      // STRICT (V2ExpressionUtils.toCatalystOrdering throws on a
+      // missing attribute, unlike the partitioning path's lenient
+      // toCatalystOpt), and a subset claim over constant columns is
+      // always sound
       case None =>
-        table.partCols ++ (if (sortedOk) table.sortWithinCols else Nil)
+        table.partCols.filter(out.fieldNames.contains) ++
+          (if (sortedOk) table.sortWithinCols else Nil)
     }
     cols.distinct.map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,

@@ -1508,21 +1508,31 @@ object GraftTable {
   /** Tombstone row count of a DV dir from its parquet FOOTERS —
     * O(dv files) metadata reads, no data, no job. Shared by the DSv2
     * scan's scale gate and the API read path's broadcast-hint decision
-    * so the two doors can never disagree on what "large" means. */
+    * so the two doors can never disagree on what "large" means.
+    * MEMOIZED per qualified dv path: a committed version's DV dir is
+    * immutable (vacuum deletes it whole, never rewrites), and the API
+    * door re-reads the same version many times per session — each
+    * repeat would otherwise pay the same footer opens again. */
+  private val dvRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private[graft] def dvFooterRows(spark: SparkSession,
       fs: FileSystem, dir: String, dvDir: String): Long = {
-    val conf = spark.sessionState.newHadoopConf()
-    fs.listStatus(new Path(s"$dir/$dvDir"))
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-      .map { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(st, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+    val key = fs.makeQualified(new Path(s"$dir/$dvDir")).toString
+    dvRowsCache.computeIfAbsent(key, _ => {
+      val conf = spark.sessionState.newHadoopConf()
+      fs.listStatus(new Path(s"$dir/$dvDir"))
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+    })
   }
 
   /** The driver-materialization ceiling for deletion vectors: at most

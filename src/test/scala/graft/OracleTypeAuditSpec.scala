@@ -34,8 +34,10 @@ class OracleTypeAuditSpec extends AnyFunSuite {
     val jsonFile = Files.createTempFile("oracle_sql", ".json")
     Files.writeString(jsonFile, Verify.oracleJson)
     val out = new StringBuilder
+    // sbt runs tests from the repo root — resolve the tool relative to
+    // it, not a hardcoded checkout path
     val rc = Process(Seq("python3", "tools/oracle_types.py", sfDir,
-      jsonFile.toString), new java.io.File("/root/repo"))
+      jsonFile.toString), new java.io.File(sys.props("user.dir")))
       .!(ProcessLogger(l => out.append(l).append('\n')))
     Files.deleteIfExists(jsonFile)
     assert(rc == 0, s"oracle type audit failed:\n$out")

@@ -101,6 +101,49 @@ class Round18Spec extends SparkSpec {
       Seq("key", "v", "tag"))
   }
 
+  test("a raced MERGE whose SOURCE reads the target refuses to rebase") {
+    val abs = baseTable("selfsrc")
+    // the source is a projection of the target table itself — pinned
+    // to the pre-race snapshot; rebasing only the target would merge
+    // stale rows into the racer's head
+    val cmd = analyzedMerge(
+      s"""MERGE INTO gt18t.`$abs` t
+         |USING (SELECT key AS ckey, v * 2 AS delta FROM gt18t.`$abs`) s
+         |ON t.key = s.ckey
+         |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+         |""".stripMargin)
+    import spark.implicits._
+    GraftTable.commitNextIsolated(spark, abs,
+      GraftTable.read(spark, abs)
+        .withColumn("v", col("v") + 1L), "racer", expectVersion = Some(0))
+    val e = intercept[java.util.ConcurrentModificationException](
+      cmd.run(spark))
+    assert(e.getMessage.contains("source reads the same"))
+    // nothing half-landed
+    assert(GraftTable.versions(GraftTable.fsOf(spark, abs), abs).size == 2)
+  }
+
+  test("ordering claim survives pruning the partition column away " +
+      "(aggregate without the key still plans)") {
+    import spark.implicits._
+    val dir = fresh("ordprune")
+    sources.GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "x", 30L))
+        .toDF("k", "p", "v"),
+      "identity partby", partitionBy = Seq("p"))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // the query never references p: the scan prunes it, and the
+      // ordering report must claim only columns the output still has —
+      // a claim on the pruned column would throw at planning (ordering
+      // resolution is strict, unlike partitioning's)
+      val agg = spark.read.format("graft").load(dir)
+        .agg(org.apache.spark.sql.functions.sum("v"))
+      assert(agg.collect().head.getLong(0) == 60L)
+    } finally
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+  }
+
   // ---- large-deletion-vector read tier --------------------------------------
 
   test("DV tiers serve identical rows; the large tier never collects " +
