@@ -1025,14 +1025,11 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
     if (!spjEligible) return Array.empty
-    val sortedOk = table.sortWithinCols.nonEmpty &&
-      table.sortWithinCols.forall(out.fieldNames.contains) &&
-      oneUnsplitFilePerGroup
     val cols: Seq[String] = table.bucketFn match {
       // bucket groups hold MANY key values — only the within-file sort
       // orders them, and the join key (not the bucket col) is what the
       // SMJ requires
-      case Some(_) => if (sortedOk) table.sortWithinCols else Nil
+      case Some(_) => if (sortClaimOk) table.sortWithinCols else Nil
       // identity groups: partition columns are constant per group
       // (always claimable); a sortw suffix extends the claim. Filter
       // to the scan's OUTPUT defensively — ordering resolution is
@@ -1042,31 +1039,29 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
       // always sound
       case None =>
         table.partCols.filter(out.fieldNames.contains) ++
-          (if (sortedOk) table.sortWithinCols else Nil)
+          (if (sortClaimOk) table.sortWithinCols else Nil)
     }
     cols.distinct.map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
         NullOrdering.NULLS_FIRST)).toArray
   }
 
-  /** TRUE when every live partition dir plans as exactly one
-    * PartitionedFile: one data file, small enough that the parquet
-    * splitter leaves it whole. The threshold is the SAME
-    * `FilePartition.maxSplitBytes` the planner will use — min(conf
-    * ceiling, max(openCost, totalBytes/parallelism)) — NOT the bare
-    * files.maxPartitionBytes conf: on a wide-parallelism session the
-    * effective split size is far smaller than the ceiling, and a guard
-    * built on the ceiling would let the ordering claim stand over a
-    * file the planner byte-range splits (split concatenation order is
-    * an unspecified internal; a claim relying on it is a lie waiting
-    * for a Spark upgrade). O(cached listing), no I/O. */
-  private def oneUnsplitFilePerGroup: Boolean = {
-    val parts = table.index.listFiles(Nil, Nil)
-    val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
-      .maxSplitBytes(org.apache.spark.sql.SparkSession.active, parts)
-    parts.forall(pd =>
-      pd.files.length == 1 && pd.files.forall(_.getLen <= maxSplit))
-  }
+  /** The within-file sort claim is SERVABLE: a sortw= declaration whose
+    * columns survive pruning, over a layout where every live partition
+    * dir holds exactly ONE data file. Byte-range splits of that file
+    * are fine — `spjRegroup` collapses a claimed group into one
+    * partition with the splits in (path, offset) order, so rows stream
+    * in file order however large the file grows (the guard no longer
+    * turns the tier off at exactly the scale it exists for). A
+    * multi-FILE group still refuses: concatenating two sorted files is
+    * not sorted. A LAZY VAL: outputOrdering (optimizer time) and
+    * planInputPartitions (execution time) must agree — the claim and
+    * the merge that makes it true are one decision. O(cached listing),
+    * no I/O. */
+  private lazy val sortClaimOk: Boolean =
+    table.sortWithinCols.nonEmpty &&
+      table.sortWithinCols.forall(out.fieldNames.contains) &&
+      table.index.listFiles(Nil, Nil).forall(_.files.length == 1)
 
   /** Regroup planned files into one partition per partition-key value,
     * each carrying its key (`HasPartitionKey`) so Spark's key-grouped
@@ -1092,25 +1087,43 @@ private[graft] class GraftScan(inner: ParquetScan, out: StructType,
         val dts = idx.map(i => pschema.fields(i).dataType)
         f => idx.zip(dts).map { case (i, dt) => f.partitionValues.get(i, dt) }
     }
-    // split each PLANNED partition by key rather than globally merging
-    // per key: when key-grouped execution engages, Spark merges
-    // same-key splits itself (groupPartitions), and when it does NOT
-    // engage — a path-based read with no function catalog to resolve
-    // the bucket transform, or a scan that pruned the identity keys —
-    // the original read parallelism survives instead of collapsing to
-    // one task per partition value
-    parts.flatMap {
-      case fp: FilePartition =>
-        fp.files.groupBy(keyOf).toSeq
-          // deterministic order: sort by the key's string image
-          .sortBy(_._1.map(String.valueOf).mkString(" "))
-          .map { case (key, fs) => (key, fs.sortBy(_.urlEncodedPath)) }
-      case other => return parts // non-file partitions: never regroup
-    }.zipWithIndex.map { case ((key, fs), i) =>
-      new GraftKeyedFilePartition(i, fs,
+    // TWO packing modes. Default: split each PLANNED partition by key
+    // rather than globally merging per key — when key-grouped execution
+    // engages, Spark merges same-key splits itself (groupPartitions),
+    // and when it does NOT engage (path read without a function
+    // catalog, pruned identity keys) the original read parallelism
+    // survives instead of collapsing to one task per partition value.
+    // Under a SERVED ordering claim (sortClaimOk) the merge must be
+    // OURS: the claim stands on rows streaming in file-offset order,
+    // and Spark's same-key merge order is an unspecified internal — so
+    // each key's pieces collapse into ONE partition here, byte-range
+    // splits ordered by (path, start). That keeps the sorted tier live
+    // for files bigger than the split size (one task per group is the
+    // layout's nature — one file per group — so no parallelism beyond
+    // the splits is lost that the claim didn't already require).
+    val grouped: Seq[(Seq[Any],
+        Seq[org.apache.spark.sql.execution.datasources.PartitionedFile])] =
+      parts.toSeq.flatMap {
+        case fp: FilePartition =>
+          fp.files.toSeq.groupBy(keyOf).toSeq
+            // deterministic order: sort by the key's string image
+            .sortBy(_._1.map(String.valueOf).mkString(" "))
+            .map { case (key, fs) =>
+              (key, fs.sortBy(f => (f.urlEncodedPath, f.start))) }
+        case other => return parts // non-file partitions: never regroup
+      }
+    val merged =
+      if (!sortClaimOk) grouped
+      else grouped.groupBy(_._1).toSeq
+        .sortBy(_._1.map(String.valueOf).mkString(" "))
+        .map { case (key, pieces) =>
+          (key, pieces.flatMap(_._2)
+            .sortBy(f => (f.urlEncodedPath, f.start))) }
+    merged.zipWithIndex.map { case ((key, fs), i) =>
+      new GraftKeyedFilePartition(i, fs.toArray,
         new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(key.toArray)): InputPartition
-    }
+    }.toArray
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

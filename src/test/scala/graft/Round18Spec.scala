@@ -306,8 +306,8 @@ class Round18Spec extends SparkSpec {
     assert(sources.GraftTable.headersOf(fs, a, 1).contains("sortw"))
   }
 
-  test("sortw guard: a file the planner byte-range splits WITHHOLDS the " +
-      "ordering claim — the Sort comes back, values unchanged") {
+  test("sortw at scale: byte-range-SPLIT sorted files keep the claim — " +
+      "splits merge in offset order, SMJ stays sort-free, values exact") {
     import spark.implicits._
     val a = fresh("ssrt_split_a"); val b = fresh("ssrt_split_b")
     def bucketed(df: DataFrame, key: String) =
@@ -336,9 +336,13 @@ class Round18Spec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      // force the planner's EFFECTIVE split size below the file sizes:
-      // the guard must mirror FilePartition.maxSplitBytes, not the
-      // conf ceiling alone
+      // force the planner's EFFECTIVE split size far below the file
+      // sizes: every bucket's single sorted file plans as MANY
+      // byte-range splits — at real scale this is the normal state
+      // (sorted bucket files outgrow the split size), and the tier
+      // must keep working: spjRegroup collapses each claimed group to
+      // ONE partition with the splits in (path, offset) order, so rows
+      // still stream in file order and the claim holds
       spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
       spark.conf.set("spark.sql.files.openCostInBytes", "1024")
       val on = q()
@@ -346,10 +350,12 @@ class Round18Spec extends SparkSpec {
       val nSorts = sorts(on)
       val plan = on.queryExecution.executedPlan.toString
       assert(nShuffles == 0, s"SPJ grouping itself still engages:\n$plan")
-      assert(nSorts > 0,
-        "a split sorted file must NOT sustain the ordering claim — " +
-          s"the SMJ needs its Sorts back:\n$plan")
-      // and the values are still exact
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(nSorts == 0,
+        "split sorted files must still sustain the ordering claim " +
+          s"(offset-ordered merge):\n$plan")
+      // and the values are still exact — the real proof the merged
+      // split order is the file order
       assert(on.count() == 2000L)
       assert(on.where(col("k") =!= col("ck")).count() == 0L)
     } finally {
@@ -357,6 +363,59 @@ class Round18Spec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
       spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
+  test("sortw guard: a MULTI-FILE group withholds the ordering claim — " +
+      "concatenating two sorted files is not sorted") {
+    import spark.implicits._
+    val a = fresh("ssrt_mf_a"); val b = fresh("ssrt_mf_b")
+    def bucketed(df: DataFrame, key: String) =
+      df.withColumn("cb",
+        org.apache.spark.sql.functions.pmod(col(key), lit(2L)).cast("int"))
+    sources.GraftTable.commitNextIsolated(spark, a,
+      bucketed(Seq((1L, 10L), (3L, 30L), (2L, 20L)).toDF("k", "v"), "k"),
+      "facts", partitionBy = Seq("cb"), bucketFn = Some((2, "k")),
+      sortWithin = Seq("k"))
+    sources.GraftTable.commitNextIsolated(spark, b,
+      bucketed(Seq((1L, "a"), (3L, "c"), (9L, "z")).toDF("ck", "s"), "ck"),
+      "dim", partitionBy = Seq("cb"), bucketFn = Some((2, "ck")),
+      sortWithin = Seq("ck"))
+    // TAMPER SIMULATION: drop a second (itself sorted, invariant-
+    // respecting) file into one of A's bucket dirs — the layout no
+    // longer guarantees a per-group total order, and the scan must
+    // withhold the claim rather than serve a lying merge
+    val fs = sources.GraftTable.fsOf(spark, a)
+    val dataDir = fs.listStatus(new org.apache.hadoop.fs.Path(a))
+      .map(_.getPath.getName).find(_.startsWith("v0_")).get
+    val groupDir = s"$a/$dataDir/cb=1"
+    val tmp = fresh("ssrt_mf_tmp")
+    Seq((9L, 90L)).toDF("k", "v").coalesce(1).write.parquet(tmp)
+    val extra = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(extra,
+      new org.apache.hadoop.fs.Path(s"$groupDir/zz_extra.parquet"))
+    spark.conf.set("spark.sql.catalog.gt18t",
+      classOf[graft.sources.GraftCatalog].getName)
+    val (aa, ab) = (new java.io.File(a).getAbsolutePath,
+      new java.io.File(b).getAbsolutePath)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val on = spark.sql(
+        s"SELECT f.k, f.v, d.s FROM gt18t.`$aa` f " +
+          s"JOIN gt18t.`$ab` d ON f.k = d.ck")
+      assert(shuffles(on) == 0)
+      assert(sorts(on) > 0,
+        "a two-file group must NOT sustain the ordering claim:\n" +
+          on.queryExecution.executedPlan.toString)
+      assert(on.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted ==
+        Seq((1L, 10L, "a"), (3L, 30L, "c"), (9L, 90L, "z")))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
 
