@@ -71,6 +71,39 @@ object LlmOps {
       .select(col("a_id"), col("b_id"), dround(col("raw"), 6).as("cos_sim"))
   }
 
+  /** Exact all-pairs Jaccard over (doc_id, text). Inherently quadratic in
+    * the candidate join, so it REFUSES inputs above `maxDocs` with a loud
+    * error instead of silently truncating — a user pointing this at a real
+    * corpus gets a refusal, not a runaway job. The scale path for a full
+    * corpus is MinHashDedup (LSH banding); this is its bounded verifier.
+    * The row count is a metadata-only action on a parquet source. */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double,
+                   maxDocs: Long = 10000L): DataFrame = {
+    val n = docs.count()
+    require(n <= maxDocs,
+      s"jaccardPairs is exact all-pairs (O(n^2) candidate join): got $n " +
+        s"documents > maxDocs=$maxDocs. Slice the input explicitly, raise " +
+        "maxDocs deliberately, or use the LSH path (MinHashDedup / " +
+        "text_minhash_dedup) for a full corpus.")
+    val toks = docs
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val sizes = toks.select(col("doc_id"), size(col("toks")).as("n"))
+    val ex = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
+      .withColumn("jac",
+        col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("a_id"), col("b_id"), dround(col("jac"), 6).as("jac"))
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Group on sha2(text) so the shuffle carries a 64-char key, not the
     // full document; text is reduced to (hash, length) map-side — at
@@ -87,27 +120,11 @@ object LlmOps {
 
     // Exact Jaccard is the ground-truth fixture; it is inherently
     // quadratic on this 31-word-vocabulary corpus (~224M joined rows at
-    // sf0.1), so it runs on a deterministic 1000-doc slice. The scale
-    // path for the full corpus is text_minhash_dedup (LSH banding).
-    "text_jaccard_pairs" -> ((s, d) => {
-      val toks = t(s, d, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      val sizes = toks.select(col("doc_id"), size(col("toks")).as("n"))
-      val ex = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-      val inter = ex.as("a")
-        .join(ex.as("b"), col("a.tok") === col("b.tok") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("sa"), col("a_id") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("b_id") === col("sb.doc_id"))
-        .withColumn("jac",
-          col("inter") / (col("sa.n") + col("sb.n") - col("inter")))
-        .filter(col("jac") >= 0.8)
-        .select(col("a_id"), col("b_id"), dround(col("jac"), 6).as("jac"))
-        .orderBy("a_id", "b_id")
-    }),
+    // sf0.1), so the key runs jaccardPairs on an EXPLICIT 1000-doc slice
+    // (the helper itself refuses oversized input — no silent bound). The
+    // scale path for the full corpus is text_minhash_dedup (LSH banding).
+    "text_jaccard_pairs" -> ((s, d) =>
+      jaccardPairs(t(s, d, "documents").filter(col("doc_id") < 1000), 0.8)),
 
     // Uses the native codegen'd CosineSimilarity expression (graft.expr);
     // the zip_with/aggregate formulation in dot()/norm() is the pure

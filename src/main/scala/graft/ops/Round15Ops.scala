@@ -164,11 +164,15 @@ object Round15Ops {
     // bounded admission-controlled batches (2 versions/trigger here:
     // 3 versions drain in exactly 2 batches, pinned inside the hash;
     // Round15Spec adds restart-exactly-once and the rewrite refusal).
-    // Every streamed row rides the hash: a dropped or double-emitted
-    // version flips the sums.
+    // Every streamed row rides the hash via the parquet sink — the
+    // production path: each micro-batch lands distributed (no driver
+    // collect), tagged with its batch id so the read-back can count
+    // distinct non-empty batches. A dropped or double-emitted version
+    // flips the sums; over/under-split admission flips n_batches.
     "table_dsv2_stream" -> ((s, d) => {
       val dir = freshDir(s, d, "dsv2stream")
       val cp = freshDir(s, d, "dsv2streamcp")
+      val sink = freshDir(s, d, "dsv2streamsink")
       val o = t(s, d, "orders")
         .select(col("o_orderkey"), money(dec(col("o_totalprice"))).as("price"))
       GraftTable.commitNextIsolated(s, dir,
@@ -177,9 +181,6 @@ object Round15Ops {
         o.where(pmod(col("o_orderkey"), lit(3)) === 1), "tick 1")
       GraftTable.commitAppend(s, dir,
         o.where(pmod(col("o_orderkey"), lit(3)) === 2), "tick 2")
-      val batches =
-        new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = s.readStream.format("graft")
         .option("maxVersionsPerTrigger", 2).load(dir)
         .writeStream
@@ -187,20 +188,17 @@ object Round15Ops {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch {
           (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) =>
-            val rows = b.collect()
-            if (rows.nonEmpty) {
-              nBatches.incrementAndGet()
-              batches.add(s.createDataFrame(
-                java.util.Arrays.asList(rows: _*), b.schema))
-            }
+           bid: Long) =>
+            b.withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(sink)
             ()
         }.start()
       q.awaitTermination()
-      batches.toArray(Array.empty[DataFrame]).reduce(_ unionByName _)
-        .groupBy(pmod(col("o_orderkey"), lit(3)).cast("int").as("slice"))
+      val got = s.read.parquet(sink)
+      val nb = got.agg(countDistinct(col("batch_id")).as("n_batches"))
+      got.groupBy(pmod(col("o_orderkey"), lit(3)).cast("int").as("slice"))
         .agg(count(lit(1)).as("n"), money(sum(dec(col("price")))).as("rev"))
-        .withColumn("n_batches", lit(nBatches.get().toLong))
+        .crossJoin(nb)
         .orderBy("slice")
     }),
 

@@ -304,6 +304,23 @@ class Round18Spec extends SparkSpec {
     // restore CARRIES it (data verbatim)
     sources.GraftTable.restoreVersion(spark, a, 0)
     assert(sources.GraftTable.headersOf(fs, a, 1).contains("sortw"))
+    // the claim disappears with the guarantee instead of lying, via
+    // BOTH doors that could break it: (1) the append door refuses
+    // outright on any partitionBy layout (sortw implies one) — no
+    // unsorted files can slip beside the sorted ones; (2) a full
+    // rewrite that does NOT re-declare the order mints a version
+    // WITHOUT sortw=
+    val appendRefused = intercept[IllegalArgumentException] {
+      sources.GraftTable.commitAppend(spark, a,
+        bucketed(Seq((9L, 90L)).toDF("k", "v"), "k"), "unsorted tick")
+    }
+    assert(appendRefused.getMessage.contains("partitionBy"))
+    sources.GraftTable.commitNextIsolated(spark, a,
+      bucketed(Seq((1L, 10L), (5L, 50L), (9L, 90L)).toDF("k", "v"), "k"),
+      "rewrite, order not re-declared", partitionBy = Seq("cb"),
+      bucketFn = Some((4, "k")))
+    assert(!sources.GraftTable.headersOf(fs, a, 2).contains("sortw"),
+      "an undeclared rewrite minted a version still claiming sortw=")
   }
 
   test("sortw at scale: byte-range-SPLIT sorted files keep the claim — " +
