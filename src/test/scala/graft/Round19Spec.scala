@@ -36,4 +36,71 @@ class Round19Spec extends SparkSpec {
     assert(got.length == 1 && got(0).getLong(0) == 100L &&
       got(0).getLong(1) == 101L)
   }
+
+  test("JDBC import door: the filter is COMPILED INTO the JDBC scan " +
+      "(PushedFilters) and the read is range-sliced into 8 partitions") {
+    val src = T.t(spark, sf, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"), T.dec(col("o_totalprice")).as("price"))
+    val url = graft.ops.Round19Ops.stageDerby(spark, sf, "jdbcspec",
+      "ORDERS_SPEC", src, Map("o_orderstatus" -> 1))
+    val q = spark.read.jdbc(url, "ORDERS_SPEC", "o_orderkey", 1L, 6000L, 8,
+      graft.ops.Round19Ops.jdbcProps)
+      .filter(col("price") > 1000 && col("o_orderstatus") === "F")
+      .select("o_orderkey", "price")
+    assert(q.rdd.getNumPartitions == 8,
+      "the import must fan out over 8 range-sliced JDBC connections")
+    // the scan node's metadata string truncates at 100 chars by default,
+    // cutting off the second pushed filter — widen it for the assert
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    val plan = try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+      q.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(price") &&
+      plan.contains("EqualTo(o_orderstatus"),
+      s"both predicates must push into the per-slice JDBC SQL:\n$plan")
+    // values survive the round trip exactly (decimal + key)
+    val viaParquet = src
+      .filter(col("price") > 1000 && col("o_orderstatus") === "F")
+      .select("o_orderkey", "price").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1))).toSeq.sortBy(_._1)
+    val viaJdbc = q.collect()
+      .map(r => (r.getLong(0), r.getDecimal(1))).toSeq.sortBy(_._1)
+    assert(viaJdbc == viaParquet)
+  }
+
+  test("etl_multi_insert: both sink writes are served from the persisted " +
+      "projection — one source scan, two InMemoryTableScan-fed inserts") {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        plans.add(qe.executedPlan.toString); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = SparkEntry.queries("etl_multi_insert")(spark, sf).collect()
+      assert(out.nonEmpty)
+      // the listener fires asynchronously — poll until both sink writes
+      // have reported (bounded)
+      def sinkWrites(): Array[String] = plans.toArray(Array.empty[String])
+        .filter(p => p.contains("InsertIntoHadoopFsRelationCommand") &&
+          (p.contains("minsday") || p.contains("minstype")))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (sinkWrites().length < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val writes = sinkWrites()
+      assert(writes.length == 2, s"expected 2 sink writes, saw ${writes.length}")
+      writes.foreach { p =>
+        assert(p.contains("InMemoryTableScan"),
+          s"a sink write bypassed the persisted projection:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
