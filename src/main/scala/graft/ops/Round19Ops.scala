@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.T.{dec, money, oDec, oMoney, t}
+import graft.sources.GraftTable
 
 /** Round-19 additions (VERDICT r18 "Next round" items 1-2):
   *
@@ -107,6 +108,36 @@ object Round19Ops {
         .orderBy("o_orderpriority")
     }),
 
+    // POSITIONAL deletion vectors (VERDICT r18 item 3): two MoR deletes
+    // on a two-file table — the first tombstones scattered rows (merged
+    // at read by the codegen'd sidecar probe, NO join in the plan), the
+    // second cumulatively kills EVERY row of one file (the skip tier:
+    // that file never enters the read's file list). Both versions are
+    // read back and union-hashed, so the probe tier, the skip tier,
+    // cumulation AND time travel all ride the oracle. Round19Spec pins
+    // the plan shape (no Join node, inputFiles drops the dead file).
+    "table_dv_positional" -> ((s, d) => {
+      val dir = freshDir(s, d, "pdvtab")
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), dec(col("o_totalprice")).as("price"))
+      // append chain so the 'P'-status rows land in their own FILE (the
+      // second delete fully tombstones it — exercising the skip tier;
+      // a coalesced union would collapse to one write partition)
+      GraftTable.commitNextIsolated(s, dir,
+        o.filter(col("o_orderstatus") === "P").coalesce(1), "P rows")
+      GraftTable.commitAppend(s, dir,
+        o.filter(col("o_orderstatus") =!= "P").coalesce(1), "the rest")
+      GraftTable.commitPositionalDelete(s, dir, col("price") > lit(200000),
+        "drop expensive rows")
+      GraftTable.commitPositionalDelete(s, dir,
+        col("o_orderstatus") === "P", "drop the P file entirely")
+      def agg(v: Int): DataFrame = GraftTable.readVersion(s, dir, v)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), money(sum(col("price"))).as("rev"))
+        .withColumn("version", lit(v))
+      agg(2).unionByName(agg(3)).orderBy("version", "o_orderstatus")
+    }),
+
     // FROM events INSERT day-layer INSERT type-layer: one scan (persisted
     // projection), two sink writes, both read back into one union so the
     // oracle covers every layer. unpersist before returning — the key
@@ -148,6 +179,18 @@ object Round19Ops {
       ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +
         s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS rev FROM orders " +
         "GROUP BY 1 ORDER BY 1"),
+
+    // v2 = rows surviving the price delete; v3 = additionally no 'P'
+    "table_dv_positional" -> {
+      def agg(v: Int, extra: String) =
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+          s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS rev, " +
+          s"CAST($v AS INT) AS version FROM orders " +
+          s"WHERE NOT (${oDec("o_totalprice")} > 200000)$extra GROUP BY 1"
+      s"SELECT * FROM (${agg(2, "")} UNION ALL " +
+        s"${agg(3, " AND o_orderstatus <> 'P'")}) " +
+        "ORDER BY version, o_orderstatus"
+    },
 
     "etl_multi_insert" ->
       ("SELECT * FROM (" +

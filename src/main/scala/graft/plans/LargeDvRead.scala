@@ -106,7 +106,15 @@ case class LargeDvReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.resolveOperators {
       case r: DataSourceV2Relation if !pinned.contains(r)
           && r.table.isInstanceOf[GraftSparkTable]
-          && r.table.asInstanceOf[GraftSparkTable].dvServedByAntiJoin =>
+          && {
+            val g = r.table.asInstanceOf[GraftSparkTable]
+            // two header states route reads to the API plan: a
+            // too-large key DV (distributed anti-join tier) and a
+            // POSITIONAL sidecar (pdv= — the probe-merged scan, which
+            // the DSv2 path does not build; its newScanBuilder refuses
+            // as the backstop)
+            g.dvServedByAntiJoin || g.headers.contains("pdv")
+          } =>
         val g = r.table.asInstanceOf[GraftSparkTable]
         val child = GraftTable
           .readVersion(spark, g.dir, g.snapshotVersion, g.prefixV,

@@ -491,6 +491,18 @@ private[graft] class GraftSparkTable(spark: SparkSession, val dir: String,
     require(exists,
       s"no committed version under $dir — the table exists only as a " +
         "write target until its first commit")
+    // BACKSTOP, not the serving path: plain reads of a pdv version are
+    // rewritten to the merged API plan by LargeDvReadRule before any
+    // scan is built; a relation that still reaches here is a pinned
+    // DML/write target (whose rewrite would corrupt the sidecar
+    // semantics) or a session without GraftExtensions — refuse loudly
+    // rather than silently serve position-tombstoned rows raw
+    require(!headers.contains("pdv"),
+      s"version $snapshotVersion of $dir carries a positional deletion " +
+        "vector the DSv2 scan does not merge — SELECTs are served " +
+        "through the extension rewrite (spark.sql.extensions=" +
+        "graft.GraftExtensions); DML/write doors on a pdv head must " +
+        "purgePositionalDv first")
     new GraftScanBuilder(spark, this, dataSchema, fullSchema, options)
   }
 

@@ -516,9 +516,9 @@ object GraftTable {
     * in `versionAsOf`), and one with no schema= line simply skips the
     * write gate for its successor. */
   private val headerKeys =
-    Seq("data=", "ts=", "stats=", "dv=", "append=", "schema=", "partby=",
-      "bloom=", "constraints=", "statenc=", "update=", "pmap=", "wset=",
-      "statrel=", "colmap=", "bucketfn=", "sortw=")
+    Seq("data=", "ts=", "stats=", "dv=", "pdv=", "append=", "schema=",
+      "partby=", "bloom=", "constraints=", "statenc=", "update=", "pmap=",
+      "wset=", "statrel=", "colmap=", "bucketfn=", "sortw=")
 
   private def isHeaderLine(l: String): Boolean = headerKeys.exists(l.startsWith)
 
@@ -1150,6 +1150,10 @@ object GraftTable {
       val Array(dvDir, keys) = spec.split(";", 2)
       s"../$srcName/$dvDir;$keys"
     }
+    // a positional sidecar travels the same way: its dir re-points
+    // through ../ and its contents key on file BASENAMES, which the
+    // re-pointing never changes
+    val pdvRel = hdrs.get("pdv").map(pd => s"../$srcName/$pd")
     // stats travel with a single-dir reference (paths stay relative to
     // that dir). An APPEND source's stats are keyed relative to the
     // SOURCE table dir — unrepresentable from the clone without an
@@ -1163,7 +1167,7 @@ object GraftTable {
     // dir, m/k self-described), so the clone's re-pointed dir list
     // resolves them unchanged — append chains included
     commit(fs, dstDir, 0, metadata, dataDir = Some(rel),
-      stats = st, dv = dvRel, schema = hdrs.get("schema"),
+      stats = st, dv = dvRel, pdvHdr = pdvRel, schema = hdrs.get("schema"),
       partBy = hdrs.get("partby"), bloom = hdrs.get("bloom"),
       // the clone inherits the source's declared constraints — its
       // future commits enforce them independently
@@ -1238,7 +1242,25 @@ object GraftTable {
       pmap: Option[String] = None, wset: Option[String] = None,
       statrel: Boolean = false, colmap: Option[String] = None,
       bucketFnHdr: Option[String] = None,
-      sortw: Option[String] = None): Unit = {
+      sortw: Option[String] = None,
+      pdvHdr: Option[String] = None): Unit = {
+    // a version carries AT MOST ONE deletion-vector regime: key
+    // tombstones (dv=) and positional sidecars (pdv=) have different
+    // merge semantics, and a reader honoring one would silently ignore
+    // the other
+    require(dv.isEmpty || pdvHdr.isEmpty,
+      "a commit cannot carry both dv= and pdv= — the two deletion-vector " +
+        "regimes cannot merge on one read")
+    // like dv=: stats/bloom describe RAW files and would serve
+    // position-tombstoned rows
+    require(stats.isEmpty || pdvHdr.isEmpty,
+      "a commit cannot carry both stats= and pdv=: statistics describe " +
+        "raw files and would serve deleted rows — purge the positional " +
+        "deletion vector before committing statistics")
+    require(bloom.isEmpty || pdvHdr.isEmpty,
+      "a commit cannot carry both bloom= and pdv=: the Bloom index " +
+        "describes raw files and would serve deleted rows — purge the " +
+        "positional deletion vector before committing a Bloom index")
     // sortw DESCRIBES the partby layout's within-file row order (one
     // file per partition dir, rows sorted by these columns) — only the
     // engine-sorted write path (commitNextIsolated sortWithin) and the
@@ -1328,6 +1350,9 @@ object GraftTable {
           s"(${dataDir.getOrElse("<none>")})")
       require(dv.isEmpty,
         "an append commit cannot carry a deletion vector — purge first")
+      require(pdvHdr.isEmpty,
+        "an append commit cannot carry a positional deletion vector — " +
+          "purge first")
     }
     // version numbers are GAP-FREE by contract — `currentVersion`'s
     // probe-forward resolution depends on it (a commit beyond cur+1
@@ -1375,6 +1400,7 @@ object GraftTable {
       partBy.map(p => s"partby=$p\n").getOrElse("") +
       stats.map(st => s"stats=${st.encoded}\n").getOrElse("") +
       dv.map(d => s"dv=$d\n").getOrElse("") +
+      pdvHdr.map(d => s"pdv=$d\n").getOrElse("") +
       bloom.map(b => s"bloom=$b\n").getOrElse("") +
       constraintsHdr.map(c => s"constraints=$c\n").getOrElse("") +
       statenc.map(e => s"statenc=$e\n").getOrElse("") +
@@ -1416,14 +1442,16 @@ object GraftTable {
       val keep = versions(fs, dir).filter(_ >= v - retain).flatMap { kv =>
         val hdrs = parseCommit(commitContent(fs, dir, kv))._1
         (dataDirsFrom(hdrs, kv, prefix) ++
-          hdrs.get("dv").map(_.split(";", 2)(0)).toList)
+          hdrs.get("dv").map(_.split(";", 2)(0)).toList ++
+          hdrs.get("pdv").toList)
           .map(_.split('/').head)
       }.toSet
       fs.listStatus(new Path(dir)).foreach { st =>
         val n = st.getPath.getName
         if (!keep.contains(n) &&
             (dirVersion(n, prefix).exists(_ < v - retain) ||
-              dirVersion(n, "dv").exists(_ < v - retain)))
+              dirVersion(n, "dv").exists(_ < v - retain) ||
+              dirVersion(n, "pdv").exists(_ < v - retain)))
           fs.delete(st.getPath, true)
       }
     }
@@ -1621,7 +1649,55 @@ object GraftTable {
         .foldLeft(df) { case (d, (n, t)) =>
           d.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(t))
         }
-    hdrs.get("dv") match {
+    hdrs.get("pdv") match {
+      case Some(pdvDir) =>
+        // POSITIONAL deletion vector: per-file row-position sidecars,
+        // merged IN the scan by a static probe expression — no join
+        // node (key- or position-), no shuffle, no driver collect. Two
+        // tiers: (1) files the sidecar's _skips manifest marks fully
+        // deleted never enter the file list (never opened, never
+        // split); (2) every other file's rows flow through a
+        // codegen'd `NOT graft_pos_deleted(file, _metadata.row_index)`
+        // filter whose per-file position set loads lazily on whichever
+        // executor scans the file. This is the Iceberg-v2/Delta-DV
+        // read shape: MoR cost is one sorted-array probe per row, not
+        // an anti-join.
+        import org.apache.spark.sql.functions.{col, element_at, not, split => fsplit}
+        val sidecarPath = s"$dir/$pdvDir"
+        val skips = pdvSkips(fs, sidecarPath)
+        val files = dataDirs.flatMap { dd =>
+          fs.listStatus(new Path(s"$dir/$dd"))
+            .filter { st =>
+              val n = st.getPath.getName
+              st.isFile && !n.startsWith("_") && !n.startsWith(".")
+            }.map(_.getPath)
+        }
+        val live = files.filterNot(p => skips.contains(p.getName))
+          .map(_.toString)
+        if (live.isEmpty) {
+          // everything tombstoned: an empty frame under the declared
+          // schema (pdv commits always record schema=)
+          val st = declared.getOrElse(sys.error(
+            s"version $v of $dir is fully deleted and records no " +
+              "schema= header to type the empty read"))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+        } else {
+          val base = conform(declared match {
+            case Some(st) => spark.read.schema(st).parquet(live: _*)
+            case None => spark.read.parquet(live: _*)
+          })
+          val qualifiedSidecar =
+            fs.makeQualified(new Path(sidecarPath)).toString
+          val fileName =
+            element_at(fsplit(col("_metadata.file_path"), "/"), -1)
+          import org.apache.spark.sql.graft.GraftSqlBridge
+          base.where(not(GraftSqlBridge.column(graft.expr.PosDvProbe(
+            GraftSqlBridge.expression(fileName),
+            GraftSqlBridge.expression(col("_metadata.row_index")),
+            qualifiedSidecar))))
+        }
+      case None => hdrs.get("dv") match {
       case Some(spec) if spec.endsWith(";scoped") =>
         // DIR-SCOPED tombstones (MoR UPDATE): each (key, __dir) pair
         // kills its key only in that chain dir, so a later dir's
@@ -1668,6 +1744,16 @@ object GraftTable {
       case None =>
         conform(readDirs(dataDirs.map(d => s"$dir/$d")))
     }
+    }
+  }
+
+  /** The pdv sidecar's fully-deleted-file manifest: basenames of data
+    * files whose EVERY row is tombstoned (one per line in `_skips`) —
+    * the read path drops them from the file list without opening them. */
+  private[graft] def pdvSkips(fs: FileSystem, sidecar: String): Set[String] = {
+    val p = new Path(s"$sidecar/_skips")
+    if (!fs.exists(p)) Set.empty
+    else readSmallFile(fs, p).split("\n").filter(_.nonEmpty).toSet
   }
 
   /** Chain-dir BASENAME — the dir identity scoped tombstones record.
@@ -1838,7 +1924,8 @@ object GraftTable {
     allCommitContents(fs, dir).map { case (v, c) =>
       val (hdrs, md) = parseCommit(c)
       (v, md, commitTimeFrom(hdrs, fs, dir, v),
-        hdrs.contains("stats"), hdrs.contains("dv"),
+        hdrs.contains("stats"),
+        hdrs.contains("dv") || hdrs.contains("pdv"),
         hdrs.get("stats").map(TableStats.decode(_).files.map(_.rows).sum))
     }
 
@@ -1889,12 +1976,17 @@ object GraftTable {
       require(fs.exists(new Path(s"$dir/$dvd")),
         s"version $v's deletion vector $dvd has been garbage-collected " +
           "(retention) — it can no longer be restored"))
+    hdrs.get("pdv").foreach(pd =>
+      require(fs.exists(new Path(s"$dir/$pd")),
+        s"version $v's positional deletion vector $pd has been " +
+          "garbage-collected (retention) — it can no longer be restored"))
     val nv = cur + 1
     commit(fs, dir, nv,
       if (metadata.isEmpty) s"RESTORE VERSION AS OF $v" else metadata,
       prefix = prefix,
       dataDir = Some(dirs.mkString(",")),
       dv = hdrs.get("dv"),
+      pdvHdr = hdrs.get("pdv"),
       schema = hdrs.get("schema"),
       partBy = hdrs.get("partby"),
       prevTs = prevTsOf(Some((cur, curHdrs))),
@@ -1977,6 +2069,10 @@ object GraftTable {
     // a predecessor DV must share this delete's key identity (the
     // tombstone sets union) — refuse pointedly instead of surfacing a
     // union schema error from deep inside the write
+    require(!hdrs.contains("pdv"),
+      "the current version carries a POSITIONAL deletion vector — " +
+        "continue through commitPositionalDelete, or purgePositionalDv " +
+        "first: one version cannot merge two deletion-vector regimes")
     hdrs.get("dv").foreach { spec =>
       val prevKeys = spec.split(";", -1)(1).split(",").toSeq
       require(prevKeys == keyCols,
@@ -2019,6 +2115,149 @@ object GraftTable {
       // (the SPJ read side already stands down under a dv)
       bucketFnHdr = hdrs.get("bucketfn"))
     v
+  }
+
+  /** POSITIONAL merge-on-read delete (the Iceberg-v2 / Delta-DV sidecar
+    * shape, VERDICT r18 "Next round" item 3): commit a new version that
+    * shares the current data dirs UNCHANGED and carries a PER-FILE
+    * ROW-POSITION sidecar (`pdv=` header) — the rows matching
+    * `predicate`, recorded as `(file basename, _metadata.row_index)`
+    * and written as a parquet dir partitioned by file. `readVersion`
+    * merges it WITHOUT ANY JOIN: a codegen'd probe expression
+    * (`graft.expr.PosDvProbe`) drops tombstoned positions inside the
+    * scan stage from an executor-cached sorted array, and files the
+    * sidecar's `_skips` manifest marks fully deleted never enter the
+    * file list at all. vs the key-tombstone door (`commitDeleteVector`):
+    * positions cost no key equality work per row, need no key identity
+    * declaration, and kill exactly physical rows (duplicate-keyed rows
+    * delete independently); the price is that positions pin FILES — any
+    * rewrite (compaction, CoW update) invalidates them, so those doors
+    * refuse a pdv head until `purgePositionalDv`.
+    *
+    * Cumulative like `commitDeleteVector`: deleting on a pdv head unions
+    * the previous sidecar in, so each version's sidecar is self-contained
+    * and time travel sees exactly its deletes. Stats/bloom cannot ride
+    * (positions invalidate per-file counts — same rule as dv=). The
+    * sidecar write is DISTRIBUTED (a partitioned parquet write of the
+    * position frame); only the per-file skip reconciliation touches the
+    * driver, and that is O(files) footer metadata — manifest-scale, the
+    * dvFooterRows class of work, never row data. */
+  def commitPositionalDelete(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column, metadata: String = "",
+      prefix: String = "v", expectVersion: Option[Int] = None): Int = {
+    import org.apache.spark.sql.functions.{col, element_at, split => fsplit}
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(fs, dir).getOrElse(
+      sys.error(s"no committed version under $dir to delete from"))
+    expectVersion.foreach(ev =>
+      if (ev != cur) throw new java.util.ConcurrentModificationException(
+        s"delete computed its positions on version $ev of $dir but the " +
+          s"head is now $cur — re-read and retry"))
+    val hdrs = parseCommit(commitContent(fs, dir, cur))._1
+    require(!hdrs.contains("pmap"),
+      "this table is partition-mapped — delete by replacing its " +
+        "partitions through replacePartitionsWithRetry")
+    require(!hdrs.contains("colmap"),
+      "a positional delete cannot target a renamed/dropped-column head " +
+        "— rewrite via commitNextIsolated (normalizing the names) first")
+    require(!hdrs.contains("partby"),
+      "a positional delete reads explicit files, which cannot rebind a " +
+        "partitionBy layout's dir-name columns — delete copy-on-write " +
+        "(SQL DELETE) or through the key-tombstone door instead")
+    require(!hdrs.contains("dv"),
+      "the current version carries KEY tombstones (dv=) — continue " +
+        "through commitDeleteVector, or purgeDeleteVector first: one " +
+        "version cannot merge two deletion-vector regimes")
+    require(hdrs.contains("schema"),
+      s"version $cur of $dir predates schema= headers — re-commit once " +
+        "through any write path to record the schema, then delete")
+    if (hdrs.contains("stats") || hdrs.contains("bloom"))
+      throw new IndexRedeclarationRequired(
+        "a positional delete cannot carry this table's skipping index " +
+          "(the sidecar invalidates the per-file statistics) — delete " +
+          "through the copy-on-write door, or drop the index " +
+          "deliberately via commitNextIsolated first")
+    val dataDirs = dataDirsFrom(hdrs, cur, prefix)
+    val paths = dataDirs.map(d => s"$dir/$d")
+    val declared = declaredSchemaOf(hdrs)
+    // explicit declared-schema read: add-column predecessors' files
+    // null-fill the missing columns, so the predicate may reference them
+    val base = declared match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val fresh = base.filter(predicate).select(
+      element_at(fsplit(col("_metadata.file_path"), "/"), -1).as("__file"),
+      col("_metadata.row_index").as("__pos"))
+    val full = hdrs.get("pdv") match {
+      case Some(prevDir) =>
+        // cumulative: the previous sidecar's (file, pos) pairs union in
+        // (partition-column read recovers __file as a string)
+        val prev = spark.read.parquet(s"$dir/$prevDir")
+          .select(col("__file").cast("string").as("__file"),
+            col("__pos").cast("long").as("__pos"))
+        prev.unionByName(fresh).distinct()
+      case None => fresh.distinct()
+    }
+    val v = cur + 1
+    val pdvDir = s"pdv${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+    full.write.partitionBy("__file").mode("errorifexists")
+      .parquet(s"$dir/$pdvDir")
+    // skip reconciliation (driver, O(files) METADATA): a file whose
+    // tombstone count equals its footer row count is fully deleted —
+    // record it so reads never open it. Counts come from the sidecar
+    // groupBy (one row per affected file) and the parquet footers.
+    val deadCounts = spark.read.parquet(s"$dir/$pdvDir")
+      .groupBy(col("__file").cast("string").as("__file"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val conf = spark.sessionState.newHadoopConf()
+    val skips = dataDirs.flatMap { dd =>
+      fs.listStatus(new Path(s"$dir/$dd"))
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            deadCounts.contains(n)
+        }
+        .filter { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val total = try r.getRecordCount finally r.close()
+          deadCounts(st.getPath.getName) == total
+        }
+        .map(_.getPath.getName)
+    }
+    if (skips.nonEmpty) {
+      val out = fs.create(new Path(s"$dir/$pdvDir/_skips"), true)
+      try out.write(skips.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    commit(fs, dir, v, metadata, prefix = prefix,
+      dataDir = Some(dataDirs.mkString(",")),
+      pdvHdr = Some(pdvDir),
+      schema = hdrs.get("schema"),
+      prevTs = prevTsOf(Some((cur, hdrs))),
+      // a delete only SHRINKS the row set — constraints carry
+      constraintsHdr = hdrs.get("constraints"))
+    v
+  }
+
+  /** Materialize a pdv head's survivors as a plain copy-on-write version
+    * (Delta's REORG PURGE twin for positional sidecars), returning the
+    * table to probe-free reads and re-opening the rewrite doors
+    * (compaction, appends, indexes) that refuse a pdv head. */
+  def purgePositionalDv(spark: SparkSession, dir: String,
+      metadata: String = "PURGE POSITIONAL DELETION VECTOR",
+      prefix: String = "v"): Int = {
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(fs, dir).getOrElse(
+      sys.error(s"no committed version under $dir to purge"))
+    require(headersOf(fs, dir, cur).contains("pdv"),
+      s"version $cur of $dir carries no positional deletion vector")
+    commitNextIsolated(spark, dir, readVersion(spark, dir, cur, prefix),
+      metadata, prefix = prefix)
   }
 
   /** METADATA-ONLY `ADD COLUMN`: mint a version that re-references the
@@ -2064,6 +2303,7 @@ object GraftTable {
       // nonexistent conventional dir — the commitDeleteVector rule
       dataDir = Some(dataDirsFrom(hdrs, cur, prefix).mkString(",")),
       dv = hdrs.get("dv"),
+      pdvHdr = hdrs.get("pdv"),
       // new columns land BEFORE the partition columns: every reader
       // serves partition columns LAST (the file-table convention), so a
       // declared order with data columns after them would make the next
@@ -2175,6 +2415,10 @@ object GraftTable {
     require(!hdrs.contains("dv"),
       s"$what on a table carrying a deletion vector is not supported — " +
         "the tombstone keys name columns; purgeDeleteVector first")
+    require(!hdrs.contains("pdv"),
+      s"$what on a table carrying a positional deletion vector is not " +
+        "supported — the colmap read path and the sidecar probe cannot " +
+        "compose; purgePositionalDv first")
     require(!hdrs.contains("pmap"),
       s"$what on a partition-mapped table is not supported")
     require(!hdrs.contains("stats") && !hdrs.contains("bloom"),
@@ -2391,6 +2635,10 @@ object GraftTable {
       "a merge-on-read update cannot target a renamed/dropped-column " +
         "head — SQL UPDATE rewrites copy-on-write, or rewrite via " +
         "commitNextIsolated first")
+    require(!hdrs.contains("pdv"),
+      "a merge-on-read update cannot target a positional-deletion-" +
+        "vector head (the update mints key-scoped tombstones, and one " +
+        "version cannot merge two DV regimes) — purgePositionalDv first")
     // same posture as every other index-dropping path: REFUSE rather
     // than silently strip the skipping indexes (stats/bloom cannot
     // coexist with the dv this commit mints — see commit()'s exclusion)
@@ -2647,6 +2895,9 @@ object GraftTable {
         require(!h.contains("dv"),
           "cannot append onto a version carrying a deletion vector — " +
             "purgeDeleteVector first")
+        require(!h.contains("pdv"),
+          "cannot append onto a version carrying a positional deletion " +
+            "vector — purgePositionalDv first")
         require(!h.contains("partby"),
           s"cannot append onto a partitionBy layout (${h("partby")}): a " +
             "flat appended dir beside a partitioned one makes the union " +
@@ -2879,6 +3130,9 @@ object GraftTable {
         require(!h.contains("dv"),
           "cannot append onto a version carrying a deletion vector — " +
             "purgeDeleteVector first")
+        require(!h.contains("pdv"),
+          "cannot append onto a version carrying a positional deletion " +
+            "vector — purgePositionalDv first")
         require(!h.contains("colmap"),
           "cannot append onto a renamed/dropped-column head through " +
             "the DSv2 door — overwrite (which normalizes the physical " +
@@ -3736,7 +3990,8 @@ object GraftTable {
       (v, parseCommit(commitContent(fs, dir, v))))
     val referenced = parsed.flatMap { case (v, (hdrs, _)) =>
       (dataDirsFrom(hdrs, v, prefix) ++
-        hdrs.get("dv").map(_.split(";", 2)(0)).toList)
+        hdrs.get("dv").map(_.split(";", 2)(0)).toList ++
+        hdrs.get("pdv").toList)
         .map(_.split('/').head)
     }.toSet
     // per-query newest committed streaming epoch, keyed by the query
@@ -3757,7 +4012,8 @@ object GraftTable {
         val n = st.getPath.getName
         !referenced.contains(n) &&
           (dirVersion(n, prefix).exists(_ <= cur) ||
-            dirVersion(n, "dv").exists(_ <= cur)) &&
+            dirVersion(n, "dv").exists(_ <= cur) ||
+            dirVersion(n, "pdv").exists(_ <= cur)) &&
           // the grace age is the NEWEST FILE mtime anywhere under the
           // dir (recursive — a partitionBy staging dir nests its files
           // two levels down), not the dir's own: on object stores
@@ -3879,7 +4135,8 @@ object GraftTable {
         }
         def refs(v: Int, hdrs: Map[String, String]): Seq[String] =
           dataDirsFrom(hdrs, v, prefix) ++
-            hdrs.get("dv").map(_.split(";", 2)(0)).toList
+            hdrs.get("dv").map(_.split(";", 2)(0)).toList ++
+            hdrs.get("pdv").toList
         val expired = all.filter { case (v, _, ts) => v != cur && ts < cutoff }
         val expiredSet = expired.map(_._1).toSet
         val keep = all.collect {
@@ -4541,6 +4798,10 @@ object GraftTable {
       "cannot tail-compact a version carrying a deletion vector — the " +
         "tombstones span the whole chain; purge first (or compactChain, " +
         "which applies them)")
+    require(!h.contains("pdv"),
+      "cannot tail-compact a version carrying a positional deletion " +
+        "vector — positions pin files the fold would rewrite; " +
+        "purgePositionalDv first (or compactChain, which applies them)")
     require(!h.contains("partby"),
       "tail compaction applies to flat chains — a partitionBy layout " +
         "is already dir-clustered")

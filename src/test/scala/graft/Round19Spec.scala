@@ -70,6 +70,138 @@ class Round19Spec extends SparkSpec {
     assert(viaJdbc == viaParquet)
   }
 
+  /** Two-file pdv fixture as an append chain (v0 holds exactly the 'lo'
+    * keys 1..4, the appended v1 holds 5..12) — a coalesced union would
+    * collapse to ONE write partition, so separate commits are the only
+    * guaranteed per-group file split. The pdv versions start at 2. */
+  private def pdvBase(tag: String): String = {
+    import spark.implicits._
+    val dir = fresh(tag)
+    GraftTable.commitNextIsolated(spark, dir,
+      (1L to 4L).map(k => (k, k * 10L, "lo")).toDF("k", "v", "g")
+        .coalesce(1), "lo")
+    GraftTable.commitAppend(spark, dir,
+      (5L to 12L).map(k => (k, k * 10L, "hi")).toDF("k", "v", "g")
+        .coalesce(1), "hi")
+    dir
+  }
+
+  test("positional DV: the merged read has NO join node, probes inside " +
+      "the scan, and the fully-deleted file leaves the file list") {
+    val dir = pdvBase("pdv_plan")
+    GraftTable.commitPositionalDelete(spark, dir,
+      col("k") === 7L, "one row of the hi file")
+    val v1 = GraftTable.readVersion(spark, dir, 2)
+    val p1 = v1.queryExecution.executedPlan.toString
+    assert(!p1.contains("Join"), s"positional merge must not join:\n$p1")
+    assert(p1.contains("graft_pos_deleted"),
+      s"the sidecar probe must sit in the plan as a filter:\n$p1")
+    assert(v1.inputFiles.length == 2, "both files still live at v1")
+    assert(v1.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      ((1L to 12L).filterNot(_ == 7L)))
+    // cumulative second delete kills the ENTIRE lo file
+    GraftTable.commitPositionalDelete(spark, dir, col("g") === "lo",
+      "the whole lo file")
+    val v2 = GraftTable.readVersion(spark, dir, 3)
+    assert(v2.inputFiles.length == 1,
+      s"the fully-deleted file must be skipped, got ${v2.inputFiles.toSeq}")
+    assert(v2.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      ((5L to 12L).filterNot(_ == 7L)))
+    // time travel: the first delete's version still serves the lo rows
+    assert(GraftTable.readVersion(spark, dir, 2).count() == 11)
+    // delete EVERYTHING: the read is an empty frame under the declared
+    // schema, no file opened
+    GraftTable.commitPositionalDelete(spark, dir, lit(true), "drop all")
+    val v3 = GraftTable.readVersion(spark, dir, 4)
+    assert(v3.count() == 0 &&
+      v3.columns.toSeq == Seq("k", "v", "g"))
+  }
+
+  test("positional DV lifecycle: rewrite doors refuse a pdv head until " +
+      "purge; the two DV regimes refuse to mix; purge restores them") {
+    import spark.implicits._
+    val dir = pdvBase("pdv_life")
+    GraftTable.commitPositionalDelete(spark, dir, col("k") === 2L, "mor")
+    // appends refuse
+    val eApp = intercept[IllegalArgumentException] {
+      GraftTable.commitAppend(spark, dir,
+        Seq((99L, 990L, "hi")).toDF("k", "v", "g"), "tick")
+    }
+    assert(eApp.getMessage.contains("purgePositionalDv"))
+    // the key-tombstone door refuses
+    val eDv = intercept[IllegalArgumentException] {
+      GraftTable.commitDeleteVector(spark, dir,
+        Seq(Tuple1(3L)).toDF("k"), Seq("k"), "keyed")
+    }
+    assert(eDv.getMessage.contains("POSITIONAL"))
+    // ...and vice versa: a positional delete refuses a key-DV head
+    val dir2 = pdvBase("pdv_life2")
+    GraftTable.commitDeleteVector(spark, dir2,
+      Seq(Tuple1(3L)).toDF("k"), Seq("k"), "keyed")
+    val ePos = intercept[IllegalArgumentException] {
+      GraftTable.commitPositionalDelete(spark, dir2, col("k") === 2L, "pos")
+    }
+    assert(ePos.getMessage.contains("KEY tombstones"))
+    // purge materializes survivors and clears the header
+    val pv = GraftTable.purgePositionalDv(spark, dir)
+    val fs = GraftTable.fsOf(spark, dir)
+    assert(!GraftTable.headersOf(fs, dir, pv).contains("pdv"))
+    assert(GraftTable.readVersion(spark, dir, pv)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 12L).filterNot(_ == 2L))
+    // and the append door re-opens
+    GraftTable.commitAppend(spark, dir,
+      Seq((99L, 990L, "hi")).toDF("k", "v", "g"), "tick")
+    assert(GraftTable.readVersion(spark, dir, pv + 1).count() == 12)
+  }
+
+  test("positional DV through the SQL/DSv2 door: SELECT serves the " +
+      "merged rows via the extension rewrite; MERGE reads merged and " +
+      "its CoW commit drops the sidecar") {
+    val dir = pdvBase("pdv_sql")
+    GraftTable.commitPositionalDelete(spark, dir,
+      col("k") <= 4L, "kill the lo file")
+    spark.conf.set("spark.sql.catalog.gt19",
+      classOf[graft.sources.GraftCatalog].getName)
+    val abs = new java.io.File(dir).getAbsolutePath
+    val got = spark.sql(s"SELECT k FROM gt19.`$abs` ORDER BY k")
+    assert(!got.queryExecution.executedPlan.toString.contains("Join"))
+    assert(got.collect().map(_.getLong(0)).toSeq == (5L to 12L))
+    // the same through the path door
+    assert(spark.read.format("graft").load(dir).count() == 8)
+    // SQL MERGE on a pdv head is CORRECT, not refused: GraftMergeCommand
+    // executes its body as plain query plans, so the extension rewrite
+    // serves the target MERGED (the full-outer join never sees the
+    // tombstoned rows) and the CoW commit drops pdv= naturally
+    spark.range(1).selectExpr("id AS k", "id AS v", "'x' AS g")
+      .createOrReplaceTempView("r19_pdv_src")
+    spark.sql(s"MERGE INTO gt19.`$abs` t USING r19_pdv_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *").collect()
+    val fs = GraftTable.fsOf(spark, dir)
+    assert(!GraftTable.headersOf(fs, dir, 3).contains("pdv"),
+      "the merged CoW rewrite must drop the positional sidecar")
+    val after = GraftTable.readVersion(spark, dir, 3)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == (0L +: (5L to 12L)),
+      s"tombstoned keys must stay deleted through the MERGE: $after")
+  }
+
+  test("positional DV travels shallow clone and compaction applies it") {
+    val dir = pdvBase("pdv_clone_src")
+    GraftTable.commitPositionalDelete(spark, dir, col("k") === 9L, "mor")
+    val dst = fresh("pdv_clone_dst")
+    GraftTable.cloneShallow(spark, dir, dst)
+    assert(GraftTable.readVersion(spark, dst, 0)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 12L).filterNot(_ == 9L))
+    // compaction reads the merged snapshot and mints a pdv-free rewrite
+    val cv = GraftTable.compactChain(spark, dir)
+    val fs = GraftTable.fsOf(spark, dir)
+    assert(!GraftTable.headersOf(fs, dir, cv).contains("pdv"))
+    assert(GraftTable.readVersion(spark, dir, cv).count() == 11)
+  }
+
   test("etl_multi_insert: both sink writes are served from the persisted " +
       "projection — one source scan, two InMemoryTableScan-fed inserts") {
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
