@@ -80,14 +80,19 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
   // that keeps losing surfaces the conflict to the caller.
   override def run(spark: SparkSession): Seq[Row] = {
     var m = merge
+    // columns an ADDITIVE racer appended (rebase null-fills them in the
+    // committed snapshot — see rebase's metadata-only-ADD-COLUMN proof)
+    var widen: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil
     GraftTable.retryOnConflict[Seq[Row]](10, onConflict = (_, e) => {
-      m = GraftMergeCommand.rebase(spark, m, dir, e)
+      val (m2, extras) = GraftMergeCommand.rebase(spark, m, dir, e)
+      m = m2
+      widen = widen ++ extras
       None // rebase succeeded — loop again with the re-pinned statement
-    })(_ => runOnce(spark, m))
+    })(_ => runOnce(spark, m, widen))
   }
 
-  private def runOnce(spark: SparkSession,
-      merge: MergeIntoTable): Seq[Row] = {
+  private def runOnce(spark: SparkSession, merge: MergeIntoTable,
+      widen: Seq[(String, org.apache.spark.sql.types.DataType)]): Seq[Row] = {
     val target = merge.targetTable
     val source = merge.sourceTable
     val tOut: Seq[Attribute] = target.output
@@ -246,10 +251,18 @@ case class GraftMergeCommand(merge: MergeIntoTable, dir: String)
         chain(merge.notMatchedBySourceActions, keepStruct))
       .otherwise(chain(merge.notMatchedActions, dropStruct))
 
-    val next = jdf.select(fate.as("__fate"))
+    val next0 = jdf.select(fate.as("__fate"))
       .where(col("__fate").isNotNull)
       .select(outAttrs.map(a =>
         col("__fate").getField(a.name).as(a.name)): _*)
+    // an ADDITIVE racer's appended columns null-fill here: rebase only
+    // allows the widen when the racer's commits were metadata-only, so
+    // every head row reads NULL for them — exactly what this backfills
+    // for kept, updated and inserted rows alike. Without the fill the
+    // commit below would be refused as a schema narrowing.
+    val next = widen.foldLeft(next0) { case (d, (n, t)) =>
+      d.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(t))
+    }
 
     // layout/index posture: a partitionBy layout is PRESERVED, and an
     // indexed target RE-INDEXES its merged snapshot on commit — a
@@ -330,18 +343,35 @@ object GraftMergeCommand {
   /** Rebase a raced MERGE onto the table's new head: swap the pinned
     * `GraftSparkTable` inside the resolved target relation for a fresh
     * one at `currentVersion`, keeping the relation's output attributes
-    * so every already-resolved expression binds unchanged. Refuses
-    * (rethrows the race) when the head's schema is no longer
-    * name-and-type identical to what the statement resolved against —
-    * e.g. the racer ran ADD/RENAME/DROP COLUMN, or an evolving merge
-    * lost the race between its own schema commit and snapshot commit;
-    * binding the old attributes to a reshaped table would be a guess,
-    * and the caller must re-plan. Likewise refuses when the SOURCE
-    * reads the target table: only the target re-pins, so a
-    * self-referencing source would feed the retry stale rows and the
-    * result would match no serial execution. */
+    * so every already-resolved expression binds unchanged. The swap is
+    * sound in exactly two head states, and refuses (rethrows the race)
+    * otherwise:
+    *
+    *  - the head's schema is NAME-AND-TYPE IDENTICAL to what the
+    *    statement resolved against (any data change is fine — the body
+    *    re-runs against the head's rows);
+    *  - the head APPENDED nullable columns and its data dirs are
+    *    UNCHANGED since the pinned snapshot (a metadata-only ADD COLUMN
+    *    racer): every head row then reads NULL for the extras by
+    *    construction, so the re-run merge — which only knows the old
+    *    attributes — null-fills them in its committed snapshot without
+    *    losing any value (returned as the second element; `run`
+    *    threads them to the commit). A racer that REWROTE data under
+    *    the wider schema may have landed real values the old
+    *    attributes cannot carry — refuse.
+    *
+    * RENAME/DROP/RETYPE, or an evolving merge losing the race between
+    * its own schema commit and snapshot commit, still refuse: binding
+    * the old attributes to a reshaped table would be a guess, and the
+    * caller must re-plan. Likewise refuses when the SOURCE reads the
+    * target table — THROUGH ANY DOOR: the DSv2 relation, or a v1
+    * parquet plan whose files resolve under the target dir (the API
+    * read path / a LargeDvReadRule-rewritten relation) — only the
+    * target re-pins, so a self-referencing source would feed the retry
+    * stale rows and the result would match no serial execution. */
   private def rebase(spark: SparkSession, m: MergeIntoTable, dir: String,
-      cause: java.util.ConcurrentModificationException): MergeIntoTable = {
+      cause: java.util.ConcurrentModificationException)
+      : (MergeIntoTable, Seq[(String, org.apache.spark.sql.types.DataType)]) = {
     import graft.sources.{GraftSparkTable, GraftTable}
     // a SOURCE that reads the target table stays pinned to the
     // pre-race snapshot — rebasing only the target would apply deltas
@@ -350,11 +380,27 @@ object GraftMergeCommand {
     // the caller must re-plan the whole statement against the new head.
     def canon(p: String): String =
       try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
+    val canonDir = canon(dir)
+    // does a file-source path resolve to (or under) the target dir?
+    // Catches GraftTable.readVersion plans (parquet scans of the
+    // table's data dirs) however the source acquired them — temp view,
+    // API read, or the extension rewrite of a large-DV/pdv relation.
+    def underTarget(p: org.apache.hadoop.fs.Path): Boolean = {
+      val f = canon(
+        if (p.toUri.getScheme == null) p.toString else p.toUri.getPath)
+      f == canonDir || f.startsWith(canonDir + java.io.File.separator)
+    }
     val selfSource = m.sourceTable.exists {
       case r: DataSourceV2Relation => r.table match {
-        case g: GraftSparkTable => canon(g.dir) == canon(dir)
+        case g: GraftSparkTable => canon(g.dir) == canonDir
         case _ => false
       }
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.exists(underTarget)
+          case _ => false
+        }
       case _ => false
     }
     if (selfSource) {
@@ -369,18 +415,29 @@ object GraftMergeCommand {
     val fs = GraftTable.fsOf(spark, dir)
     val head = GraftTable.currentVersion(fs, dir).getOrElse(throw cause)
     var replaced = false
+    var extras: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil
     val fresh = m.targetTable.transform {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftSparkTable] =>
         val old = r.table.asInstanceOf[GraftSparkTable]
         val nt = new GraftSparkTable(spark, dir, head, old.prefixV)
         val was = r.output.map(a => (a.name, a.dataType))
-        val now = nt.schema().fields.toSeq.map(f => (f.name, f.dataType))
-        if (was != now) {
+        val fields = nt.schema().fields.toSeq
+        val now = fields.map(f => (f.name, f.dataType))
+        if (now.take(was.length) == was && now.length > was.length &&
+            fields.drop(was.length).forall(_.nullable) &&
+            old.dataDirs == nt.dataDirs) {
+          // ADDITIVE racer, metadata-only: same files, appended nullable
+          // columns — every head row reads NULL for them, so the old
+          // attributes cover every stored value and the commit
+          // null-fills the extras (threaded back through `run`)
+          extras = now.drop(was.length)
+        } else if (was != now) {
           val e = new java.util.ConcurrentModificationException(
             s"MERGE INTO lost a race on $dir AND the new head v$head " +
-              s"changed the table's schema ($was -> $now) — the resolved " +
-              "statement cannot be rebased; re-run the MERGE against " +
+              s"changed the table's schema ($was -> $now) in a way the " +
+              "resolved statement cannot absorb (only a metadata-only " +
+              "nullable ADD COLUMN rebases) — re-run the MERGE against " +
               "the new head")
           e.initCause(cause)
           throw e
@@ -389,6 +446,6 @@ object GraftMergeCommand {
         r.copy(table = nt)
     }
     if (!replaced) throw cause
-    m.copy(targetTable = fresh)
+    (m.copy(targetTable = fresh), extras)
   }
 }

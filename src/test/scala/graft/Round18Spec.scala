@@ -79,7 +79,8 @@ class Round18Spec extends SparkSpec {
       (5L, 50L)))
   }
 
-  test("a raced MERGE under a SCHEMA-CHANGING racer refuses to rebase") {
+  test("a raced MERGE under a SCHEMA-CHANGING racer refuses to rebase " +
+      "when the widened head carries real values") {
     val abs = baseTable("schemarace")
     import spark.implicits._
     Seq((2L, 200L)).toDF("ckey", "delta")
@@ -88,17 +89,26 @@ class Round18Spec extends SparkSpec {
       s"""MERGE INTO gt18t.`$abs` t USING r18t_src2 s ON t.key = s.ckey
          |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
          |""".stripMargin)
-    // racer reshapes the table: the resolved attributes no longer
-    // describe it, so binding them to the new head would be a guess
+    // racer reshapes the table AND rewrites data under the wider
+    // schema: the new column carries REAL values the merge's resolved
+    // attributes cannot express — rebasing would silently drop them
+    // (a metadata-only ADD COLUMN racer, by contrast, rebases — see
+    // Round19Spec). The data rewrite makes dataDirs differ, which is
+    // exactly the guard.
     GraftTable.commitAddColumns(spark, abs, Seq(("tag", "string")),
       "racer adds a column")
+    GraftTable.commitNextIsolated(spark, abs,
+      GraftTable.read(spark, abs).withColumn("tag", lit("real")),
+      "racer writes real values")
     val e = intercept[java.util.ConcurrentModificationException](
       cmd.run(spark))
-    assert(e.getMessage.contains("cannot be rebased"))
+    assert(e.getMessage.contains("cannot absorb"))
     // nothing half-landed: the table still serves the racer's head
-    assert(GraftTable.versions(GraftTable.fsOf(spark, abs), abs).size == 2)
+    assert(GraftTable.versions(GraftTable.fsOf(spark, abs), abs).size == 3)
     assert(GraftTable.read(spark, abs).columns.toSeq ==
       Seq("key", "v", "tag"))
+    assert(GraftTable.read(spark, abs).where(col("tag") === "real")
+      .count() == 3)
   }
 
   test("a raced MERGE whose SOURCE reads the target refuses to rebase") {

@@ -202,6 +202,90 @@ class Round19Spec extends SparkSpec {
     assert(GraftTable.readVersion(spark, dir, cv).count() == 11)
   }
 
+  /** Analyze (but do NOT execute) a SQL statement — the analyzer applies
+    * MergeIntoGraftRule, so the result for a MERGE on a graft target is
+    * the runnable GraftMergeCommand pinned to the CURRENT head. */
+  private def analyzedMerge(sql: String): graft.plans.GraftMergeCommand = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    spark.sessionState.analyzer.executeAndCheck(parsed,
+      new org.apache.spark.sql.catalyst.QueryPlanningTracker()) match {
+      case c: graft.plans.GraftMergeCommand => c
+      case other => fail(s"expected GraftMergeCommand, got $other")
+    }
+  }
+
+  test("a raced MERGE rebases across an ADDITIVE racer (metadata-only " +
+      "ADD COLUMN): both land, the merge null-fills the new column") {
+    import spark.implicits._
+    val dir = fresh("addrace")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("key", "v"), "base")
+    spark.conf.set("spark.sql.catalog.gt19m",
+      classOf[graft.sources.GraftCatalog].getName)
+    val abs = new java.io.File(dir).getAbsolutePath
+    Seq((2L, 200L), (4L, 400L)).toDF("ckey", "delta")
+      .createOrReplaceTempView("r19m_src")
+    // pin the statement at v0 …
+    val cmd = analyzedMerge(
+      s"""MERGE INTO gt19m.`$abs` t USING r19m_src s ON t.key = s.ckey
+         |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+         |WHEN NOT MATCHED THEN INSERT (key, v) VALUES (s.ckey, s.delta)
+         |""".stripMargin)
+    // … then race with a METADATA-ONLY widen: same files, appended
+    // nullable column — every row reads NULL for it, so the rebase is
+    // value-lossless
+    GraftTable.commitAddColumns(spark, abs, Seq(("tag", "string")),
+      "racer adds a column")
+    cmd.run(spark)
+    val fs = GraftTable.fsOf(spark, abs)
+    assert(GraftTable.versions(fs, abs).size == 3,
+      "base + ADD COLUMN + exactly one merge commit")
+    // the merged head carries the WIDENED schema, new column all-NULL,
+    // and the merge arms applied on the racer's head
+    val got = GraftTable.read(spark, abs).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) "NULL" else r.getString(2))).toSeq
+    assert(GraftTable.read(spark, abs).columns.toSeq ==
+      Seq("key", "v", "tag"))
+    assert(got == Seq((1L, 10L, "NULL"), (2L, 220L, "NULL"),
+      (3L, 30L, "NULL"), (4L, 400L, "NULL")))
+    // and the widened schema is LIVE: the next write must carry tag
+    val eNarrow = intercept[IllegalArgumentException] {
+      GraftTable.commitNextIsolated(spark, abs,
+        Seq((9L, 90L)).toDF("key", "v"), "narrowing")
+    }
+    assert(eNarrow.getMessage.toLowerCase.contains("schema"))
+  }
+
+  test("a raced MERGE whose source reads the target through the API " +
+      "door (v1 parquet plan) refuses to rebase") {
+    import spark.implicits._
+    val dir = fresh("selfsrc_v1")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, 10L), (2L, 20L)).toDF("key", "v"), "base")
+    spark.conf.set("spark.sql.catalog.gt19m",
+      classOf[graft.sources.GraftCatalog].getName)
+    val abs = new java.io.File(dir).getAbsolutePath
+    // the source is the TARGET read through GraftTable.read — a v1
+    // parquet plan over the table's data dirs, invisible to a
+    // DSv2-only self-source check
+    GraftTable.read(spark, abs)
+      .selectExpr("key AS ckey", "v * 2 AS delta")
+      .createOrReplaceTempView("r19m_self")
+    val cmd = analyzedMerge(
+      s"""MERGE INTO gt19m.`$abs` t USING r19m_self s ON t.key = s.ckey
+         |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+         |""".stripMargin)
+    GraftTable.commitNextIsolated(spark, abs,
+      GraftTable.read(spark, abs).withColumn("v", col("v") + 1L),
+      "racer", expectVersion = Some(0))
+    val e = intercept[java.util.ConcurrentModificationException](
+      cmd.run(spark))
+    assert(e.getMessage.contains("source reads the same"),
+      s"the v1-plan self-source must be detected: ${e.getMessage}")
+    assert(GraftTable.versions(GraftTable.fsOf(spark, abs), abs).size == 2)
+  }
+
   test("etl_multi_insert: both sink writes are served from the persisted " +
       "projection — one source scan, two InMemoryTableScan-fed inserts") {
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()

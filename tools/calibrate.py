@@ -50,9 +50,14 @@ def main():
         return
     queries = json.load(open(sqljson))
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sfdir}/{t}.parquet')")
+        # driver testdata is one file per table; Spark-generated scale
+        # spikes (target/sf1) write a DIRECTORY of part files — glob it
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     per_ms = {}
     for k in sorted(queries):
         ts = []
