@@ -54,22 +54,34 @@ object Round19Ops {
     p
   }
 
-  /** Stage `df` into a fresh embedded-Derby database as `table`,
-    * returning the JDBC url. Strings must be given explicit VARCHAR
-    * widths via `varcharCols` — Spark's Derby dialect maps StringType
-    * to CLOB, which Derby refuses to GROUP BY or compare. */
+  /** Stage `df` into an embedded-Derby database as `table`, returning
+    * the JDBC url. Strings must be given explicit VARCHAR widths via
+    * `varcharCols` — Spark's Derby dialect maps StringType to CLOB,
+    * which Derby refuses to GROUP BY or compare.
+    *
+    * Staged ONCE per (sfDir, tag) per JVM: the staging is a
+    * deterministic function of the inputs, and embedded Derby keeps a
+    * booted database registered in the engine — deleting its directory
+    * underneath (a per-run freshDir) would corrupt the second boot.
+    * Caching also keeps the BENCH honest: repeated runs of the JDBC
+    * keys time the partitioned import/readback paths (the operator),
+    * not Derby re-ingest. */
+  private val stagedDbs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[graft] def stageDerby(s: SparkSession, d: String, tag: String,
-      table: String, df: DataFrame, varcharCols: Map[String, Int]): String = {
-    derbyHome
-    val dbDir = new java.io.File(freshDir(s, d, tag) + "/db").getAbsolutePath
-    val url = s"jdbc:derby:$dbDir;create=true"
-    val w = df.write.mode(SaveMode.Overwrite)
-    val typed = if (varcharCols.isEmpty) w else w.option(
-      "createTableColumnTypes",
-      varcharCols.map { case (c, n) => s"$c VARCHAR($n)" }.mkString(", "))
-    typed.jdbc(url, table, jdbcProps)
-    url
-  }
+      table: String, df: DataFrame, varcharCols: Map[String, Int]): String =
+    stagedDbs.computeIfAbsent(s"${new java.io.File(d).getName}|$tag", _ => {
+      derbyHome
+      val dbDir = new java.io.File(freshDir(s, d, tag) + "/db").getAbsolutePath
+      val url = s"jdbc:derby:$dbDir;create=true"
+      val w = df.write.mode(SaveMode.Overwrite)
+      val typed = if (varcharCols.isEmpty) w else w.option(
+        "createTableColumnTypes",
+        varcharCols.map { case (c, n) => s"$c VARCHAR($n)" }.mkString(", "))
+      typed.jdbc(url, table, jdbcProps)
+      url
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

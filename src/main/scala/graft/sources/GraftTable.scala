@@ -2190,27 +2190,33 @@ object GraftTable {
       element_at(fsplit(col("_metadata.file_path"), "/"), -1).as("__file"),
       col("_metadata.row_index").as("__pos"))
     val full = hdrs.get("pdv") match {
-      case Some(prevDir) =>
-        // cumulative: the previous sidecar's (file, pos) pairs union in
-        // (partition-column read recovers __file as a string)
+      // cumulative: the previous sidecar's (file, pos) pairs union in
+      // (partition-column read recovers __file as a string). A sidecar
+      // minted by a matched-nothing delete has no __file= dirs at all —
+      // parquet cannot infer its schema, so guard on the layout
+      case Some(prevDir) if fs.listStatus(new Path(s"$dir/$prevDir"))
+          .exists(_.getPath.getName.startsWith("__file=")) =>
         val prev = spark.read.parquet(s"$dir/$prevDir")
           .select(col("__file").cast("string").as("__file"),
             col("__pos").cast("long").as("__pos"))
         prev.unionByName(fresh).distinct()
-      case None => fresh.distinct()
+      case _ => fresh.distinct()
     }
     val v = cur + 1
     val pdvDir = s"pdv${v}_${java.util.UUID.randomUUID().toString.take(8)}"
-    full.write.partitionBy("__file").mode("errorifexists")
-      .parquet(s"$dir/$pdvDir")
-    // skip reconciliation (driver, O(files) METADATA): a file whose
-    // tombstone count equals its footer row count is fully deleted —
-    // record it so reads never open it. Counts come from the sidecar
-    // groupBy (one row per affected file) and the parquet footers.
-    val deadCounts = spark.read.parquet(s"$dir/$pdvDir")
-      .groupBy(col("__file").cast("string").as("__file"))
+    // skip reconciliation inputs BEFORE the write (one aggregate job on
+    // the frame itself — no read-back, and no schema-inference trap on
+    // an empty sidecar): one row per affected file, driver-bounded by
+    // the file count like every manifest-scale collect.
+    val deadCounts = full
+      .groupBy(col("__file"))
       .count().collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
+    full.write.partitionBy("__file").mode("errorifexists")
+      .parquet(s"$dir/$pdvDir")
+    // a file whose tombstone count equals its footer row count is fully
+    // deleted — record it in _skips so reads never open it. O(files)
+    // footer METADATA on the driver, the dvFooterRows class of work.
     val conf = spark.sessionState.newHadoopConf()
     val skips = dataDirs.flatMap { dd =>
       fs.listStatus(new Path(s"$dir/$dd"))

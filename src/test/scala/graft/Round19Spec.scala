@@ -117,6 +117,21 @@ class Round19Spec extends SparkSpec {
       v3.columns.toSeq == Seq("k", "v", "g"))
   }
 
+  test("positional DV: a matched-nothing delete mints an EMPTY sidecar " +
+      "that later cumulative deletes and reads absorb") {
+    val dir = pdvBase("pdv_empty")
+    GraftTable.commitPositionalDelete(spark, dir, col("k") === 999L,
+      "matches nothing")
+    assert(GraftTable.readVersion(spark, dir, 2).count() == 12,
+      "a no-op delete must serve every row")
+    // the cumulative union over the EMPTY predecessor sidecar must not
+    // trip parquet schema inference
+    GraftTable.commitPositionalDelete(spark, dir, col("k") === 3L, "real")
+    assert(GraftTable.readVersion(spark, dir, 3)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 12L).filterNot(_ == 3L))
+  }
+
   test("positional DV lifecycle: rewrite doors refuse a pdv head until " +
       "purge; the two DV regimes refuse to mix; purge restores them") {
     import spark.implicits._
