@@ -114,7 +114,13 @@ object PlanDump {
       // still choose broadcast from runtime sizes at this sf) and the
       // sorted bucket SPJ (SortMergeJoin with NO exchange and NO Sort
       // under it — SupportsReportOrdering over the sortw= layout)
-      "table_dv_scale_gate", "table_sorted_spj_join")
+      "table_dv_scale_gate", "table_sorted_spj_join",
+      // round-19: the positional-DV merged read (NO join node — the
+      // codegen'd graft_pos_deleted probe filters inside the scan, and
+      // the fully-deleted file is absent from the v3 side's file list),
+      // the JDBC import (range-sliced JDBCRelation scan, both
+      // predicates in PushedFilters), and the multi-insert read-back
+      "table_dv_positional", "source_jdbc_import", "etl_multi_insert")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")

@@ -130,6 +130,13 @@ class Round19Spec extends SparkSpec {
     assert(GraftTable.readVersion(spark, dir, 3)
       .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
       (1L to 12L).filterNot(_ == 3L))
+    // CDC over a pdv version: the generic snapshot diff reads MERGED
+    // snapshots, so the positional delete surfaces as exactly one
+    // delete row
+    val feed = GraftTable.changeFeed(spark, dir, 3, Seq("k"))
+      .select("k", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(feed == Seq((3L, "delete")), s"unexpected feed: $feed")
   }
 
   test("positional DV lifecycle: rewrite doors refuse a pdv head until " +
