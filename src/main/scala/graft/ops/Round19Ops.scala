@@ -106,6 +106,28 @@ object Round19Ops {
         .orderBy("o_orderstatus")
     }),
 
+    // Sqoop --incremental append: the daily re-import pulls ONLY rows
+    // past the recorded watermark (--check-column o_orderkey,
+    // --last-value = the midpoint key here, deterministically). The
+    // watermark predicate is compiled into every range-slice's SQL, so
+    // the OLTP side scans the tail, not the table — the property that
+    // makes daily ingest O(delta) instead of O(history). Reuses the
+    // same staged Derby database as source_jdbc_import (same tag).
+    "source_jdbc_incremental" -> ((s, d) => {
+      val src = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), dec(col("o_totalprice")).as("price"))
+      val url = stageDerby(s, d, "jdbcimp", "ORDERS_STAGE", src,
+        Map("o_orderstatus" -> 1))
+      val Array(lo, hi) = src.agg(min("o_orderkey"), max("o_orderkey"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val watermark = (lo + hi) / 2
+      s.read.jdbc(url, "ORDERS_STAGE", "o_orderkey", lo, hi, 8, jdbcProps)
+        .filter(col("o_orderkey") > watermark)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), money(sum(col("price"))).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Warehouse→serving export: per-status report written back through
     // the JDBC sink, then read back verbatim (the read-back IS the
     // oracle surface — a dropped or retyped row flips the hash).
@@ -186,6 +208,12 @@ object Round19Ops {
         s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS rev FROM orders " +
         s"WHERE ${oDec("o_totalprice")} > 1000 " +
         "GROUP BY 1 ORDER BY 1"),
+
+    "source_jdbc_incremental" ->
+      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS rev FROM orders " +
+        "WHERE o_orderkey > (SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 " +
+        "FROM orders) GROUP BY 1 ORDER BY 1"),
 
     "sink_jdbc" ->
       ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, " +

@@ -139,6 +139,25 @@ class Round19Spec extends SparkSpec {
     assert(feed == Seq((3L, "delete")), s"unexpected feed: $feed")
   }
 
+  test("positional DV: the STREAMING door refuses a pdv head loudly " +
+      "(the micro-batch path cannot merge sidecars)") {
+    val dir = pdvBase("pdv_stream")
+    GraftTable.commitPositionalDelete(spark, dir, col("k") === 2L, "mor")
+    val cp = fresh("pdv_stream_cp")
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").load(dir)
+        .writeStream.format("memory").queryName("r19_pdv_stream")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("purgePositionalDv")),
+      s"expected the pdv refusal in the failure chain: ${chain(e)}")
+  }
+
   test("positional DV lifecycle: rewrite doors refuse a pdv head until " +
       "purge; the two DV regimes refuse to mix; purge restores them") {
     import spark.implicits._
