@@ -236,7 +236,11 @@ case class GraftUpdateCommand(update: UpdateTable, dir: String)
     val cur = GraftTable.currentVersion(fs, dir).getOrElse(
       sys.error(s"no committed version under $dir to update"))
     val hdrs = GraftTable.headersOf(fs, dir, cur)
-    if (GraftDml.needsCow(hdrs)) {
+    // a pdv head routes to COPY-ON-WRITE: the MoR update mints
+    // key-scoped tombstones, which cannot share a version with the
+    // positional sidecar; the rewrite reads the MERGED snapshot and the
+    // new version is pdv-free
+    if (GraftDml.needsCow(hdrs) || hdrs.contains("pdv")) {
       val resolver = spark.sessionState.conf.resolver
       GraftDml.cowRewrite(spark, dir, cur, hdrs,
         "UPDATE (SQL, copy-on-write)") { snap =>
@@ -287,6 +291,17 @@ case class GraftDeleteCommand(delete: DeleteFromTable, dir: String)
       GraftDml.cowRewrite(spark, dir, cur, hdrs,
         "DELETE (SQL, copy-on-write)")(
         _.where(!coalesce(cond, lit(false))))
+    else if (hdrs.contains("pdv") ||
+        spark.conf.getOption("spark.graft.delete.mode")
+          .contains("positional"))
+      // POSITIONAL arm: continuing a pdv chain (a key-tombstone commit
+      // on a pdv head refuses — one version cannot merge two DV
+      // regimes), or opted in via spark.graft.delete.mode=positional.
+      // The predicate evaluates over the RAW files (a row already
+      // position-tombstoned re-tombstones idempotently); NULL-condition
+      // rows are not matches, like both other arms.
+      GraftTable.commitPositionalDelete(spark, dir, cond,
+        "DELETE (SQL, positional)", expectVersion = Some(cur))
     else {
       val snapshot = GraftTable.readVersion(spark, dir, cur)
       GraftTable.commitDeleteVector(spark, dir, snapshot.where(cond),

@@ -228,6 +228,46 @@ class Round19Spec extends SparkSpec {
       s"tombstoned keys must stay deleted through the MERGE: $after")
   }
 
+  test("SQL DML on a pdv head: DELETE continues the positional chain, " +
+      "UPDATE rewrites copy-on-write and drops the sidecar; " +
+      "delete.mode=positional mints pdv from SQL alone") {
+    val dir = pdvBase("pdv_dml")
+    GraftTable.commitPositionalDelete(spark, dir, col("k") === 2L, "api mor")
+    spark.conf.set("spark.sql.catalog.gt19d",
+      classOf[graft.sources.GraftCatalog].getName)
+    val abs = new java.io.File(dir).getAbsolutePath
+    val fs = GraftTable.fsOf(spark, dir)
+    // DELETE on the pdv head continues POSITIONALLY (a key-tombstone
+    // commit would refuse) — cumulative with the API delete
+    spark.sql(s"DELETE FROM gt19d.`$abs` WHERE k = 7")
+    assert(GraftTable.headersOf(fs, dir, 3).contains("pdv"))
+    assert(GraftTable.readVersion(spark, dir, 3)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 12L).filterNot(Set(2L, 7L)))
+    // UPDATE rewrites CoW: merged snapshot, sidecar dropped, assignment
+    // applied, tombstoned keys stay deleted
+    spark.sql(s"UPDATE gt19d.`$abs` SET v = v + 1 WHERE k = 5")
+    assert(!GraftTable.headersOf(fs, dir, 4).contains("pdv"))
+    val after = GraftTable.readVersion(spark, dir, 4)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == (1L to 12L).filterNot(Set(2L, 7L))
+      .map(k => (k, if (k == 5L) 51L else k * 10L)))
+    // opt-in: DELETE mode=positional mints a pdv version on a plain head
+    val dir2 = pdvBase("pdv_dml2")
+    val abs2 = new java.io.File(dir2).getAbsolutePath
+    try {
+      spark.conf.set("spark.graft.delete.mode", "positional")
+      spark.sql(s"DELETE FROM gt19d.`$abs2` WHERE k <= 4")
+    } finally spark.conf.unset("spark.graft.delete.mode")
+    val fs2 = GraftTable.fsOf(spark, dir2)
+    assert(GraftTable.headersOf(fs2, dir2, 2).contains("pdv"))
+    val v2 = GraftTable.readVersion(spark, dir2, 2)
+    assert(v2.inputFiles.length == 1,
+      "the fully-deleted lo file must be skipped")
+    assert(v2.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      (5L to 12L))
+  }
+
   test("positional DV travels shallow clone and compaction applies it") {
     val dir = pdvBase("pdv_clone_src")
     GraftTable.commitPositionalDelete(spark, dir, col("k") === 9L, "mor")
