@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entry per implemented operator; each t2=Y key has a DuckDB oracle in
   * `oracleSql` (SURVEY §0, [B:2]).
   *
-  * 315 query keys (292 DuckDB-oracled; counts pinned by
+  * 316 query keys (293 DuckDB-oracled; counts pinned by
   * EntryCountSpec so the doc cannot drift from the code) across: Relational
   * (scans/filters/joins/sorts/sets),
   * Aggregates (grouping/windows/UDAF/HLL sketches), Scalars (function
@@ -40,7 +40,8 @@ object SparkEntry {
       ops.Round9cOps.queries, ops.Round10Ops.queries, ops.Round11Ops.queries,
       ops.Round12Ops.queries, ops.Round13Ops.queries, ops.Round14Ops.queries,
       ops.Round15Ops.queries, ops.Round16Ops.queries, ops.Round17Ops.queries,
-      ops.Round18Ops.queries, ops.Round19Ops.queries)
+      ops.Round18Ops.queries, ops.Round19Ops.queries,
+      ops.Round20Ops.queries)
 
   private[graft] def oracleParts: Seq[Map[String, String]] =
     Seq(ops.Relational.oracles, ops.Aggregates.oracles,
@@ -53,7 +54,8 @@ object SparkEntry {
       ops.Round12Ops.oracleSql, ops.Round13Ops.oracleSql,
       ops.Round14Ops.oracleSql, ops.Round15Ops.oracleSql,
       ops.Round16Ops.oracleSql, ops.Round17Ops.oracleSql,
-      ops.Round18Ops.oracleSql, ops.Round19Ops.oracleSql)
+      ops.Round18Ops.oracleSql, ops.Round19Ops.oracleSql,
+      ops.Round20Ops.oracleSql)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

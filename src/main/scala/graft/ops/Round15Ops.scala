@@ -189,8 +189,11 @@ object Round15Ops {
         .foreachBatch {
           (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            bid: Long) =>
-            b.withColumn("batch_id", lit(bid))
-              .write.mode("append").parquet(sink)
+            // IDEMPOTENT per batch id (ADVICE r19): a retried micro-batch
+            // OVERWRITES its own batch-id-named subdirectory instead of
+            // double-appending after a partial write; the read-back
+            // recovers batch_id via partition discovery on the dir names
+            b.write.mode("overwrite").parquet(s"$sink/batch_id=$bid")
             ()
         }.start()
       q.awaitTermination()

@@ -224,7 +224,10 @@ case class UpdateDeleteGraftRule(spark: SparkSession)
 
 /** `UPDATE gt.t SET c = expr[, s.f = expr, …] [WHERE cond]` → one
   * commit: merge-on-read for plain flat tables (dir-scoped full-row
-  * tombstones + a replacement dir), copy-on-write with index
+  * tombstones + a replacement dir), POSITIONAL merge-on-read for pdv
+  * heads (new cumulative sidecar + staged replacement rows — untouched
+  * files never rewrite; also opt-in via
+  * spark.graft.update.mode=positional), copy-on-write with index
   * re-derivation for stats=/bloom=/partitionBy targets. Nested-field
   * assignments rebuild their struct (`GraftDml.assignments`). */
 case class GraftUpdateCommand(update: UpdateTable, dir: String)
@@ -236,11 +239,7 @@ case class GraftUpdateCommand(update: UpdateTable, dir: String)
     val cur = GraftTable.currentVersion(fs, dir).getOrElse(
       sys.error(s"no committed version under $dir to update"))
     val hdrs = GraftTable.headersOf(fs, dir, cur)
-    // a pdv head routes to COPY-ON-WRITE: the MoR update mints
-    // key-scoped tombstones, which cannot share a version with the
-    // positional sidecar; the rewrite reads the MERGED snapshot and the
-    // new version is pdv-free
-    if (GraftDml.needsCow(hdrs) || hdrs.contains("pdv")) {
+    if (GraftDml.needsCow(hdrs)) {
       val resolver = spark.sessionState.conf.resolver
       GraftDml.cowRewrite(spark, dir, cur, hdrs,
         "UPDATE (SQL, copy-on-write)") { snap =>
@@ -260,7 +259,19 @@ case class GraftUpdateCommand(update: UpdateTable, dir: String)
           }
         }: _*)
       }
-    } else
+    } else if (hdrs.contains("pdv") ||
+        spark.conf.getOption("spark.graft.update.mode")
+          .contains("positional"))
+      // POSITIONAL arm (VERDICT r19 item 4): continuing a pdv chain —
+      // tombstone matched positions, stage replacement rows, keep every
+      // untouched file unrewritten (a key-tombstone update on a pdv
+      // head refuses: one version cannot merge two DV regimes; the old
+      // CoW routing rewrote the WHOLE snapshot per UPDATE). Also
+      // opt-in on plain heads via spark.graft.update.mode=positional,
+      // mirroring the delete door's mode conf.
+      GraftTable.commitPositionalUpdate(spark, dir, cond, sets,
+        "UPDATE (SQL, positional)", expectVersion = Some(cur))
+    else
       // pinned to the version the ARM DECISION was made on: a racer
       // that attached an index (or re-laid out the table) between this
       // door's header read and the impl's own must surface as the

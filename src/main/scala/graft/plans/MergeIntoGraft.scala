@@ -378,21 +378,33 @@ object GraftMergeCommand {
     // derived from stale rows, committing a state no serial order
     // (racer-then-merge or merge-then-racer) could produce. Refuse:
     // the caller must re-plan the whole statement against the new head.
-    def canon(p: String): String =
-      try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
-    val canonDir = canon(dir)
+    // qualify through the path's OWN FileSystem so scheme-bearing URIs
+    // (hdfs://, s3a://) compare correctly — java.io.File canonicalizes
+    // only local paths and would silently never match them, letting a
+    // self-referencing remote source escape the refusal (ADVICE r19).
+    // Local paths additionally File-canonicalize so symlinked temp dirs
+    // (/tmp vs /private/tmp) and relative segments still compare equal.
+    val hconf = spark.sessionState.newHadoopConf()
+    def qualify(p: org.apache.hadoop.fs.Path): String = try {
+      val q = p.getFileSystem(hconf).makeQualified(p)
+      val u = q.toUri
+      if (u.getScheme == null || u.getScheme == "file")
+        "file:" + new java.io.File(u.getPath).getCanonicalPath
+      else q.toString
+    } catch { case _: Throwable => p.toString }
+    val qDir = qualify(new org.apache.hadoop.fs.Path(dir))
     // does a file-source path resolve to (or under) the target dir?
     // Catches GraftTable.readVersion plans (parquet scans of the
     // table's data dirs) however the source acquired them — temp view,
     // API read, or the extension rewrite of a large-DV/pdv relation.
     def underTarget(p: org.apache.hadoop.fs.Path): Boolean = {
-      val f = canon(
-        if (p.toUri.getScheme == null) p.toString else p.toUri.getPath)
-      f == canonDir || f.startsWith(canonDir + java.io.File.separator)
+      val f = qualify(p)
+      f == qDir || f.startsWith(qDir + "/")
     }
     val selfSource = m.sourceTable.exists {
       case r: DataSourceV2Relation => r.table match {
-        case g: GraftSparkTable => canon(g.dir) == canonDir
+        case g: GraftSparkTable =>
+          qualify(new org.apache.hadoop.fs.Path(g.dir)) == qDir
         case _ => false
       }
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -424,15 +436,31 @@ object GraftMergeCommand {
         val was = r.output.map(a => (a.name, a.dataType))
         val fields = nt.schema().fields.toSeq
         val now = fields.map(f => (f.name, f.dataType))
-        if (now.take(was.length) == was && now.length > was.length &&
-            fields.drop(was.length).forall(_.nullable) &&
-            old.dataDirs == nt.dataDirs) {
-          // ADDITIVE racer, metadata-only: same files, appended nullable
+        // the old columns must embed IN ORDER in the widened schema, but
+        // the racer's additions may land ANYWHERE — a partitionBy layout
+        // keeps its partition columns last, so a racer's ADD COLUMN
+        // lands BEFORE them, not as a suffix (VERDICT r19 item 5).
+        // Greedy subsequence matching is exact here: if greedy fails,
+        // no order-preserving embedding exists.
+        val extraFields = {
+          var i = 0
+          val ex = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+          fields.foreach { f =>
+            if (i < was.length && (f.name, f.dataType) == was(i)) i += 1
+            else ex += f
+          }
+          if (i == was.length) Some(ex.result()) else None
+        }
+        if (was == now) {
+          // pure data racer — the re-pinned relation absorbs it as-is
+        } else if (extraFields.exists(ef =>
+            ef.forall(_.nullable)) && old.dataDirs == nt.dataDirs) {
+          // ADDITIVE racer, metadata-only: same files, added nullable
           // columns — every head row reads NULL for them, so the old
           // attributes cover every stored value and the commit
           // null-fills the extras (threaded back through `run`)
-          extras = now.drop(was.length)
-        } else if (was != now) {
+          extras = extraFields.get.map(f => (f.name, f.dataType))
+        } else {
           val e = new java.util.ConcurrentModificationException(
             s"MERGE INTO lost a race on $dir AND the new head v$head " +
               s"changed the table's schema ($was -> $now) in a way the " +

@@ -2204,16 +2204,23 @@ object GraftTable {
     }
     val v = cur + 1
     val pdvDir = s"pdv${v}_${java.util.UUID.randomUUID().toString.take(8)}"
-    // skip reconciliation inputs BEFORE the write (one aggregate job on
-    // the frame itself — no read-back, and no schema-inference trap on
-    // an empty sidecar): one row per affected file, driver-bounded by
-    // the file count like every manifest-scale collect.
-    val deadCounts = full
-      .groupBy(col("__file"))
-      .count().collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
     full.write.partitionBy("__file").mode("errorifexists")
       .parquet(s"$dir/$pdvDir")
+    // skip reconciliation inputs FROM THE WRITTEN SIDECAR, never from a
+    // second evaluation of `full`: with a non-deterministic predicate
+    // (rand()-sampled deletes) a re-run of the frame can disagree with
+    // what was written, marking a file fully deleted while the sidecar
+    // holds fewer positions — the read path would then drop live rows.
+    // Reading back what was actually committed is exact by construction.
+    // One bounded read of tombstones only; a matched-nothing sidecar has
+    // no __file= dirs (parquet cannot infer its schema), so guard first.
+    val deadCounts: Map[String, Long] =
+      if (!fs.listStatus(new Path(s"$dir/$pdvDir"))
+          .exists(_.getPath.getName.startsWith("__file="))) Map.empty
+      else spark.read.parquet(s"$dir/$pdvDir")
+        .select(col("__file").cast("string").as("__file"))
+        .groupBy(col("__file")).count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
     // a file whose tombstone count equals its footer row count is fully
     // deleted — record it in _skips so reads never open it. O(files)
     // footer METADATA on the driver, the dvFooterRows class of work.
@@ -2264,6 +2271,197 @@ object GraftTable {
       s"version $cur of $dir carries no positional deletion vector")
     commitNextIsolated(spark, dir, readVersion(spark, dir, cur, prefix),
       metadata, prefix = prefix)
+  }
+
+  /** POSITIONAL merge-on-read UPDATE (VERDICT r19 item 4): tombstone the
+    * matched rows by (file, row position) and stage their replacements
+    * as a NEW data dir — the Iceberg-v2 MoR update shape — instead of
+    * rewriting the whole snapshot copy-on-write. The commit shares the
+    * current data dirs UNCHANGED, adds the replacement dir, and carries
+    * a cumulative `pdv=` sidecar; `readVersion` then serves old files
+    * minus the tombstoned positions plus the replacement rows, still
+    * with NO join in the plan. At scale this is the arm a busy MoR
+    * table wants: an UPDATE touching 0.1% of rows writes 0.1% of the
+    * data, not 100%.
+    *
+    * Identity is PHYSICAL (file + position), so — unlike the key-scoped
+    * dv= update — duplicate-valued rows update independently and no key
+    * declaration is needed. Both `condition` and every SET value must
+    * be deterministic: the matched set is evaluated twice (positions,
+    * then replacements) over the same immutable files, and a
+    * non-deterministic expression could disagree between the passes
+    * (the SQL door's `portable` already refuses those). Rows already
+    * tombstoned by the current sidecar are dead and can NEITHER
+    * re-match NOR resurrect: the probe filters them before the
+    * condition evaluates. A NULL condition leaves the row unmodified,
+    * like every other UPDATE arm. Declared notnull/check constraints
+    * re-enforce on the replacement rows (updates can mint violations);
+    * unique constraints check replacements against the un-matched
+    * survivors, the commitUpdateImpl recipe. */
+  def commitPositionalUpdate(spark: SparkSession, dir: String,
+      condition: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      metadata: String = "", prefix: String = "v",
+      expectVersion: Option[Int] = None): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, not, split => fsplit}
+    require(sets.nonEmpty, "UPDATE needs at least one SET assignment")
+    val fs = fsOf(spark, dir)
+    val cur = currentVersion(fs, dir).getOrElse(
+      sys.error(s"no committed version under $dir to update"))
+    // OCC pin BEFORE the layout gates (the commitDeleteVector rule)
+    expectVersion.foreach(ev =>
+      if (ev != cur) throw new java.util.ConcurrentModificationException(
+        s"update resolved its snapshot at version $ev of $dir but the " +
+          s"head is now $cur — re-read and retry"))
+    val hdrs = parseCommit(commitContent(fs, dir, cur))._1
+    require(!hdrs.contains("pmap"),
+      "this table is partition-mapped — update by replacing its " +
+        "partitions through replacePartitionsWithRetry")
+    require(!hdrs.contains("colmap"),
+      "a positional update cannot target a renamed/dropped-column head " +
+        "— rewrite via commitNextIsolated (normalizing the names) first")
+    require(!hdrs.contains("partby"),
+      "a positional update reads explicit files, which cannot rebind a " +
+        "partitionBy layout's dir-name columns — update copy-on-write " +
+        "(SQL UPDATE) instead")
+    require(!hdrs.contains("dv"),
+      "the current version carries KEY tombstones (dv=) — update " +
+        "through commitUpdateImpl, or purgeDeleteVector first: one " +
+        "version cannot merge two deletion-vector regimes")
+    require(hdrs.contains("schema"),
+      s"version $cur of $dir predates schema= headers — re-commit once " +
+        "through any write path to record the schema, then update")
+    if (hdrs.contains("stats") || hdrs.contains("bloom"))
+      throw new IndexRedeclarationRequired(
+        "a positional update cannot carry this table's skipping index " +
+          "(the sidecar invalidates the per-file statistics) — update " +
+          "through the copy-on-write door, or drop the index " +
+          "deliberately via commitNextIsolated first")
+    val dataDirs = dataDirsFrom(hdrs, cur, prefix)
+    val declared = declaredSchemaOf(hdrs)
+    // LIVE rows with physical identity: skip-tier files never open, the
+    // probe drops already-tombstoned positions IN the scan — a dead row
+    // must neither re-match nor resurrect through a fresh replacement
+    val allFiles = dataDirs.flatMap { dd =>
+      fs.listStatus(new Path(s"$dir/$dd"))
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.getPath)
+    }
+    val prevSidecar = hdrs.get("pdv")
+    val skips = prevSidecar.map(pd => pdvSkips(fs, s"$dir/$pd"))
+      .getOrElse(Set.empty[String])
+    val liveFiles = allFiles.filterNot(p => skips.contains(p.getName))
+      .map(_.toString)
+    val fileName = element_at(fsplit(col("_metadata.file_path"), "/"), -1)
+    val base =
+      if (liveFiles.isEmpty) {
+        val st = declared.getOrElse(sys.error(
+          s"version $cur of $dir is fully deleted and records no " +
+            "schema= header to type the empty read"))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      } else declared match {
+        case Some(st) => spark.read.schema(st).parquet(liveFiles: _*)
+        case None => spark.read.parquet(liveFiles: _*)
+      }
+    import org.apache.spark.sql.graft.GraftSqlBridge
+    val live = (prevSidecar, liveFiles.isEmpty) match {
+      case (Some(pd), false) =>
+        val qualified = fs.makeQualified(new Path(s"$dir/$pd")).toString
+        base.where(not(GraftSqlBridge.column(graft.expr.PosDvProbe(
+          GraftSqlBridge.expression(fileName),
+          GraftSqlBridge.expression(col("_metadata.row_index")),
+          qualified))))
+      case _ => base
+    }
+    val condT = coalesce(condition, lit(false))
+    val matched = live.where(condT)
+    // SIMULTANEOUS assignment (the SQL rule): one select, every SET
+    // expression reads the PRE-update row
+    val outCols = base.columns.toSeq
+    val resolver = spark.sessionState.conf.resolver
+    sets.foreach { case (c, _) =>
+      require(outCols.exists(resolver(_, c)),
+        s"SET column '$c' is not a column of the table ($outCols)") }
+    val replacements = matched.select(outCols.map { c =>
+      sets.find { case (sc, _) => resolver(sc, c) } match {
+        case Some((_, v)) => v.cast(matched.schema(c).dataType).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val carried = carriedConstraints(Some((cur, hdrs)))
+    if (carried.nonEmpty)
+      enforceConstraints(replacements, carried, "update",
+        existing =
+          if (carried.exists(_.startsWith("unique:")))
+            Some(live.where(!condT).select(outCols.map(col): _*))
+          else None)
+    val v = cur + 1
+    // cumulative sidecar: previous positions union the matched ones
+    // (file identity is the BASENAME — part-file names carry a
+    // write-job UUID, so basenames never collide across data dirs)
+    val fresh = matched.select(fileName.as("__file"),
+      col("_metadata.row_index").as("__pos"))
+    val full = prevSidecar match {
+      case Some(prevDir) if fs.listStatus(new Path(s"$dir/$prevDir"))
+          .exists(_.getPath.getName.startsWith("__file=")) =>
+        spark.read.parquet(s"$dir/$prevDir")
+          .select(col("__file").cast("string").as("__file"),
+            col("__pos").cast("long").as("__pos"))
+          .unionByName(fresh).distinct()
+      case _ => fresh.distinct()
+    }
+    val pdvDir = s"pdv${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+    full.write.partitionBy("__file").mode("errorifexists")
+      .parquet(s"$dir/$pdvDir")
+    // replacements stage as their OWN dir beside the shared ones —
+    // a distributed write sized by the matched rows, never the table
+    // (commitUpdateImpl's naming convention, so GC/vacuum track it)
+    val repl = s"$prefix${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+    replacements.write.mode("errorifexists").parquet(s"$dir/$repl")
+    // skip reconciliation FROM THE WRITTEN SIDECAR (the
+    // commitPositionalDelete rule — exact even against nondeterminism),
+    // scanned over the OLD dirs only: replacement files carry no
+    // tombstones by construction
+    val deadCounts: Map[String, Long] =
+      if (!fs.listStatus(new Path(s"$dir/$pdvDir"))
+          .exists(_.getPath.getName.startsWith("__file="))) Map.empty
+      else spark.read.parquet(s"$dir/$pdvDir")
+        .select(col("__file").cast("string").as("__file"))
+        .groupBy(col("__file")).count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+    val conf = spark.sessionState.newHadoopConf()
+    val skipNames = dataDirs.flatMap { dd =>
+      fs.listStatus(new Path(s"$dir/$dd"))
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            deadCounts.contains(n)
+        }
+        .filter { st =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val total = try r.getRecordCount finally r.close()
+          deadCounts(st.getPath.getName) == total
+        }
+        .map(_.getPath.getName)
+    }
+    if (skipNames.nonEmpty) {
+      val out = fs.create(new Path(s"$dir/$pdvDir/_skips"), true)
+      try out.write(skipNames.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    commit(fs, dir, v, metadata, prefix = prefix,
+      dataDir = Some((dataDirs :+ repl).mkString(",")),
+      pdvHdr = Some(pdvDir),
+      schema = hdrs.get("schema"),
+      prevTs = prevTsOf(Some((cur, hdrs))),
+      constraintsHdr = hdrs.get("constraints"))
+    v
   }
 
   /** METADATA-ONLY `ADD COLUMN`: mint a version that re-references the

@@ -229,8 +229,9 @@ class Round19Spec extends SparkSpec {
   }
 
   test("SQL DML on a pdv head: DELETE continues the positional chain, " +
-      "UPDATE rewrites copy-on-write and drops the sidecar; " +
-      "delete.mode=positional mints pdv from SQL alone") {
+      "UPDATE continues POSITIONALLY (new sidecar + staged replacement " +
+      "rows, untouched files unrewritten); delete.mode=positional " +
+      "mints pdv from SQL alone") {
     val dir = pdvBase("pdv_dml")
     GraftTable.commitPositionalDelete(spark, dir, col("k") === 2L, "api mor")
     spark.conf.set("spark.sql.catalog.gt19d",
@@ -244,14 +245,36 @@ class Round19Spec extends SparkSpec {
     assert(GraftTable.readVersion(spark, dir, 3)
       .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
       (1L to 12L).filterNot(Set(2L, 7L)))
-    // UPDATE rewrites CoW: merged snapshot, sidecar dropped, assignment
-    // applied, tombstoned keys stay deleted
+    // UPDATE continues positionally (VERDICT r19 item 4): the matched
+    // row's position tombstones, its replacement stages in a NEW dir,
+    // the sidecar carries, and the untouched base files are SHARED
+    // with the previous version — an UPDATE touching one row must not
+    // rewrite the table
+    val filesBefore = GraftTable.readVersion(spark, dir, 3)
+      .inputFiles.toSet
     spark.sql(s"UPDATE gt19d.`$abs` SET v = v + 1 WHERE k = 5")
-    assert(!GraftTable.headersOf(fs, dir, 4).contains("pdv"))
+    val h4 = GraftTable.headersOf(fs, dir, 4)
+    assert(h4.contains("pdv"),
+      "the positional UPDATE arm must carry a pdv= sidecar, not CoW")
     val after = GraftTable.readVersion(spark, dir, 4)
       .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(after == (1L to 12L).filterNot(Set(2L, 7L))
       .map(k => (k, if (k == 5L) 51L else k * 10L)))
+    val filesAfter = GraftTable.readVersion(spark, dir, 4)
+      .inputFiles.toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      "every pre-update data file must be SHARED, not rewritten")
+    assert((filesAfter -- filesBefore).size == 1,
+      "exactly one staged replacement file for the one matched row")
+    // still no join anywhere in the merged read
+    assert(!GraftTable.readVersion(spark, dir, 4)
+      .queryExecution.executedPlan.toString.contains("Join"))
+    // and the chain stays updatable: a second positional UPDATE on the
+    // replacement row itself (k=5 now lives in the staged dir)
+    spark.sql(s"UPDATE gt19d.`$abs` SET v = v + 100 WHERE k = 5")
+    assert(GraftTable.readVersion(spark, dir, 5)
+      .where(col("k") === 5L).select("v").collect()
+      .map(_.getLong(0)).toSeq == Seq(151L))
     // opt-in: DELETE mode=positional mints a pdv version on a plain head
     val dir2 = pdvBase("pdv_dml2")
     val abs2 = new java.io.File(dir2).getAbsolutePath

@@ -1,0 +1,256 @@
+package graft
+
+import org.apache.spark.sql.catalyst.QueryPlanningTracker
+import org.apache.spark.sql.functions._
+
+import graft.expr.PosDvSidecar
+import graft.plans.GraftMergeCommand
+import graft.sources.GraftTable
+
+/** Round-20 (final, VERDICT r19 "Next round" items): bounded pdv
+  * sidecar cache (items 3/8), positional merge-on-read UPDATE (item 4),
+  * partby-additive MERGE rebase (item 5), plus the ADVICE findings —
+  * non-deterministic positional-delete consistency and the qualified
+  * self-source comparison. */
+class Round20Spec extends SparkSpec {
+
+  private def fresh(tag: String): String = {
+    val dir = s"target/tmp/r20spec_$tag"
+    GraftTable.fsOf(spark, dir)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    dir
+  }
+
+  private def analyzedMerge(sql: String): GraftMergeCommand = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    spark.sessionState.analyzer
+      .executeAndCheck(parsed, new QueryPlanningTracker()) match {
+      case c: GraftMergeCommand => c
+      case other => fail(s"expected GraftMergeCommand, got $other")
+    }
+  }
+
+  // ---- partby-additive MERGE rebase (item 5) -------------------------------
+
+  test("a raced MERGE rebases across an ADDITIVE racer on a partitionBy " +
+      "table: the added column lands BEFORE the partition column and " +
+      "the rebase still absorbs it") {
+    import spark.implicits._
+    val dir = fresh("partbyrace")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "a"))
+        .toDF("key", "v", "p"),
+      "base", partitionBy = Seq("p"))
+    spark.conf.set("spark.sql.catalog.gt20",
+      classOf[graft.sources.GraftCatalog].getName)
+    val abs = new java.io.File(dir).getAbsolutePath
+    Seq((2L, 200L), (4L, 400L)).toDF("ckey", "delta")
+      .createOrReplaceTempView("r20_src")
+    // pin the statement at v0 …
+    val cmd = analyzedMerge(
+      s"""MERGE INTO gt20.`$abs` t USING r20_src s ON t.key = s.ckey
+         |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+         |WHEN NOT MATCHED THEN INSERT (key, v, p) VALUES (s.ckey, s.delta, 'c')
+         |""".stripMargin)
+    // … then race with a metadata-only widen. On a partitionBy head the
+    // widened declared order is (key, v, tag, p) — partition columns
+    // stay LAST, so the addition is NOT a suffix of the old schema (the
+    // shape r19's suffix-only rebase check refused)
+    GraftTable.commitAddColumns(spark, abs, Seq(("tag", "string")),
+      "racer adds a column")
+    val fs = GraftTable.fsOf(spark, abs)
+    assert(GraftTable.headersOf(fs, abs, 1)("schema")
+      .split(",").map(_.split(":")(0)).toSeq == Seq("key", "v", "tag", "p"),
+      "fixture must exhibit the extras-before-partition-columns shape")
+    cmd.run(spark)
+    assert(GraftTable.versions(fs, abs).size == 3,
+      "base + ADD COLUMN + exactly one merge commit")
+    val headHdrs = GraftTable.headersOf(fs, abs, 2)
+    assert(headHdrs.get("partby").contains("p"),
+      "the merge commit must preserve the partitionBy layout")
+    val got = GraftTable.read(spark, abs).orderBy("key").collect()
+      .map { r =>
+        val cols = GraftTable.read(spark, abs).columns
+        (r.getLong(cols.indexOf("key")), r.getLong(cols.indexOf("v")),
+          if (r.isNullAt(cols.indexOf("tag"))) "NULL"
+          else r.getString(cols.indexOf("tag")),
+          r.getString(cols.indexOf("p")))
+      }.toSeq
+    assert(got == Seq((1L, 10L, "NULL", "a"), (2L, 220L, "NULL", "b"),
+      (3L, 30L, "NULL", "a"), (4L, 400L, "NULL", "c")))
+  }
+
+  test("the partby data-REWRITE racer still refuses to rebase (the " +
+      "additive carve-out requires untouched data dirs)") {
+    import spark.implicits._
+    val dir = fresh("partbyrewrite")
+    GraftTable.commitNextIsolated(spark, dir,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("key", "v", "p"),
+      "base", partitionBy = Seq("p"))
+    spark.conf.set("spark.sql.catalog.gt20",
+      classOf[graft.sources.GraftCatalog].getName)
+    val abs = new java.io.File(dir).getAbsolutePath
+    Seq((2L, 200L)).toDF("ckey", "delta")
+      .createOrReplaceTempView("r20_src2")
+    val cmd = analyzedMerge(
+      s"""MERGE INTO gt20.`$abs` t USING r20_src2 s ON t.key = s.ckey
+         |WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+         |""".stripMargin)
+    GraftTable.commitAddColumns(spark, abs, Seq(("tag", "string")),
+      "racer adds a column")
+    GraftTable.commitNextIsolated(spark, abs,
+      GraftTable.read(spark, abs).withColumn("tag", lit("real")),
+      "racer writes real values", partitionBy = Seq("p"))
+    val e = intercept[java.util.ConcurrentModificationException](
+      cmd.run(spark))
+    assert(e.getMessage.contains("cannot absorb"))
+    assert(GraftTable.versions(GraftTable.fsOf(spark, abs), abs).size == 3)
+  }
+
+  // ---- bounded pdv sidecar cache (items 3 and 8) ---------------------------
+
+  test("PosDvSidecar cache evicts the coldest entry past the cap and a " +
+      "re-probe of the evicted file still answers correctly") {
+    import spark.implicits._
+    PosDvSidecar.resetForTest()
+    val sc = new java.io.File(fresh("pdvcache")).getAbsolutePath
+    Seq(0L, 2L).toDF("__pos").write.parquet(s"$sc/__file=f1")
+    Seq(1L).toDF("__pos").write.parquet(s"$sc/__file=f2")
+    Seq(3L).toDF("__pos").write.parquet(s"$sc/__file=f3")
+    try {
+      // each entry weighs max(arr.length, 16) = 16 → two entries fit,
+      // the third load must evict the coldest (f1)
+      PosDvSidecar.maxLongs = 40L
+      assert(PosDvSidecar.deleted(sc, "f1", 0L))
+      assert(!PosDvSidecar.deleted(sc, "f1", 1L))
+      assert(PosDvSidecar.deleted(sc, "f2", 1L))
+      assert(PosDvSidecar.cached(sc, "f1") && PosDvSidecar.cached(sc, "f2"))
+      assert(PosDvSidecar.deleted(sc, "f3", 3L))
+      assert(!PosDvSidecar.cached(sc, "f1"),
+        "loading past the cap must evict the coldest entry (f1)")
+      assert(PosDvSidecar.cached(sc, "f2") && PosDvSidecar.cached(sc, "f3"))
+      assert(PosDvSidecar.cachedLongs <= 40L)
+      // the evicted file transparently re-loads and answers identically
+      assert(PosDvSidecar.deleted(sc, "f1", 2L))
+      assert(!PosDvSidecar.deleted(sc, "f1", 3L))
+      assert(PosDvSidecar.cachedLongs <= 40L,
+        "the re-load must evict again, never exceed the cap")
+    } finally PosDvSidecar.resetForTest()
+  }
+
+  test("a many-file pdv read stays under the sidecar cache cap while " +
+      "the merged result stays exact (50 tombstoned files)") {
+    PosDvSidecar.resetForTest()
+    val dir = fresh("pdvmany")
+    val df = spark.range(500).select(col("id").as("k"),
+      (col("id") * 10L).as("v"))
+    GraftTable.commitNextIsolated(spark, dir, df.repartition(50), "base")
+    GraftTable.commitPositionalDelete(spark, dir,
+      col("k") % 5L === 0L, "tombstone every fifth row across all files")
+    try {
+      // 50 sidecar entries × weight 16 = 800 — a 200-long cap forces
+      // eviction DURING the scan; the read must stay exact regardless
+      PosDvSidecar.maxLongs = 200L
+      val got = GraftTable.read(spark, dir)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (0L until 500L).filterNot(_ % 5 == 0),
+        "eviction/re-load under memory pressure must not change results")
+      assert(PosDvSidecar.cachedLongs <= 200L,
+        s"cache must hold under the cap (got ${PosDvSidecar.cachedLongs})")
+      assert(PosDvSidecar.cachedEntries < 50,
+        "eviction must actually have run across the 50 sidecar files")
+    } finally PosDvSidecar.resetForTest()
+  }
+
+  // ---- non-deterministic positional delete (ADVICE r19, medium) -----------
+
+  test("positional DELETE with a NON-deterministic predicate stays " +
+      "self-consistent: survivors = raw - sidecar, and every _skips " +
+      "file's sidecar holds ALL its rows") {
+    import spark.implicits._
+    val dir = fresh("pdvrand")
+    GraftTable.commitNextIsolated(spark, dir,
+      (1L to 40L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1), "lo")
+    GraftTable.commitAppend(spark, dir,
+      (41L to 80L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1), "hi")
+    // rand() re-evaluates arbitrarily between jobs — the commit must
+    // record _skips from what it WROTE, never from a second evaluation
+    GraftTable.commitPositionalDelete(spark, dir, rand() < 0.5,
+      "random sample delete")
+    val fs = GraftTable.fsOf(spark, dir)
+    val hdrs = GraftTable.headersOf(fs, dir, 2)
+    val pdvDir = hdrs("pdv")
+    val sidecar = spark.read.parquet(s"$dir/$pdvDir")
+      .select(col("__file").cast("string").as("__file"),
+        col("__pos").cast("long").as("__pos"))
+    val positions = sidecar.count()
+    val served = GraftTable.readVersion(spark, dir, 2).count()
+    assert(served == 80L - positions,
+      s"served $served rows but the sidecar tombstones $positions of 80 " +
+        "— the committed skip manifest disagrees with the written sidecar")
+    // every skip-listed file must be FULLY covered by written positions
+    val perFile = sidecar.groupBy("__file").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    GraftTable.pdvSkips(fs, s"$dir/$pdvDir").foreach { f =>
+      assert(perFile.getOrElse(f, 0L) == 40L,
+        s"file $f is skip-listed but the sidecar holds only " +
+          s"${perFile.getOrElse(f, 0L)} of its 40 positions — over-delete")
+    }
+  }
+
+  // ---- positional UPDATE guards (item 4 companions) ------------------------
+
+  test("positional UPDATE enforces declared check constraints on the " +
+      "replacement rows and refuses atomically") {
+    import spark.implicits._
+    val dir = fresh("pdvupdcons")
+    GraftTable.commitNextIsolated(spark, dir,
+      (1L to 6L).map(k => (k, k * 10L)).toDF("k", "v"),
+      "base", constraints = Seq("check:v < 1000"))
+    GraftTable.commitPositionalDelete(spark, dir, col("k") === 1L, "mor")
+    val e = intercept[IllegalStateException] {
+      GraftTable.commitPositionalUpdate(spark, dir, col("k") === 2L,
+        Seq("v" -> lit(5000L)), "violating bump")
+    }
+    assert(e.getMessage.contains("constraint"))
+    assert(GraftTable.versions(GraftTable.fsOf(spark, dir), dir).size == 2,
+      "a refused update must create no version")
+    // a compliant update on the same head lands and carries the pdv
+    GraftTable.commitPositionalUpdate(spark, dir, col("k") === 2L,
+      Seq("v" -> lit(999L)), "compliant bump")
+    assert(GraftTable.read(spark, dir).where(col("k") === 2L)
+      .select("v").collect().map(_.getLong(0)).toSeq == Seq(999L))
+  }
+
+  test("positional UPDATE refuses a key-tombstone (dv=) head and the " +
+      "opt-in mode conf mints a pdv chain from a plain head") {
+    import spark.implicits._
+    val dir = fresh("pdvupdguards")
+    GraftTable.commitNextIsolated(spark, dir,
+      (1L to 6L).map(k => (k, k * 10L)).toDF("k", "v"), "base")
+    GraftTable.commitDeleteVector(spark, dir,
+      GraftTable.read(spark, dir).where(col("k") === 1L), Seq("k"), "dv")
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.commitPositionalUpdate(spark, dir, col("k") === 2L,
+        Seq("v" -> lit(0L)), "two regimes")
+    }
+    assert(e.getMessage.contains("dv="))
+    // SQL door opt-in on a PLAIN head routes positionally
+    val dir2 = fresh("pdvupdoptin")
+    GraftTable.commitNextIsolated(spark, dir2,
+      (1L to 6L).map(k => (k, k * 10L)).toDF("k", "v"), "base")
+    spark.conf.set("spark.sql.catalog.gt20u",
+      classOf[graft.sources.GraftCatalog].getName)
+    val abs2 = new java.io.File(dir2).getAbsolutePath
+    try {
+      spark.conf.set("spark.graft.update.mode", "positional")
+      spark.sql(s"UPDATE gt20u.`$abs2` SET v = v + 1 WHERE k <= 2")
+    } finally spark.conf.unset("spark.graft.update.mode")
+    val fs2 = GraftTable.fsOf(spark, dir2)
+    assert(GraftTable.headersOf(fs2, dir2, 1).contains("pdv"),
+      "the opt-in UPDATE must mint a positional sidecar, not CoW")
+    assert(GraftTable.read(spark, dir2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (1L to 6L).map(k => (k, if (k <= 2) k * 10L + 1 else k * 10L)))
+  }
+}
