@@ -120,7 +120,12 @@ object PlanDump {
       // the fully-deleted file is absent from the v3 side's file list),
       // the JDBC import (range-sliced JDBCRelation scan, both
       // predicates in PushedFilters), and the multi-insert read-back
-      "table_dv_positional", "source_jdbc_import", "etl_multi_insert")
+      "table_dv_positional", "source_jdbc_import", "etl_multi_insert",
+      // round-20: the positional MoR UPDATE — the merged read across a
+      // delete→update chain still has NO join node (the replacement
+      // dir's files flow beside the shared base files; the probe
+      // filters tombstoned positions inside the scan stage)
+      "table_dv_update_positional")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (headline queries, ")
       .append(sfDir).append(")\n\n")
