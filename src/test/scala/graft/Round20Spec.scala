@@ -222,6 +222,94 @@ class Round20Spec extends SparkSpec {
       .select("v").collect().map(_.getLong(0)).toSeq == Seq(999L))
   }
 
+  /** Two-file pdv-update fixture: v0 holds keys 1..4 (the 'lo' file),
+    * the appended v1 holds 5..12 ('hi'). */
+  private def updBase(tag: String): String = {
+    import spark.implicits._
+    val dir = fresh(tag)
+    GraftTable.commitNextIsolated(spark, dir,
+      (1L to 4L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1), "lo")
+    GraftTable.commitAppend(spark, dir,
+      (5L to 12L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1), "hi")
+    dir
+  }
+
+  test("a positional UPDATE matching EVERY row of one file lands that " +
+      "file in _skips: the read serves replacements only, never opens it") {
+    val dir = updBase("pdvupdskip")
+    GraftTable.commitPositionalUpdate(spark, dir, col("k") <= 4L,
+      Seq("v" -> (col("v") * 100L)), "rewrite the whole lo file")
+    val fs = GraftTable.fsOf(spark, dir)
+    val pdvDir = GraftTable.headersOf(fs, dir, 2)("pdv")
+    assert(GraftTable.pdvSkips(fs, s"$dir/$pdvDir").size == 1,
+      "the fully-tombstoned lo file must be skip-listed")
+    val read = GraftTable.readVersion(spark, dir, 2)
+    val skipped = GraftTable.pdvSkips(fs, s"$dir/$pdvDir").head
+    assert(!read.inputFiles.exists(_.endsWith(skipped)),
+      "the fully-tombstoned lo file must never enter the file list")
+    assert(GraftTable.readVersion(spark, dir, 1).inputFiles
+      .exists(_.endsWith(skipped)),
+      "…and the skip-listed name must be a real v1 data file")
+    assert(read.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (1L to 12L).map(k => (k, if (k <= 4) k * 1000L else k * 10L)))
+  }
+
+  test("lifecycle across a delete→positional-update chain: shallow " +
+      "clone serves merged, compaction mints a pdv-free rewrite, " +
+      "changeFeed types the update as pre+post images") {
+    val dir = updBase("pdvupdlife")
+    GraftTable.commitPositionalDelete(spark, dir, col("k") === 3L, "mor")
+    GraftTable.commitPositionalUpdate(spark, dir, col("k") === 7L,
+      Seq("v" -> lit(777L)), "positional bump")
+    val expect = (1L to 12L).filterNot(_ == 3L)
+      .map(k => (k, if (k == 7L) 777L else k * 10L))
+    // clone: the destination's v0 serves the MERGED update chain
+    val dst = fresh("pdvupdclone")
+    GraftTable.cloneShallow(spark, dir, dst)
+    assert(GraftTable.readVersion(spark, dst, 0).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == expect)
+    // changeFeed across the update version: exactly one pre+post pair
+    val feed = GraftTable.changeFeed(spark, dir, 3, Seq("k"))
+      .select("change_type", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(feed == Set(("update_preimage", 7L, 70L),
+      ("update_postimage", 7L, 777L)),
+      s"the typed diff must be the one updated row, got $feed")
+    // compaction folds the chain into a probe-free rewrite
+    val cv = GraftTable.compactChain(spark, dir)
+    val fs = GraftTable.fsOf(spark, dir)
+    assert(!GraftTable.headersOf(fs, dir, cv).contains("pdv"))
+    assert(GraftTable.readVersion(spark, dir, cv).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == expect)
+  }
+
+  test("retention across a positional-update chain: expire + vacuum " +
+      "reclaim the superseded sidecar, the head stays exact") {
+    val dir = updBase("pdvupdgc")
+    GraftTable.commitPositionalDelete(spark, dir, col("k") === 3L, "mor")
+    GraftTable.commitPositionalUpdate(spark, dir, col("k") === 7L,
+      Seq("v" -> lit(777L)), "positional bump")
+    val fs = GraftTable.fsOf(spark, dir)
+    val oldSidecar = GraftTable.headersOf(fs, dir, 2)("pdv")
+    val headSidecar = GraftTable.headersOf(fs, dir, 3)("pdv")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$oldSidecar")))
+    // expire everything but the head (far-future now), then vacuum
+    val expired = GraftTable.expireVersions(fs, dir, retainMs = 0L,
+      nowMs = System.currentTimeMillis() + 86400000L)
+    GraftTable.vacuum(fs, dir)
+    assert(expired.contains(2),
+      s"the superseded delete version must expire, got $expired")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$oldSidecar")),
+      "v2's sidecar is referenced by no retained version — reclaim it")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$headSidecar")),
+      "the head's cumulative sidecar must survive")
+    assert(GraftTable.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (1L to 12L).filterNot(_ == 3L)
+        .map(k => (k, if (k == 7L) 777L else k * 10L)))
+  }
+
   test("positional UPDATE refuses a key-tombstone (dv=) head and the " +
       "opt-in mode conf mints a pdv chain from a plain head") {
     import spark.implicits._
