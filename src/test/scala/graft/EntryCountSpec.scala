@@ -41,4 +41,21 @@ class EntryCountSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without implementations: $orphans")
   }
+
+  test("OPERATORS.md indexes exactly the implemented query keys") {
+    // the release-audit reconciliation, pinned: the human-facing index
+    // and the code can never drift apart silently again
+    val src = scala.io.Source.fromFile("OPERATORS.md", "UTF-8")
+    val indexed = try {
+      val re = java.util.regex.Pattern.compile("^- `([a-z0-9_]+)` —")
+      src.getLines().flatMap { l =>
+        val m = re.matcher(l); if (m.find()) Some(m.group(1)) else None
+      }.toSet
+    } finally src.close()
+    val keys = SparkEntry.queries.keySet
+    assert(keys -- indexed == Set.empty,
+      s"implemented but not indexed in OPERATORS.md: ${keys -- indexed}")
+    assert(indexed -- keys == Set.empty,
+      s"indexed in OPERATORS.md but not implemented: ${indexed -- keys}")
+  }
 }
