@@ -162,6 +162,63 @@ class Round20Spec extends SparkSpec {
     } finally PosDvSidecar.resetForTest()
   }
 
+  test("PosDvSidecar stays correct under concurrent probes with the cap " +
+      "forcing constant eviction (8 threads x 6 files)") {
+    import spark.implicits._
+    PosDvSidecar.resetForTest()
+    val sc = new java.io.File(fresh("pdvcachestress")).getAbsolutePath
+    // file fN tombstones positions { n, n+10 }
+    (1 to 6).foreach { n =>
+      Seq(n.toLong, n + 10L).toDF("__pos").write.parquet(s"$sc/__file=f$n")
+    }
+    try {
+      PosDvSidecar.maxLongs = 40L // two entries fit; six files contend
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (1 to 8).map { t =>
+        new Thread(() => {
+          val rnd = new java.util.Random(t)
+          var i = 0
+          while (i < 2000) {
+            val n = rnd.nextInt(6) + 1
+            val pos = rnd.nextInt(24).toLong
+            val got = PosDvSidecar.deleted(sc, s"f$n", pos)
+            val want = pos == n || pos == n + 10
+            if (got != want)
+              errs.add(s"f$n pos=$pos got=$got want=$want")
+            i += 1
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty,
+        s"eviction races corrupted answers: ${errs.peek()}")
+      assert(PosDvSidecar.cachedLongs <= 40L + 16L,
+        "total may transiently hold one over-cap insert, never grow")
+    } finally PosDvSidecar.resetForTest()
+  }
+
+  test("a positional UPDATE matching NOTHING commits an empty sidecar " +
+      "version and the table reads unchanged") {
+    val dir = updBase("pdvupdnone")
+    try {
+      spark.conf.set("spark.graft.update.mode", "positional")
+      spark.conf.set("spark.sql.catalog.gt20n",
+        classOf[graft.sources.GraftCatalog].getName)
+      val abs = new java.io.File(dir).getAbsolutePath
+      spark.sql(s"UPDATE gt20n.`$abs` SET v = 0 WHERE k > 999")
+    } finally spark.conf.unset("spark.graft.update.mode")
+    val fs = GraftTable.fsOf(spark, dir)
+    assert(GraftTable.headersOf(fs, dir, 2).contains("pdv"))
+    assert(GraftTable.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (1L to 12L).map(k => (k, k * 10L)))
+    // and the chain stays usable: a real update lands on top
+    GraftTable.commitPositionalUpdate(spark, dir, col("k") === 1L,
+      Seq("v" -> lit(11L)), "real bump")
+    assert(GraftTable.read(spark, dir).where(col("k") === 1L)
+      .select("v").collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
   // ---- non-deterministic positional delete (ADVICE r19, medium) -----------
 
   test("positional DELETE with a NON-deterministic predicate stays " +
