@@ -117,12 +117,24 @@ object AvroBridge {
   }
 
   /** Write `df` as Avro object container files under `path` — one file
-    * per partition, no shuffle, records built inside the write task. */
-  def write(df: DataFrame, path: String): Unit = {
+    * per partition, no shuffle, records built inside the write task.
+    * `codec` is an Avro container codec name (`deflate`, `snappy`,
+    * `bzip2`, …) applied per block — the production default for Avro
+    * lake layers; None writes uncompressed. */
+  def write(df: DataFrame, path: String,
+      codec: Option[String] = None): Unit = {
     val st = df.schema
     val avroJson = toAvro(st).toString
     val job = Job.getInstance(df.sparkSession.sessionState.newHadoopConf())
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(avroJson))
+    codec.foreach { c =>
+      // AvroOutputFormatBase honors the Hadoop compress flag plus
+      // Avro's own codec key (block-level container compression —
+      // the files stay splittable at sync markers)
+      job.getConfiguration.setBoolean(
+        "mapreduce.output.fileoutputformat.compress", true)
+      job.getConfiguration.set("avro.output.codec", c)
+    }
     val types = st.fields.map(_.dataType)
     df.rdd.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(avroJson)

@@ -258,6 +258,29 @@ class Round20Spec extends SparkSpec {
     assert(e.getMessage.contains("arr"))
   }
 
+  test("AvroBridge deflate-compressed containers round-trip exactly " +
+      "and compress a repetitive payload") {
+    import spark.implicits._
+    val plainDir = new java.io.File(fresh("avroplain")).getAbsolutePath
+    val defDir = new java.io.File(fresh("avrodeflate")).getAbsolutePath
+    val df = (1L to 5000L)
+      .map(i => (i, "the same highly repetitive payload " * 3))
+      .toDF("k", "s").coalesce(1)
+    sources.AvroBridge.write(df, plainDir)
+    sources.AvroBridge.write(df, defDir, codec = Some("deflate"))
+    val back = sources.AvroBridge.read(spark, defDir, df.schema)
+    assert(back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == df.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    def bytes(d: String): Long = {
+      val fs = GraftTable.fsOf(spark, d)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
+    }
+    assert(bytes(defDir) * 5 < bytes(plainDir),
+      s"deflate must compress the repetitive payload ≥5x " +
+        s"(${bytes(defDir)} vs ${bytes(plainDir)})")
+  }
+
   // ---- non-deterministic positional delete (ADVICE r19, medium) -----------
 
   test("positional DELETE with a NON-deterministic predicate stays " +
