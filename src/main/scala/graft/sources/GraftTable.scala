@@ -2391,6 +2391,27 @@ object GraftTable {
         case None => col(c)
       }
     }: _*)
+    // the matched set is evaluated TWICE (positions, then replacements):
+    // a non-deterministic condition or SET value could disagree between
+    // the passes — tombstoning a row without staging its replacement
+    // (row loss) or staging a replacement for an untombstoned row
+    // (duplication). The SQL door refuses through `portable`; the API
+    // door must refuse just as loudly (the delete door is immune — its
+    // single write is the only evaluation that matters — but an update
+    // has two dependent ones). Checked on the ANALYZED plan: an
+    // unresolved rand() reports deterministic until resolution.
+    locally {
+      val bad = replacements.queryExecution.analyzed
+        .collect { case p => p.expressions
+          .flatMap(_.collect { case e if !e.deterministic => e }) }
+        .flatten
+      require(bad.isEmpty,
+        "a positional update requires a DETERMINISTIC condition and " +
+          "SET values (the matched set is evaluated once for positions " +
+          "and once for replacements, which must agree) — " +
+          s"non-deterministic: ${bad.mkString(", ")}; update " +
+          "copy-on-write (purgePositionalDv first) instead")
+    }
     val carried = carriedConstraints(Some((cur, hdrs)))
     if (carried.nonEmpty)
       enforceConstraints(replacements, carried, "update",

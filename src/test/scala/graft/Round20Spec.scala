@@ -429,6 +429,24 @@ class Round20Spec extends SparkSpec {
         .map(k => (k, if (k == 7L) 777L else k * 10L)))
   }
 
+  test("positional UPDATE refuses non-deterministic conditions and SET " +
+      "values (two-pass evaluation must agree)") {
+    val dir = updBase("pdvupdrand")
+    GraftTable.commitPositionalDelete(spark, dir, col("k") === 3L, "mor")
+    val e1 = intercept[IllegalArgumentException] {
+      GraftTable.commitPositionalUpdate(spark, dir, rand() < 0.5,
+        Seq("v" -> lit(0L)), "random cond")
+    }
+    assert(e1.getMessage.toLowerCase.contains("deterministic"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.commitPositionalUpdate(spark, dir, col("k") === 5L,
+        Seq("v" -> (rand() * 100).cast("long")), "random value")
+    }
+    assert(e2.getMessage.toLowerCase.contains("non-deterministic"))
+    assert(GraftTable.versions(GraftTable.fsOf(spark, dir), dir).size == 3,
+      "a refused update must create no version")
+  }
+
   test("positional UPDATE refuses a key-tombstone (dv=) head and the " +
       "opt-in mode conf mints a pdv chain from a plain head") {
     import spark.implicits._
