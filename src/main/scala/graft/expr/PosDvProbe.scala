@@ -74,9 +74,10 @@ case class PosDvProbe(left: Expression, right: Expression, sidecar: String)
   * scans the file — never on the driver. */
 object PosDvSidecar {
   private final class Entry(val arr: Array[Long]) {
-    // plain (non-volatile) recency stamp: written per probe, read only
-    // at eviction time — approximate LRU tolerates staleness, and a
-    // plain write costs nothing next to the per-row binary search
+    // plain (non-volatile) recency stamp: written once per clock epoch
+    // (the clock advances only on cache misses), read only at eviction
+    // time — approximate LRU tolerates staleness, and a plain write
+    // costs nothing next to the per-row binary search
     var tick: Long = 0L
     // arrays are never 0-cost: charge a floor so even empty/tiny
     // sidecars bound the ENTRY count, not just the long count
@@ -103,14 +104,29 @@ object PosDvSidecar {
     val key = s"$sidecar/__file=$file"
     var e = cache.get(key)
     if (e == null) {
+      // advance the coarse clock ONLY on a miss: recency is epoch-based
+      // (entries probed since the last miss share a tick), which is all
+      // an approximate LRU needs — an atomic fetch-add PER ROW would
+      // serialize every scan thread on one cache line (round-20 advice).
+      val now = clock.incrementAndGet()
       e = cache.computeIfAbsent(key, p => {
         val loaded = new Entry(load(new Path(p)))
+        // stamp INSIDE the loader: a fresh entry must never sit at
+        // tick=0 looking coldest while a concurrent miss evicts —
+        // reload thrash exactly under the cap pressure the LRU exists
+        // for (round-20 advice)
+        loaded.tick = now
         totalLongs.addAndGet(loaded.weight)
         loaded
       })
+      if (e.tick < now) e.tick = now
       evictPast(maxLongs, keep = key)
+    } else {
+      // hot path: one volatile READ (shared, no ping-pong) + a plain
+      // write only on the first probe of this epoch
+      val now = clock.get()
+      if (e.tick != now) e.tick = now
     }
-    e.tick = clock.incrementAndGet()
     java.util.Arrays.binarySearch(e.arr, pos) >= 0
   }
 

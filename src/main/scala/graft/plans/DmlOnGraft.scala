@@ -260,8 +260,15 @@ case class GraftUpdateCommand(update: UpdateTable, dir: String)
         }: _*)
       }
     } else if (hdrs.contains("pdv") ||
-        spark.conf.getOption("spark.graft.update.mode")
-          .contains("positional"))
+        (spark.conf.getOption("spark.graft.update.mode")
+          .contains("positional") &&
+          !hdrs.contains("dv") && !hdrs.contains("pmap")))
+      // the conf opt-in is gated on regime compatibility: a dv= (key-
+      // tombstone) or pmap head cannot take a positional commit
+      // (commitPositionalUpdate refuses), so a session-wide
+      // mode=positional must keep routing those heads to the arm that
+      // works instead of turning their working UPDATEs into errors
+      // (round-20 advice)
       // POSITIONAL arm (VERDICT r19 item 4): continuing a pdv chain —
       // tombstone matched positions, stage replacement rows, keep every
       // untouched file unrewritten (a key-tombstone update on a pdv
@@ -303,8 +310,12 @@ case class GraftDeleteCommand(delete: DeleteFromTable, dir: String)
         "DELETE (SQL, copy-on-write)")(
         _.where(!coalesce(cond, lit(false))))
     else if (hdrs.contains("pdv") ||
-        spark.conf.getOption("spark.graft.delete.mode")
-          .contains("positional"))
+        (spark.conf.getOption("spark.graft.delete.mode")
+          .contains("positional") &&
+          !hdrs.contains("dv") && !hdrs.contains("pmap")))
+      // conf opt-in gated on regime compatibility, like the UPDATE
+      // door: dv=/pmap heads keep their working arm instead of hitting
+      // commitPositionalDelete's refusal (round-20 advice)
       // POSITIONAL arm: continuing a pdv chain (a key-tombstone commit
       // on a pdv head refuses — one version cannot merge two DV
       // regimes), or opted in via spark.graft.delete.mode=positional.

@@ -18,10 +18,13 @@ import scala.jdk.CollectionConverters._
   * "What's missing" 4 recorded the source as environment-blocked) —
   * so the door is built on what IS here: the public Hadoop
   * `AvroKeyInputFormat`/`AvroKeyOutputFormat` over standard Avro
-  * object container files. The files are 100% interchange-compatible
-  * (any Avro reader consumes them); a deployment with the real
-  * connector swaps `AvroBridge.read/write` for
-  * `spark.read.format("avro")` unchanged.
+  * object container files. The files are VALUE-compatible (any Avro
+  * reader consumes them and sees the same values), but the emitted
+  * schema carries no logicalType annotations — a foreign reader sees
+  * date as a raw int, timestamps as raw epoch-micros longs and decimal
+  * as a string, not typed dates/timestamps/decimals (round-20 advice:
+  * honest claim). A deployment with the real connector swaps
+  * `AvroBridge.read/write` for `spark.read.format("avro")` unchanged.
   *
   * Scale posture: the container format is block-based with sync
   * markers, so the input format SPLITS large files across tasks like
@@ -68,15 +71,25 @@ object AvroBridge {
     Schema.createRecord(name, null, "graft.avro", false, fields.toList.asJava)
   }
 
-  /** Spark external value → Avro runtime value (per field). */
+  /** Spark external value → Avro runtime value (per field). Matches on
+    * the RUNTIME class for date/timestamp: with
+    * `spark.sql.datetime.java8API.enabled=true` the Row externals are
+    * java.time.LocalDate/Instant instead of java.sql.Date/Timestamp,
+    * and a hard cast would throw at write time (round-20 advice). */
   private def toAvroValue(dt: DataType, v: Any): Any = v match {
     case null => null
     case _ => dt match {
-      case DateType =>
-        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
-      case TimestampType =>
-        val ts = v.asInstanceOf[java.sql.Timestamp]
-        ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      case DateType => v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case ld: java.time.LocalDate => ld.toEpochDay.toInt
+      }
+      case TimestampType => v match {
+        case ts: java.sql.Timestamp =>
+          ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        case i: java.time.Instant =>
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            (i.getNano / 1000L))
+      }
       case TimestampNTZType =>
         val ldt = v.asInstanceOf[java.time.LocalDateTime]
         ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
@@ -88,18 +101,28 @@ object AvroBridge {
     }
   }
 
-  /** Avro runtime value → Spark external value (per field). */
-  private def fromAvroValue(dt: DataType, v: Any): Any = v match {
+  /** Avro runtime value → Spark external value (per field). `java8`
+    * selects the external class the session's RowEncoder expects:
+    * java.time.LocalDate/Instant under
+    * `spark.sql.datetime.java8API.enabled=true`, java.sql.Date/
+    * Timestamp otherwise (NTZ is LocalDateTime under both). */
+  private def fromAvroValue(dt: DataType, v: Any, java8: Boolean): Any = v match {
     case null => null
     case _ => dt match {
       case StringType => v.toString // Utf8 → String
-      case DateType => java.sql.Date.valueOf(
-        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case DateType =>
+        val ld = java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+        if (java8) ld else java.sql.Date.valueOf(ld)
       case TimestampType =>
         val micros = v.asInstanceOf[Long]
-        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
-        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
-        ts
+        if (java8)
+          java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+            Math.floorMod(micros, 1000000L) * 1000L)
+        else {
+          val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+          ts
+        }
       case TimestampNTZType =>
         val micros = v.asInstanceOf[Long]
         java.time.LocalDateTime.ofEpochSecond(
@@ -158,6 +181,7 @@ object AvroBridge {
     * block-compressed container read. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val avroJson = toAvro(schema).toString
+    val java8 = spark.sessionState.conf.datetimeJava8ApiEnabled
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     AvroJob.setInputKeySchema(job, new Schema.Parser().parse(avroJson))
     val types = schema.fields.map(_.dataType)
@@ -171,7 +195,7 @@ object AvroBridge {
         val rec = k.datum()
         val vals = new Array[Any](n)
         var i = 0
-        while (i < n) { vals(i) = fromAvroValue(types(i), rec.get(i)); i += 1 }
+        while (i < n) { vals(i) = fromAvroValue(types(i), rec.get(i), java8); i += 1 }
         Row.fromSeq(vals.toIndexedSeq)
       })
     spark.createDataFrame(rowRdd, schema)
