@@ -116,9 +116,14 @@ object Round17Ops {
     // n_versions pins the append (2 = head + one appended version).
     "table_dsv2_write_partby" -> ((s, d) => {
       val dir = freshDir(s, d, "pbwrite")
+      // price stays DECIMAL in the store (determinism canon): the
+      // read-back sums the FULL 150k-row table, and a stored
+      // money-double there accumulates order-dependent error past the
+      // 4dp grid at sf0.1 (round-21 sf0.1 Verify caught exactly this —
+      // the only such full-table double-sum in the suite)
       val o = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
-          money(dec(col("o_totalprice"))).as("price"),
+          dec(col("o_totalprice")).as("price"),
           col("o_orderpriority").as("prio"))
       GraftTable.commitNextIsolated(s, dir,
         o.where(pmod(col("o_orderkey"), lit(3)) < 2), "partitioned head",
@@ -451,7 +456,7 @@ object Round17Ops {
     // (2 versions) is structural
     "table_dsv2_write_partby" ->
       (s"WITH o AS (SELECT o_orderkey, " +
-        s"${oMoney(oDec("o_totalprice"))} AS price, " +
+        s"${oDec("o_totalprice")} AS price, " +
         "o_orderpriority AS prio FROM orders) " +
         "SELECT CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS n_total, " +
         s"(SELECT ${oMoney("SUM(price)")} FROM o) AS total_rev, " +

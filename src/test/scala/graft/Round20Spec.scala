@@ -478,4 +478,69 @@ class Round20Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       (1L to 6L).map(k => (k, if (k <= 2) k * 10L + 1 else k * 10L)))
   }
+
+  // ---- round-21 one-pass positional UPDATE fold ----------------------------
+
+  test("positional UPDATE one-pass fold (r21): the cumulative sidecar " +
+      "stays duplicate-free without a distinct, prior _skips carry " +
+      "forward, and an update that kills a file's last live rows lands " +
+      "it in _skips via the delta reconciliation") {
+    import spark.implicits._
+    val dir = fresh("pdvfold")
+    // hash-repartition by k%3 lands class 0 alone in one file and
+    // classes 1+2 together in another (plus one empty file) — the mix
+    // is the point: fully-dead needs BOTH classes of the shared file
+    val base = (0L until 12L).toDF("k").withColumn("v", col("k") * 10L)
+      .repartition(3, pmod(col("k"), lit(3)))
+    GraftTable.commitNextIsolated(spark, dir, base, "base")
+    val fs = GraftTable.fsOf(spark, dir)
+    // v1: delete EVERY row of the k%3==0 file — it becomes fully dead
+    GraftTable.commitPositionalDelete(spark, dir,
+      pmod(col("k"), lit(3)) === 0L, "kill the k%3==0 file")
+    val skips1 = GraftTable.pdvSkips(fs,
+      s"$dir/${GraftTable.headersOf(fs, dir, 1)("pdv")}")
+    assert(skips1.size == 1, s"one fully-dead file expected, got $skips1")
+    // v2: point UPDATE (k=1 lives in the shared k%3∈{1,2} file)
+    GraftTable.commitPositionalUpdate(spark, dir, col("k") === 1L,
+      Seq("v" -> lit(111L)), "bump k=1")
+    val h2 = GraftTable.headersOf(fs, dir, 2)
+    val skips2 = GraftTable.pdvSkips(fs, s"$dir/${h2("pdv")}")
+    assert(skips2 == skips1,
+      "prior fully-dead files must carry into the new _skips verbatim")
+    val sc2 = spark.read.parquet(s"$dir/${h2("pdv")}")
+    assert(sc2.count() == sc2.distinct().count(),
+      "the no-distinct sidecar union must stay duplicate-free " +
+        "(fresh positions are probe-filtered live rows)")
+    // v3: update every k%3==1 row — half of the shared base file dies
+    // (not fully dead yet) and v2's one-row replacement file IS fully
+    // tombstoned: the delta reconciliation must catch a replacement
+    // dir's file
+    GraftTable.commitPositionalUpdate(spark, dir,
+      pmod(col("k"), lit(3)) === 1L, Seq("v" -> lit(999L)), "retire class 1")
+    val h3 = GraftTable.headersOf(fs, dir, 3)
+    val skips3 = GraftTable.pdvSkips(fs, s"$dir/${h3("pdv")}")
+    assert(skips1.subsetOf(skips3) && skips3.size == 2,
+      s"expected prior skip + v2's fully-tombstoned replacement file, " +
+        s"got $skips3")
+    val sc3 = spark.read.parquet(s"$dir/${h3("pdv")}")
+    assert(sc3.count() == sc3.distinct().count())
+    // v4: update every k%3==2 row — the shared base file's remaining
+    // half dies, so it goes fully dead ACROSS two commits (cumulative
+    // count = prev sidecar footers + this update's fresh positions)
+    GraftTable.commitPositionalUpdate(spark, dir,
+      pmod(col("k"), lit(3)) === 2L, Seq("v" -> lit(222L)), "retire class 2")
+    val h4 = GraftTable.headersOf(fs, dir, 4)
+    val skips4 = GraftTable.pdvSkips(fs, s"$dir/${h4("pdv")}")
+    assert(skips3.subsetOf(skips4) && skips4.size == 3,
+      s"the shared base file must go fully dead across two updates, " +
+        s"got $skips4")
+    val sc4 = spark.read.parquet(s"$dir/${h4("pdv")}")
+    assert(sc4.count() == sc4.distinct().count())
+    // the merged head serves exactly the surviving images
+    val got = GraftTable.read(spark, dir).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = Seq(1L -> 999L, 2L -> 222L, 4L -> 999L, 5L -> 222L,
+      7L -> 999L, 8L -> 222L, 10L -> 999L, 11L -> 222L)
+    assert(got == expect, s"got $got")
+  }
 }
