@@ -924,6 +924,33 @@ object GraftTable {
   def statsOf(fs: FileSystem, dir: String, v: Int): Option[TableStats] =
     parseCommit(commitContent(fs, dir, v))._1.get("stats").map(TableStats.decode)
 
+  /** Typed read of a key-tombstone (dv=) sidecar: its columns are the
+    * recorded key columns of the DECLARED schema (plus a string `__dir`
+    * for scoped DVs), so binding that schema skips the 1-task
+    * schema-inference Spark job every dv read otherwise pays (round-21
+    * — the pdv sidecars got the same treatment). Falls back to plain
+    * inference when the head records no schema, carries colmap
+    * indirection (physical names differ), or a key column is missing
+    * from the declared schema — inference is always correct, just one
+    * job slower. */
+  private def readDvSidecar(spark: SparkSession, path: String,
+      declared: Option[org.apache.spark.sql.types.StructType],
+      keyCols: Seq[String], scoped: Boolean,
+      colmapped: Boolean): DataFrame = {
+    val typed = declared.filter(_ => !colmapped).flatMap { st =>
+      val fields = keyCols.map(k => st.fields.find(_.name == k))
+      if (fields.exists(_.isEmpty)) None
+      else Some(org.apache.spark.sql.types.StructType(
+        fields.map(_.get.copy(nullable = true)) ++
+          (if (scoped) Seq(org.apache.spark.sql.types.StructField("__dir",
+            org.apache.spark.sql.types.StringType)) else Nil)))
+    }
+    typed match {
+      case Some(st) => spark.read.schema(st).parquet(path)
+      case None => spark.read.parquet(path)
+    }
+  }
+
   /** Compute per-file (rows, min/max) stats over a just-written data
     * dir. `statsCols` maps column name → long-valued Column (the
     * ordinal encoding above). One grouped pass over the written files —
@@ -1633,7 +1660,13 @@ object GraftTable {
         // partition columns surface last per dir
         paths.map(p => spark.read.schema(st).parquet(p))
           .reduce(_ unionByName _)
-      case (Some(st), None) if paths.length > 1 =>
+      case (Some(st), None) if partByCols.isEmpty =>
+        // FLAT dirs (any count): bind the declared schema — inference
+        // costs a 1-task Spark job per read and can add nothing on a
+        // flat layout (no partition columns to surface last; declared
+        // fields are nullable like inference's, so the served schema is
+        // identical — round-21). Single-dir partitionBy reads keep
+        // inference through the case below.
         spark.read.schema(st).parquet(paths: _*)
       case _ => spark.read.parquet(paths: _*)
     }
@@ -1714,7 +1747,8 @@ object GraftTable {
             case None => spark.read.parquet(s"$dir/$dd")
           }).withColumn("__gdir", lit(dirBasename(dd)))
         }.reduce(_ unionByName _)
-        val dvDf = spark.read.parquet(s"$dir/$dvDir")
+        val dvDf = readDvSidecar(spark, s"$dir/$dvDir", declared, keyCols,
+            scoped = true, colmapped = colmap.isDefined)
           .withColumnRenamed("__dir", "__gdir")
         val hint = dvBroadcastHint &&
           dvFooterRows(spark, fs, dir, dvDir) <= dvBroadcastMaxKeys(spark)
@@ -1732,7 +1766,8 @@ object GraftTable {
         val Array(dvDir, keys) = spec.split(";", 2)
         val keyCols = keys.split(",").toSeq
         val dataDf = conform(readDirs(dataDirs.map(d => s"$dir/$d")))
-        val dvDf = spark.read.parquet(s"$dir/$dvDir")
+        val dvDf = readDvSidecar(spark, s"$dir/$dvDir", declared, keyCols,
+          scoped = false, colmapped = colmap.isDefined)
         val hint = dvBroadcastHint &&
           dvFooterRows(spark, fs, dir, dvDir) <= dvBroadcastMaxKeys(spark)
         dataDf.join(
@@ -2092,10 +2127,14 @@ object GraftTable {
         import spark.implicits._
         val basenamesDf = dataDirsFrom(hdrs, cur, prefix)
           .map(dirBasename).toDF("__dir")
-        val prev = spark.read.parquet(s"$dir/${spec.split(";", 3)(0)}")
+        val prev = readDvSidecar(spark, s"$dir/${spec.split(";", 3)(0)}",
+          declaredSchemaOf(hdrs), keyCols, scoped = true,
+          colmapped = hdrs.contains("colmap"))
         (prev.unionByName(fresh.crossJoin(basenamesDf)).distinct(), true)
       case Some(spec) =>
-        val prev = spark.read.parquet(s"$dir/${spec.split(";", 2)(0)}")
+        val prev = readDvSidecar(spark, s"$dir/${spec.split(";", 2)(0)}",
+          declaredSchemaOf(hdrs), keyCols, scoped = false,
+          colmapped = hdrs.contains("colmap"))
         (prev.unionByName(fresh).distinct(), false)
       case None => (fresh, false)
     }
@@ -3016,7 +3055,9 @@ object GraftTable {
     }
     val prevTombs: Option[DataFrame] = hdrs.get("dv").map { spec =>
       val parts = spec.split(";", -1)
-      val dvd = spark.read.parquet(s"$dir/${parts(0)}")
+      val dvd = readDvSidecar(spark, s"$dir/${parts(0)}",
+        declaredSchemaOf(hdrs), keyCols, scoped = parts.length == 3,
+        colmapped = hdrs.contains("colmap"))
       if (parts.length == 3) dvd
       // an unscoped DV kills its keys everywhere — the scoped
       // equivalent is the key set crossed with every current dir
@@ -4123,7 +4164,9 @@ object GraftTable {
               }.reduce(_ unionByName _)
               val prevTombs: Option[DataFrame] = hdrs.get("dv").map { sp =>
                 val parts = sp.split(";", -1)
-                val dvd = spark.read.parquet(s"$dir/${parts(0)}")
+                val dvd = readDvSidecar(spark, s"$dir/${parts(0)}",
+                  declared, keyCols, scoped = parts.length == 3,
+                  colmapped = hdrs.contains("colmap"))
                 if (parts.length == 3) dvd
                 else dvd.crossJoin(basenamesDf)
               }
@@ -5376,13 +5419,17 @@ object GraftTable {
       val upd = hdrs("update")
       require(fs.exists(new Path(s"$dir/$upd")),
         s"version $v's data has been garbage-collected (retention)")
-      val curTombs = spark.read.parquet(s"$dir/${dvParts(0)}")
+      val curTombs = readDvSidecar(spark, s"$dir/${dvParts(0)}",
+        declaredSchemaOf(hdrs), keyCols, scoped = dvParts.length == 3,
+        colmapped = hdrs.contains("colmap"))
       val prevHdrs = parseCommit(commitContent(fs, dir, v - 1))._1
       val prevDirs = dataDirsFrom(prevHdrs, v - 1, prefix)
       import spark.implicits._
       val prevTombs = prevHdrs.get("dv").map { spec =>
         val parts = spec.split(";", -1)
-        val dvd = spark.read.parquet(s"$dir/${parts(0)}")
+        val dvd = readDvSidecar(spark, s"$dir/${parts(0)}",
+          declaredSchemaOf(prevHdrs), keyCols, scoped = parts.length == 3,
+          colmapped = prevHdrs.contains("colmap"))
         if (parts.length == 3) dvd
         else dvd.crossJoin(prevDirs.map(dirBasename).toDF("__dir"))
       }
